@@ -1,0 +1,54 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/** Pure JVM string kernels backing graft's custom Catalyst expressions.
+  *
+  * Kept free of any Spark type so they are unit-testable and directly
+  * callable from generated code (whole-stage codegen emits static calls into
+  * this object — see [[graft.functions.Slugify]]).
+  *
+  * Semantics follow the reference library's text normalizers:
+  *  - slugify: `perustats/inei/utils/file_utils.py:12-23` (NFD-normalize,
+  *    drop combining marks, strip non word/space/dash, whitespace -> "_",
+  *    lowercase).
+  *  - stripAccents: `perustats/infogob/11_locations_refs.py:45-63`.
+  */
+object TextKernels {
+
+  /** Unicode-decompose and drop combining marks: "ñandú" -> "nandu". */
+  def stripAccents(s: String): String = {
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val ch = decomposed.charAt(i)
+      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Accent-strip, lowercase, keep [a-z0-9 _-], collapse whitespace to "_". */
+  def slugify(s: String): String = {
+    val base = stripAccents(s).toLowerCase(java.util.Locale.ROOT)
+    val kept = base.replaceAll("[^a-z0-9\\s_-]", "")
+    kept.trim.replaceAll("\\s+", "_")
+  }
+
+  /** Polynomial rolling hash over unicode code points, mod 1e9+7.
+    * A deterministic document fingerprint usable from pure SQL on the oracle
+    * side (fold of `(acc * 31 + codepoint) % 1000000007`).
+    */
+  def rollingHash(s: String): Long = {
+    val M = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % M
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}

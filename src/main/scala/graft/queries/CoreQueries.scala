@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import QueryDSL._
+
+/** SURVEY §2 operator inventory, part 1: scans (S4–S6), projections/filters
+  * (P1–P8), joins (J1–J5), core aggregates/sets/sorts (A4, A6, U1, U3, U4,
+  * W1) plus the flagship pricing-summary aggregate. Each entry pairs the
+  * Spark pipeline with its DuckDB oracle; every query ends in an aggregate
+  * and/or a total-order sort for deterministic hashing.
+  */
+object CoreQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // Flagship: full-scan group aggregate (TPC-H Q1 shape). Decimal sums are
+    // partition-order-independent; one shuffle on the 6-value group key with
+    // map-side partial aggregation.
+    "q1_agg" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        count(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // S4: projected scan — column pruning must reach the parquet reader
+    // (ReadSchema carries only 3 of 11 columns; the filter is pushed down).
+    "s4_pruned_scan" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_orderkey") < 100)
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""")),
+
+    // S6: INSERT-OR-IGNORE upsert semantics — append then keyed dedup.
+    // Reference `perustats/BCRP/cache.py:182-209`.
+    "s6_upsert_ignore" -> Q(
+      (s, dir) => {
+        val n = T(s, dir, "nation")
+        Relational.keepFirst(n.unionByName(n), Seq("n_nationkey"), Seq(col("n_name")))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+        FROM (SELECT *, row_number() OVER (PARTITION BY n_nationkey ORDER BY n_name) rn
+              FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation))
+        WHERE rn = 1 ORDER BY n_nationkey""".stripMargin)),
+
+    // P1: select / rename projection.
+    "p1_project_rename" -> Q(
+      (s, dir) => T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name AS name, c_mktsegment AS segment
+        FROM customer ORDER BY c_custkey""")),
+
+    // P2: case-insensitive regex OR filter. Reference
+    // `perustats/MEF/utils/tables.py:9-17`.
+    "p2_regex_filter" -> Q(
+      (s, dir) => T(s, dir, "part")
+        .filter(lower(col("p_type")).rlike("economy|promo"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, count(*) AS cnt FROM part
+        WHERE regexp_matches(lower(p_type), 'economy|promo')
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // P3: date-cutoff boolean flag. Reference `perustats/BCRP/utils.py:92-102`.
+    "p3_date_cutoff" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .withColumn("active", col("o_orderdate") >= lit("1997-01-01").cast("date"))
+        .groupBy(col("active")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("active")),
+      Some("""SELECT o_orderdate >= DATE '1997-01-01' AS active, count(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // P4: null-drop on a key column before aggregation.
+    "p4_nulldrop" -> Q(
+      (s, dir) => events(s, dir)
+        .na.drop(Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(sum(dec(col("value"))).cast("double").as("sum_value"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // P5: IN-list filter. Reference `perustats/inei/fetcher.py:209-210`.
+    "p5_inlist" -> Q(
+      (s, dir) => T(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_7", "NATION_19"))
+        .orderBy(col("n_nationkey")),
+      Some("""SELECT * FROM nation
+        WHERE n_name IN ('NATION_1','NATION_7','NATION_19')
+        ORDER BY n_nationkey""")),
+
+    // P6: NOT-IN filter. Reference `perustats/infogob/30_organizaciones_politicas.py:42-48`.
+    "p6_notin" -> Q(
+      (s, dir) => T(s, dir, "customer")
+        .filter(!col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer
+        WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // P7/P8: first-match row under a total order (deterministic top-1).
+    "p8_first_match" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .filter(col("o_orderpriority").startsWith("1-"))
+        .orderBy(col("o_orderkey")).limit(1)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderpriority LIKE '1-%' ORDER BY o_orderkey LIMIT 1""")),
+
+    // J1: wide-cache full-outer upsert (new value wins; schema evolves both
+    // directions). Exercises graft.ops.Relational.upsertWide.
+    "j1_fullouter_upsert" -> Q(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        val existing = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderdate").cast("date").as("odate"))
+        val incoming = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("price"),
+            col("o_orderstatus").as("status"))
+        Relational.upsertWide(existing, incoming, "o_orderkey")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, COALESCE(n.price, o.price) AS price,
+          o.odate AS odate, n.status AS status
+        FROM (SELECT o_orderkey, o_totalprice AS price,
+                CAST(o_orderdate AS DATE) AS odate
+              FROM orders WHERE o_orderkey % 3 = 0) o
+        FULL OUTER JOIN
+             (SELECT o_orderkey, o_totalprice * 2 AS price,
+                o_orderstatus AS status
+              FROM orders WHERE o_orderkey % 2 = 0) n
+        USING (o_orderkey) ORDER BY o_orderkey""")),
+
+    // J2: incremental-resume anti join (customers with no orders).
+    "j2_anti_resume" -> Q(
+      (s, dir) => Relational.pendingAntiJoin(
+          T(s, dir, "customer"),
+          T(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // J3: catalog-validation semi join.
+    "j3_semi_validate" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .join(broadcast(T(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("o_custkey"))),
+          Seq("o_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, count(*) AS cnt FROM orders o
+        WHERE EXISTS (SELECT 1 FROM customer c
+          WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // J4: small-dim enrichment with explicit broadcast (no shuffle of the
+    // fact side for the joins; single shuffle for the final group-by).
+    "j4_broadcast_enrich" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .join(broadcast(T(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(T(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("n_name")),
+      Some("""SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*) AS cnt
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // J5/U3: delta vs. cached key set (EXCEPT).
+    "j5_except_delta" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .select(col("l_partkey").as("k")).filter(col("k") < 500).distinct()
+        .except(T(s, dir, "part").select(col("p_partkey").as("k")).filter(col("k") < 300))
+        .orderBy(col("k")),
+      Some("""SELECT * FROM (
+          SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_partkey < 500
+          EXCEPT
+          SELECT p_partkey AS k FROM part WHERE p_partkey < 300)
+        ORDER BY k""")),
+
+    // A4: keyed distinct.
+    "a4_distinct" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // A6: ceiling-division page count. Reference `perustats/MTC/homologacion.py:42-46`.
+    "a6_ceil_paging" -> Q(
+      (s, dir) => events(s, dir)
+        .agg(ceil(count(lit(1)) / lit(1000.0)).cast("long").as("pages")),
+      Some("SELECT CAST(ceil(count(*) / 1000.0) AS BIGINT) AS pages FROM events")),
+
+    // U1: aligned union-all then aggregate.
+    "u1_union_all" -> Q(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        li.filter(col("l_orderkey") % 2 === 0)
+          .unionByName(li.filter(col("l_orderkey") % 2 =!= 0))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        count(*) AS cnt
+        FROM (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+              UNION ALL SELECT * FROM lineitem WHERE l_orderkey % 2 <> 0)
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // U2: schema-evolving diagonal union (missing columns -> null).
+    "u2_diagonal_union" -> Q(
+      (s, dir) => {
+        val c = T(s, dir, "customer")
+        Relational.unionDiagonal(Seq(
+            c.select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+            c.select(col("c_custkey"), col("c_name"), col("c_acctbal"))))
+          .groupBy(col("c_mktsegment").isNull.as("seg_null"),
+            col("c_acctbal").isNull.as("bal_null"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("seg_null"), col("bal_null"))
+      },
+      Some("""SELECT c_mktsegment IS NULL AS seg_null,
+          c_acctbal IS NULL AS bal_null, count(*) AS cnt
+        FROM (SELECT c_custkey, c_name, c_mktsegment, NULL::DOUBLE AS c_acctbal
+                FROM customer
+              UNION ALL
+              SELECT c_custkey, c_name, NULL::VARCHAR, c_acctbal FROM customer)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // U4: key-set intersection.
+    "u4_intersect" -> Q(
+      (s, dir) => T(s, dir, "supplier").select(col("s_suppkey").as("k"))
+        .intersect(T(s, dir, "lineitem").select(col("l_suppkey").as("k")))
+        .orderBy(col("k")),
+      Some("""SELECT * FROM (
+          SELECT s_suppkey AS k FROM supplier
+          INTERSECT
+          SELECT l_suppkey AS k FROM lineitem)
+        ORDER BY k""")),
+
+    // W1: global sort + limit (top-N by date).
+    "w1_sort_topn" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"),
+          col("o_totalprice"))
+        .orderBy(col("od").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        FROM orders ORDER BY od DESC, o_orderkey LIMIT 100"""))
+  )
+}

@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** One declared operator query: a Spark pipeline plus (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL the driver replays at sf0.01.
+  */
+case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+object QueryDSL {
+  /** Load a driver testdata table from the given scale-factor directory. */
+  def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects by default. Read it as a long (nanos since
+    * epoch) and derive a microsecond `ts_utc` timestamp column — the same
+    * value DuckDB sees after casting its TIMESTAMP_NS to TIMESTAMP.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Exact-money cast. All double SUMs go through DECIMAL so the aggregate is
+    * exact integer arithmetic — identical in any summation order, on any
+    * partitioning, and across engines (Spark vs DuckDB). The final value is
+    * cast back to double for a stable hash representation. Raw double sums
+    * are partition-order-dependent and would be oracle-unstable.
+    */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Same discipline spelled for the DuckDB side. */
+  def sqlDec(expr: String): String = s"CAST($expr AS DECIMAL(18,2))"
+}

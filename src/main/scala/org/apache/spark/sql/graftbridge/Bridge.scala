@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal private-API bridge between graft's custom Catalyst expressions and
+  * the public `Column` surface. This is the standard pattern used by Spark
+  * extension libraries (a single object placed under `org.apache.spark.sql`
+  * to reach `private[sql]` members); everything else in graft stays on public
+  * API.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
