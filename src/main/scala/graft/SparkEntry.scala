@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Map[String, Q] =
-    CoreQueries.defs
+    CoreQueries.defs ++ WindowAggQueries.defs ++ FunctionQueries.defs ++
+      SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -28,12 +28,13 @@ object dates {
     }
 
   /** F8: parse a BCRP date label for the given frequency into a DateType.
-    * Q labels resolve to the END of the quarter (pandas `Period.to_timestamp
-    * (how="end")` semantics); two-digit years pivot into 20xx.
+    * M/A labels resolve to the FIRST day of the period (pandas `to_datetime`
+    * with "%b.%Y"/"%Y"), Q labels to the END of the quarter (pandas
+    * `Period.to_timestamp(how="end")`); two-digit years pivot into 20xx.
     */
   def bcrpDate(freq: String, c: Column): Column = freq match {
     case "D" => to_date(spanishMonthsToEnglish(c), "dd.MMM.yy")
-    case "M" => last_day(to_date(spanishMonthsToEnglish(c), "MMM.yyyy"))
+    case "M" => to_date(spanishMonthsToEnglish(c), "MMM.yyyy")
     case "A" => to_date(c, "yyyy")
     case "Q" =>
       val q = regexp_extract(c, "(?i)Q(\\d)\\.(\\d{2})", 1).cast("int")

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.cache.ParquetCache
+import graft.functions.numeric
+import QueryDSL._
+
+/** SURVEY §2.1 sources/sinks (S3, S5, S7, S8, S11) and the BCRP cache
+  * lifecycle (§3.1: save → evolve → delta → projected load). Sink queries
+  * round-trip through a scratch directory under target/ so the read side is
+  * exercised against real files Spark wrote.
+  */
+object SourceQueries {
+
+  private val scratchRoot = "/root/repo/target/scratch"
+
+  private def scratch(name: String): String = {
+    val dir = new java.io.File(scratchRoot, name)
+    dir.mkdirs()
+    dir.getPath
+  }
+
+  private def wipe(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists) rec(f)
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // S3: nested-JSON API response flatten — the BCRP shape
+    // (`perustats/BCRP/utils.py:114-144`): series names zipped against each
+    // period's values array, one row per (period, series).
+    "s3_json_flatten" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val raw = Seq(
+          """{"config":{"series":[{"name":"s1"},{"name":"s2"}]},
+             "periods":[{"name":"Ene.2023","values":["1.5","2.5"]},
+                        {"name":"Feb.2023","values":["3","n.d."]}]}""")
+          .toDF("body")
+        val schema = StructType(Seq(
+          StructField("config", StructType(Seq(
+            StructField("series", ArrayType(StructType(Seq(
+              StructField("name", StringType)))))))),
+          StructField("periods", ArrayType(StructType(Seq(
+            StructField("name", StringType),
+            StructField("values", ArrayType(StringType))))))))
+        raw.select(from_json(col("body"), schema).as("j"))
+          .select(expr("transform(j.config.series, x -> x.name)").as("names"),
+            explode(col("j.periods")).as("p"))
+          .select(col("names"), col("p.name").as("date_str"),
+            posexplode(col("p.values")))
+          .select(col("date_str"),
+            element_at(col("names"), col("pos") + 1).as("series"),
+            numeric.tryNumeric(col("col")).as("value"))
+          .orderBy(col("date_str"), col("series"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('Ene.2023', 's1', 1.5), ('Ene.2023', 's2', 2.5),
+          ('Feb.2023', 's1', 3.0), ('Feb.2023', 's2', NULL))
+        t(date_str, series, value) ORDER BY date_str, series""")),
+
+    // S5: parquet write/replace + re-read round trip.
+    "s5_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("s5_roundtrip")
+        T(s, dir, "region").write.mode("overwrite").parquet(out)
+        s.read.parquet(out).orderBy(col("r_regionkey"))
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // S7: hive-partitioned parquet sink + partition-pruned read-back. The
+    // partition column round-trips through directory names.
+    "s7_partitioned_sink" -> Q(
+      (s, dir) => {
+        val out = scratch("s7_partitioned")
+        T(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // S8: CSV sink/source round trip (ISO-8859-1, header, explicit schema —
+    // inference is a non-goal, SURVEY §1.3).
+    "s8_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("s8_csv")
+        T(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").option("encoding", "ISO-8859-1").csv(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("n_nationkey", IntegerType),
+            StructField("n_name", StringType),
+            StructField("n_regionkey", IntegerType))))
+          .option("header", "true").option("encoding", "ISO-8859-1").csv(out)
+          .orderBy(col("n_nationkey"))
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // S11: paged fetch — page count derived from a first-page total (the
+    // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
+    // then per-page slices unioned back.
+    "s11_paged_union" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val pageSize = 1000L
+        val total = ev.count() // reference reads the total from page 1
+        val pages = ((total + pageSize - 1) / pageSize).toInt
+        val slices = (0 until pages).map { p =>
+          ev.filter(col("event_id") >= p * pageSize &&
+            col("event_id") < (p + 1) * pageSize)
+            .withColumn("page", lit(p.toLong))
+        }
+        slices.reduce(_.unionByName(_))
+          .groupBy(col("page"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy(col("page"))
+      },
+      Some("""SELECT event_id // 1000 AS page, count(*) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // §3.1 lifecycle: wide-cache save → schema-evolving second save (new
+    // code pn02 + overlapping pn01 where incoming wins) → projected load.
+    "c1_cache_lifecycle" -> Q(
+      (s, dir) => {
+        val root = scratch("bcrp_cache")
+        wipe(root)
+        val cache = new ParquetCache(s, root)
+        val o = T(s, dir, "orders")
+        val monthly = o.withColumn("date",
+          date_trunc("month", col("o_orderdate")).cast("date"))
+        val save1 = monthly.filter(col("o_orderstatus") === "F")
+          .groupBy(col("date"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("pn01"))
+        cache.save("M", "2020-01", "2025-12", save1)
+        val save2 = monthly.filter(col("o_orderstatus") === "O")
+          .groupBy(col("date"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("pn01"),
+            count(lit(1)).cast("long").as("pn02"))
+        cache.save("M", "2020-01", "2025-12", save2)
+        cache.load("M", "2020-01", "2025-12", Seq("pn01", "pn02", "missing_code"))
+          .orderBy(col("date"))
+      },
+      Some("""WITH m1 AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS pn01
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+        m2 AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS pn01,
+            count(*) AS pn02
+          FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+        SELECT date, COALESCE(m2.pn01, m1.pn01) AS pn01, m2.pn02 AS pn02
+        FROM m1 FULL OUTER JOIN m2 USING (date) ORDER BY date"""))
+  )
+}

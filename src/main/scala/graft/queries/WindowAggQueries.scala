@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.agg.ModeAgg
+import graft.ops.Relational
+import QueryDSL._
+
+/** SURVEY §2.4 aggregations (A1–A3, A5, A7) and §2.5 window functions
+  * (W2–W5). Window partition keys are the natural grouping keys, so each
+  * query is a single shuffle on that key; ties always break on a unique
+  * column for oracle determinism.
+  */
+object WindowAggQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // A1: deterministic mode via the custom Aggregator (ties -> smallest
+    // value). Oracle spells the same tie-break as count+row_number.
+    "a1_mode" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(ModeAgg.column(col("o_orderpriority")).as("mode_priority"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+          SELECT o_orderstatus, o_orderpriority,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY count(*) DESC, o_orderpriority) AS rn
+          FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        WHERE rn = 1 ORDER BY o_orderstatus""")),
+
+    // A2/W2: stable batch labels from a partitioned running count.
+    "a2_batch_index" -> Q(
+      (s, dir) => Relational.batchIndex(T(s, dir, "lineitem"),
+          "l_returnflag", Seq(col("l_orderkey"), col("l_linenumber")),
+          size = 1000, out = "batch")
+        .groupBy(col("l_returnflag"), col("batch"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("batch")),
+      Some("""SELECT l_returnflag, batch, count(*) AS cnt FROM (
+          SELECT l_returnflag,
+            printf('G_%s_%03d', l_returnflag,
+              (row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_orderkey, l_linenumber) - 1) // 1000 + 1) AS batch
+          FROM lineitem)
+        GROUP BY l_returnflag, batch ORDER BY l_returnflag, batch""")),
+
+    // A3: sorted-set string-join + first per group.
+    "a3_collect_set_join" -> Q(
+      (s, dir) => T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), "_")
+            .as("statuses"),
+          min(col("o_orderkey")).as("first_order"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey,
+          string_agg(DISTINCT o_orderstatus, '_' ORDER BY o_orderstatus) AS statuses,
+          min(o_orderkey) AS first_order
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // A5: content-hash dedup; survivors = min doc_id per sha256(text).
+    "a5_hash_dedup" -> Q(
+      (s, dir) => Relational.dedupByHash(T(s, dir, "documents"),
+          Seq("text"), tieBreak = "doc_id")
+        .agg(count(lit(1)).as("survivors"),
+          sum(col("doc_id")).as("id_checksum")),
+      Some("""SELECT count(*) AS survivors,
+          CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM (SELECT doc_id, row_number() OVER
+                (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+              FROM documents)
+        WHERE rn = 1""")),
+
+    // A7: NaN-aware coercion stats — how many values survive a try-cast.
+    "a7_coercion_stats" -> Q(
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          count(col("event_type").try_cast("double")).as("castable"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS cnt,
+          count(TRY_CAST(event_type AS DOUBLE)) AS castable
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // W2: rank within a natural key.
+    "w2_rank_in_order" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+        .filter(col("rn") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, rn FROM (
+          SELECT l_orderkey, l_linenumber, row_number() OVER
+            (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+          FROM lineitem WHERE l_orderkey < 100)
+        WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber""")),
+
+    // W3: first row per group under a total order (top-1 per key).
+    "w3_first_per_key" -> Q(
+      (s, dir) => Relational.keepFirst(
+          T(s, dir, "orders").filter(col("o_custkey") < 100),
+          Seq("o_custkey"), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, o_orderkey, o_orderpriority FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderkey) AS rn
+          FROM orders WHERE o_custkey < 100)
+        WHERE rn = 1 ORDER BY o_custkey""")),
+
+    // W4: size-ranked enumeration (top-3 events per user by value desc).
+    "w4_size_rank" -> Q(
+      (s, dir) => events(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+        .orderBy(col("user_id"), col("rn")),
+      Some("""SELECT user_id, event_id, value, rn FROM (
+          SELECT user_id, event_id, value, row_number() OVER
+            (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          FROM events WHERE user_id < 20)
+        WHERE rn <= 3 ORDER BY user_id, rn""")),
+
+    // W5: collision-counter suffixes (arrival order = part key).
+    "w5_collision_suffix" -> Q(
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_partkey") < 200)
+        .withColumn("label", format_string("%s_%d", col("p_brand"),
+          row_number().over(
+            Window.partitionBy(col("p_brand")).orderBy(col("p_partkey")))))
+        .select(col("p_partkey"), col("label"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+          printf('%s_%d', p_brand, row_number() OVER
+            (PARTITION BY p_brand ORDER BY p_partkey)) AS label
+        FROM part WHERE p_partkey < 200 ORDER BY p_partkey"""))
+  )
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextKernelsSpec extends AnyFunSuite {
+
+  // Seeded sample-based property checks (the scalatest<->scalacheck bridge
+  // isn't in the offline dependency cache, so properties are spelled as
+  // deterministic loops).
+  private def samples(n: Int = 500): Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aZ9 _-ñÁü.?!/\\\t\n€漢" // ascii + accents + wide chars
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(30)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+  }
+
+  test("stripAccents removes latin diacritics") {
+    assert(TextKernels.stripAccents("Ñandú café ÁÉÍÓÚ üï") === "Nandu cafe AEIOU ui")
+  }
+
+  test("stripAccents is identity on ASCII") {
+    for (s <- samples()) {
+      val ascii = s.filter(c => c < 128)
+      assert(TextKernels.stripAccents(ascii) === ascii)
+    }
+  }
+
+  test("slugify matches reference shapes") {
+    assert(TextKernels.slugify("Módulo 85: Educación (2023)") === "modulo_85_educacion_2023")
+    assert(TextKernels.slugify("  a  b  ") === "a_b")
+    assert(TextKernels.slugify("UPPER-case_ok") === "upper-case_ok")
+    assert(TextKernels.slugify("") === "")
+  }
+
+  test("slugify is idempotent and closed over [a-z0-9_-]") {
+    for (s <- samples()) {
+      val once = TextKernels.slugify(s)
+      assert(TextKernels.slugify(once) === once, s"input: $s")
+      assert(once.forall(c =>
+        c.isDigit || (c >= 'a' && c <= 'z') || c == '_' || c == '-'), s"input: $s")
+    }
+  }
+
+  test("rollingHash known values and bounds") {
+    assert(TextKernels.rollingHash("") === 0L)
+    assert(TextKernels.rollingHash("a") === 97L)
+    assert(TextKernels.rollingHash("ab") === 97L * 31 + 98)
+    for (s <- samples()) {
+      val h = TextKernels.rollingHash(s)
+      assert(h >= 0L && h < 1000000007L)
+    }
+  }
+}

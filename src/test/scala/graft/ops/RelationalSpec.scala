@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsertWide: incoming wins on shared columns, schema evolves both ways") {
+    val existing = Seq(("2023-01", 1.0, "old1"), ("2023-02", 2.0, "old2"))
+      .toDF("date", "pn01", "note")
+    val incoming = Seq(("2023-02", 20.0, 200L), ("2023-03", 30.0, 300L))
+      .toDF("date", "pn01", "pn02")
+    val out = Relational.upsertWide(existing, incoming, "date")
+      .orderBy("date").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("2023-01", "2023-02", "2023-03"))
+    // shared column: incoming value wins where present
+    assert(out.map(r => Option(r.get(1))).toSeq ===
+      Seq(Some(1.0), Some(20.0), Some(30.0)))
+    // old-only column survives; null for incoming-only rows
+    assert(out.map(r => Option(r.get(2))).toSeq ===
+      Seq(Some("old1"), Some("old2"), None))
+    // new-only column appears; null for old-only rows
+    assert(out.map(r => Option(r.get(3))).toSeq ===
+      Seq(None, Some(200L), Some(300L)))
+  }
+
+  test("pendingAntiJoin returns only unprocessed keys") {
+    val all = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("url", "v")
+    val done = Seq("b").toDF("url")
+    val pending = Relational.pendingAntiJoin(all, done, Seq("url"))
+      .orderBy("url").as[(String, Int)].collect()
+    assert(pending.toSeq === Seq(("a", 1), ("c", 3)))
+  }
+
+  test("validateCodes splits valid/invalid against the catalog") {
+    val requested = Seq("PN01", "PN02", "FAKEA").toDF("code")
+    val catalog = Seq("PN01", "PN02", "PN03").toDF("code")
+    val (valid, invalid) = Relational.validateCodes(requested, catalog, "code")
+    assert(valid.orderBy("code").as[String].collect().toSeq === Seq("PN01", "PN02"))
+    assert(invalid.as[String].collect().toSeq === Seq("FAKEA"))
+  }
+
+  test("keepFirst is deterministic under the given order") {
+    val df = Seq(("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b")).toDF("key", "ord", "v")
+    val first = Relational.keepFirst(df, Seq("key"), Seq(col("ord")))
+      .select("v").as[String].collect()
+    assert(first.toSeq === Seq("a"))
+  }
+
+  test("batchIndex labels fixed-size groups per partition key") {
+    val df = (1 to 5).map(i => ("g", i)).toDF("key", "ord")
+    val labels = Relational.batchIndex(df, "key", Seq(col("ord")), size = 2, out = "b")
+      .orderBy("ord").select("b").as[String].collect()
+    assert(labels.toSeq === Seq("G_g_001", "G_g_001", "G_g_002", "G_g_002", "G_g_003"))
+  }
+
+  test("pivotSeries/unpivotSeries round-trip") {
+    val long = Seq(("2023-01", "s1", 1.0), ("2023-01", "s2", 2.0), ("2023-02", "s1", 3.0))
+      .toDF("date", "series", "value")
+    val wide = Relational.pivotSeries(long, "date", "series", "value", Seq("s1", "s2"))
+    assert(wide.columns.toSeq === Seq("date", "s1", "s2"))
+    val back = Relational.unpivotSeries(wide, "date", "series", "value")
+      .filter(col("value").isNotNull)
+    assert(back.count() === 3)
+  }
+
+  test("unionDiagonal fills missing columns with nulls") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, "y")).toDF("id", "b")
+    val u = Relational.unionDiagonal(Seq(a, b)).orderBy("id")
+    assert(u.columns.toSeq === Seq("id", "a", "b"))
+    assert(u.count() === 2)
+    assert(u.filter(col("a").isNull).count() === 1)
+  }
+}
