@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def registry: Map[String, Q] =
     CoreQueries.defs ++ WindowAggQueries.defs ++ FunctionQueries.defs ++
-      SourceQueries.defs
+      SourceQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
+      StreamPipelineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus processing
+  * (north-star extension: language ID, quality scoring, token counting,
+  * fingerprinting over the `documents` table). All pure codegen'd built-in
+  * compositions — no UDFs — so they stay inside whole-stage codegen and
+  * scale linearly with the scan.
+  */
+object textstats {
+
+  /** Whitespace tokens of the lowercased text, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** k-token shingles (strings joined by one space); empty array when the
+    * document has fewer than k tokens. */
+  def shingles(tok: Column, k: Int): Column =
+    when(size(tok) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(tok) - (k - 1)),
+        i => array_join(slice(tok, i, lit(k)), " ")))
+
+  /** Tiny deterministic stopword lists for the n-gram language heuristic.
+    * Real deployments plug fastText-style models in via the same column
+    * shape; the heuristic keeps the operator fully SQL-expressible. */
+  val EnStop: Seq[String] = Seq("the", "of", "and", "to", "a", "in", "is", "it")
+  val EsStop: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es")
+
+  private def hits(tok: Column, words: Seq[String]): Column =
+    size(filter(tok, t => t.isin(words.map(lit): _*)))
+
+  /** Language-ID heuristic: majority stopword hits, 'und' on ties. */
+  def langId(tok: Column): Column = {
+    val en = hits(tok, EnStop)
+    val es = hits(tok, EsStop)
+    when(en > es, "en").when(es > en, "es").otherwise("und")
+  }
+
+  /** Quality-score components: token count, mean token length, punctuation
+    * ratio, stopword ratio — the standard cheap corpus-quality signals. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  def meanTokenLen(tok: Column): Column =
+    round(aggregate(tok, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(tok), lit(1)), 4)
+
+  def punctRatio(c: Column): Column =
+    round(
+      (length(c) - length(regexp_replace(c, "[^A-Za-z0-9\\s]", ""))).cast("double") /
+        greatest(length(c), lit(1)), 4)
+
+  def stopwordRatio(tok: Column): Column =
+    round(hits(tok, EnStop).cast("double") / greatest(size(tok), lit(1)), 4)
+
+  /** Composite quality band: docs need enough tokens, low punctuation and a
+    * natural-language stopword presence to rate "good". Thresholds are
+    * corpus-tuning knobs; held fixed here for determinism. */
+  def qualityBand(c: Column): Column = {
+    val tok = tokens(c)
+    when(size(tok) < 20, "short")
+      .when(punctRatio(c) > lit(0.10), "noisy")
+      .when(stopwordRatio(tok) >= lit(0.02), "good")
+      .otherwise("odd")
+  }
+
+  /** BPE-ish subword count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token — a cheap stand-in for a real tokenizer
+    * with the same column shape. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Document fingerprint: minimum h64 over 8-token shingles of the
+    * normalized text (winnowing-style). Equal fingerprints ⇒ the docs share
+    * their minimal shingle — a cheap near-dup prefilter; exact dup when the
+    * full rolling hash also matches. */
+  def minShingleFingerprint(c: Column, k: Int = 8): Column = {
+    val sh = shingles(tokens(c), k)
+    when(size(sh) === 0, hashing.h64(lower(c)))
+      .otherwise(array_min(transform(sh, s => hashing.h64(s))))
+  }
+}

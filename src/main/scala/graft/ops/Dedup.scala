@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{hashing, textstats}
+
+/** Document-deduplication operators for training-data pipelines (north-star
+  * extension; the reference's only dedup is exact SHA-256 file dedup,
+  * `perustats/inei/organizer.py:199-248` — generalized here to the standard
+  * large-corpus family: exact hash, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design (100 TB):
+  *  - Nothing here collects to the driver; every step is a column transform
+  *    or a shuffle on a key whose cardinality grows with the corpus (shingle,
+  *    band bucket, simhash band), never an O(n²) cross join.
+  *  - MinHash signatures are one `groupBy(id)` with NumHashes min-aggregates
+  *    (map-side partial min ⇒ the shuffle carries one row per (id, shingle)
+  *    pre-combined to one row per id per partition).
+  *  - LSH candidate generation joins on (band, bandKey): only documents
+  *    agreeing on a full band collide, so bucket sizes stay small and the
+  *    pair blow-up is bounded by genuinely similar groups. Hot buckets
+  *    (boilerplate shingles) are the known skew risk — cap with
+  *    `maxBucketSize` which drops pathological buckets (standard practice:
+  *    a bucket of 10k docs contributes 50M pairs and no information).
+  *  - Exact-Jaccard verification joins only candidate pairs back to shingle
+  *    sets, so the expensive exact step runs on the LSH-filtered set.
+  */
+object Dedup {
+
+  /** (id, shingle) exploded table; NOT distinct (min/minhash are multiset-
+    * safe and skipping the distinct saves a shuffle — dedupe only where set
+    * semantics matter, i.e. Jaccard). */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(textstats.shingles(textstats.tokens(col(textCol)), k)).as("s"))
+
+  /** MinHash signatures: one row per id with columns m0..m{NumHashes-1}.
+    * Single shuffle on id with map-side partial mins. */
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val h = hashing.h64(col("s")) % lit(hashing.P)
+    val aggs = (0 until hashing.NumHashes)
+      .map(j => min(hashing.perm(j, h)).as(s"m$j"))
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (id, band, bandKey) — documents sharing a full band of
+    * Rows consecutive signature values land in the same bucket. */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until hashing.Bands).map { b =>
+      val ks = (b * hashing.Rows until (b + 1) * hashing.Rows)
+        .map(j => col(s"m$j"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("bandKey"))
+    }
+    signatures.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bandKey").as("bandKey"))
+  }
+
+  /** Candidate pairs (a < b) from LSH buckets; `maxBucketSize` guards the
+    * quadratic blow-up of degenerate buckets at scale (0 = unlimited). */
+  def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int = 0): DataFrame = {
+    val sized =
+      if (maxBucketSize <= 0) bands
+      else {
+        val counts = bands.groupBy("band", "bandKey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+        bands.join(counts.select("band", "bandKey"), Seq("band", "bandKey"))
+      }
+    sized.alias("x").join(sized.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandKey") === col("y.bandKey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs: join each side back to its
+    * distinct shingle set, count the intersection, divide by the union.
+    * `candidates` restricts the quadratic step to pre-filtered pairs; pass
+    * all-pairs-sharing-a-shingle for the exact (no-LSH) variant. */
+  def jaccardPairs(shingled: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = shingled.distinct()
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sets.select(col("id").as("a"), col("s")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold. The pair candidates are
+    * pairs sharing ≥1 shingle (an inverted-index join, not a cross join); at
+    * scale precede with LSH (`minhashLshPairs`) instead. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, k)
+    val sets = sh.distinct()
+    val cands = sets.alias("x").join(sets.alias("y"),
+        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    jaccardPairs(sh, cands, threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, k)
+    val cands = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucketSize)
+    jaccardPairs(sh, cands, threshold)
+  }
+
+  /** Number of SimHash bits (kept < 63 so the signature stays a positive
+    * signed long in both engines). */
+  val SimhashBits = 60
+
+  /** SimHash signature per document over its distinct k-shingle set: bit b
+    * is set when more shingle hashes have bit b set than not. Shingles (not
+    * unigrams) keep the signature discriminative when the vocabulary is
+    * small. One shuffle (groupBy id with 60 sum-aggregates, map-side
+    * combined). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tok = shingleTable(df, idCol, textCol, k)
+      .distinct()
+      .withColumn("h", hashing.h64(col("s")))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(expr(s"(h >> $b) % 2") === 1, 1).otherwise(-1)).as(s"b$b"))
+    val withSums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withSums.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Implemented as
+    * a self-join; at corpus scale, block on signature bands first (split the
+    * 60 bits into maxDist+1 segments — pigeonhole: any pair within maxDist
+    * agrees exactly on ≥1 segment) so the join is on a band key. */
+  def simhashPairs(signatures: DataFrame, maxDist: Int): DataFrame =
+    signatures.alias("x").join(signatures.alias("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+}

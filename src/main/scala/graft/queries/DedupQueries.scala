@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.hashing
+import graft.ops.{Dedup, Similarity}
+import QueryDSL._
+
+/** North-star dedup + similarity-search queries over `documents` /
+  * `embeddings`. The approximate algorithms (MinHash-LSH, SimHash,
+  * hyperplane-LSH) are built on the shared md5-based hash
+  * ([[graft.functions.hashing]]), so the DuckDB oracle replays the EXACT
+  * algorithm — including its approximation behavior — rather than a weaker
+  * rows-only check. All floating-point scoring is strict left-fold double
+  * arithmetic mirrored by `list_reduce`, rounded to 4 decimals.
+  */
+object DedupQueries {
+
+  import hashing.{A, B, P, NumHashes, Bands, Rows}
+
+  // ---- shared DuckDB SQL fragments (twins of textstats.tokens/shingles) ----
+
+  private val sqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
+  /** (doc_id, s) 3-token shingle table. */
+  private val sqlShingles =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       sh AS (SELECT doc_id, unnest(
+           CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(toks)-2),
+                  i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
+         FROM tok)"""
+
+  /** Exact-Jaccard tail over a `cand(a, b)` CTE. */
+  private def sqlJaccardTail(threshold: Double): String =
+    s"""shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+         JOIN shd sa ON sa.doc_id = c.a
+         JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
+         GROUP BY c.a, c.b)
+       SELECT i.a, i.b,
+         round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
+       FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+         JOIN sizes sb ON sb.doc_id = i.b
+       WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= $threshold
+       ORDER BY i.a, i.b"""
+
+  private def sqlCosine(a: String, b: String): String = {
+    def norm(v: String) =
+      s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+    s"""(list_reduce(list_transform(list_zip($a, $b),
+         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
+       / (${norm(a)} * ${norm(b)}))"""
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // d2: MinHash + LSH near-dup pairs, exact-Jaccard verified. The oracle
+    // replays signatures, banding, bucket join AND verification.
+    "d2_minhash_lsh" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id",
+          "text", k = 3, threshold = 0.9)
+        .orderBy(col("a"), col("b")),
+      Some {
+        val h = hashing.sqlH64("s")
+        val mins = (0 until NumHashes)
+          .map(j => s"min(${hashing.sqlPerm(j, "h")}) AS m$j").mkString(", ")
+        val bands = (0 until Bands).map { bnd =>
+          val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH $sqlShingles,
+           hs AS (SELECT doc_id, ($h % $P) AS h FROM sh),
+           mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+           bands AS ($bands),
+           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bands x JOIN bands y
+               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           ${sqlJaccardTail(0.9)}"""
+      }),
+
+    // d4: exact all-pairs n-gram Jaccard (inverted-index join, no LSH).
+    "d4_ngram_jaccard" -> Q(
+      (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id",
+          "text", k = 3, threshold = 0.9)
+        .orderBy(col("a"), col("b")),
+      Some(
+        s"""WITH $sqlShingles,
+           shd0 AS (SELECT DISTINCT doc_id, s FROM sh),
+           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM shd0 x JOIN shd0 y ON x.s = y.s AND x.doc_id < y.doc_id),
+           ${sqlJaccardTail(0.9)}""")),
+
+    // d3: SimHash near-dup pairs (Hamming distance over 60-bit signatures
+    // of the 3-shingle set; threshold 10 cleanly separates the planted
+    // dups at dist ≤5 from the random-pair mass at dist ≥15).
+    "d3_simhash" -> Q(
+      (s, dir) => Dedup.simhashPairs(
+          Dedup.simhash(T(s, dir, "documents"), "doc_id", "text"), maxDist = 10)
+        .orderBy(col("a"), col("b")),
+      Some {
+        val h = hashing.sqlH64("s")
+        val bitSums = (0 until Dedup.SimhashBits)
+          .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
+          .mkString(", ")
+        val sig = (0 until Dedup.SimhashBits)
+          .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH $sqlShingles,
+           shd AS (SELECT DISTINCT doc_id, s FROM sh),
+           hh AS (SELECT doc_id, $h AS h FROM shd),
+           bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+           sig AS (SELECT doc_id, $sig AS simhash FROM bits)
+           SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS dist
+           FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+           WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+           ORDER BY a, b"""
+      }),
+
+    // d5: embedding-cosine near-dup pairs above a similarity floor. The
+    // corpus has no planted embedding dups (max cos ≈ 0.51), so the floor
+    // sits where a handful of organically-close pairs qualify.
+    "d5_embedding_neardup" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+        val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
+        l.join(r, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+          .filter(col("cos") >= 0.45)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        s"""SELECT a, b, cos FROM (
+             SELECT x.vec_id AS a, y.vec_id AS b,
+               round(${sqlCosine("x.embedding", "y.embedding")}, 4) AS cos
+             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+           WHERE cos >= 0.45 ORDER BY a, b""")),
+
+    // x1: brute-force cosine top-k (k=3) for a broadcast query set.
+    "x1_cosine_topk" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        s"""SELECT qid, rank, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+               FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+               WHERE q.vec_id < 10))
+           WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
+    "x2_lsh_ann" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", dim = 64, k = 1)
+          .select(col("qid"), col("bucket"), col("nid"), col("cos"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        def bucket(v: String): String =
+          (0 until Similarity.Planes).map { j =>
+            val plane = (0 until 64)
+              .map(c => hashing.hyperplane(j, c).toString).mkString("[", ", ", "]")
+            s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+               (x, y) -> x + y) >= 0 THEN ${1L << j} ELSE 0 END)"""
+          }.mkString(" + ")
+        s"""SELECT qid, bucket, nid, cos FROM (
+             SELECT qid, bucket, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (
+               SELECT q.vec_id AS qid, q.bucket AS bucket, n.vec_id AS nid,
+                 round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+               FROM (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+                       FROM embeddings WHERE vec_id < 50) q
+                 JOIN (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+                       FROM embeddings) n
+                 ON n.bucket = q.bucket AND n.vec_id <> q.vec_id))
+           WHERE rank = 1 ORDER BY qid"""
+      })
+  )
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.streaming.Streams
+import QueryDSL._
+
+/** Streaming queries (tumbling window, sessionization — SURVEY §2.9
+  * extension) and pipeline-shaped composites: the MEF drill-down re-expressed
+  * as ROLLUP (SURVEY §3.3) and the infogob staged-DAG idiom (SURVEY §3,
+  * fourth lifecycle: anti-join pending → enrich → append).
+  */
+object StreamPipelineQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // st1: a REAL Structured Streaming query (parquet file source → tumbling
+    // 1-hour window counts → complete-mode memory sink), drained
+    // synchronously. The oracle is the batch equivalent: streaming
+    // complete-mode output must equal the batch aggregate over the same data.
+    "st1_stream_window" -> Q(
+      (s, dir) => Streams
+        .runTumblingToMemory(s, dir, name = s"graft_st1_${dir.hashCode.abs}")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+            AS window_start, event_type, count(*) AS cnt
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // st2: sessionization (30-min gap) — batch twin of the stateful
+    // streaming version (StreamingSpec asserts streaming == batch).
+    // Exact integer arithmetic on nano timestamps.
+    "st2_sessionize" -> Q(
+      (s, dir) => Streams.sessionizeBatch(events(s, dir))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, CAST(sum(brk) AS BIGINT) AS sessions,
+            count(*) AS events
+          FROM (
+            SELECT user_id,
+              CASE WHEN lag(tns) OVER w IS NULL
+                     OR tns - lag(tns) OVER w > 1800000000000
+                   THEN 1 ELSE 0 END AS brk
+            FROM (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
+          GROUP BY user_id ORDER BY user_id""")),
+
+    // r3: the MEF hierarchical drill-down as a ROLLUP over a fact table
+    // (SURVEY §3.3: click-path levels = grouping columns). grouping_id
+    // disambiguates subtotal rows; null group keys render as '' for a
+    // total order shared with the oracle.
+    "r3_mef_rollup" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("")).as("flag"),
+          coalesce(col("l_linestatus"), lit("")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("gid"), col("flag"), col("status")),
+      Some("""SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+            COALESCE(l_returnflag, '') AS flag,
+            COALESCE(l_linestatus, '') AS status,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            count(*) AS cnt
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY gid, flag, status""")),
+
+    // g1: infogob staged-DAG idiom — processed set, anti-join pending set,
+    // broadcast enrich of pending, diagonal append back, per-stage audit
+    // counts. One composite query exercising the J2 + J4 + U2 pipeline.
+    "g1_staged_dag" -> Q(
+      (s, dir) => {
+        val o = T(s, dir, "orders")
+        val done = o.filter(col("o_orderkey") % 10 < 3)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("stage", lit("done"))
+        val pending = Relational.pendingAntiJoin(
+          o.select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey")),
+          done, Seq("o_orderkey"))
+        val enriched = pending
+          .join(broadcast(T(s, dir, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+            Seq("o_custkey"))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("c_mktsegment"))
+          .withColumn("stage", lit("new"))
+        Relational.unionDiagonal(Seq(done, enriched))
+          .groupBy(col("stage"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            count(col("c_mktsegment")).as("enriched"))
+          .orderBy(col("stage"), col("o_orderstatus"))
+      },
+      Some("""WITH done AS (
+            SELECT o_orderkey, o_orderstatus, 'done' AS stage,
+              NULL::VARCHAR AS c_mktsegment
+            FROM orders WHERE o_orderkey % 10 < 3),
+          pending AS (
+            SELECT o.o_orderkey, o.o_orderstatus, o.o_custkey FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM done d
+              WHERE d.o_orderkey = o.o_orderkey)),
+          enriched AS (
+            SELECT p.o_orderkey, p.o_orderstatus, 'new' AS stage,
+              c.c_mktsegment
+            FROM pending p JOIN customer c ON c.c_custkey = p.o_custkey)
+          SELECT stage, o_orderstatus, count(*) AS cnt,
+            count(c_mktsegment) AS enriched
+          FROM (SELECT * FROM done UNION ALL SELECT * FROM enriched)
+          GROUP BY stage, o_orderstatus ORDER BY stage, o_orderstatus"""))
+  )
+}

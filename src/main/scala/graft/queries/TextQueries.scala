@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{hashing, text, textstats}
+import QueryDSL._
+
+/** North-star text-analysis queries over `documents` (language ID, quality
+  * scoring, token counting, fingerprinting) plus the multimodal binary-column
+  * plumbing. All scoring is codegen'd built-ins; the oracle replays the same
+  * arithmetic.
+  */
+object TextQueries {
+
+  private val sqlToks =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
+  private def sqlStopHits(stop: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains(${stop.mkString("['", "', '", "']")}, t)))"
+
+  val defs: Map[String, Q] = Map(
+
+    // t1: n-gram language-ID heuristic vs. the ground-truth lang column.
+    "t1_langid" -> Q(
+      (s, dir) => {
+        val tok = textstats.tokens(col("text"))
+        T(s, dir, "documents")
+          .select(col("lang"), textstats.langId(tok).as("pred"))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some(
+        s"""SELECT lang, pred, count(*) AS cnt FROM (
+             SELECT lang,
+               CASE WHEN ${sqlStopHits(textstats.EnStop)} > ${sqlStopHits(textstats.EsStop)} THEN 'en'
+                    WHEN ${sqlStopHits(textstats.EsStop)} > ${sqlStopHits(textstats.EnStop)} THEN 'es'
+                    ELSE 'und' END AS pred
+             FROM (SELECT lang, $sqlToks AS toks FROM documents))
+           GROUP BY lang, pred ORDER BY lang, pred""")),
+
+    // t2: quality banding from cheap signals (length, punctuation ratio,
+    // stopword ratio).
+    "t2_quality" -> Q(
+      (s, dir) => T(s, dir, "documents")
+        .select(textstats.qualityBand(col("text")).as("band"),
+          textstats.tokenCount(col("text")).as("ntok"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("tok_sum"))
+        .orderBy(col("band")),
+      Some(
+        s"""SELECT band, count(*) AS cnt, CAST(sum(ntok) AS BIGINT) AS tok_sum
+           FROM (
+             SELECT CASE
+                 WHEN len(toks) < 20 THEN 'short'
+                 WHEN round(CAST(length(text) - length(regexp_replace(text,
+                     '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 4) > 0.10 THEN 'noisy'
+                 WHEN round(CAST(${sqlStopHits(textstats.EnStop)} AS DOUBLE)
+                   / greatest(len(toks), 1), 4) >= 0.02 THEN 'good'
+                 ELSE 'odd' END AS band,
+               len(toks) AS ntok
+             FROM (SELECT text, $sqlToks AS toks FROM documents))
+           GROUP BY band ORDER BY band""")),
+
+    // t3: whitespace vs. BPE-ish subword token counts per source.
+    "t3_token_counts" -> Q(
+      (s, dir) => T(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(textstats.tokenCount(col("text"))).as("ws_tokens"),
+          sum(textstats.subwordCount(col("text"))).as("subword_tokens"))
+        .orderBy(col("source")),
+      Some(
+        s"""SELECT source,
+             CAST(sum(len($sqlToks)) AS BIGINT) AS ws_tokens,
+             CAST(sum(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS subword_tokens
+           FROM documents GROUP BY source ORDER BY source""")),
+
+    // t4: document fingerprints — rolling polynomial hash of the normalized
+    // text (exact-dup detector) and min-shingle hash (near-dup prefilter);
+    // distinct counts per source. Exercises the custom codegen'd
+    // RollingHash expression.
+    "t4_fingerprint" -> Q(
+      (s, dir) => {
+        val norm = text.normalizeWhitespace(lower(col("text")))
+        T(s, dir, "documents")
+          .select(col("source"),
+            text.fingerprint(norm).as("fp"),
+            textstats.minShingleFingerprint(col("text")).as("msf"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs"),
+            countDistinct(col("fp")).as("distinct_fp"),
+            countDistinct(col("msf")).as("distinct_msf"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val h8 = hashing.sqlH64("s8")
+        s"""SELECT source, count(*) AS docs,
+             count(DISTINCT fp) AS distinct_fp,
+             count(DISTINCT msf) AS distinct_msf
+           FROM (
+             SELECT source,
+               list_reduce(list_transform(generate_series(1, length(norm)),
+                 i -> CAST(ascii(substr(norm, i, 1)) AS BIGINT)),
+                 (a, c) -> (a * 31 + c) % 1000000007) AS fp,
+               CASE WHEN len(sh8) = 0
+                 THEN ${hashing.sqlH64("lower(text)")}
+                 ELSE list_min(list_transform(sh8, s8 -> $h8)) END AS msf
+             FROM (
+               SELECT source, text,
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+                 CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                   ELSE list_transform(generate_series(1, len(toks)-7),
+                     i -> array_to_string(list_slice(toks, i, i+7), ' ')) END AS sh8
+               FROM (SELECT source, text, $sqlToks AS toks FROM documents)))
+           GROUP BY source ORDER BY source"""
+      }),
+
+    // m1: multimodal binary-column plumbing — text encoded to a binary
+    // payload column, "decoded" by a typed mapPartitions stage. The real
+    // decode (image/audio libs) is STUBBED with a deterministic fake
+    // (payload length + first two byte values as WxH); the Spark-side
+    // plumbing — binary column, typed Dataset, partition-wise batch map,
+    // explicit result schema — is the real, tested part.
+    "m1_multimodal_stub" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        T(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              // STUB decode: a real pipeline would parse the media header
+              // here; the fake reads "dimensions" from the first two bytes.
+              val w = if (bytes.length > 0) bytes(0) & 0xff else 0
+              val h = if (bytes.length > 1) bytes(1) & 0xff else 0
+              (id, bytes.length.toLong, w, h)
+            }
+          }
+          .toDF("doc_id", "byte_len", "fake_w", "fake_h")
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             ascii(substr(text, 1, 1)) AS fake_w,
+             ascii(substr(text, 2, 1)) AS fake_h
+           FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface (SURVEY §2.9). The reference has no
+  * streaming — its incremental idiom is resumable batch (anti-join pending
+  * sets, progress flags). This module adds the Spark-native streaming
+  * equivalents over the `events` table: tumbling-window aggregation and
+  * stateful sessionization, each with a batch twin whose results the
+  * streaming run must reproduce (asserted in StreamingSpec and, for the
+  * batch twins, by the DuckDB oracle).
+  */
+object Streams {
+
+  /** 30-minute session gap, in nanoseconds (events.ts is int64 nanos). */
+  val SessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long via legacy conf
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events parquet (schema pinned; nanos-as-long). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts per event type — the canonical windowed
+    * streaming aggregate. Works on both batch and streaming frames. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
+  /** Run [[tumblingCounts]] as a real streaming query into a memory sink
+    * (complete mode), block until the source drains, and return the result.
+    * At production scale the same plan writes to a Kafka/Delta sink with a
+    * watermark; complete-mode memory is the deterministic test harness. */
+  def runTumblingToMemory(spark: SparkSession, dir: String,
+      name: String = "graft_st1"): DataFrame = {
+    val q = tumblingCounts(readEventsStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Batch sessionization: per user, a session break occurs when the gap
+    * since the previous event exceeds `gapNs`. Exact integer arithmetic on
+    * nano timestamps; one shuffle (window on user_id). */
+  def sessionizeBatch(events: DataFrame, gapNs: Long = SessionGapNs): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("__brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__brk")).as("sessions"), count(lit(1)).as("events"))
+  }
+
+  case class SessState(lastTs: Long, sessions: Long, events: Long)
+
+  /** Streaming twin of [[sessionizeBatch]] via mapGroupsWithState. Events
+    * within a group arrive in ts order only within a batch, so the state
+    * fold sorts each batch's slice — correct as long as a user's events
+    * don't straddle batches out of order (guaranteed here by the single-file
+    * source; a production topology would use event-time watermarks +
+    * flatMapGroupsWithState with timeout-based emission). */
+  def sessionizeStreaming(spark: SparkSession, dir: String,
+      gapNs: Long = SessionGapNs, name: String = "graft_st2"): DataFrame = {
+    import spark.implicits._
+    val updater = (userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[SessState]) => {
+      val sorted = rows.toSeq.sortBy(identity)
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+      sorted.foreach { case (ts, _) =>
+        val newSession = st.events == 0L || ts - st.lastTs > gapNs
+        st = SessState(ts, st.sessions + (if (newSession) 1L else 0L),
+          st.events + 1L)
+      }
+      state.update(st)
+      (userId, st.sessions, st.events)
+    }
+    val q = readEventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updater)
+      .toDF("user_id", "sessions", "events")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.hashing
+
+/** Unit-level properties of the dedup / similarity operators (the value-level
+  * gate is the DuckDB oracle; these pin the algorithmic invariants). */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words appear in this one here"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("ngramJaccardPairs finds near and exact dups, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jac = 1.0
+    assert(pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashLshPairs agrees with exact Jaccard on clear dups") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 4L)))
+  }
+
+  test("exact dup has identical minhash signature and simhash") {
+    val sig = Dedup.minhashSignatures(Dedup.shingleTable(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+  }
+
+  test("simhash hamming distance orders by similarity") {
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs, "doc_id", "text"), 60)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs((1L, 2L)) < pairs((1L, 3L)))
+  }
+
+  test("cosine is 1 for identical vectors, ranks closer vectors higher") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1),
+        "vec_id", "embedding", 3)
+      .orderBy($"rank").collect()
+    assert(top.map(_.getAs[Long]("nid")).toSeq == Seq(4L, 2L, 3L))
+    assert(top.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("lsh bucket collides for near-identical vectors") {
+    val dim = 8
+    val vecs = Seq(
+      (1L, Array.fill(dim)(1.0f)),
+      (2L, Array.fill(dim)(0.99f))
+    ).toDF("vec_id", "embedding")
+    val buckets = vecs.select($"vec_id",
+        Similarity.lshBucket($"embedding", dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+  }
+
+  test("hyperplane components are in [-1, 1] and deterministic") {
+    val v = hashing.hyperplane(3, 17)
+    assert(v >= -1.0 && v <= 1.0)
+    assert(v == hashing.hyperplane(3, 17))
+  }
+}
