@@ -94,17 +94,27 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold. The pair candidates are
-    * pairs sharing ≥1 shingle (an inverted-index join, not a cross join); at
-    * scale precede with LSH (`minhashLshPairs`) instead. */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold. Intersection counts come
+    * straight off the inverted-index self-join (each shared shingle is one
+    * joined row, so `count` per pair IS |A∩B|) — one shuffle join + one
+    * aggregation, no candidate-distinct pass. At corpus scale precede with
+    * LSH (`minhashLshPairs`) instead: a tiny shared vocabulary makes nearly
+    * every pair share some shingle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, k)
-    val sets = sh.distinct()
-    val cands = sets.alias("x").join(sets.alias("y"),
+    val sets = shingleTable(df, idCol, textCol, k).distinct()
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sets.alias("x").join(sets.alias("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    jaccardPairs(sh, cands, threshold)
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("jac",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
   }
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
@@ -137,13 +147,33 @@ object Dedup {
     withSums.select(col("id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Implemented as
-    * a self-join; at corpus scale, block on signature bands first (split the
-    * 60 bits into maxDist+1 segments — pigeonhole: any pair within maxDist
-    * agrees exactly on ≥1 segment) so the join is on a band key. */
-  def simhashPairs(signatures: DataFrame, maxDist: Int): DataFrame =
-    signatures.alias("x").join(signatures.alias("y"), col("x.id") < col("y.id"))
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via lossless
+    * pigeonhole blocking: the 60 bits are split into maxDist+1 disjoint
+    * segments; any pair within maxDist differs in ≤ maxDist bits and so
+    * agrees EXACTLY on at least one whole segment. Candidates are therefore
+    * an equi-join on (segment, segmentValue) — a hash join whose cost tracks
+    * genuinely-close groups — instead of an O(n²) nested-loop cross join;
+    * the final Hamming filter makes the result identical to brute force. */
+  def simhashPairs(signatures: DataFrame, maxDist: Int): DataFrame = {
+    val blocks = maxDist + 1
+    val bounds = (0 to blocks).map(i => i * SimhashBits / blocks)
+    val segStructs = (0 until blocks).map { i =>
+      val off = bounds(i)
+      val width = bounds(i + 1) - bounds(i)
+      val mask = (1L << width) - 1
+      struct(lit(i).as("seg"),
+        expr(s"(simhash >> $off) & $mask").as("segVal"))
+    }
+    val banded = signatures.select(col("id"), col("simhash"),
+        explode(array(segStructs: _*)).as("s"))
+      .select(col("id"), col("simhash"),
+        col("s.seg").as("seg"), col("s.segVal").as("segVal"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.seg") === col("y.seg") && col("x.segVal") === col("y.segVal") &&
+          col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("dist"))
+      .distinct()
       .filter(col("dist") <= maxDist)
+  }
 }

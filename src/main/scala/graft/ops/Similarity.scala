@@ -25,10 +25,13 @@ import graft.functions.hashing
   */
 object Similarity {
 
-  /** Strict-left-fold dot product of two float-array columns, in double. */
+  /** Strict-left-fold dot product of two numeric-array columns, in double.
+    * Backed by the codegen'd [[graft.functions.DotProduct]] expression —
+    * identical fold order (and therefore bits) to the interpreted
+    * `aggregate(zip_with(...))` formulation and the oracle's `list_reduce`,
+    * but a primitive loop inside whole-stage codegen. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.expressions.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

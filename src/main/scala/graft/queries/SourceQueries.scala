@@ -114,7 +114,7 @@ object SourceQueries {
     "s11_paged_union" -> Q(
       (s, dir) => {
         val ev = events(s, dir)
-        val pageSize = 1000L
+        val pageSize = 10000L
         val total = ev.count() // reference reads the total from page 1
         val pages = ((total + pageSize - 1) / pageSize).toInt
         val slices = (0 until pages).map { p =>
@@ -128,7 +128,7 @@ object SourceQueries {
             sum(dec(col("value"))).cast("double").as("sum_value"))
           .orderBy(col("page"))
       },
-      Some("""SELECT event_id // 1000 AS page, count(*) AS cnt,
+      Some("""SELECT event_id // 10000 AS page, count(*) AS cnt,
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""")),
 
