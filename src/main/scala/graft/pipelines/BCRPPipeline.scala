@@ -1,0 +1,71 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cache.ParquetCache
+import graft.functions.{dates, numeric}
+import graft.model.SeriesQuery
+import graft.ops.Relational
+
+/** The BCRP time-series fetch lifecycle (SURVEY §3.1) as a Spark pipeline:
+  *
+  *   validate (semi/anti vs catalog) → cache delta probe → ingest only the
+  *   delta (long form) → frequency-aware date parse → pivot to wide →
+  *   upsert into the cache → projected load.
+  *
+  * The network fetch itself is injected (`fetchLong`): tests and offline
+  * runs pass a fixture frame; a live deployment passes a driver-side HTTP
+  * reader. Everything after injection is pure `DataFrame => DataFrame`, so
+  * the whole lifecycle is replayable and oracle-checkable.
+  */
+final class BCRPPipeline(spark: SparkSession, cache: ParquetCache,
+    catalog: DataFrame) {
+
+  /** (valid, invalid) code split against the catalog — SURVEY §3.1 step 2.
+    * Reference `perustats/BCRP/metadata.py:252-306`. */
+  def validate(query: SeriesQuery): (Seq[String], Seq[String]) = {
+    import spark.implicits._
+    val requested = query.normalized.toDF("code")
+    val (valid, invalid) =
+      Relational.validateCodes(requested, broadcast(catalog), "code")
+    (valid.collect().map(_.getString(0)).toSeq.sorted,
+      invalid.collect().map(_.getString(0)).toSeq.sorted)
+  }
+
+  /** Fetch one frequency group: compute the not-yet-cached delta, ingest it
+    * via `fetchLong`, parse + pivot, upsert, and return the projected wide
+    * frame for ALL requested codes (cached + new).
+    *
+    * `fetchLong(codes)` must return a long frame (date_str, series, value)
+    * in the reference's API shape (`perustats/BCRP/utils.py:114-144`).
+    */
+  def fetchFrequency(freq: String, query: SeriesQuery,
+      fetchLong: Seq[String] => DataFrame): DataFrame = {
+    val codes = query.byFrequency.getOrElse(freq, Nil)
+    val delta = cache.missingCodes(freq, query.start, query.end, codes)
+    if (delta.nonEmpty) {
+      val long = fetchLong(delta)
+      val parsed = long.select(
+        dates.bcrpDate(freq, col("date_str")).as("date"),
+        col("series"),
+        numeric.tryNumeric(col("value")).as("value"))
+      val wide = Relational.pivotSeries(parsed, "date", "series", "value",
+        seriesValues = delta)
+      cache.save(freq, query.start, query.end, wide)
+    }
+    cache.load(freq, query.start, query.end, codes)
+  }
+
+  /** Full query: validate once, fetch each frequency group, return the
+    * per-frequency wide frames (the reference's `result[freq] = df`,
+    * `perustats/BCRP/fetcher.py:55-87`). */
+  def run(query: SeriesQuery,
+      fetchLong: (String, Seq[String]) => DataFrame): Map[String, DataFrame] = {
+    val (valid, _) = validate(query)
+    val validQuery = query.copy(codes = valid)
+    validQuery.byFrequency.keys.map { freq =>
+      freq -> fetchFrequency(freq, validQuery, fetchLong(freq, _))
+    }.toMap
+  }
+}

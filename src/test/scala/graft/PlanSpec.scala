@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan assertions for the scale-critical queries: pushdown must
+  * reach the parquet scan, small dims must broadcast, aggregates must have a
+  * map-side partial phase, and hot paths must stay inside whole-stage
+  * codegen. These are the properties that decide whether a plan survives a
+  * 100× scale-up — checked here so a regression fails CI, not a cluster run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s4: filter and projection reach the parquet scan") {
+    val p = plan("s4_pruned_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+  }
+
+  test("j4: dim joins broadcast, no shuffle of the fact side for joins") {
+    val p = plan("j4_broadcast_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1: two-phase hash aggregate inside whole-stage codegen") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum"), p) // map-side partial aggregation
+    assert(p.contains("*(1) HashAggregate"), p) // inside whole-stage codegen
+  }
+
+  test("x1: similarity scoring is codegen'd (native dot_product)") {
+    val p = plan("x1_cosine_topk")
+    assert(p.contains("dot_product"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j2: anti join stays a join (no driver-side set)") {
+    val p = plan("j2_anti_resume")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("d2: LSH candidate join is an equi hash/sort join, not nested loop") {
+    val p = plan("d2_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipelines
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.cache.ParquetCache
+import graft.model.{DrillStep, SeriesQuery}
+
+/** End-to-end pipeline semantics on reference-shaped fixtures (FIXTURES.md
+  * §A): the BCRP lifecycle (validate → delta → ingest → pivot → upsert →
+  * projected load, incl. the warm-cache second run fetching only the
+  * delta — SURVEY §7.3), the INEI organize transforms, and MEF-as-rollup.
+  */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(name: String): String = {
+    val d = new java.io.File(s"target/scratch/spec_$name")
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec); f.delete()
+    }
+    rec(d); d.mkdirs(); d.getPath
+  }
+
+  private def catalog = Seq(
+    ("PN01234PM", "tipo de cambio", "M"),
+    ("PN05678PM", "reservas internacionales", "M"),
+    ("PD11111PD", "tasa interbancaria", "D")
+  ).toDF("code", "description", "freq")
+
+  test("BCRP lifecycle: validate, ingest, pivot, upsert, delta-only refetch") {
+    val cache = new ParquetCache(spark, scratch("bcrp"))
+    val pipe = new BCRPPipeline(spark, cache, catalog)
+    val q1 = SeriesQuery(Seq("pn01234pm", "BOGUS1"), "2023-1", "2023-12")
+
+    val (valid, invalid) = pipe.validate(q1)
+    assert(valid == Seq("PN01234PM") && invalid == Seq("BOGUS1"))
+
+    var fetched = Seq.empty[String]
+    def fetch(codes: Seq[String]) = {
+      fetched = codes
+      Seq(("Ene.2023", codes.head, "3,400.50"), ("Feb.2023", codes.head, "n.d."))
+        .toDF("date_str", "series", "value")
+    }
+
+    val r1 = pipe.fetchFrequency("M", q1.copy(codes = valid), fetch)
+    assert(fetched == Seq("PN01234PM"))
+    val rows = r1.orderBy("date").collect()
+    assert(rows.map(_.getDate(0).toString).toSeq ==
+      Seq("2023-01-01", "2023-02-01"))
+    assert(rows(0).getDouble(1) == 3400.5 && rows(1).isNullAt(1))
+
+    // Second run with a superset: only the NEW code is fetched (J5 delta).
+    val q2 = SeriesQuery(Seq("PN01234PM", "PN05678PM"), "2023-1", "2023-12")
+    val r2 = pipe.fetchFrequency("M", q2, fetch)
+    assert(fetched == Seq("PN05678PM"))
+    assert(r2.columns.toSeq == Seq("date", "PN01234PM", "PN05678PM"))
+    assert(r2.count() == 2) // rows merged by date, not duplicated
+  }
+
+  test("INEI organize: size rank, collision suffix, hash dedup") {
+    val files = Seq(
+      (2022, "0001", "by_module", "data_big.sav", 900L, "h1"),
+      (2022, "0001", "by_module", "data_small.sav", 100L, "h2"),
+      (2023, "0001", "by_module", "data.sav", 500L, "h3")
+    ).toDF("year", "moduleCode", "folder", "fileName", "sizeBytes", "sha256")
+    val ranked = INEIOrganize.rankDataFiles(files)
+      .select("fileName", "organizedName").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ranked("data_big.sav") == "2022_mod_0001_1")
+    assert(ranked("data_small.sav") == "2022_mod_0001_2")
+    assert(ranked("data.sav") == "2023_mod_0001_1")
+
+    val docs = Seq(
+      (2022, "0001", "docs", "readme.pdf", 10L, "d1"),
+      (2023, "0002", "docs", "readme.pdf", 11L, "d2"),
+      (2023, "0003", "docs", "other.pdf", 12L, "d1") // same content as d1
+    ).toDF("year", "moduleCode", "folder", "fileName", "sizeBytes", "sha256")
+    val suffixed = INEIOrganize.suffixCollisions(docs)
+      .select("year", "organizedName").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(suffixed == Set((2022, "readme.pdf"), (2023, "readme.pdf_2"),
+      (2023, "other.pdf")))
+
+    val deduped = INEIOrganize.dedupDocs(docs).select("fileName")
+      .collect().map(_.getString(0)).toSet
+    assert(deduped == Set("other.pdf", "readme.pdf")) // d1 keeps smallest name
+  }
+
+  test("MEF drill-down: filter + grouped measures and rollup totals") {
+    val fact = Seq(
+      ("gobierno nacional", "personal", 100.0, 90.0),
+      ("gobierno nacional", "bienes", 50.0, 40.0),
+      ("gobiernos locales", "personal", 30.0, 20.0)
+    ).toDF("nivel", "generica", "pia", "devengado")
+    val steps = Seq(DrillStep("nivel", Some("nacional")), DrillStep("generica"))
+
+    val leaf = MEFDrilldown.run(fact, steps, Seq("pia", "devengado"))
+      .orderBy("generica").collect()
+    assert(leaf.map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq == Seq(("bienes", 50.0, 40.0), ("personal", 100.0, 90.0)))
+
+    val roll = MEFDrilldown.rollupAll(fact, steps.map(_.copy(keepMatching = None)),
+        "pia")
+      .filter(col("gid") === 3).collect() // grand total row
+    assert(roll.length == 1 && roll.head.getAs[Double]("pia") == 180.0)
+  }
+}
