@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{DotProduct, RollingHash, Slugify, StripAccents}
+
+/** Spark session extension registering graft's custom Catalyst expressions
+  * as SQL functions, so `spark.sql("SELECT slugify(name) ...")` works the
+  * same as the Column API. Install at session construction with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`), or into an already-running
+  * session with `GraftExtensions.install(spark)`.
+  *
+  * Only expression-level extensions are needed: the engine's operators are
+  * all expressible as Catalyst logical plans through the DataFrame API, so
+  * there is deliberately no custom Rule/Strategy to register (SURVEY §4).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** The registered surface: (identifier, doc, builder) triples shared by
+    * the construction-time and live-session paths. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("slugify"),
+      info("slugify", "slugify(str) - accent-strip + lowercase + [a-z0-9_-] slug"),
+      (args: Seq[Expression]) => Slugify(args.head)),
+    (FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(str) - NFD-decompose and drop combining marks"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
+    (FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - polynomial rolling hash mod 1e9+7"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(arr, arr) - strict left-fold double dot product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+
+  /** Register into a live session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, b) =>
+      Bridge.registerFunction(spark, id, fi, b)
+    }
+}
