@@ -143,6 +143,33 @@ object TextQueries {
         """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
              ascii(substr(text, 1, 1)) AS fake_w,
              ascii(substr(text, 2, 1)) AS fake_h
-           FROM documents WHERE doc_id < 50 ORDER BY doc_id"""))
+           FROM documents WHERE doc_id < 50 ORDER BY doc_id""")),
+
+    // m2: multimodal frame sampling — payloads sliced into fixed-size
+    // "frames" (STUB for keyframe extraction) by the per-partition decoder,
+    // exploded to long form and content-hashed. ASCII text ⇒ byte slices
+    // align with substr on the oracle side.
+    "m2_frame_sample" -> Q(
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.asMedia(
+          T(s, dir, "documents").filter(col("doc_id") < 20)
+            .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "doc_id", "payload", kind = "text")
+        Multimodal.sampleFrames(media, frameBytes = 64, maxFrames = 4)
+          .toDF("doc_id", "frame_idx", "frame")
+          .select(col("doc_id"), col("frame_idx"),
+            length(col("frame")).cast("long").as("frame_len"),
+            sha2(col("frame"), 256).as("frame_sha"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(
+        """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+             CAST(length(substr(text, CAST(i*64 + 1 AS INTEGER), 64)) AS BIGINT)
+               AS frame_len,
+             sha256(substr(text, CAST(i*64 + 1 AS INTEGER), 64)) AS frame_sha
+           FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+           WHERE doc_id < 20 AND i*64 < length(text)
+           ORDER BY doc_id, frame_idx"""))
   )
 }
