@@ -120,6 +120,17 @@ object CoreQueries {
         WHERE c_mktsegment NOT IN ('BUILDING','AUTOMOBILE')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // P7: equality-mask lookup — first row (by key order) matching an
+    // exact predicate. Reference `perustats/inei/organizer.py:254-262`.
+    "p7_lookup" -> Q(
+      (s, dir) => T(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12" && col("p_size") <= 20)
+        .orderBy(col("p_partkey")).limit(1)
+        .select(col("p_partkey"), col("p_name"), col("p_type")),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE p_brand = 'Brand#12' AND p_size <= 20
+        ORDER BY p_partkey LIMIT 1""")),
+
     // P7/P8: first-match row under a total order (deterministic top-1).
     "p8_first_match" -> Q(
       (s, dir) => T(s, dir, "orders")

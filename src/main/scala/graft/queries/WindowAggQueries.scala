@@ -82,6 +82,48 @@ object WindowAggQueries {
           count(TRY_CAST(event_type AS DOUBLE)) AS castable
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A8: skew-safe salted two-phase sum — the aggregation twin of AQE's
+    // skew-join splitting (l_returnflag has 3 hot values ⇒ 3 reducers carry
+    // everything in the naive plan; the salt spreads phase 1 over 16×3).
+    // Exact DECIMAL arithmetic ⇒ identical to the direct groupBy.
+    "a8_salted_agg" -> Q(
+      (s, dir) => Relational.saltedSum(T(s, dir, "lineitem"),
+          Seq("l_returnflag"), dec(col("l_quantity")),
+          xxhash64(col("l_orderkey"), col("l_linenumber")), buckets = 16,
+          out = "sum_qty")
+        .select(col("l_returnflag"), col("sum_qty").cast("double"),
+          col("sum_qty_cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          count(*) AS sum_qty_cnt
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // W6: window frames — running sum (rows unbounded..current) and lag
+    // within a natural key (beyond the reference's row_number-only surface;
+    // SURVEY §2.5 note).
+    "w6_window_frames" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            sum(dec(col("l_quantity")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_qty"),
+            lag(dec(col("l_quantity")), 1).over(w).cast("double").as("prev_qty"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER
+            (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            AS running_qty,
+          CAST(lag(CAST(l_quantity AS DECIMAL(18,2)), 1) OVER
+            (PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE)
+            AS prev_qty
+        FROM lineitem WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // W2: rank within a natural key.
     "w2_rank_in_order" -> Q(
       (s, dir) => T(s, dir, "lineitem")
