@@ -125,6 +125,50 @@ object Dedup {
     jaccardPairs(sh, cands, threshold)
   }
 
+  /** Connected components over an undirected pair set (a, b): every node
+    * labeled with the minimum id reachable from it. This is the survivor
+    * step of corpus dedup — keep one doc (the min id) per component of
+    * near-duplicates.
+    *
+    * Iterative min-label propagation over DataFrames: each round joins
+    * labels across edges and keeps the row-wise minimum, until a fixpoint.
+    * Rounds = graph diameter ≤ log n after path doubling would kick in —
+    * near-dup components are tiny (pairs/triangles), so plain propagation
+    * converges in 2-3 rounds; the iteration cap guards pathological chains
+    * (for web-scale graphs swap in large-star/small-star, same contract).
+    * Each round's result is localCheckpoint'd: the lineage would otherwise
+    * double per round and recompute the whole prefix at every action.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("root", col("id")).localCheckpoint()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("root")).as("nroot"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.root") =!= col("o.root")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Survivor selection: canonical (kept) id per document that appears in a
+    * near-dup pair — docs absent from `pairs` are implicitly their own
+    * survivor. */
+  def survivors(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs).select(col("id"), col("root").as("keep"))
+
   /** Number of SimHash bits (kept < 63 so the signature stays a positive
     * signed long in both engines). */
   val SimhashBits = 60

@@ -54,6 +54,26 @@ object DedupQueries {
        / (${norm(a)} * ${norm(b)}))"""
   }
 
+  /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
+    * exact-Jaccard verification (shared by d2 and d6). */
+  private val sqlMinhashLsh: String = {
+    val h = hashing.sqlH64("s")
+    val mins = (0 until NumHashes)
+      .map(j => s"min(${hashing.sqlPerm(j, "h")}) AS m$j").mkString(", ")
+    val bands = (0 until Bands).map { bnd =>
+      val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH $sqlShingles,
+       hs AS (SELECT doc_id, ($h % $P) AS h FROM sh),
+       mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       bands AS ($bands),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       ${sqlJaccardTail(0.9)}"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // d2: MinHash + LSH near-dup pairs, exact-Jaccard verified. The oracle
@@ -62,23 +82,26 @@ object DedupQueries {
       (s, dir) => Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id",
           "text", k = 3, threshold = 0.9)
         .orderBy(col("a"), col("b")),
-      Some {
-        val h = hashing.sqlH64("s")
-        val mins = (0 until NumHashes)
-          .map(j => s"min(${hashing.sqlPerm(j, "h")}) AS m$j").mkString(", ")
-        val bands = (0 until Bands).map { bnd =>
-          val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
-          s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
-        }.mkString(" UNION ALL ")
-        s"""WITH $sqlShingles,
-           hs AS (SELECT doc_id, ($h % $P) AS h FROM sh),
-           mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-           bands AS ($bands),
-           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             FROM bands x JOIN bands y
-               ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-           ${sqlJaccardTail(0.9)}"""
-      }),
+      Some(sqlMinhashLsh)),
+
+    // d6: survivor selection — connected components over the verified
+    // near-dup pairs; every clustered doc maps to its component's min id
+    // (the kept copy). Spark side: iterative min-label propagation;
+    // oracle: recursive CTE — same fixpoint.
+    "d6_dedup_survivors" -> Q(
+      (s, dir) => Dedup.survivors(
+          Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id", "text",
+            k = 3, threshold = 0.9))
+        .orderBy(col("id")),
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($sqlMinhashLsh)),
+           sym AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM sym),
+           cc AS (SELECT id, id AS root FROM nodes
+                  UNION
+                  SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id)
+           SELECT id, min(root) AS keep FROM cc GROUP BY id ORDER BY id""")),
 
     // d4: exact all-pairs n-gram Jaccard (inverted-index join, no LSH).
     "d4_ngram_jaccard" -> Q(

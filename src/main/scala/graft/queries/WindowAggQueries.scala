@@ -124,6 +124,19 @@ object WindowAggQueries {
         FROM lineitem WHERE l_orderkey < 100
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // A9: HyperLogLog distinct sketch per group — the 100 TB substitute for
+    // exact COUNT(DISTINCT) (no global shuffle of the distinct values; the
+    // sketch merges associatively). No oracle: DuckDB's approx sketch is a
+    // different estimator, so the driver records the rows-only check; the
+    // error bound vs. exact is asserted in DedupSimilaritySpec.
+    "a9_approx_distinct" -> Q(
+      (s, dir) => events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("event_type")),
+      None),
+
     // W2: rank within a natural key.
     "w2_rank_in_order" -> Q(
       (s, dir) => T(s, dir, "lineitem")

@@ -56,6 +56,17 @@ object Streams {
     spark.table(name)
   }
 
+  /** Tumbling 1-hour counts with an event-time watermark — the production
+    * shape for unbounded sources: append-mode output, late events beyond
+    * `delay` dropped, state for closed windows released. */
+  def tumblingCountsWatermarked(events: DataFrame,
+      delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts_utc", delay)
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
   /** Batch sessionization: per user, a session break occurs when the gap
     * since the previous event exceeds `gapNs`. Exact integer arithmetic on
     * nano timestamps; one shuffle (window on user_id). */

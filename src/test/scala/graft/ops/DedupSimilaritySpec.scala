@@ -47,6 +47,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) < pairs((1L, 3L)))
   }
 
+  test("connectedComponents finds min-id roots across chained pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
+      .toDF("a", "b")
+    val cc = Dedup.survivors(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      4L -> 4L, 9L -> 4L))
+  }
+
+  test("approx_count_distinct stays within its error bound") {
+    val ev = graft.queries.QueryDSL.events(spark, sf)
+    val exact = ev.select($"user_id").distinct().count()
+    val approx = ev.agg(
+      org.apache.spark.sql.functions
+        .approx_count_distinct($"user_id", rsd = 0.02)).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
   test("cosine is 1 for identical vectors, ranks closer vectors higher") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),

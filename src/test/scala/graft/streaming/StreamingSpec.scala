@@ -15,6 +15,33 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("watermarked append-mode window drops late data, emits closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.tumblingCountsWatermarked(
+        source.toDF().toDF("ts_utc", "event_type"), delay = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_spec").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      source.addData((ts("2024-01-01 10:05:00"), "a"),
+        (ts("2024-01-01 10:10:00"), "a"))
+      q.processAllAvailable()
+      // advance the watermark past 10:00-11:00 (needs event > 11:30)
+      source.addData((ts("2024-01-01 12:00:00"), "b"))
+      q.processAllAvailable()
+      // this event is behind the watermark -> dropped, window stays closed
+      source.addData((ts("2024-01-01 10:20:00"), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_spec")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01-01 10:00:00.0", "a", 2L)))
+  }
+
   test("streaming tumbling window == batch tumbling window") {
     val batch = Streams.tumblingCounts(QueryDSL.events(spark, sf))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
