@@ -140,8 +140,12 @@ object Dedup {
     * double per round and recompute the whole prefix at every action.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // Materialize the edge list once: every round (and every convergence
+    // check) joins against it, and it is typically the output of a whole
+    // LSH pipeline that must not be recomputed per iteration.
     val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("root", col("id")).localCheckpoint()
     var round = 0
