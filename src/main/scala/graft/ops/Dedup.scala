@@ -79,6 +79,10 @@ object Dedup {
     * all-pairs-sharing-a-shingle for the exact (no-LSH) variant. */
   def jaccardPairs(shingled: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
+    // sizes + both intersection joins consume the same distinct: Spark's
+    // exchange reuse dedups the shuffle, and A/B-measured an explicit
+    // localCheckpoint here as a net LOSS (eager materialization of the
+    // shingle strings costs more than the reused exchange).
     val sets = shingled.distinct()
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
@@ -102,7 +106,8 @@ object Dedup {
     * every pair share some shingle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = shingleTable(df, idCol, textCol, k).distinct()
+    // sizes + the self-join read the sets three times — materialize once.
+    val sets = shingleTable(df, idCol, textCol, k).distinct().localCheckpoint()
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sets.alias("x").join(sets.alias("y"),
         col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -120,6 +125,10 @@ object Dedup {
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+    // Tokenize+shingle is cheap codegen'd column work — recomputing it for
+    // the signature branch and the verification branch beats materializing
+    // 100s of MB of shingle strings (measured; the expensive shared node,
+    // the DISTINCT, is checkpointed inside jaccardPairs).
     val sh = shingleTable(df, idCol, textCol, k)
     val cands = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucketSize)
     jaccardPairs(sh, cands, threshold)
