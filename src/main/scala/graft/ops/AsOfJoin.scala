@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (latest-prior) join — the canonical time-series operator Spark has
+  * no built-in for (north-star extension; natural companion to the BCRP
+  * series data model, SURVEY §1.1). For every left row (key, ts) attach the
+  * right row with the greatest rts ≤ ts for that key.
+  *
+  * Implemented by COMPOSITION, not a custom physical operator (preference
+  * (a) in the build guidance): union both sides tagged, then one window
+  * pass carrying the last non-null right value forward — a single shuffle
+  * on (key), no range join, no per-key loop. This is the plan a hand-built
+  * SortMergeAsOfJoin would produce anyway: co-partition by key, co-sort by
+  * time, stream.
+  *
+  * Determinism: right rows must be unique per (key, rts) — pre-aggregate
+  * duplicates (the DuckDB ASOF JOIN oracle has the same requirement). Ties
+  * rts == ts resolve to "include" (≤ semantics), matching DuckDB.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      build side; must be unique per (key, rts)
+    * @param key        equi key column present on both sides
+    * @param lts / rts  event-time columns (same comparable type)
+    * @param valueCols  right columns to attach (null when no prior row)
+    */
+  def lastPrior(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.forall(c => !left.columns.contains(c)),
+      "valueCols must not collide with left columns")
+    val leftCols = left.columns.toSeq
+    val l = valueCols.foldLeft(
+      left.withColumn("__t", col(lts)).withColumn("__side", lit(1))) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val r0 = right
+      .select(col(key) +: col(rts).as("__t") +: valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val r = leftCols.filterNot(c => c == key).foldLeft(r0) {
+      (df, c) => df.withColumn(c, lit(null))
+    }
+    val u = l.select((leftCols ++ Seq("__t", "__side") ++ valueCols).map(col): _*)
+      .unionByName(
+        r.select((leftCols ++ Seq("__t", "__side") ++ valueCols).map(col): _*))
+    // Right rows sort before left rows at equal time (side 0 < 1) ⇒ a right
+    // row at exactly ts is visible to the left row (≤ semantics).
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

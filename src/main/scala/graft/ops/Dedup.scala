@@ -182,6 +182,16 @@ object Dedup {
   def survivors(pairs: DataFrame): DataFrame =
     connectedComponents(pairs).select(col("id"), col("root").as("keep"))
 
+  /** Apply dedup to the corpus: drop every document that belongs to a
+    * near-dup component and is not its canonical (min-id) member. One
+    * anti-join against the (small) non-survivor set. */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropped = survivors(pairs)
+      .filter(col("id") =!= col("keep"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(dropped), Seq(idCol), "left_anti")
+  }
+
   /** Number of SimHash bits (kept < 63 so the signature stays a positive
     * signed long in both engines). */
   val SimhashBits = 60

@@ -68,6 +68,39 @@ object Similarity {
       when(dot(vec, planeArray(j, dim)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid (one
+    * broadcast pass), then each query probes only the `nProbe` centroids
+    * nearest to it and ranks within those inverted lists. Centroids are
+    * caller-supplied (k-means offline, or any deterministic subset) — the
+    * index build is a column transform, so it scales as a scan. Recall
+    * depends on nProbe/centroid quality; exactness is not claimed. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val cents = broadcast(
+      centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    def nearest(df: DataFrame, id: String, vec: String, n: Int,
+        out: String): DataFrame =
+      df.crossJoin(cents)
+        .withColumn("__cos", cosine(col(vec), col("cv")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col(id)).orderBy(col("__cos").desc, col("cid"))))
+        .filter(col("__rn") <= n)
+        .select(col(id), col(vec), col("cid").as(out))
+    val assigned = nearest(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")),
+      "nid", "nv", 1, "cluster")
+    val probes = nearest(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
+      "qid", "qv", nProbe, "cluster")
+    val scored = probes.join(assigned, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN top-k: queries only compare against corpus vectors in their own
     * hyperplane bucket. Recall < 1 by construction (a near neighbor across
     * a plane is missed) — that is the documented trade; multi-probe or

@@ -221,6 +221,36 @@ object CoreQueries {
           SELECT p_partkey AS k FROM part WHERE p_partkey < 300)
         ORDER BY k""")),
 
+    // J6: as-of join (latest prior purchase per click, per user) — the
+    // time-series operator Spark lacks, composed as tagged-union + window
+    // (ops.AsOfJoin); the oracle uses DuckDB's NATIVE ASOF JOIN, so the
+    // composition is checked against an independent implementation.
+    "j6_asof_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("purchase_value"))
+        graft.ops.AsOfJoin
+          .lastPrior(clicks, purchases, "user_id", "ts", "ts",
+            Seq("purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            round(col("purchase_value"), 4).as("purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+            WHERE event_type = 'click'),
+          purchases AS (
+            SELECT user_id, epoch_ns(ts) AS tns, max(value) AS pv FROM events
+            WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT c.event_id, c.user_id, round(p.pv, 4) AS purchase_value
+          FROM clicks c ASOF LEFT JOIN purchases p
+            ON c.user_id = p.user_id AND c.tns >= p.tns
+          ORDER BY c.event_id""")),
+
     // A4: keyed distinct.
     "a4_distinct" -> Q(
       (s, dir) => T(s, dir, "lineitem")

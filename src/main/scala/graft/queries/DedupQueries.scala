@@ -182,6 +182,43 @@ object DedupQueries {
                WHERE q.vec_id < 10))
            WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // x3: IVF-style ANN — corpus assigned to nearest-centroid inverted
+    // lists once; each query probes its 2 nearest centroids' lists only.
+    // Centroids here are a deterministic subset (vec_id % 40 == 0); a
+    // production index would k-means them offline.
+    "x3_ivf_ann" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+            e.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+            nProbe = 2, k = 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+             FROM embeddings WHERE vec_id % 40 = 0),
+           assign AS (SELECT nid, nv, cid AS cluster FROM (
+             SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+             FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cid AS cluster FROM (
+             SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid) AS rn
+             FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+             WHERE rn <= 2),
+           scored AS (SELECT p.qid, a.nid,
+               round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
+             FROM probes p JOIN assign a
+               ON a.cluster = p.cluster AND a.nid <> p.qid)
+           SELECT qid, rank, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM scored)
+           WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
     "x2_lsh_ann" -> Q(
       (s, dir) => {

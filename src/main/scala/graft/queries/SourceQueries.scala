@@ -132,6 +132,39 @@ object SourceQueries {
           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // c2: bucketed co-located join — both fact tables pre-bucketed on the
+    // join key into the same bucket count, so the sort-merge join needs NO
+    // shuffle of either side (PlanSpec asserts the absence of exchanges).
+    // This is the 100 TB pattern for repeated joins on a stable key.
+    "c2_bucketed_join" -> Q(
+      (s, dir) => {
+        val wh = scratch("bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_li_b")
+        s.sql("DROP TABLE IF EXISTS graft_ord_b")
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").option("path", s"$wh/li")
+          .saveAsTable("graft_li_b")
+        T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").option("path", s"$wh/ord")
+          .saveAsTable("graft_ord_b")
+        s.table("graft_li_b").hint("merge")
+          .join(s.table("graft_ord_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price, count(*) AS cnt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // §3.1 lifecycle: wide-cache save → schema-evolving second save (new
     // code pn02 + overlapping pn01 where incoming wins) → projected load.
     "c1_cache_lifecycle" -> Q(

@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("c2: bucketed join has no shuffle on either side") {
+    val p = plan("c2_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("d2: LSH candidate join is an equi hash/sort join, not nested loop") {
     val p = plan("d2_minhash_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

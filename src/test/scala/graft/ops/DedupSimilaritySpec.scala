@@ -47,6 +47,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) < pairs((1L, 3L)))
   }
 
+  test("asof lastPrior attaches latest prior value, null before first") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 6L, 300.0))
+      .toDF("k", "ts", "v0")
+    val r = AsOfJoin.lastPrior(left,
+        right.withColumnRenamed("v0", "v"), "k", "ts", "ts", Seq("v"))
+      .collect().map(x => (x.getAs[String]("tag"),
+        Option(x.getAs[java.lang.Double]("v")).map(_.toDouble))).toMap
+    assert(r("a") == Some(100.0)) // tie rts == ts includes the right row
+    assert(r("b") == Some(200.0))
+    assert(r("c") == None) // right row is later than the probe
+  }
+
+  test("ivfTopK finds in-cluster neighbors with deterministic ranks") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.2f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 1),
+        vecs.filter($"vec_id".isin(0L, 10L)), "vec_id", "embedding",
+        nProbe = 1, k = 2)
+      .orderBy($"rank").collect().map(_.getAs[Long]("nid")).toSeq
+    assert(out == Seq(0L, 2L)) // same-cluster neighbors only, cosine order
+  }
+
+  test("dedupCorpus keeps one doc per near-dup component") {
+    val pairs = Seq((1L, 4L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.dedupCorpus(docs.unionByName(
+        Seq((5L, "unrelated survivor text")).toDF("doc_id", "text")),
+        "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("connectedComponents finds min-id roots across chained pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
       .toDF("a", "b")
