@@ -33,7 +33,15 @@ object dates {
     * `Period.to_timestamp(how="end")`); two-digit years pivot into 20xx.
     */
   def bcrpDate(freq: String, c: Column): Column = freq match {
-    case "D" => to_date(spanishMonthsToEnglish(c), "dd.MMM.yy")
+    case "D" =>
+      // pandas "%d.%b.%y" pivots two-digit years at 69 ("99" -> 1999,
+      // "68" -> 2068); Spark's `yy` would put everything in 20xx, so the
+      // year is rebuilt explicitly to match the reference.
+      val en = spanishMonthsToEnglish(c)
+      val yy = regexp_extract(en, "\\.(\\d{2})$", 1).cast("int")
+      val year = when(yy >= 69, yy + 1900).otherwise(yy + 2000)
+      to_date(concat(regexp_extract(en, "^(\\d{1,2}\\.[A-Za-z]{3})\\.", 1),
+        lit("."), year.cast("string")), "dd.MMM.yyyy")
     case "M" => to_date(spanishMonthsToEnglish(c), "MMM.yyyy")
     case "A" => to_date(c, "yyyy")
     case "Q" =>

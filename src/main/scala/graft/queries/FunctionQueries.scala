@@ -75,7 +75,8 @@ object FunctionQueries {
     "f7f8_bcrp_dates" -> Q(
       (s, dir) => {
         import s.implicits._
-        Seq(("15.Ene.23", "D"), ("03.Set.21", "D"), ("Ene.2023", "M"),
+        Seq(("15.Ene.23", "D"), ("03.Set.21", "D"), ("01.Dic.99", "D"),
+            ("05.Ene.69", "D"), ("Ene.2023", "M"),
             ("Ago.1999", "M"), ("Q1.23", "Q"), ("Q4.09", "Q"), ("2023", "A"))
           .toDF("s", "freq")
           .withColumn("parsed",
@@ -90,6 +91,8 @@ object FunctionQueries {
       Some("""SELECT * FROM (VALUES
           ('15.Ene.23', 'D', DATE '2023-01-15', NULL),
           ('03.Set.21', 'D', DATE '2021-09-03', NULL),
+          ('01.Dic.99', 'D', DATE '1999-12-01', NULL),
+          ('05.Ene.69', 'D', DATE '1969-01-05', NULL),
           ('Ene.2023', 'M', DATE '2023-01-01', NULL),
           ('Ago.1999', 'M', DATE '1999-08-01', NULL),
           ('Q1.23', 'Q', DATE '2023-03-31', '2023Q1'),

@@ -15,7 +15,11 @@ class DatesSpec extends SparkSpec {
   test("D: Spanish day labels") {
     assert(parse("D", "15.Ene.23") === "2023-01-15")
     assert(parse("D", "03.Set.21") === "2021-09-03")
-    assert(parse("D", "29.Dic.99") === "2099-12-29") // yy base-2000 pivot
+    // pandas %y pivots at 69: 99 -> 1999, 68 -> 2068 (verified against
+    // pd.to_datetime; Spark's raw `yy` pattern would give 2099).
+    assert(parse("D", "29.Dic.99") === "1999-12-29")
+    assert(parse("D", "05.Ene.69") === "1969-01-05")
+    assert(parse("D", "05.Ene.68") === "2068-01-05")
   }
 
   test("M: month start (pandas to_datetime semantics)") {
