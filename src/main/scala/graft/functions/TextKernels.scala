@@ -29,11 +29,15 @@ object TextKernels {
     sb.toString
   }
 
-  /** Accent-strip, lowercase, keep [a-z0-9 _-], collapse whitespace to "_". */
+  /** Accent-strip, drop non word/space/dash chars, collapse whitespace to
+    * "_", lowercase — with UNICODE character classes (`(?U)`) so `\w`/`\s`
+    * match exactly what Python's `re` matches in the reference (unicode
+    * letters like "ß" survive; NBSP counts as whitespace). */
   def slugify(s: String): String = {
-    val base = stripAccents(s).toLowerCase(java.util.Locale.ROOT)
-    val kept = base.replaceAll("[^a-z0-9\\s_-]", "")
-    kept.trim.replaceAll("\\s+", "_")
+    val noSpecial = stripAccents(s).replaceAll("(?U)[^\\w\\s\\-]", "")
+    noSpecial.replaceAll("(?U)^\\s+|\\s+$", "")
+      .replaceAll("(?U)\\s+", "_")
+      .toLowerCase(java.util.Locale.ROOT)
   }
 
   /** Polynomial rolling hash over unicode code points, mod 1e9+7.
