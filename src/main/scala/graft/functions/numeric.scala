@@ -18,6 +18,14 @@ object numeric {
     * Reference `perustats/inei/fetcher.py:136-137`. */
   def coalescePreferred(cols: Column*): Column = coalesce(cols: _*)
 
+  /** F10 (MEF-exact variant): convert ONLY strings shaped like guarded
+    * grouped numbers (`^[\d,]+\.?\d*$`); anything else stays null — the
+    * reference's regex gate keeps "7%" or "1.2.3" as text
+    * (`perustats/MEF/utils/tables.py:59-65`). */
+  def mefNumeric(c: Column): Column =
+    when(c.rlike("^[\\d,]+\\.?\\d*$"),
+      regexp_replace(c, ",", "").cast("double"))
+
   private def try_cast(c: Column, t: String): Column =
     c.try_cast(t)
 }

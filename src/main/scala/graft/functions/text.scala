@@ -18,6 +18,21 @@ object text {
     * Reference `perustats/BCRP/models.py:155-157`. */
   def normalizeCode(c: Column): Column = upper(trim(c))
 
+  /** F1 (BCRP-exact variant): whitespace collapse + strip the trailing
+    * "- (N series)" catalog suffix. Reference `_clean_text`,
+    * `perustats/BCRP/metadata.py:49-53`. */
+  def cleanSeriesDescription(c: Column): Column =
+    trim(regexp_replace(normalizeWhitespace(c),
+      "\\s*-\\s*\\(\\d+ series\\).*$", ""))
+
+  /** P2 (reference-exact): case-insensitive contains-any-of, with the
+    * alternatives regex-ESCAPED (literal match, like the reference's
+    * `"|".join(map(re.escape, rows))`, `perustats/MEF/utils/tables.py:9-17`).
+    */
+  def containsAnyLiteral(c: Column, literals: Seq[String]): Column =
+    c.rlike(literals.map(java.util.regex.Pattern.quote)
+      .mkString("(?i)", "|", ""))
+
   /** F4: zero-pad a code to `n` digits. Reference `perustats/inei/fetcher.py:134`. */
   def zeroPad(c: Column, n: Int): Column = lpad(c.cast("string"), n, "0")
 
