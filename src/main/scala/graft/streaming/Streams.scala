@@ -56,6 +56,74 @@ object Streams {
     spark.table(name)
   }
 
+  /** A closed session: [startTs, endTs] nanos with its event count. */
+  case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
+      events: Long)
+
+  /** Open-session state carried between batches. */
+  case class OpenSession(startTs: Long, lastTs: Long, events: Long)
+
+  /** Streaming session LOG via flatMapGroupsWithState: emits each session
+    * the moment a later event closes it (gap > gapNs). The still-open last
+    * session per user stays in state — on an unbounded source a timeout
+    * would flush it; the batch twin below therefore also excludes each
+    * user's final session. */
+  def closedSessionsStreaming(spark: SparkSession, dir: String,
+      gapNs: Long = SessionGapNs, name: String = "graft_st3"): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[OpenSession]) => {
+      val sorted = rows.map(_._1).toSeq.sorted
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = state.getOption
+      sorted.foreach { ts =>
+        cur match {
+          case Some(o) if ts - o.lastTs > gapNs =>
+            closed += ClosedSession(userId, o.startTs, o.lastTs, o.events)
+            cur = Some(OpenSession(ts, ts, 1L))
+          case Some(o) =>
+            cur = Some(o.copy(lastTs = ts, events = o.events + 1L))
+          case None =>
+            cur = Some(OpenSession(ts, ts, 1L))
+        }
+      }
+      cur.foreach(state.update)
+      closed.result().iterator
+    }
+    val q = readEventsStream(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
+    * successor (the per-user final session is still open). */
+  def closedSessionsBatch(events: DataFrame,
+      gapNs: Long = SessionGapNs): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("__brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("startTs"), max(col("ts")).as("endTs"),
+        count(lit(1)).as("events"))
+    val lastSid = sess.groupBy("user_id").agg(max(col("__sid")).as("__last"))
+    sess.join(lastSid, Seq("user_id"))
+      .filter(col("__sid") =!= col("__last"))
+      .select(col("user_id"), col("startTs"), col("endTs"), col("events"))
+  }
+
   /** Tumbling 1-hour counts with an event-time watermark — the production
     * shape for unbounded sources: append-mode output, late events beyond
     * `delay` dropped, state for closed windows released. */

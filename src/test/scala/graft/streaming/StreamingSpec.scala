@@ -15,6 +15,17 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("flatMapGroupsWithState session log == batch closed sessions") {
+    val batch = Streams.closedSessionsBatch(QueryDSL.events(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streaming = Streams.closedSessionsStreaming(spark, sf, name = "st3_spec")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermarked append-mode window drops late data, emits closed windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
