@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.cache.ParquetCache
 import graft.model.{DrillStep, SeriesQuery}
+import graft.ops.Relational
 
 /** End-to-end pipeline semantics on reference-shaped fixtures (FIXTURES.md
   * §A): the BCRP lifecycle (validate → delta → ingest → pivot → upsert →
@@ -84,6 +85,36 @@ class PipelinesSpec extends SparkSpec {
     val deduped = INEIOrganize.dedupDocs(docs).select("fileName")
       .collect().map(_.getString(0)).toSet
     assert(deduped == Set("other.pdf", "readme.pdf")) // d1 keeps smallest name
+  }
+
+  test("infogob locations: diagonal union, id cascade, modal cleaned names") {
+    val f1 = Seq(
+      ("R1", "P1", "D1", "Limá ", "Lima prov", "Miraflores"),
+      ("R1", "P1", "D1", "LIMA", "Lima-prov", "Miraflores!"),
+      ("R1", "P1", "D1", "lima", "LIMA PROV", "miraflores"),
+      ("R1", null, null, "Lima", null, null)
+    ).toDF("id_region", "id_provincia", "id_distrito", "region",
+      "name_provincia", "name_distrito")
+    // second frame misses name_distrito entirely (diagonal union)
+    val f2 = Seq(("R2", "P9", "D9", "Cuzco", "Cusco prov"))
+      .toDF("id_region", "id_provincia", "id_distrito", "region",
+        "name_provincia")
+
+    val out = InfogobLocations.consolidate(Seq(f1, f2))
+      .orderBy(col("id_region"), col("id_provincia"), col("id_distrito"))
+      .collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+      (r.getString(3), r.getString(4), r.getString(5))).toMap
+    // "LIMA" appears 3/4 times after cleaning; provincia variants all clean
+    // to "LIMA PROV"; null keys group together like pandas dropna=False.
+    assert(byKey(("R1", "P1", "D1")) == (("LIMA", "LIMA PROV", "MIRAFLORES")))
+    assert(byKey(("R1", null, null)) == (("LIMA", null, null)))
+    assert(byKey(("R2", "P9", "D9")) == (("CUZCO", "CUSCO PROV", null)))
+
+    val cascade = Relational.unionDiagonal(Seq(f1, f2))
+      .withColumn("id_location_req", InfogobLocations.locationRequestId)
+      .select("id_location_req").collect().map(_.getString(0)).toSet
+    assert(cascade == Set("D1", "R1", "D9"))
   }
 
   test("MEF drill-down: filter + grouped measures and rollup totals") {
