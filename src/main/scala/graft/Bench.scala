@@ -27,7 +27,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Extension workloads (dedup/similarity/text/multimodal/stream) have no
+    // reference counterpart; the core subtotal is the reference-parity set.
+    val isExtension = (n: String) => n.startsWith("d") || n.startsWith("x") ||
+      n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
+      n == "a8_salted_agg" || n == "a9_approx_distinct"
+    val core = results.collect { case (k, v) if !isExtension(k) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""core_sec":$core,"extensions_sec":${total - core},""" +
+      s""""queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,6 +47,26 @@ class IngestSpec extends SparkSpec {
     assert(!ingest.isZipValid(Array[Byte](1, 2, 3)))
   }
 
+  test("CSV latin-1 sink/source round-trips accented text byte-faithfully") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = "target/scratch/csv_latin1"
+    val df = Seq((1, "Ñandú"), (2, "café"), (3, "ASCII")).toDF("id", "name")
+    df.write.mode("overwrite").option("header", "true")
+      .option("encoding", "ISO-8859-1").csv(dir)
+    // the file on disk must be latin-1 bytes (Ñ = 0xD1), not UTF-8 (0xC3 …)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+      .flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+    assert(bytes.contains(0xD1.toByte) && !bytes.contains(0xC3.toByte))
+    val back = spark.read
+      .schema(StructType(Seq(StructField("id", IntegerType),
+        StructField("name", StringType))))
+      .option("header", "true").option("encoding", "ISO-8859-1").csv(dir)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(back == Seq("Ñandú", "café", "ASCII"))
+  }
+
   test("urlEncode is charset-faithful (latin-1 vs utf-8 differ on ñ)") {
     assert(ingest.urlEncode("año 1") == "a%F1o%201")
     assert(ingest.urlEncode("año 1", "UTF-8") == "a%C3%B1o%201")
