@@ -37,10 +37,14 @@ object Dedup {
   /** MinHash signatures: one row per id with columns m0..m{NumHashes-1}.
     * Single shuffle on id with map-side partial mins. */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
-    val h = hashing.h64(col("s")) % lit(hashing.P)
+    // Project the md5-based hash ONCE before aggregating: the NumHashes
+    // min-expressions would otherwise each re-evaluate md5(s) per row
+    // inside the partial aggregate (no subexpression elimination there).
+    val hashed = shingled.select(col("id"),
+      (hashing.h64(col("s")) % lit(hashing.P)).as("__h"))
     val aggs = (0 until hashing.NumHashes)
-      .map(j => min(hashing.perm(j, h)).as(s"m$j"))
-    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .map(j => min(hashing.perm(j, col("__h"))).as(s"m$j"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (id, band, bandKey) — documents sharing a full band of
