@@ -38,6 +38,17 @@ object ModeAgg extends Aggregator[String, Map[String, Long], String] {
     Encoders.kryo[Map[String, Long]]
   override def outputEncoder: Encoder[String] = Encoders.STRING
 
-  /** Column form: `df.groupBy(k).agg(ModeAgg.column($"x").as("mode_x"))`. */
-  def column(c: Column): Column = udaf(ModeAgg).apply(c)
+  /** Column form: `df.groupBy(k).agg(ModeAgg.column($"x").as("mode_x"))`.
+    * Backed by the native [[ModeExact]] TypedImperativeAggregate (compact
+    * hand-rolled buffer serialization instead of kryo); this Aggregator
+    * remains as the reference implementation — AggSpec asserts both agree.
+    */
+  def column(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ModeExact(Bridge.expression(c)).toAggregateExpression())
+  }
+
+  /** The original Aggregator-based form (kryo buffer; kept as the
+    * cross-check twin). */
+  def aggregatorColumn(c: Column): Column = udaf(ModeAgg).apply(c)
 }

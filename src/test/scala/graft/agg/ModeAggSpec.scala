@@ -16,6 +16,17 @@ class ModeAggSpec extends SparkSpec {
     assert(out.toSeq === Seq(("g1", "b"), ("g2", "y"), ("g3", "only")))
   }
 
+  test("native TypedImperativeAggregate agrees with the Aggregator twin") {
+    val df = graft.queries.QueryDSL.T(spark, sf, "orders")
+    val fast = df.groupBy("o_orderstatus")
+      .agg(ModeAgg.column($"o_orderpriority").as("m"))
+      .as[(String, String)].collect().toSet
+    val ref = df.groupBy("o_orderstatus")
+      .agg(ModeAgg.aggregatorColumn($"o_orderpriority").as("m"))
+      .as[(String, String)].collect().toSet
+    assert(fast == ref)
+  }
+
   test("mode ignores nulls and is stable under repartition") {
     val df = Seq(("g", Option("x")), ("g", None), ("g", Option("x")), ("g", Option("w")))
       .toDF("k", "v")
