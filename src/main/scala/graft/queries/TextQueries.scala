@@ -75,6 +75,24 @@ object TextQueries {
                '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS subword_tokens
            FROM documents GROUP BY source ORDER BY source""")),
 
+    // t5: corpus length distribution — EXACT interpolated percentiles per
+    // language (sort-based `percentile`, not the sketch-based approx whose
+    // merge order is partition-dependent; DuckDB quantile_cont shares the
+    // same interpolation definition).
+    "t5_length_percentiles" -> Q(
+      (s, dir) => T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("docs"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang,
+            round(quantile_cont(n_chars, 0.5), 4) AS p50,
+            round(quantile_cont(n_chars, 0.9), 4) AS p90,
+            count(*) AS docs
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
     // t4: document fingerprints — rolling polynomial hash of the normalized
     // text (exact-dup detector) and min-shingle hash (near-dup prefilter);
     // distinct counts per source. Exercises the custom codegen'd

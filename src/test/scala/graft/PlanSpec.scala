@@ -44,6 +44,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("a1: native mode aggregate runs as two-phase ObjectHashAggregate") {
+    val p = plan("a1_mode")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_mode_exact"), p) // map-side partial phase
+  }
+
   test("c2: bucketed join has no shuffle on either side") {
     val p = plan("c2_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
