@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param left       probe side
-    * @param right      build side; must be unique per (key, rts)
+    * @param right      build side; must be unique per (key, rts), and its
+    *                   valueCols must be non-null (a null value would be
+    *                   skipped by the ignoreNulls carry-forward, yielding an
+    *                   older match where SQL ASOF would return the null)
     * @param key        equi key column present on both sides
     * @param lts / rts  event-time columns (same comparable type)
     * @param valueCols  right columns to attach (null when no prior row)

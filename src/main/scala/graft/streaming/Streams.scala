@@ -73,7 +73,7 @@ object Streams {
     import spark.implicits._
     val fn = (userId: Long, rows: Iterator[(Long, Long)],
         state: GroupState[OpenSession]) => {
-      val sorted = rows.map(_._1).toSeq.sorted
+      val sorted = rows.toSeq.sortBy(identity).map(_._1)
       val closed = Seq.newBuilder[ClosedSession]
       var cur = state.getOption
       sorted.foreach { ts =>
