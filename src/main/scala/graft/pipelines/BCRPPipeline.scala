@@ -33,6 +33,13 @@ final class BCRPPipeline(spark: SparkSession, cache: ParquetCache,
       invalid.collect().map(_.getString(0)).toSeq.sorted)
   }
 
+  /** Catalog search: case-insensitive contains-any of LITERAL terms over
+    * the description column (the reference regex-escapes each term —
+    * `BCRPMetadata.search`, `perustats/BCRP/metadata.py:317-340`). */
+  def search(terms: Seq[String]): DataFrame =
+    catalog.filter(graft.functions.text.containsAnyLiteral(
+      col("description"), terms))
+
   /** Fetch one frequency group: compute the not-yet-cached delta, ingest it
     * via `fetchLong`, parse + pivot, upsert, and return the projected wide
     * frame for ALL requested codes (cached + new).

@@ -108,6 +108,22 @@ object SourceQueries {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // S12: JSON-lines sink/source round trip (explicit schema on re-read;
+    // complements S8's CSV edge for the export formats the reference's
+    // users pass around).
+    "s12_json_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("s12_json")
+        T(s, dir, "region").write.mode("overwrite").json(out)
+        s.read
+          .schema(StructType(Seq(
+            StructField("r_regionkey", IntegerType),
+            StructField("r_name", StringType))))
+          .json(out)
+          .orderBy(col("r_regionkey"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -137,6 +137,28 @@ object WindowAggQueries {
         .orderBy(col("event_type")),
       None),
 
+    // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
+    // never needed but Spark exposes for free (SURVEY §2.5 note).
+    "w7_rank_functions" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderstatus"), col("o_orderkey"),
+            dense_rank().over(w).as("drank"),
+            lead(col("o_orderkey"), 1).over(w).as("next_key"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy(col("o_orderstatus"), col("drank"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+            dense_rank() OVER w AS drank,
+            lead(o_orderkey, 1) OVER w AS next_key,
+            ntile(4) OVER w AS quartile
+          FROM orders WHERE o_orderkey < 2000
+          WINDOW w AS (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey)
+          ORDER BY o_orderstatus, drank, o_orderkey""")),
+
     // W2: rank within a natural key.
     "w2_rank_in_order" -> Q(
       (s, dir) => T(s, dir, "lineitem")

@@ -36,6 +36,9 @@ class PipelinesSpec extends SparkSpec {
     val (valid, invalid) = pipe.validate(q1)
     assert(valid == Seq("PN01234PM") && invalid == Seq("BOGUS1"))
 
+    assert(pipe.search(Seq("CAMBIO", "reservas")).count() == 2)
+    assert(pipe.search(Seq("tasa (x)")).count() == 0) // literal, not regex
+
     var fetched = Seq.empty[String]
     def fetch(codes: Seq[String]) = {
       fetched = codes
