@@ -66,6 +66,31 @@ object StreamPipelineQueries {
           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
           ORDER BY gid, flag, status""")),
 
+    // r4: explicit GROUPING SETS — the general form of the MEF subtotal
+    // tree (r3 is the rollup special case): per-flag totals, per-status
+    // totals, and the grand total in ONE pass over the fact table.
+    "r4_grouping_sets" -> Q(
+      (s, dir) => T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("")).as("flag"),
+          coalesce(col("l_linestatus"), lit("")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy(col("gid"), col("flag"), col("status")),
+      Some("""SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+            COALESCE(l_returnflag, '') AS flag,
+            COALESCE(l_linestatus, '') AS status,
+            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            count(*) AS cnt
+          FROM lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY gid, flag, status""")),
+
     // g1: infogob staged-DAG idiom — processed set, anti-join pending set,
     // broadcast enrich of pending, diagonal append back, per-stage audit
     // counts. One composite query exercising the J2 + J4 + U2 pipeline.
