@@ -206,6 +206,25 @@ object FunctionQueries {
             AS BIGINT) AS prio, count(*) AS cnt
         FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    // F19: higher-order array functions over the embedding vectors —
+    // filter/exists/transform + strict-fold reductions, the codegen-free
+    // HOF surface mirrored by DuckDB's list lambdas.
+    "f19_array_hof" -> Q(
+      (s, dir) => T(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+          exists(col("embedding"), x => x > lit(0.2f)).as("has_large"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))), 4).as("l1"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id,
+            CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+            len(list_filter(embedding, x -> x > CAST(0.2 AS FLOAT))) > 0
+              AS has_large,
+            round(list_reduce(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 4) AS l1
+          FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""")),
+
     // R1: long -> wide pivot (explicit pivot values: no extra distinct job).
     "r1_pivot" -> Q(
       (s, dir) => T(s, dir, "lineitem")
