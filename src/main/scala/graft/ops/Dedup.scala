@@ -167,9 +167,19 @@ object Dedup {
       val viaNeighbor = sym
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min(col("root")).as("nroot"))
-      val next = labels.join(viaNeighbor, Seq("id"), "left")
+      // Pointer doubling: also adopt the label OF my current label, halving
+      // the remaining path to the component minimum each round — long
+      // chains converge in O(log diameter) rounds instead of O(diameter).
+      val viaRoot = labels.alias("l1")
+        .join(labels.alias("l2"), col("l1.root") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.root").as("rroot"))
+      val next = labels
+        .join(viaNeighbor, Seq("id"), "left")
+        .join(viaRoot, Seq("id"), "left")
         .select(col("id"),
-          least(col("root"), coalesce(col("nroot"), col("root"))).as("root"))
+          least(col("root"),
+            coalesce(col("nroot"), col("root")),
+            coalesce(col("rroot"), col("root"))).as("root"))
         .localCheckpoint()
       converged = next.alias("n")
         .join(labels.alias("o"), Seq("id"))
@@ -177,6 +187,9 @@ object Dedup {
       labels = next
       round += 1
     }
+    // A silent partial labeling would split components; fail loudly instead.
+    require(converged,
+      s"connectedComponents did not converge in $maxRounds rounds")
     labels
   }
 

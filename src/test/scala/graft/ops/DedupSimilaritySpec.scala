@@ -82,6 +82,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 5L))
   }
 
+  test("connectedComponents converges on a 60-node chain (pointer doubling)") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val roots = Dedup.survivors(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots.size == 60 && roots.values.forall(_ == 1L))
+  }
+
   test("connectedComponents finds min-id roots across chained pairs") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L))
       .toDF("a", "b")
