@@ -58,4 +58,33 @@ object AsOfJoin {
     }
     filled.filter(col("__side") === 1).drop("__t", "__side")
   }
+
+  /** Interval (band) join: all (left, right) pairs with the same `key` and
+    * |lts − rts| ≤ tolerance. A naive inequality join degenerates to a
+    * per-key nested loop; instead each side lands in coarse time buckets of
+    * width `tolerance` — a right row can only match left rows in its own or
+    * an adjacent bucket, so the candidate set is an EQUI join on
+    * (key, bucket) with the exact band refined afterwards. Each right row
+    * is replicated 3× (constant factor) and every true pair is found
+    * exactly once (the right row's three candidate buckets are distinct and
+    * the left row has one bucket).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, tolerance: Long): DataFrame = {
+    require(tolerance > 0, "tolerance must be positive")
+    require(left.columns.intersect(right.columns).toSeq == Seq(key),
+      s"left/right may only share the key column '$key'")
+    // Integer `div`, not floor(x / tol): nano timestamps exceed 2^53, where
+    // double division would bucket some rows off by one.
+    val l = left.withColumn("__lb", expr(s"`$lts` div ${tolerance}L"))
+    val r = right
+      .withColumnRenamed(key, "__rkey")
+      .withColumn("__rb0", expr(s"`$rts` div ${tolerance}L"))
+      .withColumn("__rb",
+        explode(array(col("__rb0") - 1, col("__rb0"), col("__rb0") + 1)))
+      .drop("__rb0")
+    l.join(r, col(key) === col("__rkey") && col("__lb") === col("__rb"))
+      .filter(abs(col(lts) - col(rts)) <= tolerance)
+      .drop("__lb", "__rb", "__rkey")
+  }
 }

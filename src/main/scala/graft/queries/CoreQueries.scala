@@ -251,6 +251,35 @@ object CoreQueries {
             ON c.user_id = p.user_id AND c.tns >= p.tns
           ORDER BY c.event_id""")),
 
+    // J7: interval (band) join — purchases within ±30 min of each click,
+    // per user. Bucketed equi-join + refine (ops.AsOfJoin.intervalJoin);
+    // the oracle is the naive inequality join, so the bucketing must find
+    // exactly the same pairs.
+    "j7_interval_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("value").as("pvalue"))
+        graft.ops.AsOfJoin.intervalJoin(clicks, purchases, "user_id",
+            "ts", "pts", tolerance = 30L * 60 * 1000 * 1000 * 1000)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(dec(col("pvalue"))).cast("double").as("sum_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT c.event_id, count(*) AS n_purchases,
+            CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+                WHERE event_type = 'click') c
+          JOIN (SELECT user_id, epoch_ns(ts) AS tns, value FROM events
+                WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id
+            AND abs(c.tns - p.tns) <= 1800000000000
+          GROUP BY c.event_id ORDER BY c.event_id""")),
+
     // A4: keyed distinct.
     "a4_distinct" -> Q(
       (s, dir) => T(s, dir, "lineitem")

@@ -61,6 +61,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r("c") == None) // right row is later than the probe
   }
 
+  test("intervalJoin finds exactly the pairs within tolerance (boundaries in)") {
+    val left = Seq((1L, 100L, "l1"), (1L, 250L, "l2"), (2L, 100L, "l3"))
+      .toDF("k", "ts", "ltag")
+    val right = Seq((1L, 90L, "r1"), (1L, 130L, "r2"), (1L, 201L, "r3"),
+      (2L, 500L, "r4")).toDF("k", "pts", "rtag")
+    val pairs = AsOfJoin.intervalJoin(left, right, "k", "ts", "pts", 30L)
+      .select("ltag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // l1@100: r1@90 (|10|), r2@130 (|30| boundary included), not r3@201
+    // l2@250: r3@201 is |49| > 30 -> excluded; l3: r4 is |400| -> excluded
+    assert(pairs == Set(("l1", "r1"), ("l1", "r2")))
+  }
+
   test("ivfTopK finds in-cluster neighbors with deterministic ranks") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.2f)),
