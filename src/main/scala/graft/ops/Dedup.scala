@@ -34,16 +34,22 @@ object Dedup {
     df.select(col(idCol).as("id"),
       explode(textstats.shingles(textstats.tokens(col(textCol)), k)).as("s"))
 
+  /** (id, h) hashed-shingle table: every downstream set operation (distinct,
+    * Jaccard intersection join, SimHash bits) runs on 8-byte longs instead
+    * of ~40-byte shingle strings — half the shuffle volume and cheap join
+    * keys. Hash collisions conflate shingles identically in the DuckDB
+    * oracle (same md5-derived hash), so results stay bit-identical. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    shingleTable(df, idCol, textCol, k)
+      .select(col("id"), hashing.h64(col("s")).as("h"))
+
   /** MinHash signatures: one row per id with columns m0..m{NumHashes-1}.
     * Single shuffle on id with map-side partial mins. */
-  def minhashSignatures(shingled: DataFrame): DataFrame = {
-    // Project the md5-based hash ONCE before aggregating: the NumHashes
-    // min-expressions would otherwise each re-evaluate md5(s) per row
-    // inside the partial aggregate (no subexpression elimination there).
-    val hashed = shingled.select(col("id"),
-      (hashing.h64(col("s")) % lit(hashing.P)).as("__h"))
+  /** MinHash signatures from a hashed-shingle table (id, h). */
+  def minhashSignatures(hashed: DataFrame): DataFrame = {
     val aggs = (0 until hashing.NumHashes)
-      .map(j => min(hashing.perm(j, col("__h"))).as(s"m$j"))
+      .map(j => min(hashing.perm(j, col("h") % lit(hashing.P))).as(s"m$j"))
     hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -78,20 +84,21 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard over candidate pairs: join each side back to its
-    * distinct shingle set, count the intersection, divide by the union.
-    * `candidates` restricts the quadratic step to pre-filtered pairs; pass
-    * all-pairs-sharing-a-shingle for the exact (no-LSH) variant. */
-  def jaccardPairs(shingled: DataFrame, candidates: DataFrame,
+    * distinct hashed-shingle set, count the intersection, divide by the
+    * union. `candidates` restricts the quadratic step to pre-filtered
+    * pairs; pass all-pairs-sharing-a-shingle for the exact (no-LSH)
+    * variant. */
+  def jaccardPairs(hashed: DataFrame, candidates: DataFrame,
       threshold: Double): DataFrame = {
     // sizes + both intersection joins consume the same distinct: Spark's
     // exchange reuse dedups the shuffle, and A/B-measured an explicit
-    // localCheckpoint here as a net LOSS (eager materialization of the
-    // shingle strings costs more than the reused exchange).
-    val sets = shingled.distinct()
+    // localCheckpoint here as a net LOSS (eager materialization costs more
+    // than the reused exchange).
+    val sets = hashed.distinct()
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = candidates
-      .join(sets.select(col("id").as("a"), col("s")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("s")), Seq("b", "s"))
+      .join(sets.select(col("id").as("a"), col("h")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("h")), Seq("b", "h"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
@@ -111,10 +118,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     // sizes + the self-join read the sets three times — materialize once.
-    val sets = shingleTable(df, idCol, textCol, k).distinct().localCheckpoint()
+    val sets = hashedShingles(df, idCol, textCol, k).distinct().localCheckpoint()
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sets.alias("x").join(sets.alias("y"),
-        col("x.s") === col("y.s") && col("x.id") < col("y.id"))
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -129,11 +136,10 @@ object Dedup {
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
-    // Tokenize+shingle is cheap codegen'd column work — recomputing it for
-    // the signature branch and the verification branch beats materializing
-    // 100s of MB of shingle strings (measured; the expensive shared node,
-    // the DISTINCT, is checkpointed inside jaccardPairs).
-    val sh = shingleTable(df, idCol, textCol, k)
+    // Tokenize+shingle+hash is cheap codegen'd column work — recomputing it
+    // for the signature branch and the verification branch beats eagerly
+    // materializing the table (A/B-measured).
+    val sh = hashedShingles(df, idCol, textCol, k)
     val cands = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucketSize)
     jaccardPairs(sh, cands, threshold)
   }
@@ -219,9 +225,7 @@ object Dedup {
     * small. One shuffle (groupBy id with 60 sum-aggregates, map-side
     * combined). */
   def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val tok = shingleTable(df, idCol, textCol, k)
-      .distinct()
-      .withColumn("h", hashing.h64(col("s")))
+    val tok = hashedShingles(df, idCol, textCol, k).distinct()
     val bitSums = (0 until SimhashBits).map(b =>
       sum(when(expr(s"(h >> $b) % 2") === 1, 1).otherwise(-1)).as(s"b$b"))
     val withSums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)

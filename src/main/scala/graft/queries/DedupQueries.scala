@@ -31,13 +31,18 @@ object DedupQueries {
                   i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
          FROM tok)"""
 
+  /** Hashed-shingle table (doc_id, h) — set ops run on longs, mirroring
+    * [[Dedup.hashedShingles]]. */
+  private def sqlHashedShingles: String =
+    s"""hsall AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM sh)"""
+
   /** Exact-Jaccard tail over a `cand(a, b)` CTE. */
   private def sqlJaccardTail(threshold: Double): String =
-    s"""shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    s"""shd AS (SELECT DISTINCT doc_id, h FROM hsall),
        sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
          JOIN shd sa ON sa.doc_id = c.a
-         JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
+         JOIN shd sb ON sb.doc_id = c.b AND sb.h = sa.h
          GROUP BY c.a, c.b)
        SELECT i.a, i.b,
          round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
@@ -57,16 +62,15 @@ object DedupQueries {
   /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
     * exact-Jaccard verification (shared by d2 and d6). */
   private val sqlMinhashLsh: String = {
-    val h = hashing.sqlH64("s")
     val mins = (0 until NumHashes)
-      .map(j => s"min(${hashing.sqlPerm(j, "h")}) AS m$j").mkString(", ")
+      .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j").mkString(", ")
     val bands = (0 until Bands).map { bnd =>
       val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
     }.mkString(" UNION ALL ")
     s"""WITH $sqlShingles,
-       hs AS (SELECT doc_id, ($h % $P) AS h FROM sh),
-       mh AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+       $sqlHashedShingles,
+       mh AS (SELECT doc_id, $mins FROM hsall GROUP BY doc_id),
        bands AS ($bands),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM bands x JOIN bands y
@@ -110,9 +114,10 @@ object DedupQueries {
         .orderBy(col("a"), col("b")),
       Some(
         s"""WITH $sqlShingles,
-           shd0 AS (SELECT DISTINCT doc_id, s FROM sh),
+           $sqlHashedShingles,
+           shd0 AS (SELECT DISTINCT doc_id, h FROM hsall),
            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             FROM shd0 x JOIN shd0 y ON x.s = y.s AND x.doc_id < y.doc_id),
+             FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
            ${sqlJaccardTail(0.9)}""")),
 
     // d3: SimHash near-dup pairs (Hamming distance over 60-bit signatures
@@ -123,7 +128,6 @@ object DedupQueries {
           Dedup.simhash(T(s, dir, "documents"), "doc_id", "text"), maxDist = 10)
         .orderBy(col("a"), col("b")),
       Some {
-        val h = hashing.sqlH64("s")
         val bitSums = (0 until Dedup.SimhashBits)
           .map(b => s"sum(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
           .mkString(", ")
@@ -131,8 +135,8 @@ object DedupQueries {
           .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
           .mkString(" + ")
         s"""WITH $sqlShingles,
-           shd AS (SELECT DISTINCT doc_id, s FROM sh),
-           hh AS (SELECT doc_id, $h AS h FROM shd),
+           $sqlHashedShingles,
+           hh AS (SELECT DISTINCT doc_id, h FROM hsall),
            bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
            sig AS (SELECT doc_id, $sig AS simhash FROM bits)
            SELECT x.doc_id AS a, y.doc_id AS b,

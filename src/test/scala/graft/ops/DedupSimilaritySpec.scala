@@ -31,7 +31,7 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("exact dup has identical minhash signature and simhash") {
-    val sig = Dedup.minhashSignatures(Dedup.shingleTable(docs, "doc_id", "text"))
+    val sig = Dedup.minhashSignatures(Dedup.hashedShingles(docs, "doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(sig(1L) == sig(4L))
     assert(sig(1L) != sig(3L))
@@ -59,6 +59,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r("a") == Some(100.0)) // tie rts == ts includes the right row
     assert(r("b") == Some(200.0))
     assert(r("c") == None) // right row is later than the probe
+  }
+
+  test("LSH pairs == exact Jaccard pairs on the real corpus (full recall)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at jaccard ≥ 0.9 with 4 bands × 3 rows, P(miss) ≈ (1-0.9³)⁴ < 0.6% —
+    // on the planted dups LSH must find everything the exact pass finds
+    assert(lsh == exact)
   }
 
   test("intervalJoin finds exactly the pairs within tolerance (boundaries in)") {
