@@ -22,14 +22,16 @@ object DedupQueries {
   private val sqlToks =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
 
-  /** (doc_id, s) 3-token shingle table. */
-  private val sqlShingles =
-    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+  /** (doc_id, s) 3-token shingle table over relation `rel`. */
+  private def sqlShinglesFrom(rel: String): String =
+    s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM $rel),
        sh AS (SELECT doc_id, unnest(
            CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
                 ELSE list_transform(generate_series(1, len(toks)-2),
                   i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS s
          FROM tok)"""
+
+  private val sqlShingles = sqlShinglesFrom("documents")
 
   /** Hashed-shingle table (doc_id, h) — set ops run on longs, mirroring
     * [[Dedup.hashedShingles]]. */
@@ -60,15 +62,17 @@ object DedupQueries {
   }
 
   /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
-    * exact-Jaccard verification (shared by d2 and d6). */
-  private val sqlMinhashLsh: String = {
+    * exact-Jaccard verification over relation `rel` (shared by d2, d6, e1 —
+    * the latter two embed it as a parenthesized subquery, where an outer
+    * CTE named `rel` is in scope). */
+  private def sqlMinhashLshFrom(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j").mkString(", ")
     val bands = (0 until Bands).map { bnd =>
       val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
     }.mkString(" UNION ALL ")
-    s"""WITH $sqlShingles,
+    s"""WITH ${sqlShinglesFrom(rel)},
        $sqlHashedShingles,
        mh AS (SELECT doc_id, $mins FROM hsall GROUP BY doc_id),
        bands AS ($bands),
@@ -77,6 +81,8 @@ object DedupQueries {
            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
        ${sqlJaccardTail(0.9)}"""
   }
+
+  private val sqlMinhashLsh: String = sqlMinhashLshFrom("documents")
 
   val defs: Map[String, Q] = Map(
 
@@ -106,6 +112,47 @@ object DedupQueries {
                   UNION
                   SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id)
            SELECT id, min(root) AS keep FROM cc GROUP BY id ORDER BY id""")),
+
+    // e1: the END-TO-END training-corpus pipeline — quality gate →
+    // MinHash-LSH near-dup survivors → per-language corpus stats. One
+    // declarative plan chaining the extension operators the way a real
+    // 100 TB data-prep job would; the oracle replays every stage.
+    "e1_corpus_pipeline" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        val good = T(s, dir, "documents")
+          .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
+        val cleaned = Dedup.dedupCorpus(good, "doc_id",
+          Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
+        cleaned.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(textstats.tokenCount(col("text"))).as("tokens"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val quality =
+          s"""SELECT * FROM documents WHERE NOT (
+               len($sqlToks) < 20
+               OR round(CAST(length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 4) > 0.10)"""
+        s"""WITH RECURSIVE good AS ($quality),
+           pairs AS (SELECT a, b FROM (${sqlMinhashLshFrom("good")})),
+           sym AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM sym),
+           cc AS (SELECT id, id AS root FROM nodes
+                  UNION
+                  SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id),
+           dropped AS (SELECT id FROM (
+               SELECT id, min(root) AS keep FROM cc GROUP BY id)
+             WHERE id <> keep)
+           SELECT lang, count(*) AS docs,
+             CAST(sum(len($sqlToks)) AS BIGINT) AS tokens
+           FROM good
+           WHERE doc_id NOT IN (SELECT id FROM dropped)
+           GROUP BY lang ORDER BY lang"""
+      }),
 
     // d4: exact all-pairs n-gram Jaccard (inverted-index join, no LSH).
     "d4_ngram_jaccard" -> Q(
