@@ -31,7 +31,7 @@ object Bench {
     // reference counterpart; the core subtotal is the reference-parity set.
     val isExtension = (n: String) => n.startsWith("d") || n.startsWith("x") ||
       n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
-      n == "a8_salted_agg" || n == "a9_approx_distinct"
+      n.startsWith("e") || n == "a8_salted_agg" || n == "a9_approx_distinct"
     val core = results.collect { case (k, v) if !isExtension(k) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""core_sec":$core,"extensions_sec":${total - core},""" +
