@@ -1,10 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. A warmup pass (parquet footer reads + a small job)
-  * runs before timing so the first measured query doesn't pay JVM/session
-  * startup; queries run in sorted name order for run-to-run comparability.
+/** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement: each query is executed through a `noop`-format write, which
+  * fully materializes every result row through the complete physical plan
+  * (final sorts and projections included) without paying sink I/O. Timing
+  * `count()` instead would let Catalyst prune exactly the expensive tails.
+  *
+  * Output: one JSON detail line (`{"queries": {...}, "failed": {...}}`)
+  * followed by ONE compact summary JSON line LAST — the driver captures the
+  * output tail, so the summary must be the final line and small.
+  *
+  * A warmup pass (parquet footer reads + a small job) runs before timing so
+  * the first measured query doesn't pay JVM/session startup; queries run in
+  * sorted name order for run-to-run comparability.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,13 +28,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
-    SparkEntry.entry(spark).count() // parquet reader + catalyst warmup
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    var failed = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          failed += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(120)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fs = failed.toSeq.sorted.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Extension workloads (dedup/similarity/text/multimodal/stream) have no
@@ -33,9 +50,9 @@ object Bench {
       n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
       n.startsWith("e") || n == "a8_salted_agg" || n == "a9_approx_distinct"
     val core = results.collect { case (k, v) if !isExtension(k) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""core_sec":$core,"extensions_sec":${total - core},""" +
-      s""""queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$fs}""")
+    // Compact summary LAST: the driver's tail capture must always see it.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_sec":$core%.3f,"extensions_sec":${total - core}%.3f,"n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,8 +45,11 @@ object dates {
     case "M" => to_date(spanishMonthsToEnglish(c), "MMM.yyyy")
     case "A" => to_date(c, "yyyy")
     case "Q" =>
+      // Same 69-pivot as the D path: pandas `Period("Q4.99")` resolves to
+      // 1999Q4, and BCRP quarterly series reach back into the 1990s.
       val q = regexp_extract(c, "(?i)Q(\\d)\\.(\\d{2})", 1).cast("int")
-      val y = regexp_extract(c, "(?i)Q(\\d)\\.(\\d{2})", 2).cast("int") + lit(2000)
+      val yy = regexp_extract(c, "(?i)Q(\\d)\\.(\\d{2})", 2).cast("int")
+      val y = when(yy >= 69, yy + 1900).otherwise(yy + 2000)
       last_day(make_date(y, q * lit(3), lit(1)))
     case other => throw new IllegalArgumentException(s"unknown frequency: $other")
   }

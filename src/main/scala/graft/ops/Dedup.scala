@@ -179,18 +179,19 @@ object Dedup {
       val viaRoot = labels.alias("l1")
         .join(labels.alias("l2"), col("l1.root") === col("l2.id"))
         .select(col("l1.id").as("id"), col("l2.root").as("rroot"))
+      // The round's checkpoint carries the previous label alongside the new
+      // one, so the convergence probe is a filter over already-materialized
+      // data — no extra join stage per round.
       val next = labels
         .join(viaNeighbor, Seq("id"), "left")
         .join(viaRoot, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("root").as("__prev"),
           least(col("root"),
             coalesce(col("nroot"), col("root")),
             coalesce(col("rroot"), col("root"))).as("root"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.root") =!= col("o.root")).isEmpty
-      labels = next
+      converged = next.filter(col("root") =!= col("__prev")).isEmpty
+      labels = next.select(col("id"), col("root"))
       round += 1
     }
     // A silent partial labeling would split components; fail loudly instead.

@@ -23,14 +23,14 @@ final class BCRPPipeline(spark: SparkSession, cache: ParquetCache,
     catalog: DataFrame) {
 
   /** (valid, invalid) code split against the catalog — SURVEY §3.1 step 2.
-    * Reference `perustats/BCRP/metadata.py:252-306`. */
-  def validate(query: SeriesQuery): (Seq[String], Seq[String]) = {
+    * Reference `perustats/BCRP/metadata.py:252-306`. Returns DataFrames so
+    * the pipeline itself never materializes to the driver; the application
+    * edge (which owns the network fetch loop anyway) collects the handful of
+    * codes it is about to request. */
+  def validate(query: SeriesQuery): (DataFrame, DataFrame) = {
     import spark.implicits._
     val requested = query.normalized.toDF("code")
-    val (valid, invalid) =
-      Relational.validateCodes(requested, broadcast(catalog), "code")
-    (valid.collect().map(_.getString(0)).toSeq.sorted,
-      invalid.collect().map(_.getString(0)).toSeq.sorted)
+    Relational.validateCodes(requested, broadcast(catalog), "code")
   }
 
   /** Catalog search: case-insensitive contains-any of LITERAL terms over
@@ -64,15 +64,14 @@ final class BCRPPipeline(spark: SparkSession, cache: ParquetCache,
     cache.load(freq, query.start, query.end, codes)
   }
 
-  /** Full query: validate once, fetch each frequency group, return the
-    * per-frequency wide frames (the reference's `result[freq] = df`,
-    * `perustats/BCRP/fetcher.py:55-87`). */
+  /** Full query: fetch each frequency group, return the per-frequency wide
+    * frames (the reference's `result[freq] = df`,
+    * `perustats/BCRP/fetcher.py:55-87`). `query` is expected to be
+    * pre-validated (see [[validate]]) — the edge materializes the valid-code
+    * split once before driving the network fetch loop. */
   def run(query: SeriesQuery,
-      fetchLong: (String, Seq[String]) => DataFrame): Map[String, DataFrame] = {
-    val (valid, _) = validate(query)
-    val validQuery = query.copy(codes = valid)
-    validQuery.byFrequency.keys.map { freq =>
-      freq -> fetchFrequency(freq, validQuery, fetchLong(freq, _))
+      fetchLong: (String, Seq[String]) => DataFrame): Map[String, DataFrame] =
+    query.byFrequency.keys.map { freq =>
+      freq -> fetchFrequency(freq, query, fetchLong(freq, _))
     }.toMap
-  }
 }

@@ -77,7 +77,8 @@ object FunctionQueries {
         import s.implicits._
         Seq(("15.Ene.23", "D"), ("03.Set.21", "D"), ("01.Dic.99", "D"),
             ("05.Ene.69", "D"), ("Ene.2023", "M"),
-            ("Ago.1999", "M"), ("Q1.23", "Q"), ("Q4.09", "Q"), ("2023", "A"))
+            ("Ago.1999", "M"), ("Q1.23", "Q"), ("Q4.09", "Q"),
+            ("Q4.99", "Q"), ("Q1.69", "Q"), ("2023", "A"))
           .toDF("s", "freq")
           .withColumn("parsed",
             when(col("freq") === "D", dates.bcrpDate("D", col("s")))
@@ -97,6 +98,8 @@ object FunctionQueries {
           ('Ago.1999', 'M', DATE '1999-08-01', NULL),
           ('Q1.23', 'Q', DATE '2023-03-31', '2023Q1'),
           ('Q4.09', 'Q', DATE '2009-12-31', '2009Q4'),
+          ('Q4.99', 'Q', DATE '1999-12-31', '1999Q4'),
+          ('Q1.69', 'Q', DATE '1969-03-31', '1969Q1'),
           ('2023', 'A', DATE '2023-01-01', NULL))
         t(s, freq, parsed, yq) ORDER BY s""")),
 

@@ -33,7 +33,10 @@ class PipelinesSpec extends SparkSpec {
     val pipe = new BCRPPipeline(spark, cache, catalog)
     val q1 = SeriesQuery(Seq("pn01234pm", "BOGUS1"), "2023-1", "2023-12")
 
-    val (valid, invalid) = pipe.validate(q1)
+    // validate returns DataFrames; the spec IS the application edge here.
+    val (validDf, invalidDf) = pipe.validate(q1)
+    val valid = validDf.collect().map(_.getString(0)).toSeq.sorted
+    val invalid = invalidDf.collect().map(_.getString(0)).toSeq.sorted
     assert(valid == Seq("PN01234PM") && invalid == Seq("BOGUS1"))
 
     assert(pipe.search(Seq("CAMBIO", "reservas")).count() == 2)
