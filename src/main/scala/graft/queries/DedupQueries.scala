@@ -193,26 +193,59 @@ object DedupQueries {
            ORDER BY a, b"""
       }),
 
-    // d5: embedding-cosine near-dup pairs above a similarity floor. The
-    // corpus has no planted embedding dups (max cos ≈ 0.51), so the floor
-    // sits where a handful of organically-close pairs qualify.
+    // d5: EXACT embedding-cosine near-dup pairs above a similarity floor.
+    // The corpus has no planted embedding dups (max cos ≈ 0.51 at sf0.01),
+    // so the floor sits where a handful of organically-close pairs qualify.
+    // The Spark side runs the grid-partitioned (1-Bucket-Theta) self-join —
+    // all equi-joins, bounded per-task memory, no nested loop — and is
+    // bit-identical to the oracle's naive all-pairs formulation.
     "d5_embedding_neardup" -> Q(
-      (s, dir) => {
-        val e = T(s, dir, "embeddings")
-        val l = e.select(col("vec_id").as("a"), col("embedding").as("va"))
-        val r = e.select(col("vec_id").as("b"), col("embedding").as("vb"))
-        l.join(r, col("a") < col("b"))
-          .select(col("a"), col("b"),
-            round(Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
-          .filter(col("cos") >= 0.45)
-          .orderBy(col("a"), col("b"))
-      },
+      (s, dir) => Similarity.cosineNeardupExact(T(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45, blocks = 16)
+        .orderBy(col("a"), col("b")),
       Some(
         s"""SELECT a, b, cos FROM (
              SELECT x.vec_id AS a, y.vec_id AS b,
                round(${sqlCosine("x.embedding", "y.embedding")}, 4) AS cos
              FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
            WHERE cos >= 0.45 ORDER BY a, b""")),
+
+    // d7: the PRODUCTION near-dup path — multi-band hyperplane-LSH
+    // candidates (equi-join on (band, key)) refined with exact cosine. The
+    // oracle replays the banding bit-for-bit (same md5-derived planes), so
+    // the approximation itself is verified, not just plausible rows: with
+    // 6 bands × 5 planes the candidate set is ~18% of all pairs and recall
+    // is partial by design (the documented trade; raise bands for recall).
+    "d7_embedding_neardup_lsh" -> Q(
+      (s, dir) => Similarity.cosineNeardupLsh(T(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, threshold = 0.45,
+          rows = 5, bands = 6)
+        .orderBy(col("a"), col("b")),
+      Some {
+        def sqlBandKey(v: String, band: Int, rows: Int): String =
+          (0 until rows).map { k =>
+            val plane = (0 until 64)
+              .map(c => hashing.hyperplane(band * rows + k, c).toString)
+              .mkString("[", ", ", "]")
+            s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+               (x, y) -> x + y) >= 0 THEN ${1L << k} ELSE 0 END)"""
+          }.mkString(" + ")
+        val bandSelects = (0 until 6).map { b =>
+          s"""SELECT vec_id, $b AS band,
+             ${sqlBandKey("embedding", b, 5)} AS key FROM embeddings"""
+        }.mkString(" UNION ALL ")
+        s"""WITH banded AS ($bandSelects),
+           cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+           SELECT a, b, cos FROM (
+             SELECT c.a, c.b,
+               round(${sqlCosine("ea.embedding", "eb.embedding")}, 4) AS cos
+             FROM cand c JOIN embeddings ea ON ea.vec_id = c.a
+               JOIN embeddings eb ON eb.vec_id = c.b)
+           WHERE cos >= 0.45 ORDER BY a, b"""
+      }),
 
     // x1: brute-force cosine top-k (k=3) for a broadcast query set.
     "x1_cosine_topk" -> Q(

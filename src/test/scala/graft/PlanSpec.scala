@@ -63,4 +63,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d5: grid-partitioned exact cosine join has no nested-loop/cartesian") {
+    val p = plan("d5_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d7: banded-LSH cosine join is equi-join only, scoring codegen'd") {
+    val p = plan("d7_embedding_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("dot_product"), p)
+  }
 }

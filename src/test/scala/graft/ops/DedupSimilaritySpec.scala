@@ -145,6 +145,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("cosineNeardupExact (grid) == naive all-pairs on the real corpus") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    def naive(threshold: Double) = {
+      val l = e.select($"vec_id".as("a"), $"embedding".as("va"))
+      val r = e.select($"vec_id".as("b"), $"embedding".as("vb"))
+      l.join(r, $"a" < $"b")
+        .select($"a", $"b",
+          round(Similarity.cosine($"va", $"vb"), 4).as("cos"))
+        .filter($"cos" >= threshold)
+    }
+    // low threshold so the expected set is non-trivial at sf0.001
+    val expected = naive(0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    for (blocks <- Seq(1, 4, 16)) {
+      val grid = Similarity.cosineNeardupExact(e, "vec_id", "embedding",
+          threshold = 0.3, blocks = blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(grid.length == grid.toSet.size, s"duplicate pairs at B=$blocks")
+      assert(grid.toSet == expected, s"mismatch at B=$blocks")
+    }
+  }
+
+  test("cosineNeardupLsh is an exact-scored subset of the exact join") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.cosineNeardupExact(e, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.cosineNeardupLsh(e, "vec_id", "embedding", dim = 64,
+        threshold = 0.3, rows = 2, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact)) // candidates filter, scores identical
+    assert(lsh.nonEmpty)
+  }
+
   test("lsh bucket collides for near-identical vectors") {
     val dim = 8
     val vecs = Seq(
