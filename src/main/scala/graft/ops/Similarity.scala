@@ -186,6 +186,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic distributed Lloyd's k-means — the offline IVF centroid
+    * builder feeding [[ivfTopK]]. Returns (cid: long 0..k-1, cv:
+    * array<double>); clusters that lose every member drop out (standard
+    * Lloyd's degeneracy, deterministic on both engines).
+    *
+    * Every source of nondeterminism is pinned so the DuckDB oracle replays
+    * the FULL algorithm bit-for-bit:
+    *  - init: the k corpus vectors with the smallest (h64(id), id) — a
+    *    deterministic pseudo-random sample via the shared md5 hash, planned
+    *    as a distributed top-k (TakeOrderedAndProject), not a global sort;
+    *  - assignment: argmax cosine via strict-fold dot products, ties broken
+    *    by centroid id;
+    *  - update: per-dimension means through exact DECIMAL(38,20) sums
+    *    (partition-order independent), divided in double and rounded to 9
+    *    decimals so the next round's inputs are stable literals.
+    *
+    * `iters` is fixed and small (Lloyd's converges fast for index-building
+    * purposes) so the oracle can unroll the loop as plain CTEs. Each round
+    * is one broadcast of k centroids + one corpus pass + one (cid, dim)
+    * aggregation — linear in the corpus, no quadratic step anywhere. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val seeds = base
+      .withColumn("__h", hashing.h64(col("__id").cast("string")))
+      .orderBy(col("__h"), col("__id")).limit(k)
+    val seedRank = Window.orderBy(col("__h"), col("__id")) // k rows only
+    var cents = seeds
+      .withColumn("cid", (row_number().over(seedRank) - 1).cast("long"))
+      .select(col("cid"), transform(col("__v"), e => e.cast("double")).as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("__cos", cosine(col("__v"), col("cv")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid"))))
+        .filter(col("__rn") === 1)
+        .select(col("cid"), col("__v"))
+      val dims = assigned
+        .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "val")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("val").cast("double").cast("decimal(38,20)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("cid"), col("pos"),
+          round(col("__s").cast("double") / col("__n"), 9).as("m"))
+      cents = dims.groupBy(col("cid"))
+        .agg(collect_list(struct(col("pos"), col("m"))).as("__pm"))
+        .select(col("cid"),
+          transform(array_sort(col("__pm")), s => s.getField("m")).as("cv"))
+        .localCheckpoint() // k rows; cuts the per-round lineage growth
+    }
+    cents
+  }
+
   /** ANN top-k: queries only compare against corpus vectors in their own
     * hyperplane bucket. Recall < 1 by construction (a near neighbor across
     * a plane is missed) — that is the documented trade; multi-probe or

@@ -266,22 +266,51 @@ object DedupQueries {
                WHERE q.vec_id < 10))
            WHERE rank <= 3 ORDER BY qid, rank""")),
 
-    // x3: IVF-style ANN — corpus assigned to nearest-centroid inverted
-    // lists once; each query probes its 2 nearest centroids' lists only.
-    // Centroids here are a deterministic subset (vec_id % 40 == 0); a
-    // production index would k-means them offline.
+    // x3: IVF ANN with a real k-means index — deterministic distributed
+    // Lloyd's (hash-seeded init, exact decimal means, 2 unrolled rounds)
+    // builds the centroids; the corpus is assigned to nearest-centroid
+    // inverted lists once; each query probes its 2 nearest centroids' lists
+    // only. The oracle replays the ENTIRE pipeline, k-means included.
     "x3_ivf_ann" -> Q(
       (s, dir) => {
         val e = T(s, dir, "embeddings")
-        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
-            e.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
-            nProbe = 2, k = 3)
+        val cents = Similarity
+          .kmeansCentroids(e, "vec_id", "embedding", k = 12, iters = 2)
+          .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), cents,
+            "vec_id", "embedding", nProbe = 2, k = 3)
           .select(col("qid"), col("rank"), col("nid"), col("cos"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(
-        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
-             FROM embeddings WHERE vec_id % 40 = 0),
+      Some {
+        // One Lloyd's round: assign to argmax-cosine centroid (ties by
+        // cid), then per-dimension means via exact DECIMAL sums rounded
+        // to 9 so the next round's inputs are stable cross-engine.
+        def lloydRound(prev: String, i: Int): String =
+          s"""assign$i AS (SELECT cid, embedding FROM (
+               SELECT v.embedding, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+               FROM embeddings v CROSS JOIN $prev c) WHERE rn = 1),
+             dims$i AS (SELECT cid, pos,
+                 round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
+                     AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+               FROM assign$i
+               CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+               GROUP BY cid, pos),
+             cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
+               FROM dims$i GROUP BY cid)"""
+        s"""WITH hseed AS (SELECT vec_id, embedding,
+               ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
+             FROM embeddings),
+           seeds AS (SELECT vec_id, embedding, hh FROM hseed
+             ORDER BY hh, vec_id LIMIT 12),
+           cent0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+               list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cv
+             FROM seeds),
+           ${lloydRound("cent0", 1)},
+           ${lloydRound("cent1", 2)},
+           cents AS (SELECT cid, cv FROM cent2),
            assign AS (SELECT nid, nv, cid AS cluster FROM (
              SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
@@ -301,7 +330,8 @@ object DedupQueries {
              SELECT qid, nid, cos, row_number() OVER
                (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
              FROM scored)
-           WHERE rank <= 3 ORDER BY qid, rank""")),
+           WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
 
     // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
     "x2_lsh_ann" -> Q(
