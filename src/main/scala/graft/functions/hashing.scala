@@ -41,6 +41,15 @@ object hashing {
   def h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** PRODUCTION 60-bit hash: xxhash64 masked to 60 bits — same domain as
+    * [[h64]] (non-negative, < 2^60) but ~3× cheaper per value and fully
+    * codegen'd with no hex-string round-trip. NOT oracle-replayable (DuckDB
+    * v1.0.0 has no xxhash64); use where the RESULT is hash-independent —
+    * e.g. exact-Jaccard-verified near-dup pairs, whose scores depend only
+    * on shingle set identity, not on which collision-free hash keyed them. */
+  def xxh60(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+
   /** DuckDB twin of [[h64]]. */
   def sqlH64(e: String): String =
     s"CAST(concat('0x', substr(md5($e),1,15)) AS BIGINT)"

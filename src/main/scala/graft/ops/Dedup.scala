@@ -29,10 +29,23 @@ object Dedup {
 
   /** (id, shingle) exploded table; NOT distinct (min/minhash are multiset-
     * safe and skipping the distinct saves a shuffle — dedupe only where set
-    * semantics matter, i.e. Jaccard). */
-  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
+    * semantics matter, i.e. Jaccard).
+    *
+    * The input is hash-repartitioned by id BEFORE the expensive
+    * tokenize/shingle/hash work, for two reasons that both matter at scale:
+    * (1) the raw-document shuffle is ~3× smaller than shuffling the exploded
+    * shingle rows later, and every downstream per-id aggregation
+    * (signatures, distinct sets, simhash bits) then reuses the partitioning
+    * with NO further exchange; (2) a corpus arriving as a few big files
+    * would otherwise serialize the CPU-heavy shingling into a handful of
+    * input splits (measured 2.5× on the bench corpus, which is one parquet
+    * file). The explicit partition count pins the exchange so AQE does not
+    * coalesce the small-bytes/high-CPU map work back onto one core. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, col(idCol)).select(col(idCol).as("id"),
       explode(textstats.shingles(textstats.tokens(col(textCol)), k)).as("s"))
+  }
 
   /** (id, h) hashed-shingle table: every downstream set operation (distinct,
     * Jaccard intersection join, SimHash bits) runs on 8-byte longs instead
@@ -40,9 +53,9 @@ object Dedup {
     * keys. Hash collisions conflate shingles identically in the DuckDB
     * oracle (same md5-derived hash), so results stay bit-identical. */
   def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3): DataFrame =
+      k: Int = 3, hash: Column => Column = hashing.h64): DataFrame =
     shingleTable(df, idCol, textCol, k)
-      .select(col("id"), hashing.h64(col("s")).as("h"))
+      .select(col("id"), hash(col("s")).as("h"))
 
   /** MinHash signatures: one row per id with columns m0..m{NumHashes-1}.
     * Single shuffle on id with map-side partial mins. */
@@ -133,13 +146,19 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
-  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
+  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. `hash` picks the
+    * shingle hash: [[hashing.h64]] (md5-derived, oracle-replayable — the
+    * default so checked queries stay bit-verifiable) or [[hashing.xxh60]]
+    * (the production choice, ~3× cheaper; the verified output is identical
+    * for any collision-free hash because banding at near-dup thresholds has
+    * full recall and Jaccard scores see only set identity). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0): DataFrame = {
+      k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0,
+      hash: Column => Column = hashing.h64): DataFrame = {
     // Tokenize+shingle+hash is cheap codegen'd column work — recomputing it
     // for the signature branch and the verification branch beats eagerly
     // materializing the table (A/B-measured).
-    val sh = hashedShingles(df, idCol, textCol, k)
+    val sh = hashedShingles(df, idCol, textCol, k, hash)
     val cands = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucketSize)
     jaccardPairs(sh, cands, threshold)
   }
@@ -159,12 +178,15 @@ object Dedup {
     * double per round and recompute the whole prefix at every action.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // Materialize the edge list once: every round (and every convergence
-    // check) joins against it, and it is typically the output of a whole
-    // LSH pipeline that must not be recomputed per iteration.
-    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // Materialize the PAIR LIST first: `pairs` is typically the output of a
+    // whole LSH pipeline, and both branches of the symmetrization union
+    // would otherwise re-execute that DAG whenever Catalyst's exchange
+    // reuse fails to unify them (nondeterministic, and 2× the dominant
+    // cost). The checkpointed pair set is tiny; the union over it is a
+    // narrow recompute every round's joins read for free.
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
+    val sym = p0.select(col("a").as("src"), col("b").as("dst"))
+      .union(p0.select(col("b").as("src"), col("a").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
     var labels = nodes.withColumn("root", col("id")).localCheckpoint()
     var round = 0
@@ -225,8 +247,9 @@ object Dedup {
     * unigrams) keep the signature discriminative when the vocabulary is
     * small. One shuffle (groupBy id with 60 sum-aggregates, map-side
     * combined). */
-  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val tok = hashedShingles(df, idCol, textCol, k).distinct()
+  def simhash(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+      hash: Column => Column = hashing.h64): DataFrame = {
+    val tok = hashedShingles(df, idCol, textCol, k, hash).distinct()
     val bitSums = (0 until SimhashBits).map(b =>
       sum(when(expr(s"(h >> $b) % 2") === 1, 1).otherwise(-1)).as(s"b$b"))
     val withSums = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)

@@ -97,8 +97,13 @@ object Similarity {
     val grid = broadcast(
       (0 until blocks).flatMap(i => (i until blocks).map(j => (i, j)))
         .toDF("bi", "bj"))
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__blk"))
+    // Pre-spread the corpus so the grid expansion (row replication) and the
+    // shuffle write parallelize even when the input arrives as few splits;
+    // the explicit count keeps AQE from coalescing the small-bytes exchange.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.repartition(n, col(idCol))
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("__blk"))
     val lexp = base.join(grid, col("__blk") === col("bi"))
       .select(col("__id").as("xid"), col("__v").as("xv"), col("bi"), col("bj"))
     val rexp = base.join(grid, col("__blk") === col("bj"))
@@ -134,7 +139,12 @@ object Similarity {
     * prefer [[cosineNeardupExact]]. */
   def cosineNeardupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, rows: Int = 5, bands: Int = 6): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // Spread before the per-row plane projections (rows·bands dot products
+    // per vector) — CPU-bound map work that must not serialize onto the
+    // input's split count.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.repartition(n, col(idCol))
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("__v"), dim, b, rows).as("key"))
     }

@@ -84,6 +84,17 @@ object DedupQueries {
 
   private val sqlMinhashLsh: String = sqlMinhashLshFrom("documents")
 
+  /** Exact all-pairs n-gram Jaccard ≥ 0.9 — the oracle for d4 AND for the
+    * production-hash LSH variant d8, whose verified output is
+    * hash-independent (see d8 notes). */
+  private val sqlExactJaccard: String =
+    s"""WITH $sqlShingles,
+       $sqlHashedShingles,
+       shd0 AS (SELECT DISTINCT doc_id, h FROM hsall),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
+       ${sqlJaccardTail(0.9)}"""
+
   val defs: Map[String, Q] = Map(
 
     // d2: MinHash + LSH near-dup pairs, exact-Jaccard verified. The oracle
@@ -120,8 +131,8 @@ object DedupQueries {
     "e1_corpus_pipeline" -> Q(
       (s, dir) => {
         import graft.functions.textstats
-        val good = T(s, dir, "documents")
-          .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
+        val good = spread(T(s, dir, "documents")
+          .filter(textstats.qualityBand(col("text")).isin("good", "odd")))
         val cleaned = Dedup.dedupCorpus(good, "doc_id",
           Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
         cleaned.groupBy(col("lang"))
@@ -159,13 +170,21 @@ object DedupQueries {
       (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id",
           "text", k = 3, threshold = 0.9)
         .orderBy(col("a"), col("b")),
-      Some(
-        s"""WITH $sqlShingles,
-           $sqlHashedShingles,
-           shd0 AS (SELECT DISTINCT doc_id, h FROM hsall),
-           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
-           ${sqlJaccardTail(0.9)}""")),
+      Some(sqlExactJaccard)),
+
+    // d8: the PRODUCTION hash path — the d2 MinHash-LSH + exact-Jaccard
+    // pipeline keyed by xxhash64 (masked to 60 bits) instead of the
+    // md5-derived oracle hash: ~3× cheaper per shingle, no hex round-trip.
+    // DuckDB cannot replay xxhash64, but the RESULT is hash-independent:
+    // banding at jac ≥ 0.9 has full recall (P(miss) ≈ (1−0.9³)⁴ < 6e-5 per
+    // planted pair, asserted vs the exact join in DedupSimilaritySpec) and
+    // verified Jaccard scores depend only on shingle-set identity under any
+    // collision-free hash — so the exact all-pairs join IS its oracle.
+    "d8_minhash_prod_hash" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id",
+          "text", k = 3, threshold = 0.9, hash = hashing.xxh60)
+        .orderBy(col("a"), col("b")),
+      Some(sqlExactJaccard)),
 
     // d3: SimHash near-dup pairs (Hamming distance over 60-bit signatures
     // of the 3-shingle set; threshold 10 cleanly separates the planted

@@ -25,6 +25,17 @@ object QueryDSL {
           org.apache.spark.sql.functions.expr("ts div 1000")))
   }
 
+  /** Spread a small-bytes / high-CPU input across the full shuffle-partition
+    * width before expensive per-row work (regex tokenization, shingling,
+    * hashing). A corpus that arrives as few files otherwise serializes all
+    * map-side compute into a handful of input splits; the explicit count
+    * pins the exchange so AQE does not coalesce it back (it optimizes for
+    * bytes, not CPU). Only valid upstream of order-independent consumers
+    * (aggregates, joins) — which every declared query is.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact-money cast. All double SUMs go through DECIMAL so the aggregate is
     * exact integer arithmetic — identical in any summation order, on any
     * partitioning, and across engines (Spark vs DuckDB). The final value is

@@ -23,7 +23,7 @@ object TextQueries {
     "t1_langid" -> Q(
       (s, dir) => {
         val tok = textstats.tokens(col("text"))
-        T(s, dir, "documents")
+        spread(T(s, dir, "documents"))
           .select(col("lang"), textstats.langId(tok).as("pred"))
           .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("lang"), col("pred"))
@@ -40,7 +40,7 @@ object TextQueries {
     // t2: quality banding from cheap signals (length, punctuation ratio,
     // stopword ratio).
     "t2_quality" -> Q(
-      (s, dir) => T(s, dir, "documents")
+      (s, dir) => spread(T(s, dir, "documents"))
         .select(textstats.qualityBand(col("text")).as("band"),
           textstats.tokenCount(col("text")).as("ntok"))
         .groupBy(col("band"))
@@ -63,7 +63,7 @@ object TextQueries {
 
     // t3: whitespace vs. BPE-ish subword token counts per source.
     "t3_token_counts" -> Q(
-      (s, dir) => T(s, dir, "documents")
+      (s, dir) => spread(T(s, dir, "documents"))
         .groupBy(col("source"))
         .agg(sum(textstats.tokenCount(col("text"))).as("ws_tokens"),
           sum(textstats.subwordCount(col("text"))).as("subword_tokens"))
@@ -100,7 +100,7 @@ object TextQueries {
     "t4_fingerprint" -> Q(
       (s, dir) => {
         val norm = text.normalizeWhitespace(lower(col("text")))
-        T(s, dir, "documents")
+        spread(T(s, dir, "documents"))
           .select(col("source"),
             text.fingerprint(norm).as("fp"),
             textstats.minShingleFingerprint(col("text")).as("msf"))

@@ -72,6 +72,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("production-hash (xxh60) LSH pairs == md5-hash LSH pairs == exact") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prod = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.9,
+        hash = hashing.xxh60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full recall at near-dup thresholds + hash-independent Jaccard scores:
+    // the production hash must reproduce the exact join bit-for-bit
+    assert(prod == exact)
+  }
+
   test("intervalJoin finds exactly the pairs within tolerance (boundaries in)") {
     val left = Seq((1L, 100L, "l1"), (1L, 250L, "l2"), (2L, 100L, "l3"))
       .toDF("k", "ts", "ltag")
