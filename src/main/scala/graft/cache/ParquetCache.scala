@@ -22,7 +22,7 @@ import graft.ops.Relational
   *    pointer, so readers never see a partial write (the reference relies on
   *    SQLite transactionality for this).
   */
-final class ParquetCache(spark: SparkSession, root: String) {
+final class ParquetCache(spark: SparkSession, root: String) extends SeriesCache {
   private val fsRoot = new java.io.File(root)
 
   private def tableDir(freq: String, start: String, end: String): java.io.File =
@@ -75,12 +75,5 @@ final class ParquetCache(spark: SparkSession, root: String) {
     val available = df.columns.toSet
     val wanted = codes.filter(available.contains)
     df.select(("date" +: wanted).map(col): _*)
-  }
-
-  /** Delta of requested codes not yet cached — the incremental-fetch pruning
-    * at the heart of the reference (`perustats/BCRP/fetcher.py:68-72`). */
-  def missingCodes(freq: String, start: String, end: String, requested: Seq[String]): Seq[String] = {
-    val cached = cachedCodes(freq, start, end).map(_.toUpperCase).toSet
-    requested.filterNot(c => cached.contains(c.toUpperCase))
   }
 }

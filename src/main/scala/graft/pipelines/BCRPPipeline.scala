@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cache.ParquetCache
+import graft.cache.SeriesCache
 import graft.functions.{dates, numeric}
 import graft.model.SeriesQuery
 import graft.ops.Relational
@@ -19,7 +19,7 @@ import graft.ops.Relational
   * reader. Everything after injection is pure `DataFrame => DataFrame`, so
   * the whole lifecycle is replayable and oracle-checkable.
   */
-final class BCRPPipeline(spark: SparkSession, cache: ParquetCache,
+final class BCRPPipeline(spark: SparkSession, cache: SeriesCache,
     catalog: DataFrame) {
 
   /** (valid, invalid) code split against the catalog — SURVEY §3.1 step 2.
