@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * payloads ride as opaque `binary` columns with typed metadata structs, and
   * per-row media work happens in partition-wise batches.
   *
-  * The actual codecs are STUBBED — this container has no image/audio
-  * libraries — with deterministic fakes (clearly marked below). What is real
-  * and tested is the Spark-side plumbing that a production decode needs:
+  * Codec status: IMAGE decode/resize and WAV-audio metadata are REAL — the
+  * JDK ships those codecs (`javax.imageio`: PNG/JPEG/BMP/GIF;
+  * `javax.sound.sampled`: WAV) so no external library is needed. Video
+  * keyframe extraction remains a STUB (no container parser in the JDK),
+  * clearly marked below. The Spark-side plumbing is shared and real:
   *  - an explicit, stable schema for payload + metadata (no inference);
   *  - `mapPartitions` batching with ONE decoder context per partition
   *    (codec/model init is the expensive part; per-row init is the classic
@@ -19,6 +21,82 @@ import org.apache.spark.sql.functions._
   *  - results exploding back to long form for downstream relational ops.
   */
 object Multimodal {
+
+  /** Decoded image metadata + a cheap content feature (mean ITU-R BT.601
+    * luma in [0, 255], rounded to 4 decimals — deterministic). */
+  final case class ImageMeta(id: Long, width: Int, height: Int,
+      avgLuma: Double)
+
+  /** Decoded audio metadata (WAV/AIFF — the JDK's built-in parsers). */
+  final case class AudioMeta(id: Long, sampleRate: Double, channels: Int,
+      frames: Long)
+
+  /** REAL image decode via `javax.imageio` — dimensions plus mean luma.
+    * One pass over the pixels; undecodable payloads fail loudly (a silent
+    * null would poison downstream quality gates). */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id ${r.id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageMeta(r.id, w, h,
+          BigDecimal(sum / (w.toLong * h)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  /** REAL image resize (bilinear `Graphics2D`, re-encoded PNG) — the
+    * normalize-before-embedding step of a vision data pipeline. */
+  def resizeImages(media: Dataset[MediaRow], width: Int,
+      height: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id ${r.id}")
+        val out = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        MediaRow(r.id, r.kind, bos.toByteArray)
+      }
+    }
+  }
+
+  /** REAL audio metadata via `javax.sound.sampled` (WAV/AIFF headers). */
+  def decodeAudioMeta(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(r.payload))
+        AudioMeta(r.id, aff.getFormat.getSampleRate.toDouble,
+          aff.getFormat.getChannels, aff.getFrameLength.toLong)
+      }
+    }
+  }
 
   /** Typed payload row: id + media kind + raw bytes. */
   final case class MediaRow(id: Long, kind: String, payload: Array[Byte])

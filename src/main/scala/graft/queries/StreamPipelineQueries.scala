@@ -43,6 +43,22 @@ object StreamPipelineQueries {
             WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id))
           GROUP BY user_id ORDER BY user_id""")),
 
+    // st3: streaming exact dedup — a REAL streaming dropDuplicates over the
+    // document fingerprints (append-mode memory sink), counted per language
+    // after the drain. Keying the dedup by (lang, fp) makes the count
+    // independent of which duplicate the stream saw first; the oracle is
+    // the batch distinct.
+    "st3_stream_dedup" -> Q(
+      (s, dir) => Streams
+        .dedupStreaming(s, dir, name = s"graft_st3_${dir.hashCode.abs}")
+        .groupBy(col("lang")).agg(count(lit(1)).as("uniq_docs"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS uniq_docs FROM (
+            SELECT DISTINCT lang,
+              sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents)
+          GROUP BY lang ORDER BY lang""")),
+
     // r3: the MEF hierarchical drill-down as a ROLLUP over a fact table
     // (SURVEY §3.3: click-path levels = grouping columns). grouping_id
     // disambiguates subtotal rows; null group keys render as '' for a

@@ -56,6 +56,38 @@ object Streams {
     spark.table(name)
   }
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of the documents parquet (schema pinned). */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  /** STREAMING exact dedup — the training-pipeline dedup operator in its
+    * continuous form: content fingerprint (sha-256 of the
+    * whitespace-normalized lowercased text) + streaming `dropDuplicates`,
+    * which keeps one state entry per distinct key and emits only first
+    * occurrences. Keyed by (lang, fp) so every downstream per-language
+    * aggregate is survivor-order independent. On an unbounded source the
+    * production shape adds `withWatermark` on an event-time column so
+    * dedup state ages out; the bounded file source here needs none. */
+  def dedupStreaming(spark: SparkSession, dir: String,
+      name: String = "graft_st3"): DataFrame = {
+    val fp = sha2(graft.functions.text.normalizeWhitespace(lower(col("text"))), 256)
+    val q = readDocumentsStream(spark, dir)
+      .select(col("lang"), fp.as("fp"))
+      .dropDuplicates("lang", "fp")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)

@@ -35,4 +35,67 @@ class MultimodalSpec extends SparkSpec {
       Seq("id" -> "bigint", "kind" -> "string", "byteLen" -> "bigint",
         "width" -> "int", "height" -> "int"))
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImages: real PNG decode, dimensions and mean luma") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(3, 2, 0xffffff)), // white
+      Multimodal.MediaRow(2L, "image", pngBytes(2, 2, 0x000000)), // black
+      Multimodal.MediaRow(3L, "image", pngBytes(1, 1, 0xff0000))  // red
+    ).toDS()
+    val metas = Multimodal.decodeImages(media).collect()
+      .map(m => m.id -> m).toMap
+    assert(metas(1L).width == 3 && metas(1L).height == 2)
+    assert(metas(1L).avgLuma == 255.0) // .299+.587+.114 == 1 exactly
+    assert(metas(2L).avgLuma == 0.0)
+    assert(metas(3L).avgLuma == BigDecimal(0.299 * 255)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("decodeImages fails loudly on an undecodable payload") {
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(9L, "image",
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(bad).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
+  test("resizeImages: real bilinear resize, round-trips through ImageIO") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", pngBytes(4, 4, 0x808080))).toDS()
+    val out = Multimodal.resizeImages(media, 2, 3).collect().head
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img.getWidth == 2 && img.getHeight == 3)
+    assert((img.getRGB(0, 0) & 0xffffff) == 0x808080) // uniform stays uniform
+  }
+
+  test("decodeAudioMeta: real WAV header parse") {
+    import spark.implicits._
+    // 8 kHz mono 16-bit WAV, 100 frames, built with the JDK encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](200)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val media = Seq(Multimodal.MediaRow(7L, "audio", bos.toByteArray)).toDS()
+    val meta = Multimodal.decodeAudioMeta(media).collect().head
+    assert(meta.sampleRate == 8000.0 && meta.channels == 1 &&
+      meta.frames == 100L)
+  }
 }
