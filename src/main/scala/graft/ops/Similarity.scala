@@ -196,6 +196,44 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe hyperplane-LSH ANN: each query probes its own bucket PLUS
+    * every bucket within Hamming distance `probeDist` of its signature —
+    * the standard recall knob for sign-random-projection LSH (a near
+    * neighbor across one plane lands one bit away). The probe set is
+    * exploded QUERY-side (Σ_{d≤probeDist} C(Planes,d) buckets per query),
+    * so candidates remain a hash equi-join on the bucket id and the corpus
+    * is still scanned once; each (query, neighbor) pair joins at most once
+    * because a corpus vector owns exactly one bucket. probeDist=1 with 8
+    * planes means 9 of 256 buckets per query — ~28× fewer comparisons than
+    * brute force at materially higher recall than single-bucket
+    * [[lshTopK]]. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, probeDist: Int = 1): DataFrame = {
+    require(probeDist >= 0 && probeDist <= 2, "probeDist in 0..2 supported")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), dim).as("bucket"))
+    def flips: Seq[Column] = {
+      val one = (0 until Planes).map(j => col("__b0").bitwiseXOR(lit(1L << j)))
+      val two =
+        if (probeDist < 2) Nil
+        else for {
+          i <- 0 until Planes; j <- (i + 1) until Planes
+        } yield col("__b0").bitwiseXOR(lit((1L << i) | (1L << j)))
+      (col("__b0") +: (if (probeDist >= 1) one else Nil)) ++ two
+    }
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        lshBucket(col(vecCol), dim).as("__b0"))
+      .select(col("qid"), col("qv"), explode(array(flips: _*)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic distributed Lloyd's k-means — the offline IVF centroid
     * builder feeding [[ivfTopK]]. Returns (cid: long 0..k-1, cv:
     * array<double>); clusters that lose every member drop out (standard

@@ -382,6 +382,43 @@ object DedupQueries {
                        FROM embeddings) n
                  ON n.bucket = q.bucket AND n.vec_id <> q.vec_id))
            WHERE rank = 1 ORDER BY qid"""
+      }),
+
+    // x4: multi-probe hyperplane-LSH ANN — each query also probes the 8
+    // buckets one sign-flip away (9 of 256), lifting recall while the
+    // corpus-side join stays a bucket equi-join (probes exploded
+    // query-side). The oracle states the same semantics declaratively as a
+    // Hamming-distance-≤1 bucket join.
+    "x4_lsh_multiprobe" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.lshTopKMultiProbe(e, e.filter(col("vec_id") < 50),
+            "vec_id", "embedding", dim = 64, k = 1, probeDist = 1)
+          .select(col("qid"), col("nid"), col("cos"))
+          .orderBy(col("qid"))
+      },
+      Some {
+        def bucket(v: String): String =
+          (0 until Similarity.Planes).map { j =>
+            val plane = (0 until 64)
+              .map(c => hashing.hyperplane(j, c).toString).mkString("[", ", ", "]")
+            s"""(CASE WHEN list_reduce(list_transform(list_zip($v, $plane),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+               (x, y) -> x + y) >= 0 THEN ${1L << j} ELSE 0 END)"""
+          }.mkString(" + ")
+        s"""SELECT qid, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (
+               SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+               FROM (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+                       FROM embeddings WHERE vec_id < 50) q
+                 JOIN (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket
+                       FROM embeddings) n
+                 ON bit_count(xor(n.bucket, q.bucket)) <= 1
+                    AND n.vec_id <> q.vec_id))
+           WHERE rank = 1 ORDER BY qid"""
       })
   )
 }

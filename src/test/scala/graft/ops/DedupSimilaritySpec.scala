@@ -221,6 +221,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("multi-probe LSH recall >= single-bucket recall vs brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" < 30)
+    def top1(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"rank" === 1).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top1(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 1))
+    val single = top1(Similarity.lshTopK(e, q, "vec_id", "embedding", 64, 1))
+    val multi = top1(Similarity.lshTopKMultiProbe(e, q, "vec_id", "embedding",
+      64, 1, probeDist = 1))
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single))
+    assert(multi.size >= single.size) // every query keeps >= as many answers
+  }
+
   test("lsh bucket collides for near-identical vectors") {
     val dim = 8
     val vecs = Seq(
