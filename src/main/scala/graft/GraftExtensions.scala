@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DotProduct, RollingHash, Slugify, StripAccents}
+import graft.functions.{DotProduct, Md5Long60, RollingHash, Slugify, StripAccents}
 
 /** Spark session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT slugify(name) ...")` works the
@@ -41,6 +41,9 @@ object GraftExtensions {
     (FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - polynomial rolling hash mod 1e9+7"),
       (args: Seq[Expression]) => RollingHash(args.head)),
+    (FunctionIdentifier("md5_long60"),
+      info("md5_long60", "md5_long60(str) - first 60 md5 bits as a non-negative long"),
+      (args: Seq[Expression]) => Md5Long60(args.head)),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - strict left-fold double dot product"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

@@ -44,6 +44,24 @@ object TextKernels {
     * A deterministic document fingerprint usable from pure SQL on the oracle
     * side (fold of `(acc * 31 + codepoint) % 1000000007`).
     */
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** 60-bit md5 prefix as a non-negative long: the first 15 hex characters
+    * of the digest parsed base-16 — computed directly from the first 8
+    * digest bytes (big-endian >>> 4), skipping the hex-string round-trip
+    * of the `conv(substring(md5(c),1,15),16,10)` formulation it is
+    * bit-identical to (property-tested). */
+  def md5Long60(b: Array[Byte]): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val dig = d.digest(b)
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (dig(i) & 0xffL); i += 1 }
+    acc >>> 4
+  }
+
   def rollingHash(s: String): Long = {
     val M = 1000000007L
     var acc = 0L

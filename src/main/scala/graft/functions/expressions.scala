@@ -126,10 +126,30 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** 60-bit md5 prefix hash (the dedup family's base hash) computed from the
+  * digest bytes directly — bit-identical to
+  * `conv(substring(md5(c),1,15),16,10)` but with no 32-char hex string, no
+  * substring, and no base-16 string parse per value. The DuckDB oracle twin
+  * is unchanged ([[graft.functions.hashing.sqlH64]]).
+  */
+case class Md5Long60(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.md5Long60(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.md5Long60($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_long60"
+}
+
 object expressions {
   def slugify(c: Column): Column = Bridge.column(Slugify(Bridge.expression(c)))
   def stripAccents(c: Column): Column = Bridge.column(StripAccents(Bridge.expression(c)))
   def rollingHash(c: Column): Column = Bridge.column(RollingHash(Bridge.expression(c)))
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def md5Long60(c: Column): Column = Bridge.column(Md5Long60(Bridge.expression(c)))
 }

@@ -37,9 +37,12 @@ object hashing {
   val B: IndexedSeq[Long] =
     (1 to NumHashes).map(j => (214013L * j + 2531011L) % P)
 
-  /** 60-bit base hash: first 15 hex chars of md5, as a non-negative long. */
-  def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit base hash: first 15 hex chars of md5, as a non-negative long.
+    * Backed by the codegen'd [[graft.functions.Md5Long60]] expression,
+    * which reads the value off the digest bytes directly — bit-identical
+    * to the `conv(substring(md5(c),1,15),16,10)` formulation (the oracle
+    * twin below is unchanged) without the per-value hex round-trip. */
+  def h64(c: Column): Column = graft.functions.expressions.md5Long60(c)
 
   /** PRODUCTION 60-bit hash: xxhash64 masked to 60 bits — same domain as
     * [[h64]] (non-negative, < 2^60) but ~3× cheaper per value and fully

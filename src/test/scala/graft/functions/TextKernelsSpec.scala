@@ -58,4 +58,18 @@ class TextKernelsSpec extends AnyFunSuite {
       assert(h >= 0L && h < 1000000007L)
     }
   }
+
+  test("md5Long60 == parseLong(md5 hex take 15) for arbitrary strings") {
+    def viaHex(str: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    for (s <- samples() ++ Seq("", "a", "ñandú café", "\u0000x", "三", "🎉")) {
+      val fast = TextKernels.md5Long60(s.getBytes("UTF-8"))
+      assert(fast === viaHex(s), s"input: $s")
+      assert(fast >= 0L && fast < (1L << 60), s"input: $s")
+    }
+  }
 }
