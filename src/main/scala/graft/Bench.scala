@@ -43,30 +43,40 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Machine-read output: format with Locale.ROOT (a comma-decimal default
+    // locale would corrupt the JSON) and strip everything JSON-unsafe from
+    // error text (quotes, backslashes, ALL control chars).
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     var failed = Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
-          failed += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(120)
+          failed += name -> e.toString.replaceAll("[\"\\\\]|[\\x00-\\x1f]", " ")
+            .take(120)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Subtotals count SUCCESSFUL queries only: a query that burned 20 s and
+    // then threw would otherwise skew the A/B comparison silently (its
+    // partial time is still visible in the per-query detail line).
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val total = ok.map(_._2).sum
     // Extension workloads (dedup/similarity/text/multimodal/stream) have no
     // reference counterpart; the core subtotal is the reference-parity set.
     val isExtension = (n: String) => n.startsWith("d") || n.startsWith("x") ||
       n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
       n.startsWith("e") || n == "a8_salted_agg" || n == "a9_approx_distinct"
-    val core = results.collect { case (k, v) if !isExtension(k) => v }.sum
+    val core = ok.collect { case (k, v) if !isExtension(k) => v }.sum
     println(s"""{"queries":$qs,"failed":$fs}""")
     // Compact summary LAST: the driver's tail capture must always see it.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core_sec":$core%.3f,"extensions_sec":${total - core}%.3f,"n_queries":${results.size},"n_failed":${failed.size},"warmup_sf":"${if (warmed) warmDir else "none"}","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","core_sec":${num(core)},"extensions_sec":${num(total - core)},"n_queries":${results.size},"n_failed":${failed.size},"warmup_sf":"${if (warmed) warmDir else "none"}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,12 +81,13 @@ final class JdbcCache(spark: SparkSession, url: String) extends SeriesCache {
   def save(freq: String, start: String, end: String,
       incoming: DataFrame): Unit = {
     val base = baseName(freq, start, end)
-    val merged = currentVersion(base) match {
+    val current = currentVersion(base)
+    val merged = current match {
       case Some(v) =>
         Relational.upsertWide(readTable(s"${base}_v$v"), incoming, "date")
       case None => incoming
     }
-    val next = currentVersion(base).map(_ + 1).getOrElse(0)
+    val next = current.map(_ + 1).getOrElse(0)
     merged.write.format("jdbc").mode("overwrite")
       .option("url", url).option("dbtable", s"${base}_v$next").save()
     setVersion(base, next)

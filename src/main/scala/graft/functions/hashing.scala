@@ -69,10 +69,8 @@ object hashing {
   def hyperplane(j: Int, c: Int): Double =
     ((md5Long(s"hp${j}_$c") % 2001L) - 1000L) / 1000.0
 
-  /** JVM-side h64 of a literal string (same bits as [[h64]]). */
-  def md5Long(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16)
-  }
+  /** JVM-side h64 of a literal string (same bits as [[h64]] — one shared
+    * implementation, [[TextKernels.md5Long60]], so the bit contract cannot
+    * drift between the column path and the seed/hyperplane derivations). */
+  def md5Long(s: String): Long = TextKernels.md5Long60(s.getBytes("UTF-8"))
 }

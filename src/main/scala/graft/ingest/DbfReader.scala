@@ -112,6 +112,14 @@ object DbfReader {
     val files = spark.sparkContext.binaryFiles(pattern)
     val schema = layout(files.first()._2.toArray()).schema
     spark.createDataFrame(
-      files.flatMap { case (_, pds) => rows(pds.toArray()) }, schema)
+      files.flatMap { case (path, pds) =>
+        val bytes = pds.toArray()
+        // positional rows: fail loudly on layout drift across the glob
+        val fileSchema = layout(bytes).schema
+        require(fileSchema == schema,
+          s"$path schema $fileSchema differs from the glob's first-file " +
+            s"schema $schema")
+        rows(bytes)
+      }, schema)
   }
 }

@@ -152,7 +152,17 @@ object StataReader {
   def readDtaFiles(spark: SparkSession, pattern: String): DataFrame = {
     val files = spark.sparkContext.binaryFiles(pattern)
     val schema = layout(files.first()._2.toArray()).schema
-    val rdd = files.flatMap { case (_, pds) => rows(pds.toArray()) }
+    val rdd = files.flatMap { case (path, pds) =>
+      val bytes = pds.toArray()
+      // rows are positional: a file whose layout diverges from the glob's
+      // reference schema would silently land values in the wrong columns —
+      // fail loudly instead (survey module collections share one layout).
+      val fileSchema = layout(bytes).schema
+      require(fileSchema == schema,
+        s"$path schema $fileSchema differs from the glob's first-file " +
+          s"schema $schema")
+      rows(bytes)
+    }
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -131,8 +131,10 @@ object DedupQueries {
     "e1_corpus_pipeline" -> Q(
       (s, dir) => {
         import graft.functions.textstats
-        val good = spread(T(s, dir, "documents")
-          .filter(textstats.qualityBand(col("text")).isin("good", "odd")))
+        // spread BEFORE the quality filter: the per-row regex banding is
+        // the expensive part and must not run on the input's single split
+        val good = spread(T(s, dir, "documents"))
+          .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
         val cleaned = Dedup.dedupCorpus(good, "doc_id",
           Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
         cleaned.groupBy(col("lang"))
@@ -176,8 +178,11 @@ object DedupQueries {
     // pipeline keyed by xxhash64 (masked to 60 bits) instead of the
     // md5-derived oracle hash: ~3× cheaper per shingle, no hex round-trip.
     // DuckDB cannot replay xxhash64, but the RESULT is hash-independent:
-    // banding at jac ≥ 0.9 has full recall (P(miss) ≈ (1−0.9³)⁴ < 6e-5 per
-    // planted pair, asserted vs the exact join in DedupSimilaritySpec) and
+    // banding recall is hash-dependent but overwhelming on real near-dups:
+    // P(miss) = (1−jac³)⁴ ≈ 5.4e-3 at jac = 0.90 and ≈ 5.8e-5 at the
+    // planted pairs' jac ≥ 0.97 (asserted == the exact join on this corpus
+    // in DedupSimilaritySpec — the deliberate, documented exception to the
+    // replay-the-hash rule, traded for the 3× cheaper production hash) and
     // verified Jaccard scores depend only on shingle-set identity under any
     // collision-free hash — so the exact all-pairs join IS its oracle.
     "d8_minhash_prod_hash" -> Q(
