@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.hashing
+
+/** Deterministic sampling / data-mixing operators for training-data
+  * pipelines (north-star extension). `rand()`-based sampling is useless in
+  * a reproducible corpus build — retries, re-runs, and engines must agree
+  * on the sample — so every operator here derives its "randomness" from
+  * the shared md5 hash of a row id: reproducible, partition-independent,
+  * and replayable by the DuckDB oracle bit-for-bit.
+  *
+  * Scale design: both operators are a single codegen'd filter or one
+  * windowed rank per group — no extra shuffle beyond the per-group
+  * partitioning the semantics require, no driver-side state.
+  */
+object Sampling {
+
+  /** Hash of the id column used as the sampling coin: uniform on [0, 2^60). */
+  private def coin(idCol: Column): Column = hashing.h64(idCol.cast("string"))
+
+  /** Deterministic Bernoulli sample: keeps rows whose hash bucket (of
+    * 10 000) falls below `rate`·10 000. Exactly reproducible across runs,
+    * partitionings, and engines; disjoint bucket ranges give disjoint
+    * samples (e.g. train [0, 9000) vs held-out [9000, 10000)). */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    df.filter(coin(col(idCol)) % 10000 < (rate * 10000).toLong)
+  }
+
+  /** Per-group cap — the data-mixing primitive: at most `k` rows per group,
+    * chosen by hash order (a deterministic "random k") with the id as the
+    * final tie-break. One window rank per group; groups under the cap pass
+    * through whole. */
+  def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(coin(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

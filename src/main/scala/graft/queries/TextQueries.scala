@@ -133,6 +133,41 @@ object TextQueries {
            GROUP BY source ORDER BY source"""
       }),
 
+    // t6: deterministic Bernoulli sample — the reproducible train-split
+    // primitive. The sampling coin is the shared hash of doc_id, so the
+    // oracle replays the exact sample (and any rerun/engine agrees).
+    "t6_det_sample" -> Q(
+      (s, dir) => graft.ops.Sampling
+        .deterministicSample(T(s, dir, "documents"), "doc_id", rate = 0.25)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang")),
+      Some(
+        s"""SELECT lang, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents
+           WHERE ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000 < 2500
+           GROUP BY lang ORDER BY lang""")),
+
+    // t7: per-group cap — the data-mixing primitive (at most k docs per
+    // language, picked by deterministic hash order). Oracle replays the
+    // rank; the per-source counts of survivors are the checked output.
+    "t7_per_lang_cap" -> Q(
+      (s, dir) => graft.ops.Sampling
+        .perGroupCap(T(s, dir, "documents"), "lang", "doc_id", k = 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("source")),
+      Some(
+        s"""SELECT source, count(*) AS docs,
+             CAST(sum(doc_id) AS BIGINT) AS id_checksum
+           FROM (
+             SELECT source, doc_id, row_number() OVER (PARTITION BY lang
+               ORDER BY ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS rn
+             FROM documents)
+           WHERE rn <= 20 GROUP BY source ORDER BY source""")),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake

@@ -248,6 +248,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
   }
 
+  test("deterministicSample: reproducible, monotone in rate, disjointable") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def ids(rate: Double) = Sampling.deterministicSample(d, "doc_id", rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25a = ids(0.25); val s25b = ids(0.25); val s50 = ids(0.5)
+    assert(s25a == s25b) // bit-reproducible across runs
+    assert(s25a.subsetOf(s50)) // nested samples: bucket ranges are prefixes
+    assert(s25a.nonEmpty && s50.size < d.count())
+  }
+
+  test("perGroupCap keeps at most k per group, deterministically") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val capped = Sampling.perGroupCap(d, "lang", "doc_id", 5)
+    val byLang = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.forall(_ <= 5))
+    val again = Sampling.perGroupCap(d, "lang", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == capped.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
+
   test("hyperplane components are in [-1, 1] and deterministic") {
     val v = hashing.hyperplane(3, 17)
     assert(v >= -1.0 && v <= 1.0)
