@@ -30,6 +30,23 @@ object Sampling {
     df.filter(coin(col(idCol)) % 10000 < (rate * 10000).toLong)
   }
 
+  /** Per-group TOKEN budget — the corpus-sizing primitive: walk each
+    * group's rows in deterministic hash order and keep rows while the
+    * running token total stays within `budget` (the first row that would
+    * overflow is excluded, as are all after it — a fixed prefix of the
+    * hash order, so the selection is exactly reproducible). One windowed
+    * cumulative sum per group. */
+  def perGroupTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(coin(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Per-group cap — the data-mixing primitive: at most `k` rows per group,
     * chosen by hash order (a deterministic "random k") with the id as the
     * final tie-break. One window rank per group; groups under the cap pass

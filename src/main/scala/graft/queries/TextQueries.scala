@@ -168,6 +168,27 @@ object TextQueries {
              FROM documents)
            WHERE rn <= 20 GROUP BY source ORDER BY source""")),
 
+    // t8: per-language token budget — fill each language's slice of the
+    // training mix up to a fixed token count, walking docs in
+    // deterministic hash order. The oracle replays the windowed
+    // cumulative sum exactly.
+    "t8_token_budget" -> Q(
+      (s, dir) => graft.ops.Sampling
+        .perGroupTokenBudget(T(s, dir, "documents"), "lang", "doc_id",
+          "n_chars", budget = 20000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang")),
+      Some(
+        s"""SELECT lang, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM (
+             SELECT lang, n_chars, sum(n_chars) OVER (PARTITION BY lang
+               ORDER BY ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM documents)
+           WHERE cum <= 20000 GROUP BY lang ORDER BY lang""")),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake
