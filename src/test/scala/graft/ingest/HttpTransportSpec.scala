@@ -4,14 +4,14 @@ import java.net.InetSocketAddress
 import java.time.Duration
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
 
+import graft.SparkSpec
 import HttpTransport.HttpConfig
 
 /** Default HTTP transport against a local fixture server (no egress):
   * GET/POST round-trips, redirect following, latin-1 decoding, and the
   * validity-probe retry discipline. */
-class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
+class HttpTransportSpec extends SparkSpec with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var base: String = _
@@ -32,6 +32,12 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/redir", (ex: HttpExchange) =>
       respond(ex, 302, Array.emptyByteArray,
         Map("Location" -> s"$base/page")))
+    server.createContext("/bcrp", (ex: HttpExchange) =>
+      respond(ex, 200,
+        ("""{"config":{"series":[{"name":"Tipo de cambio (S/ por US$)"}]},"""
+          + """"periods":[{"name":"Ene.2023","values":["3400.50"]},"""
+          + """{"name":"Feb.2023","values":["n.d."]}]}""")
+          .getBytes("UTF-8")))
     server.createContext("/missing", (ex: HttpExchange) =>
       respond(ex, 404, "not here".getBytes))
     server.createContext("/echo", (ex: HttpExchange) => {
@@ -95,5 +101,31 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no handler ever sleeps here; just assert the config plumbs through
     val cfg = HttpConfig(timeout = Duration.ofMillis(1500))
     assert(HttpTransport.getString(s"$base/page", cfg).nonEmpty)
+  }
+
+  test("BCRP pipeline end-to-end over the live fetcher (local fixture API)") {
+    import org.apache.spark.sql.functions.broadcast
+    import graft.cache.ParquetCache
+    import graft.model.SeriesQuery
+    import graft.pipelines.{BCRPLive, BCRPPipeline}
+    val scratch = new java.io.File("target/scratch/bcrp_live")
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec); f.delete()
+    }
+    rec(scratch)
+    val catalog = {
+      import spark.implicits._
+      Seq(("PN01234PM", "tipo de cambio", "M")).toDF("code", "description", "freq")
+    }
+    val pipe = new BCRPPipeline(spark,
+      new ParquetCache(spark, scratch.getPath), catalog)
+    val q = SeriesQuery(Seq("PN01234PM"), "2023-1", "2023-12")
+    // the ONLY injection is the API base url -> the local fixture server
+    val result = pipe.run(q,
+      (_, codes) => BCRPLive.fetcher(spark, q, apiBase = s"$base/bcrp/api")(codes))
+    val rows = result("M").orderBy("date").collect()
+    assert(rows.map(_.getDate(0).toString).toSeq ==
+      Seq("2023-01-01", "2023-02-01"))
+    assert(rows(0).getDouble(1) == 3400.5 && rows(1).isNullAt(1)) // n.d. -> null
   }
 }
