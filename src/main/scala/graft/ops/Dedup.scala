@@ -146,6 +146,57 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
+  /** Cross-corpus exact Jaccard over candidate (a = left id, b = right id)
+    * pairs: each side joins back to its OWN distinct hashed-shingle set.
+    * The cross twin of [[jaccardPairs]]. */
+  def crossJaccardPairs(hashedL: DataFrame, hashedR: DataFrame,
+      candidates: DataFrame, threshold: Double): DataFrame = {
+    val setsL = hashedL.distinct()
+    val setsR = hashedR.distinct()
+    val sizesL = setsL.groupBy("id").agg(count(lit(1)).as("na"))
+    val sizesR = setsR.groupBy("id").agg(count(lit(1)).as("nb"))
+    val inter = candidates
+      .join(setsL.select(col("id").as("a"), col("h")), Seq("a"))
+      .join(setsR.select(col("id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizesL.select(col("id").as("a"), col("na")), "a")
+      .join(sizesR.select(col("id").as("b"), col("nb")), "b")
+      .withColumn("jac",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+  }
+
+  /** BENCHMARK DECONTAMINATION — cross-corpus near-dup detection: MinHash
+    * signatures and LSH bands are built per side, candidates come from the
+    * cross-side band equi-join only (no within-side pairs), and every
+    * candidate is exact-Jaccard verified against the two shingle sets.
+    * Returns (a = `left` id, b = `right` id, jac) — the eval-set rows to
+    * drop from `right` (or training docs to quarantine in `left`) before
+    * training. Same scale shape as [[minhashLshPairs]]: the pair blow-up is
+    * bounded by band buckets, never |L|·|R|. */
+  def crossCorpusNearDups(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.8,
+      maxBucketSize: Int = 0, hash: Column => Column = hashing.h64): DataFrame = {
+    val shL = hashedShingles(left, idCol, textCol, k, hash)
+    val shR = hashedShingles(right, idCol, textCol, k, hash)
+    val bandsL = lshBands(minhashSignatures(shL))
+    val bandsR = lshBands(minhashSignatures(shR))
+    val sized: DataFrame => DataFrame = b =>
+      if (maxBucketSize <= 0) b
+      else {
+        val counts = b.groupBy("band", "bandKey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+        b.join(counts.select("band", "bandKey"), Seq("band", "bandKey"))
+      }
+    val cands = sized(bandsL).alias("x").join(sized(bandsR).alias("y"),
+        col("x.band") === col("y.band") && col("x.bandKey") === col("y.bandKey"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    crossJaccardPairs(shL, shR, cands, threshold)
+  }
+
   /** MinHash + LSH near-dup pairs, exact-Jaccard verified. `hash` picks the
     * shingle hash: [[hashing.h64]] (md5-derived, oracle-replayable — the
     * default so checked queries stay bit-verifiable) or [[hashing.xxh60]]

@@ -167,6 +167,63 @@ object DedupQueries {
            GROUP BY lang ORDER BY lang"""
       }),
 
+    // e2: BENCHMARK DECONTAMINATION — the corpus split deterministically
+    // into a train half and an eval half (shared-hash buckets, so the
+    // oracle replays the split), then cross-corpus MinHash-LSH: bands per
+    // side, candidates from the cross-side band join only, exact-Jaccard
+    // verified. Output = the (train, eval) near-dup pairs a real pipeline
+    // would quarantine before training.
+    "e2_decontaminate" -> Q(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        Dedup.crossCorpusNearDups(
+            d.filter(coin < 5000), d.filter(coin >= 5000),
+            "doc_id", "text", k = 3, threshold = 0.9)
+          .orderBy(col("a"), col("b"))
+      },
+      Some {
+        val mins = (0 until NumHashes)
+          .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j")
+          .mkString(", ")
+        def bandsSql(mh: String): String = (0 until Bands).map { bnd =>
+          val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j")
+            .mkString(", ")
+          s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM $mh"
+        }.mkString(" UNION ALL ")
+        def side(n: String, pred: String): String =
+          s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
+               FROM documents WHERE $pred),
+             ${n}sh AS (SELECT doc_id, unnest(
+                 CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                      ELSE list_transform(generate_series(1, len(toks)-2),
+                        i -> array_to_string(list_slice(toks, i, i+2), ' '))
+                 END) AS s
+               FROM ${n}tok),
+             ${n}hs AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM ${n}sh),
+             ${n}mh AS (SELECT doc_id, $mins FROM ${n}hs GROUP BY doc_id),
+             ${n}bands AS (${bandsSql(s"${n}mh")}),
+             ${n}set AS (SELECT DISTINCT doc_id, h FROM ${n}hs),
+             ${n}sizes AS (SELECT doc_id, count(*) AS n FROM ${n}set
+               GROUP BY doc_id)"""
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH ${side("l", s"$coin < 5000")},
+           ${side("r", s"$coin >= 5000")},
+           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM lbands x JOIN rbands y
+               ON x.band = y.band AND x.key = y.key),
+           inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+             JOIN lset sa ON sa.doc_id = c.a
+             JOIN rset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b)
+           SELECT i.a, i.b,
+             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
+           FROM inter i JOIN lsizes sa ON sa.doc_id = i.a
+             JOIN rsizes sb ON sb.doc_id = i.b
+           WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= 0.9
+           ORDER BY i.a, i.b"""
+      }),
+
     // d4: exact all-pairs n-gram Jaccard (inverted-index join, no LSH).
     "d4_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id",

@@ -248,6 +248,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
   }
 
+  test("crossCorpusNearDups finds exactly the cross-side near-dup pairs") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val left = d.filter($"doc_id" % 2 === 0)
+    val right = d.filter($"doc_id" % 2 === 1)
+    val cross = Dedup.crossCorpusNearDups(left, right, "doc_id", "text",
+        3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the exact all-pairs join restricted to cross-side pairs
+    val allPairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = allPairs.collect {
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (a, b)
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (b, a)
+    }
+    assert(cross == expected)
+    assert(cross.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 })
+  }
+
   test("deterministicSample: reproducible, monotone in rate, disjointable") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     def ids(rate: Double) = Sampling.deterministicSample(d, "doc_id", rate)
