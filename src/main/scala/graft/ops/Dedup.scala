@@ -78,16 +78,22 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.bandKey").as("bandKey"))
   }
 
+  /** Drop degenerate LSH buckets larger than `maxBucketSize` (0 = keep
+    * all): a 10k-doc boilerplate bucket contributes 50M pairs and no
+    * information. Shared by the self-join and cross-corpus candidate
+    * generators. */
+  def capBuckets(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    if (maxBucketSize <= 0) bands
+    else {
+      val counts = bands.groupBy("band", "bandKey")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      bands.join(counts.select("band", "bandKey"), Seq("band", "bandKey"))
+    }
+
   /** Candidate pairs (a < b) from LSH buckets; `maxBucketSize` guards the
     * quadratic blow-up of degenerate buckets at scale (0 = unlimited). */
   def lshCandidatePairs(bands: DataFrame, maxBucketSize: Int = 0): DataFrame = {
-    val sized =
-      if (maxBucketSize <= 0) bands
-      else {
-        val counts = bands.groupBy("band", "bandKey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
-        bands.join(counts.select("band", "bandKey"), Seq("band", "bandKey"))
-      }
+    val sized = capBuckets(bands, maxBucketSize)
     sized.alias("x").join(sized.alias("y"),
         col("x.band") === col("y.band") &&
           col("x.bandKey") === col("y.bandKey") &&
@@ -102,25 +108,12 @@ object Dedup {
     * pairs; pass all-pairs-sharing-a-shingle for the exact (no-LSH)
     * variant. */
   def jaccardPairs(hashed: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
-    // sizes + both intersection joins consume the same distinct: Spark's
-    // exchange reuse dedups the shuffle, and A/B-measured an explicit
-    // localCheckpoint here as a net LOSS (eager materialization costs more
-    // than the reused exchange).
-    val sets = hashed.distinct()
-    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sets.select(col("id").as("a"), col("h")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("h")), Seq("b", "h"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jac",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
-  }
+      threshold: Double): DataFrame =
+    // One Jaccard tail for the self-join and cross-corpus paths: the two
+    // side plans are structurally identical here, so Spark's canonical-
+    // plan exchange reuse dedups the distinct exactly as a shared `val`
+    // would (A/B-measured; an eager localCheckpoint was a net LOSS).
+    crossJaccardPairs(hashed, hashed, candidates, threshold)
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold. Intersection counts come
     * straight off the inverted-index self-join (each shared shingle is one
@@ -183,14 +176,8 @@ object Dedup {
     val shR = hashedShingles(right, idCol, textCol, k, hash)
     val bandsL = lshBands(minhashSignatures(shL))
     val bandsR = lshBands(minhashSignatures(shR))
-    val sized: DataFrame => DataFrame = b =>
-      if (maxBucketSize <= 0) b
-      else {
-        val counts = b.groupBy("band", "bandKey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
-        b.join(counts.select("band", "bandKey"), Seq("band", "bandKey"))
-      }
-    val cands = sized(bandsL).alias("x").join(sized(bandsR).alias("y"),
+    val cands = capBuckets(bandsL, maxBucketSize).alias("x")
+      .join(capBuckets(bandsR, maxBucketSize).alias("y"),
         col("x.band") === col("y.band") && col("x.bandKey") === col("y.bandKey"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()

@@ -27,7 +27,9 @@ object Sampling {
     * samples (e.g. train [0, 9000) vs held-out [9000, 10000)). */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
-    df.filter(coin(col(idCol)) % 10000 < (rate * 10000).toLong)
+    // round, don't truncate: 0.3 * 10000 is 2999.999… in binary floating
+    // point, and a floored threshold would silently shift the split bucket
+    df.filter(coin(col(idCol)) % 10000 < math.round(rate * 10000))
   }
 
   /** Per-group TOKEN budget — the corpus-sizing primitive: walk each

@@ -2,6 +2,7 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.ingest.HttpTransport
 import graft.model.SeriesQuery
@@ -31,14 +32,33 @@ object BCRPLive {
       end: String): String =
     s"$apiBase/${codes.mkString("-")}/json/$begin/$end/ing"
 
+  /** The API response shape, pinned explicitly (no inference job, and a
+    * malformed payload fails as a controlled parse error, not an opaque
+    * unresolved-column analysis exception). */
+  val responseSchema: StructType = StructType(Seq(
+    StructField("config", StructType(Seq(
+      StructField("series", ArrayType(StructType(Seq(
+        StructField("name", StringType)))))))),
+    StructField("periods", ArrayType(StructType(Seq(
+      StructField("name", StringType),
+      StructField("values", ArrayType(StringType))))))))
+
   /** Parse one API JSON payload into the long frame
-    * (date_str, series, value) with `series` = the requested code. */
+    * (date_str, series, value) with `series` = the requested code.
+    * Values are positional per the API contract; the response MUST carry
+    * exactly one series per requested code — anything else (a dropped
+    * series, an error payload) would silently misattribute values to the
+    * wrong codes, so it fails loudly instead. */
   def parseLong(spark: SparkSession, json: String,
       codes: Seq[String]): DataFrame = {
     import spark.implicits._
+    val df = spark.read.schema(responseSchema).json(Seq(json).toDS())
+    val nSeries = df.select(size(col("config.series"))).head().getInt(0)
+    require(nSeries == codes.length,
+      s"BCRP response carries $nSeries series for ${codes.length} requested " +
+        s"codes (${codes.mkString(",")}) — refusing positional mapping")
     val codeArr = array(codes.map(lit): _*)
-    spark.read.json(Seq(json).toDS())
-      .select(explode(col("periods")).as("p"))
+    df.select(explode(col("periods")).as("p"))
       .select(col("p.name").as("date_str"),
         posexplode(col("p.values")).as(Seq("__i", "value")))
       .select(col("date_str"),

@@ -104,7 +104,6 @@ class HttpTransportSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("BCRP pipeline end-to-end over the live fetcher (local fixture API)") {
-    import org.apache.spark.sql.functions.broadcast
     import graft.cache.ParquetCache
     import graft.model.SeriesQuery
     import graft.pipelines.{BCRPLive, BCRPPipeline}
