@@ -225,8 +225,14 @@ object Dedup {
     val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
     val sym = p0.select(col("a").as("src"), col("b").as("dst"))
       .union(p0.select(col("b").as("src"), col("a").as("dst")))
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("root", col("id")).localCheckpoint()
+    // Seed labels with min(id, min neighbor) — exactly what the first
+    // propagation round would compute from identity labels, for the cost
+    // of one aggregation instead of a full join round. Near-dup components
+    // (pairs/triangles) then converge in a single confirming round.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("root"))
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {

@@ -70,6 +70,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e2: cross-corpus decontamination joins are all equi-joins") {
+    val p = plan("e2_decontaminate")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d7: banded-LSH cosine join is equi-join only, scoring codegen'd") {
     val p = plan("d7_embedding_neardup_lsh")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
