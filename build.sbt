@@ -14,6 +14,10 @@ Test / fork := true
 // (c2 bucketed tables, memory-sink names) — run them sequentially.
 Test / parallelExecution := false
 run / fork := true
+// Forked-run output must reach stdout RAW: sbt's default strategy wraps every
+// child line in its logger ("[info] ..."), which corrupts Bench/Verify's
+// machine-read JSON lines for any consumer that tail-parses sbt output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

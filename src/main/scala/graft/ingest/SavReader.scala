@@ -1,0 +1,270 @@
+package graft.ingest
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** SPSS system-file (`.sav`) reader — completes SURVEY §2 S10.
+  *
+  * The reference ingests INEI survey microdata preferring SPSS first
+  * (`/root/reference/perustats/inei/constants.py:19`,
+  * `inei/fetcher.py:136-137`; `notebooks/inei/enaho_split_data.ipynb` loads
+  * modules with `pd.read_spss`). INEI distributes ENAHO modules as `.sav`,
+  * so this is the format the flagship pipeline actually meets first. There
+  * is no public Spark reader; the binary layout is public knowledge via the
+  * GNU PSPP project's system-file format documentation, implemented here
+  * directly:
+  *
+  *   header `$FL2` (176 B) → type-2 variable records (numeric / string with
+  *   `-1` continuations for widths > 8) → type-3/4 value-label records →
+  *   type-6 documents → type-7 extension subrecords (skipped generically) →
+  *   type-999 dictionary terminator → case data, either raw 8-byte elements
+  *   or bytecode-compressed (command codes: 0 pad, 1..251 biased numeric,
+  *   252 EOF, 253 literal block follows, 254 eight spaces, 255 sysmis).
+  *
+  * Semantics match the reference's pandas path: every SPSS numeric is a
+  * DOUBLE (`pd.read_spss` yields float64), strings decode latin-1 with
+  * trailing space padding stripped (S8 encoding handling), and both the
+  * system-missing value and each variable's declared user-missing values
+  * (discrete and range forms) become SQL nulls. Value labels pass through
+  * as codes, like [[StataReader]].
+  *
+  * Scale design: identical to [[StataReader]] — the parser is a pure
+  * `Array[Byte] => rows` function distributed one-task-per-file via
+  * `binaryFiles`, which matches the INEI corpus shape (thousands of
+  * per-module files). A cross-file schema guard fails loudly on drift.
+  */
+object SavReader {
+
+  private val HeaderSize = 176
+  /** SPSS system-missing: the most-negative finite double. */
+  private val SysMis = -java.lang.Double.MAX_VALUE
+
+  /** Per-variable user-missing declaration. `lo`/`hi` bound an inclusive
+    * range (NaN when absent); `discrete` lists individual missing codes. */
+  final case class MissingSpec(discrete: Array[Double], lo: Double, hi: Double) {
+    def matches(v: Double): Boolean =
+      (!lo.isNaN && v >= lo && v <= hi) || discrete.exists(_ == v)
+  }
+  private val NoMissing = MissingSpec(Array.empty, Double.NaN, Double.NaN)
+
+  /** Parsed dictionary. `widths(i)` is 0 for numeric, else the declared
+    * string width; every variable spans `ceil(max(width,8)/8)` 8-byte data
+    * elements. */
+  final case class SavLayout(schema: StructType, widths: Array[Int],
+      missing: Array[MissingSpec], compressed: Boolean, bias: Double,
+      nCases: Int, dataOffset: Int, order: ByteOrder)
+
+  private def elementsOf(width: Int): Int =
+    if (width <= 0) 1 else (width + 7) / 8
+
+  /** Parse header + all dictionary records; `dataOffset` lands on the first
+    * data byte after the type-999 terminator. */
+  def layout(bytes: Array[Byte]): SavLayout = {
+    require(bytes.length > HeaderSize, "truncated .sav file")
+    require(new String(bytes, 0, 4, "ISO-8859-1") == "$FL2",
+      "not an SPSS system file (missing $FL2 signature; compressed .zsav " +
+        "is unsupported — re-export uncompressed or bytecode-compressed)")
+    // layout_code (int32 at offset 64) is always 2; its byte order reveals
+    // the writer's endianness.
+    val le = ByteBuffer.wrap(bytes, 64, 4).order(ByteOrder.LITTLE_ENDIAN)
+      .getInt == 2
+    val order = if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require(buf.getInt(64) == 2, s"unsupported .sav layout code ${buf.getInt(64)}")
+    val compression = buf.getInt(72)
+    require(compression == 0 || compression == 1,
+      s"unsupported .sav compression $compression (only none/bytecode)")
+    val nCases = buf.getInt(80)
+    val bias = buf.getDouble(84)
+
+    val names = ArrayBuffer.empty[String]
+    val widths = ArrayBuffer.empty[Int]
+    val missing = ArrayBuffer.empty[MissingSpec]
+    var off = HeaderSize
+    var done = false
+    while (!done) {
+      buf.getInt(off) match {
+        case 2 => // variable record
+          val vtype = buf.getInt(off + 4)
+          val hasLabel = buf.getInt(off + 8)
+          val nMissing = buf.getInt(off + 12)
+          val name = new String(bytes, off + 24, 8, "ISO-8859-1").trim
+          off += 32
+          if (hasLabel == 1) {
+            val len = buf.getInt(off)
+            off += 4 + ((len + 3) / 4) * 4 // label text padded to 4 bytes
+          }
+          val mvals = Array.fill(math.abs(nMissing)) {
+            val v = buf.getDouble(off); off += 8; v
+          }
+          if (vtype >= 0) { // -1 continuations carry no new variable
+            names += name
+            widths += vtype
+            missing += (if (vtype == 0) nMissing match {
+              case 0 => NoMissing
+              case n if n > 0 => MissingSpec(mvals, Double.NaN, Double.NaN)
+              // negative: first two doubles bound a range, any third is an
+              // additional discrete code.
+              case _ => MissingSpec(mvals.drop(2), mvals(0), mvals(1))
+            } else NoMissing) // string missing values don't null out here
+          }
+        case 3 => // value labels: count, then (8-byte value, len-byte label)
+          val n = buf.getInt(off + 4)
+          off += 8
+          var i = 0
+          while (i < n) {
+            val len = bytes(off + 8) & 0xff
+            off += 8 + ((len + 1 + 7) / 8) * 8 // value + padded label
+            i += 1
+          }
+        case 4 => // value-label variable indexes
+          off += 8 + buf.getInt(off + 4) * 4
+        case 6 => // documents: line_count 80-char lines
+          off += 8 + buf.getInt(off + 4) * 80
+        case 7 => // extension subrecord: subtype, size, count, payload
+          off += 16 + buf.getInt(off + 8) * buf.getInt(off + 12)
+        case 999 =>
+          off += 8 // terminator + int32 filler
+          done = true
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported .sav record type $other at offset $off")
+      }
+    }
+    val fields = names.zip(widths).map { case (n, w) =>
+      StructField(n, if (w == 0) DoubleType else StringType, nullable = true)
+    }
+    SavLayout(StructType(fields.toSeq), widths.toArray, missing.toArray,
+      compression == 1, bias, nCases, off, order)
+  }
+
+  /** Decode every case into Rows. Both raw and bytecode-compressed data
+    * reduce to a stream of 8-byte elements; cases are fixed-length element
+    * sequences over that stream. */
+  def rows(bytes: Array[Byte]): Iterator[Row] = {
+    val l = layout(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(l.order)
+    val elems = l.widths.map(elementsOf)
+    val caseElems = elems.sum
+    // Element stream: numeric Double or raw 8-byte chunk, abstracted over
+    // compression. `null` signals clean end-of-data.
+    var off = l.dataOffset
+    var cmdBlock = 0 // position of current command block
+    var cmdIdx = 8 // force initial fetch
+    var litOff = 0 // next literal block offset (follows the command block)
+    def nextElement(wantString: Boolean): Any = {
+      if (!l.compressed) {
+        if (off + 8 > bytes.length) return null
+        val r: Any =
+          if (wantString) new String(bytes, off, 8, "ISO-8859-1")
+          else buf.getDouble(off)
+        off += 8
+        return r
+      }
+      while (true) {
+        if (cmdIdx == 8) {
+          // The next command block starts right after the last consumed
+          // literal; the very first one sits at the data offset itself.
+          val pos = if (litOff == 0) off else litOff
+          if (pos + 8 > bytes.length) return null
+          cmdBlock = pos
+          litOff = pos + 8
+          cmdIdx = 0
+        }
+        val code = bytes(cmdBlock + cmdIdx) & 0xff
+        cmdIdx += 1
+        code match {
+          case 0 => () // padding — keep scanning
+          case 252 => return null // end of data
+          case 253 =>
+            if (litOff + 8 > bytes.length) return null
+            val r: Any =
+              if (wantString) new String(bytes, litOff, 8, "ISO-8859-1")
+              else buf.getDouble(litOff)
+            litOff += 8
+            return r
+          case 254 => return "        " // eight spaces (string chunk)
+          case 255 => return SysMis
+          case c => return (c - l.bias) // biased small integer
+        }
+      }
+      null // unreachable
+    }
+    new Iterator[Row] {
+      private var nextRow: Row = advance()
+      private var produced = 0
+      private def advance(): Row = {
+        if (l.nCases >= 0 && produced >= l.nCases) return null
+        val vals = new Array[Any](l.widths.length)
+        var i = 0
+        while (i < l.widths.length) {
+          if (l.widths(i) == 0) {
+            nextElement(wantString = false) match {
+              case null =>
+                return if (i == 0) null // clean boundary: no more cases
+                else throw new IllegalArgumentException(
+                  "truncated .sav data record")
+              case d: Double =>
+                vals(i) = if (d == SysMis || l.missing(i).matches(d)) null else d
+              case _ => ()
+            }
+          } else {
+            val sb = new java.lang.StringBuilder(elems(i) * 8)
+            var k = 0
+            while (k < elems(i)) {
+              nextElement(wantString = true) match {
+                case null => throw new IllegalArgumentException(
+                  "truncated .sav string value")
+                case s: String => sb.append(s)
+                case _ => ()
+              }
+              k += 1
+            }
+            // SPSS pads string values with trailing spaces to the element
+            // boundary; declared width then bounds the logical value.
+            var end = math.min(sb.length, l.widths(i))
+            while (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+            vals(i) = sb.substring(0, end)
+          }
+          i += 1
+        }
+        produced += 1
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Row = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
+
+  /** Read one local `.sav` file (driver-side edge, like the ZIP utility). */
+  def readSav(spark: SparkSession, path: String): DataFrame = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val schema = layout(bytes).schema
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows(bytes).toArray: _*), schema)
+  }
+
+  /** Distributed read of many `.sav` files (one task per file — the INEI
+    * corpus shape). All files must share the glob's first-file schema;
+    * divergence fails loudly (rows are positional — silent drift would land
+    * values in the wrong columns). */
+  def readSavFiles(spark: SparkSession, pattern: String): DataFrame = {
+    val files = spark.sparkContext.binaryFiles(pattern)
+    val schema = layout(files.first()._2.toArray()).schema
+    val rdd = files.flatMap { case (path, pds) =>
+      val bytes = pds.toArray()
+      val fileSchema = layout(bytes).schema
+      require(fileSchema == schema,
+        s"$path schema $fileSchema differs from the glob's first-file " +
+          s"schema $schema")
+      rows(bytes)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -24,8 +24,7 @@ import org.apache.spark.sql.types._
   * enough for one executor). Strings decode as latin-1, matching the
   * reference's INEI encoding handling (S8). Stata missing codes (values
   * above each numeric type's maximum valid value) become SQL nulls.
-  * `.sav`/SPSS remains external-convert (documented divergence: the binary
-  * format is proprietary and undocumented; Stata's is published).
+  * `.sav`/SPSS files are handled by [[SavReader]]; dBase by [[DbfReader]].
   * Value labels (categoricals) are not decoded — codes pass through.
   */
 object StataReader {

@@ -1,0 +1,198 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** S10: SPSS `.sav` ingest. The fixture is produced by an independent
+  * record-by-record writer below that follows the publicly documented
+  * system-file layout (GNU PSPP format docs) — header, string continuation
+  * records, value labels, documents, extension subrecords — in all three
+  * on-disk variants: bytecode-compressed, uncompressed, and big-endian.
+  * Covers numeric/string mapping, latin-1 decode, trailing-pad stripping,
+  * system-missing and user-missing (discrete + range) → nulls.
+  */
+class SavReaderSpec extends SparkSpec {
+
+  private val SysMis = -java.lang.Double.MAX_VALUE
+
+  /** Fixture writer — intentionally structured as a flat record emitter
+    * (not sharing any code or tables with SavReader). */
+  private def savBytes(compressed: Boolean,
+      order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    def i32(v: Int): Unit =
+      bos.write(ByteBuffer.allocate(4).order(order).putInt(v).array())
+    def f64(v: Double): Unit =
+      bos.write(ByteBuffer.allocate(8).order(order).putDouble(v).array())
+    def pad(s: String, w: Int): Unit = {
+      val b = s.getBytes("ISO-8859-1")
+      bos.write(b, 0, math.min(b.length, w))
+      (b.length until w).foreach(_ => bos.write(' '))
+    }
+
+    // --- file header ($FL2, 176 bytes) ---
+    pad("$FL2", 4)
+    pad("@(#) SPSS DATA FILE graft spec writer", 60)
+    i32(2) // layout_code
+    i32(5) // nominal case size: id(1) + score(1) + name(2) + grp(1)
+    i32(if (compressed) 1 else 0)
+    i32(0) // weight index: none
+    i32(5) // ncases
+    f64(100.0) // compression bias
+    pad("12 Aug 26", 9)
+    pad("12:00:00", 8)
+    pad("graft .sav fixture", 64)
+    pad("", 3)
+
+    // --- variable records (type 2) ---
+    def varRec(vtype: Int, name: String, label: Option[String],
+        discreteMissing: Seq[Double], rangeMissing: Option[(Double, Double)])
+        : Unit = {
+      i32(2); i32(vtype)
+      i32(if (label.isDefined) 1 else 0)
+      val nm = rangeMissing match {
+        case Some(_) => -(2 + discreteMissing.size)
+        case None => discreteMissing.size
+      }
+      i32(nm)
+      val fmt = if (vtype == 0) (5 << 16) | (8 << 8) | 2 // F8.2
+                else (1 << 16) | (vtype << 8) // A<w>
+      i32(fmt); i32(fmt)
+      pad(name, 8)
+      label.foreach { l =>
+        i32(l.length)
+        pad(l, ((l.length + 3) / 4) * 4)
+      }
+      rangeMissing.foreach { case (lo, hi) => f64(lo); f64(hi) }
+      discreteMissing.foreach(f64)
+    }
+    varRec(0, "ID", None, Nil, None)
+    varRec(0, "SCORE", Some("household score"), Seq(-9.0), None)
+    varRec(12, "NAME", None, Nil, None)
+    varRec(-1, "", None, Nil, None) // continuation for NAME's second element
+    varRec(0, "GRP", None, Nil, Some((97.0, 99.0)))
+
+    // --- value labels (type 3) + variable index (type 4) for GRP ---
+    i32(3); i32(2)
+    def vlabel(value: Double, label: String): Unit = {
+      f64(value)
+      bos.write(label.length)
+      pad(label, ((label.length + 1 + 7) / 8) * 8 - 1)
+    }
+    vlabel(1.0, "uno")
+    vlabel(2.0, "dos")
+    i32(4); i32(1); i32(5) // 1-based dict index of GRP (incl. continuation)
+
+    // --- documents (type 6) ---
+    i32(6); i32(1); pad("written by the graft spec fixture writer", 80)
+
+    // --- extension subrecord (type 7): flt64 info, skipped by readers ---
+    i32(7); i32(4); i32(8); i32(3)
+    f64(SysMis); f64(java.lang.Double.MAX_VALUE); f64(-SysMis)
+
+    // --- dictionary terminator ---
+    i32(999); i32(0)
+
+    // --- case data ---
+    val cmds = new ArrayBuffer[Int]
+    val lits = new ArrayBuffer[Array[Byte]]
+    def flushBlock(): Unit = if (cmds.nonEmpty) {
+      while (cmds.size < 8) cmds += 0
+      cmds.foreach(bos.write)
+      lits.foreach(bos.write)
+      cmds.clear(); lits.clear()
+    }
+    def cmd(c: Int): Unit = {
+      cmds += c
+      if (cmds.size == 8) flushBlock()
+    }
+    // literal must be registered before its 253 command: if that command
+    // completes a block, the flush has to carry this literal with it.
+    def lit8(b: Array[Byte]): Unit = { lits += b; cmd(253) }
+    def num(v: Double): Unit =
+      if (!compressed) f64(v)
+      else if (v == SysMis) cmd(255)
+      else if (v == math.rint(v) && v >= -99.0 && v <= 151.0) cmd(v.toInt + 100)
+      else lit8(ByteBuffer.allocate(8).order(order).putDouble(v).array())
+    def str(v: String, width: Int): Unit = {
+      val padded = v + " " * (((width + 7) / 8) * 8 - v.length)
+      padded.grouped(8).foreach { chunk =>
+        if (!compressed) pad(chunk, 8)
+        else if (chunk == "        ") cmd(254)
+        else lit8(chunk.getBytes("ISO-8859-1"))
+      }
+    }
+    def kase(id: Double, score: Double, name: String, grp: Double): Unit = {
+      num(id); num(score); str(name, 12); num(grp)
+    }
+    kase(1.0, 10.5, "Lima", 1.0)
+    kase(2.0, SysMis, "Cuzco Perú", 2.0)
+    kase(3.0, -9.0, "", 3.0)
+    kase(4.0, 20.0, "abcdefghijkl", 98.0)
+    kase(5.0, 7.0, "  x", 100.0)
+    if (compressed) { cmd(252); flushBlock() }
+    bos.toByteArray
+  }
+
+  private def write(bytes: Array[Byte], name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory("sav").resolve(name)
+    java.nio.file.Files.write(p, bytes)
+    p.toString
+  }
+
+  private val expectedSchema = StructType(Seq(
+    StructField("ID", DoubleType),
+    StructField("SCORE", DoubleType),
+    StructField("NAME", StringType),
+    StructField("GRP", DoubleType)))
+
+  private def checkValues(path: String): Unit = {
+    val df = SavReader.readSav(spark, path)
+    assert(df.schema == expectedSchema)
+    val rows = df.collect().sortBy(_.getDouble(0))
+    assert(rows.length == 5)
+    assert(rows(0).getDouble(1) == 10.5 && rows(0).getString(2) == "Lima" &&
+      rows(0).getDouble(3) == 1.0)
+    assert(rows(1).isNullAt(1), "system-missing must be null")
+    assert(rows(1).getString(2) == "Cuzco Perú", "latin-1 decode")
+    assert(rows(2).isNullAt(1), "user-missing discrete code -9 must be null")
+    assert(rows(2).getString(2) == "")
+    assert(rows(3).getString(2) == "abcdefghijkl", "full-width string")
+    assert(rows(3).isNullAt(3), "98 falls in the declared 97..99 range")
+    assert(rows(4).getString(2) == "  x",
+      "leading spaces kept, trailing pad stripped")
+    assert(rows(4).getDouble(3) == 100.0, "just above the range is valid")
+  }
+
+  test("bytecode-compressed .sav decodes (biased ints, literals, 254/255)") {
+    checkValues(write(savBytes(compressed = true), "c.sav"))
+  }
+
+  test("uncompressed .sav decodes identically") {
+    checkValues(write(savBytes(compressed = false), "u.sav"))
+  }
+
+  test("big-endian files are detected via the layout code") {
+    checkValues(write(
+      savBytes(compressed = true, order = ByteOrder.BIG_ENDIAN), "be.sav"))
+  }
+
+  test("readSavFiles distributes the parse and matches the local read") {
+    val path = write(savBytes(compressed = true), "d.sav")
+    val local = SavReader.readSav(spark, path).collect().map(_.toSeq).toSet
+    val dist = SavReader.readSavFiles(spark, path).collect().map(_.toSeq).toSet
+    assert(dist == local && dist.size == 5)
+  }
+
+  test("rejects non-system files loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SavReader.layout("ZSAV9999".getBytes ++ new Array[Byte](200))
+    }
+    assert(e.getMessage.contains("$FL2"))
+  }
+}
