@@ -71,6 +71,27 @@ object textstats {
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** Repetition signal (Gopher-style): fraction of n-gram occurrences that
+    * are duplicates of an earlier occurrence within the same document —
+    * 0 for fully novel text, → 1 for loops. Row-local array arithmetic
+    * (no explode, no shuffle); rounded to 4 so the oracle replays it. */
+  def dupNgramFraction(tok: Column, n: Int): Column = {
+    val sh = shingles(tok, n)
+    round(when(size(sh) === 0, lit(0.0))
+      .otherwise((size(sh) - size(array_distinct(sh))).cast("double") /
+        size(sh)), 4)
+  }
+
+  /** Repetition signal: share of n-gram occurrences claimed by the single
+    * most frequent n-gram (boilerplate/loop detector). O(distinct × total)
+    * per row — fine for natural documents, still row-local. */
+  def topNgramFraction(tok: Column, n: Int): Column = {
+    val sh = shingles(tok, n)
+    round(when(size(sh) === 0, lit(0.0))
+      .otherwise(array_max(transform(array_distinct(sh),
+        d => size(filter(sh, x => x === d)))).cast("double") / size(sh)), 4)
+  }
+
   /** Document fingerprint: minimum h64 over 8-token shingles of the
     * normalized text (winnowing-style). Equal fingerprints ⇒ the docs share
     * their minimal shingle — a cheap near-dup prefilter; exact dup when the

@@ -332,4 +332,39 @@ object Dedup {
       .distinct()
       .filter(col("dist") <= maxDist)
   }
+
+  /** Passage-level exact dedup (C4/RefinedWeb-style): each document is cut
+    * into consecutive non-overlapping k-token passages; across the whole
+    * corpus only the FIRST occurrence of each distinct passage (smallest
+    * (id, pos)) is kept. Returns one row per passage with its position and
+    * a `kept` flag, all non-text input columns preserved, so callers can
+    * either reassemble the scrubbed documents or aggregate retention stats.
+    *
+    * Scale design: the first-occurrence winner per passage is computed as a
+    * `min(struct(id, pos))` AGGREGATE keyed by the passage hash — unlike a
+    * row_number window, the partial min combines map-side, so a boilerplate
+    * passage repeated a billion times collapses to one row per map task
+    * before the shuffle. The flag join back is then an equi-join against
+    * one row per distinct passage; a skewed probe side there is AQE's
+    * standard split case. Passage cutting itself is row-local array
+    * arithmetic (no explode until the single keyed pass).
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String, k: Int,
+      hash: Column => Column = hashing.h64): DataFrame = {
+    val tok = textstats.tokens(col(textCol))
+    val passages =
+      when(size(tok) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(tok) - 1) / lit(k)).cast("int")),
+          i => array_join(slice(tok, i * k + 1, lit(k)), " ")))
+    val keep = df.columns.filterNot(_ == textCol).map(col)
+    val exploded = df
+      .select(keep :+ posexplode(passages).as(Seq("pos", "passage")): _*)
+      .withColumn("__ph", hash(col("passage")))
+    val firsts = exploded.groupBy(col("__ph"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    exploded.join(firsts, "__ph")
+      .withColumn("kept", struct(col(idCol), col("pos")) === col("__first"))
+      .drop("__ph", "__first")
+  }
 }

@@ -481,6 +481,42 @@ object DedupQueries {
                  ON bit_count(xor(n.bucket, q.bucket)) <= 1
                     AND n.vec_id <> q.vec_id))
            WHERE rank = 1 ORDER BY qid"""
-      })
+      }),
+
+    // d9: passage-level exact dedup — documents cut into non-overlapping
+    // 10-token passages, only the corpus-wide first occurrence of each
+    // distinct passage kept (C4/RefinedWeb-style scrub). The winner per
+    // passage is a min(struct) AGGREGATE (map-side combining — survives a
+    // boilerplate passage repeated a billion times), not a row_number
+    // window. The oracle replays the cut and the first-occurrence rule
+    // directly on the passage strings.
+    "d9_passage_dedup" -> Q(
+      (s, dir) => {
+        val pd = Dedup.passageDedup(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text", k = 10)
+        pd.groupBy(col("lang"))
+          .agg(
+            countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("passages"),
+            sum(col("kept").cast("int")).as("kept"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+           pass AS (
+             SELECT doc_id, lang, i AS pos,
+               array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ') AS p
+             FROM tok, (SELECT unnest(generate_series(0,
+                 (SELECT max(len(toks)) // 10 FROM tok))) AS i)
+             WHERE len(toks) > 0 AND i <= (len(toks) - 1) // 10),
+           flag AS (
+             SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+             FROM pass)
+           SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS passages,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           FROM flag GROUP BY lang ORDER BY lang"""))
   )
 }

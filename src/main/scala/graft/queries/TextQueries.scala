@@ -189,6 +189,106 @@ object TextQueries {
              FROM documents)
            WHERE cum <= 20000 GROUP BY lang ORDER BY lang""")),
 
+    // t9: Gopher-style repetition filter — per-doc duplicate-2-gram fraction
+    // and top-3-gram occupancy, banded at 0.2. Both signals are row-local
+    // array arithmetic (no shuffle before the final aggregate); the oracle
+    // replays the fractions exactly (DECIMAL sums for order independence).
+    "t9_repetition" -> Q(
+      (s, dir) => {
+        val tok = textstats.tokens(col("text"))
+        spread(T(s, dir, "documents"))
+          .select(col("lang"),
+            textstats.dupNgramFraction(tok, 2).as("dup2"),
+            textstats.topNgramFraction(tok, 3).as("top3"))
+          .withColumn("band",
+            when(col("dup2") > 0.2, "repetitive").otherwise("ok"))
+          .groupBy(col("lang"), col("band"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("dup2").cast("decimal(18,4)")).cast("double")
+              .as("dup2_sum"),
+            sum(col("top3").cast("decimal(18,4)")).cast("double")
+              .as("top3_sum"))
+          .orderBy(col("lang"), col("band"))
+      },
+      Some(
+        s"""SELECT lang, band, count(*) AS docs,
+             CAST(sum(CAST(dup2 AS DECIMAL(18,4))) AS DOUBLE) AS dup2_sum,
+             CAST(sum(CAST(top3 AS DECIMAL(18,4))) AS DOUBLE) AS top3_sum
+           FROM (
+             SELECT lang, dup2, top3,
+               CASE WHEN dup2 > 0.2 THEN 'repetitive' ELSE 'ok' END AS band
+             FROM (
+               SELECT lang,
+                 round(CASE WHEN len(sh2) = 0 THEN 0.0
+                   ELSE CAST(len(sh2) - len(list_distinct(sh2)) AS DOUBLE)
+                     / len(sh2) END, 4) AS dup2,
+                 round(CASE WHEN len(sh3) = 0 THEN 0.0
+                   ELSE CAST(list_max(list_transform(list_distinct(sh3),
+                       d -> len(list_filter(sh3, x -> x = d)))) AS DOUBLE)
+                     / len(sh3) END, 4) AS top3
+               FROM (
+                 SELECT lang,
+                   CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(toks)-1),
+                       i -> array_to_string(list_slice(toks, i, i+1), ' ')) END
+                     AS sh2,
+                   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(toks)-2),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')) END
+                     AS sh3
+                 FROM (SELECT lang, $sqlToks AS toks FROM documents))))
+           GROUP BY lang, band ORDER BY lang, band""")),
+
+    // t10: PII scrub — emails / IPv4s / phone numbers detected and masked.
+    // The corpus itself is PII-free, so the query PLANTS deterministic
+    // synthetic PII derived from doc_id on both sides, then verifies the
+    // detector counts and the redacted-length delta end-to-end.
+    "t10_pii_redact" -> Q(
+      (s, dir) => {
+        import graft.functions.pii
+        val salted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.2."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 call 555-010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        spread(T(s, dir, "documents"))
+          .select(col("lang"), salted.as("txt"))
+          .select(col("lang"),
+            pii.matchCount(col("txt"), pii.EmailRe).as("emails"),
+            pii.matchCount(col("txt"), pii.Ipv4Re).as("ips"),
+            pii.matchCount(col("txt"), pii.PhoneRe).as("phones"),
+            (length(col("txt")) - length(pii.redact(col("txt"))))
+              .as("masked_delta"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("emails")).as("email_total"),
+            sum(col("ips")).as("ip_total"),
+            sum(col("phones")).as("phone_total"),
+            sum(col("masked_delta")).as("delta_total"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        import graft.functions.pii
+        val salted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example.com from 10.2.' || CAST(doc_id % 200 AS VARCHAR) || " +
+          "'.7 call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        s"""SELECT lang, count(*) AS docs,
+             CAST(sum(emails) AS BIGINT) AS email_total,
+             CAST(sum(ips) AS BIGINT) AS ip_total,
+             CAST(sum(phones) AS BIGINT) AS phone_total,
+             CAST(sum(masked_delta) AS BIGINT) AS delta_total
+           FROM (
+             SELECT lang,
+               CAST(${pii.sqlMatchCount("txt", pii.EmailRe)} AS INTEGER) AS emails,
+               CAST(${pii.sqlMatchCount("txt", pii.Ipv4Re)} AS INTEGER) AS ips,
+               CAST(${pii.sqlMatchCount("txt", pii.PhoneRe)} AS INTEGER) AS phones,
+               CAST(length(txt) - length(${pii.sqlRedact("txt")}) AS INTEGER)
+                 AS masked_delta
+             FROM (SELECT lang, $salted AS txt FROM documents))
+           GROUP BY lang ORDER BY lang"""
+      }),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake
