@@ -62,4 +62,27 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Sequence packing — the batch-assembly primitive: per `partCol` stream,
+    * documents are laid end-to-end in deterministic hash order and chunked
+    * into fixed `budget`-token training sequences (documents straddle a
+    * boundary rather than leaving slack — the standard concat-and-chunk
+    * packing). Adds `seq_first`/`seq_last` (0-based sequence ids covering
+    * the doc) and `spans` (how many sequences it crosses). Everything is
+    * integer arithmetic on one windowed cumulative sum per stream, so runs,
+    * retries and engines agree exactly.
+    */
+  def packSequences(df: DataFrame, partCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(coin(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("seq_first",
+        expr(s"(__cum - $tokenCol) div $budget"))
+      .withColumn("seq_last", expr(s"(__cum - 1) div $budget"))
+      .withColumn("spans", col("seq_last") - col("seq_first") + lit(1))
+      .drop("__cum")
+  }
 }

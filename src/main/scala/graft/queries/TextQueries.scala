@@ -289,6 +289,66 @@ object TextQueries {
            GROUP BY lang ORDER BY lang"""
       }),
 
+    // t11: BM25 keyword retrieval — corpus stats (N, Σdl, df) as one
+    // broadcast aggregate row, scoring as a pure codegen'd map, top-10 via
+    // TakeOrderedAndProject. 'dup' is the corpus's one rare term (df≈5%),
+    // so the planted-duplicate docs should dominate the ranking.
+    "t11_bm25" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.bm25TopK(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text", terms = Seq("dup", "vector", "query"), k = 10)
+          .select(col("doc_id"), col("lang"), col("score"))
+      },
+      Some {
+        import graft.ops.TextSearch
+        val terms = Seq("dup", "vector", "query")
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        s"""WITH base AS (
+             SELECT doc_id, lang, len(toks) AS dl, $tfs
+             FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents)),
+           stats AS (
+             SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, $dfs
+             FROM base)
+           SELECT doc_id, lang, round(${TextSearch.sqlScore(terms)}, 4) AS score
+           FROM base, stats
+           ORDER BY score DESC, doc_id LIMIT 10"""
+      }),
+
+    // t12: sequence packing — per-source concat-and-chunk into 2048-token
+    // training sequences in deterministic hash order; integer-only window
+    // arithmetic, so the bin layout is exactly reproducible anywhere.
+    "t12_sequence_pack" -> Q(
+      (s, dir) => {
+        val packed = graft.ops.Sampling.packSequences(
+          T(s, dir, "documents"), "source", "doc_id", "n_chars",
+          budget = 2048L)
+        packed.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_chars")).as("total_tokens"),
+            (max(col("seq_last")) + 1).as("seqs"),
+            sum((col("spans") > 1).cast("int")).as("straddlers"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""SELECT source, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_tokens,
+             CAST(max((cum - 1) // 2048) + 1 AS BIGINT) AS seqs,
+             CAST(sum(CASE WHEN (cum - 1) // 2048 > (cum - n_chars) // 2048
+               THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
+           FROM (
+             SELECT source, n_chars, sum(n_chars) OVER (PARTITION BY source
+               ORDER BY ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM documents)
+           GROUP BY source ORDER BY source""")),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** t11 BM25 scoring properties + t12 sequence-packing invariants. */
+class TextSearchPackSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25: rare-term docs outrank common-term docs; no-term docs score 0") {
+    val docs = Seq(
+      (1L, "rare word here"),
+      (2L, "common common common words"),
+      (3L, "common words again and again"),
+      (4L, "nothing matching at all"),
+      (5L, "rare rare word")).toDF("doc_id", "text")
+    val scored = TextSearch.bm25(docs, "doc_id", "text",
+      Seq("rare", "common")).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(scored(4L) == 0.0, "no query term -> zero score")
+    // 'rare' appears in 2/5 docs, 'common' in 2/5 but with higher tf; the
+    // doc with tf=2 of the rare term must beat single-occurrence docs.
+    assert(scored(5L) > scored(1L), "higher tf raises the score")
+    assert(scored.values.forall(_ >= 0.0))
+  }
+
+  test("bm25TopK returns k rows ordered by rounded score then id") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, if (i % 4 == 0) "hit token" else "miss token"))
+      .toDF("doc_id", "text")
+    val top = TextSearch.bm25TopK(docs, "doc_id", "text", Seq("hit"), k = 3)
+      .select("doc_id").as[Long].collect()
+    assert(top.toSeq == Seq(0L, 4L, 8L), "equal scores fall back to id order")
+  }
+
+  test("packSequences: contiguous coverage, exact seq count, span arithmetic") {
+    val docs = Seq.tabulate(12)(i => (i.toLong, "s", 7 + i)).toDF(
+      "doc_id", "src", "ntok")
+    val packed = Sampling.packSequences(docs, "src", "doc_id", "ntok",
+      budget = 10L).collect()
+    val total = docs.agg(sum("ntok")).as[Long].head()
+    val maxSeq = packed.map(_.getAs[Long]("seq_last")).max
+    assert(maxSeq + 1 == (total + 9) / 10, "seqs = ceil(total/budget)")
+    packed.foreach { r =>
+      val (first, last, spans) = (r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("spans"))
+      assert(first <= last && spans == last - first + 1)
+      assert(spans <= r.getAs[Int]("ntok") / 10 + 2,
+        "a doc spans at most tokens/budget + 2 sequences")
+    }
+  }
+
+  test("packSequences is independent of input partitioning") {
+    val docs = Seq.tabulate(30)(i => (i.toLong, s"g${i % 2}", 5 + i % 9))
+      .toDF("doc_id", "src", "ntok")
+    def layout(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, "src", "doc_id", "ntok", budget = 16L)
+        .select("doc_id", "seq_first", "seq_last")
+        .collect().map(_.toSeq).toSet
+    assert(layout(docs.repartition(1)) == layout(docs.repartition(7)))
+  }
+}
