@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
   * payloads ride as opaque `binary` columns with typed metadata structs, and
   * per-row media work happens in partition-wise batches.
   *
-  * Codec status: IMAGE decode/resize and WAV-audio metadata are REAL — the
-  * JDK ships those codecs (`javax.imageio`: PNG/JPEG/BMP/GIF;
-  * `javax.sound.sampled`: WAV) so no external library is needed. Video
-  * keyframe extraction remains a STUB (no container parser in the JDK),
-  * clearly marked below. The Spark-side plumbing is shared and real:
+  * Codec status: IMAGE decode/resize, WAV-audio metadata, and MJPEG-in-AVI
+  * VIDEO keyframes are REAL — the JDK ships the image/audio codecs
+  * (`javax.imageio`: PNG/JPEG/BMP/GIF; `javax.sound.sampled`: WAV) and the
+  * AVI container is a plain RIFF chunk tree walked by [[aviVideoFrames]]
+  * (MJPEG frames are whole JPEGs, decodable by ImageIO). Non-RIFF
+  * containers (MP4/MKV) stay out of scope — no JDK parser — and the
+  * byte-slice `sampleFrames` below remains the generic STUB path for
+  * payloads with no parsed container. The Spark-side plumbing is shared
+  * and real:
   *  - an explicit, stable schema for payload + metadata (no inference);
   *  - `mapPartitions` batching with ONE decoder context per partition
   *    (codec/model init is the expensive part; per-row init is the classic
@@ -94,6 +98,90 @@ object Multimodal {
           new java.io.ByteArrayInputStream(r.payload))
         AudioMeta(r.id, aff.getFormat.getSampleRate.toDouble,
           aff.getFormat.getChannels, aff.getFrameLength.toLong)
+      }
+    }
+  }
+
+  /** Decoded video keyframe metadata. */
+  final case class VideoKeyframe(id: Long, frameIdx: Int, width: Int,
+      height: Int, avgLuma: Double)
+
+  /** Walk a RIFF/AVI chunk tree and yield the compressed-video chunk
+    * payloads (`##dc` entries inside the `movi` LIST) in stream order.
+    * Pure bytes→bytes, so it runs inside executors. Malformed containers
+    * fail loudly rather than yielding silent empties. */
+  def aviVideoFrames(bytes: Array[Byte]): Iterator[Array[Byte]] = {
+    def fourcc(off: Int): String = new String(bytes, off, 4, "ISO-8859-1")
+    def u32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "AVI ",
+      "not a RIFF/AVI container")
+    def walk(start: Int, end: Int): Iterator[Array[Byte]] =
+      new Iterator[Array[Byte]] {
+        private var off = start
+        private var nested: Iterator[Array[Byte]] = Iterator.empty
+        private var pending: Array[Byte] = advance()
+        private def advance(): Array[Byte] = {
+          while (true) {
+            if (nested.hasNext) return nested.next()
+            if (off + 8 > end) return null
+            val cc = fourcc(off)
+            val size = u32(off + 4).toInt
+            val dataOff = off + 8
+            off = dataOff + size + (size & 1) // chunks are word-aligned
+            if (cc == "LIST" && size >= 4) {
+              nested = walk(dataOff + 4, dataOff + size)
+            } else if (cc.endsWith("dc") && size > 0) {
+              return java.util.Arrays.copyOfRange(bytes, dataOff,
+                math.min(dataOff + size, bytes.length))
+            }
+          }
+          null // unreachable
+        }
+        override def hasNext: Boolean = pending != null
+        override def next(): Array[Byte] = {
+          val r = pending; pending = advance(); r
+        }
+      }
+    walk(12, bytes.length)
+  }
+
+  /** REAL video keyframe extraction for MJPEG-in-AVI payloads: every
+    * `##dc` chunk is a complete JPEG (in MJPEG each frame is a keyframe),
+    * decoded by ImageIO; `stride` subsamples (every stride-th frame) and
+    * `maxFrames` bounds output per video. Frames stream through the
+    * partition iterator — constant memory per task. */
+  def videoKeyframes(media: Dataset[MediaRow], stride: Int = 1,
+      maxFrames: Int = Int.MaxValue): Dataset[VideoKeyframe] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1 && maxFrames >= 1, "stride/maxFrames must be >= 1")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        aviVideoFrames(r.payload).zipWithIndex
+          .collect { case (f, i) if i % stride == 0 => (f, i) }
+          .take(maxFrames)
+          .map { case (f, i) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f))
+            require(img != null, s"undecodable frame $i in video ${r.id}")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            VideoKeyframe(r.id, i, w, h,
+              BigDecimal(sum / (w.toLong * h)).setScale(4,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
       }
     }
   }
