@@ -132,9 +132,14 @@ object DedupQueries {
       (s, dir) => {
         import graft.functions.textstats
         // spread BEFORE the quality filter: the per-row regex banding is
-        // the expensive part and must not run on the input's single split
+        // the expensive part and must not run on the input's single split.
+        // The filtered set feeds THREE plan branches (signatures, jaccard
+        // verify, final anti-join) — materialize it once instead of paying
+        // the scan + regex threefold (A/B ~20% here; at corpus scale the
+        // re-scans dominate; production would persist to executor storage).
         val good = spread(T(s, dir, "documents"))
           .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
+          .localCheckpoint()
         val cleaned = Dedup.dedupCorpus(good, "doc_id",
           Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
         cleaned.groupBy(col("lang"))

@@ -196,18 +196,23 @@ object TextQueries {
     "t9_repetition" -> Q(
       (s, dir) => {
         val tok = textstats.tokens(col("text"))
+        // Two-phase: the expensive signals are GROUPING KEYS of the first
+        // aggregate, so each evaluates exactly once per row — a flat
+        // select-then-filter would re-inline them into every consumer via
+        // projection collapse (band + two sums = 3 evaluations).
         spread(T(s, dir, "documents"))
-          .select(col("lang"),
+          .groupBy(col("lang"),
             textstats.dupNgramFraction(tok, 2).as("dup2"),
             textstats.topNgramFraction(tok, 3).as("top3"))
+          .agg(count(lit(1)).as("cnt"))
           .withColumn("band",
             when(col("dup2") > 0.2, "repetitive").otherwise("ok"))
           .groupBy(col("lang"), col("band"))
-          .agg(count(lit(1)).as("docs"),
-            sum(col("dup2").cast("decimal(18,4)")).cast("double")
-              .as("dup2_sum"),
-            sum(col("top3").cast("decimal(18,4)")).cast("double")
-              .as("top3_sum"))
+          .agg(sum(col("cnt")).as("docs"),
+            sum(col("dup2").cast("decimal(18,4)") * col("cnt"))
+              .cast("double").as("dup2_sum"),
+            sum(col("top3").cast("decimal(18,4)") * col("cnt"))
+              .cast("double").as("top3_sum"))
           .orderBy(col("lang"), col("band"))
       },
       Some(

@@ -82,4 +82,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("dot_product"), p)
   }
+
+  test("d9: passage winner is an aggregate + equi-join, no window/nested loop") {
+    val p = plan("d9_passage_dedup")
+    assert(p.contains("partial_min"), p) // map-side combining winner select
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p) // row_number would not combine map-side
+  }
+
+  test("t11: bm25 stats broadcast back as a single-row build side; top-k " +
+    "is TakeOrderedAndProject, not a global sort") {
+    val p = plan("t11_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats × corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p) // no full sort stage
+  }
+
+  test("t12: sequence packing is one window pass per stream") {
+    // AQE's plan string can print a subtree twice; count DISTINCT window
+    // definitions — the packing must need exactly one cumulative-sum pass.
+    val defs = plan("t12_sequence_pack").linesIterator
+      .map(_.trim).filter(_.startsWith("+- Window ")).toSet
+    assert(defs.size == 1, defs.mkString("\n"))
+  }
+
+  test("t9: repetition signals evaluate once (two-phase aggregate)") {
+    val p = plan("t9_repetition")
+    // the heavy signal exprs are grouping keys: two HashAggregate pairs
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
