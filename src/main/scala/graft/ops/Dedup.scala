@@ -367,4 +367,20 @@ object Dedup {
       .withColumn("kept", struct(col(idCol), col("pos")) === col("__first"))
       .drop("__ph", "__first")
   }
+
+  /** Rebuild scrubbed documents from their kept passages: one row per key
+    * group with the surviving passages rejoined in position order. The
+    * in-group sort is `array_sort` over collected (pos, passage) structs —
+    * collect_list order is partition-dependent, the sort makes the result
+    * exact. Documents whose every passage was dropped disappear (their text
+    * is fully redundant). */
+  def reassembleKept(passages: DataFrame, keyCols: Seq[String],
+      out: String = "text"): DataFrame =
+    passages.filter(col("kept"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("passage")))),
+          s => s.getField("passage")),
+        " ").as(out))
 }

@@ -73,4 +73,33 @@ object TextSearch {
       s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
          ((tf$i * ${K1 + 1}) / (tf$i + $K1 * (${1 - B} + $B * (dl / (dlsum / n)))))"""
     }.mkString(" + ")
+
+  /** Unigram-LM quality signal (CCNet-style, simplified): per-document
+    * token count and summed log-probability under the corpus's own unigram
+    * distribution — low (very negative) average log-prob flags documents
+    * whose token mix is unlike the corpus. Returns one row per document
+    * with `ntok` and `logp_sum`; divide at the edge for cross-entropy.
+    *
+    * Determinism: each token's log-prob is rounded to 6 decimals and summed
+    * as DECIMAL(18,6) — exact integer arithmetic, so the per-doc sum is
+    * identical under any partitioning and on any engine.
+    *
+    * Scale: one explode + two keyed aggregations. The unigram table is
+    * broadcast (a 10M-type vocabulary is ~100s of MB — broadcastable;
+    * beyond that drop the hint and let the join shuffle). */
+  def unigramLogProbs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    val toks = docs.select(keep :+
+      explode(textstats.tokens(col(textCol))).as("__t"): _*)
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum(col("__cnt")).as("__total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("__t"),
+        round(log(col("__cnt") / col("__total")), 6)
+          .cast("decimal(18,6)").as("__logp"))
+    toks.join(broadcast(logp), "__t")
+      .groupBy(keep.toSeq: _*)
+      .agg(count(lit(1)).as("ntok"), sum(col("__logp")).as("logp_sum"))
+  }
 }

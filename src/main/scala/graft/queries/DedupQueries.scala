@@ -522,6 +522,46 @@ object DedupQueries {
              FROM pass)
            SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS passages,
              CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept
-           FROM flag GROUP BY lang ORDER BY lang"""))
+           FROM flag GROUP BY lang ORDER BY lang""")),
+
+    // e3: corpus REWRITE through passage dedup — documents rebuilt from
+    // their surviving passages (position-ordered rejoin; fully-redundant
+    // docs vanish), reporting per-language byte savings. The in-group
+    // order comes from array_sort over (pos, passage) structs, never from
+    // collect_list's partition-dependent order.
+    "e3_rewrite_dedup" -> Q(
+      (s, dir) => {
+        val pd = Dedup.passageDedup(
+          spread(T(s, dir, "documents")
+            .select("doc_id", "lang", "n_chars", "text")),
+          "doc_id", "text", k = 10)
+        Dedup.reassembleKept(pd, Seq("doc_id", "lang", "n_chars"), "text2")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_chars")).as("orig_chars"),
+            sum(length(col("text2")).cast("long")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (
+             SELECT doc_id, lang, n_chars, $sqlToks AS toks FROM documents),
+           pass AS (
+             SELECT doc_id, lang, n_chars, i AS pos,
+               array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ') AS p
+             FROM tok, (SELECT unnest(generate_series(0,
+                 (SELECT max(len(toks)) // 10 FROM tok))) AS i)
+             WHERE len(toks) > 0 AND i <= (len(toks) - 1) // 10),
+           flag AS (
+             SELECT lang, doc_id, n_chars, pos, p,
+               row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+             FROM pass),
+           rebuilt AS (
+             SELECT doc_id, lang, n_chars,
+               string_agg(p, ' ' ORDER BY pos) AS text2
+             FROM flag WHERE rn = 1 GROUP BY doc_id, lang, n_chars)
+           SELECT lang, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS orig_chars,
+             CAST(sum(length(text2)) AS BIGINT) AS kept_chars
+           FROM rebuilt GROUP BY lang ORDER BY lang"""))
   )
 }

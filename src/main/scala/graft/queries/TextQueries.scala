@@ -354,6 +354,38 @@ object TextQueries {
              FROM documents)
            GROUP BY source ORDER BY source""")),
 
+    // t13: unigram-LM cross-entropy per language (CCNet-style quality
+    // signal, simplified): the corpus's own unigram distribution scores
+    // every document; per-token log-probs round to 6 decimals and sum as
+    // DECIMAL, so the result is partition- and engine-independent.
+    "t13_unigram_lm" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.unigramLogProbs(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("ntok")).as("tokens"),
+            round((sum(col("logp_sum")).cast("double") * lit(-1.0)) /
+              sum(col("ntok")), 4).as("cross_entropy"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH toks AS (
+             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+           vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+           tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+           lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6))
+                    AS logp FROM vocab, tot),
+           doc AS (
+             SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
+             FROM toks JOIN lp USING (t) GROUP BY doc_id, lang)
+           SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens,
+             round((CAST(sum(lsum) AS DOUBLE) * -1.0) / sum(ntok), 4)
+               AS cross_entropy
+           FROM doc GROUP BY lang ORDER BY lang""")),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake

@@ -39,4 +39,14 @@ class PassageDedupSpec extends SparkSpec {
     assert(pd.columns.toSet ==
       Set("doc_id", "lang", "pos", "passage", "kept"))
   }
+
+  test("reassembleKept rebuilds docs in position order; redundant docs vanish") {
+    val pd = Dedup.passageDedup(fixture, "doc_id", "text", k = 4)
+    val rebuilt = Dedup.reassembleKept(pd, Seq("doc_id"), "text2")
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == "a b c d e f g h i j k l")
+    assert(rebuilt(2L) == "x y z w", "duplicate head passage dropped")
+    assert(!rebuilt.contains(3L), "fully-redundant doc disappears")
+    assert(!rebuilt.contains(4L), "empty doc disappears")
+  }
 }

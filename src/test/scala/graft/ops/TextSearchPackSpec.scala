@@ -51,6 +51,25 @@ class TextSearchPackSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProbs: rarer token mixes score lower; sums are exact") {
+    val docs = Seq(
+      (1L, "the the the the"), // all high-frequency
+      (2L, "the odd one"), // mixes in rare tokens
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextSearch.unigramLogProbs(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ntok"), r.getAs[java.math.BigDecimal]("logp_sum")))
+      .toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 3)
+    // doc 1: 4 * round(ln(5/7), 6); 'the' appears 5 of 7 corpus tokens
+    val lnThe = BigDecimal(math.log(5.0 / 7)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(got(1L)._2) == lnThe * 4, s"got ${got(1L)._2}")
+    assert(BigDecimal(got(2L)._2) < BigDecimal(got(1L)._2),
+      "rare-token doc must have lower total log-prob")
+    assert(!got.contains(3L), "token-free docs drop out")
+  }
+
   test("packSequences is independent of input partitioning") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"g${i % 2}", 5 + i % 9))
       .toDF("doc_id", "src", "ntok")
