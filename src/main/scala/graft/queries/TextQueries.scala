@@ -61,6 +61,30 @@ object TextQueries {
              FROM (SELECT text, $sqlToks AS toks FROM documents))
            GROUP BY band ORDER BY band""")),
 
+    // st4: the t2 quality gate in CONTINUOUS form — a real streaming query
+    // (stateless banding map + complete-mode aggregate into a memory sink)
+    // whose drained output must equal the batch aggregate; the oracle is
+    // t2's, modulo column names. Registered here (not with st1-st3) to
+    // share the band SQL fragments.
+    "st4_stream_quality" -> Q(
+      (s, dir) => graft.streaming.Streams
+        .qualityGateStreaming(s, dir, name = s"graft_st4_${dir.hashCode.abs}")
+        .orderBy(col("band")),
+      Some(
+        s"""SELECT band, count(*) AS cnt, CAST(sum(ntok) AS BIGINT) AS tok_sum
+           FROM (
+             SELECT CASE
+                 WHEN len(toks) < 20 THEN 'short'
+                 WHEN round(CAST(length(text) - length(regexp_replace(text,
+                     '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 4) > 0.10 THEN 'noisy'
+                 WHEN round(CAST(${sqlStopHits(textstats.EnStop)} AS DOUBLE)
+                   / greatest(len(toks), 1), 4) >= 0.02 THEN 'good'
+                 ELSE 'odd' END AS band,
+               len(toks) AS ntok
+             FROM (SELECT text, $sqlToks AS toks FROM documents))
+           GROUP BY band ORDER BY band""")),
+
     // t3: whitespace vs. BPE-ish subword token counts per source.
     "t3_token_counts" -> Q(
       (s, dir) => spread(T(s, dir, "documents"))

@@ -88,6 +88,26 @@ object Streams {
     spark.table(name)
   }
 
+  /** STREAMING corpus-quality gate — the t2 curation operator in its
+    * continuous form: per-document banding is a stateless codegen'd map
+    * (streaming-safe by construction — no window, no join), and the
+    * per-band totals run as a complete-mode streaming aggregate. The same
+    * column functions serve batch and stream, so a corpus ingested
+    * continuously is gated by exactly the batch rules. */
+  def qualityGateStreaming(spark: SparkSession, dir: String,
+      name: String = "graft_st4"): DataFrame = {
+    import graft.functions.textstats
+    val q = readDocumentsStream(spark, dir)
+      .select(textstats.qualityBand(col("text")).as("band"),
+        textstats.tokenCount(col("text")).as("ntok"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("tok_sum"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)
