@@ -63,6 +63,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Stratified deterministic sample — the mixing-weights primitive: each
+    * group keeps its own Bernoulli rate (e.g. upsample scarce languages,
+    * downsample boilerplate-heavy sources). Thresholds are resolved to
+    * integer bucket bounds at PLAN time (`math.round(rate·10000)`), so the
+    * runtime filter is pure integer arithmetic on the shared hash coin —
+    * reproducible across runs, partitionings, and engines, and nested
+    * samples (same coin, lower rate) are strict subsets. Groups not in
+    * `rates` use `defaultRate`. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val threshold = rates.foldLeft(
+      lit(math.round(defaultRate * 10000)): Column) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    df.filter(coin(col(idCol)) % 10000 < threshold)
+  }
+
   /** Sequence packing — the batch-assembly primitive: per `partCol` stream,
     * documents are laid end-to-end in deterministic hash order and chunked
     * into fixed `budget`-token training sequences (documents straddle a

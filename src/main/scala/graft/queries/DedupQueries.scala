@@ -562,6 +562,62 @@ object DedupQueries {
            SELECT lang, count(*) AS docs,
              CAST(sum(n_chars) AS BIGINT) AS orig_chars,
              CAST(sum(length(text2)) AS BIGINT) AS kept_chars
-           FROM rebuilt GROUP BY lang ORDER BY lang"""))
+           FROM rebuilt GROUP BY lang ORDER BY lang""")),
+
+    // e4: decontamination by EXACT n-gram overlap (the GPT-3/Llama-style
+    // check, complementing e2's LSH near-dup form): eval-half documents
+    // sharing any 8-token shingle with the train half are contaminated.
+    // Hashed-shingle semi/equi joins only; the per-doc overlap count is an
+    // aggregation over 8-byte longs.
+    "e4_ngram_overlap" -> Q(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val trainSh = Dedup
+          .hashedShingles(d.filter(coin < 5000), "doc_id", "text", k = 8)
+          .select(col("h")).distinct()
+        val evalSh = Dedup
+          .hashedShingles(d.filter(coin >= 5000), "doc_id", "text", k = 8)
+          .distinct()
+        val overlap = evalSh.join(trainSh, Seq("h"), "left_semi")
+          .groupBy(col("id")).agg(count(lit(1)).as("ov"))
+        d.filter(coin >= 5000)
+          .select(col("doc_id").as("id"), col("lang"))
+          .join(overlap, Seq("id"), "left_outer")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("eval_docs"),
+            sum((coalesce(col("ov"), lit(0L)) > 0).cast("int"))
+              .as("contaminated"),
+            sum(coalesce(col("ov"), lit(0L))).as("shared_shingles"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        def side(n: String, pred: String): String =
+          s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
+               FROM documents WHERE $pred),
+             ${n}sh AS (SELECT doc_id, unnest(
+                 CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                      ELSE list_transform(generate_series(1, len(toks)-7),
+                        i -> array_to_string(list_slice(toks, i, i+7), ' '))
+                 END) AS s
+               FROM ${n}tok),
+             ${n}hs AS (SELECT DISTINCT doc_id, ${hashing.sqlH64("s")} AS h
+               FROM ${n}sh)"""
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH ${side("tr", s"$coin < 5000")},
+             ${side("ev", s"$coin >= 5000")},
+             trset AS (SELECT DISTINCT h FROM trhs),
+             hits AS (SELECT e.doc_id, count(*) AS ov
+               FROM evhs e JOIN trset t USING (h) GROUP BY e.doc_id)
+           SELECT lang, count(*) AS eval_docs,
+             CAST(sum(CASE WHEN coalesce(ov, 0) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS contaminated,
+             CAST(sum(coalesce(ov, 0)) AS BIGINT) AS shared_shingles
+           FROM (SELECT d.doc_id, d.lang, h.ov FROM documents d
+                 LEFT JOIN hits h ON h.doc_id = d.doc_id
+                 WHERE ${hashing.sqlH64("CAST(d.doc_id AS VARCHAR)")}
+                   % 10000 >= 5000)
+           GROUP BY lang ORDER BY lang"""
+      })
   )
 }

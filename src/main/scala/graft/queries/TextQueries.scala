@@ -378,6 +378,27 @@ object TextQueries {
              FROM documents)
            GROUP BY source ORDER BY source""")),
 
+    // t14: stratified mixing-weights sample — per-language Bernoulli rates
+    // (upsample scarce, downsample dominant) resolved to integer bucket
+    // thresholds at plan time; the oracle replays the CASE over the same
+    // shared-hash coin.
+    "t14_stratified_sample" -> Q(
+      (s, dir) => graft.ops.Sampling
+        .stratifiedSample(T(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.25, "fr" -> 0.2),
+          defaultRate = 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang")),
+      Some(
+        s"""SELECT lang, count(*) AS docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+           FROM documents
+           WHERE ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000 <
+             CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 3000
+               WHEN 'de' THEN 2500 WHEN 'fr' THEN 2000 ELSE 1000 END
+           GROUP BY lang ORDER BY lang""")),
+
     // t13: unigram-LM cross-entropy per language (CCNet-style quality
     // signal, simplified): the corpus's own unigram distribution scores
     // every document; per-token log-probs round to 6 decimals and sum as

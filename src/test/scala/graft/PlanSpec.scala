@@ -107,6 +107,20 @@ class PlanSpec extends SparkSpec {
     assert(defs.size == 1, defs.mkString("\n"))
   }
 
+  test("t13: unigram-LM joins broadcast; no shuffle of exploded tokens " +
+    "for the lookup") {
+    val p = plan("t13_unigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p) // token -> logp lookup
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e4: n-gram overlap decontamination is equi/semi joins only") {
+    val p = plan("e4_ngram_overlap")
+    assert(p.contains("LeftSemi"), p) // eval shingles probed against train
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t9: repetition signals evaluate once (two-phase aggregate)") {
     val p = plan("t9_repetition")
     // the heavy signal exprs are grouping keys: two HashAggregate pairs

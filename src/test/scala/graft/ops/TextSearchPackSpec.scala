@@ -70,6 +70,22 @@ class TextSearchPackSpec extends SparkSpec {
     assert(!got.contains(3L), "token-free docs drop out")
   }
 
+  test("stratifiedSample: per-group rates, nested-subset property") {
+    val docs = Seq.tabulate(2000)(i =>
+      (i.toLong, if (i % 2 == 0) "big" else "small")).toDF("doc_id", "grp")
+    def ids(rates: Map[String, Double]) =
+      Sampling.stratifiedSample(docs, "grp", "doc_id", rates, 0.0)
+        .select("doc_id").as[Long].collect().toSet
+    val half = ids(Map("big" -> 0.5, "small" -> 0.1))
+    val quarter = ids(Map("big" -> 0.25, "small" -> 0.05))
+    assert(quarter.subsetOf(half), "lower rates must nest inside higher")
+    val bigRate = half.count(_ % 2 == 0) / 1000.0
+    val smallRate = half.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(bigRate - 0.5) < 0.06, s"big rate $bigRate")
+    assert(math.abs(smallRate - 0.1) < 0.04, s"small rate $smallRate")
+    assert(ids(Map.empty).isEmpty, "default rate 0 keeps nothing")
+  }
+
   test("packSequences is independent of input partitioning") {
     val docs = Seq.tabulate(30)(i => (i.toLong, s"g${i % 2}", 5 + i % 9))
       .toDF("doc_id", "src", "ntok")
