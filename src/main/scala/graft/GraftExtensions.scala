@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DotProduct, Md5Long60, RollingHash, Slugify, StripAccents}
+import graft.functions.{DeflateLen, DotProduct, Md5Long60, RollingHash, Slugify, StripAccents}
 
 /** Spark session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT slugify(name) ...")` works the
@@ -46,7 +46,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => Md5Long60(args.head)),
     (FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(arr, arr) - strict left-fold double dot product"),
-      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    (FunctionIdentifier("deflate_len"),
+      info("deflate_len", "deflate_len(str) - DEFLATE-compressed byte count (level 6)"),
+      (args: Seq[Expression]) => DeflateLen(args.head)))
 
   /** Register into a live session. */
   def install(spark: SparkSession): Unit =

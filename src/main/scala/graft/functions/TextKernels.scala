@@ -73,4 +73,25 @@ object TextKernels {
     }
     acc
   }
+
+  /** One reusable raw-deflate context per thread (Deflater is stateful and
+    * not thread-safe; allocating per value would dominate the cost). Level
+    * 6 (zlib default) fixed for determinism across runs. */
+  private val deflaters: ThreadLocal[java.util.zip.Deflater] =
+    ThreadLocal.withInitial(() => new java.util.zip.Deflater(6, true))
+
+  /** DEFLATE-compressed size of the bytes — the compression-ratio quality
+    * signal's kernel (repetitive/templated text compresses far below
+    * natural prose). Output length only; the compressed bytes are never
+    * materialized. */
+  def deflateLen(b: Array[Byte]): Int = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(b)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }

@@ -105,6 +105,16 @@ object textstats {
       .otherwise(best.cast("double") / size(sh)), 4)
   }
 
+  /** Compression-ratio quality signal (Gopher/RefinedWeb-style): DEFLATE
+    * size over raw byte size, rounded to 4 — natural prose lands around
+    * 0.4–0.7, templated/looping text far lower, random bytes near (or
+    * above) 1. Backed by the codegen'd [[DeflateLen]] expression; not
+    * oracle-replayable (no SQL deflate in either engine), so consuming
+    * queries are rows-only checked and the kernel is spec-tested. */
+  def compressionRatio(c: Column): Column =
+    round(expressions.deflateLen(c).cast("double") /
+      greatest(octet_length(c), lit(1)), 4)
+
   /** Document fingerprint: minimum h64 over 8-token shingles of the
     * normalized text (winnowing-style). Equal fingerprints ⇒ the docs share
     * their minimal shingle — a cheap near-dup prefilter; exact dup when the

@@ -431,6 +431,23 @@ object TextQueries {
                AS cross_entropy
            FROM doc GROUP BY lang ORDER BY lang""")),
 
+    // t15: compression-ratio quality signal — per-language distribution of
+    // DEFLATE size / raw size (repetition proxy). ROWS-ONLY check: neither
+    // engine has a SQL deflate, so there is no oracle (a9 precedent); the
+    // kernel and banding are spec-tested instead, and the output stays
+    // deterministic (DECIMAL sums) like every other query.
+    "t15_compress_ratio" -> Q(
+      (s, dir) => spread(T(s, dir, "documents"))
+        .select(col("lang"),
+          textstats.compressionRatio(col("text")).as("ratio"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("ratio").cast("decimal(18,4)")).cast("double")
+            .as("ratio_sum"),
+          sum((col("ratio") < 0.35).cast("int")).as("highly_repetitive"))
+        .orderBy(col("lang")),
+      None),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake

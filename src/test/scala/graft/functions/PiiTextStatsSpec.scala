@@ -32,6 +32,26 @@ class PiiTextStatsSpec extends SparkSpec {
     assert(got(3).getString(6) == "<EMAIL> <EMAIL> <PHONE>")
   }
 
+  test("compressionRatio separates repetitive from varied text") {
+    val rep = "lorem ipsum " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = Seq(rep, varied).toDF("txt")
+      .select(textstats.compressionRatio(col("txt")).as("r"))
+    val Array(rRep, rVar) = df.collect().map(_.getDouble(0))
+    assert(rRep < 0.05, s"repeated text should crush: $rRep")
+    assert(rVar > 0.3, s"varied text should not: $rVar")
+    // kernel sanity: deflate of known bytes is stable within a JVM
+    val a = TextKernels.deflateLen("abcabcabc".getBytes("UTF-8"))
+    assert(a > 0 && a == TextKernels.deflateLen("abcabcabc".getBytes("UTF-8")))
+  }
+
+  test("deflate_len is SQL-registered via GraftExtensions") {
+    graft.GraftExtensions.install(spark)
+    val n = spark.sql("SELECT deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') AS n")
+      .collect()(0).getInt(0)
+    assert(n > 0 && n < 24, s"24 repeated bytes must compress: $n")
+  }
+
   test("dupNgramFraction and topNgramFraction match hand computation") {
     // "a b a b a": 2-grams [a b, b a, a b, b a] -> 4 total, 2 distinct
     // -> dup 0.5; 3-grams [a b a, b a b, a b a] -> top "a b a" 2/3.
