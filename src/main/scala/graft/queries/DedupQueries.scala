@@ -618,6 +618,77 @@ object DedupQueries {
                  WHERE ${hashing.sqlH64("CAST(d.doc_id AS VARCHAR)")}
                    % 10000 >= 5000)
            GROUP BY lang ORDER BY lang"""
+      }),
+
+    // e5: the FULL curation pipeline a training-data team runs end-to-end —
+    // quality gate → passage-dedup rewrite → exact-dup removal → stratified
+    // mixing-rate sample → per-language token budget — composed entirely
+    // from the library operators, with the oracle replaying all five
+    // stages. (e1 covers the LSH near-dup branch; this composite exercises
+    // the rewrite + sampling spine.)
+    "e5_curation_pipeline" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        import graft.ops.{Relational, Sampling}
+        val good = spread(T(s, dir, "documents")
+            .select("doc_id", "lang", "text"))
+          .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
+        val rebuilt = Dedup.reassembleKept(
+          Dedup.passageDedup(good, "doc_id", "text", k = 10),
+          Seq("doc_id", "lang"), "text2")
+        val exact = Relational.keepFirst(
+          rebuilt.withColumn("__h", hashing.h64(col("text2"))),
+          Seq("__h"), Seq(col("doc_id"))).drop("__h")
+        val sampled = Sampling.stratifiedSample(exact, "lang", "doc_id",
+            rates = Map("en" -> 0.8, "es" -> 0.6), defaultRate = 0.4)
+          .withColumn("ntok", textstats.tokenCount(col("text2")))
+        Sampling.perGroupTokenBudget(sampled, "lang", "doc_id", "ntok",
+            budget = 15000L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents
+             WHERE NOT (len($sqlToks) < 20
+               OR round(CAST(length(text) - length(regexp_replace(text,
+                    '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1), 4) > 0.10)),
+           pass AS (
+             SELECT doc_id, lang, i AS pos,
+               array_to_string(list_slice(toks, i*10 + 1, i*10 + 10), ' ') AS p
+             FROM tok, (SELECT unnest(generate_series(0,
+                 (SELECT max(len(toks)) // 10 FROM tok))) AS i)
+             WHERE len(toks) > 0 AND i <= (len(toks) - 1) // 10),
+           flag AS (
+             SELECT lang, doc_id, pos, p,
+               row_number() OVER (PARTITION BY p ORDER BY doc_id, pos) AS rn
+             FROM pass),
+           rebuilt AS (
+             SELECT doc_id, lang, string_agg(p, ' ' ORDER BY pos) AS text2
+             FROM flag WHERE rn = 1 GROUP BY doc_id, lang),
+           exact AS (
+             SELECT doc_id, lang, text2 FROM (
+               SELECT doc_id, lang, text2, row_number() OVER
+                 (PARTITION BY ${hashing.sqlH64("text2")} ORDER BY doc_id)
+                 AS xr
+               FROM rebuilt) WHERE xr = 1),
+           sampled AS (
+             SELECT doc_id, lang,
+               len(list_filter(string_split_regex(lower(text2), '\\s+'),
+                 t -> t <> '')) AS ntok
+             FROM exact
+             WHERE $coin < CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 6000
+               ELSE 4000 END),
+           budget AS (
+             SELECT lang, ntok, sum(ntok) OVER (PARTITION BY lang
+               ORDER BY $coin, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM sampled)
+           SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
+           FROM budget WHERE cum <= 15000 GROUP BY lang ORDER BY lang"""
       })
   )
 }
