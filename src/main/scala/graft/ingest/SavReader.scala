@@ -195,8 +195,12 @@ object SavReader {
       null // unreachable
     }
     new Iterator[Row] {
-      private var nextRow: Row = advance()
+      // produced MUST initialize before nextRow: field initializers run in
+      // declaration order, and the eager first advance() increments
+      // produced — declared after, its `= 0` would then wipe that count
+      // and the iterator would attempt one extra case (found by fuzzing).
       private var produced = 0
+      private var nextRow: Row = advance()
       private def advance(): Row = {
         if (l.nCases >= 0 && produced >= l.nCases) return null
         val vals = new Array[Any](l.widths.length)
