@@ -683,8 +683,11 @@ object DedupQueries {
              WHERE $coin < CASE lang WHEN 'en' THEN 8000 WHEN 'es' THEN 6000
                ELSE 4000 END),
            budget AS (
+             -- order by the FULL 60-bit hash (perGroupTokenBudget's walk
+             -- order), not the %10000 sampling coin: the two orders agree
+             -- only up to bucket ties, and the budget prefix depends on it
              SELECT lang, ntok, sum(ntok) OVER (PARTITION BY lang
-               ORDER BY $coin, doc_id
+               ORDER BY ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")}, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              FROM sampled)
            SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
