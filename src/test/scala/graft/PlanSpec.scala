@@ -121,6 +121,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e3/e5: rewrite and curation composites stay equi-join only") {
+    for (q <- Seq("e3_rewrite_dedup", "e5_curation_pipeline")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("partial_min"), s"$q passage winner must map-side combine:\n$p")
+    }
+  }
+
   test("t9: repetition signals evaluate once (two-phase aggregate)") {
     val p = plan("t9_repetition")
     // the heavy signal exprs are grouping keys: two HashAggregate pairs
