@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   *   type-6 documents → type-7 extension subrecords (skipped generically) →
   *   type-999 dictionary terminator → case data, either raw 8-byte elements
   *   or bytecode-compressed (command codes: 0 pad, 1..251 biased numeric,
-  *   252 EOF, 253 literal block follows, 254 eight spaces, 255 sysmis).
+  *   252 EOF, 253 literal block follows, 254 eight spaces, 255 sysmis),
+  *   or zlib-wrapped bytecode (`$FL3` / compression 2, the `.zsav`
+  *   variant — inflated via the trailer's block table, JDK Inflater).
   *
   * Semantics match the reference's pandas path: every SPSS numeric is a
   * DOUBLE (`pd.read_spss` yields float64), strings decode latin-1 with
@@ -53,9 +55,10 @@ object SavReader {
 
   /** Parsed dictionary. `widths(i)` is 0 for numeric, else the declared
     * string width; every variable spans `ceil(max(width,8)/8)` 8-byte data
-    * elements. */
+    * elements. `compression`: 0 raw, 1 bytecode, 2 zlib-wrapped bytecode
+    * (`.zsav`). */
   final case class SavLayout(schema: StructType, widths: Array[Int],
-      missing: Array[MissingSpec], compressed: Boolean, bias: Double,
+      missing: Array[MissingSpec], compression: Int, bias: Double,
       nCases: Int, dataOffset: Int, order: ByteOrder)
 
   private def elementsOf(width: Int): Int =
@@ -65,9 +68,9 @@ object SavReader {
     * data byte after the type-999 terminator. */
   def layout(bytes: Array[Byte]): SavLayout = {
     require(bytes.length > HeaderSize, "truncated .sav file")
-    require(new String(bytes, 0, 4, "ISO-8859-1") == "$FL2",
-      "not an SPSS system file (missing $FL2 signature; compressed .zsav " +
-        "is unsupported — re-export uncompressed or bytecode-compressed)")
+    val sig = new String(bytes, 0, 4, "ISO-8859-1")
+    require(sig == "$FL2" || sig == "$FL3",
+      "not an SPSS system file (missing $FL2/$FL3 signature)")
     // layout_code (int32 at offset 64) is always 2; its byte order reveals
     // the writer's endianness.
     val le = ByteBuffer.wrap(bytes, 64, 4).order(ByteOrder.LITTLE_ENDIAN)
@@ -76,8 +79,8 @@ object SavReader {
     val buf = ByteBuffer.wrap(bytes).order(order)
     require(buf.getInt(64) == 2, s"unsupported .sav layout code ${buf.getInt(64)}")
     val compression = buf.getInt(72)
-    require(compression == 0 || compression == 1,
-      s"unsupported .sav compression $compression (only none/bytecode)")
+    require(compression >= 0 && compression <= 2,
+      s"unsupported .sav compression $compression (none/bytecode/zlib)")
     val nCases = buf.getInt(80)
     val bias = buf.getDouble(84)
 
@@ -139,28 +142,67 @@ object SavReader {
       StructField(n, if (w == 0) DoubleType else StringType, nullable = true)
     }
     SavLayout(StructType(fields.toSeq), widths.toArray, missing.toArray,
-      compression == 1, bias, nCases, off, order)
+      compression, bias, nCases, off, order)
   }
 
-  /** Decode every case into Rows. Both raw and bytecode-compressed data
-    * reduce to a stream of 8-byte elements; cases are fixed-length element
-    * sequences over that stream. */
+  /** Inflate a `.zsav` data segment: a 24-byte zheader (its own offset,
+    * trailer offset, trailer length), concatenated zlib blocks, and a
+    * trailer whose per-block table drives the inflation. */
+  private def inflateZsav(bytes: Array[Byte], ofs: Int,
+      order: ByteOrder): Array[Byte] = {
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    require(buf.getLong(ofs) == ofs.toLong,
+      "corrupt .zsav: zheader self-offset mismatch")
+    val trailerOfs = buf.getLong(ofs + 8)
+    val nBlocks = buf.getInt((trailerOfs + 20).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    val inflater = new java.util.zip.Inflater()
+    var i = 0
+    while (i < nBlocks) {
+      val desc = (trailerOfs + 24 + i * 24L).toInt
+      val compOfs = buf.getLong(desc + 8).toInt
+      val uncompSize = buf.getInt(desc + 16)
+      val compSize = buf.getInt(desc + 20)
+      inflater.reset()
+      inflater.setInput(bytes, compOfs, compSize)
+      val block = new Array[Byte](uncompSize)
+      var done = 0
+      while (done < uncompSize && !inflater.finished())
+        done += inflater.inflate(block, done, uncompSize - done)
+      require(done == uncompSize,
+        s"corrupt .zsav: block $i inflated to $done of $uncompSize bytes")
+      out.write(block)
+      i += 1
+    }
+    inflater.end()
+    out.toByteArray
+  }
+
+  /** Decode every case into Rows. Raw, bytecode-compressed and
+    * zlib-compressed (`.zsav`) data all reduce to a stream of 8-byte
+    * elements; cases are fixed-length element sequences over that stream. */
   def rows(bytes: Array[Byte]): Iterator[Row] = {
     val l = layout(bytes)
-    val buf = ByteBuffer.wrap(bytes).order(l.order)
+    // .zsav wraps the SAME bytecode stream in zlib blocks — inflate once,
+    // then decode as compression 1 from offset 0.
+    val (data, dataStart) =
+      if (l.compression == 2) (inflateZsav(bytes, l.dataOffset, l.order), 0)
+      else (bytes, l.dataOffset)
+    val buf = ByteBuffer.wrap(data).order(l.order)
+    val streamCompressed = l.compression >= 1
     val elems = l.widths.map(elementsOf)
     val caseElems = elems.sum
     // Element stream: numeric Double or raw 8-byte chunk, abstracted over
     // compression. `null` signals clean end-of-data.
-    var off = l.dataOffset
+    var off = dataStart
     var cmdBlock = 0 // position of current command block
     var cmdIdx = 8 // force initial fetch
     var litOff = 0 // next literal block offset (follows the command block)
     def nextElement(wantString: Boolean): Any = {
-      if (!l.compressed) {
-        if (off + 8 > bytes.length) return null
+      if (!streamCompressed) {
+        if (off + 8 > data.length) return null
         val r: Any =
-          if (wantString) new String(bytes, off, 8, "ISO-8859-1")
+          if (wantString) new String(data, off, 8, "ISO-8859-1")
           else buf.getDouble(off)
         off += 8
         return r
@@ -170,20 +212,20 @@ object SavReader {
           // The next command block starts right after the last consumed
           // literal; the very first one sits at the data offset itself.
           val pos = if (litOff == 0) off else litOff
-          if (pos + 8 > bytes.length) return null
+          if (pos + 8 > data.length) return null
           cmdBlock = pos
           litOff = pos + 8
           cmdIdx = 0
         }
-        val code = bytes(cmdBlock + cmdIdx) & 0xff
+        val code = data(cmdBlock + cmdIdx) & 0xff
         cmdIdx += 1
         code match {
           case 0 => () // padding — keep scanning
           case 252 => return null // end of data
           case 253 =>
-            if (litOff + 8 > bytes.length) return null
+            if (litOff + 8 > data.length) return null
             val r: Any =
-              if (wantString) new String(bytes, litOff, 8, "ISO-8859-1")
+              if (wantString) new String(data, litOff, 8, "ISO-8859-1")
               else buf.getDouble(litOff)
             litOff += 8
             return r

@@ -22,11 +22,13 @@ class SavReaderSpec extends SparkSpec {
 
   /** Fixture writer — intentionally structured as a flat record emitter
     * (not sharing any code or tables with SavReader). */
-  private def savBytes(compressed: Boolean,
+  private def savBytes(compression: Int,
       order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     def i32(v: Int): Unit =
       bos.write(ByteBuffer.allocate(4).order(order).putInt(v).array())
+    def i64(v: Long): Unit =
+      bos.write(ByteBuffer.allocate(8).order(order).putLong(v).array())
     def f64(v: Double): Unit =
       bos.write(ByteBuffer.allocate(8).order(order).putDouble(v).array())
     def pad(s: String, w: Int): Unit = {
@@ -35,12 +37,12 @@ class SavReaderSpec extends SparkSpec {
       (b.length until w).foreach(_ => bos.write(' '))
     }
 
-    // --- file header ($FL2, 176 bytes) ---
-    pad("$FL2", 4)
+    // --- file header (176 bytes; $FL3 marks the zlib variant) ---
+    pad(if (compression == 2) "$FL3" else "$FL2", 4)
     pad("@(#) SPSS DATA FILE graft spec writer", 60)
     i32(2) // layout_code
     i32(5) // nominal case size: id(1) + score(1) + name(2) + grp(1)
-    i32(if (compressed) 1 else 0)
+    i32(compression)
     i32(0) // weight index: none
     i32(5) // ncases
     f64(100.0) // compression bias
@@ -98,13 +100,18 @@ class SavReaderSpec extends SparkSpec {
     // --- dictionary terminator ---
     i32(999); i32(0)
 
-    // --- case data ---
+    // --- case data (emitted separately so the zlib variant can wrap it) ---
+    val dbos = new ByteArrayOutputStream()
+    def df64(v: Double): Unit =
+      dbos.write(ByteBuffer.allocate(8).order(order).putDouble(v).array())
+    def dpad(s: String): Unit = dbos.write(s.getBytes("ISO-8859-1"))
+    val bytecode = compression >= 1
     val cmds = new ArrayBuffer[Int]
     val lits = new ArrayBuffer[Array[Byte]]
     def flushBlock(): Unit = if (cmds.nonEmpty) {
       while (cmds.size < 8) cmds += 0
-      cmds.foreach(bos.write)
-      lits.foreach(bos.write)
+      cmds.foreach(dbos.write)
+      lits.foreach(dbos.write)
       cmds.clear(); lits.clear()
     }
     def cmd(c: Int): Unit = {
@@ -115,14 +122,14 @@ class SavReaderSpec extends SparkSpec {
     // completes a block, the flush has to carry this literal with it.
     def lit8(b: Array[Byte]): Unit = { lits += b; cmd(253) }
     def num(v: Double): Unit =
-      if (!compressed) f64(v)
+      if (!bytecode) df64(v)
       else if (v == SysMis) cmd(255)
       else if (v == math.rint(v) && v >= -99.0 && v <= 151.0) cmd(v.toInt + 100)
       else lit8(ByteBuffer.allocate(8).order(order).putDouble(v).array())
     def str(v: String, width: Int): Unit = {
       val padded = v + " " * (((width + 7) / 8) * 8 - v.length)
       padded.grouped(8).foreach { chunk =>
-        if (!compressed) pad(chunk, 8)
+        if (!bytecode) dpad(chunk)
         else if (chunk == "        ") cmd(254)
         else lit8(chunk.getBytes("ISO-8859-1"))
       }
@@ -135,7 +142,24 @@ class SavReaderSpec extends SparkSpec {
     kase(3.0, -9.0, "", 3.0)
     kase(4.0, 20.0, "abcdefghijkl", 98.0)
     kase(5.0, 7.0, "  x", 100.0)
-    if (compressed) { cmd(252); flushBlock() }
+    if (bytecode) { cmd(252); flushBlock() }
+    val data = dbos.toByteArray
+    if (compression != 2) bos.write(data)
+    else {
+      // zheader + one zlib block + trailer with its block table
+      val zheaderOfs = bos.size().toLong
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(data); deflater.finish()
+      val cbuf = new Array[Byte](data.length + 64)
+      val clen = deflater.deflate(cbuf)
+      deflater.end()
+      val blockOfs = zheaderOfs + 24
+      val trailerOfs = blockOfs + clen
+      i64(zheaderOfs); i64(trailerOfs); i64(24 + 24)
+      bos.write(cbuf, 0, clen)
+      i64(-100L); i64(0L); i32(0x3ff000); i32(1)
+      i64(zheaderOfs); i64(blockOfs); i32(data.length); i32(clen)
+    }
     bos.toByteArray
   }
 
@@ -170,23 +194,32 @@ class SavReaderSpec extends SparkSpec {
   }
 
   test("bytecode-compressed .sav decodes (biased ints, literals, 254/255)") {
-    checkValues(write(savBytes(compressed = true), "c.sav"))
+    checkValues(write(savBytes(compression = 1), "c.sav"))
   }
 
   test("uncompressed .sav decodes identically") {
-    checkValues(write(savBytes(compressed = false), "u.sav"))
+    checkValues(write(savBytes(compression = 0), "u.sav"))
   }
 
   test("big-endian files are detected via the layout code") {
     checkValues(write(
-      savBytes(compressed = true, order = ByteOrder.BIG_ENDIAN), "be.sav"))
+      savBytes(compression = 1, order = ByteOrder.BIG_ENDIAN), "be.sav"))
   }
 
   test("readSavFiles distributes the parse and matches the local read") {
-    val path = write(savBytes(compressed = true), "d.sav")
+    val path = write(savBytes(compression = 1), "d.sav")
     val local = SavReader.readSav(spark, path).collect().map(_.toSeq).toSet
     val dist = SavReader.readSavFiles(spark, path).collect().map(_.toSeq).toSet
     assert(dist == local && dist.size == 5)
+  }
+
+  test("zlib-compressed .zsav decodes identically") {
+    checkValues(write(savBytes(compression = 2), "z.zsav"))
+  }
+
+  test("big-endian .zsav decodes too") {
+    checkValues(write(
+      savBytes(compression = 2, order = ByteOrder.BIG_ENDIAN), "zbe.zsav"))
   }
 
   test("rejects non-system files loudly") {
