@@ -12,14 +12,53 @@ import graft.functions.hashing
   * the shared md5 hash of a row id: reproducible, partition-independent,
   * and replayable by the DuckDB oracle bit-for-bit.
   *
-  * Scale design: both operators are a single codegen'd filter or one
-  * windowed rank per group — no extra shuffle beyond the per-group
-  * partitioning the semantics require, no driver-side state.
+  * Scale design. The Bernoulli samplers are single codegen'd filters — no
+  * shuffle at all. The ORDER-dependent primitives (token budget, per-group
+  * cap, sequence packing) used to be one total-order window per group,
+  * which serializes each group into a single task — unusable when a
+  * language group holds terabytes. They now run a two-phase bucket-prefix
+  * plan over the hash order:
+  *
+  *  1. bucket every row by the top bits of its 60-bit coin (buckets are
+  *     contiguous, ordered ranges of the walk order — a coin tie can never
+  *     straddle a bucket);
+  *  2. aggregate the per-(group, bucket) weight sums (map-side combine,
+  *     ≤ groups×buckets tiny rows), window the per-group running prefix on
+  *     that aggregate, and broadcast it back;
+  *  3. decide each bucket wholesale from the broadcast: prefix-through
+  *     ≤ limit ⇒ keep all (a map-only filter, no sort, no shuffle);
+  *     prefix-before > limit ⇒ drop all; only the single boundary bucket
+  *     per group (~1/buckets of the data) is fine-sorted to place the
+  *     cut-off row exactly.
+  *
+  * The result is bit-identical to the total-order window (long addition is
+  * associative/commutative, and bucketing refines the same (coin, id)
+  * order) but the biggest sort is a 1/4096 slice, and the keep/drop bulk
+  * never shuffles. Preconditions: weights (token counts) must be ≥ 0 —
+  * they are counts — and the group column must be low-cardinality enough
+  * that groups×buckets prefix rows broadcast (languages/sources: ≤ a few
+  * thousand groups; same bound as the unigram-LM vocab broadcast).
   */
 object Sampling {
 
+  /** Hash-range buckets for the two-phase prefix plans. 4096 means the
+    * boundary fine-sort touches ~0.02 % of rows while the per-group prefix
+    * table stays broadcastable (groups × 4096 longs). */
+  val PrefixBuckets: Int = 4096
+
   /** Hash of the id column used as the sampling coin: uniform on [0, 2^60). */
   private def coin(idCol: Column): Column = hashing.h64(idCol.cast("string"))
+
+  /** Bucket = top log2(buckets) bits of the 60-bit coin: monotone in the
+    * coin, so buckets are contiguous ranges of the (coin, id) walk order. */
+  private def bucketOf(c: Column, buckets: Int): Column = {
+    val shift = 60 - Integer.numberOfTrailingZeros(buckets)
+    shiftright(c, shift)
+  }
+
+  private def requirePow2(buckets: Int): Unit =
+    require(buckets >= 2 && Integer.bitCount(buckets) == 1 && buckets <= (1 << 20),
+      s"buckets must be a power of two in [2, 2^20], got $buckets")
 
   /** Deterministic Bernoulli sample: keeps rows whose hash bucket (of
     * 10 000) falls below `rate`·10 000. Exactly reproducible across runs,
@@ -32,35 +71,68 @@ object Sampling {
     df.filter(coin(col(idCol)) % 10000 < math.round(rate * 10000))
   }
 
+  /** Shared two-phase prefix-limit kernel: keep each group's prefix of the
+    * (coin, id) walk while the running `weight` total stays ≤ `limit`.
+    * Weight lit(1) ⇒ per-group cap; weight = token count ⇒ token budget.
+    * See the object doc for the plan shape. Weights must be ≥ 0 (the
+    * bucket-wholesale decisions rely on the running sum being monotone). */
+  private def prefixLimit(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, limit: Long, buckets: Int): DataFrame = {
+    requirePow2(buckets)
+    val outCols = df.columns.map(col)
+    val c = coin(col(idCol))
+    val withB = df.withColumn("__w", weight)
+      .withColumn("__bkt", bucketOf(coin(col(idCol)), buckets))
+    // Phase 1: tiny per-(group, bucket) weight sums — map-side combined.
+    val sums = withB
+      .groupBy(col(groupCol).as("__g"), col("__bkt").as("__b"))
+      .agg(sum(col("__w")).as("__s"))
+    // Phase 2: per-group running prefix over ≤ `buckets` aggregate rows.
+    val wPref = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val states = sums
+      .withColumn("__before", coalesce(sum(col("__s")).over(wPref), lit(0L)))
+      .withColumn("__through", col("__before") + col("__s"))
+      .select(col("__g"), col("__b"), col("__before"), col("__through"))
+    val joined = withB.join(broadcast(states),
+      col(groupCol) === col("__g") && col("__bkt") === col("__b"))
+    // Phase 3a: whole buckets inside the limit — map-only, no sort/shuffle.
+    val keepAll = joined.filter(col("__through") <= limit)
+    // Phase 3b: the one boundary bucket per group gets the fine sort;
+    // buckets entirely past the limit (__before > limit) never shuffle.
+    val boundary = joined
+      .filter(col("__before") <= limit && col("__through") > limit)
+    val wFine = Window.partitionBy(col(groupCol)).orderBy(c, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fineKept = boundary
+      .withColumn("__cum", col("__before") + sum(col("__w")).over(wFine))
+      .filter(col("__cum") <= limit)
+    keepAll.select(outCols: _*).unionAll(fineKept.select(outCols: _*))
+  }
+
   /** Per-group TOKEN budget — the corpus-sizing primitive: walk each
     * group's rows in deterministic hash order and keep rows while the
     * running token total stays within `budget` (the first row that would
     * overflow is excluded, as are all after it — a fixed prefix of the
-    * hash order, so the selection is exactly reproducible). One windowed
-    * cumulative sum per group. */
+    * hash order, so the selection is exactly reproducible). Two-phase
+    * bucket-prefix plan; token counts must be ≥ 0. */
   def perGroupTokenBudget(df: DataFrame, groupCol: String, idCol: String,
-      tokenCol: String, budget: Long): DataFrame = {
+      tokenCol: String, budget: Long,
+      buckets: Int = PrefixBuckets): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(coin(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
-      .filter(col("__cum") <= budget)
-      .drop("__cum")
+    prefixLimit(df, groupCol, idCol, col(tokenCol), budget, buckets)
   }
 
   /** Per-group cap — the data-mixing primitive: at most `k` rows per group,
     * chosen by hash order (a deterministic "random k") with the id as the
-    * final tie-break. One window rank per group; groups under the cap pass
-    * through whole. */
+    * final tie-break; groups under the cap pass through whole. A running
+    * COUNT is a running sum of 1s, so this is the same two-phase
+    * bucket-prefix kernel as the token budget — no per-group total-order
+    * row_number window. */
   def perGroupCap(df: DataFrame, groupCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, buckets: Int = PrefixBuckets): DataFrame = {
     require(k > 0, "cap must be positive")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(coin(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    prefixLimit(df, groupCol, idCol, lit(1L), k.toLong, buckets)
   }
 
   /** Stratified deterministic sample — the mixing-weights primitive: each
@@ -88,21 +160,48 @@ object Sampling {
     * into fixed `budget`-token training sequences (documents straddle a
     * boundary rather than leaving slack — the standard concat-and-chunk
     * packing). Adds `seq_first`/`seq_last` (0-based sequence ids covering
-    * the doc) and `spans` (how many sequences it crosses). Everything is
-    * integer arithmetic on one windowed cumulative sum per stream, so runs,
-    * retries and engines agree exactly.
-    */
+    * the doc) and `spans` (how many sequences it crosses).
+    *
+    * Every row needs its global running position, so the fine cumulative
+    * sum cannot be restricted to a boundary bucket — instead it is
+    * partitioned by (stream, bucket) with the broadcast bucket prefix added
+    * back, which cuts the biggest sort from "one task per stream" to
+    * 1/`buckets` of a stream while producing bit-identical positions (long
+    * addition is associative; buckets refine the same (coin, id) order).
+    * Token counts must be ≥ 0; a zero-token document occupies no tokens and
+    * is pinned to the sequence at its stream position (`seq_last` clamps to
+    * `seq_first`, `spans` = 1). */
   def packSequences(df: DataFrame, partCol: String, idCol: String,
-      tokenCol: String, budget: Long): DataFrame = {
+      tokenCol: String, budget: Long,
+      buckets: Int = PrefixBuckets): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(partCol))
-      .orderBy(coin(col(idCol)), col(idCol))
+    requirePow2(buckets)
+    val c = coin(col(idCol))
+    val withB = df.withColumn("__bkt", bucketOf(c, buckets))
+    val sums = withB
+      .groupBy(col(partCol).as("__g"), col("__bkt").as("__b"))
+      .agg(sum(col(tokenCol)).as("__s"))
+    val wPref = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val states = sums
+      .withColumn("__before", coalesce(sum(col("__s")).over(wPref), lit(0L)))
+      .select(col("__g"), col("__b"), col("__before"))
+    val joined = withB.join(broadcast(states),
+      col(partCol) === col("__g") && col("__bkt") === col("__b"))
+    val wFine = Window.partitionBy(col(partCol), col("__bkt"))
+      .orderBy(c, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+    joined
+      .withColumn("__cum", col("__before") + sum(col(tokenCol)).over(wFine))
       .withColumn("seq_first",
         expr(s"(__cum - $tokenCol) div $budget"))
-      .withColumn("seq_last", expr(s"(__cum - 1) div $budget"))
+      // clamp: a zero-token doc has __cum - 1 one position BEFORE its own
+      // slot (possibly -1, where Spark `div` truncates toward zero while
+      // the DuckDB oracle's `//` floors — a silent cross-engine split);
+      // greatest() pins it to seq_first on both engines.
+      .withColumn("seq_last",
+        greatest(col("seq_first"), expr(s"(__cum - 1) div $budget")))
       .withColumn("spans", col("seq_last") - col("seq_first") + lit(1))
-      .drop("__cum")
+      .drop("__cum", "__bkt", "__g", "__b", "__before")
   }
 }

@@ -368,7 +368,10 @@ object TextQueries {
       Some(
         s"""SELECT source, count(*) AS docs,
              CAST(sum(n_chars) AS BIGINT) AS total_tokens,
-             CAST(max((cum - 1) // 2048) + 1 AS BIGINT) AS seqs,
+             -- greatest() mirrors packSequences' zero-token clamp (seq_last
+             -- pinned to seq_first); a no-op while every doc has tokens
+             CAST(max(greatest((cum - n_chars) // 2048, (cum - 1) // 2048))
+               + 1 AS BIGINT) AS seqs,
              CAST(sum(CASE WHEN (cum - 1) // 2048 > (cum - n_chars) // 2048
                THEN 1 ELSE 0 END) AS BIGINT) AS straddlers
            FROM (

@@ -99,12 +99,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort ["), p) // no full sort stage
   }
 
-  test("t12: sequence packing is one window pass per stream") {
-    // AQE's plan string can print a subtree twice; count DISTINCT window
-    // definitions — the packing must need exactly one cumulative-sum pass.
-    val defs = plan("t12_sequence_pack").linesIterator
-      .map(_.trim).filter(_.startsWith("+- Window ")).toSet
-    assert(defs.size == 1, defs.mkString("\n"))
+  test("t12: packing cumsum is bucket-partitioned (no per-stream " +
+    "total-order window); bucket prefix joins back as a broadcast") {
+    val p = plan("t12_sequence_pack")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // every cumsum window over the raw rows must include __bkt in its
+    // partition spec — a windowspecdefinition(source, _w0…) without __bkt
+    // would be the old one-task-per-stream sort
+    val rowWindows = p.linesIterator.map(_.trim)
+      .filter(_.contains("windowspecdefinition(source"))
+      .filter(_.contains("Window")).toSet
+    assert(rowWindows.nonEmpty, p)
+    assert(rowWindows.forall(_.contains("__bkt")), rowWindows.mkString("\n"))
+  }
+
+  test("t8/t7: budget and cap run the two-phase bucket-prefix plan — " +
+    "bulk keep/drop decided by a broadcast, fine sort only at the boundary") {
+    for (q <- Seq("t8_token_budget", "t7_per_lang_cap")) {
+      val p = plan(q)
+      assert(p.contains("Union"), s"$q:\n$p") // keep-all ∪ boundary branches
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p") // prefix join-back
+      assert(p.contains("__before"), s"$q:\n$p") // boundary offsets applied
+      // phase 1 aggregates per (group, bucket) with a map-side partial
+      assert(p.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("partial_sum") &&
+          l.contains("__bkt")), s"$q:\n$p")
+    }
   }
 
   test("t13: unigram-LM joins broadcast; no shuffle of exploded tokens " +
