@@ -173,20 +173,29 @@ object Similarity {
       idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
     val cents = broadcast(
       centroids.select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    def nearest(df: DataFrame, id: String, vec: String, n: Int,
-        out: String): DataFrame =
-      df.crossJoin(cents)
-        .withColumn("__cos", cosine(col(vec), col("cv")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col(id)).orderBy(col("__cos").desc, col("cid"))))
-        .filter(col("__rn") <= n)
-        .select(col(id), col(vec), col("cid").as(out))
-    val assigned = nearest(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nv")),
-      "nid", "nv", 1, "cluster")
-    val probes = nearest(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
-      "qid", "qv", nProbe, "cluster")
+    // Corpus-side assignment is a min-struct ARGMIN aggregate (the same
+    // map-side-combining pattern as passage dedup), not a window: a
+    // row_number over partitionBy(nid) would shuffle+sort all n×k scored
+    // rows just to pick one. negate() turns "cos desc, cid asc" into a
+    // struct min; (negcos, cid) never ties (cid unique), so the carried
+    // vector field never participates in the comparison.
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .crossJoin(cents)
+      .groupBy(col("nid"))
+      .agg(min(struct(
+        negate(cosine(col("nv"), col("cv"))).as("negcos"),
+        col("cid").as("cid"), col("nv").as("v"))).as("__best"))
+      .select(col("nid"), col("__best.v").as("nv"),
+        col("__best.cid").as("cluster"))
+    // Query-side probing keeps the top-nProbe window: the query set is
+    // small by contract (it broadcasts), so the sort is negligible.
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("__cos", cosine(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"))
     val scored = probes.join(assigned, Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -265,12 +274,15 @@ object Similarity {
       .withColumn("cid", (row_number().over(seedRank) - 1).cast("long"))
       .select(col("cid"), transform(col("__v"), e => e.cast("double")).as("cv"))
     for (_ <- 1 to iters) {
+      // argmin as a min-struct aggregate (map-side combining) — the
+      // row_number window would shuffle+sort the whole n×k cross join
+      // every round; see ivfTopK for the tie/ordering argument
       val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("__cos", cosine(col("__v"), col("cv")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__id")).orderBy(col("__cos").desc, col("cid"))))
-        .filter(col("__rn") === 1)
-        .select(col("cid"), col("__v"))
+        .groupBy(col("__id"))
+        .agg(min(struct(
+          negate(cosine(col("__v"), col("cv"))).as("negcos"),
+          col("cid").as("cid"), col("__v").as("v"))).as("__best"))
+        .select(col("__best.cid").as("cid"), col("__best.v").as("__v"))
       val dims = assigned
         .select(col("cid"), posexplode(col("__v")).as(Seq("pos", "val")))
         .groupBy(col("cid"), col("pos"))

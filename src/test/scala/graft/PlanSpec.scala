@@ -127,6 +127,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("x3: IVF corpus assignment is a map-side-combining argmin aggregate, " +
+    "not a window over the n×k scored rows") {
+    val p = plan("x3_ivf_ann")
+    assert(p.contains("partial_min"), p) // assignment argmin combines map-side
+    // no row_number window partitioned by the corpus/assignment ids — the
+    // only windows left are the tiny query-side probe and final rank
+    assert(!p.contains("windowspecdefinition(nid"), p)
+    assert(!p.contains("windowspecdefinition(__id"), p)
+  }
+
   test("t13: unigram-LM joins broadcast; no shuffle of exploded tokens " +
     "for the lookup") {
     val p = plan("t13_unigram_lm")
