@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   *
   *   header `$FL2` (176 B) → type-2 variable records (numeric / string with
   *   `-1` continuations for widths > 8) → type-3/4 value-label records →
-  *   type-6 documents → type-7 extension subrecords (skipped generically) →
+  *   type-6 documents → type-7 extension subrecords (subtype 13 long
+  *   variable names and subtype 14 very-long-string segmentation are
+  *   honored; the rest skip generically) →
   *   type-999 dictionary terminator → case data, either raw 8-byte elements
   *   or bytecode-compressed (command codes: 0 pad, 1..251 biased numeric,
   *   252 EOF, 253 literal block follows, 254 eight spaces, 255 sysmis),
@@ -53,13 +55,22 @@ object SavReader {
   }
   private val NoMissing = MissingSpec(Array.empty, Double.NaN, Double.NaN)
 
-  /** Parsed dictionary. `widths(i)` is 0 for numeric, else the declared
-    * string width; every variable spans `ceil(max(width,8)/8)` 8-byte data
-    * elements. `compression`: 0 raw, 1 bytecode, 2 zlib-wrapped bytecode
-    * (`.zsav`). */
+  /** Parsed dictionary. `widths(i)` is 0 for numeric, else the LOGICAL
+    * string width (a very long string's full subtype-14 length, not the
+    * 255 of its first segment). `segWidths(i)` lists the dictionary widths
+    * of the variable's storage segments — a single entry except for very
+    * long strings, where SPSS splits the value into 255-wide segments of
+    * 252 data bytes each; each segment spans `ceil(max(w,8)/8)` 8-byte
+    * data elements. `compression`: 0 raw, 1 bytecode, 2 zlib-wrapped
+    * bytecode (`.zsav`). */
   final case class SavLayout(schema: StructType, widths: Array[Int],
-      missing: Array[MissingSpec], compression: Int, bias: Double,
-      nCases: Int, dataOffset: Int, order: ByteOrder)
+      segWidths: Array[Array[Int]], missing: Array[MissingSpec],
+      compression: Int, bias: Double, nCases: Int, dataOffset: Int,
+      order: ByteOrder)
+
+  /** Data bytes a very-long-string segment contributes (the remaining 3 of
+    * its 255-byte width are padding). */
+  private val SegData = 252
 
   private def elementsOf(width: Int): Int =
     if (width <= 0) 1 else (width + 7) / 8
@@ -87,6 +98,8 @@ object SavReader {
     val names = ArrayBuffer.empty[String]
     val widths = ArrayBuffer.empty[Int]
     val missing = ArrayBuffer.empty[MissingSpec]
+    var longNamesRaw = "" // type-7 subtype 13: SHORT=LongName pairs
+    var vlsRaw = "" // type-7 subtype 14: SHORT=length segmentation table
     var off = HeaderSize
     var done = false
     while (!done) {
@@ -129,7 +142,15 @@ object SavReader {
         case 6 => // documents: line_count 80-char lines
           off += 8 + buf.getInt(off + 4) * 80
         case 7 => // extension subrecord: subtype, size, count, payload
-          off += 16 + buf.getInt(off + 8) * buf.getInt(off + 12)
+          val len = buf.getInt(off + 8) * buf.getInt(off + 12)
+          buf.getInt(off + 4) match {
+            case 13 => // long variable names (tab-separated SHORT=Long)
+              longNamesRaw = new String(bytes, off + 16, len, "ISO-8859-1")
+            case 14 => // very-long-string lengths (NUL/tab SHORT=length)
+              vlsRaw = new String(bytes, off + 16, len, "ISO-8859-1")
+            case _ => () // other subtypes carry no dictionary semantics here
+          }
+          off += 16 + len
         case 999 =>
           off += 8 // terminator + int32 filler
           done = true
