@@ -159,10 +159,53 @@ object SavReader {
             s"unsupported .sav record type $other at offset $off")
       }
     }
-    val fields = names.zip(widths).map { case (n, w) =>
+    // Subtype 13/14 payloads are "SHORT=value" entries; subtype 13 delimits
+    // with tab, subtype 14 with NUL+tab — one splitter covers both.
+    def entries(raw: String): Seq[(String, String)] =
+      raw.split("[\\u0000\\t]+").toSeq.filter(_.contains('=')).map { e =>
+        val k = e.indexOf('=')
+        (e.take(k).trim, e.drop(k + 1).trim)
+      }
+    val longNames = entries(longNamesRaw).toMap
+    val vls = entries(vlsRaw).map { case (k, v) => (k, v.toInt) }.toMap
+
+    // Collapse very-long-string segment variables: a subtype-14 entry
+    // (SHORT=totalLength) marks its variable as the first of
+    // ceil(len/252) consecutive dictionary variables, each a 255-wide
+    // segment (the last narrower). The merged variable keeps the logical
+    // width; segWidths keeps the per-segment dictionary widths that drive
+    // the case reader.
+    val mNames = ArrayBuffer.empty[String]
+    val mWidths = ArrayBuffer.empty[Int]
+    val mSegs = ArrayBuffer.empty[Array[Int]]
+    val mMissing = ArrayBuffer.empty[MissingSpec]
+    var vi = 0
+    while (vi < names.length) {
+      vls.get(names(vi)) match {
+        case Some(total) if widths(vi) > 0 && total > widths(vi) =>
+          val nSegs = (total + SegData - 1) / SegData
+          require(vi + nSegs <= names.length,
+            s".sav very-long-string ${names(vi)} declares $nSegs segments " +
+              s"but only ${names.length - vi} variables remain")
+          mNames += names(vi)
+          mWidths += total
+          mSegs += (vi until vi + nSegs).map(widths(_)).toArray
+          mMissing += NoMissing
+          vi += nSegs
+        case _ =>
+          mNames += names(vi)
+          mWidths += widths(vi)
+          mSegs += Array(widths(vi))
+          mMissing += missing(vi)
+          vi += 1
+      }
+    }
+    val finalNames = mNames.map(n => longNames.getOrElse(n, n))
+    val fields = finalNames.zip(mWidths).map { case (n, w) =>
       StructField(n, if (w == 0) DoubleType else StringType, nullable = true)
     }
-    SavLayout(StructType(fields.toSeq), widths.toArray, missing.toArray,
+    SavLayout(StructType(fields.toSeq), mWidths.toArray,
+      mSegs.map(identity).toArray, mMissing.toArray,
       compression, bias, nCases, off, order)
   }
 
@@ -211,8 +254,6 @@ object SavReader {
       else (bytes, l.dataOffset)
     val buf = ByteBuffer.wrap(data).order(l.order)
     val streamCompressed = l.compression >= 1
-    val elems = l.widths.map(elementsOf)
-    val caseElems = elems.sum
     // Element stream: numeric Double or raw 8-byte chunk, abstracted over
     // compression. `null` signals clean end-of-data.
     var off = dataStart
@@ -280,16 +321,30 @@ object SavReader {
               case _ => ()
             }
           } else {
-            val sb = new java.lang.StringBuilder(elems(i) * 8)
-            var k = 0
-            while (k < elems(i)) {
-              nextElement(wantString = true) match {
-                case null => throw new IllegalArgumentException(
-                  "truncated .sav string value")
-                case s: String => sb.append(s)
-                case _ => ()
+            // One storage segment for ordinary strings; several 255-wide
+            // segments for very long strings, each contributing at most
+            // SegData (252) data bytes — the rest of a non-final segment's
+            // width is padding the writer inserts between segments.
+            val segs = l.segWidths(i)
+            val sb = new java.lang.StringBuilder(l.widths(i) + 8)
+            var j = 0
+            while (j < segs.length) {
+              val segElems = elementsOf(segs(j))
+              val seg = new java.lang.StringBuilder(segElems * 8)
+              var k = 0
+              while (k < segElems) {
+                nextElement(wantString = true) match {
+                  case null => throw new IllegalArgumentException(
+                    "truncated .sav string value")
+                  case s: String => seg.append(s)
+                  case _ => ()
+                }
+                k += 1
               }
-              k += 1
+              val take = if (segs.length == 1) seg.length
+                else math.min(seg.length, math.min(segs(j), SegData))
+              sb.append(seg, 0, take)
+              j += 1
             }
             // SPSS pads string values with trailing spaces to the element
             // boundary; declared width then bounds the logical value.

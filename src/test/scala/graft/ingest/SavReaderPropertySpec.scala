@@ -31,18 +31,34 @@ class SavReaderPropertySpec extends AnyFunSuite {
       (b.length until w).foreach(_ => bos.write(' '))
     }
     def elems(w: Int): Int = if (w <= 0) 1 else (w + 7) / 8
+    // Storage segments for a declared width: one, except very long strings
+    // (w > 255) which split into 255-wide segments (last narrower).
+    def segsOf(w: Int): Seq[Int] =
+      if (w <= 255) Seq(w)
+      else {
+        val n = (w + 251) / 252
+        Seq.fill(n - 1)(255) :+ (w - (n - 1) * 252)
+      }
 
     pad("$FL2", 4); pad("fuzz writer", 60)
-    i32(2); i32(vars.map(v => elems(v._2)).sum)
+    i32(2); i32(vars.map(v => segsOf(v._2).map(elems).sum).sum)
     i32(if (compressed) 1 else 0); i32(0); i32(rows.length)
     f64(100.0); pad("01 Jan 00", 9); pad("00:00:00", 8); pad("fuzz", 64)
     pad("", 3)
     vars.foreach { case (name, w) =>
-      i32(2); i32(if (w == 0) 0 else w); i32(0); i32(0)
-      i32(0); i32(0); pad(name, 8)
-      (1 until elems(w)).foreach { _ => // continuations
-        i32(2); i32(-1); i32(0); i32(0); i32(0); i32(0); pad("", 8)
+      segsOf(w).zipWithIndex.foreach { case (sw, j) =>
+        i32(2); i32(if (w == 0) 0 else sw); i32(0); i32(0)
+        i32(0); i32(0); pad(if (j == 0) name else s"${name}S$j", 8)
+        (1 until elems(sw)).foreach { _ => // continuations
+          i32(2); i32(-1); i32(0); i32(0); i32(0); i32(0); pad("", 8)
+        }
       }
+    }
+    val vlsEntries = vars.collect { case (n, w) if w > 255 => s"$n=$w" }
+    if (vlsEntries.nonEmpty) {
+      val table = vlsEntries.mkString("", "\u0000\t", "\u0000\t")
+      i32(7); i32(14); i32(1); i32(table.length)
+      bos.write(table.getBytes("ISO-8859-1"))
     }
     i32(999); i32(0)
 
@@ -60,7 +76,7 @@ class SavReaderPropertySpec extends AnyFunSuite {
       else if (v == SysMis) cmd(255)
       else if (v == math.rint(v) && v >= -99.0 && v <= 151.0) cmd(v.toInt + 100)
       else lit8(ByteBuffer.allocate(8).order(order).putDouble(v).array())
-    def str(v: String, width: Int): Unit = {
+    def strSeg(v: String, width: Int): Unit = {
       val padded = v + " " * (elems(width) * 8 - v.length)
       padded.grouped(8).foreach { chunk =>
         if (!compressed) pad(chunk, 8)
@@ -68,6 +84,16 @@ class SavReaderPropertySpec extends AnyFunSuite {
         else lit8(chunk.getBytes("ISO-8859-1"))
       }
     }
+    // Very long strings: pad to full width, emit 252-byte slices into the
+    // 255-wide segments (the last slice into the final narrow segment).
+    def str(v: String, width: Int): Unit =
+      if (width <= 255) strSeg(v, width)
+      else {
+        val full = v + " " * (width - v.length)
+        segsOf(width).zipWithIndex.foreach { case (sw, j) =>
+          strSeg(full.slice(j * 252, math.min((j + 1) * 252, width)), sw)
+        }
+      }
     rows.foreach { r =>
       r.zip(vars).foreach {
         case (null, _) => num(SysMis)
@@ -86,10 +112,11 @@ class SavReaderPropertySpec extends AnyFunSuite {
     (0 until 60).foreach { trial =>
       val nVars = 1 + rnd.nextInt(5)
       val vars = (0 until nVars).map { i =>
-        val w = rnd.nextInt(3) match {
+        val w = rnd.nextInt(4) match {
           case 0 => 0 // numeric
           case 1 => 1 + rnd.nextInt(8) // short string
-          case _ => 9 + rnd.nextInt(16) // string with continuations
+          case 2 => 9 + rnd.nextInt(16) // string with continuations
+          case _ => 256 + rnd.nextInt(520) // very long string (segments)
         }
         (s"V$i", w)
       }

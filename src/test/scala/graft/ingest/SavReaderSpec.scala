@@ -41,7 +41,7 @@ class SavReaderSpec extends SparkSpec {
     pad(if (compression == 2) "$FL3" else "$FL2", 4)
     pad("@(#) SPSS DATA FILE graft spec writer", 60)
     i32(2) // layout_code
-    i32(5) // nominal case size: id(1) + score(1) + name(2) + grp(1)
+    i32(81) // nominal case size: id(1)+score(1)+name(2)+grp(1)+notes(32+32+12)
     i32(compression)
     i32(0) // weight index: none
     i32(5) // ncases
@@ -78,6 +78,14 @@ class SavReaderSpec extends SparkSpec {
     varRec(12, "NAME", None, Nil, None)
     varRec(-1, "", None, Nil, None) // continuation for NAME's second element
     varRec(0, "GRP", None, Nil, Some((97.0, 99.0)))
+    // NOTES: a 600-byte very long string — three dictionary segments
+    // (255, 255, 96), each with its own continuation records, tied
+    // together by the subtype-14 table below.
+    Seq(("NOTES", 255), ("NOTES0", 255), ("NOTES1", 96)).foreach {
+      case (nm, w) =>
+        varRec(w, nm, None, Nil, None)
+        (1 until (w + 7) / 8).foreach(_ => varRec(-1, "", None, Nil, None))
+    }
 
     // --- value labels (type 3) + variable index (type 4) for GRP ---
     i32(3); i32(2)
@@ -96,6 +104,16 @@ class SavReaderSpec extends SparkSpec {
     // --- extension subrecord (type 7): flt64 info, skipped by readers ---
     i32(7); i32(4); i32(8); i32(3)
     f64(SysMis); f64(java.lang.Double.MAX_VALUE); f64(-SysMis)
+
+    // --- subtype 13: long variable names (tab-separated SHORT=Long) ---
+    val longNames = "NOTES=notes_long"
+    i32(7); i32(13); i32(1); i32(longNames.length)
+    pad(longNames, longNames.length)
+
+    // --- subtype 14: very-long-string table (NUL+tab delimited) ---
+    val vlsTable = "NOTES=00600\u0000\t"
+    i32(7); i32(14); i32(1); i32(vlsTable.length)
+    pad(vlsTable, vlsTable.length)
 
     // --- dictionary terminator ---
     i32(999); i32(0)
@@ -134,14 +152,25 @@ class SavReaderSpec extends SparkSpec {
         else lit8(chunk.getBytes("ISO-8859-1"))
       }
     }
-    def kase(id: Double, score: Double, name: String, grp: Double): Unit = {
-      num(id); num(score); str(name, 12); num(grp)
+    // A very long string is written as the value space-padded to its full
+    // width, sliced into 252-byte chunks, each chunk padded out to its
+    // segment's width (255/255/96 here) and element boundary.
+    def vlsStr(v: String, total: Int, segs: Seq[Int]): Unit = {
+      val full = v + " " * (total - v.length)
+      segs.zipWithIndex.foreach { case (w, j) =>
+        str(full.slice(j * 252, math.min((j + 1) * 252, total)), w)
+      }
     }
-    kase(1.0, 10.5, "Lima", 1.0)
-    kase(2.0, SysMis, "Cuzco Perú", 2.0)
-    kase(3.0, -9.0, "", 3.0)
-    kase(4.0, 20.0, "abcdefghijkl", 98.0)
-    kase(5.0, 7.0, "  x", 100.0)
+    def kase(id: Double, score: Double, name: String, grp: Double,
+        notes: String): Unit = {
+      num(id); num(score); str(name, 12); num(grp)
+      vlsStr(notes, 600, Seq(255, 255, 96))
+    }
+    kase(1.0, 10.5, "Lima", 1.0, vlsValue(600))
+    kase(2.0, SysMis, "Cuzco Perú", 2.0, "acta de Perú ñandú")
+    kase(3.0, -9.0, "", 3.0, "")
+    kase(4.0, 20.0, "abcdefghijkl", 98.0, vlsValue(252))
+    kase(5.0, 7.0, "  x", 100.0, vlsValue(250) + "  x")
     if (bytecode) { cmd(252); flushBlock() }
     val data = dbos.toByteArray
     if (compression != 2) bos.write(data)
@@ -163,6 +192,11 @@ class SavReaderSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** Deterministic long-string content: `n` chars cycling the alphabet,
+    * ending in a non-space so the reader's pad-strip can't mask length. */
+  private def vlsValue(n: Int): String =
+    (0 until n).map(i => ('a' + i % 26).toChar).mkString
+
   private def write(bytes: Array[Byte], name: String): String = {
     val p = java.nio.file.Files.createTempDirectory("sav").resolve(name)
     java.nio.file.Files.write(p, bytes)
@@ -173,7 +207,8 @@ class SavReaderSpec extends SparkSpec {
     StructField("ID", DoubleType),
     StructField("SCORE", DoubleType),
     StructField("NAME", StringType),
-    StructField("GRP", DoubleType)))
+    StructField("GRP", DoubleType),
+    StructField("notes_long", StringType)))
 
   private def checkValues(path: String): Unit = {
     val df = SavReader.readSav(spark, path)
@@ -191,6 +226,15 @@ class SavReaderSpec extends SparkSpec {
     assert(rows(4).getString(2) == "  x",
       "leading spaces kept, trailing pad stripped")
     assert(rows(4).getDouble(3) == 100.0, "just above the range is valid")
+    // very-long-string segment stitching (252-byte data per 255-wide seg)
+    assert(rows(0).getString(4) == vlsValue(600), "full 600-byte value")
+    assert(rows(1).getString(4) == "acta de Perú ñandú",
+      "short value in a long variable, latin-1")
+    assert(rows(2).getString(4) == "", "empty very long string")
+    assert(rows(3).getString(4) == vlsValue(252),
+      "value exactly filling segment 1")
+    assert(rows(4).getString(4) == vlsValue(250) + "  x",
+      "interior spaces across the segment boundary survive")
   }
 
   test("bytecode-compressed .sav decodes (biased ints, literals, 254/255)") {
