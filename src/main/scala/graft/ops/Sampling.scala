@@ -94,8 +94,11 @@ object Sampling {
       .withColumn("__before", coalesce(sum(col("__s")).over(wPref), lit(0L)))
       .withColumn("__through", col("__before") + col("__s"))
       .select(col("__g"), col("__b"), col("__before"), col("__through"))
+    // <=> on the group key: groupBy keeps NULL as its own group, so the
+    // join-back must too (=== would silently drop NULL-group rows, which
+    // the window plan this replaces kept).
     val joined = withB.join(broadcast(states),
-      col(groupCol) === col("__g") && col("__bkt") === col("__b"))
+      col(groupCol) <=> col("__g") && col("__bkt") === col("__b"))
     // Phase 3a: whole buckets inside the limit — map-only, no sort/shuffle.
     val keepAll = joined.filter(col("__through") <= limit)
     // Phase 3b: the one boundary bucket per group gets the fine sort;
@@ -187,7 +190,7 @@ object Sampling {
       .withColumn("__before", coalesce(sum(col("__s")).over(wPref), lit(0L)))
       .select(col("__g"), col("__b"), col("__before"))
     val joined = withB.join(broadcast(states),
-      col(partCol) === col("__g") && col("__bkt") === col("__b"))
+      col(partCol) <=> col("__g") && col("__bkt") === col("__b"))
     val wFine = Window.partitionBy(col(partCol), col("__bkt"))
       .orderBy(c, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

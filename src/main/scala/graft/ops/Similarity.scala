@@ -178,7 +178,12 @@ object Similarity {
     // row_number over partitionBy(nid) would shuffle+sort all n×k scored
     // rows just to pick one. negate() turns "cos desc, cid asc" into a
     // struct min; (negcos, cid) never ties (cid unique), so the carried
-    // vector field never participates in the comparison.
+    // vector field never participates in the comparison. One caveat to the
+    // window equivalence: a zero-norm vector scores cosine NaN, which a
+    // DESC sort ranks first (the old window picked a NaN centroid) while
+    // struct-min ranks last (NaN > everything in Spark's double ordering).
+    // Embeddings here are non-zero by contract, so the branch is dead; if
+    // that contract ever loosens, guard zero norms before the cosine.
     val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .crossJoin(cents)
       .groupBy(col("nid"))
@@ -276,7 +281,8 @@ object Similarity {
     for (_ <- 1 to iters) {
       // argmin as a min-struct aggregate (map-side combining) — the
       // row_number window would shuffle+sort the whole n×k cross join
-      // every round; see ivfTopK for the tie/ordering argument
+      // every round; see ivfTopK for the tie/ordering argument and the
+      // zero-norm/NaN caveat to the window equivalence
       val assigned = base.crossJoin(broadcast(cents))
         .groupBy(col("__id"))
         .agg(min(struct(

@@ -138,6 +138,23 @@ class SamplingPrefixSpec extends SparkSpec {
     assert(zero.getAs[Long]("spans") == 1L, "zero-token doc spans exactly 1")
   }
 
+  test("NULL group keys survive the prefix join-back (window parity)") {
+    // Window.partitionBy keeps NULL as its own partition; the bucket-prefix
+    // join-back must use <=> to do the same (=== would drop these rows).
+    val withNulls = Seq(
+      (1L, null, 5L), (2L, null, 7L), (3L, null, 0L), (4L, null, 11L),
+      (5L, "g", 3L), (6L, "g", 9L))
+      .toDF("doc_id", "grp", "ntok")
+    for (b <- Seq(1L, 12L, 100L)) {
+      assert(rows(Sampling.perGroupTokenBudget(withNulls, "grp", "doc_id",
+        "ntok", b, 8)) == rows(refBudget(withNulls, "grp", "doc_id", "ntok", b)))
+      assert(rows(Sampling.packSequences(withNulls, "grp", "doc_id",
+        "ntok", b, 8)) == rows(refPack(withNulls, "grp", "doc_id", "ntok", b)))
+    }
+    assert(rows(Sampling.perGroupCap(withNulls, "grp", "doc_id", 2, 8)) ==
+      rows(refCap(withNulls, "grp", "doc_id", 2)))
+  }
+
   test("result is independent of input partitioning") {
     def got(df: DataFrame) = rows(Sampling.perGroupTokenBudget(
       df, "grp", "doc_id", "ntok", 321L, 8))
