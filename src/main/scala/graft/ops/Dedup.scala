@@ -124,7 +124,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
     // sizes + the self-join read the sets three times — materialize once.
-    val sets = hashedShingles(df, idCol, textCol, k).distinct().localCheckpoint()
+    val sets = Checkpoints.checkpoint(
+      hashedShingles(df, idCol, textCol, k).distinct())
     val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sets.alias("x").join(sets.alias("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id"))
@@ -212,7 +213,10 @@ object Dedup {
     * near-dup components are tiny (pairs/triangles), so plain propagation
     * converges in 2-3 rounds; the iteration cap guards pathological chains
     * (for web-scale graphs swap in large-star/small-star, same contract).
-    * Each round's result is localCheckpoint'd: the lineage would otherwise
+    * Each round's result is checkpointed ([[Checkpoints]] — executor-local
+    * by default, reliable when `spark.graft.checkpoint.dir` is set; on a
+    * real cluster the reliable mode is the only one that survives executor
+    * loss across the rounds): the lineage would otherwise
     * double per round and recompute the whole prefix at every action.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
@@ -222,17 +226,17 @@ object Dedup {
     // reuse fails to unify them (nondeterministic, and 2× the dominant
     // cost). The checkpointed pair set is tiny; the union over it is a
     // narrow recompute every round's joins read for free.
-    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
+    val p0 = Checkpoints.checkpoint(pairs.select(col("a"), col("b")))
     val sym = p0.select(col("a").as("src"), col("b").as("dst"))
       .union(p0.select(col("b").as("src"), col("a").as("dst")))
     // Seed labels with min(id, min neighbor) — exactly what the first
     // propagation round would compute from identity labels, for the cost
     // of one aggregation instead of a full join round. Near-dup components
     // (pairs/triangles) then converge in a single confirming round.
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("root"))
-      .localCheckpoint()
+    var labels = Checkpoints.checkpoint(
+      sym.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("root")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -248,14 +252,13 @@ object Dedup {
       // The round's checkpoint carries the previous label alongside the new
       // one, so the convergence probe is a filter over already-materialized
       // data — no extra join stage per round.
-      val next = labels
+      val next = Checkpoints.checkpoint(labels
         .join(viaNeighbor, Seq("id"), "left")
         .join(viaRoot, Seq("id"), "left")
         .select(col("id"), col("root").as("__prev"),
           least(col("root"),
             coalesce(col("nroot"), col("root")),
-            coalesce(col("rroot"), col("root"))).as("root"))
-        .localCheckpoint()
+            coalesce(col("rroot"), col("root"))).as("root")))
       converged = next.filter(col("root") =!= col("__prev")).isEmpty
       labels = next.select(col("id"), col("root"))
       round += 1
@@ -304,28 +307,62 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, via lossless
-    * pigeonhole blocking: the 60 bits are split into maxDist+1 disjoint
-    * segments; any pair within maxDist differs in ≤ maxDist bits and so
-    * agrees EXACTLY on at least one whole segment. Candidates are therefore
-    * an equi-join on (segment, segmentValue) — a hash join whose cost tracks
-    * genuinely-close groups — instead of an O(n²) nested-loop cross join;
-    * the final Hamming filter makes the result identical to brute force. */
-  def simhashPairs(signatures: DataFrame, maxDist: Int): DataFrame = {
-    val blocks = maxDist + 1
-    val bounds = (0 to blocks).map(i => i * SimhashBits / blocks)
-    val segStructs = (0 until blocks).map { i =>
-      val off = bounds(i)
-      val width = bounds(i + 1) - bounds(i)
-      val mask = (1L << width) - 1
-      struct(lit(i).as("seg"),
-        expr(s"(simhash >> $off) & $mask").as("segVal"))
+    * multi-index (combination) blocking, the Manku et al. WWW'07 layout
+    * generalized to any (maxDist, keyBlocks): the 60 bits are split into
+    * m = maxDist + keyBlocks disjoint segments; a pair within maxDist has
+    * its ≤ maxDist differing bits in at most maxDist segments, so it agrees
+    * EXACTLY on ≥ keyBlocks whole segments — and therefore on at least one
+    * of the C(m, keyBlocks) keyBlocks-sized segment COMBINATIONS. Each
+    * combination is one probe table keyed by the packed concatenation of
+    * its segment values; candidates are an equi-join on (combo, key) and
+    * the final Hamming filter makes the result identical to brute force.
+    *
+    * keyBlocks is the selectivity/replication dial, and sizing it is part
+    * of the operator's contract: probe keys carry ~keyBlocks·60/m bits, so
+    * buckets hold ~n/2^(60·keyBlocks/m) docs and candidate volume scales as
+    * C(m,keyBlocks)·n²/2^(60·keyBlocks/m) for near-uniform signatures.
+    * keyBlocks=1 is plain pigeonhole: at maxDist=10 each key carries only
+    * ~5.5 bits (≤64 buckets), so candidates grow as n²/64 — a quadratic
+    * scale-killer dressed as an equi-join. keyBlocks=2 at maxDist=10 gives
+    * 10-bit keys (C(12,2)=66 tables); at maxDist=5, 17-bit keys (C(7,2)=21).
+    * Size keyBlocks so 2^(60·keyBlocks/m) ≳ n/1000; the C(m,keyBlocks)×
+    * row replication is the (linear) price of the (quadratic) pruning.
+    *
+    * The signature table is checkpointed before the self-join: the 60-sum
+    * aggregate behind it would otherwise sit on BOTH join sides and
+    * re-execute whenever Catalyst's exchange reuse fails to unify the
+    * aliased subtrees (nondeterministic, and 2× the dominant cost). */
+  def simhashPairs(signatures: DataFrame, maxDist: Int,
+      keyBlocks: Int = 1): DataFrame = {
+    require(keyBlocks >= 1 && maxDist >= 0, "need keyBlocks >= 1, maxDist >= 0")
+    // m may exceed SimhashBits (maxDist near 60, i.e. brute force): the
+    // surplus segments get width 0, which keeps the guarantee (a 0-bit
+    // segment is trivially clean) and degenerates gracefully to all-pairs.
+    val m = maxDist + keyBlocks
+    val bounds = (0 to m).map(i => i * SimhashBits / m)
+    // Packed value of segment i: (simhash >> off) & mask, width w(i).
+    def segVal(i: Int): String = {
+      val mask = (1L << (bounds(i + 1) - bounds(i))) - 1
+      s"((simhash >> ${bounds(i)}) & $mask)"
     }
-    val banded = signatures.select(col("id"), col("simhash"),
-        explode(array(segStructs: _*)).as("s"))
+    // One probe struct per keyBlocks-combination: key = the combination's
+    // segment values packed side by side into one long (total width
+    // 60·keyBlocks/m < 60 bits, so it always fits).
+    val comboStructs = (0 until m).combinations(keyBlocks).zipWithIndex.map {
+      case (segs, idx) =>
+        val packed = segs.map(segVal).zip(
+            segs.scanLeft(0)((acc, i) => acc + bounds(i + 1) - bounds(i)))
+          .map { case (v, shift) => s"($v << $shift)" }.mkString(" + ")
+        struct(lit(idx).as("combo"), expr(packed).as("key"))
+    }.toSeq
+    val sig = Checkpoints.checkpoint(
+      signatures.select(col("id"), col("simhash")))
+    val banded = sig.select(col("id"), col("simhash"),
+        explode(array(comboStructs: _*)).as("c"))
       .select(col("id"), col("simhash"),
-        col("s.seg").as("seg"), col("s.segVal").as("segVal"))
+        col("c.combo").as("combo"), col("c.key").as("key"))
     banded.alias("x").join(banded.alias("y"),
-        col("x.seg") === col("y.seg") && col("x.segVal") === col("y.segVal") &&
+        col("x.combo") === col("y.combo") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("dist"))

@@ -296,11 +296,11 @@ object Similarity {
           count(lit(1)).as("__n"))
         .select(col("cid"), col("pos"),
           round(col("__s").cast("double") / col("__n"), 9).as("m"))
-      cents = dims.groupBy(col("cid"))
+      cents = Checkpoints.checkpoint(dims.groupBy(col("cid"))
         .agg(collect_list(struct(col("pos"), col("m"))).as("__pm"))
         .select(col("cid"),
           transform(array_sort(col("__pm")), s => s.getField("m")).as("cv"))
-        .localCheckpoint() // k rows; cuts the per-round lineage growth
+        ) // k rows; cuts the per-round lineage growth
     }
     cents
   }

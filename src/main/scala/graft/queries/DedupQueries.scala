@@ -136,10 +136,12 @@ object DedupQueries {
         // The filtered set feeds THREE plan branches (signatures, jaccard
         // verify, final anti-join) — materialize it once instead of paying
         // the scan + regex threefold (A/B ~20% here; at corpus scale the
-        // re-scans dominate; production would persist to executor storage).
-        val good = spread(T(s, dir, "documents"))
-          .filter(textstats.qualityBand(col("text")).isin("good", "odd"))
-          .localCheckpoint()
+        // re-scans dominate; checkpoint strategy per graft.ops.Checkpoints —
+        // reliable when spark.graft.checkpoint.dir is set, executor-local
+        // otherwise).
+        val good = graft.ops.Checkpoints.checkpoint(
+          spread(T(s, dir, "documents"))
+            .filter(textstats.qualityBand(col("text")).isin("good", "odd")))
         val cleaned = Dedup.dedupCorpus(good, "doc_id",
           Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
         cleaned.groupBy(col("lang"))
@@ -254,11 +256,18 @@ object DedupQueries {
       Some(sqlExactJaccard)),
 
     // d3: SimHash near-dup pairs (Hamming distance over 60-bit signatures
-    // of the 3-shingle set; threshold 10 cleanly separates the planted
-    // dups at dist ≤5 from the random-pair mass at dist ≥15).
+    // of the 3-shingle set). maxDist = 10 is the semantic contract:
+    // measured on this corpus the true near-dups (jac ≥ 0.9) span dist
+    // 0–11 (sf0.1) while the random-pair mass starts at 12 — 10 keeps
+    // ~99% of dup pairs with zero noise. keyBlocks = 2 is the physical
+    // dial: probe keys carry two 5-bit segments (10 bits, C(12,2) = 66
+    // combo tables) instead of pigeonhole's single ~5-bit segment, cutting
+    // candidate volume 16× for a 6× row replication — same exact result,
+    // identical oracle (the oracle brute-forces all pairs either way).
     "d3_simhash" -> Q(
       (s, dir) => Dedup.simhashPairs(
-          Dedup.simhash(T(s, dir, "documents"), "doc_id", "text"), maxDist = 10)
+          Dedup.simhash(T(s, dir, "documents"), "doc_id", "text"),
+          maxDist = 10, keyBlocks = 2)
         .orderBy(col("a"), col("b")),
       Some {
         val bitSums = (0 until Dedup.SimhashBits)

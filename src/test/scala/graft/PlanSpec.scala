@@ -160,6 +160,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d3: simhash candidates are an equi-join over CHECKPOINTED " +
+    "signatures — the 60-sum aggregate runs once, not once per join side") {
+    val p = plan("d3_simhash")
+    // both join sides read the materialized signature table, so the
+    // expensive bit-sum aggregate is absent from the pair plan entirely
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("partial_sum"), p)
+    // multi-index blocking is still a pure equi-join on (combo, key)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t9: repetition signals evaluate once (two-phase aggregate)") {
     val p = plan("t9_repetition")
     // the heavy signal exprs are grouping keys: two HashAggregate pairs

@@ -47,6 +47,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs((1L, 2L)) < pairs((1L, 3L)))
   }
 
+  test("simhashPairs multi-index blocking is exact at every keyBlocks") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = Dedup.simhash(d, "doc_id", "text")
+    def pairs(kb: Int, dist: Int) =
+      Dedup.simhashPairs(sig, dist, kb).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: every doc shares the single zero-width-segment bucket
+    val brute = pairs(1, 60).filter(_._3 <= 10)
+    assert(brute.nonEmpty)
+    // pigeonhole (kb=1) and combination blocking (kb=2,3) must all equal it
+    for (kb <- 1 to 3) assert(pairs(kb, 10) == brute, s"keyBlocks=$kb")
+  }
+
+  test("connectedComponents: reliable-checkpoint mode matches local mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L)).toDF("a", "b")
+    val local = Dedup.survivors(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      val reliable = Dedup.survivors(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the mode actually wrote reliable checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally spark.conf.unset(Checkpoints.DirKey)
+  }
+
   test("asof lastPrior attaches latest prior value, null before first") {
     val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"))
       .toDF("k", "ts", "tag")
