@@ -88,7 +88,17 @@ object Bench {
       n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
       n.startsWith("e") || n == "a8_salted_agg" || n == "a9_approx_distinct"
     val core = ok.collect { case (k, v) if !isExtension(k) => v }.sum
-    println(s"""{"queries":$qs,"failed":$fs}""")
+    // The stdout detail line is routinely lost to the driver's tail capture
+    // (only the summary survives), which made round-over-round per-query
+    // comparison impossible for the alphabetically-early keys — so the full
+    // detail also goes to a FILE the round artifacts keep.
+    val detail = s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_detail.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort; stdout line remains
+    println(detail)
     // Compact summary LAST: the driver's tail capture must always see it.
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","core_sec":${num(core)},"extensions_sec":${num(total - core)},"n_queries":${results.size},"n_failed":${failed.size},"warmup_sf":"${if (warmed) warmDir else "none"}","sf":"$sfDir"}""")
     spark.stop()

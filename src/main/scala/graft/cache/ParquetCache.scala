@@ -48,7 +48,19 @@ final class ParquetCache(spark: SparkSession, root: String) extends SeriesCache 
 
   /** Upsert `incoming` (wide: date + code columns) into the cache table:
     * full-outer merge on `date`, incoming values win, new codes become new
-    * columns. Reference `perustats/BCRP/cache.py:143-169`. */
+    * columns. Reference `perustats/BCRP/cache.py:143-169`.
+    *
+    * Concurrency contract (SCALING.md §cache): readers NEVER see a torn
+    * write — the merged table is staged under a hidden directory (ignored
+    * by readers, which only follow `_CURRENT`), claimed as `vN` with an
+    * atomic directory rename (two writers racing the same N: exactly one
+    * rename succeeds, the loser reclaims N+1), and published with an
+    * atomic replace of the `_CURRENT` pointer file. Concurrent saves are
+    * last-publish-wins: each merges from the version it READ, so the
+    * earlier writer's rows are absent from the later writer's merge unless
+    * the later writer started after the earlier published (serialize
+    * writers externally if lost updates matter — same contract as the
+    * reference's single-process SQLite cache). */
   def save(freq: String, start: String, end: String, incoming: DataFrame): Unit = {
     val dir = tableDir(freq, start, end)
     val merged = currentVersion(dir) match {
@@ -57,12 +69,32 @@ final class ParquetCache(spark: SparkSession, root: String) extends SeriesCache 
         Relational.upsertWide(existing, incoming, "date")
       case None => incoming
     }
-    val next = currentVersion(dir).map(v => v.stripPrefix("v").toInt + 1).getOrElse(0)
-    val nextDir = new java.io.File(dir, s"v$next")
-    merged.write.mode("overwrite").parquet(nextDir.getPath)
     dir.mkdirs()
-    java.nio.file.Files.write(new java.io.File(dir, "_CURRENT").toPath,
-      s"v$next".getBytes)
+    // Stage fully, then claim a version slot by atomic rename. On a
+    // rename-less store (S3) swap the staging step for a commit protocol;
+    // on local fs / HDFS a directory rename is atomic.
+    val staging = new java.io.File(dir,
+      s"_staging_${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("overwrite").parquet(staging.getPath)
+    var next = currentVersion(dir).map(v => v.stripPrefix("v").toInt + 1)
+      .getOrElse(0)
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.move(staging.toPath,
+          new java.io.File(dir, s"v$next").toPath)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      }
+    }
+    // Publish: write-then-atomic-replace so a concurrent reader sees either
+    // the old pointer or the new one, never a partially-written file.
+    val tmp = new java.io.File(dir, s"_CURRENT.tmp$next")
+    java.nio.file.Files.write(tmp.toPath, s"v$next".getBytes)
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, "_CURRENT").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Projected read: only `date` + the requested codes that exist reach the

@@ -45,6 +45,49 @@ class ParquetCacheSpec extends SparkSpec {
       new java.io.File(dir, "_CURRENT").toPath)).trim == "v1")
   }
 
+  test("concurrent saves: readers never see a partial version") {
+    val c = fresh("race")
+    c.save("M", "2019", "2022", Seq(("2019-01-01", 0.0)).toDF("date", "SEED"))
+    // 4 writers × distinct code columns racing the same table, while a
+    // reader loop keeps loading: every load must observe a COMPLETE
+    // version — the seed column present and exactly one value per date —
+    // and no load may throw (a torn _CURRENT or half-renamed vN would).
+    val codes = Seq("W1", "W2", "W3", "W4")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!done.get) {
+        try {
+          val rows = c.load("M", "2019", "2022", Seq("SEED") ++ codes)
+            .collect()
+          assert(rows.nonEmpty)
+          assert(rows.map(_.getString(0)).distinct.length == rows.length)
+        } catch { case t: Throwable => errs.add(t); done.set(true) }
+      }
+    })
+    reader.start()
+    val writers = codes.zipWithIndex.map { case (code, i) =>
+      new Thread(() => {
+        try c.save("M", "2019", "2022",
+          Seq((s"2020-0${i + 1}-01", 1.0)).toDF("date", code))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    done.set(true); reader.join()
+    assert(errs.isEmpty, errs.toArray.mkString("\n"))
+    // the table dir holds only complete versions + the pointer (no staging
+    // leftovers), and _CURRENT resolves to an existing version
+    val dir = new java.io.File(s"target/scratch/cache_race")
+      .listFiles().find(_.getName.startsWith("sr_M")).get
+    assert(!dir.listFiles().exists(_.getName.startsWith("_staging")))
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_CURRENT").toPath)).trim
+    assert(new java.io.File(dir, cur).isDirectory)
+    // last-publish-wins: the published version is a complete parquet table
+    assert(c.load("M", "2019", "2022", Seq("SEED")).count() >= 1)
+  }
+
   test("keys with different ranges are independent tables") {
     val c = fresh("ranges")
     c.save("M", "2020", "2021", Seq(("2020-01-01", 1.0)).toDF("date", "A1"))
