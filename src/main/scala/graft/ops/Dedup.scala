@@ -173,8 +173,12 @@ object Dedup {
   def crossCorpusNearDups(left: DataFrame, right: DataFrame, idCol: String,
       textCol: String, k: Int = 3, threshold: Double = 0.8,
       maxBucketSize: Int = 0, hash: Column => Column = hashing.h64): DataFrame = {
-    val shL = hashedShingles(left, idCol, textCol, k, hash)
-    val shR = hashedShingles(right, idCol, textCol, k, hash)
+    // Checkpoint per side for the same reason as [[minhashLshPairs]]: each
+    // side's shingle scan feeds its band branch and its verification side.
+    val shL = Checkpoints.checkpoint(
+      hashedShingles(left, idCol, textCol, k, hash))
+    val shR = Checkpoints.checkpoint(
+      hashedShingles(right, idCol, textCol, k, hash))
     val bandsL = lshBands(minhashSignatures(shL))
     val bandsR = lshBands(minhashSignatures(shR))
     val cands = capBuckets(bandsL, maxBucketSize).alias("x")
@@ -194,10 +198,15 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 0,
       hash: Column => Column = hashing.h64): DataFrame = {
-    // Tokenize+shingle+hash is cheap codegen'd column work — recomputing it
-    // for the signature branch and the verification branch beats eagerly
-    // materializing the table (A/B-measured).
-    val sh = hashedShingles(df, idCol, textCol, k, hash)
+    // The hashed-shingle table feeds the signature branch AND both sides of
+    // the verification join. Checkpoint it once: leaving it lazy re-runs
+    // the tokenize+shingle+hash scan per branch whenever Catalyst's
+    // exchange reuse fails to unify the aliased subtrees — nondeterministic
+    // 2-3× spikes (re-A/B'd round 5: checkpoint is ~30% faster at sf0.1
+    // AND kills the spike mode; an earlier smaller-corpus A/B went the
+    // other way, superseded). The materialized table is (id, int64) rows —
+    // the compact form of the corpus the whole pipeline re-reads.
+    val sh = Checkpoints.checkpoint(hashedShingles(df, idCol, textCol, k, hash))
     val cands = lshCandidatePairs(lshBands(minhashSignatures(sh)), maxBucketSize)
     jaccardPairs(sh, cands, threshold)
   }
