@@ -85,7 +85,13 @@ final class ParquetCache(spark: SparkSession, root: String) extends SeriesCache 
           new java.io.File(dir, s"v$next").toPath)
         claimed = true
       } catch {
+        // POSIX rename reports a taken slot as FileAlreadyExists (empty
+        // target) or DirectoryNotEmpty/FileSystemException (a rival's
+        // complete version, never empty); reclaim N+1 in every such case,
+        // rethrow anything where the slot is genuinely free.
         case _: java.nio.file.FileAlreadyExistsException => next += 1
+        case e: java.nio.file.FileSystemException
+            if new java.io.File(dir, s"v$next").exists() => next += 1
       }
     }
     // Publish: write-then-atomic-replace so a concurrent reader sees either
