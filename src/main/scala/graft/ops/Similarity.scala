@@ -323,4 +323,45 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic dedup (cluster-then-prune, after Abbas et al.
+    * 2023, arXiv:2303.09540): k-means partitions the embedding space, and
+    * cosine-threshold pruning runs WITHIN each cluster only — a vector is
+    * dropped when a smaller-id vector of the same cluster sits at
+    * cos ≥ tau. Returns the survivors as (id, cluster).
+    *
+    * Semantics are deterministic and oracle-replayable: the keep rule is
+    * "no smaller-id neighbor ≥ tau in my cluster" (an EXISTS, not the
+    * greedy chain — a vector whose only close neighbor was itself dropped
+    * still drops; strictly more aggressive than greedy, stated contract),
+    * cosines are strict-fold doubles rounded to 4 before the comparison,
+    * and assignment ties break on centroid id.
+    *
+    * Scale design: assignment is the [[ivfTopK]] min-struct aggregate (one
+    * corpus pass, map-side combine); the prune is an equi-join on the
+    * cluster id, so candidate volume is Σ|cluster|² — bounded only if k
+    * GROWS with the corpus (SemDeDup's own contract: k ≈ n / target
+    * cluster size keeps clusters constant-sized; the paper runs 50k
+    * clusters for 5B embeddings). The assigned table is checkpointed so
+    * the k-means DAG runs once, not once per self-join side. */
+  def semDeDup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
+    val assigned = Checkpoints.checkpoint(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .crossJoin(cents)
+        .groupBy(col("id"))
+        .agg(min(struct(
+          negate(cosine(col("v"), col("cv"))).as("negcos"),
+          col("cid").as("cid"), col("v").as("v"))).as("__best"))
+        .select(col("id"), col("__best.v").as("v"),
+          col("__best.cid").as("cluster")))
+    val rivals = assigned.select(col("cluster").as("__rc"),
+      col("id").as("__rid"), col("v").as("__rv"))
+    assigned.join(rivals,
+        col("cluster") === col("__rc") && col("__rid") < col("id") &&
+          round(cosine(col("v"), col("__rv")), 4) >= tau,
+        "left_anti")
+      .select(col("id"), col("cluster"))
+  }
 }

@@ -61,6 +61,40 @@ object DedupQueries {
        / (${norm(a)} * ${norm(b)}))"""
   }
 
+  /** Full DuckDB replay of the deterministic k-means centroid build
+    * ([[graft.ops.Similarity.kmeansCentroids]], k=12, two unrolled Lloyd's
+    * rounds) ending in `cents(cid, cv)` — shared by x3 and d10. Each round
+    * assigns to the argmax-cosine centroid (ties by cid), then recomputes
+    * per-dimension means via exact DECIMAL sums rounded to 9 so the next
+    * round's inputs are stable cross-engine. */
+  private def sqlKmeansCents: String = {
+    def lloydRound(prev: String, i: Int): String =
+      s"""assign$i AS (SELECT cid, embedding FROM (
+           SELECT v.embedding, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+           FROM embeddings v CROSS JOIN $prev c) WHERE rn = 1),
+         dims$i AS (SELECT cid, pos,
+             round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
+                 AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+           FROM assign$i
+           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+           GROUP BY cid, pos),
+         cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
+           FROM dims$i GROUP BY cid)"""
+    s"""hseed AS (SELECT vec_id, embedding,
+           ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
+         FROM embeddings),
+       seeds AS (SELECT vec_id, embedding, hh FROM hseed
+         ORDER BY hh, vec_id LIMIT 12),
+       cent0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cv
+         FROM seeds),
+       ${lloydRound("cent0", 1)},
+       ${lloydRound("cent1", 2)},
+       cents AS (SELECT cid, cv FROM cent2)"""
+  }
+
   /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
     * exact-Jaccard verification over relation `rel` (shared by d2, d6, e1 —
     * the latter two embed it as a parenthesized subquery, where an outer
@@ -378,34 +412,7 @@ object DedupQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some {
-        // One Lloyd's round: assign to argmax-cosine centroid (ties by
-        // cid), then per-dimension means via exact DECIMAL sums rounded
-        // to 9 so the next round's inputs are stable cross-engine.
-        def lloydRound(prev: String, i: Int): String =
-          s"""assign$i AS (SELECT cid, embedding FROM (
-               SELECT v.embedding, c.cid,
-                 row_number() OVER (PARTITION BY v.vec_id
-                   ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-               FROM embeddings v CROSS JOIN $prev c) WHERE rn = 1),
-             dims$i AS (SELECT cid, pos,
-                 round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
-                     AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
-               FROM assign$i
-               CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
-               GROUP BY cid, pos),
-             cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
-               FROM dims$i GROUP BY cid)"""
-        s"""WITH hseed AS (SELECT vec_id, embedding,
-               ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
-             FROM embeddings),
-           seeds AS (SELECT vec_id, embedding, hh FROM hseed
-             ORDER BY hh, vec_id LIMIT 12),
-           cent0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
-               list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cv
-             FROM seeds),
-           ${lloydRound("cent0", 1)},
-           ${lloydRound("cent1", 2)},
-           cents AS (SELECT cid, cv FROM cent2),
+        s"""WITH $sqlKmeansCents,
            assign AS (SELECT nid, nv, cid AS cluster FROM (
              SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
@@ -427,6 +434,34 @@ object DedupQueries {
              FROM scored)
            WHERE rank <= 3 ORDER BY qid, rank"""
       }),
+
+    // d10: SemDeDup semantic dedup — k-means clusters the embedding space
+    // (same deterministic build as x3), then cosine pruning runs within
+    // clusters only: a vector is dropped when a smaller-id clustermate
+    // sits at cos >= 0.45 (the d5 near-dup scale for this corpus). Output
+    // is the survivor set; recall vs the exact d5 join is < 1 when a dup
+    // pair straddles a cluster boundary — the SemDeDup trade. The oracle
+    // replays the ENTIRE pipeline, k-means included.
+    "d10_semdedup" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cents = Similarity
+          .kmeansCentroids(e, "vec_id", "embedding", k = 12, iters = 2)
+        Similarity.semDeDup(e, cents, "vec_id", "embedding", tau = 0.45)
+          .orderBy(col("id"))
+      },
+      Some(
+        s"""WITH $sqlKmeansCents,
+           assign AS (SELECT id, v, cid AS cluster FROM (
+             SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid) AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
+           SELECT a.id, a.cluster FROM assign a
+           WHERE NOT EXISTS (SELECT 1 FROM assign b
+             WHERE b.cluster = a.cluster AND b.id < a.id
+               AND round(${sqlCosine("a.v", "b.v")}, 4) >= 0.45)
+           ORDER BY a.id""")),
 
     // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
     "x2_lsh_ann" -> Q(

@@ -137,6 +137,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(__id"), p)
   }
 
+  test("d10: semdedup prune is an anti equi-join on the cluster id over a " +
+    "checkpointed assignment (no nested loop, no re-run of k-means per side)") {
+    val p = plan("d10_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the k-means + assignment subtree is materialized once: both sides of
+    // the anti join scan the checkpoint, so no partial_min aggregate (the
+    // assignment argmin) appears twice in the executed plan
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("t13: unigram-LM joins broadcast; no shuffle of exploded tokens " +
     "for the lookup") {
     val p = plan("t13_unigram_lm")

@@ -169,6 +169,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(0L, 2L)) // same-cluster neighbors only, cosine order
   }
 
+  test("semDeDup drops exactly the smaller-id-neighbor vectors, in-cluster") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)
+    val tau = 0.45
+    val kept = Similarity.semDeDup(e, cents, "vec_id", "embedding", tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force the contract: assignment by argmax cosine (ties by cid),
+    // then drop iff a smaller-id clustermate sits at rounded cos >= tau
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val cs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val assign = vecs.map { case (id, v) =>
+      id -> cs.minBy { case (cid, cv) => (-cos(v, cv), cid) }._1
+    }.toMap
+    val expect = vecs.collect {
+      case (id, v) if !vecs.exists { case (o, ov) =>
+          o < id && assign(o) == assign(id) &&
+            BigDecimal(cos(v, ov)).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble >= tau } =>
+        id -> assign(id)
+    }.toMap
+    assert(kept == expect)
+    assert(kept.size < vecs.length, "some vector must actually drop")
+  }
+
   test("dedupCorpus keeps one doc per near-dup component") {
     val pairs = Seq((1L, 4L), (2L, 3L)).toDF("a", "b")
     val kept = Dedup.dedupCorpus(docs.unionByName(
