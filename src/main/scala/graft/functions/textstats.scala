@@ -65,6 +65,19 @@ object textstats {
       .otherwise("odd")
   }
 
+  /** Fraction of tokens containing at least one ASCII letter (tokens are
+    * already lowercased). Gopher's "80% of words must contain an alphabetic
+    * character" rule reads this signal. */
+  def alphaWordRatio(tok: Column): Column =
+    round(size(filter(tok, t => t.rlike("[a-z]"))).cast("double") /
+      greatest(size(tok), lit(1)), 4)
+
+  /** Number of DISTINCT stopwords present — Gopher requires at least two
+    * (presence of a few distinct function words is the cheapest
+    * natural-language test there is). */
+  def distinctStopHits(tok: Column, stop: Seq[String] = EnStop): Column =
+    size(array_distinct(filter(tok, t => t.isin(stop.map(lit): _*))))
+
   /** BPE-ish subword count: alpha runs, digit runs, and single punctuation
     * marks each count as one token — a cheap stand-in for a real tokenizer
     * with the same column shape. */

@@ -451,6 +451,111 @@ object TextQueries {
         .orderBy(col("lang")),
       None),
 
+    // t16: Gopher-style quality rule battery (Rae et al. 2021, appendix
+    // A1.1, adapted to this corpus's signals): word-count bounds [50,
+    // 100k], mean-word-length bounds [3, 10], symbol ratio <= 0.10,
+    // alphabetic-word ratio >= 0.80, >= 2 distinct stopwords, and n-gram
+    // repetition caps (dup-2-gram 0.30 / top-3-gram 0.18). Output is
+    // per-source rule-violation counts + the survivor count; the
+    // continuous signals are ALSO DECIMAL-summed so the oracle verifies
+    // the exact arithmetic even for rules a clean corpus never trips.
+    // Signals are grouping keys of the first aggregate (the t9
+    // single-evaluation pattern).
+    "t16_gopher_rules" -> Q(
+      (s, dir) => {
+        val tok = textstats.tokens(col("text"))
+        spread(T(s, dir, "documents"))
+          .groupBy(col("source"),
+            textstats.tokenCount(col("text")).as("ntok"),
+            textstats.meanTokenLen(tok).as("mwl"),
+            textstats.punctRatio(col("text")).as("sym"),
+            textstats.alphaWordRatio(tok).as("alpha"),
+            textstats.distinctStopHits(tok).as("nstop"),
+            textstats.dupNgramFraction(tok, 2).as("dup2"),
+            textstats.topNgramFraction(tok, 3).as("top3"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("*"),
+            (col("ntok") < 50 || col("ntok") > 100000).cast("long").as("f_len"),
+            (col("mwl") < 3.0 || col("mwl") > 10.0).cast("long").as("f_wordlen"),
+            (col("sym") > 0.10).cast("long").as("f_symbol"),
+            (col("alpha") < 0.80).cast("long").as("f_alpha"),
+            (col("nstop") < 2).cast("long").as("f_stop"),
+            (col("dup2") > 0.30 || col("top3") > 0.18).cast("long").as("f_rep"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("docs"),
+            sum(when(col("f_len") + col("f_wordlen") + col("f_symbol") +
+                col("f_alpha") + col("f_stop") + col("f_rep") === 0,
+              col("cnt")).otherwise(lit(0L))).as("kept"),
+            sum(col("f_len") * col("cnt")).as("r_len"),
+            sum(col("f_wordlen") * col("cnt")).as("r_wordlen"),
+            sum(col("f_symbol") * col("cnt")).as("r_symbol"),
+            sum(col("f_alpha") * col("cnt")).as("r_alpha"),
+            sum(col("f_stop") * col("cnt")).as("r_stop"),
+            sum(col("f_rep") * col("cnt")).as("r_rep"),
+            sum(col("mwl").cast("decimal(18,4)") * col("cnt"))
+              .cast("double").as("mwl_sum"),
+            sum(col("dup2").cast("decimal(18,4)") * col("cnt"))
+              .cast("double").as("dup2_sum"),
+            sum(col("top3").cast("decimal(18,4)") * col("cnt"))
+              .cast("double").as("top3_sum"))
+          .orderBy(col("source"))
+      },
+      Some(
+        s"""SELECT source, count(*) AS docs,
+             CAST(sum(CASE WHEN f_len + f_wordlen + f_symbol + f_alpha
+                 + f_stop + f_rep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(f_len) AS BIGINT) AS r_len,
+             CAST(sum(f_wordlen) AS BIGINT) AS r_wordlen,
+             CAST(sum(f_symbol) AS BIGINT) AS r_symbol,
+             CAST(sum(f_alpha) AS BIGINT) AS r_alpha,
+             CAST(sum(f_stop) AS BIGINT) AS r_stop,
+             CAST(sum(f_rep) AS BIGINT) AS r_rep,
+             CAST(sum(CAST(mwl AS DECIMAL(18,4))) AS DOUBLE) AS mwl_sum,
+             CAST(sum(CAST(dup2 AS DECIMAL(18,4))) AS DOUBLE) AS dup2_sum,
+             CAST(sum(CAST(top3 AS DECIMAL(18,4))) AS DOUBLE) AS top3_sum
+           FROM (
+             SELECT source, mwl, dup2, top3,
+               CASE WHEN ntok < 50 OR ntok > 100000 THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f_wordlen,
+               CASE WHEN sym > 0.10 THEN 1 ELSE 0 END AS f_symbol,
+               CASE WHEN alpha < 0.80 THEN 1 ELSE 0 END AS f_alpha,
+               CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN dup2 > 0.30 OR top3 > 0.18 THEN 1 ELSE 0 END AS f_rep
+             FROM (
+               SELECT source, len(toks) AS ntok,
+                 round(CAST(CASE WHEN len(toks) = 0 THEN 0
+                     ELSE list_reduce(list_transform(toks, t -> len(t)),
+                       (x, y) -> x + y) END AS DOUBLE)
+                   / greatest(len(toks), 1), 4) AS mwl,
+                 round(CAST(length(text) - length(regexp_replace(text,
+                     '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1), 4) AS sym,
+                 round(CAST(len(list_filter(toks,
+                     t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                   / greatest(len(toks), 1), 4) AS alpha,
+                 len(list_distinct(list_filter(toks, t -> list_contains(
+                   ${textstats.EnStop.mkString("['", "', '", "']")}, t))))
+                   AS nstop,
+                 round(CASE WHEN len(sh2) = 0 THEN 0.0
+                   ELSE CAST(len(sh2) - len(list_distinct(sh2)) AS DOUBLE)
+                     / len(sh2) END, 4) AS dup2,
+                 round(CASE WHEN len(sh3) = 0 THEN 0.0
+                   ELSE CAST(list_max(list_transform(list_distinct(sh3),
+                       d -> len(list_filter(sh3, x -> x = d)))) AS DOUBLE)
+                     / len(sh3) END, 4) AS top3
+               FROM (
+                 SELECT source, text, toks,
+                   CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(toks)-1),
+                       i -> array_to_string(list_slice(toks, i, i+1), ' ')) END
+                     AS sh2,
+                   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(toks)-2),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')) END
+                     AS sh3
+                 FROM (SELECT source, text, $sqlToks AS toks FROM documents))))
+           GROUP BY source ORDER BY source""")),
+
     // m1: multimodal binary-column plumbing — text encoded to a binary
     // payload column, "decoded" by a typed mapPartitions stage. The real
     // decode (image/audio libs) is STUBBED with a deterministic fake

@@ -66,4 +66,20 @@ class PiiTextStatsSpec extends SparkSpec {
     assert(rows(2).getDouble(0) == 0.0 && rows(2).getDouble(1) == 0.0,
       "sub-n docs have empty shingle sets -> 0")
   }
+
+  test("alphaWordRatio and distinctStopHits match hand computation") {
+    val df = Seq(
+      "the cat and the dog in 42 9000",  // 8 tokens, 2 numeric; stops: the, and, in
+      "12 34 56",                        // no alpha, no stops
+      "")                                // empty -> 0 tokens, guard denominators
+      .toDF("txt")
+      .select(
+        textstats.alphaWordRatio(textstats.tokens(col("txt"))).as("a"),
+        textstats.distinctStopHits(textstats.tokens(col("txt"))).as("s"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.75 && rows(0).getInt(1) == 3,
+      "'the' counts once despite two occurrences")
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getInt(1) == 0)
+    assert(rows(2).getDouble(0) == 0.0 && rows(2).getInt(1) == 0)
+  }
 }
