@@ -463,6 +463,43 @@ object DedupQueries {
                AND round(${sqlCosine("a.v", "b.v")}, 4) >= 0.45)
            ORDER BY a.id""")),
 
+    // x5: brute-force ANN over an int8-QUANTIZED corpus — the memory/
+    // bandwidth path for 100 TB vector search (tinyint payload reads ¼ the
+    // bytes of float32). Scoring runs on the dequantized vectors so the
+    // oracle replays the quantize→dequantize→cosine arithmetic exactly;
+    // the recall-vs-full-precision property is spec'd separately.
+    "x5_quantized_ann" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val qz = e.select(col("vec_id"),
+          Similarity.dequantInt8(
+            Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+        Similarity.bruteForceTopK(qz, qz.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        s"""WITH qz AS (
+             SELECT vec_id, list_transform(q, x -> x * scale) AS v
+             FROM (
+               SELECT vec_id, scale,
+                 list_transform(embedding, x -> greatest(least(
+                   round(CAST(x AS DOUBLE) / scale, 0), 127), -127)) AS q
+               FROM (
+                 SELECT vec_id, embedding,
+                   round(list_max(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE)))) / 127, 9) AS scale
+                 FROM embeddings)))
+           SELECT qid, rank, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.v", "n.v")}, 4) AS cos
+               FROM qz q JOIN qz n ON n.vec_id <> q.vec_id
+               WHERE q.vec_id < 10))
+           WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
     "x2_lsh_ann" -> Q(
       (s, dir) => {

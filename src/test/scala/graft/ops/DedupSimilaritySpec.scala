@@ -169,6 +169,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq(0L, 2L)) // same-cluster neighbors only, cosine order
   }
 
+  test("int8 quantization: per-component error <= scale/2, high topk recall") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qz = e.select($"vec_id", $"embedding",
+      Similarity.quantizeInt8($"embedding").as("qs"))
+    // error bound: |v_i - q_i*scale| <= scale/2 (+1e-9 for the rounded scale)
+    val viol = qz.select(
+        max(expr("""aggregate(zip_with(embedding, qs.q, (v, q) ->
+          abs(cast(v as double) - q * qs.scale) - (qs.scale / 2 + 1e-9)),
+          cast(0.0 as double), (a, x) -> greatest(a, x))""")).as("worst"))
+      .collect()(0).getDouble(0)
+    assert(viol <= 0.0, s"component error above scale/2: $viol")
+    // top-3 recall vs full precision stays high (int8 on 64 dims)
+    val q = e.filter($"vec_id" < 20)
+    val full = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dq = e.select($"vec_id",
+      Similarity.dequantInt8(Similarity.quantizeInt8($"embedding"))
+        .as("embedding"))
+    val quant = Similarity.bruteForceTopK(dq, dq.filter($"vec_id" < 20),
+        "vec_id", "embedding", 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (full & quant).size.toDouble / full.size
+    assert(recall >= 0.8, s"recall@3 after int8 = $recall")
+  }
+
   test("semDeDup drops exactly the smaller-id-neighbor vectors, in-cluster") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)
