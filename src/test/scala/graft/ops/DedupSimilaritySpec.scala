@@ -196,6 +196,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@3 after int8 = $recall")
   }
 
+  test("quantizeInt8 matches a driver-side reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 300).map { i =>
+      val d = 1 + rnd.nextInt(128)
+      (i.toLong, Array.fill(d)((rnd.nextFloat() - 0.5f) * 20f))
+    }.filter(_._2.exists(_ != 0f))
+    val got = vecs.toDF("id", "v")
+      .select($"id", Similarity.quantizeInt8($"v").as("qs"))
+      .select($"id", $"qs.scale".as("scale"), $"qs.q".as("q"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Byte](2).toSeq)))
+      .toMap
+    // same arithmetic, driver-side: scala BigDecimal HALF_UP is what
+    // Spark's Round uses for doubles
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r0(x: Double) =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((id, v) <- vecs) {
+      val scale = r9(v.map(x => math.abs(x.toDouble)).max / 127)
+      val q = v.map(x =>
+        math.max(math.min(r0(x.toDouble / scale), 127.0), -127.0).toByte).toSeq
+      assert(got(id) == ((scale, q)), s"id $id")
+    }
+  }
+
   test("semDeDup drops exactly the smaller-id-neighbor vectors, in-cluster") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)
