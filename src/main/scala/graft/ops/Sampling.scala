@@ -158,6 +158,54 @@ object Sampling {
     df.filter(coin(col(idCol)) % 10000 < threshold)
   }
 
+  /** Temperature-based mixing sample (mT5-style α-sampling): group g with
+    * n_g rows keeps rate min(1, targetFrac·N·w_g / (Σw · n_g)) where
+    * w_g = n_g^α — α < 1 upsamples scarce groups relative to their share,
+    * α = 1 is proportional, α > 1 concentrates on the head. Unlike
+    * [[stratifiedSample]], the rates are DATA-dependent: they are computed
+    * IN-PLAN from a tiny per-group aggregate (groups-cardinality rows,
+    * broadcast back), so there is no collect and no second job.
+    *
+    * Determinism/oracle contract: the weight uses exact column forms where
+    * they exist (α = 0.5 ⇒ `sqrt`, IEEE-correctly-rounded on both engines;
+    * α = 1 ⇒ identity; α = 2 ⇒ n·n), rounded to 9 decimals so the
+    * DECIMAL(38,12) weight-sum cast is exact (no engine rounding-mode
+    * exposure) and partition-order independent; the per-group rate is
+    * rounded to 9 decimals and floored onto a 2^20 integer coin threshold,
+    * and the coin is the shared md5 hash — the oracle replays the exact
+    * sample. General α falls back to `pow` (libm last-ulp divergence
+    * possible in principle; the round-9 absorbs it away from boundaries).
+    * NULL group keys keep their own rate (null-safe join). Note the budget
+    * is approximate when α < 1 and rates cap at 1.0: a capped tail group
+    * can't absorb its reshaped share, so total kept may undershoot
+    * targetFrac·N (spec-locked). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      targetFrac: Double, alpha: Double): DataFrame = {
+    require(targetFrac >= 0 && targetFrac <= 1, "targetFrac must be in [0, 1]")
+    require(alpha > 0, "alpha must be positive")
+    val weight: Column => Column = alpha match {
+      case 0.5 => sqrt(_)
+      case 1.0 => identity
+      case 2.0 => n => n * n
+      case a => pow(_, lit(a))
+    }
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(weight(col("__n").cast("double")), 9))
+    val totals = counts.agg(
+      sum(col("__w").cast("decimal(38,12)")).cast("double").as("__sw"),
+      sum(col("__n")).cast("double").as("__tot"))
+    val thresholds = counts.crossJoin(broadcast(totals))
+      .withColumn("__rate", round(least(lit(1.0),
+        lit(targetFrac) * col("__tot") * col("__w") /
+          (col("__sw") * col("__n").cast("double"))), 9))
+      .select(col("__g"),
+        floor(col("__rate") * (1L << 20)).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), col(groupCol) <=> col("__g"))
+      .filter(coin(col(idCol)) % (1L << 20) < col("__thr"))
+      .drop("__g", "__thr")
+  }
+
   /** Sequence packing — the batch-assembly primitive: per `partCol` stream,
     * documents are laid end-to-end in deterministic hash order and chunked
     * into fixed `budget`-token training sequences (documents straddle a

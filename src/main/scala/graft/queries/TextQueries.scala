@@ -402,6 +402,52 @@ object TextQueries {
                WHEN 'de' THEN 2500 WHEN 'fr' THEN 2000 ELSE 1000 END
            GROUP BY lang ORDER BY lang""")),
 
+    // t17: temperature-based data mixing (mT5 α-sampling, α=0.5): per-lang
+    // keep rates derived from the lang counts themselves (w = √n), so
+    // scarce languages keep a larger share than proportional sampling.
+    // Rates are computed in-plan (tiny broadcast aggregate, no collect);
+    // the oracle replays counts → √-weights → rounded rate → integer coin
+    // threshold exactly. eff_rate makes the upsampling visible (and
+    // cross-checks the threshold arithmetic, not just the sample).
+    "t17_temperature_mix" -> Q(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val kept = graft.ops.Sampling
+          .temperatureSample(d, "lang", "doc_id",
+            targetFrac = 0.3, alpha = 0.5)
+          .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        d.groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("docs"),
+            coalesce(col("kept"), lit(0L)).as("kept"))
+          .withColumn("eff_rate",
+            round(col("kept").cast("double") / col("docs"), 4))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH counts AS (
+             SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
+           wts AS (SELECT g, n,
+               round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts),
+           tots AS (SELECT
+               CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+               CAST(sum(n) AS DOUBLE) AS nn FROM wts),
+           thr AS (SELECT g,
+               CAST(floor(round(least(1.0,
+                 0.3 * t.nn * c.w / (t.sw * CAST(c.n AS DOUBLE))), 9)
+                 * 1048576) AS BIGINT) AS thr
+             FROM wts c CROSS JOIN tots t),
+           keptt AS (SELECT d.lang AS g, count(*) AS kept
+             FROM documents d JOIN thr t ON t.g IS NOT DISTINCT FROM d.lang
+             WHERE ${hashing.sqlH64("CAST(d.doc_id AS VARCHAR)")} % 1048576
+               < t.thr
+             GROUP BY d.lang)
+           SELECT c.g AS lang, c.n AS docs,
+             coalesce(k.kept, 0) AS kept,
+             round(CAST(coalesce(k.kept, 0) AS DOUBLE) / c.n, 4) AS eff_rate
+           FROM counts c LEFT JOIN keptt k ON k.g IS NOT DISTINCT FROM c.g
+           ORDER BY lang""")),
+
     // t13: unigram-LM cross-entropy per language (CCNet-style quality
     // signal, simplified): the corpus's own unigram distribution scores
     // every document; per-token log-probs round to 6 decimals and sum as

@@ -391,6 +391,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s25a.nonEmpty && s50.size < d.count())
   }
 
+  test("temperatureSample: deterministic, upsamples the tail, exact edges") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    def sample(frac: Double, alpha: Double, group: String = "lang") =
+      Sampling.temperatureSample(d, group, "doc_id", frac, alpha)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(sample(0.3, 0.5)); val b = ids(sample(0.3, 0.5))
+    assert(a == b, "bit-reproducible")
+    assert(a.nonEmpty && a.size < d.count())
+    // alpha < 1 gives a SMALLER group a rate >= a larger group's rate:
+    // thresholds scale as n^(alpha-1), monotone decreasing in n
+    val counts = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBy = sample(0.3, 0.5).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biggest = counts.maxBy(_._2)._1
+    val smallest = counts.minBy(_._2)._1
+    val rBig = keptBy.getOrElse(biggest, 0L).toDouble / counts(biggest)
+    val rSmall = keptBy.getOrElse(smallest, 0L).toDouble / counts(smallest)
+    assert(rSmall > rBig,
+      s"tail not upsampled: small $rSmall vs big $rBig")
+    // alpha = 1 is proportional: every group gets the SAME integer
+    // threshold, so the kept set is invariant to the grouping column
+    assert(ids(sample(0.4, 1.0, "lang")) == ids(sample(0.4, 1.0, "source")))
+    // targetFrac = 1 at alpha = 1 keeps everything (rate exactly 1 for
+    // every group); at alpha < 1 it CANNOT (tail rates cap at 1, the head
+    // stays below — reshaping can't overshoot); 0 keeps nothing
+    assert(ids(sample(1.0, 1.0)).size == d.count())
+    assert(ids(sample(1.0, 0.5)).size < d.count())
+    assert(ids(sample(0.0, 0.5)).isEmpty)
+  }
+
   test("perGroupCap keeps at most k per group, deterministically") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val capped = Sampling.perGroupCap(d, "lang", "doc_id", 5)
