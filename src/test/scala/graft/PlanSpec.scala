@@ -190,4 +190,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("t16: gopher signals are grouping keys; no joins at all") {
+    val p = plan("t16_gopher_rules")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Join"), p) // pure scan → agg → agg pipeline
+  }
+
+  test("t17: data-dependent mixing thresholds broadcast back; the corpus " +
+    "is filtered map-side (no shuffle of the big side, no window)") {
+    val p = plan("t17_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("LeftOuter"), p)
+  }
+
+  test("x5: quantize/dequantize stays codegen'd column math feeding the " +
+    "broadcast top-k (native dot_product, no extra shuffle of the corpus)") {
+    val p = plan("x5_quantized_ann")
+    assert(p.contains("dot_product"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
 }
