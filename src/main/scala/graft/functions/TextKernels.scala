@@ -94,4 +94,62 @@ object TextKernels {
     while (!d.finished()) total += d.deflate(buf)
     total
   }
+
+  /** Spark's `round(x, 4)` for doubles (shortest-decimal BigDecimal,
+    * HALF_UP) — the kernels below must round exactly like the Column
+    * formulation they replace, or the oracle replay breaks. */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def ngram(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      start: Int, n: Int, sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks.getUTF8String(start + j).toString)
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** One-pass n-gram duplicate fraction over a token array: (total −
+    * distinct) / total of the n-gram multiset, 0 when fewer than n tokens.
+    * Value-identical to the shingle-array HOF pipeline (same join
+    * separator, same integer counts, same rounding) but a single hash-set
+    * walk instead of transform+slice+array_join+array_distinct per row. */
+  def ngramDupFraction(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Double = {
+    val total = toks.numElements() - n + 1
+    if (total <= 0 || n <= 0) return 0.0
+    val seen = new java.util.HashSet[String](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var distinct = 0
+    while (i < total) {
+      if (seen.add(ngram(toks, i, n, sb))) distinct += 1
+      i += 1
+    }
+    round4((total - distinct).toDouble / total)
+  }
+
+  /** One-pass top n-gram occupancy: max multiplicity / total, 0 when fewer
+    * than n tokens. Value-identical to the sorted-run-length fold (max
+    * multiplicity is what the longest equal run of the sorted array
+    * computes) without materializing or sorting the shingle array. */
+  def ngramTopFraction(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int): Double = {
+    val total = toks.numElements() - n + 1
+    if (total <= 0 || n <= 0) return 0.0
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    var best = 0
+    while (i < total) {
+      val c = counts.merge(ngram(toks, i, n, sb), 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    round4(best.toDouble / total)
+  }
 }

@@ -164,6 +164,47 @@ case class DeflateLen(child: Expression)
   override def prettyName: String = "deflate_len"
 }
 
+/** One-pass n-gram duplicate fraction over a token array (dup-2-gram
+  * repetition signal). Value-identical to the shingle-array HOF pipeline in
+  * [[graft.functions.textstats]] — same ' '-joined shingles, integer
+  * counts, HALF_UP round to 4 — but a single hash-set walk in codegen
+  * instead of interpreted transform/slice/array_join/array_distinct
+  * lambdas per row (those dominate t9/t16's cost). */
+case class NgramDupFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    TextKernels.ngramDupFraction(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.ngramDupFraction($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ngram_dup_fraction"
+}
+
+/** One-pass top-n-gram occupancy (boilerplate/loop signal): max n-gram
+  * multiplicity / total, computed with a hash-map count instead of the
+  * sort + run-length fold. Same values, same rounding. */
+case class NgramTopFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(toks: Any, n: Any): Any =
+    TextKernels.ngramTopFraction(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.ngramTopFraction($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "ngram_top_fraction"
+}
+
 object expressions {
   def slugify(c: Column): Column = Bridge.column(Slugify(Bridge.expression(c)))
   def stripAccents(c: Column): Column = Bridge.column(StripAccents(Bridge.expression(c)))
@@ -172,4 +213,8 @@ object expressions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def md5Long60(c: Column): Column = Bridge.column(Md5Long60(Bridge.expression(c)))
   def deflateLen(c: Column): Column = Bridge.column(DeflateLen(Bridge.expression(c)))
+  def ngramDupFraction(toks: Column, n: Column): Column =
+    Bridge.column(NgramDupFraction(Bridge.expression(toks), Bridge.expression(n)))
+  def ngramTopFraction(toks: Column, n: Column): Column =
+    Bridge.column(NgramTopFraction(Bridge.expression(toks), Bridge.expression(n)))
 }

@@ -86,37 +86,23 @@ object textstats {
 
   /** Repetition signal (Gopher-style): fraction of n-gram occurrences that
     * are duplicates of an earlier occurrence within the same document —
-    * 0 for fully novel text, → 1 for loops. Row-local array arithmetic
-    * (no explode, no shuffle); rounded to 4 so the oracle replays it. */
-  def dupNgramFraction(tok: Column, n: Int): Column = {
-    val sh = shingles(tok, n)
-    round(when(size(sh) === 0, lit(0.0))
-      .otherwise((size(sh) - size(array_distinct(sh))).cast("double") /
-        size(sh)), 4)
-  }
+    * (total − distinct) / total over the ' '-joined n-gram multiset,
+    * 0 for fully novel text, → 1 for loops, rounded to 4 so the oracle
+    * replays it. Row-local (no explode, no shuffle); backed by the
+    * codegen'd [[NgramDupFraction]] kernel — one hash-set walk instead of
+    * the interpreted transform/slice/array_join/array_distinct HOF chain
+    * it is value-identical to (and which the DuckDB oracle still runs). */
+  def dupNgramFraction(tok: Column, n: Int): Column =
+    expressions.ngramDupFraction(tok, lit(n))
 
   /** Repetition signal: share of n-gram occurrences claimed by the single
-    * most frequent n-gram (boilerplate/loop detector). Max multiplicity is
-    * computed as the longest equal run of the SORTED shingle array — an
-    * O(n log n) sort plus one linear fold. (The naive per-distinct-element
-    * count is O(distinct × total) and, like all higher-order array
-    * functions, runs interpreted — measured 30× slower on real documents.)
-    * Still row-local: no explode, no shuffle. */
-  def topNgramFraction(tok: Column, n: Int): Column = {
-    val sh = shingles(tok, n)
-    val best = aggregate(
-      array_sort(sh),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"),
-          acc.getField("run") + lit(1)).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    round(when(size(sh) === 0, lit(0.0))
-      .otherwise(best.cast("double") / size(sh)), 4)
-  }
+    * most frequent n-gram (boilerplate/loop detector), rounded to 4.
+    * Backed by the codegen'd [[NgramTopFraction]] kernel (hash-map max
+    * multiplicity in one pass) — value-identical to the sorted-run-length
+    * fold formulation the oracle replays, without materializing or
+    * sorting a shingle array per row. */
+  def topNgramFraction(tok: Column, n: Int): Column =
+    expressions.ngramTopFraction(tok, lit(n))
 
   /** Compression-ratio quality signal (Gopher/RefinedWeb-style): DEFLATE
     * size over raw byte size, rounded to 4 — natural prose lands around
