@@ -113,6 +113,27 @@ object TextKernels {
     sb.toString
   }
 
+  /** One-pass k-shingle array (' '-joined token windows) — value-identical
+    * to `transform(sequence(...), i -> array_join(slice(tok, i, k), ' '))`
+    * with the sub-k guard, but built in a single scan with no interpreted
+    * lambda per element. Feeds the whole dedup family's shingle tables. */
+  def shingleArray(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val total = toks.numElements() - k + 1
+    if (total <= 0 || k <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](total)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < total) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        ngram(toks, i, k, sb))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass n-gram duplicate fraction over a token array: (total −
     * distinct) / total of the n-gram multiset, 0 when fewer than n tokens.
     * Value-identical to the shingle-array HOF pipeline (same join

@@ -186,6 +186,27 @@ case class NgramDupFraction(left: Expression, right: Expression)
   override def prettyName: String = "ngram_dup_fraction"
 }
 
+/** One-pass k-shingle array over a token array — value-identical to the
+  * sequence/slice/array_join HOF pipeline (same ' ' separator, same sub-k
+  * empty guard) but a single codegen'd scan. The dedup family explodes
+  * this for its shingle tables, so the per-document cost of candidate
+  * generation starts here. */
+case class ShingleArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any, k: Any): Any =
+    TextKernels.shingleArray(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.shingleArray($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "shingle_array"
+}
+
 /** One-pass top-n-gram occupancy (boilerplate/loop signal): max n-gram
   * multiplicity / total, computed with a hash-map count instead of the
   * sort + run-length fold. Same values, same rounding. */
@@ -213,6 +234,8 @@ object expressions {
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def md5Long60(c: Column): Column = Bridge.column(Md5Long60(Bridge.expression(c)))
   def deflateLen(c: Column): Column = Bridge.column(DeflateLen(Bridge.expression(c)))
+  def shingleArray(toks: Column, k: Column): Column =
+    Bridge.column(ShingleArray(Bridge.expression(toks), Bridge.expression(k)))
   def ngramDupFraction(toks: Column, n: Column): Column =
     Bridge.column(NgramDupFraction(Bridge.expression(toks), Bridge.expression(n)))
   def ngramTopFraction(toks: Column, n: Column): Column =

@@ -16,11 +16,12 @@ object textstats {
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
   /** k-token shingles (strings joined by one space); empty array when the
-    * document has fewer than k tokens. */
+    * document has fewer than k tokens. Backed by the codegen'd
+    * [[ShingleArray]] kernel (one scan, no per-element lambda) —
+    * value-identical to the sequence/slice/array_join formulation the
+    * DuckDB oracles replay. */
   def shingles(tok: Column, k: Int): Column =
-    when(size(tok) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(tok) - (k - 1)),
-        i => array_join(slice(tok, i, lit(k)), " ")))
+    expressions.shingleArray(tok, lit(k))
 
   /** Tiny deterministic stopword lists for the n-gram language heuristic.
     * Real deployments plug fastText-style models in via the same column
