@@ -67,13 +67,13 @@ object DedupQueries {
     * assigns to the argmax-cosine centroid (ties by cid), then recomputes
     * per-dimension means via exact DECIMAL sums rounded to 9 so the next
     * round's inputs are stable cross-engine. */
-  private def sqlKmeansCents: String = {
+  private def sqlKmeansCentsFrom(rel: String): String = {
     def lloydRound(prev: String, i: Int): String =
       s"""assign$i AS (SELECT cid, embedding FROM (
            SELECT v.embedding, c.cid,
              row_number() OVER (PARTITION BY v.vec_id
                ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-           FROM embeddings v CROSS JOIN $prev c) WHERE rn = 1),
+           FROM $rel v CROSS JOIN $prev c) WHERE rn = 1),
          dims$i AS (SELECT cid, pos,
              round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
                  AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
@@ -84,7 +84,7 @@ object DedupQueries {
            FROM dims$i GROUP BY cid)"""
     s"""hseed AS (SELECT vec_id, embedding,
            ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
-         FROM embeddings),
+         FROM $rel),
        seeds AS (SELECT vec_id, embedding, hh FROM hseed
          ORDER BY hh, vec_id LIMIT 12),
        cent0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
@@ -94,6 +94,8 @@ object DedupQueries {
        ${lloydRound("cent1", 2)},
        cents AS (SELECT cid, cv FROM cent2)"""
   }
+
+  private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
 
   /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
     * exact-Jaccard verification over relation `rel` (shared by d2, d6, e1 —
@@ -773,6 +775,103 @@ object DedupQueries {
              FROM sampled)
            SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
            FROM budget WHERE cum <= 15000 GROUP BY lang ORDER BY lang"""
-      })
+      }),
+
+    // e6: modern pretraining-mix pipeline — the capstone composite of the
+    // round-5 pieces: Gopher-style length gate → SEMANTIC dedup (SemDeDup:
+    // k-means over the gated embeddings, in-cluster cosine prune — the d10
+    // machinery, here on a FILTERED corpus so the oracle's k-means replays
+    // the same reduced input) → temperature mixing (t17's α=0.5 sampler)
+    // with per-language funnel accounting (docs → gated → deduped → mixed
+    // → mixed tokens). Scale shape: the gate is a map-only filter; the
+    // gated set and the dedup survivors checkpoint ONCE each before
+    // fanning into their multiple consumers; mixing rates broadcast back
+    // (no collect); every join is an equi-join.
+    "e6_pretrain_mix" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        import graft.ops.{Checkpoints, Sampling}
+        val d = T(s, dir, "documents").select("doc_id", "lang", "text")
+        val gated = Checkpoints.checkpoint(
+          spread(d).filter(textstats.tokenCount(col("text")) >= 30))
+        val gemb = T(s, dir, "embeddings")
+          .join(gated.select(col("doc_id")),
+            col("vec_id") === col("doc_id"), "left_semi")
+        val cents = Similarity
+          .kmeansCentroids(gemb, "vec_id", "embedding", k = 12, iters = 2)
+        val surv = Similarity
+          .semDeDup(gemb, cents, "vec_id", "embedding", tau = 0.45)
+        val sdocs = Checkpoints.checkpoint(
+          gated.join(surv.select(col("id")),
+            col("doc_id") === col("id"), "left_semi"))
+        val mixed = Sampling.temperatureSample(sdocs, "lang", "doc_id",
+          targetFrac = 0.5, alpha = 0.5)
+        val byLang = d.groupBy(col("lang")).agg(count(lit(1)).as("docs"))
+        val gLang = gated.groupBy(col("lang")).agg(count(lit(1)).as("gated"))
+        val sLang = sdocs.groupBy(col("lang")).agg(count(lit(1)).as("deduped"))
+        val mLang = mixed.groupBy(col("lang")).agg(count(lit(1)).as("mixed"),
+          sum(textstats.tokenCount(col("text"))).as("mix_tokens"))
+        byLang.join(gLang, Seq("lang"), "left")
+          .join(sLang, Seq("lang"), "left")
+          .join(mLang, Seq("lang"), "left")
+          .select(col("lang"), col("docs"),
+            coalesce(col("gated"), lit(0L)).as("gated"),
+            coalesce(col("deduped"), lit(0L)).as("deduped"),
+            coalesce(col("mixed"), lit(0L)).as("mixed"),
+            coalesce(col("mix_tokens"), lit(0L)).as("mix_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH gated AS (
+             SELECT doc_id, lang, text FROM documents
+             WHERE len($sqlToks) >= 30),
+           gemb AS (SELECT e.vec_id, e.embedding
+             FROM embeddings e JOIN gated g ON g.doc_id = e.vec_id),
+           ${sqlKmeansCentsFrom("gemb")},
+           sassign AS (SELECT id, v, cid AS cluster FROM (
+             SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM gemb e CROSS JOIN cents c) WHERE rn = 1),
+           surv AS (SELECT a.id FROM sassign a
+             WHERE NOT EXISTS (SELECT 1 FROM sassign b
+               WHERE b.cluster = a.cluster AND b.id < a.id
+                 AND round(${sqlCosine("a.v", "b.v")}, 4) >= 0.45)),
+           sdocs AS (SELECT g.doc_id, g.lang, g.text
+             FROM gated g JOIN surv s ON s.id = g.doc_id),
+           counts AS (SELECT lang AS g, count(*) AS n FROM sdocs
+             GROUP BY lang),
+           wts AS (SELECT g, n,
+               round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts),
+           tots AS (SELECT
+               CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+               CAST(sum(n) AS DOUBLE) AS nn FROM wts),
+           thr AS (SELECT g,
+               CAST(floor(round(least(1.0,
+                 0.5 * t.nn * c.w / (t.sw * CAST(c.n AS DOUBLE))), 9)
+                 * 1048576) AS BIGINT) AS thr
+             FROM wts c CROSS JOIN tots t),
+           mixed AS (SELECT s2.lang, s2.text FROM sdocs s2 JOIN thr t
+             ON t.g IS NOT DISTINCT FROM s2.lang
+             WHERE ${hashing.sqlH64("CAST(s2.doc_id AS VARCHAR)")} % 1048576
+               < t.thr),
+           dl AS (SELECT lang, count(*) AS docs FROM documents
+             GROUP BY lang),
+           gl AS (SELECT lang, count(*) AS gated FROM gated GROUP BY lang),
+           sl AS (SELECT lang, count(*) AS deduped FROM sdocs
+             GROUP BY lang),
+           ml AS (SELECT lang, count(*) AS mixed,
+               CAST(sum(len($sqlToks)) AS BIGINT) AS mix_tokens
+             FROM mixed GROUP BY lang)
+           SELECT d.lang, d.docs,
+             coalesce(g.gated, 0) AS gated,
+             coalesce(s.deduped, 0) AS deduped,
+             coalesce(m.mixed, 0) AS mixed,
+             coalesce(m.mix_tokens, 0) AS mix_tokens
+           FROM dl d LEFT JOIN gl g ON g.lang = d.lang
+             LEFT JOIN sl s ON s.lang = d.lang
+             LEFT JOIN ml m ON m.lang = d.lang
+           ORDER BY d.lang"""))
   )
 }

@@ -402,6 +402,29 @@ object TextQueries {
                WHEN 'de' THEN 2500 WHEN 'fr' THEN 2000 ELSE 1000 END
            GROUP BY lang ORDER BY lang""")),
 
+    // t18: corpus vocabulary table — the word-frequency pass every tokenizer
+    // build (BPE/unigram training, vocab coverage audits) runs first. Term
+    // frequency and document frequency in one pipeline: a per-(doc, token)
+    // pre-aggregate collapses within-document repeats map-side, then the
+    // global per-token aggregate sums tf and counts df without a
+    // count(DISTINCT) expansion. Top-k lands as TakeOrderedAndProject (no
+    // global sort); (tf DESC, token) is a total order because tokens are
+    // unique after the group-by.
+    "t18_vocab_topk" -> Q(
+      (s, dir) => spread(T(s, dir, "documents"))
+        .select(col("doc_id"), explode(textstats.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("token"))
+        .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"))
+        .orderBy(col("tf").desc, col("token")).limit(50),
+      Some(
+        s"""SELECT t AS token, CAST(sum(cnt) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df
+           FROM (SELECT doc_id, t, count(*) AS cnt
+             FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
+             GROUP BY doc_id, t)
+           GROUP BY t ORDER BY tf DESC, token LIMIT 50""")),
+
     // t17: temperature-based data mixing (mT5 α-sampling, α=0.5): per-lang
     // keep rates derived from the lang counts themselves (w = √n), so
     // scarce languages keep a larger share than proportional sampling.

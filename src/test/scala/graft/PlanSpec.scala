@@ -211,4 +211,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_product"), p)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("t18: vocab table pre-aggregates per (doc, token) with map-side " +
+    "partials, no count(DISTINCT) expansion; top-k is TakeOrdered") {
+    val p = plan("t18_vocab_topk")
+    assert(p.contains("partial_count"), p) // map-side combine before shuffle
+    assert(!p.contains("expand"), p) // df via pre-agg, not distinct-expand
+    assert(p.contains("TakeOrderedAndProject"), p) // no global sort for top-k
+  }
+
+  test("e6: pretrain-mix funnel reads checkpointed stages (gate and dedup " +
+    "survivors materialize once); all joins equi or 1-row/threshold " +
+    "broadcasts, no cartesian") {
+    val p = plan("e6_pretrain_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    // the k-means/semdedup DAG must not re-run per funnel consumer: the
+    // survivor stage scans a checkpoint RDD
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // mixing thresholds broadcast
+  }
 }
