@@ -503,6 +503,72 @@ object TextQueries {
                AS cross_entropy
            FROM doc GROUP BY lang ORDER BY lang""")),
 
+    // t19: CCNet-style perplexity bucketing — documents score under the
+    // corpus's own unigram LM (t13's signal), then split per language into
+    // head/middle/tail quality tiers at the in-language cross-entropy
+    // terciles. This is the CCNet curation step: train on head, hold out
+    // tail. Thresholds are data-dependent but computed in-plan (per-lang
+    // percentile aggregate, broadcast back — no collect); the scored table
+    // checkpoints once before fanning into the threshold build and the
+    // final bucketing. Percentile thresholds round to ce's 4-decimal
+    // quantum before comparing (see the note at `thr` — unrounded
+    // interpolation is ulp-unstable across engines on tied runs); per-doc
+    // cross-entropy and the bucket means stay DECIMAL-deterministic.
+    "t19_perplexity_buckets" -> Q(
+      (s, dir) => {
+        import graft.ops.{Checkpoints, TextSearch}
+        val ced = Checkpoints.checkpoint(
+          TextSearch.unigramLogProbs(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "doc_id", "text")
+            .select(col("lang"),
+              round((col("logp_sum").cast("double") * lit(-1.0)) /
+                col("ntok"), 4).as("ce")))
+        // Thresholds round to ce's own 4-decimal quantum: when a tercile
+        // lands inside a run of tied ce values the two engines' interp
+        // arithmetic differs in the last ulp (Spark a+f*(b-a), DuckDB
+        // a*(1-f)+b*f), which would flip the whole tied run's bucket.
+        val thr = ced.groupBy(col("lang")).agg(
+          round(expr("percentile(ce, 0.3333333333)"), 4).as("p33"),
+          round(expr("percentile(ce, 0.6666666667)"), 4).as("p66"))
+        ced.join(broadcast(thr), Seq("lang"))
+          .select(col("lang"),
+            when(col("ce") <= col("p33"), "head")
+              .when(col("ce") <= col("p66"), "middle")
+              .otherwise("tail").as("bucket"),
+            col("ce"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("docs"),
+            round(sum(col("ce").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("mean_ce"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some(
+        s"""WITH toks AS (
+             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+           vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+           tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+           lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6))
+                    AS logp FROM vocab, tot),
+           doc AS (
+             SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
+             FROM toks JOIN lp USING (t) GROUP BY doc_id, lang),
+           ced AS (SELECT lang,
+               round(CAST(lsum AS DOUBLE) * -1.0 / ntok, 4) AS ce FROM doc),
+           thr AS (SELECT lang,
+               round(quantile_cont(ce, 0.3333333333), 4) AS p33,
+               round(quantile_cont(ce, 0.6666666667), 4) AS p66
+             FROM ced GROUP BY lang)
+           SELECT c.lang,
+             CASE WHEN c.ce <= t.p33 THEN 'head'
+                  WHEN c.ce <= t.p66 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             count(*) AS docs,
+             round(CAST(sum(CAST(c.ce AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 4) AS mean_ce
+           FROM ced c JOIN thr t ON t.lang = c.lang
+           GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // t15: compression-ratio quality signal — per-language distribution of
     // DEFLATE size / raw size (repetition proxy). ROWS-ONLY check: neither
     // engine has a SQL deflate, so there is no oracle (a9 precedent); the

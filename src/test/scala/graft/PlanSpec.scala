@@ -220,6 +220,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort for top-k
   }
 
+  test("t19: perplexity buckets join data-dependent thresholds as a " +
+    "broadcast over the checkpointed scored table; no window, no cartesian") {
+    val p = plan("t19_perplexity_buckets")
+    assert(p.contains("Scan ExistingRDD"), p) // unigram DAG materialized once
+    assert(p.contains("BroadcastHashJoin"), p) // per-lang tercile thresholds
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e6: pretrain-mix funnel reads checkpointed stages (gate and dedup " +
     "survivors materialize once); all joins equi or 1-row/threshold " +
     "broadcasts, no cartesian") {
