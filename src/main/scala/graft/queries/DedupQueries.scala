@@ -97,6 +97,23 @@ object DedupQueries {
 
   private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
 
+  /** `qz(vec_id, v)`: the int8 quantize→dequantize round-trip of the
+    * embeddings table — the exact arithmetic of
+    * [[Similarity.quantizeInt8]]/[[Similarity.dequantInt8]] (shared by x5
+    * and x6). */
+  private def sqlQzCorpus: String =
+    """qz AS (
+         SELECT vec_id, list_transform(q, x -> x * scale) AS v
+         FROM (
+           SELECT vec_id, scale,
+             list_transform(embedding, x -> greatest(least(
+               round(CAST(x AS DOUBLE) / scale, 0), 127), -127)) AS q
+           FROM (
+             SELECT vec_id, embedding,
+               round(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) / 127, 9) AS scale
+             FROM embeddings)))"""
+
   /** Full DuckDB replay of MinHash signatures → LSH banding → bucket join →
     * exact-Jaccard verification over relation `rel` (shared by d2, d6, e1 —
     * the latter two embed it as a parenthesized subquery, where an outer
@@ -482,17 +499,7 @@ object DedupQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(
-        s"""WITH qz AS (
-             SELECT vec_id, list_transform(q, x -> x * scale) AS v
-             FROM (
-               SELECT vec_id, scale,
-                 list_transform(embedding, x -> greatest(least(
-                   round(CAST(x AS DOUBLE) / scale, 0), 127), -127)) AS q
-               FROM (
-                 SELECT vec_id, embedding,
-                   round(list_max(list_transform(embedding,
-                     x -> abs(CAST(x AS DOUBLE)))) / 127, 9) AS scale
-                 FROM embeddings)))
+        s"""WITH $sqlQzCorpus
            SELECT qid, rank, nid, cos FROM (
              SELECT qid, nid, cos, row_number() OVER
                (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
@@ -501,6 +508,56 @@ object DedupQueries {
                FROM qz q JOIN qz n ON n.vec_id <> q.vec_id
                WHERE q.vec_id < 10))
            WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // x6: IVF over an int8-QUANTIZED corpus — the FAISS IVF-SQ8 layout,
+    // composed from the x3 and x5 pieces: the k-means index builds on the
+    // dequantized corpus (the index sees what the lists store), inverted
+    // lists hold the ¼-size payload, and full-precision queries probe
+    // their 2 nearest centroids' lists only. At 100 TB this is the
+    // memory-bound ANN configuration: cluster pruning cuts the candidate
+    // scan to nProbe/k of the corpus AND each scanned byte is quantized.
+    // The oracle replays quantization AND k-means end to end.
+    "x6_ivf_quantized" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val qz = e.select(col("vec_id"),
+          Similarity.dequantInt8(
+            Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+        val cents = Similarity
+          .kmeansCentroids(qz, "vec_id", "embedding", k = 12, iters = 2)
+          .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+        Similarity.ivfTopK(qz, e.filter(col("vec_id") < 10), cents,
+            "vec_id", "embedding", nProbe = 2, k = 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        s"""WITH $sqlQzCorpus,
+           qzr AS (SELECT vec_id, v AS embedding FROM qz),
+           ${sqlKmeansCentsFrom("qzr")},
+           assign AS (SELECT nid, nv, cid AS cluster FROM (
+             SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM qzr v CROSS JOIN cents c) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cid AS cluster FROM (
+             SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+             WHERE rn <= 2),
+           scored AS (SELECT p.qid, a.nid,
+               round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
+             FROM probes p JOIN assign a
+               ON a.cluster = p.cluster AND a.nid <> p.qid)
+           SELECT qid, rank, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM scored)
+           WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
 
     // x2: hyperplane-LSH ANN — each query scans only its 8-bit bucket.
     "x2_lsh_ann" -> Q(

@@ -220,6 +220,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort for top-k
   }
 
+  test("x6: quantized-IVF keeps the x3 shape — argmin assignment with " +
+    "map-side partials over the quantized corpus, no corpus-id window") {
+    val p = plan("x6_ivf_quantized")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("windowspecdefinition(nid"), p)
+    assert(!p.contains("windowspecdefinition(__id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t19: perplexity buckets join data-dependent thresholds as a " +
     "broadcast over the checkpointed scored table; no window, no cartesian") {
     val p = plan("t19_perplexity_buckets")
