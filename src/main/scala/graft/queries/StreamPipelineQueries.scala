@@ -59,6 +59,20 @@ object StreamPipelineQueries {
             FROM documents)
           GROUP BY lang ORDER BY lang""")),
 
+    // st5: stream-static broadcast enrichment — the event stream joins the
+    // bounded customer dimension map-side (no stream shuffle before the
+    // aggregate's partial phase), then aggregates per segment with exact
+    // DECIMAL value sums. Oracle = the batch join+aggregate over the same
+    // data, the complete-mode drain invariant.
+    "st5_stream_enrich" -> Q(
+      (s, dir) => Streams
+        .enrichBySegmentStreaming(s, dir, name = s"graft_st5_${dir.hashCode.abs}")
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS events,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+          FROM events JOIN customer ON user_id = c_custkey
+          GROUP BY 1 ORDER BY 1""")),
+
     // r3: the MEF hierarchical drill-down as a ROLLUP over a fact table
     // (SURVEY §3.3: click-path levels = grouping columns). grouping_id
     // disambiguates subtotal rows; null group keys render as '' for a

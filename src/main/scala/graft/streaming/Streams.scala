@@ -108,6 +108,29 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-static broadcast enrichment — the canonical streaming shape at
+    * scale: an unbounded event stream joins a bounded dimension table.
+    * Spark re-resolves the static side each micro-batch and the broadcast
+    * hint keeps the join map-side, so the stream itself never shuffles
+    * before the aggregate's partial phase. Counts and exact DECIMAL value
+    * sums per customer segment; complete-mode memory sink as the
+    * deterministic drain harness (a production run writes append with a
+    * watermark to a Kafka/Delta sink). */
+  def enrichBySegmentStreaming(spark: SparkSession, dir: String,
+      name: String = "graft_st5"): DataFrame = {
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val q = readEventsStream(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)

@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-static broadcast enrichment == batch join+aggregate") {
+    import org.apache.spark.sql.functions._
+    val batch = QueryDSL.events(spark, sf)
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val streaming = Streams
+      .enrichBySegmentStreaming(spark, sf, name = "st5_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("watermarked append-mode window drops late data, emits closed windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
