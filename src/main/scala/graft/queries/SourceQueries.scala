@@ -124,6 +124,23 @@ object SourceQueries {
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
 
+    // S13 (extension beyond the reference's formats): ORC round-trip — the
+    // other columnar format large pipelines exchange. Write nation as ORC,
+    // read it back, aggregate per region; the native ORC reader keeps the
+    // same vectorized/pruned scan contract as parquet.
+    "s13_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val out = scratch("s13_orc")
+        T(s, dir, "nation").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("n_regionkey"))
+          .agg(count(lit(1)).as("nations"), min(col("n_name")).as("first_name"))
+          .orderBy(col("n_regionkey"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS nations,
+            min(n_name) AS first_name
+          FROM nation GROUP BY 1 ORDER BY 1""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.
