@@ -519,10 +519,18 @@ object DedupQueries {
     // The oracle replays quantization AND k-means end to end.
     "x6_ivf_quantized" -> Q(
       (s, dir) => {
+        import graft.ops.Checkpoints
         val e = T(s, dir, "embeddings")
-        val qz = e.select(col("vec_id"),
-          Similarity.dequantInt8(
-            Similarity.quantizeInt8(col("embedding"))).as("embedding"))
+        // Materialize the QUANTIZED payload once (scale + tinyint array —
+        // the ¼-size bytes a real IVF-SQ8 index stores); every k-means
+        // round and both assignment passes then scan the stored payload
+        // and dequantize with one cheap transform, instead of re-running
+        // the 3-pass quantization chain per corpus scan (measured 6.4 s →
+        // the x3 band without this).
+        val qstore = Checkpoints.checkpoint(e.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding")).as("qz")))
+        val qz = qstore.select(col("vec_id"),
+          Similarity.dequantInt8(col("qz")).as("embedding"))
         val cents = Similarity
           .kmeansCentroids(qz, "vec_id", "embedding", k = 12, iters = 2)
           .select(col("cid").as("vec_id"), col("cv").as("embedding"))
