@@ -95,4 +95,26 @@ class TextSearchPackSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(layout(docs.repartition(1)) == layout(docs.repartition(7)))
   }
+
+  test("t19 perplexity tiers: every language has all three buckets and " +
+    "strictly increasing mean cross-entropy head < middle < tail") {
+    val rows = graft.SparkEntry.queries("t19_perplexity_buckets")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, tiers) =>
+      val m = tiers.map(t => t._2 -> t._4).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$lang tiers $m")
+      assert(m("head") < m("middle") && m("middle") < m("tail"),
+        s"$lang means not monotone: $m")
+      // terciles: no bucket may hold less than a fifth or more than half
+      // of the language (ties can shift the thirds, but not that far)
+      val n = tiers.map(_._3).sum.toDouble
+      tiers.foreach { t =>
+        assert(t._3 / n > 0.2 && t._3 / n < 0.5, s"$lang skewed: $tiers")
+      }
+    }
+  }
 }
