@@ -102,6 +102,22 @@ object Multimodal {
     }
   }
 
+  /** Synthesize a PCM16 WAV payload (silence) with the given format — the
+    * deterministic media generator for codec round-trip checks: a REAL
+    * header decode must invert the synth parameters exactly. Runs inside
+    * executors (pure params → bytes). */
+  def synthWav(sampleRate: Float, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](frames * 2 * channels)),
+      fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Decoded video keyframe metadata. */
   final case class VideoKeyframe(id: Long, frameIdx: Int, width: Int,
       height: Int, avgLuma: Double)

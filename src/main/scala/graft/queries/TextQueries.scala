@@ -746,6 +746,38 @@ object TextQueries {
              sha256(substr(text, CAST(i*64 + 1 AS INTEGER), 64)) AS frame_sha
            FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
            WHERE doc_id < 20 AND i*64 < length(text)
-           ORDER BY doc_id, frame_idx"""))
+           ORDER BY doc_id, frame_idx""")),
+
+    // m3: REAL audio codec in-plan — per-row WAV payloads synthesized from
+    // doc_id-derived parameters inside executors, then decoded by the
+    // actual javax.sound header parser. The oracle recomputes the
+    // parameters directly, so the check is that decode INVERTS the synth —
+    // a genuine codec round-trip, not a byte-math stub (contrast m1).
+    "m3_audio_meta" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = T(s, dir, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              Multimodal.MediaRow(id, "audio", Multimodal.synthWav(
+                sampleRate = 8000f + (id % 4) * 4000f,
+                channels = 1 + (id % 2).toInt,
+                frames = 100 + (id % 50).toInt))
+            }
+          }
+        Multimodal.decodeAudioMeta(media)
+          .toDF("doc_id", "sample_rate", "channels", "frames")
+          .select(col("doc_id"), col("sample_rate").cast("double"),
+            col("channels").cast("long"), col("frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS sample_rate,
+             CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             CAST(100 + doc_id % 50 AS BIGINT) AS frames
+           FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
   )
 }
