@@ -140,6 +140,30 @@ object Dedup {
       .select("a", "b", "jac")
   }
 
+  /** Exact all-pairs n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)): the
+    * asymmetric near-dup mode — a short document embedded verbatim in a
+    * long one scores 1.0 here but low symmetric Jaccard, so this is the
+    * detector for quote/boilerplate inclusion (the Lee et al. 2022 dedup
+    * taxonomy's substring case, approximated at shingle granularity).
+    * Same inverted-index equi-join shape as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = Checkpoints.checkpoint(
+      hashedShingles(df, idCol, textCol, k).distinct())
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sets.alias("x").join(sets.alias("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .withColumn("containment",
+        round(col("i").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= threshold)
+      .select("a", "b", "containment")
+  }
+
   /** Cross-corpus exact Jaccard over candidate (a = left id, b = right id)
     * pairs: each side joins back to its OWN distinct hashed-shingle set.
     * The cross twin of [[jaccardPairs]]. */

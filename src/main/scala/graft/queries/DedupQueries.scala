@@ -291,6 +291,34 @@ object DedupQueries {
         .orderBy(col("a"), col("b")),
       Some(sqlExactJaccard)),
 
+    // d11: asymmetric containment pairs (|A∩B| / min(|A|,|B|)) — the
+    // quote/boilerplate-inclusion detector symmetric Jaccard misses: a
+    // short doc inside a long one scores 1.0 containment but low Jaccard.
+    // On THIS corpus the planted duplicates are all near-full overlaps, so
+    // d11's pair set coincides with d4's and only the score column
+    // separates them — the honest statement is that the corpus has no
+    // asymmetric dups, not that the operator is redundant (on real data
+    // the two sets diverge sharply; the spec plants an embedded-substring
+    // case to prove the asymmetry).
+    "d11_containment" -> Q(
+      (s, dir) => Dedup.ngramContainmentPairs(T(s, dir, "documents"),
+          "doc_id", "text", k = 3, threshold = 0.9)
+        .orderBy(col("a"), col("b")),
+      Some(
+        s"""WITH $sqlShingles,
+           $sqlHashedShingles,
+           shd AS (SELECT DISTINCT doc_id, h FROM hsall),
+           sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+           inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+             FROM shd x JOIN shd y ON y.h = x.h AND x.doc_id < y.doc_id
+             GROUP BY 1, 2)
+           SELECT i.a, i.b,
+             round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+           FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+             JOIN sizes sb ON sb.doc_id = i.b
+           WHERE round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 4) >= 0.9
+           ORDER BY i.a, i.b""")),
+
     // d8: the PRODUCTION hash path — the d2 MinHash-LSH + exact-Jaccard
     // pipeline keyed by xxhash64 (masked to 60 bits) instead of the
     // md5-derived oracle hash: ~3× cheaper per shingle, no hex round-trip.

@@ -16,6 +16,21 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("containment flags embedded substrings that symmetric Jaccard " +
+    "misses (short doc inside long doc)") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"), // fully embedded in 1
+      (3L, "totally different words entirely over here now"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(d, "doc_id", "text", 3, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)), cont.mkString(","))
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9).collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the embedded doc " +
+      "(jac = 3/8) — that asymmetry is containment's reason to exist")
+  }
+
   test("ngramJaccardPairs finds near and exact dups, skips unrelated") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
