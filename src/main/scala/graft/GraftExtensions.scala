@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DeflateLen, DotProduct, Md5Long60, RollingHash, Slugify, StripAccents}
+import graft.functions.{DeflateLen, DotProduct, Md5Long60, NgramDupFraction, NgramTopFraction, RollingHash, ShingleArray, Slugify, StripAccents}
 
 /** Spark session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT slugify(name) ...")` works the
@@ -49,7 +49,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProduct(args.head, args(1))),
     (FunctionIdentifier("deflate_len"),
       info("deflate_len", "deflate_len(str) - DEFLATE-compressed byte count (level 6)"),
-      (args: Seq[Expression]) => DeflateLen(args.head)))
+      (args: Seq[Expression]) => DeflateLen(args.head)),
+    (FunctionIdentifier("shingle_array"),
+      info("shingle_array", "shingle_array(arr, k) - k-token shingles joined by one space"),
+      (args: Seq[Expression]) => ShingleArray(args.head, args(1))),
+    (FunctionIdentifier("ngram_dup_fraction"),
+      info("ngram_dup_fraction", "ngram_dup_fraction(arr, n) - duplicate n-gram fraction"),
+      (args: Seq[Expression]) => NgramDupFraction(args.head, args(1))),
+    (FunctionIdentifier("ngram_top_fraction"),
+      info("ngram_top_fraction", "ngram_top_fraction(arr, n) - top n-gram occupancy fraction"),
+      (args: Seq[Expression]) => NgramTopFraction(args.head, args(1))))
 
   /** Register into a live session. */
   def install(spark: SparkSession): Unit =

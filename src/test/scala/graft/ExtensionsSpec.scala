@@ -16,4 +16,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(2) == 96354L) // matches the DuckDB list_reduce fold
     assert(row.getDouble(3) == 11.0)
   }
+
+  test("text-kernel SQL functions evaluate like their Column twins") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      "SELECT shingle_array(array('a', 'b', 'c'), 2), " +
+        "ngram_dup_fraction(array('a', 'b', 'a', 'b', 'a'), 2), " +
+        "ngram_top_fraction(array('a', 'b', 'a', 'b', 'a'), 2)")
+      .collect().head
+    assert(row.getSeq[String](0) == Seq("a b", "b c"))
+    // 2-grams: [a b, b a, a b, b a] -> 2 of 4 are repeats; top gram holds 2/4
+    assert(row.getDouble(1) == 0.5)
+    assert(row.getDouble(2) == 0.5)
+  }
 }
