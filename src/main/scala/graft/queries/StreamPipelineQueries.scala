@@ -73,6 +73,37 @@ object StreamPipelineQueries {
           FROM events JOIN customer ON user_id = c_custkey
           GROUP BY 1 ORDER BY 1""")),
 
+    // st6: the NATIVE session_window operator (Spark's own gap-merge
+    // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
+    // the same expression runs under a watermark in streaming mode).
+    // Spark merges an event into the open session while its time is
+    // STRICTLY before last_event + gap, so the oracle's island break is
+    // `diff >= gap`. Timestamps compare at microseconds on both engines
+    // (nanos floor-truncated).
+    "st6_session_window" -> Q(
+      (s, dir) => events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts_utc"), "30 minutes"))
+        .agg(count(lit(1)).as("events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("events"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id
+            FROM events),
+          m AS (SELECT user_id, t, event_id,
+              CASE WHEN lag(t) OVER w IS NULL
+                     OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+          g AS (SELECT user_id, t,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m)
+          SELECT user_id, min(t) AS session_start, count(*) AS events
+          FROM g GROUP BY user_id, sid
+          ORDER BY user_id, session_start""")),
+
     // r3: the MEF hierarchical drill-down as a ROLLUP over a fact table
     // (SURVEY §3.3: click-path levels = grouping columns). grouping_id
     // disambiguates subtotal rows; null group keys render as '' for a
