@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("d11: containment candidates come from the inverted-index equi-join " +
+    "over checkpointed shingle sets (d4's shape, no nested loop)") {
+    val p = plan("d11_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
+  test("st6: sessionization runs the native SessionWindow gap-merge " +
+    "aggregate, not a window-function scan") {
+    val p = plan("st6_session_window")
+    assert(p.contains("session_window"), p)
+    assert(!p.contains("row_number"), p)
+  }
+
   test("t18: vocab table pre-aggregates per (doc, token) with map-side " +
     "partials, no count(DISTINCT) expansion; top-k is TakeOrdered") {
     val p = plan("t18_vocab_topk")
