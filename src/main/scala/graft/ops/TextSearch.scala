@@ -102,4 +102,72 @@ object TextSearch {
       .groupBy(keep.toSeq: _*)
       .agg(count(lit(1)).as("ntok"), sum(col("__logp")).as("logp_sum"))
   }
+
+  // ---- BPE merge-step learning (tokenizer-training primitive) ----
+  //
+  // One greedy merge round of byte-pair-encoding style vocabulary
+  // induction, applied at token granularity: count adjacent token pairs
+  // corpus-wide, pick the most frequent, rewrite every document with the
+  // pair fused into one unit. Iterated, this is exactly how BPE/wordpiece
+  // vocabularies are trained — here the pair statistics and the rewrite
+  // are both distributed, which is the part that matters at 100 TB (the
+  // reference trainers are single-node).
+  //
+  // Contract: candidate pairs are restricted to A ≠ B. For A = B the
+  // greedy left-to-right merge depends on run parity (in "a a a" only the
+  // first pair merges) — a sequential fold public BPE implementations
+  // disagree on and DuckDB's scalar-accumulator list_reduce cannot
+  // replay; with A ≠ B matches can never be adjacent, so "merge every
+  // match" IS the greedy result and both engines compute it with pure
+  // row-local array ops. Merged units join with one space, so pair
+  // identity stays unambiguous while only one merged unit exists per
+  // round (guaranteed for the 2-round queries we declare; deeper stacks
+  // would need a tuple key).
+
+  /** Adjacent-pair candidates of one document's token array, as
+    * space-joined strings; equal-neighbor pairs excluded (see contract). */
+  private def pairCandidates(t: Column): Column = {
+    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    filter(
+      transform(idx, i =>
+        when(element_at(t, i) =!= element_at(t, i + 1),
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
+      x => x.isNotNull)
+  }
+
+  /** Corpus-wide most frequent adjacent pair: ONE row (pair, cnt), count
+    * descending with the pair string as tie-break. Two-phase aggregate +
+    * TakeOrderedAndProject — no global sort, no collect. */
+  def bpeTopPair(docs: DataFrame, toksCol: String): DataFrame =
+    docs.select(explode(pairCandidates(col(toksCol))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+
+  /** Rewrite every document with the winning pair merged (greedy, valid
+    * under the A ≠ B contract). `best` is the 1-row output of
+    * [[bpeTopPair]], joined back as a broadcast — the t11-style 1-row
+    * build side. The rewrite itself is row-local array arithmetic inside
+    * codegen: match positions, then a transform that emits the fused unit
+    * at each match and drops the consumed right neighbor. */
+  def bpeApplyMerge(docs: DataFrame, toksCol: String,
+      best: DataFrame): DataFrame = {
+    val withPair = docs.crossJoin(broadcast(best.select(col("pair"))))
+    val t = col(toksCol)
+    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+    val matches = filter(idx, i =>
+      element_at(t, i) =!= element_at(t, i + 1) &&
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1)) === col("pair"))
+    // sequence(1, 0) would count DOWN in Spark — guard the empty doc.
+    val fullIdx = when(size(t) >= 1, sequence(lit(1), size(t)))
+      .otherwise(array().cast("array<int>"))
+    val rebuilt = filter(
+      transform(fullIdx, i =>
+        when(exists(matches, m => m === i), col("pair"))
+          .when(exists(matches, m => m === i - 1), lit(null))
+          .otherwise(element_at(t, i))),
+      x => x.isNotNull)
+    withPair.withColumn(toksCol, rebuilt).drop("pair")
+  }
 }

@@ -569,6 +569,84 @@ object TextQueries {
            FROM ced c JOIN thr t ON t.lang = c.lang
            GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // t20: BPE merge-step learning — two greedy rounds of byte-pair-style
+    // vocabulary induction at token granularity: corpus-wide adjacent-pair
+    // counts pick the most frequent pair, every document is rewritten with
+    // the pair fused, and round 2 recounts over the REWRITTEN corpus (so
+    // its winner can contain round 1's merged unit). Both the statistics
+    // and the rewrite are distributed — the part single-node tokenizer
+    // trainers can't do. A ≠ B candidate contract and the space-joined
+    // pair identity are documented at [[TextSearch.bpeTopPair]]; the
+    // oracle replays both rounds, rewrite included.
+    "t20_bpe_merges" -> Q(
+      (s, dir) => {
+        import graft.ops.{Checkpoints, TextSearch}
+        val d0 = spread(T(s, dir, "documents"))
+          .select(col("doc_id"), textstats.tokens(col("text")).as("toks"))
+        val best1 = Checkpoints.checkpoint(TextSearch.bpeTopPair(d0, "toks"))
+        val d1 = Checkpoints.checkpoint(
+          TextSearch.bpeApplyMerge(d0, "toks", best1))
+        val best2 = Checkpoints.checkpoint(TextSearch.bpeTopPair(d1, "toks"))
+        val d2 = TextSearch.bpeApplyMerge(d1, "toks", best2)
+        val sum1 = d1.agg(sum(size(col("toks"))).as("toks_after"))
+        val sum2 = d2.agg(sum(size(col("toks"))).as("toks_after"))
+        best1.crossJoin(sum1)
+          .select(lit(1L).as("iter"), col("pair"), col("cnt"),
+            col("toks_after"))
+          .unionByName(best2.crossJoin(sum2)
+            .select(lit(2L).as("iter"), col("pair"), col("cnt"),
+              col("toks_after")))
+          .orderBy(col("iter"))
+      },
+      Some {
+        // Per-round fragments over a (doc_id, toks) relation: candidate
+        // pairs (A <> B), the 1-row winner, and the greedy rewrite.
+        def pairsOf(rel: String, out: String): String =
+          s"""$out AS (SELECT unnest(
+               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                 ELSE list_filter(list_transform(
+                   generate_series(1, len(toks) - 1),
+                   i -> CASE WHEN toks[i] <> toks[i + 1]
+                     THEN toks[i] || ' ' || toks[i + 1] END),
+                   x -> x IS NOT NULL) END) AS pair FROM $rel)"""
+        def bestOf(pairs: String, out: String): String =
+          s"""$out AS (SELECT pair, count(*) AS cnt FROM $pairs
+             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
+        def mergeOf(rel: String, best: String, out: String): String =
+          s"""$out AS (
+             SELECT doc_id, list_filter(list_transform(
+                 generate_series(1, len(toks)), i ->
+                   CASE WHEN list_contains(m, i) THEN p
+                        WHEN list_contains(m, i - 1) THEN NULL
+                        ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+             FROM (
+               SELECT doc_id, toks, b.pair AS p,
+                 CASE WHEN len(toks) < 2 THEN []::BIGINT[]
+                   ELSE list_filter(generate_series(1, len(toks) - 1),
+                     i -> toks[i] <> toks[i + 1]
+                       AND toks[i] || ' ' || toks[i + 1] = b.pair)
+                 END AS m
+               FROM $rel CROSS JOIN $best b))"""
+        s"""WITH tok0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           ${pairsOf("tok0", "pr1")},
+           ${bestOf("pr1", "best1")},
+           ${mergeOf("tok0", "best1", "tok1")},
+           ${pairsOf("tok1", "pr2")},
+           ${bestOf("pr2", "best2")},
+           ${mergeOf("tok1", "best2", "tok2")},
+           s1 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
+             FROM tok1),
+           s2 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
+             FROM tok2)
+           SELECT iter, pair, cnt, toks_after FROM (
+             SELECT CAST(1 AS BIGINT) AS iter, pair, cnt, s1.toks_after
+               FROM best1 CROSS JOIN s1
+             UNION ALL
+             SELECT CAST(2 AS BIGINT) AS iter, pair, cnt, s2.toks_after
+               FROM best2 CROSS JOIN s2)
+           ORDER BY iter"""
+      }),
+
     // t15: compression-ratio quality signal — per-language distribution of
     // DEFLATE size / raw size (repetition proxy). ROWS-ONLY check: neither
     // engine has a SQL deflate, so there is no oracle (a9 precedent); the

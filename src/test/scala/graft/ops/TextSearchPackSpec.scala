@@ -96,6 +96,30 @@ class TextSearchPackSpec extends SparkSpec {
     assert(layout(docs.repartition(1)) == layout(docs.repartition(7)))
   }
 
+  test("bpe merge step: true argmax pair wins, rewrite fuses greedily and " +
+    "shrinks the corpus by exactly the merge count") {
+    val docs = Seq(
+      (1L, Seq("x", "y", "x", "y", "z")),
+      (2L, Seq("x", "y", "q")),
+      (3L, Seq("q", "q", "q")) // equal-neighbor pairs are not candidates
+    ).toDF("doc_id", "toks")
+    val best = TextSearch.bpeTopPair(docs, "toks").collect().head
+    assert(best.getString(0) == "x y" && best.getLong(1) == 3L, best)
+    val bestDf = TextSearch.bpeTopPair(docs, "toks")
+    val merged = TextSearch.bpeApplyMerge(docs, "toks", bestDf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(merged(1L) == Seq("x y", "x y", "z"), merged(1L))
+    assert(merged(2L) == Seq("x y", "q"))
+    assert(merged(3L) == Seq("q", "q", "q"), "A = B pairs never merge")
+    val before = docs.select(sum(size(col("toks")))).collect().head.getLong(0)
+    val after = merged.values.map(_.size).sum
+    assert(after == before - 3, s"$before -> $after")
+    // partitioning independence of the winner
+    val b7 = TextSearch.bpeTopPair(docs.repartition(7), "toks")
+      .collect().head
+    assert(b7.getString(0) == "x y" && b7.getLong(1) == 3L)
+  }
+
   test("t19 perplexity tiers: every language has all three buckets and " +
     "strictly increasing mean cross-entropy head < middle < tail") {
     val rows = graft.SparkEntry.queries("t19_perplexity_buckets")(spark, sf)
