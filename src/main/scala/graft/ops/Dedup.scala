@@ -122,7 +122,21 @@ object Dedup {
     * LSH (`minhashLshPairs`) instead: a tiny shared vocabulary makes nearly
     * every pair share some shingle. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    pairOverlapStats(df, idCol, textCol, k)
+      .withColumn("jac",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jac") >= threshold)
+      .select("a", "b", "jac")
+
+  /** Shared inverted-index core of the exact pairwise set-overlap family:
+    * (a, b, i, na, nb) with i = |A∩B| straight off the self-join (each
+    * shared shingle is one joined row) and na/nb the distinct set sizes.
+    * One score expression on top makes it Jaccard or containment — keeping
+    * the join/candidate machinery in ONE place so skew/capping fixes land
+    * on both detectors at once. */
+  private def pairOverlapStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
     // sizes + the self-join read the sets three times — materialize once.
     val sets = Checkpoints.checkpoint(
       hashedShingles(df, idCol, textCol, k).distinct())
@@ -134,10 +148,6 @@ object Dedup {
     inter
       .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .withColumn("jac",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
-      .filter(col("jac") >= threshold)
-      .select("a", "b", "jac")
   }
 
   /** Exact all-pairs n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)): the
@@ -147,22 +157,12 @@ object Dedup {
     * taxonomy's substring case, approximated at shingle granularity).
     * Same inverted-index equi-join shape as [[ngramJaccardPairs]]. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = Checkpoints.checkpoint(
-      hashedShingles(df, idCol, textCol, k).distinct())
-    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n"))
-    val inter = sets.alias("x").join(sets.alias("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    pairOverlapStats(df, idCol, textCol, k)
       .withColumn("containment",
         round(col("i").cast("double") / least(col("na"), col("nb")), 4))
       .filter(col("containment") >= threshold)
       .select("a", "b", "containment")
-  }
 
   /** Cross-corpus exact Jaccard over candidate (a = left id, b = right id)
     * pairs: each side joins back to its OWN distinct hashed-shingle set.

@@ -97,6 +97,22 @@ object DedupQueries {
 
   private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
 
+  /** DuckDB replay of [[Similarity.semDeDup]] over relation `rel`
+    * (vec_id, embedding) with `cents` in scope: nearest-centroid
+    * assignment + smaller-id-wins cosine prune at `tau`, as CTEs
+    * `assign`/`surv` (shared by d10 and e6 so the keep rule lives in ONE
+    * place). */
+  private def sqlSemDedupFrom(rel: String, tau: Double): String =
+    s"""assign AS (SELECT id, v, cid AS cluster FROM (
+         SELECT e.vec_id AS id, e.embedding AS v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         FROM $rel e CROSS JOIN cents c) WHERE rn = 1),
+       surv AS (SELECT a.id, a.cluster FROM assign a
+         WHERE NOT EXISTS (SELECT 1 FROM assign b
+           WHERE b.cluster = a.cluster AND b.id < a.id
+             AND round(${sqlCosine("a.v", "b.v")}, 4) >= $tau))"""
+
   /** `qz(vec_id, v)`: the int8 quantize→dequantize round-trip of the
     * embeddings table — the exact arithmetic of
     * [[Similarity.quantizeInt8]]/[[Similarity.dequantInt8]] (shared by x5
@@ -499,16 +515,8 @@ object DedupQueries {
       },
       Some(
         s"""WITH $sqlKmeansCents,
-           assign AS (SELECT id, v, cid AS cluster FROM (
-             SELECT e.vec_id AS id, e.embedding AS v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid) AS rn
-             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)
-           SELECT a.id, a.cluster FROM assign a
-           WHERE NOT EXISTS (SELECT 1 FROM assign b
-             WHERE b.cluster = a.cluster AND b.id < a.id
-               AND round(${sqlCosine("a.v", "b.v")}, 4) >= 0.45)
-           ORDER BY a.id""")),
+           ${sqlSemDedupFrom("embeddings", 0.45)}
+           SELECT id, cluster FROM surv ORDER BY id""")),
 
     // x5: brute-force ANN over an int8-QUANTIZED corpus — the memory/
     // bandwidth path for 100 TB vector search (tinyint payload reads ¼ the
@@ -921,30 +929,10 @@ object DedupQueries {
            gemb AS (SELECT e.vec_id, e.embedding
              FROM embeddings e JOIN gated g ON g.doc_id = e.vec_id),
            ${sqlKmeansCentsFrom("gemb")},
-           sassign AS (SELECT id, v, cid AS cluster FROM (
-             SELECT e.vec_id AS id, e.embedding AS v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid)
-                 AS rn
-             FROM gemb e CROSS JOIN cents c) WHERE rn = 1),
-           surv AS (SELECT a.id FROM sassign a
-             WHERE NOT EXISTS (SELECT 1 FROM sassign b
-               WHERE b.cluster = a.cluster AND b.id < a.id
-                 AND round(${sqlCosine("a.v", "b.v")}, 4) >= 0.45)),
+           ${sqlSemDedupFrom("gemb", 0.45)},
            sdocs AS (SELECT g.doc_id, g.lang, g.text
              FROM gated g JOIN surv s ON s.id = g.doc_id),
-           counts AS (SELECT lang AS g, count(*) AS n FROM sdocs
-             GROUP BY lang),
-           wts AS (SELECT g, n,
-               round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts),
-           tots AS (SELECT
-               CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
-               CAST(sum(n) AS DOUBLE) AS nn FROM wts),
-           thr AS (SELECT g,
-               CAST(floor(round(least(1.0,
-                 0.5 * t.nn * c.w / (t.sw * CAST(c.n AS DOUBLE))), 9)
-                 * 1048576) AS BIGINT) AS thr
-             FROM wts c CROSS JOIN tots t),
+           ${sqlTempMixThresholds("sdocs", "lang", 0.5)},
            mixed AS (SELECT s2.lang, s2.text FROM sdocs s2 JOIN thr t
              ON t.g IS NOT DISTINCT FROM s2.lang
              WHERE ${hashing.sqlH64("CAST(s2.doc_id AS VARCHAR)")} % 1048576

@@ -46,4 +46,25 @@ object QueryDSL {
 
   /** Same discipline spelled for the DuckDB side. */
   def sqlDec(expr: String): String = s"CAST($expr AS DECIMAL(18,2))"
+
+  /** DuckDB replay of [[graft.ops.Sampling.temperatureSample]]'s rate
+    * derivation over relation `rel` (α = 0.5): group counts → √n weights →
+    * rounded rate → integer coin threshold, as CTEs `counts`/`wts`/`tots`/
+    * `thr` (thr: (g, thr) with the 2^20 coin scale). The caller applies
+    * the coin — `h64(id) % 1048576 < thr` — shared by t17 and e6 so the
+    * threshold arithmetic lives in ONE place. */
+  def sqlTempMixThresholds(rel: String, groupCol: String,
+      targetFrac: Double): String =
+    s"""counts AS (
+         SELECT $groupCol AS g, count(*) AS n FROM $rel GROUP BY $groupCol),
+       wts AS (SELECT g, n,
+           round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts),
+       tots AS (SELECT
+           CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
+           CAST(sum(n) AS DOUBLE) AS nn FROM wts),
+       thr AS (SELECT g,
+           CAST(floor(round(least(1.0,
+             $targetFrac * t.nn * c.w / (t.sw * CAST(c.n AS DOUBLE))), 9)
+             * 1048576) AS BIGINT) AS thr
+         FROM wts c CROSS JOIN tots t)"""
 }

@@ -76,9 +76,11 @@ object StreamPipelineQueries {
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).
-    // Spark merges an event into the open session while its time is
-    // STRICTLY before last_event + gap, so the oracle's island break is
-    // `diff >= gap`. Timestamps compare at microseconds on both engines
+    // Boundary contract (MergingSessionsIterator: a new session starts
+    // only when sessionStart > currentSessionEnd): an event at EXACTLY
+    // last_event + gap still merges, so the oracle's island break is
+    // `diff > gap` — the same inclusive boundary st2's nano-precision
+    // oracle uses. Timestamps compare at microseconds on both engines
     // (nanos floor-truncated).
     "st6_session_window" -> Q(
       (s, dir) => events(s, dir)
@@ -93,7 +95,7 @@ object StreamPipelineQueries {
             FROM events),
           m AS (SELECT user_id, t, event_id,
               CASE WHEN lag(t) OVER w IS NULL
-                     OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                     OR t - lag(t) OVER w > INTERVAL 30 MINUTE
                    THEN 1 ELSE 0 END AS brk
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
           g AS (SELECT user_id, t,

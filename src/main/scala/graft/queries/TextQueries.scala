@@ -17,6 +17,21 @@ object TextQueries {
   private def sqlStopHits(stop: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains(${stop.mkString("['", "', '", "']")}, t)))"
 
+  /** t13/t19 shared unigram-LM replay (the TextSearch.unigramLogProbs
+    * round-6 DECIMAL(18,6) contract): corpus-self token log-probs summed
+    * per document, as CTEs toks/vocab/tot/lp/doc, with
+    * doc = (doc_id, lang, ntok, lsum). */
+  private val sqlUnigramDocs: String =
+    s"""toks AS (
+         SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+       vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+       lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6))
+                AS logp FROM vocab, tot),
+       doc AS (
+         SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
+         FROM toks JOIN lp USING (t) GROUP BY doc_id, lang)"""
+
   val defs: Map[String, Q] = Map(
 
     // t1: n-gram language-ID heuristic vs. the ground-truth lang column.
@@ -448,18 +463,7 @@ object TextQueries {
           .orderBy(col("lang"))
       },
       Some(
-        s"""WITH counts AS (
-             SELECT lang AS g, count(*) AS n FROM documents GROUP BY lang),
-           wts AS (SELECT g, n,
-               round(sqrt(CAST(n AS DOUBLE)), 9) AS w FROM counts),
-           tots AS (SELECT
-               CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw,
-               CAST(sum(n) AS DOUBLE) AS nn FROM wts),
-           thr AS (SELECT g,
-               CAST(floor(round(least(1.0,
-                 0.3 * t.nn * c.w / (t.sw * CAST(c.n AS DOUBLE))), 9)
-                 * 1048576) AS BIGINT) AS thr
-             FROM wts c CROSS JOIN tots t),
+        s"""WITH ${sqlTempMixThresholds("documents", "lang", 0.3)},
            keptt AS (SELECT d.lang AS g, count(*) AS kept
              FROM documents d JOIN thr t ON t.g IS NOT DISTINCT FROM d.lang
              WHERE ${hashing.sqlH64("CAST(d.doc_id AS VARCHAR)")} % 1048576
@@ -489,15 +493,7 @@ object TextQueries {
           .orderBy(col("lang"))
       },
       Some(
-        s"""WITH toks AS (
-             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
-           vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
-           tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
-           lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6))
-                    AS logp FROM vocab, tot),
-           doc AS (
-             SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
-             FROM toks JOIN lp USING (t) GROUP BY doc_id, lang)
+        s"""WITH $sqlUnigramDocs
            SELECT lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens,
              round((CAST(sum(lsum) AS DOUBLE) * -1.0) / sum(ntok), 4)
                AS cross_entropy
@@ -544,15 +540,7 @@ object TextQueries {
           .orderBy(col("lang"), col("bucket"))
       },
       Some(
-        s"""WITH toks AS (
-             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
-           vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
-           tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
-           lp AS (SELECT t, CAST(round(ln(cnt / total), 6) AS DECIMAL(18,6))
-                    AS logp FROM vocab, tot),
-           doc AS (
-             SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
-             FROM toks JOIN lp USING (t) GROUP BY doc_id, lang),
+        s"""WITH $sqlUnigramDocs,
            ced AS (SELECT lang,
                round(CAST(lsum AS DOUBLE) * -1.0 / ntok, 4) AS ce FROM doc),
            thr AS (SELECT lang,

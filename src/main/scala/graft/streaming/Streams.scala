@@ -124,7 +124,8 @@ object Streams {
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        sum(graft.queries.QueryDSL.dec(col("value")))
+          .cast("double").as("value_sum"))
       .writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()

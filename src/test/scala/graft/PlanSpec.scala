@@ -231,7 +231,7 @@ class PlanSpec extends SparkSpec {
     "partials, no count(DISTINCT) expansion; top-k is TakeOrdered") {
     val p = plan("t18_vocab_topk")
     assert(p.contains("partial_count"), p) // map-side combine before shuffle
-    assert(!p.contains("expand"), p) // df via pre-agg, not distinct-expand
+    assert(!p.contains("Expand"), p) // df via pre-agg, not distinct-expand
     assert(p.contains("TakeOrderedAndProject"), p) // no global sort for top-k
   }
 

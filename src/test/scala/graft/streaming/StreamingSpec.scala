@@ -26,6 +26,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("session_window merges an event at exactly last + gap " +
+    "(boundary contract the st6 oracle must mirror with diff > gap)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val df = Seq(
+      (1L, java.sql.Timestamp.from(base)),
+      (1L, java.sql.Timestamp.from(base.plusSeconds(1800))), // == gap: merge
+      (1L, java.sql.Timestamp.from(base.plusSeconds(3601)))) // > gap: break
+      .toDF("user_id", "ts_utc")
+    val events = df
+      .groupBy(col("user_id"), session_window(col("ts_utc"), "30 minutes"))
+      .agg(count(lit(1)).as("events"))
+      .collect().map(_.getLong(2)).sorted.toSeq
+    assert(events == Seq(1L, 2L),
+      s"expected sessions of 2 (boundary merged) and 1, got $events")
+  }
+
   test("stream-static broadcast enrichment == batch join+aggregate") {
     import org.apache.spark.sql.functions._
     val batch = QueryDSL.events(spark, sf)
@@ -34,7 +52,7 @@ class StreamingSpec extends SparkSpec {
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+        sum(QueryDSL.dec(col("value"))).cast("double").as("value_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     val streaming = Streams
       .enrichBySegmentStreaming(spark, sf, name = "st5_spec")
