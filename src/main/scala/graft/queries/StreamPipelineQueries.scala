@@ -73,6 +73,25 @@ object StreamPipelineQueries {
           FROM events JOIN customer ON user_id = c_custkey
           GROUP BY 1 ORDER BY 1""")),
 
+    // st7: stream-stream inner join with event-time range bounds — both
+    // sides are watermarked streams, so Spark keeps (and evicts) a state
+    // store per side; the time-range predicate is what bounds the state.
+    // Oracle = the batch self-join over the same data (append-mode drain
+    // invariant); timestamps compare at microseconds on both engines.
+    "st7_stream_stream_join" -> Q(
+      (s, dir) => Streams
+        .clickPurchaseJoinStreaming(s, dir,
+          name = s"graft_st7_${dir.hashCode.abs}")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("pairs"))
+        .orderBy(col("user_id")),
+      Some("""SELECT c.user_id, count(*) AS pairs
+          FROM events c JOIN events p ON p.user_id = c.user_id
+          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+            AND CAST(p.ts AS TIMESTAMP) <=
+              CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+          GROUP BY 1 ORDER BY 1""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

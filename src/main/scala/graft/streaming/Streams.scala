@@ -132,6 +132,33 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-STREAM inner join with event-time range bounds — the join
+    * shape that needs BOTH sides' state stores: clicks and purchases
+    * (two watermarked streams split from the same source) match per user
+    * where the purchase lands within 30 minutes after the click. The
+    * watermarks plus the time-range condition are what let Spark evict
+    * state — without them stream-stream join state grows forever, the
+    * 100 TB failure mode. Memory append sink drains the matched pairs;
+    * aggregate after the drain. */
+  def clickPurchaseJoinStreaming(spark: SparkSession, dir: String,
+      name: String = "graft_st7"): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_utc").as("ct"))
+      .withWatermark("ct", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
+      .withWatermark("pt", "1 hour")
+    val q = clicks.join(purchases,
+        col("cu") === col("pu") && col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+      .select(col("cu").as("user_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)

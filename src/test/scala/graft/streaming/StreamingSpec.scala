@@ -44,6 +44,25 @@ class StreamingSpec extends SparkSpec {
       s"expected sessions of 2 (boundary merged) and 1, got $events")
   }
 
+  test("stream-stream range join == batch self-join on the same data") {
+    import org.apache.spark.sql.functions._
+    val ev = QueryDSL.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts_utc").as("ct"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
+    val batch = clicks.join(purchases,
+        col("cu") === col("pu") && col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streaming = Streams.clickPurchaseJoinStreaming(spark, sf, "st7_spec")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-static broadcast enrichment == batch join+aggregate") {
     import org.apache.spark.sql.functions._
     val batch = QueryDSL.events(spark, sf)
