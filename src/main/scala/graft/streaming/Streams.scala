@@ -149,12 +149,22 @@ object Streams {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
       .withWatermark("pt", "1 hour")
-    val q = clicks.join(purchases,
+    val joined = clicks.join(purchases,
         col("cu") === col("pu") && col("pt") >= col("ct") &&
           col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
       .select(col("cu").as("user_id"))
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
+    // The dominant cost of a two-sided stateful join is the per-partition
+    // state-store lifecycle (create + commit on BOTH sides each batch),
+    // not data volume — pin the stream's state partitioning low instead
+    // of inheriting the batch shuffle width. The setting is captured at
+    // query START, so restoring it immediately after does not affect
+    // this query; size it to keys-per-partition at real scale.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
