@@ -43,18 +43,39 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"))
 
+  /** Stateful streaming operators pay a per-partition state-store
+    * lifecycle (create + commit, per side, per micro-batch); at suite
+    * data sizes that lifecycle dwarfs the work itself when the stream
+    * inherits the 32-wide batch shuffle width (measured on the two-sided
+    * join: 6.7 s at 32 → 2.6 s at 8, identical results). At real scale
+    * the same dial is keys-per-partition sizing. */
+  private val StreamStatePartitions = "8"
+
+  /** Start the writer with the stream's state partitioning pinned to
+    * [[StreamStatePartitions]], drain the bounded source, and return the
+    * memory table. The shuffle-partition setting is captured at query
+    * START — restoring it immediately leaves the session untouched for
+    * everything else. */
+  private def drain(spark: SparkSession, name: String,
+      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+      : DataFrame = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q =
+      try writer.format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Run [[tumblingCounts]] as a real streaming query into a memory sink
     * (complete mode), block until the source drains, and return the result.
     * At production scale the same plan writes to a Kafka/Delta sink with a
     * watermark; complete-mode memory is the deterministic test harness. */
   def runTumblingToMemory(spark: SparkSession, dir: String,
-      name: String = "graft_st1"): DataFrame = {
-    val q = tumblingCounts(readEventsStream(spark, dir))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+      name: String = "graft_st1"): DataFrame =
+    drain(spark, name, tumblingCounts(readEventsStream(spark, dir))
+      .writeStream.outputMode(OutputMode.Complete()))
 
   val docSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -79,13 +100,10 @@ object Streams {
   def dedupStreaming(spark: SparkSession, dir: String,
       name: String = "graft_st3"): DataFrame = {
     val fp = sha2(graft.functions.text.normalizeWhitespace(lower(col("text"))), 256)
-    val q = readDocumentsStream(spark, dir)
+    drain(spark, name, readDocumentsStream(spark, dir)
       .select(col("lang"), fp.as("fp"))
       .dropDuplicates("lang", "fp")
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Append()))
   }
 
   /** STREAMING corpus-quality gate — the t2 curation operator in its
@@ -97,15 +115,12 @@ object Streams {
   def qualityGateStreaming(spark: SparkSession, dir: String,
       name: String = "graft_st4"): DataFrame = {
     import graft.functions.textstats
-    val q = readDocumentsStream(spark, dir)
+    drain(spark, name, readDocumentsStream(spark, dir)
       .select(textstats.qualityBand(col("text")).as("band"),
         textstats.tokenCount(col("text")).as("ntok"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("cnt"), sum(col("ntok")).as("tok_sum"))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Complete()))
   }
 
   /** Stream-static broadcast enrichment — the canonical streaming shape at
@@ -120,16 +135,13 @@ object Streams {
       name: String = "graft_st5"): DataFrame = {
     val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment")))
-    val q = readEventsStream(spark, dir)
+    drain(spark, name, readEventsStream(spark, dir)
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("events"),
         sum(graft.queries.QueryDSL.dec(col("value")))
           .cast("double").as("value_sum"))
-      .writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Complete()))
   }
 
   /** Stream-STREAM inner join with event-time range bounds — the join
@@ -149,24 +161,11 @@ object Streams {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
       .withWatermark("pt", "1 hour")
-    val joined = clicks.join(purchases,
+    drain(spark, name, clicks.join(purchases,
         col("cu") === col("pu") && col("pt") >= col("ct") &&
           col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
       .select(col("cu").as("user_id"))
-    // The dominant cost of a two-sided stateful join is the per-partition
-    // state-store lifecycle (create + commit on BOTH sides each batch),
-    // not data volume — pin the stream's state partitioning low instead
-    // of inheriting the batch shuffle width. The setting is captured at
-    // query START, so restoring it immediately after does not affect
-    // this query; size it to keys-per-partition at real scale.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try joined.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Append()))
   }
 
   /** A closed session: [startTs, endTs] nanos with its event count. */
@@ -203,7 +202,7 @@ object Streams {
       cur.foreach(state.update)
       closed.result().iterator
     }
-    val q = readEventsStream(spark, dir)
+    drain(spark, name, readEventsStream(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -211,10 +210,7 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
       .toDF()
-      .writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Append()))
   }
 
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
@@ -284,16 +280,13 @@ object Streams {
       state.update(st)
       (userId, st.sessions, st.events)
     }
-    val q = readEventsStream(spark, dir)
+    drain(spark, name, readEventsStream(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updater)
       .toDF("user_id", "sessions", "events")
-      .writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+      .writeStream.outputMode(OutputMode.Update()))
   }
 }
