@@ -124,17 +124,25 @@ object TextSearch {
   // round (guaranteed for the 2-round queries we declare; deeper stacks
   // would need a tuple key).
 
+  /** Pair-start indexes of a token array: 1..n-1, empty below 2 tokens
+    * (guarded — Spark's sequence(1, 0) would count DOWN). */
+  private def pairIndexes(t: Column): Column =
+    when(size(t) >= 2, sequence(lit(1), size(t) - 1))
+      .otherwise(array().cast("array<int>"))
+
+  /** THE pair identity: candidate pair starting at index `i`, encoded as
+    * the space-joined string, or null when excluded (A = B, see
+    * contract). Counting (bpeTopPair) and matching (bpeApplyMerge) must
+    * share this one encoding — an independent copy that drifts would make
+    * the rewrite silently no-op on the counted winner. */
+  private def pairAt(t: Column, i: Column): Column =
+    when(element_at(t, i) =!= element_at(t, i + 1),
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+
   /** Adjacent-pair candidates of one document's token array, as
     * space-joined strings; equal-neighbor pairs excluded (see contract). */
-  private def pairCandidates(t: Column): Column = {
-    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-      .otherwise(array().cast("array<int>"))
-    filter(
-      transform(idx, i =>
-        when(element_at(t, i) =!= element_at(t, i + 1),
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))),
-      x => x.isNotNull)
-  }
+  private def pairCandidates(t: Column): Column =
+    filter(transform(pairIndexes(t), i => pairAt(t, i)), x => x.isNotNull)
 
   /** Corpus-wide most frequent adjacent pair: ONE row (pair, cnt), count
     * descending with the pair string as tie-break. Two-phase aggregate +
@@ -154,11 +162,7 @@ object TextSearch {
       best: DataFrame): DataFrame = {
     val withPair = docs.crossJoin(broadcast(best.select(col("pair"))))
     val t = col(toksCol)
-    val idx = when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-      .otherwise(array().cast("array<int>"))
-    val matches = filter(idx, i =>
-      element_at(t, i) =!= element_at(t, i + 1) &&
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1)) === col("pair"))
+    val matches = filter(pairIndexes(t), i => pairAt(t, i) === col("pair"))
     // sequence(1, 0) would count DOWN in Spark — guard the empty doc.
     val fullIdx = when(size(t) >= 1, sequence(lit(1), size(t)))
       .otherwise(array().cast("array<int>"))

@@ -38,20 +38,30 @@ object DedupQueries {
   private def sqlHashedShingles: String =
     s"""hsall AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM sh)"""
 
-  /** Exact-Jaccard tail over a `cand(a, b)` CTE. */
-  private def sqlJaccardTail(threshold: Double): String =
+  /** Exact set-overlap tail over a `cand(a, b)` CTE, parameterized by the
+    * score expression over (i.i, sa.n, sb.n) — the SQL twin of
+    * [[Dedup]]'s shared `pairOverlapStats` core, so a fix to the overlap
+    * machinery lands on every detector's oracle at once. */
+  private def sqlOverlapTail(score: String, scoreName: String,
+      threshold: Double): String =
     s"""shd AS (SELECT DISTINCT doc_id, h FROM hsall),
        sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
          JOIN shd sa ON sa.doc_id = c.a
          JOIN shd sb ON sb.doc_id = c.b AND sb.h = sa.h
          GROUP BY c.a, c.b)
-       SELECT i.a, i.b,
-         round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
+       SELECT i.a, i.b, round($score, 4) AS $scoreName
        FROM inter i JOIN sizes sa ON sa.doc_id = i.a
          JOIN sizes sb ON sb.doc_id = i.b
-       WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) >= $threshold
+       WHERE round($score, 4) >= $threshold
        ORDER BY i.a, i.b"""
+
+  private val sqlJaccardScore =
+    "CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)"
+
+  /** Exact-Jaccard tail over a `cand(a, b)` CTE. */
+  private def sqlJaccardTail(threshold: Double): String =
+    sqlOverlapTail(sqlJaccardScore, "jac", threshold)
 
   private def sqlCosine(a: String, b: String): String = {
     def norm(v: String) =
@@ -323,17 +333,11 @@ object DedupQueries {
       Some(
         s"""WITH $sqlShingles,
            $sqlHashedShingles,
-           shd AS (SELECT DISTINCT doc_id, h FROM hsall),
-           sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-           inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-             FROM shd x JOIN shd y ON y.h = x.h AND x.doc_id < y.doc_id
-             GROUP BY 1, 2)
-           SELECT i.a, i.b,
-             round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
-           FROM inter i JOIN sizes sa ON sa.doc_id = i.a
-             JOIN sizes sb ON sb.doc_id = i.b
-           WHERE round(CAST(i.i AS DOUBLE) / least(sa.n, sb.n), 4) >= 0.9
-           ORDER BY i.a, i.b""")),
+           shd0 AS (SELECT DISTINCT doc_id, h FROM hsall),
+           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
+           ${sqlOverlapTail("CAST(i.i AS DOUBLE) / least(sa.n, sb.n)",
+          "containment", 0.9)}""")),
 
     // d8: the PRODUCTION hash path — the d2 MinHash-LSH + exact-Jaccard
     // pipeline keyed by xxhash64 (masked to 60 bits) instead of the

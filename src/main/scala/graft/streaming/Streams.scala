@@ -55,7 +55,11 @@ object Streams {
     * [[StreamStatePartitions]], drain the bounded source, and return the
     * memory table. The shuffle-partition setting is captured at query
     * START — restoring it immediately leaves the session untouched for
-    * everything else. */
+    * everything else. NOT thread-safe: the read-set-restore window
+    * mutates session state, so two concurrent drains (or a drain racing
+    * a batch plan build) on one session could leak the pinned width into
+    * the other query — every call site runs sequentially, keep it that
+    * way (or give concurrent drains their own `spark.newSession()`). */
   private def drain(spark: SparkSession, name: String,
       writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : DataFrame = {
@@ -181,7 +185,10 @@ object Streams {
     * would flush it; the batch twin below therefore also excludes each
     * user's final session. */
   def closedSessionsStreaming(spark: SparkSession, dir: String,
-      gapNs: Long = SessionGapNs, name: String = "graft_st3"): DataFrame = {
+      gapNs: Long = SessionGapNs,
+      // distinct default: dedupStreaming already claims "graft_st3", and
+      // two drains sharing a memory-sink name would silently cross-read
+      name: String = "graft_st_sessions"): DataFrame = {
     import spark.implicits._
     val fn = (userId: Long, rows: Iterator[(Long, Long)],
         state: GroupState[OpenSession]) => {
