@@ -144,22 +144,35 @@ object DedupQueries {
     * exact-Jaccard verification over relation `rel` (shared by d2, d6, e1 —
     * the latter two embed it as a parenthesized subquery, where an outer
     * CTE named `rel` is in scope). */
-  private def sqlMinhashLshFrom(rel: String): String = {
+  /** Signatures → banding → DISTINCT candidate pairs (CTEs through
+    * `cand`) over relation `rel` — the LSH prefix shared by the d2-family
+    * oracles and st8's streaming candidate check. */
+  private def sqlMinhashCandFrom(rel: String): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j").mkString(", ")
     val bands = (0 until Bands).map { bnd =>
       val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
     }.mkString(" UNION ALL ")
-    s"""WITH ${sqlShinglesFrom(rel)},
+    s"""${sqlShinglesFrom(rel)},
        $sqlHashedShingles,
        mh AS (SELECT doc_id, $mins FROM hsall GROUP BY doc_id),
        bands AS ($bands),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-       ${sqlJaccardTail(0.9)}"""
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
   }
+
+  private def sqlMinhashLshFrom(rel: String): String =
+    s"""WITH ${sqlMinhashCandFrom(rel)},
+       ${sqlJaccardTail(0.9)}"""
+
+  /** Candidate pairs only (the LSH prefix, no Jaccard verification) —
+    * st8's oracle: the streaming band join must emit exactly the batch
+    * banding's candidate set. */
+  private[queries] def sqlMinhashCandidates: String =
+    s"""WITH ${sqlMinhashCandFrom("documents")}
+       SELECT a, b FROM cand ORDER BY a, b"""
 
   private val sqlMinhashLsh: String = sqlMinhashLshFrom("documents")
 

@@ -92,6 +92,20 @@ object StreamPipelineQueries {
               CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
           GROUP BY 1 ORDER BY 1""")),
 
+    // st8: streaming near-dup candidate detection — the d2 MinHash-LSH
+    // banding over a document STREAM: row-local signatures (stateless),
+    // banding explode, stream-stream self-join on (band, key). The md5
+    // hash family is the shared oracle hash, so DuckDB replays the exact
+    // candidate set the stream emitted (duplicates across bands collapse
+    // in the batch distinct after the drain, mirroring cand's DISTINCT).
+    "st8_stream_lsh_candidates" -> Q(
+      (s, dir) => Streams
+        .lshCandidatesStreaming(s, dir,
+          name = s"graft_st8_${dir.hashCode.abs}")
+        .distinct()
+        .orderBy(col("a"), col("b")),
+      Some(DedupQueries.sqlMinhashCandidates)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -172,6 +172,46 @@ object Streams {
       .writeStream.outputMode(OutputMode.Append()))
   }
 
+  /** STREAMING near-dup candidate detection — MinHash-LSH over the
+    * document stream. The signature is a row-local array fold (shingle →
+    * hash → per-permutation array_min), so the stream stays STATELESS all
+    * the way to the banding explode; candidates then surface from a
+    * stream-stream self-join on (band, key). No event-time bound: exact
+    * recall on an unbounded corpus means the join state holds every band
+    * key seen (production would TTL or window it; the bounded drain here
+    * needs neither). Same md5 hash family as the batch d2 pipeline, so
+    * the candidate set is bit-identical to batch banding — asserted by
+    * StreamingSpec and the DuckDB oracle. */
+  def lshCandidatesStreaming(spark: SparkSession, dir: String,
+      name: String = "graft_st8"): DataFrame = {
+    import graft.functions.{hashing, textstats}
+    val hs = transform(
+      textstats.shingles(textstats.tokens(col("text")), 3),
+      s => hashing.h64(s) % lit(hashing.P))
+    val sig = (0 until hashing.NumHashes).map(j =>
+      array_min(transform(col("__hs"), h => hashing.perm(j, h))).as(s"m$j"))
+    val bandStructs = (0 until hashing.Bands).map { b =>
+      val ks = (b * hashing.Rows until (b + 1) * hashing.Rows)
+        .map(j => col(s"m$j"))
+      struct(lit(b).as("band"), concat_ws(",", ks: _*).as("key"))
+    }
+    val banded = readDocumentsStream(spark, dir)
+      .select(col("doc_id"), hs.as("__hs"))
+      .filter(size(col("__hs")) > 0) // < 3 tokens ⇒ no signature, like batch
+      .select(col("doc_id") +: sig: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val left = banded
+      .select(col("doc_id").as("a"), col("band").as("lb"), col("key").as("lk"))
+    val right = banded
+      .select(col("doc_id").as("b"), col("band").as("rb"), col("key").as("rk"))
+    drain(spark, name, left.join(right,
+        col("lb") === col("rb") && col("lk") === col("rk") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .writeStream.outputMode(OutputMode.Append()))
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)

@@ -44,6 +44,23 @@ class StreamingSpec extends SparkSpec {
       s"expected sessions of 2 (boundary merged) and 1, got $events")
   }
 
+  test("streaming LSH band join == batch MinHash banding candidates") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs, "doc_id", "text", 3)))
+    val batch = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandKey") === col("y.bandKey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streaming = Streams.lshCandidatesStreaming(spark, sf, "st8_spec")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream range join == batch self-join on the same data") {
     import org.apache.spark.sql.functions._
     val ev = QueryDSL.events(spark, sf)
