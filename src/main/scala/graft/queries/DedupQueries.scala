@@ -146,26 +146,45 @@ object DedupQueries {
     * CTE named `rel` is in scope). */
   /** Signatures → banding → DISTINCT candidate pairs (CTEs through
     * `cand`) over relation `rel` — the LSH prefix shared by the d2-family
-    * oracles and st8's streaming candidate check. */
-  private def sqlMinhashCandFrom(rel: String): String = {
+    * oracles and st8's streaming candidate check. `maxBucket > 0` replays
+    * [[Dedup.capBuckets]]: buckets holding more than `maxBucket` docs are
+    * dropped before the pair join (the 100 TB skew defense — a degenerate
+    * boilerplate bucket contributes O(n²) pairs and no information). */
+  private def sqlMinhashCandFrom(rel: String, maxBucket: Int = 0): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j").mkString(", ")
     val bands = (0 until Bands).map { bnd =>
       val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
     }.mkString(" UNION ALL ")
+    val (capCtes, pairSrc) =
+      if (maxBucket <= 0) ("", "bands")
+      else (s"""bcnt AS (SELECT band, key, count(*) AS n FROM bands
+             GROUP BY band, key),
+           bandsc AS (SELECT b.doc_id, b.band, b.key FROM bands b
+             JOIN bcnt c ON c.band = b.band AND c.key = b.key
+             WHERE c.n <= $maxBucket),
+         """, "bandsc")
     s"""${sqlShinglesFrom(rel)},
        $sqlHashedShingles,
        mh AS (SELECT doc_id, $mins FROM hsall GROUP BY doc_id),
        bands AS ($bands),
-       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         FROM bands x JOIN bands y
+       ${capCtes}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM $pairSrc x JOIN $pairSrc y
            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
   }
 
-  private def sqlMinhashLshFrom(rel: String): String =
-    s"""WITH ${sqlMinhashCandFrom(rel)},
+  private def sqlMinhashLshFrom(rel: String, maxBucket: Int = 0): String =
+    s"""WITH ${sqlMinhashCandFrom(rel, maxBucket)},
        ${sqlJaccardTail(0.9)}"""
+
+  /** Bucket cap the PRODUCTION-SHAPED composites run with (d6/d8/e1/e2):
+    * bounds any bucket's pair contribution to C(64,2) ≈ 2k — the standard
+    * skew defense a 100 TB run cannot go without. Sized far above this
+    * corpus's organic bucket sizes (max observed: 6 at sf0.1), so the test
+    * results are unchanged while the oracle replays the cap arithmetic;
+    * d2c below uses a deliberately BITING cap to verify the semantics. */
+  private val ProductionBucketCap = 64
 
   /** Candidate pairs only (the LSH prefix, no Jaccard verification) —
     * st8's oracle: the streaming band join must emit exactly the batch
@@ -197,6 +216,20 @@ object DedupQueries {
         .orderBy(col("a"), col("b")),
       Some(sqlMinhashLsh)),
 
+    // d2c: the CAPPED production variant of d2 — identical pipeline with
+    // maxBucketSize = 2, the skew defense every 100 TB run needs (a
+    // boilerplate bucket of n docs contributes n²/2 pairs and no
+    // information). The cap is chosen to BITE on this corpus (at sf0.01 it
+    // drops the four 3-doc buckets: 25 → 22 verified pairs; at sf0.1,
+    // 249 → 222), so the oracle — which replays the bucket-count filter in
+    // SQL — verifies the cap's exact semantics, not a no-op. Production
+    // composites (d6/d8/e1/e2) run the same machinery at cap 64.
+    "d2c_minhash_lsh_capped" -> Q(
+      (s, dir) => Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id",
+          "text", k = 3, threshold = 0.9, maxBucketSize = 2)
+        .orderBy(col("a"), col("b")),
+      Some(sqlMinhashLshFrom("documents", maxBucket = 2))),
+
     // d6: survivor selection — connected components over the verified
     // near-dup pairs; every clustered doc maps to its component's min id
     // (the kept copy). Spark side: iterative min-label propagation;
@@ -204,10 +237,11 @@ object DedupQueries {
     "d6_dedup_survivors" -> Q(
       (s, dir) => Dedup.survivors(
           Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id", "text",
-            k = 3, threshold = 0.9))
+            k = 3, threshold = 0.9, maxBucketSize = ProductionBucketCap))
         .orderBy(col("id")),
       Some(
-        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM ($sqlMinhashLsh)),
+        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${
+          sqlMinhashLshFrom("documents", ProductionBucketCap)})),
            sym AS (SELECT a AS src, b AS dst FROM pairs
                    UNION ALL SELECT b, a FROM pairs),
            nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -235,7 +269,8 @@ object DedupQueries {
           spread(T(s, dir, "documents"))
             .filter(textstats.qualityBand(col("text")).isin("good", "odd")))
         val cleaned = Dedup.dedupCorpus(good, "doc_id",
-          Dedup.minhashLshPairs(good, "doc_id", "text", k = 3, threshold = 0.9))
+          Dedup.minhashLshPairs(good, "doc_id", "text", k = 3,
+            threshold = 0.9, maxBucketSize = ProductionBucketCap))
         cleaned.groupBy(col("lang"))
           .agg(count(lit(1)).as("docs"),
             sum(textstats.tokenCount(col("text"))).as("tokens"))
@@ -249,7 +284,8 @@ object DedupQueries {
                     '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                   / greatest(length(text), 1), 4) > 0.10)"""
         s"""WITH RECURSIVE good AS ($quality),
-           pairs AS (SELECT a, b FROM (${sqlMinhashLshFrom("good")})),
+           pairs AS (SELECT a, b FROM (${
+          sqlMinhashLshFrom("good", ProductionBucketCap)})),
            sym AS (SELECT a AS src, b AS dst FROM pairs
                    UNION ALL SELECT b, a FROM pairs),
            nodes AS (SELECT DISTINCT src AS id FROM sym),
@@ -278,7 +314,8 @@ object DedupQueries {
         val coin = hashing.h64(col("doc_id").cast("string")) % 10000
         Dedup.crossCorpusNearDups(
             d.filter(coin < 5000), d.filter(coin >= 5000),
-            "doc_id", "text", k = 3, threshold = 0.9)
+            "doc_id", "text", k = 3, threshold = 0.9,
+            maxBucketSize = ProductionBucketCap)
           .orderBy(col("a"), col("b"))
       },
       Some {
@@ -302,6 +339,11 @@ object DedupQueries {
              ${n}hs AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM ${n}sh),
              ${n}mh AS (SELECT doc_id, $mins FROM ${n}hs GROUP BY doc_id),
              ${n}bands AS (${bandsSql(s"${n}mh")}),
+             ${n}bcnt AS (SELECT band, key, count(*) AS n FROM ${n}bands
+               GROUP BY band, key),
+             ${n}bandsc AS (SELECT b.doc_id, b.band, b.key FROM ${n}bands b
+               JOIN ${n}bcnt c ON c.band = b.band AND c.key = b.key
+               WHERE c.n <= $ProductionBucketCap),
              ${n}set AS (SELECT DISTINCT doc_id, h FROM ${n}hs),
              ${n}sizes AS (SELECT doc_id, count(*) AS n FROM ${n}set
                GROUP BY doc_id)"""
@@ -309,7 +351,7 @@ object DedupQueries {
         s"""WITH ${side("l", s"$coin < 5000")},
            ${side("r", s"$coin >= 5000")},
            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-             FROM lbands x JOIN rbands y
+             FROM lbandsc x JOIN rbandsc y
                ON x.band = y.band AND x.key = y.key),
            inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
              JOIN lset sa ON sa.doc_id = c.a
@@ -363,9 +405,15 @@ object DedupQueries {
     // replay-the-hash rule, traded for the 3× cheaper production hash) and
     // verified Jaccard scores depend only on shingle-set identity under any
     // collision-free hash — so the exact all-pairs join IS its oracle.
+    // Runs with the production bucket cap (64): it cannot bite on this
+    // corpus (max organic bucket: 6 at sf0.1), so the
+    // recall-vs-exact-oracle argument above is unchanged — a planted
+    // boilerplate corpus where the cap DOES bite is covered by d2c's
+    // replayed-cap oracle and the hot-bucket spec.
     "d8_minhash_prod_hash" -> Q(
       (s, dir) => Dedup.minhashLshPairs(T(s, dir, "documents"), "doc_id",
-          "text", k = 3, threshold = 0.9, hash = hashing.xxh60)
+          "text", k = 3, threshold = 0.9,
+          maxBucketSize = ProductionBucketCap, hash = hashing.xxh60)
         .orderBy(col("a"), col("b")),
       Some(sqlExactJaccard)),
 

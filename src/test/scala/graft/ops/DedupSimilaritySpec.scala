@@ -75,6 +75,38 @@ class DedupSimilaritySpec extends SparkSpec {
     for (kb <- 1 to 3) assert(pairs(kb, 10) == brute, s"keyBlocks=$kb")
   }
 
+  test("maxBucketSize drops a planted 1k-doc boilerplate bucket; genuine " +
+    "pairs survive and candidates stay bounded") {
+    // 1000 identical boilerplate docs (the classic hot bucket: footer text,
+    // license banners) + one genuine exact-dup pair + one unrelated doc.
+    val boiler = (100L until 1100L).map(i =>
+      (i, "all rights reserved copyright notice terms apply contact us now"))
+    val d = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated content about distributed query engines")))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.hashedShingles(d, "doc_id", "text")))
+    // uncapped, the boilerplate bucket ALONE contributes C(1000,2) pairs —
+    // the quadratic blow-up the cap exists to stop
+    assert(Dedup.lshCandidatePairs(bands).count() >= 1000L * 999 / 2)
+    // capped: the hot bucket vanishes, the genuine pair's 2-doc bucket
+    // survives, and no surviving bucket exceeds the cap
+    val capped = Dedup.lshCandidatePairs(bands, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), capped.take(5).mkString(","))
+    val maxSz = Dedup.capBuckets(bands, 8)
+      .groupBy("band", "bandKey").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxSz <= 8)
+    // end-to-end: the verified capped pipeline still finds the genuine dup
+    val verified = Dedup
+      .minhashLshPairs(d, "doc_id", "text", 3, 0.9, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
   test("connectedComponents: reliable-checkpoint mode matches local mode") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 4L)).toDF("a", "b")
     val local = Dedup.survivors(pairs).collect()
