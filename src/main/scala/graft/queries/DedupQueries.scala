@@ -193,6 +193,14 @@ object DedupQueries {
     s"""WITH ${sqlMinhashCandFrom("documents")}
        SELECT a, b FROM cand ORDER BY a, b"""
 
+  /** st9's oracle: the banding candidate set restricted to pairs within
+    * `maxIdDelta` of each other — the SQL image of the streaming variant's
+    * event-time horizon, under its deterministic ts = doc_id · 600 s
+    * mapping (horizon 30 min ⟺ b − a ≤ 3). */
+  private[queries] def sqlMinhashCandidatesWithin(maxIdDelta: Long): String =
+    s"""WITH ${sqlMinhashCandFrom("documents")}
+       SELECT a, b FROM cand WHERE b - a <= $maxIdDelta ORDER BY a, b"""
+
   private val sqlMinhashLsh: String = sqlMinhashLshFrom("documents")
 
   /** Exact all-pairs n-gram Jaccard ≥ 0.9 — the oracle for d4 AND for the

@@ -106,6 +106,22 @@ object StreamPipelineQueries {
         .orderBy(col("a"), col("b")),
       Some(DedupQueries.sqlMinhashCandidates)),
 
+    // st9: the BOUNDED-STATE production form of st8 — both banded sides
+    // watermarked, the band self-join carries an event-time horizon
+    // (30 min at one doc per 600 s ⟺ |a−b| ≤ 3), so join state EVICTS
+    // behind the watermark instead of holding every band key ever seen
+    // (the st8 doc comment's named failure mode at unbounded ingest).
+    // The oracle replays banding + the horizon restriction; the
+    // multi-batch eviction behavior itself is asserted by StreamingSpec
+    // on a chunked source.
+    "st9_stream_lsh_windowed" -> Q(
+      (s, dir) => Streams
+        .lshCandidatesStreamingWindowed(s, dir,
+          name = s"graft_st9_${dir.hashCode.abs}")
+        .distinct()
+        .orderBy(col("a"), col("b")),
+      Some(DedupQueries.sqlMinhashCandidatesWithin(3))),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -51,26 +51,36 @@ object Streams {
     * the same dial is keys-per-partition sizing. */
   private val StreamStatePartitions = "8"
 
-  /** Start the writer with the stream's state partitioning pinned to
+  /** Build the stream on a CHILD session (`spark.newSession()`: same
+    * SparkContext and shared state, its own session-scoped conf + temp-view
+    * catalog) with the stream's state partitioning pinned to
     * [[StreamStatePartitions]], drain the bounded source, and return the
-    * memory table. The shuffle-partition setting is captured at query
-    * START — restoring it immediately leaves the session untouched for
-    * everything else. NOT thread-safe: the read-set-restore window
-    * mutates session state, so two concurrent drains (or a drain racing
-    * a batch plan build) on one session could leak the pinned width into
-    * the other query — every call site runs sequentially, keep it that
-    * way (or give concurrent drains their own `spark.newSession()`). */
-  private def drain(spark: SparkSession, name: String,
-      writer: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
+    * memory table. Because the pin lives only in the child's conf, a drain
+    * can never leak the narrow width into a concurrent drain or a batch
+    * plan built on the caller's session — drains are safely concurrent
+    * (asserted by StreamingSpec's two-parallel-drains test). The memory
+    * sink registers its table in the child's catalog, so the result is
+    * read off the child before it goes out of scope. */
+  private def drain(spark: SparkSession, name: String)(
+      build: SparkSession => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : DataFrame = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-    val q =
-      try writer.format("memory").queryName(name).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = build(s).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally {
+      try lastDrainStateRows.set(q.recentProgress.toSeq
+        .map(_.stateOperators.map(_.numRowsTotal).sum))
+      finally q.stop()
+    }
+    s.table(name)
   }
+
+  /** Total state-store rows at the end of each micro-batch of the LAST
+    * drain on the calling thread — test telemetry so StreamingSpec can
+    * assert bounded state (watermark eviction actually happened), not a
+    * public API. Thread-local because drains are concurrency-safe. */
+  val lastDrainStateRows: ThreadLocal[Seq[Long]] =
+    ThreadLocal.withInitial(() => Nil)
 
   /** Run [[tumblingCounts]] as a real streaming query into a memory sink
     * (complete mode), block until the source drains, and return the result.
@@ -78,7 +88,7 @@ object Streams {
     * watermark; complete-mode memory is the deterministic test harness. */
   def runTumblingToMemory(spark: SparkSession, dir: String,
       name: String = "graft_st1"): DataFrame =
-    drain(spark, name, tumblingCounts(readEventsStream(spark, dir))
+    drain(spark, name)(s => tumblingCounts(readEventsStream(s, dir))
       .writeStream.outputMode(OutputMode.Complete()))
 
   val docSchema: StructType = StructType(Seq(
@@ -88,10 +98,18 @@ object Streams {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming scan of the documents parquet (schema pinned). */
-  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  /** Streaming scan of the documents parquet (schema pinned). `glob`
+    * widens the file filter (multi-file test corpora); `maxFilesPerTrigger`
+    * > 0 caps files per micro-batch, the dial that turns a bounded
+    * directory into a genuinely multi-batch stream. */
+  def readDocumentsStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(docSchema).option("pathGlobFilter", glob)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r).parquet(dir)
+  }
 
   /** STREAMING exact dedup — the training-pipeline dedup operator in its
     * continuous form: content fingerprint (sha-256 of the
@@ -104,7 +122,7 @@ object Streams {
   def dedupStreaming(spark: SparkSession, dir: String,
       name: String = "graft_st3"): DataFrame = {
     val fp = sha2(graft.functions.text.normalizeWhitespace(lower(col("text"))), 256)
-    drain(spark, name, readDocumentsStream(spark, dir)
+    drain(spark, name)(s => readDocumentsStream(s, dir)
       .select(col("lang"), fp.as("fp"))
       .dropDuplicates("lang", "fp")
       .writeStream.outputMode(OutputMode.Append()))
@@ -119,7 +137,7 @@ object Streams {
   def qualityGateStreaming(spark: SparkSession, dir: String,
       name: String = "graft_st4"): DataFrame = {
     import graft.functions.textstats
-    drain(spark, name, readDocumentsStream(spark, dir)
+    drain(spark, name)(s => readDocumentsStream(s, dir)
       .select(textstats.qualityBand(col("text")).as("band"),
         textstats.tokenCount(col("text")).as("ntok"))
       .groupBy(col("band"))
@@ -136,17 +154,18 @@ object Streams {
     * deterministic drain harness (a production run writes append with a
     * watermark to a Kafka/Delta sink). */
   def enrichBySegmentStreaming(spark: SparkSession, dir: String,
-      name: String = "graft_st5"): DataFrame = {
-    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment")))
-    drain(spark, name, readEventsStream(spark, dir)
-      .join(dim, col("user_id") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("events"),
-        sum(graft.queries.QueryDSL.dec(col("value")))
-          .cast("double").as("value_sum"))
-      .writeStream.outputMode(OutputMode.Complete()))
-  }
+      name: String = "graft_st5"): DataFrame =
+    drain(spark, name) { s =>
+      val dim = broadcast(s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      readEventsStream(s, dir)
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("events"),
+          sum(graft.queries.QueryDSL.dec(col("value")))
+            .cast("double").as("value_sum"))
+        .writeStream.outputMode(OutputMode.Complete())
+    }
 
   /** Stream-STREAM inner join with event-time range bounds — the join
     * shape that needs BOTH sides' state stores: clicks and purchases
@@ -157,20 +176,21 @@ object Streams {
     * 100 TB failure mode. Memory append sink drains the matched pairs;
     * aggregate after the drain. */
   def clickPurchaseJoinStreaming(spark: SparkSession, dir: String,
-      name: String = "graft_st7"): DataFrame = {
-    val ev = readEventsStream(spark, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("cu"), col("ts_utc").as("ct"))
-      .withWatermark("ct", "1 hour")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
-      .withWatermark("pt", "1 hour")
-    drain(spark, name, clicks.join(purchases,
-        col("cu") === col("pu") && col("pt") >= col("ct") &&
-          col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
-      .select(col("cu").as("user_id"))
-      .writeStream.outputMode(OutputMode.Append()))
-  }
+      name: String = "graft_st7"): DataFrame =
+    drain(spark, name) { s =>
+      val ev = readEventsStream(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts_utc").as("ct"))
+        .withWatermark("ct", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts_utc").as("pt"))
+        .withWatermark("pt", "1 hour")
+      clicks.join(purchases,
+          col("cu") === col("pu") && col("pt") >= col("ct") &&
+            col("pt") <= col("ct") + expr("INTERVAL 30 MINUTES"))
+        .select(col("cu").as("user_id"))
+        .writeStream.outputMode(OutputMode.Append())
+    }
 
   /** STREAMING near-dup candidate detection — MinHash-LSH over the
     * document stream. The signature is a row-local array fold (shingle →
@@ -178,12 +198,32 @@ object Streams {
     * the way to the banding explode; candidates then surface from a
     * stream-stream self-join on (band, key). No event-time bound: exact
     * recall on an unbounded corpus means the join state holds every band
-    * key seen (production would TTL or window it; the bounded drain here
-    * needs neither). Same md5 hash family as the batch d2 pipeline, so
-    * the candidate set is bit-identical to batch banding — asserted by
-    * StreamingSpec and the DuckDB oracle. */
+    * key seen — fine for the bounded drain here; an unbounded production
+    * ingest runs [[lshCandidatesStreamingWindowed]], whose watermarked
+    * horizon bounds the state. Same md5 hash family as the batch d2
+    * pipeline, so the candidate set is bit-identical to batch banding —
+    * asserted by StreamingSpec and the DuckDB oracle. */
   def lshCandidatesStreaming(spark: SparkSession, dir: String,
-      name: String = "graft_st8"): DataFrame = {
+      name: String = "graft_st8"): DataFrame =
+    drain(spark, name) { s =>
+      val banded = bandedDocs(readDocumentsStream(s, dir))
+      val left = banded
+        .select(col("doc_id").as("a"), col("band").as("lb"), col("key").as("lk"))
+      val right = banded
+        .select(col("doc_id").as("b"), col("band").as("rb"), col("key").as("rk"))
+      left.join(right,
+          col("lb") === col("rb") && col("lk") === col("rk") &&
+            col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .writeStream.outputMode(OutputMode.Append())
+    }
+
+  /** Row-local MinHash banding of a documents frame (streaming or batch):
+    * one output row per (doc_id, band, key), `carry` columns preserved.
+    * Stateless by construction — signatures are per-row array folds, so
+    * this is safe upstream of any streaming join. Same md5 hash family as
+    * the batch [[graft.ops.Dedup]] pipeline. */
+  private def bandedDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     import graft.functions.{hashing, textstats}
     val hs = transform(
       textstats.shingles(textstats.tokens(col("text")), 3),
@@ -195,22 +235,57 @@ object Streams {
         .map(j => col(s"m$j"))
       struct(lit(b).as("band"), concat_ws(",", ks: _*).as("key"))
     }
-    val banded = readDocumentsStream(spark, dir)
-      .select(col("doc_id"), hs.as("__hs"))
+    val cc = carry.map(col)
+    docs
+      .select(col("doc_id") +: cc :+ hs.as("__hs"): _*)
       .filter(size(col("__hs")) > 0) // < 3 tokens ⇒ no signature, like batch
-      .select(col("doc_id") +: sig: _*)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val left = banded
-      .select(col("doc_id").as("a"), col("band").as("lb"), col("key").as("lk"))
-    val right = banded
-      .select(col("doc_id").as("b"), col("band").as("rb"), col("key").as("rk"))
-    drain(spark, name, left.join(right,
-        col("lb") === col("rb") && col("lk") === col("rk") &&
-          col("a") < col("b"))
-      .select(col("a"), col("b"))
-      .writeStream.outputMode(OutputMode.Append()))
+      .select(col("doc_id") +: cc ++: sig: _*)
+      .select(col("doc_id") +: cc :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(col("doc_id") +: cc :+ col("bk.band").as("band")
+        :+ col("bk.key").as("key"): _*)
   }
+
+  /** BOUNDED-STATE near-dup candidate detection — the production form of
+    * [[lshCandidatesStreaming]]: both banded sides carry an event-time
+    * watermark and the band join takes a time-range condition, so
+    * candidates only match within `horizonMinutes` of each other and
+    * Spark EVICTS join state behind the watermark (st7's two-sided-state
+    * recipe applied to the LSH self-join). This is the variant an
+    * unbounded 100 TB ingest runs: state holds only the horizon's worth
+    * of band rows instead of every band key ever seen. The semantic trade
+    * is explicit — a duplicate pair further apart than the horizon is NOT
+    * reported (cross-horizon dedup belongs to a periodic batch d2 pass).
+    *
+    * Event time derives deterministically from doc_id (one doc per 600 s)
+    * — the bounded test corpus has no ingest timestamp; a production
+    * stream supplies its own event-time column the same way.
+    * StreamingSpec asserts streaming == the batch twin on a multi-file,
+    * multi-batch drain AND that per-batch state stays bounded. */
+  def lshCandidatesStreamingWindowed(spark: SparkSession, dir: String,
+      horizonMinutes: Int = 30, delay: String = "30 minutes",
+      name: String = "graft_st9", glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame =
+    drain(spark, name) { s =>
+      val banded = bandedDocs(
+        readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+          .withColumn("ts_utc", timestamp_seconds(col("doc_id") * 600L)),
+        carry = Seq("ts_utc"))
+      val left = banded
+        .select(col("doc_id").as("a"), col("band").as("lb"),
+          col("key").as("lk"), col("ts_utc").as("ct"))
+        .withWatermark("ct", delay)
+      val right = banded
+        .select(col("doc_id").as("b"), col("band").as("rb"),
+          col("key").as("rk"), col("ts_utc").as("pt"))
+        .withWatermark("pt", delay)
+      left.join(right,
+          col("lb") === col("rb") && col("lk") === col("rk") &&
+            col("a") < col("b") &&
+            col("pt") >= col("ct") - expr(s"INTERVAL $horizonMinutes MINUTES") &&
+            col("pt") <= col("ct") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        .select(col("a"), col("b"))
+        .writeStream.outputMode(OutputMode.Append())
+    }
 
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
@@ -249,7 +324,7 @@ object Streams {
       cur.foreach(state.update)
       closed.result().iterator
     }
-    drain(spark, name, readEventsStream(spark, dir)
+    drain(spark, name)(s => readEventsStream(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
@@ -327,7 +402,7 @@ object Streams {
       state.update(st)
       (userId, st.sessions, st.events)
     }
-    drain(spark, name, readEventsStream(spark, dir)
+    drain(spark, name)(s => readEventsStream(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)

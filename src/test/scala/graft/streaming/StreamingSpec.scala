@@ -61,6 +61,73 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("windowed streaming LSH == batch banding within the horizon; " +
+    "join state stays bounded across micro-batches (eviction works)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // chunk the corpus into 4 event-time-ordered files so the drain runs
+    // as 4 micro-batches (maxFilesPerTrigger = 1) and the watermark
+    // actually advances between batches
+    val srcDir = Files.createTempDirectory("st9_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st9_chunk$i")
+      docs.filter(col("doc_id") >= i * 125 && col("doc_id") < (i + 1) * 125)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      // file source processes in modification-time order: pin it
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streaming = Streams.lshCandidatesStreamingWindowed(spark,
+        srcDir.toString, horizonMinutes = 30, name = "st9_spec",
+        glob = "documents_*.parquet", maxFilesPerTrigger = 1)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val stateRows = Streams.lastDrainStateRows.get()
+    // batch twin: banding candidates restricted to the horizon
+    // (ts = doc_id * 600 s, 30 min ⟺ b - a <= 3)
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs, "doc_id", "text", 3)))
+    val batch = bands.alias("x").join(bands.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandKey") === col("y.bandKey") && col("x.id") < col("y.id") &&
+          col("y.id") - col("x.id") <= 3)
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+    // boundedness: without eviction the two join sides would end holding
+    // every band row ever seen (2 x bandRows); the watermarked horizon
+    // must keep every batch-end state total well below ONE side's total
+    val bandRows = bands.count()
+    assert(stateRows.nonEmpty, "no state telemetry captured")
+    assert(stateRows.max < bandRows,
+      s"state not bounded: max ${stateRows.max} vs $bandRows band rows " +
+        s"(per-batch: ${stateRows.mkString(",")})")
+  }
+
+  test("two concurrent drains are isolated: results correct, caller's " +
+    "shuffle-partition conf untouched") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val f1 = Future(Streams.runTumblingToMemory(spark, sf, "conc_a")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet)
+    val f2 = Future(Streams.dedupStreaming(spark, sf, "conc_b").count())
+    val r1 = Await.result(f1, 180.seconds)
+    val r2 = Await.result(f2, 180.seconds)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+      "drain leaked its stream-state partition pin into the caller session")
+    val seq1 = Streams.runTumblingToMemory(spark, sf, "conc_a2")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(r1 == seq1)
+    assert(r2 == Streams.dedupStreaming(spark, sf, "conc_b2").count())
+  }
+
   test("stream-stream range join == batch self-join on the same data") {
     import org.apache.spark.sql.functions._
     val ev = QueryDSL.events(spark, sf)
