@@ -49,3 +49,45 @@ final case class ExtractedFile(year: Int, moduleCode: String, folder: String,
   * re-expressed declaratively: a step IS a (filter, groupBy-dimension) pair
   * over the ingested fact table (SURVEY §3.3). */
 final case class DrillStep(level: String, keepMatching: Option[String] = None)
+
+/** MEF workflow TOKENS — the little query IR a user writes flat and the
+  * engine parses into [[MefStep]] blocks
+  * ([[graft.pipelines.MEFWorkflow.parse]]). Reference
+  * `perustats/MEF/steps/click.py:16-67` (the Rows / ClickBtn / SavePartial /
+  * Search dataclasses). */
+sealed trait MefToken
+object MefToken {
+
+  /** Row filter over the visible level table: keep rows containing ANY of
+    * the regex alternatives; empty = keep (and iterate) every row.
+    * Reference `click.py:16-23`. */
+  final case class Rows(rows: Seq[String] = Nil) extends MefToken
+
+  /** Button click expanding the next drill level; `name` (the metadata /
+    * drill column the click contributes) derives from the control id's
+    * `Btn` suffix. Reference `click.py:27-45`. */
+  final case class ClickBtn(button: String, asColumn: Boolean = true)
+      extends MefToken {
+    val name: String =
+      if (button.contains("Btn")) button.split("Btn").last else button
+  }
+
+  /** Progress-checkpoint marker: from this block on, partial results are
+    * persisted per iterated row (resume point when the remote service
+    * drops). Reference `click.py:49-56`. */
+  final case class SavePartial(filenamePrefix: Option[String] = None)
+      extends MefToken
+
+  /** Remote search-panel query — the panel the MEF UI shows once a level
+    * exceeds ~400 rows: `description` searches by contains, `code` by exact
+    * match. Reference `click.py:59-67`. */
+  final case class Search(query: String, method: String = "description")
+      extends MefToken
+}
+
+/** One parsed MEF workflow block: the row filter in force, the click that
+  * expands the next level, and the optional save / search actions.
+  * Reference `perustats/MEF/steps/workflow.py:9-16`. */
+final case class MefStep(rows: MefToken.Rows, click: MefToken.ClickBtn,
+    save: Option[MefToken.SavePartial] = None,
+    search: Option[MefToken.Search] = None)

@@ -123,6 +123,104 @@ class PipelinesSpec extends SparkSpec {
     assert(cascade == Set("D1", "R1", "D9"))
   }
 
+  test("MEF workflow parser reproduces the reference contract pair exactly") {
+    import graft.model.MefStep
+    import graft.model.MefToken._
+    import MEFWorkflow.buttons._
+    // the reference's own input/output fixture, workflow.py:70-124
+    val input = Seq(
+      Rows(Seq("total")), ClickBtn(NivelGobierno),
+      Rows(Seq("locales")), ClickBtn(GobLocalesMancomunidades),
+      Rows(Seq("municipalidades")), ClickBtn(Generica),
+      Rows(), ClickBtn(Departamento), SavePartial(Some("departamento")),
+      Rows(Seq("ica", "junin", "piura")), ClickBtn(Municipalidad),
+      Search("provincial"))
+    val out = MEFWorkflow.parse(input)
+    assert(out == Seq(
+      MefStep(Rows(Seq("total")), ClickBtn(NivelGobierno)),
+      MefStep(Rows(Seq("locales")), ClickBtn(GobLocalesMancomunidades)),
+      MefStep(Rows(Seq("municipalidades")), ClickBtn(Generica)),
+      MefStep(Rows(), ClickBtn(Departamento),
+        save = Some(SavePartial(Some("departamento")))),
+      MefStep(Rows(Seq("ica", "junin", "piura")), ClickBtn(Municipalidad),
+        search = Some(Search("provincial")))))
+    // drill-column names derive from the control ids' Btn suffix
+    assert(out.map(_.click.name) == Seq("TipoGobierno", "SubTipoGobierno",
+      "Generica", "Departamento", "Municipalidad"))
+    // parser contract failures (workflow.py:38-41 block must start with
+    // Rows; :62-63 block must contain a ClickBtn)
+    val e1 = intercept[IllegalArgumentException](
+      MEFWorkflow.parse(Seq(ClickBtn(Generica))))
+    assert(e1.getMessage.contains("position 0"))
+    val e2 = intercept[IllegalArgumentException](
+      MEFWorkflow.parse(Seq(Rows(Seq("x")))))
+    assert(e2.getMessage.contains("no ClickBtn"))
+    // later tokens of a block overwrite by type (last ClickBtn wins)
+    assert(MEFWorkflow.parse(Seq(Rows(), ClickBtn(Generica),
+      ClickBtn(Departamento))).head.click == ClickBtn(Departamento))
+  }
+
+  test("parsed MEF workflow lowers to one declarative drill plan " +
+    "(block k+1's Rows filter level k's values)") {
+    import graft.model.MefToken._
+    import MEFWorkflow.buttons._
+    val steps = MEFWorkflow.parse(Seq(
+      Rows(Seq("total")), ClickBtn(NivelGobierno),
+      Rows(Seq("locales")), ClickBtn(GobLocalesMancomunidades),
+      Rows(Seq("municipalidades")), ClickBtn(Generica),
+      Rows(), ClickBtn(Departamento),
+      Rows(Seq("ica", "junin", "piura")), ClickBtn(Municipalidad)))
+    assert(MEFWorkflow.toDrillSteps(steps) == Seq(
+      DrillStep("TipoGobierno", Some("locales")),
+      DrillStep("SubTipoGobierno", Some("municipalidades")),
+      DrillStep("Generica", None),
+      DrillStep("Departamento", Some("ica|junin|piura")),
+      DrillStep("Municipalidad", None)))
+    val fact = Seq(
+      ("gobiernos locales", "municipalidades", "personal", "ica",
+        "mun prov ica", 10.0),
+      ("gobiernos locales", "municipalidades", "personal", "lima",
+        "mun metropolitana", 99.0), // filtered: lima not in the Rows list
+      ("gobierno nacional", "-", "personal", "-", "-", 5.0) // not "locales"
+    ).toDF("TipoGobierno", "SubTipoGobierno", "Generica", "Departamento",
+      "Municipalidad", "devengado")
+    val leaf = MEFWorkflow.run(fact, steps, Seq("devengado")).collect()
+    assert(leaf.length == 1)
+    assert(leaf.head.getAs[String]("Departamento") == "ica")
+    assert(leaf.head.getAs[Double]("devengado") == 10.0)
+  }
+
+  test("MEF Search step delegates to the PagedSource panel above the " +
+    "400-row threshold (description contains + code exact)") {
+    import graft.model.MefToken._
+    import graft.sources.{PagedSource, SearchableFixtureFetcher}
+    val steps = MEFWorkflow.parse(Seq(
+      Rows(), ClickBtn(MEFWorkflow.buttons.Municipalidad),
+      Search("group 3")))
+    def level = spark.read.format(classOf[PagedSource].getName)
+      .option("fetcher", classOf[SearchableFixtureFetcher].getName)
+      .option("pageSize", "100").load()
+    // description search: the >400-row level delegates the contains to the
+    // remote panel and fetches only the matching subset
+    SearchableFixtureFetcher.served.set(0)
+    val byDesc = level.filter(
+      MEFWorkflow.searchPredicate(steps.head.search.get, "descr", "code"))
+    val got = byDesc.collect().map(_.getLong(0)).toSet
+    val expect = (0 until SearchableFixtureFetcher.Total)
+      .filter(i => SearchableFixtureFetcher.descrOf(i).contains("group 3"))
+      .map(_.toLong).toSet
+    assert(got == expect)
+    assert(byDesc.queryExecution.executedPlan.toString
+      .contains("pushedSearch=[description(descr"))
+    assert(SearchableFixtureFetcher.served.get == expect.size.toLong)
+    // code search: exact match delegates as the code lookup
+    val byCode = level.filter(
+      MEFWorkflow.searchPredicate(Search("C0042", "code"), "descr", "code"))
+    assert(byCode.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(byCode.queryExecution.executedPlan.toString
+      .contains("pushedSearch=[code(code"))
+  }
+
   test("MEF drill-down: filter + grouped measures and rollup totals") {
     val fact = Seq(
       ("gobierno nacional", "personal", 100.0, 90.0),
