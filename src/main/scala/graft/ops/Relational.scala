@@ -63,6 +63,17 @@ object Relational {
     joined.select(projected: _*)
   }
 
+  /** S6/J1 composite-PK row upsert: incoming rows REPLACE existing rows
+    * sharing their composite key; untouched existing rows pass through.
+    * The infogob results-table write shape
+    * (`perustats/infogob/20_resultados.py:49-87`: rows keyed by a
+    * composite PRIMARY KEY, a refreshed fetch wins). One anti-join +
+    * union — shuffles on the key columns only, so it distributes; AQE
+    * broadcasts the incoming side when it is a small delta. */
+  def upsertRows(existing: DataFrame, incoming: DataFrame,
+      keys: Seq[String]): DataFrame =
+    pendingAntiJoin(existing, incoming, keys).unionByName(incoming)
+
   /** A5: content-hash dedup — keep one row per distinct content hash.
     * Deterministic: the survivor is the row with the smallest `tieBreak`.
     * Reference `perustats/inei/organizer.py:199-248` (SHA-256 file dedup). */

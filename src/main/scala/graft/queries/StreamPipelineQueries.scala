@@ -242,6 +242,51 @@ object StreamPipelineQueries {
           SELECT stage, o_orderstatus, count(*) AS cnt,
             count(c_mktsegment) AS enriched
           FROM (SELECT * FROM done UNION ALL SELECT * FROM enriched)
-          GROUP BY stage, o_orderstatus ORDER BY stage, o_orderstatus"""))
+          GROUP BY stage, o_orderstatus ORDER BY stage, o_orderstatus""")),
+
+    // g2: composite-PK row upsert — the infogob results-table write shape
+    // (stage 20: a refreshed fetch REPLACES existing rows sharing the
+    // composite key, untouched rows pass through; InfogobElections /
+    // Relational.upsertRows). Fixture roles on lineitem's natural
+    // composite PK (l_orderkey, l_linenumber): "existing" = stale rows
+    // (qty + 1) for orderkey%4 in {0,1}; "incoming" = fresh rows for
+    // %4 in {1,2}. After the upsert: %4=0 stays stale, %4=1 is replaced,
+    // %4=2 is inserted — the per-group DECIMAL sums pin all three paths.
+    "g2_composite_upsert" -> Q(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val existing = li.filter(col("l_orderkey") % 4 < 2)
+          .withColumn("qty", dec(col("l_quantity")) + lit(1))
+          .drop("l_quantity")
+        val incoming = li
+          .filter(col("l_orderkey") % 4 >= 1 && col("l_orderkey") % 4 < 3)
+          .withColumn("qty", dec(col("l_quantity")))
+          .drop("l_quantity")
+        Relational.upsertRows(existing, incoming,
+            Seq("l_orderkey", "l_linenumber"))
+          .groupBy((col("l_orderkey") % 4).as("grp"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("qty")).cast("double").as("qty_sum"))
+          .orderBy(col("grp"))
+      },
+      Some("""WITH existing AS (
+            SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS DECIMAL(18,2)) + 1 AS qty
+            FROM lineitem WHERE l_orderkey % 4 IN (0, 1)),
+          incoming AS (
+            SELECT l_orderkey, l_linenumber,
+              CAST(l_quantity AS DECIMAL(18,2)) AS qty
+            FROM lineitem WHERE l_orderkey % 4 IN (1, 2)),
+          merged AS (
+            SELECT * FROM incoming
+            UNION ALL
+            SELECT e.* FROM existing e WHERE NOT EXISTS (
+              SELECT 1 FROM incoming i
+              WHERE i.l_orderkey = e.l_orderkey
+                AND i.l_linenumber = e.l_linenumber))
+          SELECT l_orderkey % 4 AS grp, count(*) AS cnt,
+            CAST(sum(qty) AS DOUBLE) AS qty_sum
+          FROM merged GROUP BY 1 ORDER BY 1"""))
   )
 }
