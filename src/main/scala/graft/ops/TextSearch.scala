@@ -105,24 +105,36 @@ object TextSearch {
 
   // ---- BPE merge-step learning (tokenizer-training primitive) ----
   //
-  // One greedy merge round of byte-pair-encoding style vocabulary
-  // induction, applied at token granularity: count adjacent token pairs
-  // corpus-wide, pick the most frequent, rewrite every document with the
-  // pair fused into one unit. Iterated, this is exactly how BPE/wordpiece
-  // vocabularies are trained — here the pair statistics and the rewrite
-  // are both distributed, which is the part that matters at 100 TB (the
-  // reference trainers are single-node).
+  // Batched greedy merge rounds of byte-pair-encoding style vocabulary
+  // induction, applied at token granularity: count adjacent unit pairs
+  // corpus-wide, select the top-k non-conflicting pairs, rewrite every
+  // document with those pairs fused into single units, repeat. Iterated,
+  // this is how BPE/wordpiece vocabularies are trained — here the pair
+  // statistics and the rewrite are both distributed, which is the part
+  // that matters at 100 TB (the reference trainers are single-node), and
+  // batching k merges per counting pass is the standard trainer
+  // optimization (k× fewer corpus passes for the same vocabulary, with
+  // the documented approximation that the k winners share one pre-round
+  // count).
   //
-  // Contract: candidate pairs are restricted to A ≠ B. For A = B the
-  // greedy left-to-right merge depends on run parity (in "a a a" only the
-  // first pair merges) — a sequential fold public BPE implementations
-  // disagree on and DuckDB's scalar-accumulator list_reduce cannot
-  // replay; with A ≠ B matches can never be adjacent, so "merge every
-  // match" IS the greedy result and both engines compute it with pure
-  // row-local array ops. Merged units join with one space, so pair
-  // identity stays unambiguous while only one merged unit exists per
-  // round (guaranteed for the 2-round queries we declare; deeper stacks
-  // would need a tuple key).
+  // Contracts:
+  //  - Pair IDENTITY is the tuple (l, r) of the two unit strings, never a
+  //    joined string: merged units contain spaces (unit text joins with
+  //    " "), so a flat encoding turns ambiguous the moment two merged
+  //    units stack ("a b"+"c" vs "a"+"b c") — the tuple stays unambiguous
+  //    at ANY merge depth. Counting and matching share this identity.
+  //  - Candidates are restricted to l ≠ r. For l = r the greedy
+  //    left-to-right merge depends on run parity (in "a a a" only the
+  //    first pair merges) — a sequential fold public BPE implementations
+  //    disagree on and DuckDB's scalar-accumulator list_reduce cannot
+  //    replay; with l ≠ r matches can never be adjacent, so "merge every
+  //    match" IS the greedy result, computed with row-local array ops.
+  //  - A round's selected pairs are pairwise token-DISJOINT: rank the
+  //    top-k by (cnt desc, l, r); a pair is selected iff it shares no
+  //    unit with ANY higher-ranked pair of the top-k (strictly rank-based
+  //    — deterministic and engine-replayable). Disjointness makes the
+  //    one-pass multi-merge exact: two selected pairs can never claim
+  //    overlapping positions.
 
   /** Pair-start indexes of a token array: 1..n-1, empty below 2 tokens
     * (guarded — Spark's sequence(1, 0) would count DOWN). */
@@ -130,48 +142,79 @@ object TextSearch {
     when(size(t) >= 2, sequence(lit(1), size(t) - 1))
       .otherwise(array().cast("array<int>"))
 
-  /** THE pair identity: candidate pair starting at index `i`, encoded as
-    * the space-joined string, or null when excluded (A = B, see
-    * contract). Counting (bpeTopPair) and matching (bpeApplyMerge) must
-    * share this one encoding — an independent copy that drifts would make
-    * the rewrite silently no-op on the counted winner. */
-  private def pairAt(t: Column, i: Column): Column =
-    when(element_at(t, i) =!= element_at(t, i + 1),
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-
-  /** Adjacent-pair candidates of one document's token array, as
-    * space-joined strings; equal-neighbor pairs excluded (see contract). */
-  private def pairCandidates(t: Column): Column =
-    filter(transform(pairIndexes(t), i => pairAt(t, i)), x => x.isNotNull)
-
-  /** Corpus-wide most frequent adjacent pair: ONE row (pair, cnt), count
-    * descending with the pair string as tie-break. Two-phase aggregate +
-    * TakeOrderedAndProject — no global sort, no collect. */
-  def bpeTopPair(docs: DataFrame, toksCol: String): DataFrame =
-    docs.select(explode(pairCandidates(col(toksCol))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("pair")).limit(1)
-
-  /** Rewrite every document with the winning pair merged (greedy, valid
-    * under the A ≠ B contract). `best` is the 1-row output of
-    * [[bpeTopPair]], joined back as a broadcast — the t11-style 1-row
-    * build side. The rewrite itself is row-local array arithmetic inside
-    * codegen: match positions, then a transform that emits the fused unit
-    * at each match and drops the consumed right neighbor. */
-  def bpeApplyMerge(docs: DataFrame, toksCol: String,
-      best: DataFrame): DataFrame = {
-    val withPair = docs.crossJoin(broadcast(best.select(col("pair"))))
+  /** Corpus-wide adjacent-pair counts keyed by the (l, r) tuple identity;
+    * equal-neighbor pairs excluded (see contract). Two-phase hash
+    * aggregate — no collect. */
+  def bpePairCounts(docs: DataFrame, toksCol: String): DataFrame = {
     val t = col(toksCol)
-    val matches = filter(pairIndexes(t), i => pairAt(t, i) === col("pair"))
+    val pairs = filter(
+      transform(pairIndexes(t), i =>
+        when(element_at(t, i) =!= element_at(t, i + 1),
+          struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r")))),
+      x => x.isNotNull)
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** One round's merge batch: the k most frequent pairs, conflict-filtered
+    * to a token-disjoint set (see contract above). Returns
+    * (rn, l, r, cnt), rn = rank among the top-k. The result is ≤ k tiny
+    * rows — the broadcastable build side of the rewrite. The
+    * TakeOrderedAndProject top-k runs distributed; the rank window runs
+    * over those k rows only. */
+  def bpeTopPairs(docs: DataFrame, toksCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // The conflict filter runs as a window over the k-row top set (higher-
+    // ranked pairs collected per row) rather than a self-join: the top-k
+    // subtree would sit on both join sides and re-execute the whole pair
+    // aggregate whenever exchange reuse missed. The partitionless window
+    // is exactly the ≤ k-row single-slot case it's safe for.
+    val w = Window.orderBy(col("cnt").desc, col("l"), col("r"))
+    val ranked = bpePairCounts(docs, toksCol)
+      .orderBy(col("cnt").desc, col("l"), col("r")).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("__hi", collect_list(struct(col("l"), col("r")))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    ranked.filter(!exists(col("__hi"), h =>
+        h.getField("l") === col("l") || h.getField("l") === col("r") ||
+          h.getField("r") === col("l") || h.getField("r") === col("r")))
+      .select(col("rn"), col("l"), col("r"), col("cnt"))
+  }
+
+  /** The single-merge special case (k = 1): ONE row (l, r, cnt). */
+  def bpeTopPair(docs: DataFrame, toksCol: String): DataFrame =
+    bpeTopPairs(docs, toksCol, 1).select(col("l"), col("r"), col("cnt"))
+
+  /** Rewrite every document with ALL of the round's selected pairs merged
+    * in one pass (exact under the disjointness + l ≠ r contracts: matches
+    * never overlap). `selected` is the ≤ k-row output of [[bpeTopPairs]],
+    * folded to a single array row and broadcast — the t11-style 1-row
+    * build side. The rewrite itself is row-local array arithmetic inside
+    * codegen: each position either starts a selected pair (emit the fused
+    * unit, text-joined with one space), was consumed by the previous
+    * position's merge (drop), or passes through. */
+  def bpeApplyMerges(docs: DataFrame, toksCol: String,
+      selected: DataFrame): DataFrame = {
+    val ps = selected
+      .agg(collect_list(struct(col("l"), col("r"))).as("__ps"))
+    val withPs = docs.crossJoin(broadcast(ps))
+    val t = col(toksCol)
+    // Match START positions first (indexes 1..n-1 only, so element_at
+    // stays in bounds everywhere below), then rebuild off that set.
+    val matches = filter(pairIndexes(t), i => exists(col("__ps"), p =>
+      p.getField("l") === element_at(t, i) &&
+        p.getField("r") === element_at(t, i + 1)))
     // sequence(1, 0) would count DOWN in Spark — guard the empty doc.
     val fullIdx = when(size(t) >= 1, sequence(lit(1), size(t)))
       .otherwise(array().cast("array<int>"))
     val rebuilt = filter(
       transform(fullIdx, i =>
-        when(exists(matches, m => m === i), col("pair"))
+        when(exists(matches, m => m === i),
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
           .when(exists(matches, m => m === i - 1), lit(null))
           .otherwise(element_at(t, i))),
       x => x.isNotNull)
-    withPair.withColumn(toksCol, rebuilt).drop("pair")
+    withPs.withColumn(toksCol, rebuilt).drop("__ps")
   }
 }

@@ -557,82 +557,91 @@ object TextQueries {
            FROM ced c JOIN thr t ON t.lang = c.lang
            GROUP BY 1, 2 ORDER BY 1, 2""")),
 
-    // t20: BPE merge-step learning — two greedy rounds of byte-pair-style
-    // vocabulary induction at token granularity: corpus-wide adjacent-pair
-    // counts pick the most frequent pair, every document is rewritten with
-    // the pair fused, and round 2 recounts over the REWRITTEN corpus (so
-    // its winner can contain round 1's merged unit). Both the statistics
-    // and the rewrite are distributed — the part single-node tokenizer
-    // trainers can't do. A ≠ B candidate contract and the space-joined
-    // pair identity are documented at [[TextSearch.bpeTopPair]]; the
-    // oracle replays both rounds, rewrite included.
+    // t20: BPE merge-step learning — FIVE batched greedy rounds of
+    // byte-pair-style vocabulary induction at token granularity: each
+    // round counts adjacent (l, r) unit pairs corpus-wide (tuple identity
+    // — unambiguous however deep merged units stack), selects the top-4
+    // token-disjoint pairs (the standard batched-trainer optimization:
+    // 4 merges per counting pass), rewrites every document with all four
+    // fused in one row-local pass, and the next round recounts over the
+    // REWRITTEN corpus — so later winners contain earlier merged units.
+    // Both the statistics and the rewrite are distributed — the part
+    // single-node tokenizer trainers can't do. Contracts (l ≠ r, rank-
+    // based conflict filter, space-joined unit TEXT vs tuple IDENTITY)
+    // are documented at [[TextSearch.bpeTopPairs]]; the oracle replays
+    // all five rounds, selection and rewrites included.
     "t20_bpe_merges" -> Q(
       (s, dir) => {
         import graft.ops.{Checkpoints, TextSearch}
-        val d0 = spread(T(s, dir, "documents"))
-          .select(col("doc_id"), textstats.tokens(col("text")).as("toks"))
-        val best1 = Checkpoints.checkpoint(TextSearch.bpeTopPair(d0, "toks"))
-        val d1 = Checkpoints.checkpoint(
-          TextSearch.bpeApplyMerge(d0, "toks", best1))
-        val best2 = Checkpoints.checkpoint(TextSearch.bpeTopPair(d1, "toks"))
-        val d2 = TextSearch.bpeApplyMerge(d1, "toks", best2)
-        val sum1 = d1.agg(sum(size(col("toks"))).as("toks_after"))
-        val sum2 = d2.agg(sum(size(col("toks"))).as("toks_after"))
-        best1.crossJoin(sum1)
-          .select(lit(1L).as("iter"), col("pair"), col("cnt"),
-            col("toks_after"))
-          .unionByName(best2.crossJoin(sum2)
-            .select(lit(2L).as("iter"), col("pair"), col("cnt"),
-              col("toks_after")))
-          .orderBy(col("iter"))
+        var d = Checkpoints.checkpoint(spread(T(s, dir, "documents"))
+          .select(col("doc_id"), textstats.tokens(col("text")).as("toks")))
+        val outs = (1 to 5).map { i =>
+          val sel = Checkpoints.checkpoint(
+            TextSearch.bpeTopPairs(d, "toks", k = 4))
+          d = Checkpoints.checkpoint(
+            TextSearch.bpeApplyMerges(d, "toks", sel))
+          // measured off the actually-rewritten corpus, not derived from
+          // the counts — a silently no-op rewrite would show up here
+          val after = d.agg(sum(size(col("toks"))).as("toks_after"))
+          sel.crossJoin(after)
+            .select(lit(i.toLong).as("iter"),
+              col("rn").cast("long").as("rnk"),
+              concat_ws(" ", col("l"), col("r")).as("pair"),
+              col("cnt"), col("toks_after"))
+        }
+        outs.reduce(_.unionByName(_)).orderBy(col("iter"), col("rnk"))
       },
       Some {
-        // Per-round fragments over a (doc_id, toks) relation: candidate
-        // pairs (A <> B), the 1-row winner, and the greedy rewrite.
+        // Per-round fragments over a (doc_id, toks) relation, mirroring
+        // bpePairCounts / bpeTopPairs / bpeApplyMerges exactly.
         def pairsOf(rel: String, out: String): String =
-          s"""$out AS (SELECT unnest(
-               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
-                 ELSE list_filter(list_transform(
-                   generate_series(1, len(toks) - 1),
-                   i -> CASE WHEN toks[i] <> toks[i + 1]
-                     THEN toks[i] || ' ' || toks[i + 1] END),
-                   x -> x IS NOT NULL) END) AS pair FROM $rel)"""
-        def bestOf(pairs: String, out: String): String =
-          s"""$out AS (SELECT pair, count(*) AS cnt FROM $pairs
-             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)"""
-        def mergeOf(rel: String, best: String, out: String): String =
-          s"""$out AS (
-             SELECT doc_id, list_filter(list_transform(
-                 generate_series(1, len(toks)), i ->
-                   CASE WHEN list_contains(m, i) THEN p
-                        WHEN list_contains(m, i - 1) THEN NULL
-                        ELSE toks[i] END), x -> x IS NOT NULL) AS toks
-             FROM (
-               SELECT doc_id, toks, b.pair AS p,
+          s"""$out AS (SELECT unnest(list_transform(mi, i -> toks[i])) AS l,
+               unnest(list_transform(mi, i -> toks[i + 1])) AS r
+             FROM (SELECT toks,
                  CASE WHEN len(toks) < 2 THEN []::BIGINT[]
                    ELSE list_filter(generate_series(1, len(toks) - 1),
-                     i -> toks[i] <> toks[i + 1]
-                       AND toks[i] || ' ' || toks[i + 1] = b.pair)
-                 END AS m
-               FROM $rel CROSS JOIN $best b))"""
+                     i -> toks[i] <> toks[i + 1]) END AS mi
+               FROM $rel))"""
+        def selOf(pairs: String, out: String): String =
+          s"""${out}_top AS (
+               SELECT l, r, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+               FROM (SELECT l, r, count(*) AS cnt FROM $pairs GROUP BY l, r)
+               ORDER BY cnt DESC, l, r LIMIT 4),
+             $out AS (SELECT rn, l, r, cnt FROM ${out}_top t
+               WHERE NOT EXISTS (SELECT 1 FROM ${out}_top h
+                 WHERE h.rn < t.rn AND (h.l = t.l OR h.l = t.r
+                   OR h.r = t.l OR h.r = t.r)))"""
+        def mergeOf(rel: String, sel: String, out: String): String =
+          s"""${out}_ps AS (
+               SELECT list(struct_pack(l := l, r := r) ORDER BY rn) AS ps
+               FROM $sel),
+             $out AS (SELECT doc_id, list_filter(list_transform(
+                 generate_series(1, len(toks)), i ->
+                   CASE WHEN len(list_filter(ps,
+                       p -> p.l = toks[i] AND p.r = toks[i + 1])) > 0
+                     THEN toks[i] || ' ' || toks[i + 1]
+                   WHEN i > 1 AND len(list_filter(ps,
+                       p -> p.l = toks[i - 1] AND p.r = toks[i])) > 0
+                     THEN NULL
+                   ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+               FROM $rel CROSS JOIN ${out}_ps)"""
+        val rounds = (1 to 5).map { i =>
+          s"""${pairsOf(s"tok${i - 1}", s"pr$i")},
+             ${selOf(s"pr$i", s"sel$i")},
+             ${mergeOf(s"tok${i - 1}", s"sel$i", s"tok$i")},
+             s$i AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
+               FROM tok$i)"""
+        }.mkString(",\n")
+        val selects = (1 to 5).map { i =>
+          s"""SELECT CAST($i AS BIGINT) AS iter, CAST(rn AS BIGINT) AS rnk,
+               l || ' ' || r AS pair, cnt, s$i.toks_after
+             FROM sel$i CROSS JOIN s$i"""
+        }.mkString(" UNION ALL ")
         s"""WITH tok0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-           ${pairsOf("tok0", "pr1")},
-           ${bestOf("pr1", "best1")},
-           ${mergeOf("tok0", "best1", "tok1")},
-           ${pairsOf("tok1", "pr2")},
-           ${bestOf("pr2", "best2")},
-           ${mergeOf("tok1", "best2", "tok2")},
-           s1 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
-             FROM tok1),
-           s2 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
-             FROM tok2)
-           SELECT iter, pair, cnt, toks_after FROM (
-             SELECT CAST(1 AS BIGINT) AS iter, pair, cnt, s1.toks_after
-               FROM best1 CROSS JOIN s1
-             UNION ALL
-             SELECT CAST(2 AS BIGINT) AS iter, pair, cnt, s2.toks_after
-               FROM best2 CROSS JOIN s2)
-           ORDER BY iter"""
+           $rounds
+           SELECT iter, rnk, pair, cnt, toks_after FROM ($selects)
+           ORDER BY iter, rnk"""
       }),
 
     // t15: compression-ratio quality signal — per-language distribution of

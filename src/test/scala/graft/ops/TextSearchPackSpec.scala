@@ -104,20 +104,66 @@ class TextSearchPackSpec extends SparkSpec {
       (3L, Seq("q", "q", "q")) // equal-neighbor pairs are not candidates
     ).toDF("doc_id", "toks")
     val best = TextSearch.bpeTopPair(docs, "toks").collect().head
-    assert(best.getString(0) == "x y" && best.getLong(1) == 3L, best)
-    val bestDf = TextSearch.bpeTopPair(docs, "toks")
-    val merged = TextSearch.bpeApplyMerge(docs, "toks", bestDf)
+    assert(best.getString(0) == "x" && best.getString(1) == "y" &&
+      best.getLong(2) == 3L, best)
+    val merged = TextSearch
+      .bpeApplyMerges(docs, "toks", TextSearch.bpeTopPair(docs, "toks"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(merged(1L) == Seq("x y", "x y", "z"), merged(1L))
     assert(merged(2L) == Seq("x y", "q"))
-    assert(merged(3L) == Seq("q", "q", "q"), "A = B pairs never merge")
+    assert(merged(3L) == Seq("q", "q", "q"), "l = r pairs never merge")
     val before = docs.select(sum(size(col("toks")))).collect().head.getLong(0)
     val after = merged.values.map(_.size).sum
     assert(after == before - 3, s"$before -> $after")
     // partitioning independence of the winner
     val b7 = TextSearch.bpeTopPair(docs.repartition(7), "toks")
       .collect().head
-    assert(b7.getString(0) == "x y" && b7.getLong(1) == 3L)
+    assert(b7.getString(0) == "x" && b7.getString(1) == "y" &&
+      b7.getLong(2) == 3L)
+  }
+
+  test("bpe tuple identity keeps stacked merged units unambiguous " +
+    "(the case a flat space-joined key conflates)") {
+    // both docs "spell" a b c, but as DIFFERENT unit pairs: a flat
+    // "a b c" key would conflate them into one count of 5
+    val docs = Seq(
+      (1L, Seq("a b", "c")), (2L, Seq("a b", "c")), (3L, Seq("a b", "c")),
+      (4L, Seq("a", "b c")), (5L, Seq("a", "b c"))
+    ).toDF("doc_id", "toks")
+    val counts = TextSearch.bpePairCounts(docs, "toks").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(counts == Map(("a b", "c") -> 3L, ("a", "b c") -> 2L))
+    // the rewrite merges ONLY the winning tuple's docs
+    val merged = TextSearch
+      .bpeApplyMerges(docs, "toks", TextSearch.bpeTopPair(docs, "toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(merged(1L) == Seq("a b c"))
+    assert(merged(4L) == Seq("a", "b c"), "losing tuple must stay unmerged")
+  }
+
+  test("bpeTopPairs: rank-based conflict filter keeps the batch " +
+    "token-disjoint; one pass applies all selected merges") {
+    // counts: (a,b)=5 > (b,c)=4 > (d,e)=3 > (e,f)=2 > (g,h)=1.
+    // top-4 = first four; (b,c) conflicts with (a,b) via b, (e,f) with
+    // (d,e) via e -> selected = (a,b) rn=1 and (d,e) rn=3.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, Seq("a", "b"))) ++
+      (6 to 9).map(i => (i.toLong, Seq("b", "c"))) ++
+      (10 to 12).map(i => (i.toLong, Seq("d", "e"))) ++
+      (13 to 14).map(i => (i.toLong, Seq("e", "f"))) ++
+      Seq((15L, Seq("g", "h")))
+    ).toDF("doc_id", "toks")
+    val sel = TextSearch.bpeTopPairs(docs, "toks", k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(sel == Set((1, "a", "b"), (3, "d", "e")), sel)
+    // the one-pass rewrite merges both selected pairs, leaves conflicts
+    val merged = TextSearch.bpeApplyMerges(docs, "toks",
+        TextSearch.bpeTopPairs(docs, "toks", k = 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(merged(1L) == Seq("a b"))
+    assert(merged(6L) == Seq("b", "c")) // conflicted pair not merged
+    assert(merged(10L) == Seq("d e"))
+    assert(merged(13L) == Seq("e", "f"))
   }
 
   test("t19 perplexity tiers: every language has all three buckets and " +
