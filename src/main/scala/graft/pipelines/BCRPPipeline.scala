@@ -40,6 +40,23 @@ final class BCRPPipeline(spark: SparkSession, cache: SeriesCache,
     catalog.filter(graft.functions.text.containsAnyLiteral(
       col("description"), terms))
 
+  /** RANKED catalog search — the introspection API grown the way the
+    * reference's docstring plans ("a search layer can be plugged in later
+    * without changing the interface", `metadata.py:317-340`): rows
+    * matching ANY of the case-insensitive literal terms, ranked by how
+    * many terms they match (then by code for a total order). One
+    * map-side filter + a TakeOrdered-friendly sort — no shuffle beyond
+    * the ordering, catalog-sized (small) by construction. */
+  def searchCatalog(terms: Seq[String]): DataFrame = {
+    val matched = terms
+      .map(t => when(graft.functions.text.containsAnyLiteral(
+        col("description"), Seq(t)), 1).otherwise(0))
+      .reduceOption[org.apache.spark.sql.Column](_ + _).getOrElse(lit(0))
+    catalog.withColumn("matched_terms", matched)
+      .filter(col("matched_terms") > 0)
+      .orderBy(col("matched_terms").desc, col("code"))
+  }
+
   /** Fetch one frequency group: compute the not-yet-cached delta, ingest it
     * via `fetchLong`, parse + pivot, upsert, and return the projected wide
     * frame for ALL requested codes (cached + new).

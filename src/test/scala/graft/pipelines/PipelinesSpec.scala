@@ -11,6 +11,22 @@ import graft.ops.Relational
   * projected load, incl. the warm-cache second run fetching only the
   * delta — SURVEY §7.3), the INEI organize transforms, and MEF-as-rollup.
   */
+/** MTC homologación stand-in transport: 47 rows of the reference table's
+  * shape (row number, dd/MM/yyyy date, resolution id, company), 10 per
+  * page — the `first_page` → page-count → fetch-all lifecycle's fixture. */
+class MTCFixtureFetcher extends graft.sources.PageFetcher {
+  import org.apache.spark.sql.types._
+  override def schema: StructType = StructType(Seq(
+    StructField("n", IntegerType), StructField("date", StringType),
+    StructField("resolucion", StringType), StructField("empresa", StringType)))
+  override def totalRows(): Long = 47L
+  override def page(index: Int, pageSize: Int): Seq[Seq[Any]] =
+    (index * pageSize until math.min((index + 1) * pageSize, 47)).map { i =>
+      Seq(i + 1, f"${i % 28 + 1}%02d/${i % 12 + 1}%02d/2023",
+        s"RD-$i-2023", s"EMPRESA ${i % 5}")
+    }
+}
+
 class PipelinesSpec extends SparkSpec {
   import spark.implicits._
 
@@ -62,6 +78,38 @@ class PipelinesSpec extends SparkSpec {
     assert(fetched == Seq("PN05678PM"))
     assert(r2.columns.toSeq == Seq("date", "PN01234PM", "PN05678PM"))
     assert(r2.count() == 2) // rows merged by date, not duplicated
+  }
+
+  test("searchCatalog: multi-term rank — both-terms row first, " +
+    "then single-term rows by code; non-matches excluded") {
+    val cache = new ParquetCache(spark, scratch("bcrp_search"))
+    val pipe = new BCRPPipeline(spark, cache, Seq(
+      ("PN01", "tipo de cambio interbancario", "M"),
+      ("PN02", "tipo de interes de referencia", "M"),
+      ("PN03", "indice de cambio real", "M"),
+      ("PN04", "reservas internacionales", "M")
+    ).toDF("code", "description", "freq"))
+    val hits = pipe.searchCatalog(Seq("TIPO", "cambio")).collect()
+      .map(r => (r.getAs[String]("code"), r.getAs[Int]("matched_terms")))
+    assert(hits.toSeq == Seq(("PN01", 2), ("PN02", 1), ("PN03", 1)))
+    assert(pipe.searchCatalog(Nil).isEmpty)
+  }
+
+  test("MTC homologacion: page-count lifecycle through the paged source, " +
+    "cleanup drops the UI column, parses dates, newest first") {
+    val raw = MTCHomologacion.fetch(spark,
+      classOf[MTCFixtureFetcher].getName, pageSize = 10)
+    // ceil(47 / 10) pages — the reference's first_page page-count rule,
+    // here one InputPartition per page (cluster fan-out, not a thread pool)
+    assert(raw.rdd.getNumPartitions == 5)
+    val cleaned = MTCHomologacion.run(spark,
+      classOf[MTCFixtureFetcher].getName, pageSize = 10)
+    assert(cleaned.columns.toSeq == Seq("date", "resolucion", "empresa"))
+    val rows = cleaned.collect()
+    assert(rows.length == 47)
+    val dates = rows.map(_.getDate(0).toLocalDate)
+    assert(dates.zip(dates.tail).forall { case (a, b) => !a.isBefore(b) },
+      "not sorted newest-first")
   }
 
   test("INEI organize: size rank, collision suffix, hash dedup") {
