@@ -263,4 +263,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
     assert(p.contains("BroadcastHashJoin"), p) // mixing thresholds broadcast
   }
+
+  test("d2c: capped-LSH pipeline stays equi-join only — the bucket-count " +
+    "cap adds an aggregate + join, never a nested loop") {
+    val p = plan("d2c_minhash_lsh_capped")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p) // bucket sizes combine map-side
+  }
+
+  test("g2: composite-PK upsert is an anti equi-join + union, " +
+    "no window/nested loop") {
+    val p = plan("g2_composite_upsert")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("t20: BPE round reads a checkpointed corpus; each selected batch " +
+    "joins back as a 1-row/array broadcast (no shuffle of the corpus " +
+    "against the pair table)") {
+    val p = plan("t20_bpe_merges")
+    assert(p.contains("Scan ExistingRDD"), p) // per-round checkpoints
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row batch × corpus
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
