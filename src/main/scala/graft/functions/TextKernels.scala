@@ -154,6 +154,81 @@ object TextKernels {
     round4((total - distinct).toDouble / total)
   }
 
+  /** Candidate adjacent pairs of a BPE unit array as (l, r) struct rows —
+    * the counting kernel of [[graft.ops.TextSearch.bpePairCounts]]: equal
+    * neighbors excluded (the l ≠ r contract). One scan, no interpreted
+    * lambda per element; values are cloned out of the (possibly reused)
+    * input buffer. */
+  def bpePairArray(toks: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new java.util.ArrayList[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      val a = toks.getUTF8String(i)
+      val b = toks.getUTF8String(i + 1)
+      if (!a.equals(b))
+        out.add(org.apache.spark.sql.catalyst.InternalRow(a.clone(), b.clone()))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** One-pass batched BPE rewrite: walk the unit array left-to-right; a
+    * position starting ANY of the (l, r) pairs emits the fused unit
+    * (l + " " + r) and skips the consumed neighbor. Exact vs the
+    * merge-every-match formulation under the batch contract
+    * ([[graft.ops.TextSearch]]: pairs token-disjoint, l ≠ r — matches can
+    * never overlap, so the greedy walk and the global match set agree). */
+  def bpeRewrite(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      pairs: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    val ls = new Array[org.apache.spark.unsafe.types.UTF8String](pairs.numElements())
+    val rs = new Array[org.apache.spark.unsafe.types.UTF8String](pairs.numElements())
+    var m = 0
+    var j = 0
+    while (j < pairs.numElements()) {
+      val p = pairs.getStruct(j, 2)
+      // an l = r pair can never be selected (the candidate contract
+      // excludes equal neighbors); ignore defensively rather than merge
+      // with parity-dependent results
+      if (!p.getUTF8String(0).equals(p.getUTF8String(1))) {
+        ls(m) = p.getUTF8String(0)
+        rs(m) = p.getUTF8String(1)
+        m += 1
+      }
+      j += 1
+    }
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (i < n - 1) {
+        val a = toks.getUTF8String(i)
+        val b = toks.getUTF8String(i + 1)
+        var k = 0
+        while (!matched && k < m) {
+          if (ls(k).equals(a) && rs(k).equals(b)) matched = true
+          k += 1
+        }
+        if (matched) {
+          out.add(org.apache.spark.unsafe.types.UTF8String.concat(a, space, b))
+          i += 2
+        }
+      }
+      if (!matched) {
+        out.add(toks.getUTF8String(i).clone())
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** One-pass top n-gram occupancy: max multiplicity / total, 0 when fewer
     * than n tokens. Value-identical to the sorted-run-length fold (max
     * multiplicity is what the longest equal run of the sorted array

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the handful of scalar functions Spark's
@@ -226,6 +226,48 @@ case class NgramTopFraction(left: Expression, right: Expression)
   override def prettyName: String = "ngram_top_fraction"
 }
 
+/** Candidate adjacent (l, r) pairs of a BPE unit array (equal neighbors
+  * excluded) — value-identical to the transform+filter+struct HOF pipeline
+  * but one codegen'd scan. Feeds the distributed pair-count aggregate of
+  * [[graft.ops.TextSearch.bpePairCounts]]. */
+case class BpePairArray(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", StringType), StructField("r", StringType))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bpePairArray(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.bpePairArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_pair_array"
+}
+
+/** One-pass batched BPE rewrite of a unit array against an array of
+  * (l, r) merge pairs — value-identical to the match-positions +
+  * transform-rebuild HOF stack (exact under the token-disjoint / l ≠ r
+  * batch contract) but a single codegen'd walk; the HOF version's
+  * per-position exists() over the batch was the dominant interpreted cost
+  * of the t20 rounds. */
+case class BpeRewrite(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(toks: Any, pairs: Any): Any =
+    TextKernels.bpeRewrite(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      pairs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextKernels.bpeRewrite($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bpe_rewrite"
+}
+
 object expressions {
   def slugify(c: Column): Column = Bridge.column(Slugify(Bridge.expression(c)))
   def stripAccents(c: Column): Column = Bridge.column(StripAccents(Bridge.expression(c)))
@@ -240,4 +282,8 @@ object expressions {
     Bridge.column(NgramDupFraction(Bridge.expression(toks), Bridge.expression(n)))
   def ngramTopFraction(toks: Column, n: Column): Column =
     Bridge.column(NgramTopFraction(Bridge.expression(toks), Bridge.expression(n)))
+  def bpePairArray(toks: Column): Column =
+    Bridge.column(BpePairArray(Bridge.expression(toks)))
+  def bpeRewrite(toks: Column, pairs: Column): Column =
+    Bridge.column(BpeRewrite(Bridge.expression(toks), Bridge.expression(pairs)))
 }

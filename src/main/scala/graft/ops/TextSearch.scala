@@ -136,26 +136,16 @@ object TextSearch {
   //    one-pass multi-merge exact: two selected pairs can never claim
   //    overlapping positions.
 
-  /** Pair-start indexes of a token array: 1..n-1, empty below 2 tokens
-    * (guarded — Spark's sequence(1, 0) would count DOWN). */
-  private def pairIndexes(t: Column): Column =
-    when(size(t) >= 2, sequence(lit(1), size(t) - 1))
-      .otherwise(array().cast("array<int>"))
-
   /** Corpus-wide adjacent-pair counts keyed by the (l, r) tuple identity;
-    * equal-neighbor pairs excluded (see contract). Two-phase hash
-    * aggregate — no collect. */
-  def bpePairCounts(docs: DataFrame, toksCol: String): DataFrame = {
-    val t = col(toksCol)
-    val pairs = filter(
-      transform(pairIndexes(t), i =>
-        when(element_at(t, i) =!= element_at(t, i + 1),
-          struct(element_at(t, i).as("l"), element_at(t, i + 1).as("r")))),
-      x => x.isNotNull)
-    docs.select(explode(pairs).as("p"))
+    * equal-neighbor pairs excluded (see contract). Candidate extraction is
+    * the codegen'd [[graft.functions.BpePairArray]] kernel (one scan per
+    * row, no interpreted lambdas); then a two-phase hash aggregate — no
+    * collect. */
+  def bpePairCounts(docs: DataFrame, toksCol: String): DataFrame =
+    docs.select(explode(
+        graft.functions.expressions.bpePairArray(col(toksCol))).as("p"))
       .select(col("p.l").as("l"), col("p.r").as("r"))
       .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
-  }
 
   /** One round's merge batch: the k most frequent pairs, conflict-filtered
     * to a token-disjoint set (see contract above). Returns
@@ -190,31 +180,19 @@ object TextSearch {
     * in one pass (exact under the disjointness + l ≠ r contracts: matches
     * never overlap). `selected` is the ≤ k-row output of [[bpeTopPairs]],
     * folded to a single array row and broadcast — the t11-style 1-row
-    * build side. The rewrite itself is row-local array arithmetic inside
-    * codegen: each position either starts a selected pair (emit the fused
-    * unit, text-joined with one space), was consumed by the previous
-    * position's merge (drop), or passes through. */
+    * build side. The rewrite itself is the codegen'd
+    * [[graft.functions.BpeRewrite]] kernel: one left-to-right walk per
+    * row that emits the fused unit (text-joined with one space) at each
+    * selected-pair start and skips the consumed neighbor — the same
+    * result as the global match-set formulation, without the interpreted
+    * per-position exists() over the batch. */
   def bpeApplyMerges(docs: DataFrame, toksCol: String,
       selected: DataFrame): DataFrame = {
     val ps = selected
       .agg(collect_list(struct(col("l"), col("r"))).as("__ps"))
-    val withPs = docs.crossJoin(broadcast(ps))
-    val t = col(toksCol)
-    // Match START positions first (indexes 1..n-1 only, so element_at
-    // stays in bounds everywhere below), then rebuild off that set.
-    val matches = filter(pairIndexes(t), i => exists(col("__ps"), p =>
-      p.getField("l") === element_at(t, i) &&
-        p.getField("r") === element_at(t, i + 1)))
-    // sequence(1, 0) would count DOWN in Spark — guard the empty doc.
-    val fullIdx = when(size(t) >= 1, sequence(lit(1), size(t)))
-      .otherwise(array().cast("array<int>"))
-    val rebuilt = filter(
-      transform(fullIdx, i =>
-        when(exists(matches, m => m === i),
-          concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-          .when(exists(matches, m => m === i - 1), lit(null))
-          .otherwise(element_at(t, i))),
-      x => x.isNotNull)
-    withPs.withColumn(toksCol, rebuilt).drop("__ps")
+    docs.crossJoin(broadcast(ps))
+      .withColumn(toksCol,
+        graft.functions.expressions.bpeRewrite(col(toksCol), col("__ps")))
+      .drop("__ps")
   }
 }

@@ -59,6 +59,45 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairArray / bpeRewrite kernels match the declarative contract " +
+    "(equal neighbors skipped, greedy walk == merge-every-match)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*): GenericArrayData =
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    def pairsOf(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until a.numElements()).map { j =>
+        val p = a.getStruct(j, 2)
+        (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+      }
+    // candidates: equal neighbors excluded; < 2 tokens -> empty
+    assert(pairsOf(TextKernels.bpePairArray(arr("x", "y", "y", "z"))) ==
+      Seq(("x", "y"), ("y", "z")))
+    assert(TextKernels.bpePairArray(arr("solo")).numElements() == 0)
+    assert(TextKernels.bpePairArray(arr()).numElements() == 0)
+    // tuple identity: merged units with spaces stay distinct components
+    assert(pairsOf(TextKernels.bpePairArray(arr("a b", "c"))) ==
+      Seq(("a b", "c")))
+    // rewrite: both disjoint pairs fuse in one pass; l = r runs untouched
+    def ps(pairs: (String, String)*): GenericArrayData =
+      new GenericArrayData(pairs.map { case (l, r) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(l), UTF8String.fromString(r))
+      }.toArray[Any])
+    def rw(toks: Seq[String], pairs: (String, String)*): Seq[String] = {
+      val out = TextKernels.bpeRewrite(arr(toks: _*), ps(pairs: _*))
+      (0 until out.numElements()).map(out.getUTF8String(_).toString)
+    }
+    assert(rw(Seq("a", "b", "c", "d", "e"), ("a", "b"), ("d", "e")) ==
+      Seq("a b", "c", "d e"))
+    assert(rw(Seq("q", "q", "q"), ("q", "q")) == Seq("q", "q", "q"))
+    assert(rw(Seq("a", "b", "a", "b"), ("a", "b")) == Seq("a b", "a b"))
+    assert(rw(Seq("a b", "c", "a", "b c"), ("a b", "c")) ==
+      Seq("a b c", "a", "b c"), "tuple identity: only the (a b, c) side merges")
+    assert(rw(Nil, ("a", "b")) == Nil)
+    assert(rw(Seq("x", "y")) == Seq("x", "y"), "empty batch is identity")
+  }
+
   test("md5Long60 == parseLong(md5 hex take 15) for arbitrary strings") {
     def viaHex(str: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
