@@ -229,6 +229,35 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Row-local MinHash signature over a shingle array: md5-60 hash mod P,
+    * then the minimum of each of the [[hashing.NumHashes]] LCG
+    * permutations — all in ONE pass over the shingles (the streaming LSH
+    * path previously ran 12 interpreted transform passes + 12 array_min
+    * passes per row). Bit-identical to the Column formulation
+    * (`min(perm(j, h64(s) % P))`) and to the batch aggregate path.
+    * Returns null for an empty shingle array (no signature — callers
+    * filter those rows, matching the batch pipeline's empty-doc drop). */
+  def minhashSigArray(shingles: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val nh = hashing.NumHashes
+    val mins = Array.fill(nh)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = md5Long60(shingles.getUTF8String(i).getBytes) % hashing.P
+      var j = 0
+      while (j < nh) {
+        val v = (hashing.A(j) * h + hashing.B(j)) % hashing.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(Long.box).toArray[Any])
+  }
+
   /** One-pass top n-gram occupancy: max multiplicity / total, 0 when fewer
     * than n tokens. Value-identical to the sorted-run-length fold (max
     * multiplicity is what the longest equal run of the sorted array

@@ -268,6 +268,29 @@ case class BpeRewrite(left: Expression, right: Expression)
   override def prettyName: String = "bpe_rewrite"
 }
 
+/** Row-local MinHash signature (array of the NumHashes permutation minima)
+  * over a shingle array in one codegen'd pass — the streaming LSH path's
+  * kernel; null for empty shingle arrays. Bit-identical to the
+  * min(perm(j, h64 % P)) Column formulation and the batch aggregate. */
+case class MinhashSigArray(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSigArray(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextKernels.minhashSigArray($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+    code
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig_array"
+}
+
 object expressions {
   def slugify(c: Column): Column = Bridge.column(Slugify(Bridge.expression(c)))
   def stripAccents(c: Column): Column = Bridge.column(StripAccents(Bridge.expression(c)))
@@ -286,4 +309,6 @@ object expressions {
     Bridge.column(BpePairArray(Bridge.expression(toks)))
   def bpeRewrite(toks: Column, pairs: Column): Column =
     Bridge.column(BpeRewrite(Bridge.expression(toks), Bridge.expression(pairs)))
+  def minhashSigArray(shingles: Column): Column =
+    Bridge.column(MinhashSigArray(Bridge.expression(shingles)))
 }

@@ -224,22 +224,21 @@ object Streams {
     * this is safe upstream of any streaming join. Same md5 hash family as
     * the batch [[graft.ops.Dedup]] pipeline. */
   private def bandedDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    import graft.functions.{hashing, textstats}
-    val hs = transform(
-      textstats.shingles(textstats.tokens(col("text")), 3),
-      s => hashing.h64(s) % lit(hashing.P))
-    val sig = (0 until hashing.NumHashes).map(j =>
-      array_min(transform(col("__hs"), h => hashing.perm(j, h))).as(s"m$j"))
+    import graft.functions.{expressions, hashing, textstats}
+    // The whole signature is ONE codegen'd pass over the shingles
+    // (MinhashSigArray kernel) — the 12-transform + 12-array_min HOF
+    // formulation it replaces bit-identically ran interpreted per element
+    // and dominated the streaming LSH cost.
     val bandStructs = (0 until hashing.Bands).map { b =>
       val ks = (b * hashing.Rows until (b + 1) * hashing.Rows)
-        .map(j => col(s"m$j"))
+        .map(j => element_at(col("__sig"), j + 1))
       struct(lit(b).as("band"), concat_ws(",", ks: _*).as("key"))
     }
     val cc = carry.map(col)
     docs
-      .select(col("doc_id") +: cc :+ hs.as("__hs"): _*)
-      .filter(size(col("__hs")) > 0) // < 3 tokens ⇒ no signature, like batch
-      .select(col("doc_id") +: cc ++: sig: _*)
+      .select(col("doc_id") +: cc :+ expressions.minhashSigArray(
+        textstats.shingles(textstats.tokens(col("text")), 3)).as("__sig"): _*)
+      .filter(col("__sig").isNotNull) // < 3 tokens ⇒ no signature, like batch
       .select(col("doc_id") +: cc :+ explode(array(bandStructs: _*)).as("bk"): _*)
       .select(col("doc_id") +: cc :+ col("bk.band").as("band")
         :+ col("bk.key").as("key"): _*)

@@ -98,6 +98,23 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(rw(Seq("x", "y")) == Seq("x", "y"), "empty batch is identity")
   }
 
+  test("minhashSigArray == min over the LCG permutation family, per index") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: String*): GenericArrayData =
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    val shingles = Seq("a b c", "b c d", "c d ñ", "a b c") // dup on purpose
+    val sig = TextKernels.minhashSigArray(arr(shingles: _*))
+    val expected = (0 until hashing.NumHashes).map { j =>
+      shingles.map { s =>
+        val h = TextKernels.md5Long60(s.getBytes("UTF-8")) % hashing.P
+        (hashing.A(j) * h + hashing.B(j)) % hashing.P
+      }.min
+    }
+    assert((0 until hashing.NumHashes).map(sig.getLong) == expected)
+    assert(TextKernels.minhashSigArray(arr()) == null)
+  }
+
   test("md5Long60 == parseLong(md5 hex take 15) for arbitrary strings") {
     def viaHex(str: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
