@@ -65,6 +65,41 @@ object TextSearch {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** [[bm25TopK]] with an explicit 1-based `rank` column (rounded score
+    * desc, ids break ties). The rank window runs AFTER the limit, over k
+    * rows on one partition — O(k), corpus-size independent, so the
+    * unpartitioned window is not the usual scale smell. */
+  def bm25Ranked(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25TopK(docs, idCol, textCol, terms, k).withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09) of N
+    * ranked lists: rrf(id) = Σᵢ 1/(c + rankᵢ(id)), ids absent from a list
+    * contribute 0 for it. The modern hybrid-retrieval combiner (keyword
+    * BM25 + embedding ANN). Inputs are each `(idCol, rank)` top-k lists —
+    * already k-bounded, so the full-outer fuse join is O(k·N) no matter
+    * the corpus size; the heavy lifting happened in the upstream rankers.
+    * Output keeps each list's rank as `rank<i>` (null = absent) plus the
+    * fused `rrf` rounded to 6 (fixed-arity double sum in list order —
+    * deterministic, and replayable by any engine). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").as(s"rank$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(c) + col(s"rank$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf", round(rrf, 6))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   /** DuckDB twin of the score expression, over columns `dl`/`tf<i>` and
     * scalar stats `n`/`dlsum`/`df<i>` — constants interpolated from the
     * SAME Scala values as the Column tree above. */
@@ -73,6 +108,58 @@ object TextSearch {
       s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) *
          ((tf$i * ${K1 + 1}) / (tf$i + $K1 * (${1 - B} + $B * (dl / (dlsum / n)))))"""
     }.mkString(" + ")
+
+  /** Tokenizer-coverage signal: per-document out-of-vocabulary token count
+    * against the corpus's own top-`vocabSize` token vocabulary (frequency
+    * desc, ties broken by token string — a deterministic vocabulary).
+    * Output: the input columns minus `textCol`, plus `ntok` and `oov`.
+    * Zero-token documents emit nothing (no token rows), matching the
+    * unnest-based oracle replay.
+    *
+    * Scale: the vocabulary build is a map-side-combined count + TakeOrdered
+    * top-k (no global sort), and the vocabulary is broadcast — a real
+    * tokenizer vocab (32k–256k entries) is megabytes, far under broadcast
+    * limits — so the membership join is map-side only and the per-doc
+    * reaggregation combines map-side. One shuffle total (the count). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    val toks = docs.select(keep :+
+      explode(textstats.tokens(col(textCol))).as("__t"): _*)
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__t")).limit(vocabSize)
+      .select(col("__t"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("__t"), "left")
+      .groupBy(keep.toSeq: _*)
+      .agg(count(lit(1)).as("ntok"),
+        sum(when(col("__iv").isNull, 1).otherwise(0)).as("oov"))
+  }
+
+  /** Context-window chunking: cut each document's token array into windows
+    * of `window` tokens starting every `stride` tokens (stride < window ⇒
+    * overlapping windows — the standard pretraining/RAG chunker). Emits one
+    * row per (document, window): the input columns minus `textCol`, plus
+    * `off` (0-based window index) and `chunk` (the token slice; trailing
+    * windows are shorter). Zero-token documents emit nothing.
+    *
+    * Scale: entirely row-local (tokenize → explode of a computed index
+    * range → slice) — zero shuffles; output is ⌈ntok/stride⌉ rows per
+    * document and the slices are bounded by `window`, so memory per row is
+    * constant. */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    docs.select(keep :+ textstats.tokens(col(textCol)).as("__toks"): _*)
+      .filter(size(col("__toks")) > 0)
+      .select(keep ++ Seq(col("__toks"),
+        explode(sequence(lit(0),
+          floor((size(col("__toks")) - lit(1)) / lit(stride)).cast("int")))
+          .as("off")): _*)
+      .select(keep ++ Seq(col("off"),
+        slice(col("__toks"), col("off") * lit(stride) + lit(1), lit(window))
+          .as("chunk")): _*)
+  }
 
   /** Unigram-LM quality signal (CCNet-style, simplified): per-document
     * token count and summed log-probability under the corpus's own unigram

@@ -745,6 +745,67 @@ object DedupQueries {
            WHERE rank = 1 ORDER BY qid"""
       }),
 
+    // x7: hybrid retrieval — reciprocal-rank fusion (c=60) of the BM25
+    // keyword ranking (t11's scorer) and the brute-force embedding cosine
+    // ranking (x1's scorer) for one probe: the standard RAG-era hybrid
+    // search combiner. Both inputs arrive as top-20 lists, so the fuse is
+    // an O(k) full-outer join regardless of corpus size — the corpus-scale
+    // work all happened inside the two rankers, each of which has its own
+    // scale story (t11: 1-row stats broadcast + TakeOrdered; x1→x2..x6 for
+    // the ANN path). The oracle replays both rankers and the fusion
+    // arithmetic term-for-term.
+    "x7_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        val bm = TextSearch.bm25Ranked(
+            spread(T(s, dir, "documents").select("doc_id", "text")),
+            "doc_id", "text", terms = Seq("dup", "vector", "query"), k = 20)
+          .select(col("doc_id").as("id"), col("rank"))
+        val e = T(s, dir, "embeddings")
+        val vec = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+            "vec_id", "embedding", k = 20)
+          .select(col("nid").as("id"), col("rank"))
+        TextSearch.rrfFuse(Seq(bm, vec), "id", k = 10)
+          .select(col("id"), col("rank0").as("rank_bm"),
+            col("rank1").as("rank_vec"), col("rrf"))
+      },
+      Some {
+        import graft.ops.TextSearch
+        val terms = Seq("dup", "vector", "query")
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        s"""WITH base AS (
+             SELECT doc_id, len(toks) AS dl, $tfs
+             FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+           stats AS (
+             SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, $dfs
+             FROM base),
+           bmtop AS (
+             SELECT doc_id, round(${TextSearch.sqlScore(terms)}, 4) AS score
+             FROM base, stats ORDER BY score DESC, doc_id LIMIT 20),
+           bm AS (SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm
+             FROM bmtop),
+           vtop AS (
+             SELECT n.vec_id AS nid,
+               round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+             FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+             WHERE q.vec_id = 0 ORDER BY cos DESC, nid LIMIT 20),
+           vr AS (SELECT nid AS id,
+               row_number() OVER (ORDER BY cos DESC, nid) AS rank_vec
+             FROM vtop)
+           SELECT id, rank_bm, rank_vec,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_vec), 0.0), 6)
+               AS rrf
+           FROM bm FULL OUTER JOIN vr USING (id)
+           ORDER BY rrf DESC, id LIMIT 10"""
+      }),
+
     // d9: passage-level exact dedup — documents cut into non-overlapping
     // 10-token passages, only the corpus-wide first occurrence of each
     // distinct passage kept (C4/RefinedWeb-style scrub). The winner per

@@ -440,6 +440,75 @@ object TextQueries {
              GROUP BY doc_id, t)
            GROUP BY t ORDER BY tf DESC, token LIMIT 50""")),
 
+    // t21: tokenizer OOV-rate — per-document out-of-vocabulary fraction
+    // against the corpus's own top-32 token vocabulary (the coverage
+    // signal vocab-size decisions are made on), rolled up per language as
+    // a DECIMAL(18,4)-exact mean of the rounded per-doc rates.
+    "t21_oov_rate" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.oovRate(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "doc_id", "text", vocabSize = 32)
+          .select(col("lang"),
+            round(col("oov").cast("double") / col("ntok"), 4)
+              .cast("decimal(18,4)").as("r"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            round(sum(col("r")).cast("double") / count(lit(1)), 4)
+              .as("avg_oov"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH toks AS (
+             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+           vocab AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+           topv AS (SELECT t FROM vocab ORDER BY cnt DESC, t LIMIT 32),
+           per AS (SELECT doc_id, lang, count(*) AS ntok,
+               sum(CASE WHEN topv.t IS NULL THEN 1 ELSE 0 END) AS oov
+             FROM toks LEFT JOIN topv ON toks.t = topv.t
+             GROUP BY doc_id, lang),
+           rates AS (SELECT lang,
+               CAST(round(CAST(oov AS DOUBLE) / ntok, 4) AS DECIMAL(18,4))
+                 AS r
+             FROM per)
+           SELECT lang, count(*) AS docs,
+             round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS avg_oov
+           FROM rates GROUP BY lang ORDER BY lang""")),
+
+    // t22: sliding-window context chunking (window 32, stride 16 — 50%
+    // overlap, the standard pretraining chunker), verified through
+    // per-lang chunk counts, the token mass the windows cover (overlap
+    // counted twice, by design), and the deepest window index.
+    "t22_chunk_windows" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.chunkWindows(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "doc_id", "text", window = 32, stride = 16)
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("chunks"),
+            sum(size(col("chunk"))).as("chunk_tokens"),
+            max(col("off")).cast("long").as("max_off"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+           d AS (SELECT doc_id, lang, toks, len(toks) AS ntok
+             FROM tok WHERE len(toks) > 0),
+           chunkrows AS (
+             SELECT doc_id, lang, i AS off,
+               len(list_slice(toks, i*16 + 1, i*16 + 32)) AS ctok
+             FROM d, (SELECT unnest(generate_series(0,
+                 (SELECT max((ntok - 1) // 16) FROM d))) AS i)
+             WHERE i <= (ntok - 1) // 16)
+           SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS chunks,
+             CAST(sum(ctok) AS BIGINT) AS chunk_tokens,
+             CAST(max(off) AS BIGINT) AS max_off
+           FROM chunkrows GROUP BY lang ORDER BY lang""")),
+
     // t17: temperature-based data mixing (mT5 α-sampling, α=0.5): per-lang
     // keep rates derived from the lang counts themselves (w = √n), so
     // scarce languages keep a larger share than proportional sampling.

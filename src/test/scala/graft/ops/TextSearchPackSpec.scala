@@ -166,6 +166,55 @@ class TextSearchPackSpec extends SparkSpec {
     assert(merged(13L) == Seq("e", "f"))
   }
 
+  test("rrfFuse: shared ids sum both reciprocal terms, absent ids keep " +
+    "one term and a null rank, order is fused score then id") {
+    val bm = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val vec = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val fused = TextSearch.rrfFuse(Seq(bm, vec), "id", k = 10).collect()
+    assert(fused.map(_.getAs[Long]("id")).toSeq == Seq(2L, 1L, 3L),
+      "doc in both lists wins; ties broken by id")
+    val byId = fused.map(r => r.getAs[Long]("id") ->
+      (Option(r.getAs[Integer]("rank0")), Option(r.getAs[Integer]("rank1")),
+        r.getAs[Double]("rrf"))).toMap
+    def rr(terms: Double*) = BigDecimal(terms.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byId(2L) == ((Some(2), Some(1), rr(1.0 / 62, 1.0 / 61))))
+    assert(byId(1L) == ((Some(1), None, rr(1.0 / 61))))
+    assert(byId(3L) == ((None, Some(2), rr(1.0 / 62))))
+  }
+
+  test("oovRate: top-V vocabulary is frequency-then-token deterministic; " +
+    "per-doc oov counts tokens outside it; empty docs vanish") {
+    val docs = Seq(
+      (1L, "a a a b"), // all in the top-2 vocab {a, b}
+      (2L, "a b c d"), // c and d are OOV
+      (3L, "c c b b"), // b ties a on count 2 after doc edits? see below
+      (4L, "")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=3, d=1 -> top-2 = {a, b} (no tie at the cut)
+    val out = TextSearch.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ntok"), r.getAs[Long]("oov"))).toMap
+    assert(out == Map(1L -> ((4L, 0L)), 2L -> ((4L, 2L)), 3L -> ((4L, 2L))),
+      s"got $out")
+    assert(!out.contains(4L), "zero-token docs emit no row")
+  }
+
+  test("chunkWindows: stride-2 windows of 3 cover [0,1],[2,3],[4] shapes " +
+    "and trailing chunks shorten") {
+    val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextSearch.chunkWindows(docs, "doc_id", "text",
+        window = 3, stride = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("off"),
+        r.getAs[Seq[String]]("chunk")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq(
+      (1L, 0, Seq("t1", "t2", "t3")),
+      (1L, 1, Seq("t3", "t4", "t5")),
+      (1L, 2, Seq("t5")),
+      (2L, 0, Seq("x"))), s"got ${rows.toSeq}")
+  }
+
   test("t19 perplexity tiers: every language has all three buckets and " +
     "strictly increasing mean cross-entropy head < middle < tail") {
     val rows = graft.SparkEntry.queries("t19_perplexity_buckets")(spark, sf)
