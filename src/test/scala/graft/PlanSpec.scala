@@ -289,4 +289,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row batch × corpus
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("t21: the top-V vocabulary broadcasts for the membership join; " +
+    "both aggregates have map-side partials") {
+    val p = plan("t21_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p) // vocab membership join
+    assert(p.contains("TakeOrderedAndProject"), p) // top-V, no global sort
+    assert(p.contains("partial_count"), p) // map-side combining
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t22: chunking is row-local — the only exchange is the final " +
+    "per-lang rollup (plus the deliberate spread)") {
+    val p = plan("t22_chunk_windows")
+    assert(!p.contains("Join"), p) // no join of any kind
+    // tokenize -> explode -> slice all inside one codegen'd map stage
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("x7: the rrf fuse joins two k-bounded lists — no corpus-sized " +
+    "shuffle reaches the fusion, scoring stays codegen'd") {
+    val p = plan("x7_hybrid_rrf")
+    assert(p.contains("dot_product"), p) // cosine side is the native kernel
+    assert(p.contains("TakeOrderedAndProject"), p) // both rankers top-k
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
