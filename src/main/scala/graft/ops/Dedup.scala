@@ -438,6 +438,70 @@ object Dedup {
       .drop("__ph", "__first")
   }
 
+  // ---- Bloom-prefiltered decontamination ----
+  //
+  // The 100 TB decontamination pattern: the eval/benchmark side is small
+  // (millions of shingles), the train side is the 100 TB corpus. An exact
+  // semi-join (e4) must shuffle every train shingle; a Bloom filter over
+  // the eval hashes, broadcast to the mappers, lets ~all clean train
+  // shingles drop BEFORE any exchange — only bloom-passing candidates
+  // (true hits + the filter's false positives) reach the exact confirm
+  // join, so the result stays exactly e4's while the shuffle shrinks by
+  // the contamination rate.
+  //
+  // The filter is built from Spark built-ins only (no driver-side
+  // `stat.bloomFilter` collect): probe positions come from the shared
+  // md5-LCG permutation family, the bitmap is a bit_or aggregate packed
+  // into ONE dense array<long> row, and membership is row-local shift/mask
+  // math — all of it codegen'd, and all of it replayable bit-for-bit by
+  // the DuckDB oracle (which pins the false-positive set too, not just
+  // the exact result).
+  //
+  // Sizing: bits-per-item 10-16 keeps FP ~1%; a 10^9-shingle eval set at
+  // 12 bits/item is a 1.5 GB bitmap — beyond the comfortable 1-row
+  // broadcast, at which point shard the bitmap by hash prefix (bitmap per
+  // shard, candidates join on prefix) or fall back to the plain semi-join.
+  // The prefilter wins precisely when eval ≪ train, which is the
+  // decontamination regime.
+
+  /** ONE-row dense Bloom bitmap (`bits`: array<long>, length mBits/64) over
+    * the `hCol` hash values: each value sets `numProbes` positions
+    * `perm_j(h mod P) mod mBits`. Built with map-side-combined bit_or
+    * partials — a repeated hash costs nothing extra. */
+  def bloomBitmap(hashes: DataFrame, hCol: String, mBits: Int,
+      numProbes: Int): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    require(numProbes > 0 && numProbes <= hashing.NumHashes,
+      s"numProbes must be in [1, ${hashing.NumHashes}]")
+    val words = mBits / 64
+    hashes
+      .select(explode(array((0 until numProbes).map(j =>
+        hashing.perm(j, col(hCol) % lit(hashing.P)) % lit(mBits)): _*)).as("p"))
+      .groupBy((col("p") / lit(64)).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("mask")))
+        .as("wm"))
+      .select(transform(sequence(lit(0), lit(words - 1)),
+        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bits"))
+  }
+
+  /** Filters `hashes` to the rows whose `hCol` value the bloom MIGHT
+    * contain (all probe positions set). The bitmap arrives as a 1-row
+    * broadcast cross join; the probe tests are row-local shift/mask math,
+    * so clean rows die in the map stage with no exchange. No false
+    * negatives by construction; false positives are the filter's — follow
+    * with an exact semi-join when the result must be exact. */
+  def bloomMightContain(bitmap: DataFrame, hashes: DataFrame, hCol: String,
+      mBits: Int, numProbes: Int): DataFrame = {
+    val pass = (0 until numProbes).map { j =>
+      val p = hashing.perm(j, col(hCol) % lit(hashing.P)) % lit(mBits)
+      (element_at(col("bits"), (p / lit(64)).cast("int") + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (p % lit(64)).cast("int"))) =!= lit(0L))
+    }.reduce(_ && _)
+    hashes.crossJoin(broadcast(bitmap)).filter(pass).drop("bits")
+  }
+
   /** Rebuild scrubbed documents from their kept passages: one row per key
     * group with the surviving passages rejoined in position order. The
     * in-group sort is `array_sort` over collected (pos, passage) structs —

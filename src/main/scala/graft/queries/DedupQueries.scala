@@ -33,6 +33,21 @@ object DedupQueries {
 
   private val sqlShingles = sqlShinglesFrom("documents")
 
+  /** Prefixed k-gram hashed-shingle side over a filtered `documents` slice:
+    * CTEs `<n>tok`/`<n>sh`/`<n>hs` with `<n>hs = DISTINCT (doc_id, h)` —
+    * the SQL twin of `hashedShingles(...).distinct()`, shared by e4/e7. */
+  private def sqlShingleSide(n: String, pred: String, k: Int): String =
+    s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
+         FROM documents WHERE $pred),
+       ${n}sh AS (SELECT doc_id, unnest(
+           CASE WHEN len(toks) < $k THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(toks)-${k - 1}),
+                  i -> array_to_string(list_slice(toks, i, i+${k - 1}), ' '))
+           END) AS s
+         FROM ${n}tok),
+       ${n}hs AS (SELECT DISTINCT doc_id, ${hashing.sqlH64("s")} AS h
+         FROM ${n}sh)"""
+
   /** Hashed-shingle table (doc_id, h) — set ops run on longs, mirroring
     * [[Dedup.hashedShingles]]. */
   private def sqlHashedShingles: String =
@@ -910,17 +925,7 @@ object DedupQueries {
           .orderBy(col("lang"))
       },
       Some {
-        def side(n: String, pred: String): String =
-          s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
-               FROM documents WHERE $pred),
-             ${n}sh AS (SELECT doc_id, unnest(
-                 CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
-                      ELSE list_transform(generate_series(1, len(toks)-7),
-                        i -> array_to_string(list_slice(toks, i, i+7), ' '))
-                 END) AS s
-               FROM ${n}tok),
-             ${n}hs AS (SELECT DISTINCT doc_id, ${hashing.sqlH64("s")} AS h
-               FROM ${n}sh)"""
+        def side(n: String, pred: String): String = sqlShingleSide(n, pred, 8)
         val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
         s"""WITH ${side("tr", s"$coin < 5000")},
              ${side("ev", s"$coin >= 5000")},
@@ -936,6 +941,77 @@ object DedupQueries {
                  WHERE ${hashing.sqlH64("CAST(d.doc_id AS VARCHAR)")}
                    % 10000 >= 5000)
            GROUP BY lang ORDER BY lang"""
+      }),
+
+    // e7: bloom-prefiltered exact decontamination — e4's semantics with
+    // the 100 TB plan: a ONE-row dense bloom bitmap over the eval shingle
+    // hashes (bit_or-packed array<long>, md5-LCG probe positions,
+    // broadcast) kills clean train shingles row-locally in the map stage;
+    // only bloom survivors reach the exact-confirm semi-join, so the
+    // flagged set stays exact while the shuffle carries candidates only.
+    // The oracle replays the BLOOM itself — bloom_pass pins the filter's
+    // false-positive set cross-engine, not just the exact result.
+    "e7_bloom_decontaminate" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val m = 1 << 20
+        val probes = 3
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val trainSh = Checkpoints.checkpoint(
+          Dedup.hashedShingles(d.filter(coin < 5000), "doc_id", "text",
+            k = 8).distinct())
+        val evalSet = Checkpoints.checkpoint(
+          Dedup.hashedShingles(d.filter(coin >= 5000), "doc_id", "text",
+            k = 8).select(col("h")).distinct())
+        val trainHashes = Checkpoints.checkpoint(
+          trainSh.select(col("h")).distinct())
+        val bitmap = Dedup.bloomBitmap(evalSet, "h", mBits = m,
+          numProbes = probes)
+        val cand = Checkpoints.checkpoint(
+          Dedup.bloomMightContain(bitmap, trainHashes, "h", m, probes))
+        val hits = Checkpoints.checkpoint(
+          cand.join(evalSet, Seq("h"), "left_semi"))
+        val flagged = trainSh.join(hits, Seq("h"), "left_semi")
+        Seq(
+          trainHashes.agg(count(lit(1)).as("train_hashes")),
+          evalSet.agg(count(lit(1)).as("eval_hashes")),
+          cand.agg(count(lit(1)).as("bloom_pass")),
+          hits.agg(count(lit(1)).as("exact_hits")),
+          flagged.agg(countDistinct(col("id")).as("flagged_docs"),
+            count(lit(1)).as("shared_occurrences")))
+          .reduce((a, b) => a.crossJoin(broadcast(b)))
+      },
+      Some {
+        val m = 1 << 20
+        def pr(j: Int, h: String): String =
+          s"(${hashing.sqlPerm(j, s"($h % ${hashing.P})")} % $m)"
+        def mask(p: String): String =
+          s"""CASE WHEN ($p) % 64 = 63 THEN (-9223372036854775807 - 1)
+              ELSE 1::BIGINT << CAST(($p) % 64 AS INTEGER) END"""
+        val probeList = (0 until 3).map(j => pr(j, "h")).mkString(", ")
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH ${sqlShingleSide("tr", s"$coin < 5000", 8)},
+             ${sqlShingleSide("ev", s"$coin >= 5000", 8)},
+             trset AS (SELECT DISTINCT h FROM trhs),
+             evset AS (SELECT DISTINCT h FROM evhs),
+             evpos AS (SELECT unnest([$probeList]) AS p FROM evset),
+             words AS (SELECT p // 64 AS w, bit_or(${mask("p")}) AS mask
+               FROM evpos GROUP BY 1),
+             trprobe AS (SELECT h, unnest([$probeList]) AS p FROM trset),
+             pass AS (SELECT h FROM (
+                 SELECT h, count(*) AS okc FROM trprobe JOIN words
+                   ON words.w = p // 64 AND (mask & ${mask("p")}) <> 0
+                 GROUP BY h) WHERE okc = 3),
+             hits AS (SELECT p.h FROM pass p JOIN evset e USING (h)),
+             flagged AS (SELECT t.doc_id, t.h FROM trhs t JOIN hits USING (h))
+           SELECT
+             (SELECT count(*) FROM trset) AS train_hashes,
+             (SELECT count(*) FROM evset) AS eval_hashes,
+             (SELECT count(*) FROM pass) AS bloom_pass,
+             (SELECT count(*) FROM hits) AS exact_hits,
+             (SELECT count(DISTINCT doc_id) FROM flagged) AS flagged_docs,
+             (SELECT count(*) FROM flagged) AS shared_occurrences"""
       }),
 
     // e5: the FULL curation pipeline a training-data team runs end-to-end —

@@ -290,6 +290,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("e7: the bloom bitmap is a 1-row broadcast and the probe test is " +
+    "row-local — no train-side shuffle before the exact confirm") {
+    val p = plan("e7_bloom_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row bitmap × hashes
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed shingle tables
+  }
+
   test("t21: the top-V vocabulary broadcasts for the membership join; " +
     "both aggregates have map-side partials") {
     val p = plan("t21_oov_rate")

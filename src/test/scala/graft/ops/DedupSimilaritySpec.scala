@@ -487,4 +487,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(v >= -1.0 && v <= 1.0)
     assert(v == hashing.hyperplane(3, 17))
   }
+
+  test("bloom: no false negatives — every inserted hash passes its own " +
+    "filter, even on a 64-bit filter where bit 63 is certainly used") {
+    val hs = (1L to 200L).map(i => hashing.md5Long(s"h$i")).toDF("h")
+    for (m <- Seq(64, 1 << 12)) {
+      val bm = Dedup.bloomBitmap(hs, "h", mBits = m, numProbes = 3)
+      val pass = Dedup.bloomMightContain(bm, hs, "h", m, 3).count()
+      assert(pass == 200L, s"mBits=$m dropped inserted hashes")
+    }
+  }
+
+  test("bloom: false positives exist on a saturated filter and an exact " +
+    "semi-join confirm removes exactly them") {
+    val inserted = (1L to 500L).map(i => hashing.md5Long(s"in$i")).toDF("h")
+    val outsiders = (1L to 500L).map(i => hashing.md5Long(s"out$i")).toDF("h")
+    val m = 1 << 10 // 1024 bits for 1500 probe insertions: heavily loaded
+    val bm = Dedup.bloomBitmap(inserted, "h", m, numProbes = 3)
+    val outPass = Dedup.bloomMightContain(bm, outsiders, "h", m, 3)
+    assert(outPass.count() > 0, "a saturated filter must show FPs")
+    val confirmed = outPass.join(inserted, Seq("h"), "left_semi").count()
+    assert(confirmed == 0L, "exact confirm must kill every false positive")
+  }
+
+  test("bloom prefilter + exact confirm == plain exact semi-join " +
+    "(the e7 contract: the bloom changes the plan, never the result)") {
+    val train = (1L to 300L).map(i => hashing.md5Long(s"t$i")).toDF("h")
+    val eval_ = (250L to 400L).map(i => hashing.md5Long(s"t$i")).toDF("h")
+    val m = 1 << 14
+    val bm = Dedup.bloomBitmap(eval_, "h", m, numProbes = 3)
+    val viaBloom = Dedup.bloomMightContain(bm, train, "h", m, 3)
+      .join(eval_, Seq("h"), "left_semi").as[Long].collect().toSet
+    val exact = train.join(eval_, Seq("h"), "left_semi")
+      .as[Long].collect().toSet
+    assert(viaBloom == exact)
+    assert(exact.size == 51, s"overlap t250..t300 expected, got ${exact.size}")
+  }
 }
