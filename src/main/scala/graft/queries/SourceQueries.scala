@@ -15,8 +15,14 @@ object SourceQueries {
 
   private val scratchRoot = "/root/repo/target/scratch"
 
-  private def scratch(name: String): String = {
-    val dir = new java.io.File(scratchRoot, name)
+  /** Per-(query, input-dir) scratch path: the input-dir hash suffix keeps
+    * two concurrent runs over different sf dirs (the realistic overlap:
+    * Verify at sf0.01 while Bench runs sf0.1 on the same checkout) from
+    * racing on one directory — the same isolation the streaming query
+    * names get from their output-dir hash. */
+  private def scratch(name: String, sfDir: String): String = {
+    val suffix = graft.functions.hashing.md5Long(sfDir).toHexString.take(8)
+    val dir = new java.io.File(scratchRoot, s"${name}_$suffix")
     dir.mkdirs()
     dir.getPath
   }
@@ -68,7 +74,7 @@ object SourceQueries {
     // S5: parquet write/replace + re-read round trip.
     "s5_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("s5_roundtrip")
+        val out = scratch("s5_roundtrip", dir)
         T(s, dir, "region").write.mode("overwrite").parquet(out)
         s.read.parquet(out).orderBy(col("r_regionkey"))
       },
@@ -78,7 +84,7 @@ object SourceQueries {
     // partition column round-trips through directory names.
     "s7_partitioned_sink" -> Q(
       (s, dir) => {
-        val out = scratch("s7_partitioned")
+        val out = scratch("s7_partitioned", dir)
         T(s, dir, "orders").write.mode("overwrite")
           .partitionBy("o_orderstatus").parquet(out)
         s.read.parquet(out)
@@ -95,7 +101,7 @@ object SourceQueries {
     // inference is a non-goal, SURVEY §1.3).
     "s8_csv_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("s8_csv")
+        val out = scratch("s8_csv", dir)
         T(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").option("encoding", "ISO-8859-1").csv(out)
         s.read
@@ -113,7 +119,7 @@ object SourceQueries {
     // users pass around).
     "s12_json_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("s12_json")
+        val out = scratch("s12_json", dir)
         T(s, dir, "region").write.mode("overwrite").json(out)
         s.read
           .schema(StructType(Seq(
@@ -130,7 +136,7 @@ object SourceQueries {
     // same vectorized/pruned scan contract as parquet.
     "s13_orc_roundtrip" -> Q(
       (s, dir) => {
-        val out = scratch("s13_orc")
+        val out = scratch("s13_orc", dir)
         T(s, dir, "nation").write.mode("overwrite").orc(out)
         s.read.orc(out)
           .groupBy(col("n_regionkey"))
@@ -171,7 +177,7 @@ object SourceQueries {
     // This is the 100 TB pattern for repeated joins on a stable key.
     "c2_bucketed_join" -> Q(
       (s, dir) => {
-        val wh = scratch("bucketed")
+        val wh = scratch("bucketed", dir)
         s.sql("DROP TABLE IF EXISTS graft_li_b")
         s.sql("DROP TABLE IF EXISTS graft_ord_b")
         T(s, dir, "lineitem")
@@ -202,7 +208,7 @@ object SourceQueries {
     // code pn02 + overlapping pn01 where incoming wins) → projected load.
     "c1_cache_lifecycle" -> Q(
       (s, dir) => {
-        val root = scratch("bcrp_cache")
+        val root = scratch("bcrp_cache", dir)
         wipe(root)
         val cache = new ParquetCache(s, root)
         val o = T(s, dir, "orders")
