@@ -190,6 +190,52 @@ object TextSearch {
       .agg(count(lit(1)).as("ntok"), sum(col("__logp")).as("logp_sum"))
   }
 
+  /** fastText-style hashed linear classifier scoring — the "quality model"
+    * stage of modern pretraining pipelines (a trained linear model over
+    * hashed bag-of-token features, scoring billions of documents). Feature
+    * hashing and weight lookup are both ROW-LOCAL column math: a token's
+    * feature index is `h64(token) mod dim`, and its weight is derived from
+    * the index by the same shared md5 hash, quantized to exact 3-decimal
+    * values in [-1, 1] so the per-document accumulation can run as an
+    * exact DECIMAL(18,3) sum — identical under any partitioning and
+    * replayable by the oracle. Returns one row per document: the input
+    * columns minus `textCol`, plus `ntok` and `wsum`.
+    *
+    * The weight table here is a deterministic synthetic stand-in (no
+    * trained artifact ships in this container — same honest-stub contract
+    * as the multimodal decoders); swapping in real trained weights means
+    * broadcasting a dim-sized array and replacing the hash-derivation with
+    * `element_at`, leaving every other part of the plan untouched.
+    *
+    * Scale: one explode + one keyed aggregation (map-side combined); no
+    * joins, no vocabulary shuffle — the classic hashing-trick win. A
+    * sigmoid-threshold gate `σ(wsum/ntok + b) ≥ ½` is exactly
+    * `wsum + b·ntok ≥ 0`, which stays in DECIMAL — callers can band
+    * documents with zero floating-point (and zero libm-variance) risk. */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int, weightPrefix: String = "qw"): DataFrame = {
+    import graft.functions.hashing
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    val w = ((hashing.h64(concat(lit(weightPrefix + "_"),
+      (hashing.h64(col("__t")) % lit(dim)).cast("string"))) % lit(2001L))
+      - lit(1000L)).cast("decimal(18,3)") / lit(1000L)
+    docs.select(keep :+ explode(textstats.tokens(col(textCol))).as("__t"): _*)
+      .select(keep :+ w.cast("decimal(18,3)").as("__w"): _*)
+      .groupBy(keep.toSeq: _*)
+      .agg(count(lit(1)).as("ntok"), sum(col("__w")).as("wsum"))
+  }
+
+  /** DuckDB twin of [[hashedLinearScore]]'s per-token weight, over a token
+    * expression `t` — same hash chain, same literals. */
+  def sqlHashedWeight(t: String, dim: Int,
+      weightPrefix: String = "qw"): String = {
+    import graft.functions.hashing
+    val idx = s"(${hashing.sqlH64(t)} % $dim)"
+    s"""CAST(CAST((${hashing.sqlH64(
+      s"concat('${weightPrefix}_', CAST($idx AS VARCHAR))")} % 2001) - 1000
+       AS DECIMAL(18,3)) / 1000 AS DECIMAL(18,3))"""
+  }
+
   // ---- BPE merge-step learning (tokenizer-training primitive) ----
   //
   // Batched greedy merge rounds of byte-pair-encoding style vocabulary

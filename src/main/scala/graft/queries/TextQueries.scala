@@ -509,6 +509,51 @@ object TextQueries {
              CAST(max(off) AS BIGINT) AS max_off
            FROM chunkrows GROUP BY lang ORDER BY lang""")),
 
+    // t23: hashed linear quality-classifier scoring (fastText-shaped):
+    // hashing-trick features, md5-derived synthetic weights quantized to
+    // exact 3-decimal DECIMALs, per-doc exact accumulation. The keep gate
+    // σ(wsum/ntok + 0.1) ≥ ½ is evaluated as wsum + 0.1·ntok ≥ 0 — pure
+    // DECIMAL, zero libm variance — and the per-lang mean linear score is
+    // a DECIMAL(18,4) sum of rounded per-doc means. dim = 4096.
+    "t23_quality_classifier" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        val bias = lit(new java.math.BigDecimal("0.1"))
+        TextSearch.hashedLinearScore(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "doc_id", "text", dim = 4096)
+          .select(col("lang"),
+            (col("wsum") + bias * col("ntok") >= 0).cast("int").as("kept"),
+            round(col("wsum").cast("double") / col("ntok"), 4)
+              .cast("decimal(18,4)").as("r"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"), sum(col("kept")).as("kept"),
+            round(sum(col("r")).cast("double") / count(lit(1)), 4)
+              .as("mean_score"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        import graft.ops.TextSearch
+        s"""WITH toks AS (
+             SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+           wts AS (SELECT doc_id, lang,
+               ${TextSearch.sqlHashedWeight("t", 4096)} AS w
+             FROM toks),
+           doc AS (SELECT doc_id, lang, count(*) AS ntok,
+               CAST(sum(w) AS DECIMAL(18,3)) AS wsum
+             FROM wts GROUP BY doc_id, lang),
+           scored AS (SELECT lang,
+               CASE WHEN wsum + CAST(0.1 AS DECIMAL(18,3)) * ntok >= 0
+                 THEN 1 ELSE 0 END AS kept,
+               CAST(round(CAST(wsum AS DOUBLE) / ntok, 4) AS DECIMAL(18,4))
+                 AS r
+             FROM doc)
+           SELECT lang, count(*) AS docs,
+             CAST(sum(kept) AS BIGINT) AS kept,
+             round(CAST(sum(r) AS DOUBLE) / count(*), 4) AS mean_score
+           FROM scored GROUP BY lang ORDER BY lang"""
+      }),
+
     // t17: temperature-based data mixing (mT5 α-sampling, α=0.5): per-lang
     // keep rates derived from the lang counts themselves (w = √n), so
     // scarce languages keep a larger share than proportional sampling.

@@ -315,6 +315,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("t23: hashing-trick classifier has no joins and no vocabulary " +
+    "shuffle — one map-side-combined aggregate over row-local features") {
+    val p = plan("t23_quality_classifier")
+    assert(!p.contains("Join"), p) // the hashing-trick win: no weight join
+    assert(p.contains("partial_count"), p) // map-side combining
+  }
+
   test("x7: the rrf fuse joins two k-bounded lists — no corpus-sized " +
     "shuffle reaches the fusion, scoring stays codegen'd") {
     val p = plan("x7_hybrid_rrf")

@@ -215,6 +215,29 @@ class TextSearchPackSpec extends SparkSpec {
       (2L, 0, Seq("x"))), s"got ${rows.toSeq}")
   }
 
+  test("hashedLinearScore: wsum equals the hand-computed md5-chain weight " +
+    "sum exactly, and is invariant under repartitioning") {
+    import graft.functions.hashing
+    val docs = Seq((1L, "alpha beta beta gamma"), (2L, "alpha"), (3L, ""))
+      .toDF("doc_id", "text")
+    def weight(t: String): BigDecimal = {
+      val idx = hashing.md5Long(t) % 4096
+      BigDecimal(hashing.md5Long(s"qw_$idx") % 2001 - 1000) / 1000
+    }
+    val expect1 = weight("alpha") + weight("beta") * 2 + weight("gamma")
+    for (parts <- Seq(1, 7)) {
+      val out = TextSearch.hashedLinearScore(docs.repartition(parts),
+        "doc_id", "text", dim = 4096).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("ntok"), BigDecimal(r.getAs[java.math.BigDecimal]("wsum")))).toMap
+      assert(out(1L) == ((4L, expect1)), s"parts=$parts got ${out(1L)}")
+      assert(out(2L) == ((1L, weight("alpha"))))
+      assert(!out.contains(3L), "empty docs emit no row")
+      out.values.foreach { case (n, w) =>
+        assert(w.abs <= BigDecimal(n), "weights live in [-1, 1]") }
+    }
+  }
+
   test("t19 perplexity tiers: every language has all three buckets and " +
     "strictly increasing mean cross-entropy head < middle < tail") {
     val rows = graft.SparkEntry.queries("t19_perplexity_buckets")(spark, sf)
