@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.Bridge
 
-import graft.functions.{DeflateLen, DotProduct, Md5Long60, NgramDupFraction, NgramTopFraction, RollingHash, ShingleArray, Slugify, StripAccents}
+import graft.functions.{BpePairArray, BpeRewrite, DeflateLen, DotProduct, Md5Long60, MinhashSigArray, NgramDupFraction, NgramTopFraction, RollingHash, ShingleArray, Slugify, StripAccents}
 
 /** Spark session extension registering graft's custom Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT slugify(name) ...")` works the
@@ -58,7 +58,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => NgramDupFraction(args.head, args(1))),
     (FunctionIdentifier("ngram_top_fraction"),
       info("ngram_top_fraction", "ngram_top_fraction(arr, n) - top n-gram occupancy fraction"),
-      (args: Seq[Expression]) => NgramTopFraction(args.head, args(1))))
+      (args: Seq[Expression]) => NgramTopFraction(args.head, args(1))),
+    (FunctionIdentifier("minhash_sig_array"),
+      info("minhash_sig_array", "minhash_sig_array(shingles) - 12-permutation MinHash signature (null if empty)"),
+      (args: Seq[Expression]) => MinhashSigArray(args.head)),
+    (FunctionIdentifier("bpe_pair_array"),
+      info("bpe_pair_array", "bpe_pair_array(toks) - adjacent (l, r) unit pairs as structs"),
+      (args: Seq[Expression]) => BpePairArray(args.head)),
+    (FunctionIdentifier("bpe_rewrite"),
+      info("bpe_rewrite", "bpe_rewrite(toks, pairs) - greedy left-to-right batch pair merge"),
+      (args: Seq[Expression]) => BpeRewrite(args.head, args(1))))
 
   /** Register into a live session. */
   def install(spark: SparkSession): Unit =

@@ -29,4 +29,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 0.5)
     assert(row.getDouble(2) == 0.5)
   }
+
+  test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      "SELECT size(minhash_sig_array(array('a b c', 'b c d'))), " +
+        "minhash_sig_array(cast(array() AS array<string>)), " +
+        "bpe_pair_array(array('a', 'b', 'c')), " +
+        "bpe_rewrite(array('a', 'b', 'c'), array(struct('a', 'b')))")
+      .collect().head
+    assert(row.getInt(0) == graft.functions.hashing.NumHashes)
+    assert(row.isNullAt(1), "empty shingles -> null signature")
+    assert(row.getSeq[org.apache.spark.sql.Row](2).map(r =>
+      (r.getString(0), r.getString(1))) == Seq(("a", "b"), ("b", "c")))
+    assert(row.getSeq[String](3) == Seq("a b", "c"))
+  }
 }
