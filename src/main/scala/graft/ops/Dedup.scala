@@ -474,15 +474,23 @@ object Dedup {
     require(numProbes > 0 && numProbes <= hashing.NumHashes,
       s"numProbes must be in [1, ${hashing.NumHashes}]")
     val words = mBits / 64
-    hashes
+    val wordMasks = hashes
       .select(explode(array((0 until numProbes).map(j =>
         hashing.perm(j, col(hCol) % lit(hashing.P)) % lit(mBits)): _*)).as("p"))
       .groupBy((col("p") / lit(64)).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
-      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("mask")))
+    // Densify by completing the word domain with a range join and sorting
+    // the collected (w, mask) structs — NOT by per-index map lookup:
+    // element_at on a catalyst map is a linear entry scan, which makes the
+    // dense build O(words²) on one task (measured 18 s for 16k words).
+    hashes.sparkSession.range(words.toLong)
+      .select(col("id").cast("int").as("w"))
+      .join(wordMasks, Seq("w"), "left")
+      .select(struct(col("w"), coalesce(col("mask"), lit(0L)).as("mask"))
         .as("wm"))
-      .select(transform(sequence(lit(0), lit(words - 1)),
-        w => coalesce(element_at(col("wm"), w), lit(0L))).as("bits"))
+      .agg(collect_list(col("wm")).as("wms"))
+      .select(transform(array_sort(col("wms")), s => s.getField("mask"))
+        .as("bits"))
   }
 
   /** Filters `hashes` to the rows whose `hCol` value the bloom MIGHT
