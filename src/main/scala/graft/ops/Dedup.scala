@@ -476,7 +476,8 @@ object Dedup {
     val words = mBits / 64
     val wordMasks = hashes
       .select(explode(array((0 until numProbes).map(j =>
-        hashing.perm(j, col(hCol) % lit(hashing.P)) % lit(mBits)): _*)).as("p"))
+        hashing.perm(j, pmod(col(hCol), lit(hashing.P))) % lit(mBits)): _*))
+        .as("p"))
       .groupBy((col("p") / lit(64)).cast("int").as("w"))
       .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
     // Densify by completing the word domain with a range join and sorting
@@ -502,7 +503,12 @@ object Dedup {
   def bloomMightContain(bitmap: DataFrame, hashes: DataFrame, hCol: String,
       mBits: Int, numProbes: Int): DataFrame = {
     val pass = (0 until numProbes).map { j =>
-      val p = hashing.perm(j, col(hCol) % lit(hashing.P)) % lit(mBits)
+      // pmod (both here and in the build): a SIGNED production hash
+      // (raw xxhash64) would otherwise yield negative probe positions —
+      // silently dropped words on the build side, end-of-array reads on
+      // the probe side, i.e. false negatives. perm of a non-negative
+      // value is non-negative, so only the input mod needs normalizing.
+      val p = hashing.perm(j, pmod(col(hCol), lit(hashing.P))) % lit(mBits)
       (element_at(col("bits"), (p / lit(64)).cast("int") + lit(1))
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (p % lit(64)).cast("int"))) =!= lit(0L))

@@ -121,7 +121,7 @@ object TextSearch {
     * tokenizer vocab (32k–256k entries) is megabytes, far under broadcast
     * limits — so the membership join is map-side only and the per-doc
     * reaggregation combines map-side. One shuffle total (the count). */
-  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+  def oovRate(docs: DataFrame, textCol: String,
       vocabSize: Int): DataFrame = {
     val keep = docs.columns.filterNot(_ == textCol).map(col)
     val toks = docs.select(keep :+
@@ -146,7 +146,7 @@ object TextSearch {
     * range → slice) — zero shuffles; output is ⌈ntok/stride⌉ rows per
     * document and the slices are bounded by `window`, so memory per row is
     * constant. */
-  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+  def chunkWindows(docs: DataFrame, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     val keep = docs.columns.filterNot(_ == textCol).map(col)
@@ -212,7 +212,7 @@ object TextSearch {
     * sigmoid-threshold gate `σ(wsum/ntok + b) ≥ ½` is exactly
     * `wsum + b·ntok ≥ 0`, which stays in DECIMAL — callers can band
     * documents with zero floating-point (and zero libm-variance) risk. */
-  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+  def hashedLinearScore(docs: DataFrame, textCol: String,
       dim: Int, weightPrefix: String = "qw"): DataFrame = {
     import graft.functions.hashing
     val keep = docs.columns.filterNot(_ == textCol).map(col)

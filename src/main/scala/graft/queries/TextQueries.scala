@@ -449,7 +449,7 @@ object TextQueries {
         import graft.ops.TextSearch
         TextSearch.oovRate(
             spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
-            "doc_id", "text", vocabSize = 32)
+            "text", vocabSize = 32)
           .select(col("lang"),
             round(col("oov").cast("double") / col("ntok"), 4)
               .cast("decimal(18,4)").as("r"))
@@ -485,7 +485,7 @@ object TextQueries {
         import graft.ops.TextSearch
         TextSearch.chunkWindows(
             spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
-            "doc_id", "text", window = 32, stride = 16)
+            "text", window = 32, stride = 16)
           .groupBy(col("lang"))
           .agg(countDistinct(col("doc_id")).as("docs"),
             count(lit(1)).as("chunks"),
@@ -521,7 +521,7 @@ object TextQueries {
         val bias = lit(new java.math.BigDecimal("0.1"))
         TextSearch.hashedLinearScore(
             spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
-            "doc_id", "text", dim = 4096)
+            "text", dim = 4096)
           .select(col("lang"),
             (col("wsum") + bias * col("ntok") >= 0).cast("int").as("kept"),
             round(col("wsum").cast("double") / col("ntok"), 4)

@@ -498,6 +498,16 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bloom: SIGNED hashes (raw xxhash64 production swap) keep the " +
+    "no-false-negative contract — pmod normalization, not %") {
+    val hs = spark.range(1, 201)
+      .select(xxhash64(col("id").cast("string")).as("h")) // signed longs
+    assert(hs.filter(col("h") < 0).count() > 0, "fixture needs negatives")
+    val m = 1 << 12
+    val bm = Dedup.bloomBitmap(hs, "h", m, numProbes = 3)
+    assert(Dedup.bloomMightContain(bm, hs, "h", m, 3).count() == 200L)
+  }
+
   test("bloom: false positives exist on a saturated filter and an exact " +
     "semi-join confirm removes exactly them") {
     val inserted = (1L to 500L).map(i => hashing.md5Long(s"in$i")).toDF("h")

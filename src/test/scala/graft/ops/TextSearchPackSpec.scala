@@ -191,7 +191,7 @@ class TextSearchPackSpec extends SparkSpec {
       (3L, "c c b b"), // b ties a on count 2 after doc edits? see below
       (4L, "")).toDF("doc_id", "text")
     // counts: a=4, b=4, c=3, d=1 -> top-2 = {a, b} (no tie at the cut)
-    val out = TextSearch.oovRate(docs, "doc_id", "text", vocabSize = 2)
+    val out = TextSearch.oovRate(docs, "text", vocabSize = 2)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("ntok"), r.getAs[Long]("oov"))).toMap
     assert(out == Map(1L -> ((4L, 0L)), 2L -> ((4L, 2L)), 3L -> ((4L, 2L))),
@@ -203,7 +203,7 @@ class TextSearchPackSpec extends SparkSpec {
     "and trailing chunks shorten") {
     val docs = Seq((1L, "t1 t2 t3 t4 t5"), (2L, "x"), (3L, ""))
       .toDF("doc_id", "text")
-    val rows = TextSearch.chunkWindows(docs, "doc_id", "text",
+    val rows = TextSearch.chunkWindows(docs, "text",
         window = 3, stride = 2).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("off"),
         r.getAs[Seq[String]]("chunk")))
@@ -227,7 +227,7 @@ class TextSearchPackSpec extends SparkSpec {
     val expect1 = weight("alpha") + weight("beta") * 2 + weight("gamma")
     for (parts <- Seq(1, 7)) {
       val out = TextSearch.hashedLinearScore(docs.repartition(parts),
-        "doc_id", "text", dim = 4096).collect()
+        "text", dim = 4096).collect()
         .map(r => r.getAs[Long]("doc_id") ->
           (r.getAs[Long]("ntok"), BigDecimal(r.getAs[java.math.BigDecimal]("wsum")))).toMap
       assert(out(1L) == ((4L, expect1)), s"parts=$parts got ${out(1L)}")
