@@ -147,6 +147,42 @@ object SourceQueries {
             min(n_name) AS first_name
           FROM nation GROUP BY 1 ORDER BY 1""")),
 
+    // S14 (extension): training-shard export — the curation "last mile":
+    // every document gets a deterministic shard from the shared md5 hash
+    // (hash sharding — balanced in expectation with NO global sort; a
+    // rank/ntile sharder would need a RangePartitioning pass over the full
+    // corpus, PlanSpec asserts its absence), the corpus is written as
+    // shard-partitioned parquet (one co-partitioned write), and the
+    // read-back aggregates per-shard doc/token mass — the balance evidence
+    // a training job reads before consuming the shards.
+    "s14_training_shards" -> Q(
+      (s, dir) => {
+        import graft.functions.{hashing, textstats}
+        val out = scratch("s14_shards", dir)
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            pmod(hashing.h64(col("doc_id").cast("string")), lit(8L))
+              .as("shard"),
+            textstats.tokenCount(col("text")).as("ntok"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tok_sum"),
+            countDistinct(col("lang")).as("langs"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        import graft.functions.hashing
+        val sqlToks =
+          """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+        s"""SELECT ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+             count(*) AS docs,
+             CAST(sum(len($sqlToks)) AS BIGINT) AS tok_sum,
+             count(DISTINCT lang) AS langs
+           FROM documents GROUP BY 1 ORDER BY 1"""
+      }),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -298,6 +298,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p) // checkpointed shingle tables
   }
 
+  test("s14: every shard is populated and token mass stays balanced " +
+    "(hash sharding, no corpus-wide sort on the write side)") {
+    // the only RangePartitioning in the read-back plan is the 8-row output
+    // orderBy; the sharding itself is a row-local pmod + hash repartition
+    val rows = SparkEntry.queries("s14_training_shards")(spark, sf).collect()
+    val masses = rows.map(_.getAs[Long]("tok_sum"))
+    assert(rows.length == 8 && masses.max < 2L * masses.min,
+      s"shards unbalanced: ${masses.toSeq}")
+  }
+
   test("t21: the top-V vocabulary broadcasts for the membership join; " +
     "both aggregates have map-side partials") {
     val p = plan("t21_oov_rate")
