@@ -78,13 +78,17 @@ object DedupQueries {
   private def sqlJaccardTail(threshold: Double): String =
     sqlOverlapTail(sqlJaccardScore, "jac", threshold)
 
-  private def sqlCosine(a: String, b: String): String = {
-    def norm(v: String) =
-      s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
-    s"""(list_reduce(list_transform(list_zip($a, $b),
-         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)
-       / (${norm(a)} * ${norm(b)}))"""
-  }
+  /** Strict-left-fold dot product — the SQL twin of `Similarity.dot`. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def sqlNorm(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y))"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"""(${sqlDot(a, b)}
+       / (${sqlNorm(a)} * ${sqlNorm(b)}))"""
 
   /** Full DuckDB replay of the deterministic k-means centroid build
     * ([[graft.ops.Similarity.kmeansCentroids]], k=12, two unrolled Lloyd's
@@ -121,6 +125,42 @@ object DedupQueries {
   }
 
   private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
+
+  /** Deterministic spherical k-means over ONE PQ subspace (the slice
+    * [lo, lo+len-1] of `rel`'s embedding), as prefixed CTEs ending in
+    * `<prefix>cents(cid, cv)` — the same hash-seeded / exact-decimal-mean
+    * build as [[sqlKmeansCentsFrom]], parameterized for x8's per-subspace
+    * codebooks. */
+  private def sqlKmeansSliceFrom(prefix: String, rel: String, lo: Int,
+      len: Int, k: Int): String = {
+    def lloydRound(prev: String, i: Int): String =
+      s"""${prefix}assign$i AS (SELECT cid, sv FROM (
+           SELECT v.sv, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY ${sqlCosine("v.sv", "c.cv")} DESC, c.cid) AS rn
+           FROM ${prefix}base v CROSS JOIN $prev c) WHERE rn = 1),
+         ${prefix}dims$i AS (SELECT cid, pos,
+             round(CAST(sum(CAST(CAST(sv[pos] AS DOUBLE)
+                 AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+           FROM ${prefix}assign$i
+           CROSS JOIN (SELECT unnest(generate_series(1, $len)) AS pos) p
+           GROUP BY cid, pos),
+         ${prefix}cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
+           FROM ${prefix}dims$i GROUP BY cid)"""
+    s"""${prefix}base AS (SELECT vec_id,
+           list_slice(embedding, $lo, ${lo + len - 1}) AS sv,
+           ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
+         FROM $rel),
+       ${prefix}seeds AS (SELECT vec_id, sv, hh FROM ${prefix}base
+         ORDER BY hh, vec_id LIMIT $k),
+       ${prefix}cent0 AS (SELECT
+           row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
+           list_transform(sv, e -> CAST(e AS DOUBLE)) AS cv
+         FROM ${prefix}seeds),
+       ${lloydRound(s"${prefix}cent0", 1)},
+       ${lloydRound(s"${prefix}cent1", 2)},
+       ${prefix}cents AS (SELECT cid, cv FROM ${prefix}cent2)"""
+  }
 
   /** DuckDB replay of [[Similarity.semDeDup]] over relation `rel`
     * (vec_id, embedding) with `cents` in scope: nearest-centroid
@@ -758,6 +798,85 @@ object DedupQueries {
                  ON bit_count(xor(n.bucket, q.bucket)) <= 1
                     AND n.vec_id <> q.vec_id))
            WHERE rank = 1 ORDER BY qid"""
+      }),
+
+    // x8: product quantization + ADC + refine — the third FAISS leg
+    // (flat/IVF/PQ): 8 spherical-k-means codebooks (one per 8-dim slice,
+    // k=16, the same deterministic build as x3), the corpus compressed to
+    // one code per subspace, queries ADC-score the CODES through a
+    // per-query lookup table (partial dots rounded into DECIMAL(18,9) so
+    // the cross-subspace sum is exact), keep a 64-candidate shortlist,
+    // and an exact cosine rerank over only the shortlist picks top-3 —
+    // the production refine pattern. The oracle replays all eight
+    // codebook builds, the encoding, the ADC arithmetic, AND the rerank.
+    "x8_pq_adc" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val e = T(s, dir, "embeddings")
+        val cbs = Checkpoints.checkpoint(Similarity.pqCodebooks(
+          e, "vec_id", "embedding", dim = 64, subspaces = 8, k = 16))
+        val codes = Checkpoints.checkpoint(Similarity.pqEncode(
+          e, "vec_id", "embedding", cbs, dim = 64, subspaces = 8))
+        Similarity.pqTopK(e, codes, cbs, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", dim = 64, subspaces = 8, k = 3,
+            shortlist = 64)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val S = 8
+        val len = 64 / S
+        val kms = (0 until S).map(s0 =>
+          sqlKmeansSliceFrom(s"p$s0", "embeddings", s0 * len + 1, len, 16))
+          .mkString(",\n")
+        val cbUnion = (0 until S).map(s0 =>
+          s"SELECT $s0 AS sub, cid, cv FROM p${s0}cents")
+          .mkString(" UNION ALL ")
+        s"""WITH $kms,
+           codebooks AS ($cbUnion),
+           cbs AS (SELECT sub, cid, cv,
+               CAST(round(${sqlDot("cv", "cv")}, 9) AS DECIMAL(18,9)) AS cc
+             FROM codebooks),
+           subvecs AS (SELECT vec_id, s.sub,
+               list_slice(embedding, s.sub*$len + 1, s.sub*$len + $len) AS sv
+             FROM embeddings,
+               (SELECT unnest(generate_series(0, ${S - 1})) AS sub) s),
+           codes AS (SELECT vec_id, sub, cid AS code FROM (
+               SELECT v.vec_id, v.sub, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                   ORDER BY ${sqlCosine("v.sv", "c.cv")} DESC, c.cid) AS rn
+               FROM subvecs v JOIN cbs c ON c.sub = v.sub) WHERE rn = 1),
+           qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id < 10),
+           qsub AS (SELECT qid, s.sub,
+               list_slice(qv, s.sub*$len + 1, s.sub*$len + $len) AS sq
+             FROM qs, (SELECT unnest(generate_series(0, ${S - 1})) AS sub) s),
+           lut AS (SELECT q.qid, q.sub, c.cid,
+               CAST(round(${sqlDot("q.sq", "c.cv")}, 9) AS DECIMAL(18,9))
+                 AS pd,
+               c.cc
+             FROM qsub q JOIN cbs c ON c.sub = q.sub),
+           qn AS (SELECT qid, ${sqlNorm("qv")} AS qnv FROM qs),
+           scored AS (SELECT l.qid, k.vec_id AS nid,
+               sum(l.pd) AS spd, sum(l.cc) AS scc
+             FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+             WHERE k.vec_id <> l.qid GROUP BY 1, 2),
+           sl AS (SELECT qid, nid FROM (
+               SELECT s.qid, s.nid,
+                 row_number() OVER (PARTITION BY s.qid
+                   ORDER BY round(CAST(s.spd AS DOUBLE)
+                     / (q.qnv * sqrt(CAST(s.scc AS DOUBLE))), 4) DESC,
+                   s.nid) AS arank
+               FROM scored s JOIN qn q ON q.qid = s.qid)
+             WHERE arank <= 64),
+           rer AS (SELECT s.qid, s.nid,
+               round(${sqlCosine("n.embedding", "q.qv")}, 4) AS cos
+             FROM sl s JOIN qs q ON q.qid = s.qid
+               JOIN embeddings n ON n.vec_id = s.nid)
+           SELECT qid, rank, nid, cos FROM (
+             SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid
+               ORDER BY cos DESC, nid) AS rank FROM rer)
+           WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
     // x7: hybrid retrieval — reciprocal-rank fusion (c=60) of the BM25

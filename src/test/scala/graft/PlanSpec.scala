@@ -290,6 +290,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x8: ADC scan touches codes only (checkpointed), the LUT and " +
+    "shortlist broadcast, scoring codegen'd — no cartesian") {
+    val p = plan("x8_pq_adc")
+    assert(p.contains("dot_product"), p) // LUT + rerank use the kernel
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed codes/codebooks
+    assert(p.contains("BroadcastHashJoin"), p) // LUT/shortlist broadcasts
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("e7: the bloom bitmap is a 1-row broadcast and the probe test is " +
     "row-local — no train-side shuffle before the exact confirm") {
     val p = plan("e7_bloom_decontaminate")

@@ -488,6 +488,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(v == hashing.hyperplane(3, 17))
   }
 
+  test("pq: one code per (vector, subspace), codes in range, and a " +
+    "full-corpus shortlist makes PQ+refine EXACTLY brute force") {
+    val e = spark.range(60).select(col("id").cast("long").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), d =>
+        sin((col("id") + 1) * d.cast("double")).cast("float"))
+        .as("embedding")) // id+1: id 0 would be the all-zero vector
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding",
+      dim = 16, subspaces = 4, k = 4)
+    assert(cbs.count() == 16L, "4 subspaces x 4 centroids")
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cbs,
+      dim = 16, subspaces = 4)
+    assert(codes.count() == 240L, "one code per (vector, subspace)")
+    assert(codes.filter(col("code") < 0 || col("code") >= 4).count() == 0)
+    val q = e.filter(col("vec_id") < 5)
+    val viaPq = Similarity.pqTopK(e, codes, cbs, q, "vec_id", "embedding",
+        dim = 16, subspaces = 4, k = 3, shortlist = 60)
+      .select("qid", "rank", "nid", "cos").collect().map(_.toSeq).toSet
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select("qid", "rank", "nid", "cos").collect().map(_.toSeq).toSet
+    assert(viaPq == exact,
+      "refine over the whole corpus must recover exact search")
+  }
+
   test("bloom: no false negatives — every inserted hash passes its own " +
     "filter, even on a 64-bit filter where bit 63 is certainly used") {
     val hs = (1L to 200L).map(i => hashing.md5Long(s"h$i")).toDF("h")
