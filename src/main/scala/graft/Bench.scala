@@ -63,7 +63,9 @@ object Bench {
     // dereferenced localCheckpoint/broadcast blocks from checkpoint-heavy
     // dedup queries before they can stretch a later slot's pause.
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to named queries (solo A/B).
-    val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    val maxSamples = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt)
+      .getOrElse(3).max(2) // < 2 would leave samples empty / untrusted
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     var failed = Map.empty[String, String]

@@ -165,13 +165,19 @@ object TextKernels {
     if (n < 2)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         Array.empty[Any])
-    val out = new java.util.ArrayList[Any](n - 1)
+    // clone each token ONCE and share the (immutable) copy between the
+    // pair where it is the right member and the pair where it is the
+    // left — per-pair cloning copies every interior token twice in the
+    // hottest corpus pass of the t20 trainer
+    val cloned = new Array[org.apache.spark.unsafe.types.UTF8String](n)
     var i = 0
+    while (i < n) { cloned(i) = toks.getUTF8String(i).clone(); i += 1 }
+    val out = new java.util.ArrayList[Any](n - 1)
+    i = 0
     while (i < n - 1) {
-      val a = toks.getUTF8String(i)
-      val b = toks.getUTF8String(i + 1)
-      if (!a.equals(b))
-        out.add(org.apache.spark.sql.catalyst.InternalRow(a.clone(), b.clone()))
+      if (!cloned(i).equals(cloned(i + 1)))
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          cloned(i), cloned(i + 1)))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)

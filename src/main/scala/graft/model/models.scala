@@ -68,8 +68,13 @@ object MefToken {
     * `Btn` suffix. Reference `click.py:27-45`. */
   final case class ClickBtn(button: String, asColumn: Boolean = true)
       extends MefToken {
+    // substring after the LAST "Btn", exactly Python's split("Btn")[-1]:
+    // a trailing-"Btn" id yields "" (Scala's split drops trailing empties
+    // and would silently return the PREFIX instead).
     val name: String =
-      if (button.contains("Btn")) button.split("Btn").last else button
+      if (button.contains("Btn"))
+        button.substring(button.lastIndexOf("Btn") + 3)
+      else button
   }
 
   /** Progress-checkpoint marker: from this block on, partial results are

@@ -71,8 +71,15 @@ object Relational {
     * union — shuffles on the key columns only, so it distributes; AQE
     * broadcasts the incoming side when it is a small delta. */
   def upsertRows(existing: DataFrame, incoming: DataFrame,
-      keys: Seq[String]): DataFrame =
-    pendingAntiJoin(existing, incoming, keys).unionByName(incoming)
+      keys: Seq[String]): DataFrame = {
+    // A retried fetch unioned with its first attempt yields EXACT
+    // duplicate rows — full-row distinct drops them deterministically
+    // (key-only dedup would pick an arbitrary payload). DISTINCT rows
+    // sharing a key remain a caller error: no order exists to pick a
+    // winner, and the SQL PRIMARY KEY this mirrors would reject them.
+    val inc = incoming.dropDuplicates()
+    pendingAntiJoin(existing, inc, keys).unionByName(inc)
+  }
 
   /** A5: content-hash dedup — keep one row per distinct content hash.
     * Deterministic: the survivor is the row with the smallest `tieBreak`.

@@ -35,11 +35,12 @@ object MTCHomologacion {
 
   /** The reference's post-concat cleanup (`homologacion.py:88-95`): drop
     * the UI row-number column, parse `date` from dd/MM/yyyy, newest
-    * first. */
+    * first (resolution id breaks date ties — without it same-date rows
+    * come back in partition-dependent order). */
   def clean(raw: DataFrame): DataFrame =
     raw.drop("n")
       .withColumn("date", to_date(col("date"), "dd/MM/yyyy"))
-      .orderBy(col("date").desc)
+      .orderBy(col("date").desc, col("resolucion"))
 
   /** The full lifecycle in one call. */
   def run(spark: SparkSession, fetcherClass: String,

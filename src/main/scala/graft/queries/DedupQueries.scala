@@ -19,8 +19,7 @@ object DedupQueries {
 
   // ---- shared DuckDB SQL fragments (twins of textstats.tokens/shingles) ----
 
-  private val sqlToks =
-    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private val sqlToks = QueryDSL.sqlToks
 
   /** (doc_id, s) 3-token shingle table over relation `rel`. */
   private def sqlShinglesFrom(rel: String): String =

@@ -8,6 +8,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
 
 object QueryDSL {
+
+  /** DuckDB twin of `textstats.tokens` — THE tokenizer contract every
+    * text oracle shares (whitespace split of the lowercased text, empties
+    * dropped). ONE definition: a drifting copy would silently break
+    * exactly the cross-engine match the oracle exists to pin. */
+  val sqlToks: String =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
   /** Load a driver testdata table from the given scale-factor directory. */
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -174,8 +174,6 @@ object SourceQueries {
       },
       Some {
         import graft.functions.hashing
-        val sqlToks =
-          """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
         s"""SELECT ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
              count(*) AS docs,
              CAST(sum(len($sqlToks)) AS BIGINT) AS tok_sum,

@@ -275,7 +275,10 @@ object StreamPipelineQueries {
               CAST(l_quantity AS DECIMAL(18,2)) + 1 AS qty
             FROM lineitem WHERE l_orderkey % 4 IN (0, 1)),
           incoming AS (
-            SELECT l_orderkey, l_linenumber,
+            -- DISTINCT mirrors upsertRows' full-row dedup of the incoming
+            -- side (the retried-fetch case; this corpus's lineitem has 94
+            -- exact-duplicate rows that a PK table would never admit)
+            SELECT DISTINCT l_orderkey, l_linenumber,
               CAST(l_quantity AS DECIMAL(18,2)) AS qty
             FROM lineitem WHERE l_orderkey % 4 IN (1, 2)),
           merged AS (

@@ -11,8 +11,7 @@ import QueryDSL._
   */
 object TextQueries {
 
-  private val sqlToks =
-    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+  private val sqlToks = QueryDSL.sqlToks
 
   private def sqlStopHits(stop: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains(${stop.mkString("['", "', '", "']")}, t)))"
