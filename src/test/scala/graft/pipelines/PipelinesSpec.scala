@@ -287,4 +287,30 @@ class PipelinesSpec extends SparkSpec {
       .filter(col("gid") === 3).collect() // grand total row
     assert(roll.length == 1 && roll.head.getAs[Double]("pia") == 180.0)
   }
+
+  test("BCRP backup runner: one partition dir per grupo_file, rows " +
+    "filtered to the group's embedded frequency") {
+    val out = scratch("bcrp_backup")
+    val catalog = Seq(
+      ("PN01", "gdp_M_nominal"), ("PN02", "gdp_M_nominal"),
+      ("PN03", "prices_Q_index")).toDF("codigo", "grupo_file")
+    val data = Seq(
+      // PN01/PN02 publish monthly AND an unwanted annual series; PN03
+      // quarterly only — the freq rule must keep exactly the matches
+      ("PN01", "M", "2023-01", 1.0), ("PN01", "A", "2023", 99.0),
+      ("PN02", "M", "2023-01", 2.0),
+      ("PN03", "Q", "2023-Q1", 3.0), ("PN03", "M", "2023-01", 98.0))
+      .toDF("codigo", "freq", "period", "value")
+    val back = BCRPBackup.export(catalog, data, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("grupo_file=gdp_M_nominal",
+      "grupo_file=prices_Q_index"), dirs.toSeq)
+    val rows = back.select("codigo", "grupo_file", "value")
+      .orderBy("codigo").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      ("PN01", "gdp_M_nominal", 1.0), ("PN02", "gdp_M_nominal", 2.0),
+      ("PN03", "prices_Q_index", 3.0)), rows.toSeq)
+  }
 }
