@@ -115,6 +115,63 @@ class TextKernelsSpec extends AnyFunSuite {
     assert(TextKernels.minhashSigArray(arr()) == null)
   }
 
+  test("property: minhashSigArray == LCG-permutation mins and " +
+    "bpePairArray/bpeRewrite == their reference walks on random unicode") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    val alphabet = Seq("a", "b", "ñ", "€x", "z9", "_", "á b")
+    def arr(ts: Seq[String]): GenericArrayData =
+      new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+    def strs(a: ArrayData): Seq[String] =
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    for (_ <- 1 to 200) {
+      val toks = Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      // minhash signature vs the direct permutation-min formulation
+      val sig = TextKernels.minhashSigArray(arr(toks))
+      if (toks.isEmpty) assert(sig == null)
+      else {
+        val expected = (0 until hashing.NumHashes).map { j =>
+          toks.map { s =>
+            val h = TextKernels.md5Long60(s.getBytes("UTF-8")) % hashing.P
+            (hashing.A(j) * h + hashing.B(j)) % hashing.P
+          }.min
+        }
+        assert((0 until hashing.NumHashes).map(sig.getLong) == expected)
+      }
+      // pair extraction vs the sliding-window reference walk
+      val pairs = TextKernels.bpePairArray(arr(toks))
+      val expPairs = toks.zip(toks.drop(1)).filter { case (l, r) => l != r }
+      assert((0 until pairs.numElements()).map { i =>
+        val row = pairs.getStruct(i, 2)
+        (row.getUTF8String(0).toString, row.getUTF8String(1).toString)
+      } == expPairs)
+      // batched rewrite vs a scala greedy walk under the batch contract
+      // (token-disjoint, l != r): one random conforming pair
+      val cand = expPairs.distinct.filter { case (l, r) =>
+        expPairs.flatMap(p => Seq(p._1, p._2)).count(t =>
+          t == l || t == r) >= 1 }
+      if (cand.nonEmpty) {
+        val (l, r) = cand(rnd.nextInt(cand.size))
+        val got = strs(TextKernels.bpeRewrite(arr(toks),
+          new GenericArrayData(Array[Any](
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(l), UTF8String.fromString(r))))))
+        val exp = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == l && toks(i + 1) == r) {
+              out += s"$l $r"; i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toSeq
+        }
+        assert(got == exp, s"toks=$toks pair=($l,$r)")
+      }
+    }
+  }
+
   test("md5Long60 == parseLong(md5 hex take 15) for arbitrary strings") {
     def viaHex(str: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
