@@ -124,6 +124,36 @@ object WindowAggQueries {
         FROM lineitem WHERE l_orderkey < 100
         ORDER BY l_orderkey, l_linenumber""")),
 
+    // w8: TIME-RANGE window frame — trailing-10-minute per-user activity
+    // (count + exact DECIMAL sum), the sliding-time analytics shape ROWS
+    // frames (w6) cannot express: the frame is defined by the ORDER
+    // column's VALUE (epoch seconds), so equal-timestamp peers are always
+    // in-frame together — deterministic under any row order. Scale: one
+    // shuffle by user, per-key sort inside the window operator.
+    "w8_time_range_frame" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("sec")).rangeBetween(-600, 0)
+        events(s, dir).filter(col("user_id") < 50)
+          .withColumn("sec", expr("ts div 1000000000"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("trailing_events"),
+            sum(dec(col("value"))).over(w).cast("double")
+              .as("trailing_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+          count(*) OVER w AS trailing_events,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            AS trailing_value
+        FROM (SELECT user_id, event_id, value,
+            epoch_ns(ts) // 1000000000 AS sec
+          FROM events WHERE user_id < 50)
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
     // A9: HyperLogLog distinct sketch per group — the 100 TB substitute for
     // exact COUNT(DISTINCT) (no global shuffle of the distinct values; the
     // sketch merges associatively). No oracle: DuckDB's approx sketch is a
