@@ -71,7 +71,7 @@ object Bench {
     var failed = Map.empty[String, String]
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = timed.map { case (name, fn) =>
+    val resultsFull = timed.map { case (name, fn) =>
       System.gc()
       var samples = List.empty[Double]
       var k = 0
@@ -90,10 +90,19 @@ object Bench {
         samples ::= (System.nanoTime() - t0) / 1e9
         k += 1
       }
-      name -> samples.min
+      (name, samples.min, samples.reverse) // samples in execution order
     }
+    val results = resultsFull.map { case (n, v, _) => n -> v }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    // Per-sample raw times (execution order): makes every perf adjudication
+    // self-contained — a reported min with all samples agreeing is steady
+    // state; a min sitting far below its siblings documents the spike the
+    // adaptive sampler absorbed. Shipped in the detail file only (the
+    // summary line must stay small for the driver's tail capture).
+    val ss = resultsFull.map { case (k, _, s) =>
+      s"\"" + k + "\":[" + s.map(num).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     // Subtotals count SUCCESSFUL queries only: a query that burned 20 s and
@@ -111,7 +120,7 @@ object Bench {
     // (only the summary survives), which made round-over-round per-query
     // comparison impossible for the alphabetically-early keys — so the full
     // detail also goes to a FILE the round artifacts keep.
-    val detail = s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    val detail = s"""{"queries":$qs,"samples":$ss,"failed":$fs,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

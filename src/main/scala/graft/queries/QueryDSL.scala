@@ -20,17 +20,30 @@ object QueryDSL {
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects by default. Read it as a long (nanos since
-    * epoch) and derive a microsecond `ts_utc` timestamp column — the same
-    * value DuckDB sees after casting its TIMESTAMP_NS to TIMESTAMP.
+  /** The events table: every consumer sees `ts` as BIGINT nanos-since-epoch
+    * plus a derived microsecond `ts_utc` timestamp — the same values DuckDB's
+    * `epoch_ns(ts)` / `ts::TIMESTAMP` produce, whatever the file's physical
+    * type. The generator has shipped `ts` both as TIMESTAMP(NANOS) (read as
+    * long via the legacy conf) and as TIMESTAMP(MICROS) (read as
+    * TIMESTAMP_NTZ); the timestamp path converts via `timestampdiff` against
+    * the NTZ epoch, which is wall-clock arithmetic — no session-timezone
+    * dependence, matching DuckDB's treat-naive-as-UTC `epoch_ns`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_utc",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long generation
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS) generation (TIMESTAMP_NTZ in Spark)
+        raw
+          .withColumn("ts_us", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+          .withColumn("ts", expr("ts_us * 1000L"))
+          .withColumn("ts_utc", timestamp_micros(expr("ts_us")))
+          .drop("ts_us")
+    }
   }
 
   /** Spread a small-bytes / high-CPU input across the full shuffle-partition

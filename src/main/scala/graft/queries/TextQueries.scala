@@ -619,10 +619,10 @@ object TextQueries {
     // tail. Thresholds are data-dependent but computed in-plan (per-lang
     // percentile aggregate, broadcast back — no collect); the scored table
     // checkpoints once before fanning into the threshold build and the
-    // final bucketing. Percentile thresholds round to ce's 4-decimal
-    // quantum before comparing (see the note at `thr` — unrounded
-    // interpolation is ulp-unstable across engines on tied runs); per-doc
-    // cross-entropy and the bucket means stay DECIMAL-deterministic.
+    // final bucketing. Thresholds are DISCRETE per-lang percentile data
+    // values (percentile_disc / quantile_disc — see the note at `thr`), so
+    // no rounding is needed and cross-engine comparison cannot diverge;
+    // per-doc cross-entropy and the bucket means stay DECIMAL-deterministic.
     "t19_perplexity_buckets" -> Q(
       (s, dir) => {
         import graft.ops.{Checkpoints, TextSearch}

@@ -21,18 +21,25 @@ object Streams {
 
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long via legacy conf
+    StructField("ts", TimestampNTZType), // parquet TIMESTAMP(MICROS), no tz
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events parquet (schema pinned; nanos-as-long). */
+  /** Streaming scan of the events parquet (schema pinned). Re-derives the
+    * batch-side contract from [[graft.queries.QueryDSL.events]]: `ts` =
+    * BIGINT nanos-since-epoch, `ts_utc` = microsecond timestamp; the
+    * `timestampdiff` against the NTZ epoch is wall-clock arithmetic with no
+    * session-timezone dependence. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      .withColumn("ts", expr("ts_us * 1000L"))
+      .withColumn("ts_utc", timestamp_micros(expr("ts_us")))
+      .drop("ts_us")
   }
 
   /** Tumbling 1-hour counts per event type — the canonical windowed
