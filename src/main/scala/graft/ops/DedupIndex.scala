@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashing
+
+/** Incremental near-dup dedup: a persisted MinHash/LSH index of the corpus,
+  * probed by each incoming batch WITHOUT recomputing anything corpus-side.
+  *
+  * This is the production daily-ingest shape of [[Dedup.minhashLshPairs]]
+  * (reference semantics: `perustats` keeps resumable progress sets and
+  * anti-joins new work against them, e.g. `perustats/BCRP/backup.py`'s
+  * pending-set resume; this module is that idiom applied to the dedup
+  * surface at corpus scale). The index persists the two tables every later
+  * batch needs, both bucketed so probes co-locate without shuffling the
+  * corpus side:
+  *
+  *  - `<prefix>_shingles` (id, h) — the distinct hashed-shingle sets,
+  *    bucketed by id: the exact-Jaccard verification join streams it
+  *    in-place (at 100 TB this table is the compact ~int64 image of the
+  *    corpus and must never re-shuffle per batch);
+  *  - `<prefix>_bands` (id, band, bandKey) — the CAPPED LSH band table,
+  *    bucketed by (band, bandKey): batch bands shuffle 12 small rows per
+  *    batch doc to the index's layout, the index side is scan-only.
+  *
+  * The skew cap is applied at BUILD time (a degenerate boilerplate bucket
+  * is a property of the index, not of any one batch), per side — the same
+  * per-side semantics as [[Dedup.crossCorpusNearDups]].
+  *
+  * A batch probe emits the two pair families an incremental pipeline needs:
+  * (corpus_id, batch_id) cross pairs (src = "cross") and within-batch pairs
+  * (src = "batch"), both exact-Jaccard verified. Within-corpus pairs were
+  * emitted when the corpus itself was indexed (or dedup'd before indexing):
+  * pairs(C ∪ B) = pairs(C) ∪ cross(C, B) ∪ pairs(B), which
+  * IncrementalIndexSpec asserts against the one-shot batch detector.
+  */
+object DedupIndex {
+
+  private def shTable(prefix: String) = s"${prefix}_shingles"
+  private def bandTable(prefix: String) = s"${prefix}_bands"
+
+  /** Build and persist the index for `corpus` under `path`, registering the
+    * two bucketed tables as `<prefix>_shingles` / `<prefix>_bands`. The
+    * corpus text is scanned ONCE: signatures and bands derive from the
+    * persisted shingle table, not from a second tokenize pass. */
+  def buildIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, maxBucketSize: Int = 0,
+      path: String, prefix: String, buckets: Int = 8,
+      hash: Column => Column = hashing.h64): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${shTable(prefix)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${bandTable(prefix)}")
+    // Distinct here (unlike the one-shot path, which defers it to the
+    // verification join): the persisted set is read by EVERY future batch,
+    // so pay the dedup once at build time and ship the smaller table.
+    Dedup.hashedShingles(corpus, idCol, textCol, k, hash).distinct()
+      .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .option("path", s"$path/shingles").saveAsTable(shTable(prefix))
+    val bands = Dedup.lshBands(Dedup.minhashSignatures(
+      spark.table(shTable(prefix))))
+    Dedup.capBuckets(bands, maxBucketSize)
+      .write.mode("overwrite").bucketBy(buckets, "band", "bandKey")
+      .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
+  }
+
+  /** Dedup an incoming batch against the persisted index: returns
+    * (a, b, jac, src) where src = "cross" pairs have a = corpus id,
+    * b = batch id, and src = "batch" pairs are within-batch (a < b).
+    * The corpus side is read from the index tables only — no re-shingle,
+    * no corpus text scan (asserted by IncrementalIndexSpec on the plan). */
+  def dedupBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, threshold: Double = 0.8,
+      maxBucketSize: Int = 0, prefix: String,
+      hash: Column => Column = hashing.h64): DataFrame = {
+    // Checkpoint the batch shingles for the same branch-reuse reason as
+    // minhashLshPairs: they feed the signature branch and two verification
+    // joins.
+    val shB = Checkpoints.checkpoint(
+      Dedup.hashedShingles(batch, idCol, textCol, k, hash))
+    val bandsB = Dedup.capBuckets(
+      Dedup.lshBands(Dedup.minhashSignatures(shB)), maxBucketSize)
+    val shC = spark.table(shTable(prefix))
+    val bandsC = spark.table(bandTable(prefix)) // capped at build time
+    val crossCands = bandsC.alias("x").join(bandsB.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandKey") === col("y.bandKey"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val crossPairs = Dedup.crossJaccardPairs(shC, shB, crossCands, threshold)
+    val withinPairs = Dedup.jaccardPairs(shB,
+      Dedup.lshCandidatePairs(bandsB), threshold)
+    crossPairs.withColumn("src", lit("cross"))
+      .unionByName(withinPairs.withColumn("src", lit("batch")))
+  }
+}

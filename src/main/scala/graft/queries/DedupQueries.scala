@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.hashing
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, DedupIndex, Similarity}
 import QueryDSL._
 
 /** North-star dedup + similarity-search queries over `documents` /
@@ -20,6 +20,16 @@ object DedupQueries {
   // ---- shared DuckDB SQL fragments (twins of textstats.tokens/shingles) ----
 
   private val sqlToks = QueryDSL.sqlToks
+
+  /** Per-(name, input-dir) scratch path for persisted index tables — same
+    * concurrent-run isolation as SourceQueries' scratch (dir-hash suffix:
+    * Verify at sf0.01 and Bench at sf0.1 share one checkout). */
+  private def scratch(name: String, sfDir: String): String = {
+    val suffix = hashing.md5Long(sfDir).toHexString.take(8)
+    val dir = new java.io.File("/root/repo/target/scratch", s"${name}_$suffix")
+    dir.mkdirs()
+    dir.getPath
+  }
 
   /** (doc_id, s) 3-token shingle table over relation `rel`. */
   private def sqlShinglesFrom(rel: String): String =
@@ -240,6 +250,46 @@ object DedupQueries {
     * d2c below uses a deliberately BITING cap to verify the semantics. */
   private val ProductionBucketCap = 64
 
+  /** The 10k-sided doc_id coin every deterministic corpus split shares
+    * (e2's train/eval halves, d12's corpus/batch). */
+  private val sqlCoin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+
+  /** One SIDE of a two-corpus LSH pipeline (e2 decontamination, d12
+    * incremental index), as CTEs prefixed `n`: tokenize → 3-shingle → hash
+    * → MinHash → bands → per-side bucket-cap ([[ProductionBucketCap]]) →
+    * distinct shingle set + sizes. The SQL twin of
+    * `hashedShingles → minhashSignatures → lshBands → capBuckets` over
+    * `documents WHERE pred`. */
+  private def sqlLshSide(n: String, pred: String): String = {
+    val mins = (0 until NumHashes)
+      .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j")
+      .mkString(", ")
+    val bandsSql = (0 until Bands).map { bnd =>
+      val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j")
+        .mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM ${n}mh"
+    }.mkString(" UNION ALL ")
+    s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
+         FROM documents WHERE $pred),
+       ${n}sh AS (SELECT doc_id, unnest(
+           CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(toks)-2),
+                  i -> array_to_string(list_slice(toks, i, i+2), ' '))
+           END) AS s
+         FROM ${n}tok),
+       ${n}hs AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM ${n}sh),
+       ${n}mh AS (SELECT doc_id, $mins FROM ${n}hs GROUP BY doc_id),
+       ${n}bands AS ($bandsSql),
+       ${n}bcnt AS (SELECT band, key, count(*) AS n FROM ${n}bands
+         GROUP BY band, key),
+       ${n}bandsc AS (SELECT b.doc_id, b.band, b.key FROM ${n}bands b
+         JOIN ${n}bcnt c ON c.band = b.band AND c.key = b.key
+         WHERE c.n <= $ProductionBucketCap),
+       ${n}set AS (SELECT DISTINCT doc_id, h FROM ${n}hs),
+       ${n}sizes AS (SELECT doc_id, count(*) AS n FROM ${n}set
+         GROUP BY doc_id)"""
+  }
+
   /** Candidate pairs only (the LSH prefix, no Jaccard verification) —
     * st8's oracle: the streaming band join must emit exactly the batch
     * banding's candidate set. */
@@ -291,6 +341,63 @@ object DedupQueries {
           "text", k = 3, threshold = 0.9, maxBucketSize = 2)
         .orderBy(col("a"), col("b")),
       Some(sqlMinhashLshFrom("documents", maxBucket = 2))),
+
+    // d12: INCREMENTAL dedup index — the production daily-ingest shape: the
+    // corpus (80% coin split) is indexed ONCE (bucketed shingle-set +
+    // capped band tables), then the incoming batch (the other 20%) is
+    // dedup'd against it with zero corpus-side recompute: batch shingles →
+    // signatures → bands probe the index's band table (bucketed equi-join,
+    // index side scan-only), plus within-batch banding; both families
+    // exact-Jaccard verified. pairs(C∪B) = index-time pairs(C) ∪ this
+    // (asserted by IncrementalIndexSpec). The oracle replays the split,
+    // both sides' pipelines, per-side caps, and both verifications.
+    "d12_incremental_dedup" -> Q(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val wh = scratch("dedup_index", dir)
+        DedupIndex.buildIndex(s, d.filter(coin < 8000), "doc_id", "text",
+          k = 3, maxBucketSize = ProductionBucketCap, path = wh,
+          prefix = "graft_d12")
+        DedupIndex.dedupBatch(s, d.filter(coin >= 8000), "doc_id", "text",
+            k = 3, threshold = 0.9, maxBucketSize = ProductionBucketCap,
+            prefix = "graft_d12")
+          .orderBy(col("src"), col("a"), col("b"))
+      },
+      Some {
+        s"""WITH ${sqlLshSide("c", s"$sqlCoin < 8000")},
+           ${sqlLshSide("b", s"$sqlCoin >= 8000")},
+           candx AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM cbandsc x JOIN bbandsc y
+               ON x.band = y.band AND x.key = y.key),
+           candb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bbandsc x JOIN bbandsc y
+               ON x.band = y.band AND x.key = y.key
+                 AND x.doc_id < y.doc_id),
+           interx AS (SELECT c.a, c.b, count(*) AS i FROM candx c
+             JOIN cset sa ON sa.doc_id = c.a
+             JOIN bset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           interb AS (SELECT c.a, c.b, count(*) AS i FROM candb c
+             JOIN bset sa ON sa.doc_id = c.a
+             JOIN bset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           px AS (SELECT i.a, i.b,
+               round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
+             FROM interx i JOIN csizes sa ON sa.doc_id = i.a
+               JOIN bsizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9),
+           pb AS (SELECT i.a, i.b,
+               round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jac
+             FROM interb i JOIN bsizes sa ON sa.doc_id = i.a
+               JOIN bsizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9)
+           SELECT a, b, jac, 'cross' AS src FROM px
+           UNION ALL SELECT a, b, jac, 'batch' AS src FROM pb
+           ORDER BY src, a, b"""
+      }),
 
     // d6: survivor selection — connected components over the verified
     // near-dup pairs; every clustered doc maps to its component's min id
@@ -381,37 +488,8 @@ object DedupQueries {
           .orderBy(col("a"), col("b"))
       },
       Some {
-        val mins = (0 until NumHashes)
-          .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j")
-          .mkString(", ")
-        def bandsSql(mh: String): String = (0 until Bands).map { bnd =>
-          val ks = (bnd * Rows until (bnd + 1) * Rows).map(j => s"m$j")
-            .mkString(", ")
-          s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM $mh"
-        }.mkString(" UNION ALL ")
-        def side(n: String, pred: String): String =
-          s"""${n}tok AS (SELECT doc_id, $sqlToks AS toks
-               FROM documents WHERE $pred),
-             ${n}sh AS (SELECT doc_id, unnest(
-                 CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
-                      ELSE list_transform(generate_series(1, len(toks)-2),
-                        i -> array_to_string(list_slice(toks, i, i+2), ' '))
-                 END) AS s
-               FROM ${n}tok),
-             ${n}hs AS (SELECT doc_id, ${hashing.sqlH64("s")} AS h FROM ${n}sh),
-             ${n}mh AS (SELECT doc_id, $mins FROM ${n}hs GROUP BY doc_id),
-             ${n}bands AS (${bandsSql(s"${n}mh")}),
-             ${n}bcnt AS (SELECT band, key, count(*) AS n FROM ${n}bands
-               GROUP BY band, key),
-             ${n}bandsc AS (SELECT b.doc_id, b.band, b.key FROM ${n}bands b
-               JOIN ${n}bcnt c ON c.band = b.band AND c.key = b.key
-               WHERE c.n <= $ProductionBucketCap),
-             ${n}set AS (SELECT DISTINCT doc_id, h FROM ${n}hs),
-             ${n}sizes AS (SELECT doc_id, count(*) AS n FROM ${n}set
-               GROUP BY doc_id)"""
-        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
-        s"""WITH ${side("l", s"$coin < 5000")},
-           ${side("r", s"$coin >= 5000")},
+        s"""WITH ${sqlLshSide("l", s"$sqlCoin < 5000")},
+           ${sqlLshSide("r", s"$sqlCoin >= 5000")},
            cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
              FROM lbandsc x JOIN rbandsc y
                ON x.band = y.band AND x.key = y.key),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.hashing
+
+/** Contract of the incremental dedup index ([[DedupIndex]]):
+  *  - correctness: index-time pairs ∪ batch-probe pairs ≡ the one-shot
+  *    detector on the full corpus (same hash, threshold, non-biting cap);
+  *  - scale posture: the probe plan never rescans or re-shingles the
+  *    corpus (its only corpus-side inputs are the two persisted tables),
+  *    and the persisted band table co-locates band-key joins bucket-to-
+  *    bucket with no exchange on the index side.
+  */
+class IncrementalIndexSpec extends SparkSpec {
+
+  private val prefix = "graft_idxspec"
+  private val path = {
+    val f = new java.io.File("/root/repo/target/scratch/idxspec")
+    f.mkdirs(); f.getPath
+  }
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def coin = hashing.h64(col("doc_id").cast("string")) % 10000
+  private lazy val corpus = docs.filter(coin < 8000)
+  private lazy val batch = docs.filter(coin >= 8000)
+
+  // Unordered pair set, side-insensitive: (min, max).
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val built: Unit = DedupIndex.buildIndex(spark, corpus,
+    "doc_id", "text", k = 3, maxBucketSize = 64, path = path,
+    prefix = prefix)
+
+  test("index pairs ∪ probe pairs ≡ one-shot detector on the union") {
+    built
+    val indexTime = pairSet(Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64))
+    val probe = pairSet(DedupIndex.dedupBatch(spark, batch, "doc_id",
+      "text", k = 3, threshold = 0.9, maxBucketSize = 64, prefix = prefix))
+    val oneShot = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64))
+    assert(oneShot.nonEmpty) // the corpus plants near-dups; non-vacuous
+    assert(probe.intersect(indexTime).isEmpty)
+    assert(indexTime ++ probe === oneShot)
+  }
+
+  test("probe plan is corpus-scan-free: index tables only, no re-shingle") {
+    built
+    val df = DedupIndex.dedupBatch(spark, batch, "doc_id", "text", k = 3,
+      threshold = 0.9, maxBucketSize = 64, prefix = prefix)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The batch side enters via its checkpointed shingle table; the corpus
+    // side via the persisted index. NOTHING in the probe plan may read the
+    // raw corpus file — that is the whole point of the index.
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("idxspec/bands"), p)
+    assert(p.contains("idxspec/shingles"), p)
+  }
+
+  test("persisted band table co-locates band-key joins without an exchange") {
+    built
+    val bands = spark.table(s"${prefix}_bands")
+    val j = bands.alias("x").hint("merge")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandKey") === col("y.bandKey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+}
