@@ -516,6 +516,74 @@ object Dedup {
     hashes.crossJoin(broadcast(bitmap)).filter(pass).drop("bits")
   }
 
+  /** SHARDED Bloom bitmap — the same GLOBAL bit domain as [[bloomBitmap]]
+    * split into `numShards` contiguous ranges: (shard, bits) rows with
+    * mBits/numShards bits each. Bit placement is identical to the 1-row
+    * build (global position p = perm_j(h mod P) mod mBits lands in shard
+    * p div shardBits at local bit p mod shardBits), so the pass set — and
+    * therefore the decontamination result — is bit-identical to the
+    * unsharded filter; only the physical layout changes. This is the
+    * escape hatch the 1-row build documents above: past ~1.5 GB the
+    * single-row broadcast stops being comfortable, while a shard row
+    * stays mBits/numShards/8 bytes however big the corpus gets. */
+  def bloomBitmapSharded(hashes: DataFrame, hCol: String, mBits: Int,
+      numProbes: Int, numShards: Int): DataFrame = {
+    require(numShards > 0 && mBits % (64L * numShards) == 0,
+      "mBits must be a positive multiple of 64*numShards")
+    require(numProbes > 0 && numProbes <= hashing.NumHashes,
+      s"numProbes must be in [1, ${hashing.NumHashes}]")
+    val shardBits = mBits / numShards
+    val wps = shardBits / 64 // words per shard
+    // shardBits is a multiple of 64, so the in-word bit (p % 64) is the
+    // same whether p is read globally or shard-locally.
+    val posMasks = hashes
+      .select(explode(array((0 until numProbes).map(j =>
+        hashing.perm(j, pmod(col(hCol), lit(hashing.P))) % lit(mBits)): _*))
+        .as("p"))
+      .groupBy((col("p") / lit(shardBits)).cast("int").as("shard"),
+        ((col("p") % lit(shardBits)) / lit(64)).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
+    // Dense per-shard arrays via the same range-join + struct-sort as the
+    // 1-row build (see the O(words²) note there).
+    hashes.sparkSession.range(numShards.toLong * wps)
+      .select((col("id") / lit(wps)).cast("int").as("shard"),
+        (col("id") % lit(wps)).cast("int").as("w"))
+      .join(posMasks, Seq("shard", "w"), "left")
+      .groupBy(col("shard"))
+      .agg(collect_list(struct(col("w"),
+        coalesce(col("mask"), lit(0L)).as("mask"))).as("wms"))
+      .select(col("shard"),
+        transform(array_sort(col("wms")), s => s.getField("mask"))
+          .as("bits"))
+  }
+
+  /** Sharded twin of [[bloomMightContain]]: each probe position joins only
+    * its shard's slice on the `shard` key, so no task ever holds more than
+    * one mBits/numShards slice. A hash passes when ALL `numProbes` probe
+    * rows find their bit set (the per-h count below — duplicate positions
+    * contribute duplicate passing rows, so the count stays exact). Unlike
+    * the broadcast variant this pays one exchange of 3·|hashes| probe
+    * rows — the documented trade for unbounded eval-set size. */
+  def bloomMightContainSharded(bitmaps: DataFrame, hashes: DataFrame,
+      hCol: String, mBits: Int, numProbes: Int, numShards: Int): DataFrame = {
+    val shardBits = mBits / numShards
+    val probeRows = hashes.select(col(hCol)).distinct()
+      .select(col(hCol), explode(array((0 until numProbes).map(j =>
+        hashing.perm(j, pmod(col(hCol), lit(hashing.P))) % lit(mBits)): _*))
+        .as("p"))
+      .select(col(hCol),
+        (col("p") / lit(shardBits)).cast("int").as("shard"),
+        (col("p") % lit(shardBits)).as("lp"))
+    val passing = probeRows.join(bitmaps, Seq("shard"))
+      .filter(element_at(col("bits"), (col("lp") / lit(64)).cast("int") + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          (col("lp") % lit(64)).cast("int"))) =!= lit(0L))
+      .groupBy(col(hCol)).agg(count(lit(1)).as("__ok"))
+      .filter(col("__ok") === lit(numProbes))
+      .select(col(hCol))
+    hashes.join(passing, Seq(hCol), "left_semi")
+  }
+
   /** Rebuild scrubbed documents from their kept passages: one row per key
     * group with the surviving passages rejoined in position order. The
     * in-group sort is `array_sort` over collected (pos, passage) structs —
