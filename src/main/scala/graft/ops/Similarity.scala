@@ -275,9 +275,59 @@ object Similarity {
       .withColumn("__h", hashing.h64(col("__id").cast("string")))
       .orderBy(col("__h"), col("__id")).limit(k)
     val seedRank = Window.orderBy(col("__h"), col("__id")) // k rows only
-    var cents = seeds
+    val cents0 = seeds
       .withColumn("cid", (row_number().over(seedRank) - 1).cast("long"))
       .select(col("cid"), transform(col("__v"), e => e.cast("double")).as("cv"))
+    lloydRounds(base, cents0, iters)
+  }
+
+  /** AUTO-K centroid build — the SemDeDup contract (k ≈ n / target cluster
+    * size, so per-cluster candidate volume stays ~targetClusterSize² as the
+    * corpus grows) derived IN-PLAN instead of hand-tuned per corpus:
+    *
+    *  - k = ceil(n / targetClusterSize) comes from a broadcast 1-row count
+    *    joined into the plan (t17-style) — no driver-side action;
+    *  - seeds are per-bucket representatives: bucket = h64(id) mod k, seed
+    *    = the bucket's (h, id)-minimum vector. A distributed aggregate —
+    *    NOT the fixed-k top-k (whose data-dependent-k form would be a
+    *    global sort), and hash-uniform over the corpus, which is exactly
+    *    what makes the cluster-size bound hold: a dominant semantic blob
+    *    holding p of the corpus mass draws ~p·k seeds, so it splits into
+    *    ~target-sized cells instead of one giant cluster (AutoKSpec plants
+    *    one and asserts the bound);
+    *  - cid = dense index of the non-empty buckets in bucket order (a
+    *    ≤k-row window), then the same Lloyd's rounds as the fixed-k build.
+    *
+    * Deterministic and oracle-replayable end-to-end: bucket assignment,
+    * representative argmin, dense remap, and every Lloyd's round are the
+    * shared md5/DECIMAL arithmetic. */
+  def kmeansCentroidsAutoK(corpus: DataFrame, idCol: String, vecCol: String,
+      targetClusterSize: Int, iters: Int = 2): DataFrame = {
+    require(targetClusterSize > 0, "targetClusterSize must be positive")
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val n1 = base.agg(count(lit(1)).as("__n"))
+    val reps = base
+      .withColumn("__h", hashing.h64(col("__id").cast("string")))
+      .crossJoin(broadcast(n1))
+      .withColumn("__b", pmod(col("__h"),
+        ceil(col("__n").cast("double") / lit(targetClusterSize)).cast("long")))
+      .groupBy(col("__b"))
+      .agg(min(struct(col("__h"), col("__id").as("id"), col("__v").as("v")))
+        .as("__rep"))
+    val bucketRank = Window.orderBy(col("__b")) // ≤ k rows only
+    val cents0 = reps
+      .withColumn("cid", (row_number().over(bucketRank) - 1).cast("long"))
+      .select(col("cid"),
+        transform(col("__rep.v"), e => e.cast("double")).as("cv"))
+    lloydRounds(base, cents0, iters)
+  }
+
+  /** Lloyd's rounds shared by the fixed-k and auto-k builds: assignment is
+    * an argmax-cosine min-struct aggregate, means are exact-DECIMAL sums
+    * rounded to 9, each round checkpointed (k rows). */
+  private def lloydRounds(base: DataFrame, cents0: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = cents0
     for (_ <- 1 to iters) {
       // argmin as a min-struct aggregate (map-side combining) — the
       // row_number window would shuffle+sort the whole n×k cross join

@@ -105,21 +105,22 @@ object DedupQueries {
     * assigns to the argmax-cosine centroid (ties by cid), then recomputes
     * per-dimension means via exact DECIMAL sums rounded to 9 so the next
     * round's inputs are stable cross-engine. */
-  private def sqlKmeansCentsFrom(rel: String): String = {
-    def lloydRound(prev: String, i: Int): String =
-      s"""assign$i AS (SELECT cid, embedding FROM (
-           SELECT v.embedding, c.cid,
-             row_number() OVER (PARTITION BY v.vec_id
-               ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-           FROM $rel v CROSS JOIN $prev c) WHERE rn = 1),
-         dims$i AS (SELECT cid, pos,
-             round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
-                 AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
-           FROM assign$i
-           CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
-           GROUP BY cid, pos),
-         cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
-           FROM dims$i GROUP BY cid)"""
+  private def sqlLloydRound(rel: String, prev: String, i: Int): String =
+    s"""assign$i AS (SELECT cid, embedding FROM (
+         SELECT v.embedding, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+         FROM $rel v CROSS JOIN $prev c) WHERE rn = 1),
+       dims$i AS (SELECT cid, pos,
+           round(CAST(sum(CAST(CAST(embedding[pos] AS DOUBLE)
+               AS DECIMAL(38,20))) AS DOUBLE) / count(*), 9) AS m
+         FROM assign$i
+         CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+         GROUP BY cid, pos),
+       cent$i AS (SELECT cid, list(m ORDER BY pos) AS cv
+         FROM dims$i GROUP BY cid)"""
+
+  private def sqlKmeansCentsFrom(rel: String): String =
     s"""hseed AS (SELECT vec_id, embedding,
            ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
          FROM $rel),
@@ -128,10 +129,33 @@ object DedupQueries {
        cent0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS cid,
            list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cv
          FROM seeds),
-       ${lloydRound("cent0", 1)},
-       ${lloydRound("cent1", 2)},
+       ${sqlLloydRound(rel, "cent0", 1)},
+       ${sqlLloydRound(rel, "cent1", 2)},
        cents AS (SELECT cid, cv FROM cent2)"""
-  }
+
+  /** AUTO-K twin of [[sqlKmeansCentsFrom]] — the replay of
+    * [[graft.ops.Similarity.kmeansCentroidsAutoK]]: k = ceil(n/target)
+    * from a scalar count, seeds = per-(h64 mod k)-bucket (hh, vec_id)-min
+    * representatives, cid = dense bucket order, then the same two Lloyd's
+    * rounds. */
+  private def sqlKmeansCentsAutoKFrom(rel: String, target: Int): String =
+    s"""nk AS (SELECT CAST(ceil(count(*) / $target.0) AS BIGINT) AS k
+         FROM $rel),
+       hseed AS (SELECT vec_id, embedding,
+           ${hashing.sqlH64("CAST(vec_id AS VARCHAR)")} AS hh
+         FROM $rel),
+       bkt AS (SELECT vec_id, embedding, hh,
+           hh % (SELECT k FROM nk) AS b FROM hseed),
+       reps AS (SELECT b, embedding FROM (
+           SELECT b, embedding,
+             row_number() OVER (PARTITION BY b ORDER BY hh, vec_id) AS rn
+           FROM bkt) WHERE rn = 1),
+       cent0 AS (SELECT row_number() OVER (ORDER BY b) - 1 AS cid,
+           list_transform(embedding, e -> CAST(e AS DOUBLE)) AS cv
+         FROM reps),
+       ${sqlLloydRound(rel, "cent0", 1)},
+       ${sqlLloydRound(rel, "cent1", 2)},
+       cents AS (SELECT cid, cv FROM cent2)"""
 
   private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
 
@@ -720,6 +744,28 @@ object DedupQueries {
       },
       Some(
         s"""WITH $sqlKmeansCents,
+           ${sqlSemDedupFrom("embeddings", 0.45)}
+           SELECT id, cluster FROM surv ORDER BY id""")),
+
+    // d13: AUTO-K SemDeDup — d10 with k derived in-plan from the corpus
+    // size (k = ceil(n / 50): 10 clusters at sf0.01, 40 at sf0.1) instead
+    // of hand-tuned. This is the contract d10's fixed k leaves to the
+    // user: per-cluster prune volume stays ~target² as the corpus grows,
+    // and a dominant semantic blob splits into ~target-sized cells because
+    // the hash-uniform seeding gives it seeds in proportion to its mass
+    // (AutoKSpec plants a 50%-mass blob and asserts the bound). The oracle
+    // replays the whole derivation: scalar-count k, bucketed seeding,
+    // dense remap, both Lloyd's rounds, and the prune.
+    "d13_semdedup_autok" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroidsAutoK(e, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2)
+        Similarity.semDeDup(e, cents, "vec_id", "embedding", tau = 0.45)
+          .orderBy(col("id"))
+      },
+      Some(
+        s"""WITH ${sqlKmeansCentsAutoKFrom("embeddings", 50)},
            ${sqlSemDedupFrom("embeddings", 0.45)}
            SELECT id, cluster FROM surv ORDER BY id""")),
 
@@ -1382,8 +1428,11 @@ object DedupQueries {
         val gemb = T(s, dir, "embeddings")
           .join(gated.select(col("doc_id")),
             col("vec_id") === col("doc_id"), "left_semi")
-        val cents = Similarity
-          .kmeansCentroids(gemb, "vec_id", "embedding", k = 12, iters = 2)
+        // Auto-k (k = ceil(n/50)): the composite inherits d13's SemDeDup
+        // contract derivation instead of a hand-tuned k — the gated corpus
+        // size changes per scale factor, the target cluster size doesn't.
+        val cents = Similarity.kmeansCentroidsAutoK(gemb, "vec_id",
+          "embedding", targetClusterSize = 50, iters = 2)
         val surv = Similarity
           .semDeDup(gemb, cents, "vec_id", "embedding", tau = 0.45)
         val sdocs = Checkpoints.checkpoint(
@@ -1412,7 +1461,7 @@ object DedupQueries {
              WHERE len($sqlToks) >= 30),
            gemb AS (SELECT e.vec_id, e.embedding
              FROM embeddings e JOIN gated g ON g.doc_id = e.vec_id),
-           ${sqlKmeansCentsFrom("gemb")},
+           ${sqlKmeansCentsAutoKFrom("gemb", 50)},
            ${sqlSemDedupFrom("gemb", 0.45)},
            sdocs AS (SELECT g.doc_id, g.lang, g.text
              FROM gated g JOIN surv s ON s.id = g.doc_id),
