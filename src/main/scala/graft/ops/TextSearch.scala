@@ -328,4 +328,24 @@ object TextSearch {
         graft.functions.expressions.bpeRewrite(col(toksCol), col("__ps")))
       .drop("__ps")
   }
+
+  /** ENCODE a corpus with a LEARNED merge table — the tokenizer production
+    * step t20's training loop feeds: `merges` is the concatenation of the
+    * per-round [[bpeTopPairs]] outputs tagged (round, rn, l, r), and the
+    * rounds replay IN ORDER — a later round's pair can name a unit an
+    * earlier round built, so rounds cannot be flattened into one batch
+    * (within a round the conflict filter guarantees disjointness, so that
+    * batch applies in one [[bpeApplyMerges]] pass). Works on any corpus,
+    * seen or unseen: encoding never consults pair frequencies, only the
+    * table. Each intermediate checkpoints — the lineage would otherwise
+    * nest `rounds` rewrite layers deep, and the merge-table filters are
+    * ≤ k-row broadcasts either way. */
+  def bpeEncode(docs: DataFrame, toksCol: String, merges: DataFrame,
+      rounds: Int): DataFrame = {
+    var d = docs
+    for (i <- 1 to rounds)
+      d = Checkpoints.checkpoint(
+        bpeApplyMerges(d, toksCol, merges.filter(col("round") === i)))
+    d
+  }
 }

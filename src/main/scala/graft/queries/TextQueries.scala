@@ -31,6 +31,45 @@ object TextQueries {
          SELECT doc_id, lang, count(*) AS ntok, sum(logp) AS lsum
          FROM toks JOIN lp USING (t) GROUP BY doc_id, lang)"""
 
+  // ---- BPE round fragments over a (doc_id, toks) relation, mirroring ----
+  // bpePairCounts / bpeTopPairs / bpeApplyMerges exactly (shared by the
+  // t20 training replay and the t24 encode replay).
+
+  private def sqlBpePairsOf(rel: String, out: String): String =
+    s"""$out AS (SELECT unnest(list_transform(mi, i -> toks[i])) AS l,
+         unnest(list_transform(mi, i -> toks[i + 1])) AS r
+       FROM (SELECT toks,
+           CASE WHEN len(toks) < 2 THEN []::BIGINT[]
+             ELSE list_filter(generate_series(1, len(toks) - 1),
+               i -> toks[i] <> toks[i + 1]) END AS mi
+         FROM $rel))"""
+
+  private def sqlBpeSelOf(pairs: String, out: String): String =
+    s"""${out}_top AS (
+         SELECT l, r, cnt,
+           row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
+         FROM (SELECT l, r, count(*) AS cnt FROM $pairs GROUP BY l, r)
+         ORDER BY cnt DESC, l, r LIMIT 4),
+       $out AS (SELECT rn, l, r, cnt FROM ${out}_top t
+         WHERE NOT EXISTS (SELECT 1 FROM ${out}_top h
+           WHERE h.rn < t.rn AND (h.l = t.l OR h.l = t.r
+             OR h.r = t.l OR h.r = t.r)))"""
+
+  private def sqlBpeMergeOf(rel: String, sel: String, out: String): String =
+    s"""${out}_ps AS (
+         SELECT list(struct_pack(l := l, r := r) ORDER BY rn) AS ps
+         FROM $sel),
+       $out AS (SELECT doc_id, list_filter(list_transform(
+           generate_series(1, len(toks)), i ->
+             CASE WHEN len(list_filter(ps,
+                 p -> p.l = toks[i] AND p.r = toks[i + 1])) > 0
+               THEN toks[i] || ' ' || toks[i + 1]
+             WHEN i > 1 AND len(list_filter(ps,
+                 p -> p.l = toks[i - 1] AND p.r = toks[i])) > 0
+               THEN NULL
+             ELSE toks[i] END), x -> x IS NOT NULL) AS toks
+         FROM $rel CROSS JOIN ${out}_ps)"""
+
   val defs: Map[String, Q] = Map(
 
     // t1: n-gram language-ID heuristic vs. the ground-truth lang column.
@@ -710,44 +749,10 @@ object TextQueries {
         outs.reduce(_.unionByName(_)).orderBy(col("iter"), col("rnk"))
       },
       Some {
-        // Per-round fragments over a (doc_id, toks) relation, mirroring
-        // bpePairCounts / bpeTopPairs / bpeApplyMerges exactly.
-        def pairsOf(rel: String, out: String): String =
-          s"""$out AS (SELECT unnest(list_transform(mi, i -> toks[i])) AS l,
-               unnest(list_transform(mi, i -> toks[i + 1])) AS r
-             FROM (SELECT toks,
-                 CASE WHEN len(toks) < 2 THEN []::BIGINT[]
-                   ELSE list_filter(generate_series(1, len(toks) - 1),
-                     i -> toks[i] <> toks[i + 1]) END AS mi
-               FROM $rel))"""
-        def selOf(pairs: String, out: String): String =
-          s"""${out}_top AS (
-               SELECT l, r, cnt,
-                 row_number() OVER (ORDER BY cnt DESC, l, r) AS rn
-               FROM (SELECT l, r, count(*) AS cnt FROM $pairs GROUP BY l, r)
-               ORDER BY cnt DESC, l, r LIMIT 4),
-             $out AS (SELECT rn, l, r, cnt FROM ${out}_top t
-               WHERE NOT EXISTS (SELECT 1 FROM ${out}_top h
-                 WHERE h.rn < t.rn AND (h.l = t.l OR h.l = t.r
-                   OR h.r = t.l OR h.r = t.r)))"""
-        def mergeOf(rel: String, sel: String, out: String): String =
-          s"""${out}_ps AS (
-               SELECT list(struct_pack(l := l, r := r) ORDER BY rn) AS ps
-               FROM $sel),
-             $out AS (SELECT doc_id, list_filter(list_transform(
-                 generate_series(1, len(toks)), i ->
-                   CASE WHEN len(list_filter(ps,
-                       p -> p.l = toks[i] AND p.r = toks[i + 1])) > 0
-                     THEN toks[i] || ' ' || toks[i + 1]
-                   WHEN i > 1 AND len(list_filter(ps,
-                       p -> p.l = toks[i - 1] AND p.r = toks[i])) > 0
-                     THEN NULL
-                   ELSE toks[i] END), x -> x IS NOT NULL) AS toks
-               FROM $rel CROSS JOIN ${out}_ps)"""
         val rounds = (1 to 5).map { i =>
-          s"""${pairsOf(s"tok${i - 1}", s"pr$i")},
-             ${selOf(s"pr$i", s"sel$i")},
-             ${mergeOf(s"tok${i - 1}", s"sel$i", s"tok$i")},
+          s"""${sqlBpePairsOf(s"tok${i - 1}", s"pr$i")},
+             ${sqlBpeSelOf(s"pr$i", s"sel$i")},
+             ${sqlBpeMergeOf(s"tok${i - 1}", s"sel$i", s"tok$i")},
              s$i AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS toks_after
                FROM tok$i)"""
         }.mkString(",\n")
@@ -760,6 +765,65 @@ object TextQueries {
            $rounds
            SELECT iter, rnk, pair, cnt, toks_after FROM ($selects)
            ORDER BY iter, rnk"""
+      }),
+
+    // t24: BPE ENCODE — the production consumer of t20's training loop:
+    // learn 5 rounds of merges on a deterministic HALF of the corpus, then
+    // encode the WHOLE corpus (half of it unseen text) by replaying the
+    // learned merge table round-by-round ([[TextSearch.bpeEncode]] —
+    // encoding consults only the table, never pair frequencies). Output:
+    // per-lang doc counts and token totals before/after encode — the
+    // compression the learned vocab buys, including on text it never saw.
+    // The oracle replays training AND encoding with the same table.
+    "t24_bpe_encode" -> Q(
+      (s, dir) => {
+        import graft.ops.{Checkpoints, TextSearch}
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        var train = Checkpoints.checkpoint(spread(d.filter(coin < 5000))
+          .select(col("doc_id"), textstats.tokens(col("text")).as("toks")))
+        val merges = (1 to 5).map { i =>
+          val sel = Checkpoints.checkpoint(
+            TextSearch.bpeTopPairs(train, "toks", k = 4))
+          train = Checkpoints.checkpoint(
+            TextSearch.bpeApplyMerges(train, "toks", sel))
+          sel.select(lit(i).as("round"), col("rn"), col("l"), col("r"))
+        }.reduce(_.unionByName(_))
+        val base = Checkpoints.checkpoint(spread(d)
+          .select(col("doc_id"), col("lang"),
+            textstats.tokens(col("text")).as("toks")))
+        val enc = TextSearch.bpeEncode(base, "toks", merges, rounds = 5)
+        val before = base.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(size(col("toks")).cast("long")).as("toks_before"))
+        val after = enc.groupBy(col("lang"))
+          .agg(sum(size(col("toks")).cast("long")).as("toks_after"))
+        before.join(after, Seq("lang")).orderBy(col("lang"))
+      },
+      Some {
+        val trainRounds = (1 to 5).map { i =>
+          s"""${sqlBpePairsOf(s"tr${i - 1}", s"tp$i")},
+             ${sqlBpeSelOf(s"tp$i", s"tsel$i")},
+             ${sqlBpeMergeOf(s"tr${i - 1}", s"tsel$i", s"tr$i")}"""
+        }.mkString(",\n")
+        val encodeRounds = (1 to 5).map { i =>
+          sqlBpeMergeOf(s"e${i - 1}", s"tsel$i", s"e$i")
+        }.mkString(",\n")
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH tr0 AS (SELECT doc_id, $sqlToks AS toks FROM documents
+             WHERE $coin < 5000),
+           $trainRounds,
+           e0 AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           $encodeRounds,
+           before AS (SELECT d.lang, count(*) AS docs,
+               CAST(sum(len(e.toks)) AS BIGINT) AS toks_before
+             FROM e0 e JOIN documents d USING (doc_id) GROUP BY d.lang),
+           after AS (SELECT d.lang,
+               CAST(sum(len(e.toks)) AS BIGINT) AS toks_after
+             FROM e5 e JOIN documents d USING (doc_id) GROUP BY d.lang)
+           SELECT b.lang, b.docs, b.toks_before, a.toks_after
+           FROM before b JOIN after a ON a.lang = b.lang
+           ORDER BY b.lang"""
       }),
 
     // t15: compression-ratio quality signal — per-language distribution of

@@ -259,4 +259,49 @@ class TextSearchPackSpec extends SparkSpec {
       }
     }
   }
+
+  test("bpeEncode with the learned table replays the training rewrite " +
+      "exactly; round order matters") {
+    import graft.functions.textstats
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = Checkpoints.checkpoint(
+      docs.select(col("doc_id"), textstats.tokens(col("text")).as("toks")))
+    var train = base
+    val merges = (1 to 3).map { i =>
+      val sel = Checkpoints.checkpoint(
+        TextSearch.bpeTopPairs(train, "toks", k = 4))
+      train = Checkpoints.checkpoint(
+        TextSearch.bpeApplyMerges(train, "toks", sel))
+      sel.select(lit(i).as("round"), col("rn"), col("l"), col("r"))
+    }.reduce(_.unionByName(_))
+    def toksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.select(col("doc_id"), col("toks")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // Identity: encoding the training corpus with the learned table is the
+    // progressive training rewrite — token for token.
+    assert(toksOf(TextSearch.bpeEncode(base, "toks", merges, rounds = 3))
+      === toksOf(train))
+    // Round order matters: on a planted "a b c ..." corpus, round 1 fuses
+    // (a, b) and round 2 must merge the FUSED unit with c — a merge table
+    // applied out of order (or flattened into one batch) could not produce
+    // it, so bpeEncode's sequential replay is essential, not stylistic.
+    val planted = Checkpoints.checkpoint(
+      Seq.tabulate(8)(i => (i.toLong, Seq.fill(6)("a b c").mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), textstats.tokens(col("text")).as("toks")))
+    var ptrain = planted
+    val pmerges = (1 to 2).map { i =>
+      val sel = Checkpoints.checkpoint(
+        TextSearch.bpeTopPairs(ptrain, "toks", k = 1))
+      ptrain = Checkpoints.checkpoint(
+        TextSearch.bpeApplyMerges(ptrain, "toks", sel))
+      sel.select(lit(i).as("round"), col("rn"), col("l"), col("r"))
+    }.reduce(_.unionByName(_))
+    val r2 = pmerges.filter(col("round") === 2).collect()
+    assert(r2.length === 1 && (r2(0).getAs[String]("l").contains(" ") ||
+      r2(0).getAs[String]("r").contains(" ")),
+      s"round 2 should merge over round 1's fused unit: ${r2.toSeq}")
+    assert(toksOf(TextSearch.bpeEncode(planted, "toks", pmerges, rounds = 2))
+      === toksOf(ptrain))
+  }
 }
