@@ -21,16 +21,6 @@ object DedupQueries {
 
   private val sqlToks = QueryDSL.sqlToks
 
-  /** Per-(name, input-dir) scratch path for persisted index tables — same
-    * concurrent-run isolation as SourceQueries' scratch (dir-hash suffix:
-    * Verify at sf0.01 and Bench at sf0.1 share one checkout). */
-  private def scratch(name: String, sfDir: String): String = {
-    val suffix = hashing.md5Long(sfDir).toHexString.take(8)
-    val dir = new java.io.File("/root/repo/target/scratch", s"${name}_$suffix")
-    dir.mkdirs()
-    dir.getPath
-  }
-
   /** (doc_id, s) 3-token shingle table over relation `rel`. */
   private def sqlShinglesFrom(rel: String): String =
     s"""tok AS (SELECT doc_id, $sqlToks AS toks FROM $rel),
@@ -272,11 +262,12 @@ object DedupQueries {
     * corpus's organic bucket sizes (max observed: 6 at sf0.1), so the test
     * results are unchanged while the oracle replays the cap arithmetic;
     * d2c below uses a deliberately BITING cap to verify the semantics. */
-  private val ProductionBucketCap = 64
+  private[queries] val ProductionBucketCap = 64
 
   /** The 10k-sided doc_id coin every deterministic corpus split shares
-    * (e2's train/eval halves, d12's corpus/batch). */
-  private val sqlCoin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+    * (e2's train/eval halves, d12/st10's corpus/batch). */
+  private[queries] val sqlCoin =
+    s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
 
   /** One SIDE of a two-corpus LSH pipeline (e2 decontamination, d12
     * incremental index), as CTEs prefixed `n`: tokenize → 3-shingle → hash
@@ -284,7 +275,7 @@ object DedupQueries {
     * distinct shingle set + sizes. The SQL twin of
     * `hashedShingles → minhashSignatures → lshBands → capBuckets` over
     * `documents WHERE pred`. */
-  private def sqlLshSide(n: String, pred: String): String = {
+  private[queries] def sqlLshSide(n: String, pred: String): String = {
     val mins = (0 until NumHashes)
       .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j")
       .mkString(", ")

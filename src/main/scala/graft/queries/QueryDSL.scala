@@ -20,6 +20,17 @@ object QueryDSL {
   def T(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-(name, input-dir) scratch path for sinks and persisted tables.
+    * The input-dir hash suffix keeps two concurrent runs over different sf
+    * dirs (the realistic overlap: Verify at sf0.01 while Bench runs sf0.1
+    * on one checkout) from racing on a single directory. */
+  def scratch(name: String, sfDir: String): String = {
+    val suffix = graft.functions.hashing.md5Long(sfDir).toHexString.take(8)
+    val dir = new java.io.File("/root/repo/target/scratch", s"${name}_$suffix")
+    dir.mkdirs()
+    dir.getPath
+  }
+
   /** The events table: every consumer sees `ts` as BIGINT nanos-since-epoch
     * plus a derived microsecond `ts_utc` timestamp — the same values DuckDB's
     * `epoch_ns(ts)` / `ts::TIMESTAMP` produce, whatever the file's physical

@@ -122,6 +122,40 @@ object StreamPipelineQueries {
         .orderBy(col("a"), col("b")),
       Some(DedupQueries.sqlMinhashCandidatesWithin(3))),
 
+    // st10: STREAMING PROBE of the persisted dedup index — the
+    // continuous-ingest form of d12: index the 80% corpus once (batch
+    // build, bucketed tables), then the 20% "new docs" arrive as a STREAM,
+    // band row-locally, and stream-static join the index's band table per
+    // micro-batch. ZERO streaming state (no watermark, no join state —
+    // StreamingSpec asserts numRowsTotal == 0), which is the whole point:
+    // the index bounds the lookup, so continuous dedup triage needs no
+    // state ageing at all. Output = distinct (corpus, new) candidate
+    // pairs; the oracle replays corpus-capped × stream-uncapped banding.
+    "st10_stream_index_probe" -> Q(
+      (s, dir) => {
+        import graft.functions.hashing
+        import graft.ops.DedupIndex
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val prefix = s"graft_st10_${dir.hashCode.abs}"
+        DedupIndex.buildIndex(s, T(s, dir, "documents").filter(coin < 8000),
+          "doc_id", "text", k = 3,
+          maxBucketSize = DedupQueries.ProductionBucketCap,
+          path = scratch("st10_index", dir), prefix = prefix)
+        Streams.indexProbeStreaming(s, dir, prefix, where = coin >= 8000,
+            name = s"${prefix}_sink")
+          .distinct()
+          .orderBy(col("a"), col("b"))
+      },
+      Some(
+        s"""WITH ${DedupQueries.sqlLshSide("c",
+          s"${DedupQueries.sqlCoin} < 8000")},
+           ${DedupQueries.sqlLshSide("b",
+          s"${DedupQueries.sqlCoin} >= 8000")}
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM cbandsc x JOIN bbands y
+             ON x.band = y.band AND x.key = y.key
+           ORDER BY a, b""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -289,6 +289,32 @@ object Streams {
             col("a") < col("b") &&
             col("pt") >= col("ct") - expr(s"INTERVAL $horizonMinutes MINUTES") &&
             col("pt") <= col("ct") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+        .select(col("a"), col("b"))
+        .writeStream.outputMode(OutputMode.Append())
+    }
+
+  /** STREAMING PROBE of a persisted dedup index
+    * ([[graft.ops.DedupIndex]]) — the continuous-ingest form of the d12
+    * batch probe: the incoming document stream bands row-locally
+    * (stateless) and each micro-batch joins STREAM-STATIC against the
+    * index's bucketed band table. ZERO streaming state: the static side
+    * is a table scan per micro-batch and the join needs no watermark —
+    * the index bounds the lookup, not a time horizon (StreamingSpec
+    * asserts numRowsTotal == 0 across all micro-batches). Emits
+    * (a = corpus id, b = stream doc id) band-bucket candidates; the
+    * exact-Jaccard confirmation against the persisted shingle table is
+    * idempotent batch work downstream, same split as d12. `where`
+    * pre-filters the stream before banding (e.g. the new-batch coin). */
+  def indexProbeStreaming(spark: SparkSession, dir: String, prefix: String,
+      where: Column = lit(true), name: String = "graft_st10"): DataFrame =
+    drain(spark, name) { s =>
+      val banded = bandedDocs(readDocumentsStream(s, dir).filter(where))
+      banded
+        .select(col("doc_id").as("b"), col("band"), col("key"))
+        .join(s.table(s"${prefix}_bands")
+            .select(col("id").as("a"), col("band"),
+              col("bandKey").as("key")),
+          Seq("band", "key"))
         .select(col("a"), col("b"))
         .writeStream.outputMode(OutputMode.Append())
     }

@@ -198,4 +198,35 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streaming == batch)
   }
+
+  test("st10 index probe: streaming == batch band join, with ZERO " +
+      "streaming state") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.hashing
+    import graft.ops.{Dedup, DedupIndex}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+    val prefix = "graft_st10spec"
+    val path = QueryDSL.scratch("st10_spec_index", sf)
+    DedupIndex.buildIndex(spark, docs.filter(coin < 8000), "doc_id", "text",
+      k = 3, maxBucketSize = 64, path = path, prefix = prefix)
+    val streaming = Streams.indexProbeStreaming(spark, sf, prefix,
+        where = coin >= 8000, name = "st10_spec_sink")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // THE property: a stream-static probe holds no state at all — no
+    // watermark, no join state, nothing to age out. Every micro-batch's
+    // state-row total must be zero.
+    assert(Streams.lastDrainStateRows.get().forall(_ == 0L),
+      s"expected stateless probe, got ${Streams.lastDrainStateRows.get()}")
+    // batch twin: the index's (capped) band table × batch-banded new docs
+    val newBands = Dedup.lshBands(Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs.filter(coin >= 8000), "doc_id", "text", 3)))
+    val batch = spark.table(s"${prefix}_bands").alias("x")
+      .join(newBands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bandKey") === col("y.bandKey"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+  }
 }
