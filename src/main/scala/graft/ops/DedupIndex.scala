@@ -63,6 +63,33 @@ object DedupIndex {
       .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
   }
 
+  /** Fold a probed batch INTO the index — the step that closes the
+    * daily-ingest loop (probe batch N, then append it so batch N+1 probes
+    * the grown corpus). Appends the batch's distinct shingle sets and its
+    * (batch-capped) band rows to the two bucketed tables; appends write
+    * additional per-bucket files, so the tables' bucketing layout — and
+    * every no-shuffle property the probe relies on — is preserved.
+    *
+    * Cap semantics are PER INCREMENT: each append caps on its own bucket
+    * counts (the same per-side rule as the probe itself), so a bucket
+    * that only becomes degenerate ACROSS increments keeps its old rows
+    * until the next full rebuild — the standard index-compaction trade;
+    * with the production cap sized far above organic bucket sizes the
+    * difference is empty (IncrementalIndexSpec asserts the exact grown-
+    * corpus decomposition). */
+  def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, maxBucketSize: Int = 0, prefix: String,
+      buckets: Int = 8, hash: Column => Column = hashing.h64): Unit = {
+    val sh = Checkpoints.checkpoint(
+      Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
+    sh.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(shTable(prefix))
+    Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(sh)),
+        maxBucketSize)
+      .write.mode("append").bucketBy(buckets, "band", "bandKey")
+      .saveAsTable(bandTable(prefix))
+  }
+
   /** Dedup an incoming batch against the persisted index: returns
     * (a, b, jac, src) where src = "cross" pairs have a = corpus id,
     * b = batch id, and src = "batch" pairs are within-batch (a < b).

@@ -63,6 +63,34 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(p.contains("idxspec/shingles"), p)
   }
 
+  test("appendBatch grows the index: two-batch probes decompose the " +
+      "one-shot detector on the full corpus") {
+    val prefix2 = "graft_idxspec2"
+    val path2 = {
+      val f = new java.io.File("/root/repo/target/scratch/idxspec2")
+      f.mkdirs(); f.getPath
+    }
+    val corpus0 = docs.filter(coin < 6000)
+    val batch1 = docs.filter(coin >= 6000 && coin < 8000)
+    val batch2 = docs.filter(coin >= 8000)
+    DedupIndex.buildIndex(spark, corpus0, "doc_id", "text", k = 3,
+      maxBucketSize = 64, path = path2, prefix = prefix2)
+    val indexTime = pairSet(Dedup.minhashLshPairs(corpus0, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64))
+    val probe1 = pairSet(DedupIndex.dedupBatch(spark, batch1, "doc_id",
+      "text", k = 3, threshold = 0.9, maxBucketSize = 64, prefix = prefix2))
+    DedupIndex.appendBatch(spark, batch1, "doc_id", "text", k = 3,
+      maxBucketSize = 64, prefix = prefix2)
+    val probe2 = pairSet(DedupIndex.dedupBatch(spark, batch2, "doc_id",
+      "text", k = 3, threshold = 0.9, maxBucketSize = 64, prefix = prefix2))
+    val oneShot = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64))
+    assert(oneShot.nonEmpty)
+    // probe₂ must see batch₁ through the grown index: the three probe
+    // families plus index-time pairs tile the full detector exactly.
+    assert(indexTime ++ probe1 ++ probe2 === oneShot)
+  }
+
   test("persisted band table co-locates band-key joins without an exchange") {
     built
     val bands = spark.table(s"${prefix}_bands")
