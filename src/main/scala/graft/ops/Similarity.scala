@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.hashing
@@ -184,7 +184,15 @@ object Similarity {
     // struct-min ranks last (NaN > everything in Spark's double ordering).
     // Embeddings here are non-zero by contract, so the branch is dead; if
     // that contract ever loosens, guard zero norms before the cosine.
-    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val assigned = assignToCentroids(corpus, cents, idCol, vecCol)
+    val probes = probeCentroids(queries, cents, idCol, vecCol, nProbe)
+    ivfScoreTail(probes, assigned, k)
+  }
+
+  /** Corpus → (nid, nv, cluster) via the argmin aggregate above. */
+  private def assignToCentroids(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .crossJoin(cents)
       .groupBy(col("nid"))
       .agg(min(struct(
@@ -192,15 +200,22 @@ object Similarity {
         col("cid").as("cid"), col("nv").as("v"))).as("__best"))
       .select(col("nid"), col("__best.v").as("nv"),
         col("__best.cid").as("cluster"))
-    // Query-side probing keeps the top-nProbe window: the query set is
-    // small by contract (it broadcasts), so the sort is negligible.
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+
+  /** Query-side probing keeps the top-nProbe window: the query set is
+    * small by contract (it broadcasts), so the sort is negligible. */
+  private def probeCentroids(queries: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(cents)
       .withColumn("__cos", cosine(col("qv"), col("cv")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid"))))
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid").as("cluster"))
+
+  /** Probed-cluster equi-join + exact rescoring + per-query top-k. */
+  private def ivfScoreTail(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val scored = probes.join(assigned, Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -208,6 +223,39 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Persist an IVF index — the FAISS-on-disk shape the inline x3 build
+    * amortizes away: the k-row centroid table plus the cluster-assigned
+    * corpus ((nid, nv, cluster), bucketed by cluster) as saved tables.
+    * Probes then equi-join their nProbe clusters against a SCAN-ONLY
+    * bucketed table: no assignment recompute, no corpus shuffle, per-probe
+    * work bounded by the probed clusters' size — the same
+    * build-once/probe-many contract as [[graft.ops.DedupIndex]]. */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 2, path: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cents")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_ivf")
+    kmeansCentroids(corpus, idCol, vecCol, k, iters)
+      .write.mode("overwrite").option("path", s"$path/cents")
+      .saveAsTable(s"${prefix}_cents")
+    val cents = broadcast(spark.table(s"${prefix}_cents"))
+    assignToCentroids(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").bucketBy(buckets, "cluster")
+      .option("path", s"$path/ivf").saveAsTable(s"${prefix}_ivf")
+  }
+
+  /** ANN top-k against a [[buildIvfIndex]]-persisted index. Value-identical
+    * to [[ivfTopK]] with the same centroids (persistence is transparent —
+    * IvfIndexSpec asserts it); the corpus side enters only through the
+    * bucketed assignment table. */
+  def ivfProbePersisted(spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int,
+      prefix: String): DataFrame = {
+    val cents = broadcast(spark.table(s"${prefix}_cents"))
+    val probes = probeCentroids(queries, cents, idCol, vecCol, nProbe)
+    ivfScoreTail(probes, spark.table(s"${prefix}_ivf"), k)
   }
 
   /** Multi-probe hyperplane-LSH ANN: each query probes its own bucket PLUS

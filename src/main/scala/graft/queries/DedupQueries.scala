@@ -149,6 +149,32 @@ object DedupQueries {
 
   private def sqlKmeansCents: String = sqlKmeansCentsFrom("embeddings")
 
+  /** IVF ANN replay (k = 12 index, nProbe = 2, top-3) — x3's oracle, and
+    * x9's verbatim: the persisted-index probe is value-identical to the
+    * inline build by construction, so both queries share ONE SQL. */
+  private val sqlIvfAnn: String =
+    s"""WITH $sqlKmeansCents,
+       assign AS (SELECT nid, nv, cid AS cluster FROM (
+         SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
+         FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+       probes AS (SELECT qid, qv, cid AS cluster FROM (
+         SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid) AS rn
+         FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+         WHERE rn <= 2),
+       scored AS (SELECT p.qid, a.nid,
+           round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
+         FROM probes p JOIN assign a
+           ON a.cluster = p.cluster AND a.nid <> p.qid)
+       SELECT qid, rank, nid, cos FROM (
+         SELECT qid, nid, cos, row_number() OVER
+           (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         FROM scored)
+       WHERE rank <= 3 ORDER BY qid, rank"""
+
   /** Deterministic spherical k-means over ONE PQ subspace (the slice
     * [lo, lo+len-1] of `rel`'s embedding), as prefixed CTEs ending in
     * `<prefix>cents(cid, cv)` — the same hash-seeded / exact-decimal-mean
@@ -683,6 +709,25 @@ object DedupQueries {
     // builds the centroids; the corpus is assigned to nearest-centroid
     // inverted lists once; each query probes its 2 nearest centroids' lists
     // only. The oracle replays the ENTIRE pipeline, k-means included.
+    // x9: x3's index PERSISTED — build-once/probe-many (the d12 contract
+    // for vectors): centroids + cluster-assigned corpus land as saved
+    // tables (assignment bucketed by cluster), and the probe equi-joins
+    // its 2 clusters against the scan-only bucketed table. Same
+    // parameters as x3, so persistence is provably transparent: identical
+    // oracle SQL, identical rows (IvfIndexSpec asserts probe ≡ inline,
+    // and that the probe plan recomputes no assignment).
+    "x9_ivf_persisted" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.buildIvfIndex(s, e, "vec_id", "embedding", k = 12,
+          iters = 2, path = scratch("ivf_index", dir), prefix = "graft_x9")
+        Similarity.ivfProbePersisted(s, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", nProbe = 2, k = 3, prefix = "graft_x9")
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(sqlIvfAnn)),
+
     "x3_ivf_ann" -> Q(
       (s, dir) => {
         val e = T(s, dir, "embeddings")
@@ -694,29 +739,7 @@ object DedupQueries {
           .select(col("qid"), col("rank"), col("nid"), col("cos"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some {
-        s"""WITH $sqlKmeansCents,
-           assign AS (SELECT nid, nv, cid AS cluster FROM (
-             SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-             FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
-           probes AS (SELECT qid, qv, cid AS cluster FROM (
-             SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid) AS rn
-             FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
-             WHERE rn <= 2),
-           scored AS (SELECT p.qid, a.nid,
-               round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
-             FROM probes p JOIN assign a
-               ON a.cluster = p.cluster AND a.nid <> p.qid)
-           SELECT qid, rank, nid, cos FROM (
-             SELECT qid, nid, cos, row_number() OVER
-               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-             FROM scored)
-           WHERE rank <= 3 ORDER BY qid, rank"""
-      }),
+      Some(sqlIvfAnn)),
 
     // d10: SemDeDup semantic dedup — k-means clusters the embedding space
     // (same deterministic build as x3), then cosine pruning runs within

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.QueryDSL
+
+/** The persisted IVF index ([[Similarity.buildIvfIndex]] /
+  * [[Similarity.ivfProbePersisted]]) must be TRANSPARENT: a probe against
+  * the saved tables returns exactly the inline [[Similarity.ivfTopK]]
+  * rows, the corpus side enters only through the bucketed assignment
+  * table (no assignment recompute, no corpus-sized scan in the probe
+  * plan), and the cluster equi-join reads buckets. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val prefix = "graft_ivfspec"
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private lazy val built: Unit = Similarity.buildIvfIndex(spark, emb,
+    "vec_id", "embedding", k = 12, iters = 2,
+    path = QueryDSL.scratch("ivfspec_index", sf), prefix = prefix)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  test("persisted probe ≡ inline ivfTopK (persistence is transparent)") {
+    built
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 12, iters = 2)
+      .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    val inline = rows(Similarity.ivfTopK(emb, queries, cents,
+      "vec_id", "embedding", nProbe = 2, k = 3))
+    val probed = rows(Similarity.ivfProbePersisted(spark, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3, prefix = prefix))
+    assert(probed === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("probe plan: corpus enters ONLY via the bucketed assignment table") {
+    built
+    val df = Similarity.ivfProbePersisted(spark, queries, "vec_id",
+      "embedding", nProbe = 2, k = 3, prefix = prefix)
+    df.collect()
+    // AQE's toString prints the final plan AND the initial plan — count
+    // scans in the final section only.
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // The queries frame reads embeddings.parquet (small side, by
+    // contract); the CORPUS must not — its only trace is the index
+    // tables. One scan, not two.
+    val corpusScans = "embeddings\\.parquet".r.findAllIn(p).size
+    assert(corpusScans == 1, s"expected 1 embeddings scan (queries), got $corpusScans:\n$p")
+    assert(p.contains("ivfspec_index"), p)
+    // No per-probe argmin assignment: the probe never re-aggregates the
+    // corpus (the build's min-struct agg is absent from the probe plan).
+    assert(!p.contains("partial_min(struct"), p)
+  }
+}
