@@ -90,6 +90,23 @@ object DedupIndex {
       .saveAsTable(bandTable(prefix))
   }
 
+  /** COMPACTION — rebuild the band table from the CURRENT shingle table
+    * with whole-index bucket-cap counts, the step [[appendBatch]]'s
+    * per-increment caps defer to: a bucket that only became degenerate
+    * across increments is dropped here. One scan of the (distinct,
+    * append-only) shingle table — which itself never needs rebuilding.
+    * After compact, the index is indistinguishable from a fresh
+    * [[buildIndex]] over the union corpus (IncrementalIndexSpec asserts
+    * band-table set equality under a deliberately BITING cap). */
+  def compact(spark: SparkSession, prefix: String, maxBucketSize: Int = 0,
+      path: String, buckets: Int = 8): Unit = {
+    val bands = Checkpoints.checkpoint(
+      Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(
+        spark.table(shTable(prefix)))), maxBucketSize))
+    bands.write.mode("overwrite").bucketBy(buckets, "band", "bandKey")
+      .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
+  }
+
   /** Dedup an incoming batch against the persisted index: returns
     * (a, b, jac, src) where src = "cross" pairs have a = corpus id,
     * b = batch id, and src = "batch" pairs are within-batch (a < b).

