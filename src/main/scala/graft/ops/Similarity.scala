@@ -246,6 +246,21 @@ object Similarity {
       .option("path", s"$path/ivf").saveAsTable(s"${prefix}_ivf")
   }
 
+  /** Fold a new vector batch into a persisted IVF index: assign the batch
+    * to the EXISTING centroids — no retraining, the standard IVF add
+    * contract (FAISS `add` does the same; rebuild via [[buildIvfIndex]]
+    * when distribution drift warrants) — and append the assignments to
+    * the bucketed table, preserving its layout. After the append, a probe
+    * is value-identical to the inline [[ivfTopK]] over the grown corpus
+    * with the original centroids (IvfIndexSpec asserts it). */
+  def appendToIvfIndex(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, prefix: String, buckets: Int = 8): Unit = {
+    val cents = broadcast(spark.table(s"${prefix}_cents"))
+    assignToCentroids(batch, cents, idCol, vecCol)
+      .write.mode("append").bucketBy(buckets, "cluster")
+      .saveAsTable(s"${prefix}_ivf")
+  }
+
   /** ANN top-k against a [[buildIvfIndex]]-persisted index. Value-identical
     * to [[ivfTopK]] with the same centroids (persistence is transparent —
     * IvfIndexSpec asserts it); the corpus side enters only through the

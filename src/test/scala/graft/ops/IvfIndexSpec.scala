@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.functions.hashing
 import graft.queries.QueryDSL
 
 /** The persisted IVF index ([[Similarity.buildIvfIndex]] /
@@ -36,6 +37,29 @@ class IvfIndexSpec extends SparkSpec {
       "vec_id", "embedding", nProbe = 2, k = 3))
     val probed = rows(Similarity.ivfProbePersisted(spark, queries,
       "vec_id", "embedding", nProbe = 2, k = 3, prefix = prefix))
+    assert(probed === inline)
+    assert(inline.nonEmpty)
+  }
+
+  test("appendToIvfIndex: probe after append ≡ inline over the grown " +
+      "corpus with the original centroids") {
+    val prefix2 = "graft_ivfspec2"
+    val part = hashing.h64(col("vec_id").cast("string")) % 10000
+    val corpus0 = emb.filter(part < 8000)
+    val batch = emb.filter(part >= 8000)
+    Similarity.buildIvfIndex(spark, corpus0, "vec_id", "embedding", k = 12,
+      iters = 2, path = QueryDSL.scratch("ivfspec2_index", sf),
+      prefix = prefix2)
+    Similarity.appendToIvfIndex(spark, batch, "vec_id", "embedding",
+      prefix = prefix2)
+    val probed = rows(Similarity.ivfProbePersisted(spark, queries,
+      "vec_id", "embedding", nProbe = 2, k = 3, prefix = prefix2))
+    // Inline twin: the FULL corpus assigned to the 80%-trained centroids.
+    val cents = Similarity.kmeansCentroids(corpus0, "vec_id", "embedding",
+        k = 12, iters = 2)
+      .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    val inline = rows(Similarity.ivfTopK(emb, queries, cents,
+      "vec_id", "embedding", nProbe = 2, k = 3))
     assert(probed === inline)
     assert(inline.nonEmpty)
   }
