@@ -1439,9 +1439,14 @@ object DedupQueries {
         val d = T(s, dir, "documents").select("doc_id", "lang", "text")
         val gated = Checkpoints.checkpoint(
           spread(d).filter(textstats.tokenCount(col("text")) >= 30))
-        val gemb = T(s, dir, "embeddings")
+        // Checkpointed: the gated-embeddings join feeds SIX consumers
+        // (auto-k's count + seeding, two Lloyd assignments, the SemDeDup
+        // assignment, and the prune) — left lazy it re-executes per
+        // consumer (A/B at sf0.1: ~0.8 s, auto-k having added two of the
+        // six).
+        val gemb = Checkpoints.checkpoint(T(s, dir, "embeddings")
           .join(gated.select(col("doc_id")),
-            col("vec_id") === col("doc_id"), "left_semi")
+            col("vec_id") === col("doc_id"), "left_semi"))
         // Auto-k (k = ceil(n/50)): the composite inherits d13's SemDeDup
         // contract derivation instead of a hand-tuned k — the gated corpus
         // size changes per scale factor, the target cluster size doesn't.
