@@ -44,6 +44,29 @@ class BloomShardedSpec extends SparkSpec {
     }
   }
 
+  test("signed production hashes: sharded pass set still bit-identical " +
+      "(pmod normalization on both build and probe)") {
+    import spark.implicits._
+    // Raw xxhash64-style SIGNED longs — the input class whose negative
+    // probe positions the unsharded build had to pmod-normalize (round-6
+    // hardening); the sharded twin must inherit the same contract.
+    def member(i: Int): Long = i.toLong * -2654435761L + (i % 7) * 40503L
+    val signed = Seq.tabulate(500)(member).toDF("h")
+    // 50 true members (guaranteed hits) + 750 outsiders (FP fodder).
+    val probe = Seq.tabulate(800)(i =>
+      if (i < 50) member(i * 9) else i.toLong * -9221077L + 31L).toDF("h")
+    val m1 = Dedup.bloomBitmap(signed, "h", m, probes)
+    val base = Dedup.bloomMightContain(m1, probe, "h", m, probes)
+      .collect().map(_.getLong(0)).toSet
+    for (shards <- Seq(4, 16)) {
+      val ms = Dedup.bloomBitmapSharded(signed, "h", m, probes, shards)
+      val pass = Dedup.bloomMightContainSharded(ms, probe, "h", m, probes,
+        shards).collect().map(_.getLong(0)).toSet
+      assert(pass === base, s"shards=$shards diverged")
+    }
+    assert(base.nonEmpty) // planted overlap via the shared (i % 7) residue
+  }
+
   test("e8 query result equals e7 exactly (same counts, sharded layout)") {
     val e7 = graft.SparkEntry.queries("e7_bloom_decontaminate")(spark, sf)
     val e8 = graft.SparkEntry.queries("e8_bloom_sharded")(spark, sf)

@@ -122,6 +122,30 @@ class IncrementalIndexSpec extends SparkSpec {
     assert(bandSet(s"${prefix3}_bands") === fresh)
   }
 
+  test("production hash path (xxh60): probe emits the same verified pairs " +
+      "as the md5 index") {
+    built
+    val prefix5 = "graft_idxspec5"
+    val path5 = {
+      val f = new java.io.File("/root/repo/target/scratch/idxspec5")
+      f.mkdirs(); f.getPath
+    }
+    // Same d8 argument as the one-shot detector: exact-Jaccard-verified
+    // output is hash-independent for any collision-free hash (scores see
+    // only set identity; banding recall at this corpus's planted
+    // similarities is full) — so the cheap production hash must reproduce
+    // the md5 index's pairs exactly, end to end through build AND probe.
+    DedupIndex.buildIndex(spark, corpus, "doc_id", "text", k = 3,
+      maxBucketSize = 64, path = path5, prefix = prefix5,
+      hash = hashing.xxh60)
+    val xx = pairSet(DedupIndex.dedupBatch(spark, batch, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64, prefix = prefix5,
+      hash = hashing.xxh60))
+    val md5 = pairSet(DedupIndex.dedupBatch(spark, batch, "doc_id", "text",
+      k = 3, threshold = 0.9, maxBucketSize = 64, prefix = prefix))
+    assert(xx === md5)
+  }
+
   test("persisted band table co-locates band-key joins without an exchange") {
     built
     val bands = spark.table(s"${prefix}_bands")
