@@ -278,7 +278,7 @@ object DedupQueries {
            ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"""
   }
 
-  private def sqlMinhashLshFrom(rel: String, maxBucket: Int = 0): String =
+  private[queries] def sqlMinhashLshFrom(rel: String, maxBucket: Int = 0): String =
     s"""WITH ${sqlMinhashCandFrom(rel, maxBucket)},
        ${sqlJaccardTail(0.9)}"""
 

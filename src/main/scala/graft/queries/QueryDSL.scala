@@ -31,6 +31,16 @@ object QueryDSL {
     dir.getPath
   }
 
+  /** Recursively delete a scratch path (no-op when absent). */
+  def wipe(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    val f = new java.io.File(path)
+    if (f.exists) rec(f)
+  }
+
   /** The events table: every consumer sees `ts` as BIGINT nanos-since-epoch
     * plus a derived microsecond `ts_utc` timestamp — the same values DuckDB's
     * `epoch_ns(ts)` / `ts::TIMESTAMP` produce, whatever the file's physical

@@ -13,28 +13,9 @@ import QueryDSL._
   */
 object SourceQueries {
 
-  private val scratchRoot = "/root/repo/target/scratch"
-
-  /** Per-(query, input-dir) scratch path: the input-dir hash suffix keeps
-    * two concurrent runs over different sf dirs (the realistic overlap:
-    * Verify at sf0.01 while Bench runs sf0.1 on the same checkout) from
-    * racing on one directory — the same isolation the streaming query
-    * names get from their output-dir hash. */
-  private def scratch(name: String, sfDir: String): String = {
-    val suffix = graft.functions.hashing.md5Long(sfDir).toHexString.take(8)
-    val dir = new java.io.File(scratchRoot, s"${name}_$suffix")
-    dir.mkdirs()
-    dir.getPath
-  }
-
-  private def wipe(path: String): Unit = {
-    def rec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rec)
-      f.delete()
-    }
-    val f = new java.io.File(path)
-    if (f.exists) rec(f)
-  }
+  // Scratch paths and wipes come from the ONE shared definition
+  // (QueryDSL.scratch/wipe, imported above): per-(name, input-dir)
+  // isolation for concurrent runs.
 
   val defs: Map[String, Q] = Map(
 

@@ -156,6 +156,30 @@ object StreamPipelineQueries {
              ON x.band = y.band AND x.key = y.key
            ORDER BY a, b""")),
 
+    // st11: TRUE streaming incremental dedup — the full index lifecycle
+    // as one continuous query: each micro-batch probes the persisted
+    // index (cross + within pairs, exact-Jaccard verified) then folds
+    // itself in, so every near-dup pair surfaces exactly once, when its
+    // later doc arrives. Over a bounded drain that is the ONE-SHOT batch
+    // detector's pair set — the oracle is d2's SQL with the production
+    // cap, which is as strong as a streaming oracle gets. foreachBatch
+    // holds no stream state; the index tables ARE the state
+    // (restart-safe by construction).
+    "st11_stream_incremental_dedup" -> Q(
+      (s, dir) => {
+        val prefix = s"graft_st11_${dir.hashCode.abs}"
+        val idxPath = scratch("st11_index", dir)
+        val outRoot = scratch("st11_out", dir)
+        wipe(s"$outRoot/pairs"); wipe(s"$outRoot/pairs-ckpt")
+        Streams.incrementalDedupStreaming(s, dir, idxPath,
+            s"$outRoot/pairs", prefix, k = 3, threshold = 0.9,
+            maxBucketSize = DedupQueries.ProductionBucketCap,
+            name = s"${prefix}_sink")
+          .orderBy(col("a"), col("b"))
+      },
+      Some(DedupQueries.sqlMinhashLshFrom("documents",
+        DedupQueries.ProductionBucketCap))),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

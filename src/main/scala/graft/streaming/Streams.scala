@@ -319,6 +319,57 @@ object Streams {
         .writeStream.outputMode(OutputMode.Append())
     }
 
+  /** TRUE STREAMING INCREMENTAL DEDUP — the full
+    * [[graft.ops.DedupIndex]] lifecycle composed into one continuous
+    * query: every micro-batch PROBES the index (cross + within-batch
+    * pairs, exact-Jaccard verified) and is then FOLDED IN
+    * (`appendBatch`), so later batches dedup against everything that
+    * arrived before them. The output over a bounded drain is therefore
+    * exactly the one-shot batch detector's pair set on the whole corpus
+    * — each near-dup pair surfaces precisely once, when its later doc
+    * arrives — which is the oracle (d2's SQL, bucket caps included) and
+    * the StreamingSpec identity on a chunked multi-batch source.
+    *
+    * Pairs are emitted id-normalized (a < b) because arrival order and
+    * id order need not agree across micro-batches. All per-batch work is
+    * distributed (probe joins + bucketed appends + a parquet append of
+    * the pairs); `foreachBatch` sequences it, holding NO streaming state
+    * — the persisted index IS the state, which is what makes the
+    * continuous form restart-safe on a real cluster. */
+  def incrementalDedupStreaming(spark: SparkSession, dir: String,
+      indexPath: String, outPath: String, prefix: String, k: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 0,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st11",
+      hash: Column => Column = graft.functions.hashing.h64): DataFrame = {
+    import graft.ops.DedupIndex
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    // Start from an EMPTY index (schema-pinned zero-row frame): the first
+    // micro-batch has nothing to cross against and folds itself in.
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    DedupIndex.buildIndex(s, empty, "doc_id", "text", k, maxBucketSize,
+      indexPath, prefix, hash = hash)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession // micro-batch session, shared catalog
+        val pairs = DedupIndex.dedupBatch(bs, batch, "doc_id", "text", k,
+          threshold, maxBucketSize, prefix, hash)
+        pairs.select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"), col("jac"))
+          .write.mode("append").parquet(outPath)
+        DedupIndex.appendBatch(bs, batch, "doc_id", "text", k,
+          maxBucketSize, prefix, hash = hash)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outPath)
+  }
+
   /** A closed session: [startTs, endTs] nanos with its event count. */
   case class ClosedSession(user_id: Long, startTs: Long, endTs: Long,
       events: Long)

@@ -199,6 +199,42 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("st11 incremental dedup: 4-micro-batch stream == one-shot " +
+      "detector; cross-batch pairs flow through the folded-in index") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = Files.createTempDirectory("st11_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st11_chunk$i")
+      docs.filter(col("doc_id") >= i * 125 && col("doc_id") < (i + 1) * 125)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val outRoot = Files.createTempDirectory("st11_out").toString
+    val streaming = Streams.incrementalDedupStreaming(spark,
+        srcDir.toString, indexPath = s"$outRoot/index",
+        outPath = s"$outRoot/pairs", prefix = "graft_st11spec", k = 3,
+        threshold = 0.9, maxBucketSize = 64, glob = "documents_*.parquet",
+        maxFilesPerTrigger = 1, name = "st11_spec")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.9, maxBucketSize = 64)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streaming == batch)
+    // The property that proves the fold-in: pairs whose docs arrived in
+    // DIFFERENT micro-batches can only be found via the index (the
+    // earlier doc is long gone from any stream state — there is none).
+    assert(streaming.exists { case (a, b) => a / 125 != b / 125 },
+      "no cross-micro-batch pair — the fold-in was never exercised")
+  }
+
   test("st10 index probe: streaming == batch band join, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.functions._
