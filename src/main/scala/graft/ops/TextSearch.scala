@@ -190,6 +190,55 @@ object TextSearch {
       .agg(count(lit(1)).as("ntok"), sum(col("__logp")).as("logp_sum"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed token features are under a TARGET
+    * distribution (the rows matching `targetPred` — e.g. a trusted
+    * high-quality subset) than under the RAW corpus distribution. The
+    * per-doc log importance weight is
+    * `Σ_features log p_target(b) − log p_raw(b)` over the doc's hashed
+    * feature occurrences, with Laplace(+1)-smoothed bucket unigrams —
+    * the paper's hashed n-gram estimator with unigram features. Top
+    * weights select raw documents that "look like" the target; the
+    * paper's Gumbel-noise sampling step is a caller-side variant (add
+    * noise before the top-k), kept out so the operator stays
+    * deterministic.
+    *
+    * Determinism: per-bucket log-ratios round to 6 decimals and sum as
+    * DECIMAL(18,6) — the t13 contract, partition-order- and
+    * engine-independent. Both bucket hash and smoothing replay in the
+    * oracle.
+    *
+    * Scale: one explode + one `width`-bounded aggregation (map-side
+    * combined: ≤ `buckets` rows however large the corpus) + a broadcast
+    * ratio-table join back onto the feature stream. No vocabulary
+    * shuffle, no per-doc state — the same hashing-trick shape as
+    * [[hashedLinearScore]]. Returns one row per document: the input
+    * columns minus `textCol`, plus `ntok` and `dsir_logw`. */
+  def dsirLogRatios(docs: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int): DataFrame = {
+    import graft.functions.hashing
+    require(buckets > 0, "buckets must be positive")
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    val feats = docs
+      .select(keep ++ Seq(targetPred.as("__is_t"),
+        explode(textstats.tokens(col(textCol))).as("__t")): _*)
+      .withColumn("__b", hashing.h64(col("__t")) % lit(buckets.toLong))
+    val bc = feats.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"),
+        sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val tot = bc.agg(sum(col("__cr")).as("__nr"), sum(col("__ct")).as("__nt"))
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round(
+          log((col("__ct") + lit(1)) / (col("__nt") + lit(buckets))) -
+            log((col("__cr") + lit(1)) / (col("__nr") + lit(buckets))), 6)
+          .cast("decimal(18,6)").as("__lr"))
+    feats.join(broadcast(lr), "__b")
+      .groupBy(keep.toSeq: _*)
+      .agg(count(lit(1)).as("ntok"), sum(col("__lr")).as("dsir_logw"))
+  }
+
   /** fastText-style hashed linear classifier scoring — the "quality model"
     * stage of modern pretraining pipelines (a trained linear model over
     * hashed bag-of-token features, scoring billions of documents). Feature

