@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for scan pruning — the write-side half of the
+  * 100 TB story: parquet keeps per-file/row-group min-max stats, but they
+  * only prune when the data is CLUSTERED so each file covers a narrow
+  * value box. A single-column sort clusters one dimension and shreds the
+  * rest; Morton (z-order) interleaving clusters ALL participating
+  * dimensions at once (the Delta/Iceberg `OPTIMIZE ZORDER BY` idea), so a
+  * conjunctive box predicate overlaps few files however it mixes the
+  * dimensions. LayoutSpec measures exactly that: a 2-D box query touches
+  * ~1/8 of z-ordered files vs. every file of an unclustered layout.
+  */
+object Layout {
+
+  /** Morton z-value: interleave the low `bits` bits of two NON-NEGATIVE
+    * columns (a's bit i lands at position 2i+1, b's at 2i). Pure
+    * codegen'd shift/mask math — no UDF, no shuffle; callers clamp their
+    * dimensions into the domain first (e.g. `pmod(k, 2^bits)` for keys,
+    * a range-quantized bucket for continuous values). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(
+          shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** DuckDB twin of [[zValue]] over two integer expressions. */
+  def sqlZValue(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($a) >> $i) & 1) << ${2 * i + 1}) | (((($b) >> $i) & 1) << ${2 * i})"
+    }.mkString("(", ") | (", ")")
+
+  /** Rewrite `df` as `numFiles` z-clustered parquet files: range-partition
+    * on the z-value, sort within each partition, drop the helper column.
+    * The range exchange is the one-time clustering cost (sampled
+    * boundaries, not a full global sort of the payload) — the same price
+    * `OPTIMIZE ZORDER` pays, amortized over every pruned scan after it.
+    * Rows are only reordered, never changed: any aggregate over the
+    * written table equals the same aggregate over `df`. */
+  def zOrderWrite(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int, path: String): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+}

@@ -1351,6 +1351,102 @@ object DedupQueries {
              (SELECT count(*) FROM flagged) AS shared_occurrences"""
       }),
 
+    // e9: MULTI-EVAL-SET decontamination in ONE corpus pass — the
+    // production shape (a pretraining run screens against MMLU + GSM8K +
+    // HumanEval etc. simultaneously, not one scan per benchmark): three
+    // eval sets' 8-shingles build ONE union Bloom bitmap; train shingles
+    // probe it once and die map-side; survivors attribute per-set through
+    // the exact (eset, h) join. Per-set rows carry eval_hashes /
+    // exact_hits / flagged_docs / shared_occurrences, plus the shared
+    // union-bloom candidate count so the one-pass prefilter is visible in
+    // the hash-matched result. Scale: the bloom cost is ONE bitmap for
+    // all sets (vs N bitmaps and N corpus scans), attribution touches
+    // only the bloom survivors; everything downstream of the map-side
+    // kill is equi-join on h.
+    "e9_multi_decontaminate" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val m = 1 << 20
+        val probes = 3
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val trainSh = Checkpoints.checkpoint(
+          Dedup.hashedShingles(d.filter(coin < 7000), "doc_id", "text",
+            k = 8).distinct())
+        val evalSh = Dedup.hashedShingles(d.filter(coin >= 7000),
+          "doc_id", "text", k = 8)
+        val eset = ((hashing.h64(col("id").cast("string")) % 10000)
+          - 7000) / 1000
+        val evset = Checkpoints.checkpoint(
+          evalSh.select(eset.cast("int").as("eset"), col("h")).distinct())
+        val evUnion = Checkpoints.checkpoint(
+          evset.select(col("h")).distinct())
+        val trainHashes = Checkpoints.checkpoint(
+          trainSh.select(col("h")).distinct())
+        val bitmap = Dedup.bloomBitmap(evUnion, "h", mBits = m,
+          numProbes = probes)
+        val cand = Checkpoints.checkpoint(
+          Dedup.bloomMightContain(bitmap, trainHashes, "h", m, probes))
+        val hits = Checkpoints.checkpoint(
+          evset.join(cand, Seq("h"), "left_semi"))
+        val flagged = trainSh.join(hits, Seq("h"))
+        evset.groupBy(col("eset")).agg(count(lit(1)).as("eval_hashes"))
+          .join(hits.groupBy(col("eset"))
+            .agg(count(lit(1)).as("exact_hits")), Seq("eset"), "left")
+          .join(flagged.groupBy(col("eset"))
+            .agg(countDistinct(col("id")).as("flagged_docs"),
+              count(lit(1)).as("shared_occurrences")), Seq("eset"), "left")
+          .crossJoin(broadcast(cand.agg(count(lit(1)).as("bloom_pass"))))
+          .select(col("eset"), col("eval_hashes"),
+            coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+            coalesce(col("flagged_docs"), lit(0L)).as("flagged_docs"),
+            coalesce(col("shared_occurrences"), lit(0L))
+              .as("shared_occurrences"),
+            col("bloom_pass"))
+          .orderBy(col("eset"))
+      },
+      Some {
+        val m = 1 << 20
+        def pr(j: Int, h: String): String =
+          s"(${hashing.sqlPerm(j, s"($h % ${hashing.P})")} % $m)"
+        def mask(p: String): String =
+          s"""CASE WHEN ($p) % 64 = 63 THEN (-9223372036854775807 - 1)
+              ELSE 1::BIGINT << CAST(($p) % 64 AS INTEGER) END"""
+        val probeList = (0 until 3).map(j => pr(j, "h")).mkString(", ")
+        val coin = s"${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10000"
+        s"""WITH ${sqlShingleSide("tr", s"$coin < 7000", 8)},
+             ${sqlShingleSide("ev", s"$coin >= 7000", 8)},
+             trset AS (SELECT DISTINCT h FROM trhs),
+             evset AS (SELECT DISTINCT
+                 CAST((($coin) - 7000) // 1000 AS INTEGER) AS eset, h
+               FROM evhs),
+             evu AS (SELECT DISTINCT h FROM evset),
+             evpos AS (SELECT unnest([$probeList]) AS p FROM evu),
+             words AS (SELECT p // 64 AS w, bit_or(${mask("p")}) AS mask
+               FROM evpos GROUP BY 1),
+             trprobe AS (SELECT h, unnest([$probeList]) AS p FROM trset),
+             pass AS (SELECT h FROM (
+                 SELECT h, count(*) AS okc FROM trprobe JOIN words
+                   ON words.w = p // 64 AND (mask & ${mask("p")}) <> 0
+                 GROUP BY h) WHERE okc = 3),
+             hits AS (SELECT e.eset, e.h FROM evset e
+               JOIN pass USING (h)),
+             flagged AS (SELECT hh.eset, t.doc_id
+               FROM trhs t JOIN hits hh USING (h))
+           SELECT e.eset, e.eval_hashes,
+             coalesce(hh.c, 0) AS exact_hits,
+             coalesce(f.d, 0) AS flagged_docs,
+             coalesce(f.c, 0) AS shared_occurrences,
+             (SELECT count(*) FROM pass) AS bloom_pass
+           FROM (SELECT eset, count(*) AS eval_hashes FROM evset
+             GROUP BY eset) e
+           LEFT JOIN (SELECT eset, count(*) AS c FROM hits
+             GROUP BY eset) hh USING (eset)
+           LEFT JOIN (SELECT eset, count(DISTINCT doc_id) AS d,
+               count(*) AS c FROM flagged GROUP BY eset) f USING (eset)
+           ORDER BY eset"""
+      }),
+
     // e5: the FULL curation pipeline a training-data team runs end-to-end —
     // quality gate → passage-dedup rewrite → exact-dup removal → stratified
     // mixing-rate sample → per-language token budget — composed entirely

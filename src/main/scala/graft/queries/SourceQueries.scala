@@ -162,6 +162,46 @@ object SourceQueries {
            FROM documents GROUP BY 1 ORDER BY 1"""
       }),
 
+    // s15: z-order clustered rewrite (OPTIMIZE ZORDER) — lineitem lands
+    // as 8 parquet files range-partitioned and sorted on the Morton
+    // interleave of (l_orderkey, l_partkey) mod 2^12, so BOTH key
+    // dimensions cluster at once and a conjunctive box predicate prunes
+    // by file min-max stats (LayoutSpec measures the pruning: a 2-D box
+    // touches ~1/8 of z-files vs every file unclustered). The query
+    // aggregates the READ-BACK table per z-range bucket — the round trip
+    // plus the interleave arithmetic is what the oracle hash-matches
+    // (clustering only reorders rows, so the aggregate over the rewritten
+    // table must equal the same aggregate over the source).
+    "s15_zorder" -> Q(
+      (s, dir) => {
+        import graft.ops.Layout
+        val out = scratch("s15_zorder", dir)
+        def za(c: org.apache.spark.sql.Column) = pmod(c, lit(4096L))
+        Layout.zOrderWrite(
+          T(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          za(col("l_orderkey")), za(col("l_partkey")), bits = 12,
+          numFiles = 8, path = out)
+        s.read.parquet(out)
+          .select(Layout.zValue(za(col("l_orderkey")), za(col("l_partkey")),
+            12).as("z"), dec(col("l_quantity")).as("q"))
+          .groupBy(shiftright(col("z"), 20).as("zbucket"))
+          .agg(count(lit(1)).as("cnt"), min(col("z")).as("min_z"),
+            max(col("z")).as("max_z"),
+            sum(col("q")).cast("double").as("sum_qty"))
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        import graft.ops.Layout
+        s"""SELECT (z >> 20) AS zbucket, count(*) AS cnt,
+             min(z) AS min_z, max(z) AS max_z,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+           FROM (SELECT ${Layout.sqlZValue("l_orderkey % 4096",
+          "l_partkey % 4096", 12)} AS z, l_quantity FROM lineitem)
+           GROUP BY 1 ORDER BY 1"""
+      }),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -348,4 +348,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p) // both rankers top-k
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("a10: sketch build is one map-side-combined aggregate; the probe " +
+    "is a broadcast join of the bounded sketch; exact top-k is " +
+    "distributed, not a global sort") {
+    val p = plan("a10_countmin")
+    assert(p.contains("partial_count"), p) // sketch cells combine map-side
+    assert(p.contains("BroadcastHashJoin"), p) // ≤ depth×width sketch rows
+    assert(p.contains("TakeOrderedAndProject"), p) // top-20 true counts
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t25: DSIR ratio table broadcasts back over the feature stream — " +
+    "no vocabulary-sized shuffle, no cartesian beyond the 1-row totals") {
+    val p = plan("t25_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"), p) // bucket log-ratio join
+    assert(p.contains("partial_count"), p) // bucket counts combine map-side
+    assert(p.contains("TakeOrderedAndProject"), p) // top-25, no global sort
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e9: one union bloom bitmap broadcasts for ALL eval sets — the " +
+    "train side is probed once, attribution is equi-join only") {
+    val p = plan("e9_multi_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row union bitmap
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed shingle sides
+  }
 }

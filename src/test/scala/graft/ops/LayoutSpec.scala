@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** z-order layout contracts: the interleave arithmetic itself, and the
+  * property the operator exists for — per-file min-max boxes tight enough
+  * that a 2-D box predicate prunes most files, which an unclustered
+  * layout cannot do. */
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def interleaveRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i + 1)) | (((b >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+
+  test("zValue matches the bit-interleave reference on exhaustive 5-bit " +
+      "pairs and random 20-bit pairs") {
+    val pairs = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)) ++
+      (1 to 200).map(i => ((i * 7919L) % (1L << 20), (i * 104729L) % (1L << 20)))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+        Layout.zValue(col("a"), col("b"), 20).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) == interleaveRef(a, b, 20), s"($a, $b)")
+    }
+  }
+
+  test("z-order interleaves strictly: z is monotone in each dim when the " +
+      "other is fixed") {
+    val df = (0L until 64L).map(x => (x, 5L)).toDF("a", "b")
+    val zs = df.select(Layout.zValue(col("a"), col("b"), 6))
+      .collect().map(_.getLong(0))
+    assert(zs.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("a 2-D box query overlaps few z-ordered file boxes but every " +
+      "unclustered file") {
+    import java.nio.file.Files
+    // uniform 256x256 grid, 8 files; box [0,32)^2 = 1/64 of the z-domain
+    val grid = spark.range(65536L)
+      .select((col("id") / 256).cast("long").as("x"),
+        (col("id") % 256).as("y"))
+      // shuffle the row order so "unclustered" really is unclustered
+      .orderBy(graft.functions.hashing.h64(col("id").cast("string")))
+    val zPath = Files.createTempDirectory("zorder").toString + "/t"
+    Layout.zOrderWrite(grid, col("x"), col("y"), bits = 8, numFiles = 8,
+      zPath)
+    val flatPath = Files.createTempDirectory("flat").toString + "/t"
+    grid.repartition(8).write.mode("overwrite").parquet(flatPath)
+
+    def overlapping(path: String): Long = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("x")).as("ax"), min(col("y")).as("ay"))
+      .filter(col("ax") < 32 && col("ay") < 32)
+      .count()
+
+    val zHit = overlapping(zPath)
+    val flatHit = overlapping(flatPath)
+    assert(flatHit == 8L, s"unclustered layout should cover the box in " +
+      s"every file, got $flatHit")
+    assert(zHit <= 2L, s"z-order should confine the box to ~1 of 8 files," +
+      s" got $zHit")
+    // row content is untouched by the rewrite
+    assert(spark.read.parquet(zPath).agg(sum(col("x")), sum(col("y")))
+      .collect().head ==
+      grid.agg(sum(col("x")), sum(col("y"))).collect().head)
+  }
+}
