@@ -190,6 +190,51 @@ object TextSearch {
       .agg(count(lit(1)).as("ntok"), sum(col("__logp")).as("logp_sum"))
   }
 
+  /** Interpolated bigram-LM scoring — the next step up the CCNet
+    * perplexity ladder from [[unigramLogProbs]]: each in-document bigram
+    * (u, v) scores `log(λ·c(u,v)/c(u·) + (1−λ)·c(v)/N)` — bigram MLE
+    * interpolated with the unigram distribution (Jelinek-Mercer
+    * smoothing), so unseen-in-context continuations still get the
+    * unigram floor while frequent continuations score near their
+    * conditional probability. Returns one row per document with `nbg`
+    * (bigram count) and `logp_sum`; docs under 2 tokens drop out
+    * (no bigrams to score).
+    *
+    * Determinism: the t13 contract — per-bigram log-probs round to 6
+    * decimals and sum as DECIMAL(18,6); the interpolation arithmetic is
+    * IEEE-exact on both engines, only `ln` needs the rounding guard.
+    *
+    * Scale: bigrams explode row-locally (array transform, no window/lag
+    * shuffle); the bigram table aggregates with map-side combine and
+    * joins back by (u, v) equi-join — vocabulary² in the worst case, so
+    * no broadcast hint: AQE broadcasts when it fits, shuffles when it
+    * must. The 1-row total is the only cross join. */
+  def bigramLogProbs(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val keep = docs.columns.filterNot(_ == textCol).map(col)
+    val base = docs.select(keep :+
+      textstats.tokens(col(textCol)).as("__toks"): _*)
+    val bg = base.filter(size(col("__toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, size(__toks)-1), i -> " +
+          "struct(element_at(__toks, i) AS u, element_at(__toks, i+1) AS v))"))
+        .as("__b"): _*)
+      .select(keep ++ Seq(col("__b.u").as("__u"), col("__b.v").as("__v")): _*)
+    val c2 = bg.groupBy(col("__u"), col("__v")).agg(count(lit(1)).as("__c"))
+    val c1 = c2.groupBy(col("__u")).agg(sum(col("__c")).as("__ctx"))
+    val uni = base.select(explode(col("__toks")).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cu"))
+    val n = uni.agg(sum(col("__cu")).as("__n"))
+    val lp = c2.join(c1, "__u").join(uni, "__v").crossJoin(broadcast(n))
+      .select(col("__u"), col("__v"),
+        round(log(lit(lambda) * (col("__c") / col("__ctx")) +
+          lit(1 - lambda) * (col("__cu") / col("__n"))), 6)
+          .cast("decimal(18,6)").as("__logp"))
+    bg.join(lp, Seq("__u", "__v"))
+      .groupBy(keep.toSeq: _*)
+      .agg(count(lit(1)).as("nbg"), sum(col("__logp")).as("logp_sum"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every document by
     * how much more likely its hashed token features are under a TARGET

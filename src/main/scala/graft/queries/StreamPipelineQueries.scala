@@ -203,6 +203,34 @@ object StreamPipelineQueries {
       },
       Some(DedupQueries.sqlIvfAnn)),
 
+    // st13: STREAMING count-min maintenance — each micro-batch appends
+    // its partial sketch (bounded: ≤ 4×1024 rows per batch) and the
+    // final re-aggregation equals the one-shot batch sketch by
+    // associativity (SketchesSpec's slice-merge property), so st13
+    // shares a10's oracle verbatim. Zero streaming state; the parquet
+    // partials are the restart-safe state. The probe (top-20 true
+    // tokens) is a10's batch side, unchanged.
+    "st13_stream_sketch" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        import graft.ops.Sketches
+        val out = scratch("st13_out", dir)
+        wipe(s"$out/sk"); wipe(s"$out/sk-ckpt")
+        val sketch = Streams.sketchStreaming(s, dir, s"$out/sk",
+          depth = 4, width = 1024,
+          name = s"graft_st13_${dir.hashCode.abs}_sink")
+        val toks = T(s, dir, "documents")
+          .select(explode(textstats.tokens(col("text"))).as("token"))
+        val top = toks.groupBy(col("token"))
+          .agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("token")).limit(20)
+        Sketches.countMinEstimate(sketch, top, "token", depth = 4,
+            width = 1024)
+          .select(col("token"), col("true_cnt"), col("cms_est"))
+          .orderBy(col("true_cnt").desc, col("token"))
+      },
+      Some(WindowAggQueries.sqlCountMinTop20)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

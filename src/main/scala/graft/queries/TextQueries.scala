@@ -651,6 +651,52 @@ object TextQueries {
                AS cross_entropy
            FROM doc GROUP BY lang ORDER BY lang""")),
 
+    // t26: interpolated bigram-LM cross-entropy per language — the next
+    // step up the CCNet perplexity ladder from t13's unigram model:
+    // each bigram scores log(0.75·p(v|u) + 0.25·p(v)), Jelinek-Mercer
+    // smoothing against the unigram floor, so the signal distinguishes
+    // likely from unlikely CONTINUATIONS, not just likely tokens.
+    // Bigrams explode row-locally (array transform — no lag window
+    // shuffle); the (u,v) prob table joins back by equi-join with no
+    // broadcast hint (vocab² worst case: AQE picks the strategy).
+    // Oracle replays counts, interpolation, and the 6-decimal DECIMAL
+    // log sums.
+    "t26_bigram_lm" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        TextSearch.bigramLogProbs(
+            spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+            "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("nbg")).as("bigrams"),
+            round((sum(col("logp_sum")).cast("double") * lit(-1.0)) /
+              sum(col("nbg")), 4).as("cross_entropy"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT doc_id, lang, $sqlToks AS toks
+               FROM documents),
+           bg AS (SELECT doc_id, lang, toks[i] AS u, toks[i+1] AS v
+             FROM tok, unnest(generate_series(1, len(toks)-1)) AS g(i)),
+           c2 AS (SELECT u, v, count(*) AS c FROM bg GROUP BY 1, 2),
+           c1 AS (SELECT u, sum(c) AS ctx FROM c2 GROUP BY 1),
+           uni AS (SELECT v, count(*) AS cu
+             FROM (SELECT unnest(toks) AS v FROM tok) GROUP BY 1),
+           n AS (SELECT sum(cu) AS nn FROM uni),
+           lp AS (SELECT c2.u, c2.v,
+               CAST(round(ln(0.75 * (c2.c / c1.ctx)
+                 + 0.25 * (uni.cu / n.nn)), 6) AS DECIMAL(18,6)) AS logp
+             FROM c2 JOIN c1 USING (u) JOIN uni USING (v) CROSS JOIN n),
+           dsum AS (SELECT b.doc_id, b.lang, count(*) AS nbg,
+               sum(lp.logp) AS lsum
+             FROM bg b JOIN lp ON lp.u = b.u AND lp.v = b.v GROUP BY 1, 2)
+           SELECT lang, count(*) AS docs, CAST(sum(nbg) AS BIGINT)
+               AS bigrams,
+             round((CAST(sum(lsum) AS DOUBLE) * -1.0) / sum(nbg), 4)
+               AS cross_entropy
+           FROM dsum GROUP BY lang ORDER BY lang""")),
+
     // t25: DSIR data selection (Xie et al. 2023) — raw documents ranked
     // by hashed-feature importance weight against a target distribution
     // (here: the corpus's English slice standing in for the trusted

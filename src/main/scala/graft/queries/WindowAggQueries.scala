@@ -13,6 +13,32 @@ import QueryDSL._
   */
 object WindowAggQueries {
 
+  /** Count-min replay (4×1024 grid, top-20 true tokens) — a10's oracle,
+    * and st13's verbatim: the streamed sketch re-aggregates to the batch
+    * sketch by associativity, so both queries share ONE SQL. */
+  private[queries] val sqlCountMinTop20: String = {
+    import graft.ops.Sketches.sqlCmsBucket
+    val build = (0 until 4).map(d =>
+      s"SELECT $d AS d, ${sqlCmsBucket(d, "token", 1024)} AS bucket" +
+        " FROM toks").mkString("\n         UNION ALL ")
+    val probe = (0 until 4).map(d =>
+      s"SELECT token, true_cnt, $d AS d," +
+        s" ${sqlCmsBucket(d, "token", 1024)} AS bucket FROM top")
+      .mkString("\n         UNION ALL ")
+    s"""WITH toks AS (SELECT unnest(${QueryDSL.sqlToks}) AS token
+           FROM documents),
+       sk AS (SELECT d, bucket, count(*) AS c FROM (
+           $build)
+         GROUP BY d, bucket),
+       top AS (SELECT token, count(*) AS true_cnt FROM toks
+         GROUP BY token ORDER BY true_cnt DESC, token LIMIT 20),
+       pr AS ($probe)
+       SELECT pr.token, pr.true_cnt, min(sk.c) AS cms_est
+       FROM pr JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket
+       GROUP BY pr.token, pr.true_cnt
+       ORDER BY true_cnt DESC, token"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // A1: deterministic mode via the custom Aggregator (ties -> smallest
@@ -193,28 +219,7 @@ object WindowAggQueries {
           .select(col("token"), col("true_cnt"), col("cms_est"))
           .orderBy(col("true_cnt").desc, col("token"))
       },
-      Some {
-        import graft.ops.Sketches.sqlCmsBucket
-        val build = (0 until 4).map(d =>
-          s"SELECT $d AS d, ${sqlCmsBucket(d, "token", 1024)} AS bucket" +
-            " FROM toks").mkString("\n             UNION ALL ")
-        val probe = (0 until 4).map(d =>
-          s"SELECT token, true_cnt, $d AS d," +
-            s" ${sqlCmsBucket(d, "token", 1024)} AS bucket FROM top")
-          .mkString("\n             UNION ALL ")
-        s"""WITH toks AS (SELECT unnest(${QueryDSL.sqlToks}) AS token
-               FROM documents),
-           sk AS (SELECT d, bucket, count(*) AS c FROM (
-               $build)
-             GROUP BY d, bucket),
-           top AS (SELECT token, count(*) AS true_cnt FROM toks
-             GROUP BY token ORDER BY true_cnt DESC, token LIMIT 20),
-           pr AS ($probe)
-           SELECT pr.token, pr.true_cnt, min(sk.c) AS cms_est
-           FROM pr JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket
-           GROUP BY pr.token, pr.true_cnt
-           ORDER BY true_cnt DESC, token"""
-      }),
+      Some(sqlCountMinTop20)),
 
     // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
     // never needed but Spark exposes for free (SURVEY §2.5 note).

@@ -475,6 +475,43 @@ object Streams {
     s.read.parquet(outPath)
   }
 
+  /** STREAMING count-min sketch maintenance — the continuous form of
+    * [[graft.ops.Sketches.countMin]], and the reason the sketch exists:
+    * an unbounded key stream folds into a bounded counter grid. Each
+    * micro-batch builds its own partial sketch (one map-side-combined
+    * aggregate, ≤ depth×width rows) and appends it; the returned frame
+    * re-aggregates the appended partials, which by the sketch's
+    * associativity (SketchesSpec's slice-merge property) equals the
+    * one-shot batch sketch over everything that streamed — so a10's
+    * estimate oracle replays the streamed sketch exactly. ZERO streaming
+    * state: the parquet partials ARE the state (restart-safe via source
+    * offsets in the checkpoint). */
+  def sketchStreaming(spark: SparkSession, dir: String, outPath: String,
+      depth: Int, width: Int, glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st13"): DataFrame = {
+    import graft.functions.textstats
+    import graft.ops.Sketches
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sketches.countMin(
+            batch.select(explode(textstats.tokens(col("text"))).as("token")),
+            "token", depth, width)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // read back on the CALLER's session: the sketch feeds straight into
+    // batch probes (countMinEstimate joins) built there
+    spark.read.parquet(outPath)
+      .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+  }
+
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
     * successor (the per-user final session is still open). */
   def closedSessionsBatch(events: DataFrame,

@@ -48,4 +48,26 @@ class DsirSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).collect().head
     assert(row.getAs[Long]("ntok") == 6L)
   }
+
+  test("bigram LM: a doc of frequent continuations scores higher than " +
+      "one of rare continuations; sub-2-token docs drop out") {
+    // corpus: 'a b' occurs 12x, 'a c' once; unigram floor keeps 'a c'
+    // finite but far below
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "a b a b")) ++
+      Seq((10L, "a c"), (11L, "a b"), (20L, "solo"))
+    ).toDF("doc_id", "text")
+    val got = TextSearch.bigramLogProbs(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("nbg"),
+          r.getAs[java.math.BigDecimal]("logp_sum").doubleValue()))
+      .toMap
+    assert(!got.contains(20L), "single-token doc has no bigrams")
+    assert(got(1L)._1 == 3L) // 'a b','b a','a b'
+    val perBg11 = got(11L)._2 / got(11L)._1 // pure 'a b'
+    val perBg10 = got(10L)._2 / got(10L)._1 // pure 'a c'
+    assert(perBg11 > perBg10,
+      s"frequent continuation must outscore rare: $perBg11 vs $perBg10")
+  }
 }

@@ -310,4 +310,36 @@ class StreamingSpec extends SparkSpec {
     // chunk file contains a vec_id < 10 query vector
     assert((0L until 10L).map(_ % 4).distinct.size > 1)
   }
+
+  test("st13 streaming sketch: 4-micro-batch partial sketches " +
+      "re-aggregate to exactly the one-shot batch sketch") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.textstats
+    import graft.ops.Sketches
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = Files.createTempDirectory("st13_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st13_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val outRoot = Files.createTempDirectory("st13_out").toString
+    val streamed = Streams.sketchStreaming(spark, srcDir.toString,
+        s"$outRoot/sk", depth = 3, width = 128,
+        glob = "documents_*.parquet", maxFilesPerTrigger = 1,
+        name = "st13_spec_sink")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.countMin(
+        docs.select(explode(textstats.tokens(col("text"))).as("token")),
+        "token", depth = 3, width = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
