@@ -280,6 +280,47 @@ object CoreQueries {
             AND abs(c.tns - p.tns) <= 1800000000000
           GROUP BY c.event_id ORDER BY c.event_id""")),
 
+    // j8: SCD2 dimension build + INCREMENTAL maintenance — the warehouse
+    // twin of the round's index lifecycles: the per-user value history
+    // builds as a type-2 dimension over the first ~70% of the event
+    // range (percentile_disc threshold derived in-plan, 1-row broadcast
+    // — no collect), then the remaining events fold in via applyChanges
+    // (close open rows at the first new version, chain within the batch,
+    // filter boundary no-ops). The oracle is the ONE-SHOT window build
+    // over all events, so the fold-in identity applyChanges(build(e1),
+    // e2) ≡ build(e1 ∪ e2) is itself what hash-matches. One shuffle per
+    // stage (window by user) + key equi-joins; append-only contract
+    // documented on the op.
+    "j8_scd2" -> Q(
+      (s, dir) => {
+        import graft.ops.Scd
+        val e = events(s, dir).filter(col("user_id") < 40)
+          .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+        val thr = e.agg(
+          expr("percentile_disc(0.7) WITHIN GROUP (ORDER BY ts)")
+            .as("__thr"))
+        val tagged = e.crossJoin(broadcast(thr))
+        val dim = Scd.buildScd2(tagged.filter(col("ts") <= col("__thr")),
+          "user_id", "value", "ts", "event_id")
+        Scd.applyChanges(dim, tagged.filter(col("ts") > col("__thr")),
+            "user_id", "value", "ts", "event_id")
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some("""WITH e AS (SELECT user_id, value AS attr, epoch_ns(ts) AS ts,
+              event_id
+            FROM events WHERE user_id < 40),
+          ch AS (SELECT user_id, attr, ts, event_id FROM (
+              SELECT user_id, attr, ts, event_id, lag(attr) OVER w AS prev
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE prev IS NULL OR attr <> prev),
+          scd AS (SELECT user_id, attr, ts AS valid_from,
+              lead(ts) OVER w2 AS valid_to
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+          SELECT user_id, attr, valid_from, valid_to,
+            valid_to IS NULL AS is_current
+          FROM scd ORDER BY user_id, valid_from""")),
+
     // A4: keyed distinct.
     "a4_distinct" -> Q(
       (s, dir) => T(s, dir, "lineitem")

@@ -376,4 +376,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Scan ExistingRDD"), p) // checkpointed shingle sides
   }
+
+  test("t26: bigrams explode row-locally (no lag window); prob tables " +
+    "aggregate with map-side partials; no cartesian beyond 1-row totals") {
+    val p = plan("t26_bigram_lm")
+    assert(!p.contains("Window"), p) // array transform, not lag()
+    assert(p.contains("partial_count"), p) // bigram counts combine map-side
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s15: the z-value is codegen'd column math; the clustering " +
+    "exchange is the deliberate range partition, nothing else sorts " +
+    "globally") {
+    val p = plan("s15_zorder")
+    assert(!p.contains("BatchEvalPython"), p) // no UDF of any kind
+    assert(p.contains("*(1) Project"), p) // interleave inlined in codegen
+    assert(p.contains("partial_count"), p) // two-phase bucket aggregate
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
