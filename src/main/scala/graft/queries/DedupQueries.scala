@@ -1447,6 +1447,134 @@ object DedupQueries {
            ORDER BY eset"""
       }),
 
+    // e10: the DAILY-INGEST composite — what actually runs when a new
+    // batch lands against an existing 100 TB corpus, composed from the
+    // round's incremental paths: (1) probe the batch against the
+    // PERSISTED dedup index (d12's build/probe — zero corpus recompute;
+    // cross pairs drop the batch copy, within-batch pairs drop the
+    // larger id), (2) quality-gate the survivors (e6's token floor),
+    // (3) decontaminate against the eval slice via the bloom prefilter +
+    // exact confirm (e7's mechanism; the oracle replays the exact
+    // semantics — the bloom adds no false negatives and its false
+    // positives die at the confirm, so it is invisible in the result by
+    // construction). Output: the per-language funnel. After this query a
+    // production run would appendBatch the survivors into the index —
+    // the fold-in d12/st11 already verify. Dedup runs FIRST (on raw
+    // text) so near-dup detection is not distorted by what the gate
+    // would drop.
+    "e10_daily_ingest" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        import graft.ops.{Checkpoints, DedupIndex}
+        val d = T(s, dir, "documents").select("doc_id", "lang", "text")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val batch = Checkpoints.checkpoint(
+          spread(d.filter(coin >= 6000 && coin < 9000)))
+        DedupIndex.buildIndex(s, d.filter(coin < 6000), "doc_id", "text",
+          k = 3, maxBucketSize = ProductionBucketCap,
+          path = scratch("e10_index", dir), prefix = "graft_e10")
+        val pairs = DedupIndex.dedupBatch(s, batch, "doc_id", "text",
+          k = 3, threshold = 0.9, maxBucketSize = ProductionBucketCap,
+          prefix = "graft_e10")
+        val dropped = pairs.select(col("b").as("doc_id")).distinct()
+        val surv1 = Checkpoints.checkpoint(
+          batch.join(dropped, Seq("doc_id"), "left_anti"))
+        val surv2 = Checkpoints.checkpoint(
+          surv1.filter(textstats.tokenCount(col("text")) >= 30))
+        val m = 1 << 20
+        val probes = 3
+        val evalSet = Checkpoints.checkpoint(
+          Dedup.hashedShingles(d.filter(coin >= 9000), "doc_id", "text",
+            8).select(col("h")).distinct())
+        val s2sh = Checkpoints.checkpoint(
+          Dedup.hashedShingles(surv2, "doc_id", "text", 8).distinct())
+        val candH = Dedup.bloomMightContain(
+          Dedup.bloomBitmap(evalSet, "h", m, probes),
+          s2sh.select(col("h")).distinct(), "h", m, probes)
+        val flagged = s2sh
+          .join(candH.join(evalSet, Seq("h"), "left_semi"), Seq("h"),
+            "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+        val surv3 = Checkpoints.checkpoint(
+          surv2.join(flagged, Seq("doc_id"), "left_anti"))
+        def cnt(df: org.apache.spark.sql.DataFrame, n: String) =
+          df.groupBy(col("lang")).agg(count(lit(1)).as(n))
+        cnt(batch, "batch_docs")
+          .join(cnt(surv1, "after_dedup"), Seq("lang"), "left")
+          .join(cnt(surv2, "after_gate"), Seq("lang"), "left")
+          .join(surv3.groupBy(col("lang"))
+            .agg(count(lit(1)).as("after_decontam"),
+              sum(textstats.tokenCount(col("text"))).as("final_tokens")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("batch_docs"),
+            coalesce(col("after_dedup"), lit(0L)).as("after_dedup"),
+            coalesce(col("after_gate"), lit(0L)).as("after_gate"),
+            coalesce(col("after_decontam"), lit(0L)).as("after_decontam"),
+            coalesce(col("final_tokens"), lit(0L)).as("final_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val batchPred = s"$sqlCoin >= 6000 AND $sqlCoin < 9000"
+        s"""WITH ${sqlLshSide("c", s"$sqlCoin < 6000")},
+           ${sqlLshSide("b", batchPred)},
+           candx AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM cbandsc x JOIN bbandsc y
+               ON x.band = y.band AND x.key = y.key),
+           candb AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM bbandsc x JOIN bbandsc y
+               ON x.band = y.band AND x.key = y.key
+                 AND x.doc_id < y.doc_id),
+           interx AS (SELECT c.a, c.b, count(*) AS i FROM candx c
+             JOIN cset sa ON sa.doc_id = c.a
+             JOIN bset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           interb AS (SELECT c.a, c.b, count(*) AS i FROM candb c
+             JOIN bset sa ON sa.doc_id = c.a
+             JOIN bset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           px AS (SELECT i.a, i.b FROM interx i
+             JOIN csizes sa ON sa.doc_id = i.a
+             JOIN bsizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9),
+           pb AS (SELECT i.a, i.b FROM interb i
+             JOIN bsizes sa ON sa.doc_id = i.a
+             JOIN bsizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9),
+           dropped AS (SELECT DISTINCT b AS doc_id FROM
+             (SELECT b FROM px UNION ALL SELECT b FROM pb)),
+           batch AS (SELECT doc_id, lang, text FROM documents
+             WHERE $batchPred),
+           surv1 AS (SELECT * FROM batch WHERE NOT EXISTS
+             (SELECT 1 FROM dropped dd WHERE dd.doc_id = batch.doc_id)),
+           surv2 AS (SELECT * FROM surv1 WHERE len($sqlToks) >= 30),
+           ${sqlShingleSide("ev", s"$sqlCoin >= 9000", 8)},
+           ${sqlShingleSide("t", batchPred, 8)},
+           flagged AS (SELECT DISTINCT t.doc_id FROM ths t
+             JOIN (SELECT DISTINCT h FROM evhs) e ON e.h = t.h
+             JOIN surv2 s2 ON s2.doc_id = t.doc_id),
+           surv3 AS (SELECT * FROM surv2 WHERE NOT EXISTS
+             (SELECT 1 FROM flagged f WHERE f.doc_id = surv2.doc_id)),
+           b0 AS (SELECT lang, count(*) AS batch_docs FROM batch
+             GROUP BY 1),
+           b1 AS (SELECT lang, count(*) AS after_dedup FROM surv1
+             GROUP BY 1),
+           b2 AS (SELECT lang, count(*) AS after_gate FROM surv2
+             GROUP BY 1),
+           b3 AS (SELECT lang, count(*) AS after_decontam,
+               CAST(sum(len($sqlToks)) AS BIGINT) AS final_tokens
+             FROM surv3 GROUP BY 1)
+           SELECT b0.lang, b0.batch_docs,
+             coalesce(b1.after_dedup, 0) AS after_dedup,
+             coalesce(b2.after_gate, 0) AS after_gate,
+             coalesce(b3.after_decontam, 0) AS after_decontam,
+             coalesce(b3.final_tokens, 0) AS final_tokens
+           FROM b0 LEFT JOIN b1 USING (lang) LEFT JOIN b2 USING (lang)
+           LEFT JOIN b3 USING (lang)
+           ORDER BY lang"""
+      }),
+
     // e5: the FULL curation pipeline a training-data team runs end-to-end —
     // quality gate → passage-dedup rewrite → exact-dup removal → stratified
     // mixing-rate sample → per-language token budget — composed entirely
