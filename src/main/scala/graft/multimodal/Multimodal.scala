@@ -118,6 +118,100 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Synthesize a grayscale PNG from a pure (x, y) → gray function — the
+    * image twin of [[synthWav]]: a REAL PNG encode whose later decode must
+    * reproduce the parameters exactly (PNG is lossless, so it does). Runs
+    * inside executors. */
+  def synthGrayPng(width: Int, height: Int,
+      gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit perceptual difference hash (dHash) — the image near-dup
+    * fingerprint (Krawetz's dHash; the standard cheap perceptual hash
+    * image dedup pipelines run before any embedding model): decode, gray
+    * via EXACT integer luma ((299r + 587g + 114b) div 1000 — no floating
+    * point, so a grayscale synth round-trips bit-exactly), bilinear-resize
+    * to 9×8 unless the payload already is, then one bit per adjacent
+    * horizontal pixel pair (set iff left < right). Near-identical images
+    * land within a few bits of Hamming distance; the hash is 8 bytes per
+    * image at any corpus size. Row-local mapPartitions (the multimodal
+    * decode pattern); returns (id, dhash). */
+  def dHash(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val decoded = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(decoded != null, s"undecodable image payload for id ${r.id}")
+        val img =
+          if (decoded.getWidth == 9 && decoded.getHeight == 8) decoded
+          else {
+            val out = new java.awt.image.BufferedImage(9, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(decoded, 0, 0, 9, 8, null)
+            g.dispose()
+            out
+          }
+        def luma(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+        }
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (luma(x, y) < luma(x + 1, y)) h |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        (r.id, h)
+      }
+    }.toDF("id", "dhash")
+  }
+
+  /** Hamming-near pairs over [[dHash]] fingerprints via 4×16-bit segment
+    * blocking — the simhash trick: a pair within distance ≤ 3 differs in
+    * at most 3 of the 4 segments, so it MUST agree on one (pigeonhole) —
+    * lossless recall at `maxDist ≤ 3`, and the join is a hash equi-join
+    * on (segment index, segment value), never an all-pairs scan. */
+  def dHashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-segment blocking is lossless only for maxDist <= 3")
+    val segs = (0 until 4).map(i => struct(lit(i).as("seg"),
+      shiftright(col("dhash"), i * 16).bitwiseAND(lit(0xffffL)).as("sv")))
+    val ex = hashes.select(col("id"), col("dhash"),
+      explode(array(segs: _*)).as("s"))
+    ex.alias("x").join(ex.alias("y"),
+        col("x.s.seg") === col("y.s.seg") &&
+          col("x.s.sv") === col("y.s.sv") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Decoded video keyframe metadata. */
   final case class VideoKeyframe(id: Long, frameIdx: Int, width: Int,
       height: Int, avgLuma: Double)

@@ -1120,6 +1120,58 @@ object TextQueries {
              CAST(8000 + (doc_id % 4) * 4000 AS DOUBLE) AS sample_rate,
              CAST(1 + doc_id % 2 AS BIGINT) AS channels,
              CAST(100 + doc_id % 50 AS BIGINT) AS frames
-           FROM documents WHERE doc_id < 40 ORDER BY doc_id"""))
+           FROM documents WHERE doc_id < 40 ORDER BY doc_id""")),
+
+    // m4: perceptual image-hash dedup (dHash) — the image twin of the
+    // text near-dup family: per-row 9×8 grayscale PNGs synthesize from
+    // doc_id-derived parameters inside executors (m3's codec round-trip
+    // pattern — PNG is lossless, so the REAL ImageIO encode→decode must
+    // reproduce the parameters), the real decoder computes the 64-bit
+    // difference hash via exact integer luma, and near pairs come from
+    // the 4×16-bit segment blocking join (pigeonhole-lossless at
+    // dist ≤ 3 — no all-pairs scan). The oracle computes every dHash
+    // analytically from the same parameters and confirms the pair set
+    // with an all-pairs bit_count check, so the whole codec+hash+blocking
+    // path hash-matches. Same-parameter ids (gid, pert equal) are exact
+    // dups (dist 0) — the planted recall the result must contain.
+    "m4_image_phash_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = T(s, dir, "documents").filter(col("doc_id") < 60)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val gid = (id % 12).toInt
+              val pert = ((id / 12) % 3).toInt
+              Multimodal.MediaRow(id, "image", Multimodal.synthGrayPng(9, 8,
+                (x, y) =>
+                  (gid * 31 + x * 13 + y * 17 + (x % (2 + pert)) * 29)
+                    % 256))
+            }
+          }
+        Multimodal.dHashPairs(Multimodal.dHash(media), maxDist = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some {
+        def v(x: Int, y: Int): String =
+          s"((gid * 31 + ${x * 13 + y * 17} + ($x % (2 + pert)) * 29) % 256)"
+        val dh = (for (y <- 0 until 8; x <- 0 until 8) yield {
+          val b = y * 8 + x
+          val mask =
+            if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+          s"(CASE WHEN ${v(x, y)} < ${v(x + 1, y)}" +
+            s" THEN CAST($mask AS BIGINT) ELSE 0 END)"
+        }).mkString(" | ")
+        s"""WITH ids AS (SELECT doc_id, doc_id % 12 AS gid,
+               (doc_id // 12) % 3 AS pert
+             FROM documents WHERE doc_id < 60),
+           hs AS (SELECT doc_id, ($dh) AS dhash FROM ids)
+           SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+           FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+           ORDER BY a, b"""
+      })
   )
 }
