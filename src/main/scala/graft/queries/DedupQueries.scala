@@ -155,9 +155,11 @@ object DedupQueries {
     * (the streaming probe of the same persisted index) shares it too —
     * each query vector arrives in exactly one micro-batch and top-k is
     * per-query, so the streaming drain reproduces the batch probe. */
-  private[queries] val sqlIvfAnn: String =
-    s"""WITH $sqlKmeansCents,
-       assign AS (SELECT nid, nv, cid AS cluster FROM (
+  /** The probe half of the IVF replay (assign all vectors to `cents`,
+    * probe the vec_id < 10 queries at nProbe = 2, top-3) — shared by the
+    * full-corpus-trained oracle below and st14's quarter-trained one. */
+  private def sqlIvfProbeBody: String =
+    s"""assign AS (SELECT nid, nv, cid AS cluster FROM (
          SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
              ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
@@ -177,6 +179,19 @@ object DedupQueries {
            (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          FROM scored)
        WHERE rank <= 3 ORDER BY qid, rank"""
+
+  private[queries] val sqlIvfAnn: String =
+    s"""WITH $sqlKmeansCents,
+       $sqlIvfProbeBody"""
+
+  /** st14's oracle: the same probe, but centroids trained on the
+    * vec_id % 4 = 0 QUARTER only — the slice the streaming ingest query
+    * builds its index from before folding the rest in. */
+  private[queries] val sqlIvfAnnQuarterTrained: String =
+    s"""WITH q4 AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % 4 = 0),
+       ${sqlKmeansCentsFrom("q4")},
+       $sqlIvfProbeBody"""
 
   /** Deterministic spherical k-means over ONE PQ subspace (the slice
     * [lo, lo+len-1] of `rel`'s embedding), as prefixed CTEs ending in
@@ -730,6 +745,35 @@ object DedupQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(sqlIvfAnn)),
+
+    // st14: STREAMING IVF INGEST — the vector twin of st11's fold-in,
+    // closing the index-lifecycle symmetry from the write side: the
+    // index builds from the vec_id % 4 = 0 QUARTER (its k-means trains
+    // there), the other three quarters STREAM in micro-batch by
+    // micro-batch (appendToIvfIndex — assignment to the existing
+    // centroids, the FAISS add contract, zero streaming state), and the
+    // post-drain probe must equal the inline probe over the FULL corpus
+    // with the slice-trained centroids — which is exactly what the
+    // oracle replays (slice k-means + full assignment + probe).
+    "st14_stream_ivf_ingest" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val e = T(s, dir, "embeddings")
+        val prefix = s"graft_st14_${dir.hashCode.abs}"
+        Similarity.buildIvfIndex(s, e.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", k = 12, iters = 2,
+          path = scratch("st14_ivf", dir), prefix = prefix)
+        val ckpt = scratch("st14_ckpt", dir)
+        wipe(ckpt)
+        Streams.ivfIngestStreaming(s, dir, prefix,
+          where = col("vec_id") % 4 =!= 0, checkpoint = ckpt,
+          name = s"${prefix}_sink")
+        Similarity.ivfProbePersisted(s, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", nProbe = 2, k = 3, prefix = prefix)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(sqlIvfAnnQuarterTrained)),
 
     "x3_ivf_ann" -> Q(
       (s, dir) => {

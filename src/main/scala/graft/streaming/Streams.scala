@@ -475,6 +475,37 @@ object Streams {
     s.read.parquet(outPath)
   }
 
+  /** STREAMING IVF INDEX INGEST — the vector twin of st11's fold-in:
+    * each micro-batch of new vectors assigns to the EXISTING persisted
+    * centroids and appends to the bucketed assignment table
+    * ([[graft.ops.Similarity.appendToIvfIndex]] — the FAISS `add`
+    * contract, no retraining). ZERO streaming state; the index tables
+    * are the restart-safe state. After the drain, a probe of the grown
+    * index is value-identical to the inline probe over the full corpus
+    * with the original centroids (IvfIndexSpec's append identity,
+    * exercised here micro-batch by micro-batch; st14's oracle replays
+    * slice-training + full-corpus assignment + probe). `where`
+    * pre-filters the stream to the not-yet-indexed vectors. */
+  def ivfIngestStreaming(spark: SparkSession, dir: String, prefix: String,
+      where: Column = lit(true), glob: String = "embeddings.parquet",
+      maxFilesPerTrigger: Int = 0, checkpoint: String,
+      name: String = "graft_st14"): Unit = {
+    import graft.ops.Similarity
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
+      .filter(where)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.appendToIvfIndex(batch.sparkSession, batch, "vec_id",
+          "embedding", prefix)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** STREAMING count-min sketch maintenance — the continuous form of
     * [[graft.ops.Sketches.countMin]], and the reason the sketch exists:
     * an unbounded key stream folds into a bounded counter grid. Each

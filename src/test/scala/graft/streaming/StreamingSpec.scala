@@ -311,6 +311,52 @@ class StreamingSpec extends SparkSpec {
     assert((0L until 10L).map(_ % 4).distinct.size > 1)
   }
 
+  test("st14 streaming IVF ingest: 4-micro-batch fold-in == inline probe " +
+      "over the full corpus with the slice-trained centroids") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    import java.nio.file.Files
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val prefix = "graft_st14spec"
+    Similarity.buildIvfIndex(spark, emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", k = 12, iters = 2,
+      path = QueryDSL.scratch("st14_spec_ivf", sf), prefix = prefix)
+    val srcDir = Files.createTempDirectory("st14_src")
+    for (i <- 1 until 4) { // the three not-yet-indexed quarters
+      val chunkDir = Files.createTempDirectory(s"st14_chunk$i")
+      emb.filter(col("vec_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"embeddings_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    Streams.ivfIngestStreaming(spark, srcDir.toString, prefix,
+      glob = "embeddings_*.parquet", maxFilesPerTrigger = 1,
+      checkpoint = Files.createTempDirectory("st14_ckpt").toString + "/c",
+      name = "st14_spec_sink")
+    val streamed = Similarity.ivfProbePersisted(spark,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", nProbe = 2,
+        k = 3, prefix = prefix)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val cents = Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+        k = 12, iters = 2)
+      .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    val inline = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        cents, "vec_id", "embedding", nProbe = 2, k = 3)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == inline)
+    assert(inline.nonEmpty)
+  }
+
   test("st13 streaming sketch: 4-micro-batch partial sketches " +
       "re-aggregate to exactly the one-shot batch sketch") {
     import org.apache.spark.sql.functions._
