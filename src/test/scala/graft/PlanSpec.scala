@@ -394,4 +394,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // two-phase bucket aggregate
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("j8: SCD2 windows shuffle on the key only; the split threshold " +
+    "is a 1-row broadcast, never a collect") {
+    val p = plan("j8_scd2")
+    assert(p.contains("Window"), p) // lag/lead chains
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row percentile
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e10: the ingest funnel reads checkpointed stages and joins " +
+    "without a cartesian (the bloom's 1-row broadcast ran upstream, " +
+    "inside the checkpointed decontam stage — e7's spec locks its shape)") {
+    val p = plan("e10_daily_ingest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed stages
+    assert(!p.contains("SortMergeJoin"), p) // 5-row funnel joins broadcast
+  }
+
+  test("m4: dHash pair search is the segment-blocking equi-join, " +
+    "never an all-pairs scan") {
+    val p = plan("m4_image_phash_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p) // real equi-join
+    assert(p.contains("Join"), p)
+  }
 }

@@ -49,6 +49,27 @@ class ScdSpec extends SparkSpec {
     assert(norm(folded).contains((1L, 20.0, 300L, 500L, false)))
   }
 
+  test("property: fold-in == one-shot on random event logs at every " +
+      "split point") {
+    // deterministic pseudo-random log: 5 keys, 60 events, values drawn
+    // from a small alphabet so no-ops and chains both occur frequently
+    val events = (0 until 60).map { i =>
+      val k = (i * 7919) % 5
+      val v = ((i * 104729) % 4).toDouble
+      (k.toLong, v, (100 + i * 10).toLong, i.toLong)
+    }.toDF("k", "v", "ts", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) = rows(df.select(col("k"),
+      col("attr"), col("valid_from"), col("valid_to"), col("is_current")))
+    val oneShot = norm(Scd.buildScd2(events, "k", "v", "ts", "id"))
+    Seq(105L, 255L, 405L, 555L, 695L).foreach { split =>
+      val dim = Scd.buildScd2(events.filter(col("ts") <= split), "k", "v",
+        "ts", "id")
+      val folded = Scd.applyChanges(dim, events.filter(col("ts") > split),
+        "k", "v", "ts", "id")
+      assert(norm(folded) == oneShot, s"split at $split diverged")
+    }
+  }
+
   test("empty batch is the identity") {
     val dim = Scd.buildScd2(all, "k", "v", "ts", "id")
     val folded = Scd.applyChanges(dim, all.filter(col("ts") > 9999L), "k",
