@@ -221,6 +221,60 @@ object WindowAggQueries {
       },
       Some(sqlCountMinTop20)),
 
+    // A11: single-pass data-quality expectations — the Deequ-style
+    // validation gate a pipeline runs before publishing a table: five
+    // declarative checks (completeness, key uniqueness, range, domain,
+    // plus a deliberately failing range so the verdict column is
+    // exercised both ways — this corpus's (orderkey, linenumber) is NOT
+    // unique, another real failure the gate surfaces) compile into ONE
+    // aggregation pass over lineitem; observations round to 6 decimals
+    // for an engine-independent verdict. Scale: conditional counts
+    // combine map-side; the uniqueness distinct is the single Expand.
+    "a11_data_quality" -> Q(
+      (s, dir) => {
+        import graft.ops.Expectations._
+        validate(T(s, dir, "lineitem"), Seq(
+          complete("orderkey_complete", col("l_orderkey")),
+          unique("line_pk_unique",
+            Seq(col("l_orderkey"), col("l_linenumber"))),
+          inRange("quantity_range", col("l_quantity"), 1, 50),
+          inSet("returnflag_domain", col("l_returnflag"),
+            Seq("A", "N", "R")),
+          inRange("quantity_under_10", col("l_quantity"), 1, 10)))
+          .withColumnRenamed("check", "check_name")
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH s AS (SELECT
+            round(CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0
+              END) AS DOUBLE) / count(*), 6) AS orderkey_complete,
+            round(CAST(count(DISTINCT (l_orderkey, l_linenumber))
+              AS DOUBLE) / count(*), 6) AS line_pk_unique,
+            round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+              AS quantity_range,
+            round(CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+              AS returnflag_domain,
+            round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 10
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+              AS quantity_under_10
+          FROM lineitem)
+          SELECT check_name, observed, threshold,
+            observed >= threshold AS passed
+          FROM (
+            SELECT 'orderkey_complete' AS check_name,
+              orderkey_complete AS observed,
+              CAST(1.0 AS DOUBLE) AS threshold FROM s
+            UNION ALL SELECT 'line_pk_unique', line_pk_unique,
+              CAST(1.0 AS DOUBLE) FROM s
+            UNION ALL SELECT 'quantity_range', quantity_range,
+              CAST(1.0 AS DOUBLE) FROM s
+            UNION ALL SELECT 'returnflag_domain', returnflag_domain,
+              CAST(1.0 AS DOUBLE) FROM s
+            UNION ALL SELECT 'quantity_under_10', quantity_under_10,
+              CAST(1.0 AS DOUBLE) FROM s)
+          ORDER BY check_name""")),
+
     // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
     // never needed but Spark exposes for free (SURVEY §2.5 note).
     "w7_rank_functions" -> Q(
