@@ -12,6 +12,25 @@ import QueryDSL._
   */
 object CoreQueries {
 
+  /** One-shot SCD2 build over all user_id < 40 events — j8's oracle, and
+    * st15's verbatim: both the batch fold-in and the streaming per-batch
+    * fold-in must reproduce the one-shot window build exactly. */
+  private[queries] val sqlScdOneShot: String =
+    """WITH e AS (SELECT user_id, value AS attr, epoch_ns(ts) AS ts,
+            event_id
+          FROM events WHERE user_id < 40),
+        ch AS (SELECT user_id, attr, ts, event_id FROM (
+            SELECT user_id, attr, ts, event_id, lag(attr) OVER w AS prev
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          WHERE prev IS NULL OR attr <> prev),
+        scd AS (SELECT user_id, attr, ts AS valid_from,
+            lead(ts) OVER w2 AS valid_to
+          FROM ch
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, attr, valid_from, valid_to,
+          valid_to IS NULL AS is_current
+        FROM scd ORDER BY user_id, valid_from"""
+
   val defs: Map[String, Q] = Map(
 
     // Flagship: full-scan group aggregate (TPC-H Q1 shape). Decimal sums are
@@ -306,20 +325,7 @@ object CoreQueries {
             "user_id", "value", "ts", "event_id")
           .orderBy(col("user_id"), col("valid_from"))
       },
-      Some("""WITH e AS (SELECT user_id, value AS attr, epoch_ns(ts) AS ts,
-              event_id
-            FROM events WHERE user_id < 40),
-          ch AS (SELECT user_id, attr, ts, event_id FROM (
-              SELECT user_id, attr, ts, event_id, lag(attr) OVER w AS prev
-              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-            WHERE prev IS NULL OR attr <> prev),
-          scd AS (SELECT user_id, attr, ts AS valid_from,
-              lead(ts) OVER w2 AS valid_to
-            FROM ch
-            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
-          SELECT user_id, attr, valid_from, valid_to,
-            valid_to IS NULL AS is_current
-          FROM scd ORDER BY user_id, valid_from""")),
+      Some(sqlScdOneShot)),
 
     // A4: keyed distinct.
     "a4_distinct" -> Q(

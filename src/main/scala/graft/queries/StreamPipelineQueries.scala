@@ -231,6 +231,26 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlCountMinTop20)),
 
+    // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
+    // continuous query: each micro-batch merges into the persisted
+    // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,
+    // zero streaming state — the dimension IS the state). Over a
+    // bounded drain the final dimension is EXACTLY the one-shot build
+    // over everything that streamed (ScdSpec's split identity iterated
+    // per micro-batch), so st15 shares j8's one-shot oracle verbatim —
+    // the same every-incremental-path-gets-a-streaming-twin pattern as
+    // st11 (dedup), st13 (sketch), and st14 (vectors).
+    "st15_stream_scd2" -> Q(
+      (s, dir) => {
+        val work = scratch("st15_scd", dir)
+        wipe(work)
+        Streams.scdIngestStreaming(s, dir, work, "user_id", "value",
+            where = col("user_id") < 40,
+            name = s"graft_st15_${dir.hashCode.abs}")
+          .orderBy(col("user_id"), col("valid_from"))
+      },
+      Some(CoreQueries.sqlScdOneShot)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -357,6 +357,49 @@ class StreamingSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("st15 streaming SCD2: 4 time-ordered micro-batches fold into " +
+      "exactly the one-shot dimension build") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Scd
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf).filter(col("user_id") < 20)
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+        col("ts_utc"))
+    // split the GLOBAL time range into 4 ordered chunk files: every key's
+    // events arrive in time order across micro-batches
+    val bounds = ev.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val srcDir = Files.createTempDirectory("st15_src")
+    val cuts = Seq(Long.MinValue) ++ bounds.map(_.toLong) :+ Long.MaxValue
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st15_chunk$i")
+      // write the RAW parquet shape (micros ts) the streaming reader
+      // expects: filter the raw file by the derived nano bounds
+      spark.read.parquet(s"$sf/events.parquet")
+        .join(ev.filter(col("ts") > cuts(i) && col("ts") <= cuts(i + 1))
+          .select(col("event_id")), Seq("event_id"), "left_semi")
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val workDir = Files.createTempDirectory("st15_work").toString
+    val streamed = Streams.scdIngestStreaming(spark, srcDir.toString,
+        workDir, "user_id", "value", where = col("user_id") < 20,
+        glob = "events_*.parquet", maxFilesPerTrigger = 1,
+        name = "st15_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    val oneShot = Scd.buildScd2(ev, "user_id", "value", "ts", "event_id")
+      .select(col("user_id"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(streamed == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("st13 streaming sketch: 4-micro-batch partial sketches " +
       "re-aggregate to exactly the one-shot batch sketch") {
     import org.apache.spark.sql.functions._
