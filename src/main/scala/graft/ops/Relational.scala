@@ -123,6 +123,26 @@ object Relational {
       .agg(sum(col("__partial")).as(out), sum(col("__cnt")).as(s"${out}_cnt"))
   }
 
+  /** Skew-safe salted equi-join — the JOIN-level twin of [[saltedSum]]:
+    * the fact side salts each row deterministically into `buckets`
+    * sub-keys, the build side REPLICATES once per bucket, and the join
+    * runs on (key, salt) — so a hot key's probe rows spread over
+    * `buckets` tasks instead of one straggler. Result is exactly the
+    * plain equi-join for any salt assignment (every fact row still meets
+    * every matching build row exactly once — in its own bucket). Use
+    * when the build side is too large to broadcast AND keys are hot;
+    * complements AQE's skew-join splitting, which only kicks in above
+    * its partition-size thresholds. Cost: build side × `buckets`
+    * replication — keep the build side narrow. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, keys: Seq[String],
+      salt: Column, buckets: Int): DataFrame = {
+    val f = fact.withColumn("__salt",
+      pmod(salt, lit(buckets)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(array((0 until buckets).map(i => lit(i)): _*)))
+    f.join(b, keys :+ "__salt").drop("__salt")
+  }
+
   /** R1: long -> wide pivot of a series triple table. `first(value)` matches
     * the reference's one-value-per-(date, series) contract
     * (`perustats/BCRP/utils.py:130-137`). Callers pass `seriesValues` when

@@ -327,6 +327,42 @@ object CoreQueries {
       },
       Some(sqlScdOneShot)),
 
+    // j9: SALTED skew join — the join-level twin of a8's salted
+    // aggregation: l_returnflag has 3 values, so a plain shuffle join
+    // lands the whole fact table on 3 reducers; the salt spreads each
+    // hot key over 16 (key, salt) sub-keys while the 3-row build side
+    // replicates 16×. The shuffle_hash hint forces the shuffle-join
+    // shape the pattern exists for (a broadcastable build side wouldn't
+    // need salting). Exact per-flag stats (DECIMAL avg) ride the join
+    // and the re-aggregation must equal the plain join — the oracle IS
+    // the plain join, so no row is lost or duplicated by replication.
+    "j9_salted_join" -> Q(
+      (s, dir) => {
+        val li = T(s, dir, "lineitem")
+        val dim = li.groupBy(col("l_returnflag"))
+          .agg(round(sum(dec(col("l_quantity"))).cast("double") /
+            count(lit(1)), 4).as("flag_avg"))
+          .hint("shuffle_hash")
+        Relational.saltedJoin(li, dim, Seq("l_returnflag"),
+            salt = xxhash64(col("l_orderkey"), col("l_linenumber")),
+            buckets = 16)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            min(col("flag_avg")).as("flag_avg"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH d AS (SELECT l_returnflag,
+              round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) / count(*), 4) AS flag_avg
+            FROM lineitem GROUP BY 1)
+          SELECT l.l_returnflag, l.l_linestatus, count(*) AS cnt,
+            CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              AS sum_qty,
+            min(d.flag_avg) AS flag_avg
+          FROM lineitem l JOIN d USING (l_returnflag)
+          GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // A4: keyed distinct.
     "a4_distinct" -> Q(
       (s, dir) => T(s, dir, "lineitem")

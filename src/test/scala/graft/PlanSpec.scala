@@ -412,6 +412,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p) // 5-row funnel joins broadcast
   }
 
+  test("j9: the salted join shuffles on (key, salt) — the hot key " +
+    "spreads over 16 sub-keys, no broadcast, no cartesian") {
+    val p = plan("j9_salted_join")
+    assert(p.contains("__salt"), p) // salt is a partitioning key
+    assert(!p.contains("BroadcastHashJoin"), p) // hint respected
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("m4: dHash pair search is the segment-blocking equi-join, " +
     "never an all-pairs scan") {
     val p = plan("m4_image_phash_dedup")

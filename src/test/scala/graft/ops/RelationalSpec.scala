@@ -73,4 +73,22 @@ class RelationalSpec extends SparkSpec {
     assert(u.count() === 2)
     assert(u.filter(col("a").isNull).count() === 1)
   }
+
+  test("saltedJoin == plain join on a pathologically hot key " +
+      "(every row matched exactly once, no loss, no duplication)") {
+    // 200 fact rows, ONE key value (maximal skew), 3-row build side with
+    // a multi-match key to prove replication doesn't multiply matches
+    val fact = (1 to 200).map(i => ("hot", i.toLong)).toDF("k", "rid")
+    val build = Seq(("hot", "d1"), ("hot", "d2"), ("cold", "d3"))
+      .toDF("k", "tag")
+    val salted = Relational.saltedJoin(fact, build, Seq("k"),
+        salt = xxhash64(col("rid")), buckets = 8)
+      .collect().map(r => (r.getAs[Long]("rid"), r.getAs[String]("tag")))
+      .toSeq.sorted
+    val plain = fact.join(build, Seq("k"))
+      .collect().map(r => (r.getAs[Long]("rid"), r.getAs[String]("tag")))
+      .toSeq.sorted
+    assert(salted == plain)
+    assert(salted.size == 400) // 200 rows x 2 matching build rows
+  }
 }
