@@ -190,7 +190,7 @@ object Similarity {
   }
 
   /** Corpus → (nid, nv, cluster) via the argmin aggregate above. */
-  private def assignToCentroids(corpus: DataFrame, cents: DataFrame,
+  private[graft] def assignToCentroids(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .crossJoin(cents)
@@ -203,7 +203,7 @@ object Similarity {
 
   /** Query-side probing keeps the top-nProbe window: the query set is
     * small by contract (it broadcasts), so the sort is negligible. */
-  private def probeCentroids(queries: DataFrame, cents: DataFrame,
+  private[graft] def probeCentroids(queries: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
     queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(cents)
@@ -213,10 +213,13 @@ object Similarity {
       .filter(col("__rn") <= nProbe)
       .select(col("qid"), col("qv"), col("cid").as("cluster"))
 
-  /** Probed-cluster equi-join + exact rescoring + per-query top-k. */
-  private def ivfScoreTail(probes: DataFrame, assigned: DataFrame,
+  /** Probed-cluster equi-join + exact rescoring + per-query top-k. The
+    * probe side is |queries|·nProbe rows — bounded by the query batch,
+    * not the corpus — so it broadcasts explicitly: the inverted-list scan
+    * never shuffles however large the assigned corpus grows. */
+  private[graft] def ivfScoreTail(probes: DataFrame, assigned: DataFrame,
       k: Int): DataFrame = {
-    val scored = probes.join(assigned, Seq("cluster"))
+    val scored = broadcast(probes).join(assigned, Seq("cluster"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         round(cosine(col("qv"), col("nv")), 4).as("cos"))
@@ -499,6 +502,43 @@ object Similarity {
           round(cosine(col("v"), col("__rv")), 4) >= tau,
         "left_anti")
       .select(col("id"), col("cluster"))
+  }
+
+  /** SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): in the abundant-data regime, the EASY examples — the
+    * ones closest to their cluster centroid — are the redundant ones, so
+    * the curation move is to drop the most prototypical `prunePct`% of
+    * each cluster and train on the rest. Complements [[semDeDup]] (which
+    * removes near-DUPLICATES inside a cluster; this removes the
+    * informationless CORE). Per row: nearest centroid by cosine (argmax,
+    * ties by cid — the [[semDeDup]] assignment), prototypicality
+    * `prox = round(cos, 4)`, per-cluster rank by (prox desc, id), and
+    * `dropped = rank ≤ ceil(n · prunePct / 100)` in EXACT integer
+    * arithmetic so the cut line is engine-independent. Scale shape:
+    * centroids broadcast; the rank window partitions by cluster, whose
+    * size the auto-k build ([[kmeansCentroidsAutoK]]) bounds near the
+    * target — no global window. Returns (id, cluster, prox, dropped). */
+  def prototypePrune(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, prunePct: Int): DataFrame = {
+    require(prunePct >= 0 && prunePct <= 100, "prunePct must be in [0,100]")
+    val cents = broadcast(centroids.select(col("cid"), col("cv")))
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(cents)
+      .groupBy(col("id"))
+      .agg(min(struct(
+        negate(cosine(col("v"), col("cv"))).as("negcos"),
+        col("cid").as("cid"))).as("__best"))
+      .select(col("id"), col("__best.cid").as("cluster"),
+        round(negate(col("__best.negcos")), 4).as("prox"))
+    val byCluster = Window.partitionBy(col("cluster"))
+    val rk = Window.partitionBy(col("cluster"))
+      .orderBy(col("prox").desc, col("id"))
+    assigned
+      .withColumn("__n", count(lit(1)).over(byCluster))
+      .withColumn("__rk", row_number().over(rk))
+      .withColumn("dropped",
+        col("__rk") <= expr(s"(__n * $prunePct + 99) div 100"))
+      .select(col("id"), col("cluster"), col("prox"), col("dropped"))
   }
 
   // ---- Product quantization (PQ) with asymmetric distance (ADC) ----

@@ -65,4 +65,48 @@ object Sketches {
       .groupBy(keep.toSeq: _*)
       .agg(min(col("c")).as("cms_est"))
   }
+
+  /** Equi-width histogram — the numeric-profiling sketch (≤ `bins` rows
+    * whatever the input): per-bin row count + exact DECIMAL value mass
+    * over `bins` equal-width cells of `[lo, hi]`. Bounds come from the
+    * data (a 1-row min/max aggregate broadcast back — no driver collect)
+    * unless `bounds` pins them; with pinned bounds, histograms of
+    * disjoint slices union-and-re-aggregate into the union's histogram
+    * (counts and DECIMAL masses both add), the same associativity that
+    * makes [[countMin]] distributed-native. Values outside pinned bounds
+    * clamp into the edge bins (`v = hi` lands in the last by the same
+    * clamp); the bin index
+    * is `floor((v − lo) · bins / (hi − lo))` in IEEE double arithmetic —
+    * exactly reproducible by any engine evaluating the same expression,
+    * which is what lets the DuckDB oracle hash-match bin populations.
+    * Output: (bin, lo_edge, hi_edge, n, mass) — edges rounded to 4 for
+    * display only. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String, bins: Int,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val mm = bounds match {
+      case Some((lo, hi)) =>
+        df.sparkSession.range(1)
+          .select(lit(lo).as("__lo"), lit(hi).as("__hi"))
+      case None =>
+        df.agg(min(v).as("__lo"), max(v).as("__hi"))
+    }
+    val w = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    df.select(v.as("__v")).filter(col("__v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(bins - 1L), greatest(lit(0L),
+            floor((col("__v") - col("__lo")) * lit(bins.toDouble) /
+              (col("__hi") - col("__lo")))))))
+      .groupBy(col("bin"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(18,2)")).cast("double").as("mass"))
+      .select(col("bin"),
+        round(col("__lo") + col("bin").cast("double") * w, 4).as("lo_edge"),
+        round(col("__lo") + (col("bin") + lit(1L)).cast("double") * w, 4)
+          .as("hi_edge"),
+        col("n"), col("mass"))
+  }
 }

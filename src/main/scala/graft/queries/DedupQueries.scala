@@ -830,6 +830,71 @@ object DedupQueries {
            ${sqlSemDedupFrom("embeddings", 0.45)}
            SELECT id, cluster FROM surv ORDER BY id""")),
 
+    // d14: SSL-prototype data pruning (Sorscher et al. 2022) — the
+    // abundant-data curation move SemDeDup doesn't make: d10/d13 drop
+    // near-DUPLICATES inside a cluster; d14 drops the most PROTOTYPICAL
+    // 30% of each cluster (closest to its centroid = least informative
+    // when data is plentiful) and keeps the hard examples. Same auto-k
+    // centroid build as d13, broadcast assignment, per-cluster rank
+    // window bounded by the target cluster size, integer-exact cut line
+    // ceil(n·30/100). The per-cluster funnel (n → dropped/kept, mean
+    // prototypicality of each side — dropped ≥ kept by construction)
+    // is what a curation report ships; the oracle replays k-means,
+    // assignment, ranking, and the cut.
+    "d14_prototype_prune" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroidsAutoK(e, "vec_id", "embedding",
+          targetClusterSize = 50, iters = 2)
+        Similarity.prototypePrune(e, cents, "vec_id", "embedding",
+            prunePct = 30)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("dropped"),
+            sum(when(!col("dropped"), 1L).otherwise(0L)).as("kept"),
+            coalesce(round(
+              sum(when(col("dropped"), col("prox").cast("decimal(18,4)")))
+                .cast("double") /
+                sum(when(col("dropped"), 1L)), 4), lit(0.0))
+              .as("mean_prox_dropped"),
+            coalesce(round(
+              sum(when(!col("dropped"), col("prox").cast("decimal(18,4)")))
+                .cast("double") /
+                sum(when(!col("dropped"), 1L)), 4), lit(0.0))
+              .as("mean_prox_kept"))
+          .orderBy(col("cluster"))
+      },
+      Some(
+        s"""WITH ${sqlKmeansCentsAutoKFrom("embeddings", 50)},
+           assign AS (SELECT id, prox, cid AS cluster FROM (
+             SELECT e.vec_id AS id,
+               round(${sqlCosine("e.embedding", "c.cv")}, 4) AS prox, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           ranked AS (SELECT id, cluster, prox,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY prox DESC, id) AS rk,
+               count(*) OVER (PARTITION BY cluster) AS n
+             FROM assign),
+           flagged AS (SELECT cluster, prox,
+               rk <= (n * 30 + 99) // 100 AS dropped FROM ranked)
+           SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped,
+             CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT)
+               AS kept,
+             coalesce(round(CAST(sum(CASE WHEN dropped
+                 THEN CAST(prox AS DECIMAL(18,4)) END) AS DOUBLE)
+               / sum(CASE WHEN dropped THEN 1 END), 4), 0.0)
+               AS mean_prox_dropped,
+             coalesce(round(CAST(sum(CASE WHEN NOT dropped
+                 THEN CAST(prox AS DECIMAL(18,4)) END) AS DOUBLE)
+               / sum(CASE WHEN NOT dropped THEN 1 END), 4), 0.0)
+               AS mean_prox_kept
+           FROM flagged GROUP BY cluster ORDER BY cluster""")),
+
     // x5: brute-force ANN over an int8-QUANTIZED corpus — the memory/
     // bandwidth path for 100 TB vector search (tinyint payload reads ¼ the
     // bytes of float32). Scoring runs on the dequantized vectors so the
@@ -1776,6 +1841,123 @@ object DedupQueries {
            FROM dl d LEFT JOIN gl g ON g.lang = d.lang
              LEFT JOIN sl s ON s.lang = d.lang
              LEFT JOIN ml m ON m.lang = d.lang
-           ORDER BY d.lang"""))
+           ORDER BY d.lang""")),
+
+    // x10: ANN recall evaluation — the ann-benchmarks scorecard as an
+    // operator: ground truth = brute-force cosine top-10 per query (x1's
+    // kernel) over a 50-query sample, candidate = the IVF probe (x3's
+    // index, k=12 / nProbe=2) at the same k, recall@10 = |truth ∩ approx|
+    // / 10 per query, plus the cost side of the trade (mean per-query
+    // candidate count = the probed clusters' population minus the query
+    // itself). This is the report every index variant must pass before it
+    // replaces the exact path — nProbe is tuned against exactly this
+    // number. Scale shape: recall is always evaluated on a bounded query
+    // SAMPLE, so the brute side stays a broadcast of the sample against
+    // one linear corpus scan (O(n·|Q|) map work, no all-pairs); the
+    // centroid table checkpoints once and feeds probe + assignment +
+    // population without re-running k-means. The oracle replays k-means,
+    // both rankers, and the set intersection.
+    "x10_ann_recall" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val e = T(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 50)
+        val cents = broadcast(Checkpoints.checkpoint(Similarity
+          .kmeansCentroids(e, "vec_id", "embedding", k = 12, iters = 2)))
+        val assigned = Checkpoints.checkpoint(
+          Similarity.assignToCentroids(e, cents, "vec_id", "embedding"))
+        val probes = Similarity.probeCentroids(q, cents, "vec_id",
+          "embedding", nProbe = 2)
+        val truth = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+          k = 10).select(col("qid"), col("nid"))
+        val approx = Similarity.ivfScoreTail(probes, assigned, k = 10)
+          .select(col("qid"), col("nid"))
+        // Everything below the two corpus passes is bounded by the QUERY
+        // SAMPLE (|Q| or |Q|·k rows) or by the index (k clusters) — each
+        // such side broadcasts explicitly, so no shuffle in the tail
+        // depends on corpus size.
+        val hits = truth.join(broadcast(approx), Seq("qid", "nid"),
+            "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        val perQ = q.select(col("vec_id").as("qid"))
+          .join(broadcast(hits), Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("hits"), lit(0L)).as("hits"))
+          .withColumn("recall",
+            round(col("hits").cast("double") / lit(10.0), 4))
+        val csize = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cn"))
+        val selfA = assigned.filter(col("nid") < 50)
+          .select(col("nid").as("qid"), col("cluster").as("self_cluster"))
+        val cand = probes.join(broadcast(csize), Seq("cluster"))
+          .join(broadcast(selfA), Seq("qid"))
+          .groupBy(col("qid"))
+          .agg((sum(col("cn")) -
+            sum(when(col("self_cluster") === col("cluster"), 1L)
+              .otherwise(0L))).as("cand"))
+        perQ.join(broadcast(cand), Seq("qid"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum(col("recall").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("mean_recall"),
+            sum(when(col("hits") === 10, 1L).otherwise(0L)).as("perfect"),
+            sum(when(col("hits") === 0, 1L).otherwise(0L)).as("misses"),
+            round(sum(col("cand")).cast("double") / count(lit(1)), 2)
+              .as("avg_candidates"))
+      },
+      Some(
+        s"""WITH $sqlKmeansCents,
+           q AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < 50),
+           assign AS (SELECT nid, nv, cid AS cluster FROM (
+             SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cid AS cluster FROM (
+             SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 2),
+           truth AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+               FROM q JOIN embeddings n ON n.vec_id <> q.vec_id))
+             WHERE rank <= 10),
+           approx AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT p.qid, a.nid,
+                 round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
+               FROM probes p JOIN assign a
+                 ON a.cluster = p.cluster AND a.nid <> p.qid))
+             WHERE rank <= 10),
+           hits AS (SELECT t.qid, count(*) AS hits FROM truth t
+             JOIN approx a ON a.qid = t.qid AND a.nid = t.nid
+             GROUP BY t.qid),
+           perq AS (SELECT q.vec_id AS qid,
+               coalesce(h.hits, 0) AS hits,
+               round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+             FROM q LEFT JOIN hits h ON h.qid = q.vec_id),
+           csize AS (SELECT cluster, count(*) AS cn FROM assign
+             GROUP BY cluster),
+           cand AS (SELECT p.qid,
+               sum(cs.cn) - sum(CASE WHEN sa.cluster = p.cluster
+                 THEN 1 ELSE 0 END) AS cand
+             FROM probes p JOIN csize cs ON cs.cluster = p.cluster
+               JOIN assign sa ON sa.nid = p.qid
+             GROUP BY p.qid)
+           SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             round(CAST(sum(CAST(recall AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 4) AS mean_recall,
+             CAST(sum(CASE WHEN hits = 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS perfect,
+             CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS misses,
+             round(CAST(sum(cand) AS DOUBLE) / count(*), 2)
+               AS avg_candidates
+           FROM perq JOIN cand USING (qid)"""))
   )
 }

@@ -275,6 +275,42 @@ object WindowAggQueries {
               CAST(1.0 AS DOUBLE) FROM s)
           ORDER BY check_name""")),
 
+    // A12: equi-width histogram profile — the numeric-distribution sketch
+    // (a10's quantitative sibling, a11's profiling input): 16 equal-width
+    // bins over l_extendedprice, bounds from an in-plan 1-row min/max
+    // broadcast back (no collect), per-bin row count + exact DECIMAL
+    // value mass. The result is ≤ 16 rows whatever the table size and,
+    // with pinned bounds, merges associatively across corpus slices
+    // (SketchesSpec) — the histogram every skew diagnosis, bin-packed
+    // shard plan, and range-partition boundary choice starts from. Bin
+    // index and edges are pure IEEE double arithmetic evaluated
+    // identically by both engines, so the oracle hash-matches bin
+    // populations, not just totals.
+    "a12_histogram" -> Q(
+      (s, dir) => {
+        import graft.ops.Sketches
+        Sketches.equiWidthHistogram(
+            T(s, dir, "lineitem").select(col("l_extendedprice")),
+            "l_extendedprice", bins = 16)
+          .orderBy(col("bin"))
+      },
+      Some("""WITH mm AS (SELECT
+            min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+            max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          b AS (SELECT
+            CAST(CASE WHEN m.hi = m.lo THEN 0
+              ELSE least(15, greatest(0,
+                floor((CAST(l.l_extendedprice AS DOUBLE) - m.lo)
+                  * 16.0 / (m.hi - m.lo)))) END AS BIGINT) AS bin,
+            CAST(l.l_extendedprice AS DOUBLE) AS v, m.lo, m.hi
+            FROM lineitem l CROSS JOIN mm m)
+          SELECT bin,
+            round(lo + bin * ((hi - lo) / 16.0), 4) AS lo_edge,
+            round(lo + (bin + 1) * ((hi - lo) / 16.0), 4) AS hi_edge,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS mass
+          FROM b GROUP BY bin, lo, hi ORDER BY bin""")),
+
     // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
     // never needed but Spark exposes for free (SURVEY §2.5 note).
     "w7_rank_functions" -> Q(

@@ -427,4 +427,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p) // real equi-join
     assert(p.contains("Join"), p)
   }
+
+  test("a12: histogram bounds are a 1-row broadcast (no collect); bin " +
+    "counts combine map-side; only the value column is read") {
+    val p = plan("a12_histogram")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row min/max
+    assert(p.contains("partial_count"), p) // per-bin counts combine map-side
+    assert(p.contains("ReadSchema: struct<l_extendedprice:double>"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d14: prototype pruning broadcasts the k-row centroid table; the " +
+    "rank window partitions by cluster, never globally") {
+    val p = plan("d14_prototype_prune")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // k-row centroids
+    assert(!p.contains("CartesianProduct"), p)
+    // the prune's rank/count windows partition by cluster (the k-means
+    // seed ranking's k-row global window is the only other Window here)
+    assert(p.contains("windowspecdefinition(cluster#"), p)
+  }
+
+  test("x10: recall evaluation broadcasts the query sample and the " +
+    "centroid table; the approx side joins clusters by equi-join") {
+    val p = plan("x10_ann_recall")
+    assert(p.contains("BroadcastHashJoin"), p) // cluster/candidate joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed cents/assign
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -301,6 +301,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.size < vecs.length, "some vector must actually drop")
   }
 
+  test("prototypePrune: exact ceil cut per cluster, drops the most " +
+    "prototypical side, keeps the hard examples") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)
+    val rows = Similarity
+      .prototypePrune(e, cents, "vec_id", "embedding", prunePct = 30)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster"),
+        r.getAs[Double]("prox"), r.getAs[Boolean]("dropped")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, cl) =>
+      val n = cl.length
+      val dropped = cl.filter(_._4)
+      // exact integer cut line: ceil(n * 30 / 100)
+      assert(dropped.length == (n * 30 + 99) / 100)
+      // every dropped row is at least as prototypical as every kept row
+      // (ties broken by id inside the rank, so prox can be equal across
+      // the cut)
+      if (dropped.nonEmpty && dropped.length < n) {
+        val minDropped = dropped.map(_._3).min
+        val maxKept = cl.filterNot(_._4).map(_._3).max
+        assert(minDropped >= maxKept,
+          s"cut must separate by prototypicality: $minDropped < $maxKept")
+      }
+    }
+    // prunePct = 0 drops nothing; 100 drops everything
+    val none = Similarity
+      .prototypePrune(e, cents, "vec_id", "embedding", prunePct = 0)
+      .filter(org.apache.spark.sql.functions.col("dropped")).count()
+    assert(none == 0L)
+    val all = Similarity
+      .prototypePrune(e, cents, "vec_id", "embedding", prunePct = 100)
+      .filter(!org.apache.spark.sql.functions.col("dropped")).count()
+    assert(all == 0L)
+  }
+
   test("dedupCorpus keeps one doc per near-dup component") {
     val pairs = Seq((1L, 4L), (2L, 3L)).toDF("a", "b")
     val kept = Dedup.dedupCorpus(docs.unionByName(

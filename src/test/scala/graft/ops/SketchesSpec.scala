@@ -64,4 +64,38 @@ class SketchesSpec extends SparkSpec {
     // collides is tiny and deterministic (fixed md5 hashes) — exact here.
     assert(est == 100L)
   }
+
+  test("histogram: bins partition the rows, clamp catches v = hi, " +
+    "bounded rows") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice"))
+    val h = Sketches.equiWidthHistogram(li, "l_extendedprice", bins = 16)
+      .collect()
+    assert(h.length <= 16)
+    assert(h.map(_.getAs[Long]("n")).sum == li.count())
+    val bins = h.map(_.getAs[Long]("bin")).toSet
+    assert(bins.forall(b => b >= 0 && b <= 15))
+    // the row holding the max value must land in the LAST bin (the clamp)
+    assert(bins.contains(15L))
+  }
+
+  test("histogram: pinned-bounds slice histograms merge into the union's") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice"), col("l_orderkey"))
+    val bounds = Some((900.0, 105000.0))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mass"))).toMap
+    val a = Sketches.equiWidthHistogram(li.filter(col("l_orderkey") % 2 === 0),
+      "l_extendedprice", 8, bounds)
+    val b = Sketches.equiWidthHistogram(li.filter(col("l_orderkey") % 2 === 1),
+      "l_extendedprice", 8, bounds)
+    val merged = a.unionByName(b)
+      .groupBy(col("bin"), col("lo_edge"), col("hi_edge"))
+      .agg(sum(col("n")).as("n"),
+        round(sum(col("mass").cast("decimal(18,2)")).cast("double"), 2)
+          .as("mass"))
+    val whole = Sketches.equiWidthHistogram(li, "l_extendedprice", 8, bounds)
+    assert(cells(merged) == cells(whole))
+  }
 }
