@@ -118,6 +118,81 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Synthesize a PCM16 mono WAV with an ACTUAL sample payload — the
+    * content-bearing sibling of [[synthWav]] (which carries silence and
+    * only exercises the header path). Little-endian samples through the
+    * real `javax.sound` WAVE writer; WAV PCM is lossless, so a later
+    * decode must reproduce every sample bit-for-bit. */
+  def synthWavPcm(sampleRate: Float, samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL PCM decode → per-frame peak amplitude: the actual
+    * `javax.sound` stream decoder reads every sample (PCM16 LE mono by
+    * contract) and folds `frameLen`-sample frames to their peak |sample|.
+    * One array row per payload — the frame walk is row-local executor
+    * work, so the audio-feature pass is a map, never a shuffle. */
+  def decodeAudioFrames(media: Dataset[MediaRow],
+      frameLen: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"PCM16 LE mono expected, got $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val amps = Array.ofDim[Int]((n + frameLen - 1) / frameLen)
+        var s = 0
+        while (s < n) {
+          val v = (bytes(2 * s + 1).toInt << 8) | (bytes(2 * s) & 0xff)
+          val a = math.abs(v)
+          val f = s / frameLen
+          if (a > amps(f)) amps(f) = a
+          s += 1
+        }
+        (r.id, amps.toSeq)
+      }
+    }.toDF("doc_id", "amps")
+  }
+
+  /** Energy-threshold VAD over [[decodeAudioFrames]] output: per payload,
+    * total/speech frame counts, speech ratio, the number of speech RUNS
+    * (voice-activity segments: a frame at ≥ `threshold` whose predecessor
+    * was below), and the peak amplitude. All row-local higher-order-
+    * function arithmetic on the frame array — no explode, no window. */
+  def vadReport(frames: DataFrame, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val amps = col("amps")
+    frames.select(col("doc_id"),
+      size(amps).cast("long").as("total_frames"),
+      size(filter(amps, a => a >= threshold)).cast("long")
+        .as("speech_frames"),
+      // prev frame's peak, 0 (silence) before the first frame; the CASE
+      // keeps element_at off index 0 (ANSI arrays are 1-based)
+      size(filter(amps, (a, i) => a >= threshold &&
+        when(i === 0, lit(0)).otherwise(element_at(amps, i))
+          < threshold)).cast("long")
+        .as("segments"),
+      array_max(amps).cast("long").as("peak"))
+  }
+
   /** Synthesize a grayscale PNG from a pure (x, y) → gray function — the
     * image twin of [[synthWav]]: a REAL PNG encode whose later decode must
     * reproduce the parameters exactly (PNG is lossless, so it does). Runs

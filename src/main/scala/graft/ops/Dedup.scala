@@ -438,6 +438,34 @@ object Dedup {
       .drop("__ph", "__first")
   }
 
+  /** WITHIN-document repeated-passage removal — the rewrite form of the
+    * Gopher repetition SIGNALS: t9 measures a document's duplicated
+    * n-gram mass, this deletes it. The document's non-overlapping k-token
+    * passages keep only their FIRST in-document occurrence and reassemble
+    * in order. Entirely row-local — one indexed higher-order filter per
+    * row, no explode, no join, no shuffle of any kind — which is the 100
+    * TB point: corpus-WIDE passage dedup ([[passageDedup]] /
+    * [[reassembleKept]]) must shuffle on the passage hash, while the
+    * intra-document form is free map work a pipeline should always run
+    * first. Adds `passages` (count before), `kept_passages` (count
+    * after), and `rewritten` (the scrubbed text) to `df`. Idempotent. */
+  def intraDocDedup(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "passage length must be positive")
+    val tok = textstats.tokens(col(textCol))
+    val passages =
+      when(size(tok) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(tok) - 1) / lit(k)).cast("int")),
+          i => array_join(slice(tok, i * k + 1, lit(k)), " ")))
+    df.withColumn("passages", passages)
+      .withColumn("__kept", filter(col("passages"),
+        (x, i) => array_position(col("passages"), x) === (i + lit(1))))
+      .withColumn("rewritten", array_join(col("__kept"), " "))
+      .withColumn("kept_passages", size(col("__kept")))
+      .withColumn("passages", size(col("passages")))
+      .drop("__kept")
+  }
+
   // ---- Bloom-prefiltered decontamination ----
   //
   // The 100 TB decontamination pattern: the eval/benchmark side is small

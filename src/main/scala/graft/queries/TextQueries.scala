@@ -547,6 +547,62 @@ object TextQueries {
              CAST(max(off) AS BIGINT) AS max_off
            FROM chunkrows GROUP BY lang ORDER BY lang""")),
 
+    // t27: WITHIN-document repetition removal — the rewrite form of t9's
+    // Gopher repetition signals: each document's non-overlapping 2-token
+    // passages keep only their first in-document occurrence and the text
+    // reassembles in order (d9/e3 are the corpus-WIDE form and must
+    // shuffle on the passage hash; the intra-doc form is entirely
+    // row-local — one indexed higher-order filter, no explode, no join,
+    // NO shuffle before the final per-lang aggregate — so a pipeline
+    // should always run it first and cheapen everything downstream). The
+    // per-lang report carries the rewrite fingerprint (summed doc-hash of
+    // the scrubbed text), so the oracle hash-match pins the rewritten
+    // CONTENT, not just the counts.
+    "t27_intradoc_dedup" -> Q(
+      (s, dir) => {
+        val r = graft.ops.Dedup.intraDocDedup(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "text", k = 2)
+        r.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(when(col("kept_passages") < col("passages"), 1L)
+              .otherwise(0L)).as("docs_changed"),
+            sum(col("passages").cast("long")).as("passages_before"),
+            sum(col("kept_passages").cast("long")).as("passages_after"),
+            sum(size(textstats.tokens(col("text"))).cast("long"))
+              .as("tokens_before"),
+            sum(size(textstats.tokens(col("rewritten"))).cast("long"))
+              .as("tokens_after"),
+            sum(hashing.h64(col("rewritten")) % lit(1000003L))
+              .as("rewrite_fp"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT doc_id, lang, $sqlToks AS toks
+             FROM documents),
+           p AS (SELECT doc_id, lang, toks,
+               CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                 ELSE list_transform(generate_series(0, (len(toks)-1)//2),
+                   i -> array_to_string(list_slice(toks, i*2 + 1, i*2 + 2),
+                     ' ')) END AS ps
+             FROM tok),
+           kq AS (SELECT lang, toks, ps,
+               list_filter(ps, (x, i) -> list_position(ps, x) = i) AS kept
+             FROM p),
+           r AS (SELECT lang, toks, ps, kept,
+               array_to_string(kept, ' ') AS rw FROM kq)
+           SELECT lang, count(*) AS docs,
+             CAST(sum(CASE WHEN len(kept) < len(ps) THEN 1 ELSE 0 END)
+               AS BIGINT) AS docs_changed,
+             CAST(sum(len(ps)) AS BIGINT) AS passages_before,
+             CAST(sum(len(kept)) AS BIGINT) AS passages_after,
+             CAST(sum(len(toks)) AS BIGINT) AS tokens_before,
+             CAST(sum(len(list_filter(string_split_regex(lower(rw), '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS tokens_after,
+             CAST(sum(${hashing.sqlH64("rw")} % 1000003) AS BIGINT)
+               AS rewrite_fp
+           FROM r GROUP BY lang ORDER BY lang""")),
+
     // t23: hashed linear quality-classifier scoring (fastText-shaped):
     // hashing-trick features, md5-derived synthetic weights quantized to
     // exact 3-decimal DECIMALs, per-doc exact accumulation. The keep gate
@@ -1172,6 +1228,73 @@ object TextQueries {
            FROM hs a JOIN hs b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
            ORDER BY a, b"""
-      })
+      }),
+
+    // m5: voice-activity detection over the REAL audio codec path — the
+    // content step after m3's header decode: per-row WAV payloads carry
+    // an ACTUAL PCM16 square-wave pattern (8 segments × 2 frames × 160
+    // samples, amplitude derived from doc_id — integer arithmetic only,
+    // so WAV's losslessness makes every decoded sample analytic), the
+    // real javax.sound stream decoder reads all samples, frames fold to
+    // peak amplitude row-locally, and the energy-threshold VAD yields
+    // speech ratio + voice-segment count per clip. This is the shape of
+    // every audio-curation pass (silence trimming, speech-ratio gates)
+    // at 100 TB: decode + feature-fold as pure map work, one aggregate
+    // at the end. The oracle recomputes frames and runs from the synth
+    // parameters — decode must invert the synth exactly.
+    "m5_audio_vad" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = T(s, dir, "documents").filter(col("doc_id") < 48)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val samples = Array.ofDim[Short](8 * 320)
+              var seg = 0
+              while (seg < 8) {
+                val amp =
+                  if ((id * 31 + seg * 7) % 3 == 0) 0
+                  else 800 + ((id + seg) % 5).toInt * 700
+                var j = 0
+                while (j < 320) {
+                  samples(seg * 320 + j) =
+                    (if (j % 2 == 0) amp else -amp).toShort
+                  j += 1
+                }
+                seg += 1
+              }
+              Multimodal.MediaRow(id, "audio",
+                Multimodal.synthWavPcm(8000f, samples))
+            }
+          }
+        Multimodal.vadReport(
+            Multimodal.decodeAudioFrames(media, frameLen = 160),
+            threshold = 500)
+          .select(col("doc_id"), col("total_frames"), col("speech_frames"),
+            round(col("speech_frames") / lit(16.0), 4).as("speech_ratio"),
+            col("segments"), col("peak"))
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+           seg AS (SELECT doc_id, i,
+               CASE WHEN (doc_id * 31 + i * 7) % 3 = 0 THEN 0
+                    ELSE 800 + ((doc_id + i) % 5) * 700 END AS amp
+             FROM ids, (SELECT unnest(generate_series(0, 7)) AS i)),
+           lagd AS (SELECT doc_id, amp,
+               lag(amp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             FROM seg),
+           agg AS (SELECT doc_id,
+               CAST(16 AS BIGINT) AS total_frames,
+               CAST(2 * sum(CASE WHEN amp >= 500 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS speech_frames,
+               CAST(sum(CASE WHEN amp >= 500 AND coalesce(prev, 0) < 500
+                 THEN 1 ELSE 0 END) AS BIGINT) AS segments,
+               CAST(max(amp) AS BIGINT) AS peak
+             FROM lagd GROUP BY doc_id)
+           SELECT doc_id, total_frames, speech_frames,
+             round(speech_frames / 16.0, 4) AS speech_ratio, segments, peak
+           FROM agg ORDER BY doc_id"""))
   )
 }

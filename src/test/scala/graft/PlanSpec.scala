@@ -428,6 +428,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("t27: intra-doc repetition removal is row-local — no join, no " +
+    "window, no explode; the only shuffle feeds the per-lang aggregate") {
+    val p = plan("t27_intradoc_dedup")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p) // no explode — indexed HOF filter
+    assert(p.contains("partial_count"), p)
+  }
+
   test("a12: histogram bounds are a 1-row broadcast (no collect); bin " +
     "counts combine map-side; only the value column is read") {
     val p = plan("a12_histogram")

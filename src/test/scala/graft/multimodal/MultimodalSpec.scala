@@ -98,4 +98,35 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.sampleRate == 8000.0 && meta.channels == 1 &&
       meta.frames == 100L)
   }
+
+  test("synthWavPcm→decodeAudioFrames round-trip: exact per-frame peaks, " +
+    "ragged tail frame, negative peaks rectified") {
+    import spark.implicits._
+    // 10 samples, frameLen 4 -> frames of 4, 4, 2 (ragged tail)
+    val samples = Array[Short](100, -300, 5, 0, /**/ -7, 7, 2, -2, /**/ 9, -1)
+    val media = Seq(Multimodal.MediaRow(1L, "audio",
+      Multimodal.synthWavPcm(8000f, samples))).toDS()
+    val amps = Multimodal.decodeAudioFrames(media, frameLen = 4)
+      .collect().head.getSeq[Int](1)
+    assert(amps.toList == List(300, 7, 9))
+  }
+
+  test("vadReport: segment runs merge across adjacent speech frames; " +
+    "leading silence, all-silent and all-speech edges") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0, 0, 900, 900, 0, 600, 0, 0)), // 2 runs, 3 speech frames
+      (2L, Seq(0, 0, 0)),                      // silent
+      (3L, Seq(700, 700, 700)),                // one run, all speech
+      (4L, Seq(499, 500))                      // threshold boundary: >= 500
+    ).toDF("doc_id", "amps")
+    val r = Multimodal.vadReport(rows, threshold = 500).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("total_frames"), x.getAs[Long]("speech_frames"),
+          x.getAs[Long]("segments"), x.getAs[Long]("peak")))).toMap
+    assert(r(1L) == ((8L, 3L, 2L, 900L)))
+    assert(r(2L) == ((3L, 0L, 0L, 0L)))
+    assert(r(3L) == ((3L, 3L, 1L, 700L)))
+    assert(r(4L) == ((2L, 1L, 1L, 500L)))
+  }
 }

@@ -40,6 +40,30 @@ class PassageDedupSpec extends SparkSpec {
       Set("doc_id", "lang", "pos", "passage", "kept"))
   }
 
+  test("intraDocDedup keeps first occurrences in order, leaves tails, " +
+    "and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c d a b"), // passages: "a b","a b","c d","a b"
+      (2L, "x y x"),           // short tail "x" survives
+      (3L, ""),                // empty doc
+      (4L, "p q r s")          // no repeats
+    ).toDF("doc_id", "text")
+    val r = Dedup.intraDocDedup(docs, "text", k = 2)
+      .select("doc_id", "passages", "kept_passages", "rewritten")
+      .as[(Long, Int, Int, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 4, 2, "a b c d")))
+    assert(r(2L) == ((2L, 2, 2, "x y x")))
+    assert(r(3L) == ((3L, 0, 0, "")))
+    assert(r(4L) == ((4L, 2, 2, "p q r s")))
+    // idempotence: rerunning on the rewritten text changes nothing
+    val once = Dedup.intraDocDedup(docs, "text", 2)
+      .select(col("doc_id"), col("rewritten").as("text"))
+    val twice = Dedup.intraDocDedup(once, "text", 2)
+      .select("doc_id", "rewritten").as[(Long, String)].collect().toMap
+    assert(twice == r.map { case (k, v) => k -> v._4 })
+  }
+
   test("reassembleKept rebuilds docs in position order; redundant docs vanish") {
     val pd = Dedup.passageDedup(fixture, "doc_id", "text", k = 4)
     val rebuilt = Dedup.reassembleKept(pd, Seq("doc_id"), "text2")
