@@ -371,6 +371,58 @@ object Multimodal {
     }
   }
 
+  /** Build a minimal RIFF/AVI container holding the given video frame
+    * payloads as `00dc` chunks — the video sibling of [[synthWavPcm]] /
+    * [[synthGrayPng]]: a deterministic container generator whose later
+    * [[aviVideoFrames]] walk must yield exactly these payloads. Frames
+    * are whatever ImageIO can decode; PNG payloads keep the pixel data
+    * lossless, which is what makes a downstream luma analysis
+    * oracle-computable. */
+  def synthAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(cc: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(cc.getBytes("ISO-8859-1"))
+      val n = data.length
+      bos.write(Array[Byte](n.toByte, (n >> 8).toByte, (n >> 16).toByte,
+        (n >> 24).toByte))
+      bos.write(data)
+      if (n % 2 == 1) bos.write(0) // word alignment
+      bos.toByteArray
+    }
+    def list(listType: String, subs: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST",
+        listType.getBytes("ISO-8859-1") ++ subs.flatten.toArray)
+    val body = list("hdrl", Seq(chunk("avih", new Array[Byte](56)))) ++
+      list("movi", frames.map(chunk("00dc", _)))
+    chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ body)
+  }
+
+  /** Scene-cut detection over [[videoKeyframes]] output: a cut is a
+    * frame whose mean-luma jump from its predecessor reaches `threshold`
+    * (the classic histogram/intensity-difference shot detector). Per
+    * video: frame count, cut count, shot count, mean shot length, and
+    * the largest jump. The lag window partitions by video id — bounded
+    * by the frames-per-video contract, never corpus-global — so the
+    * whole pass is decode (map) + one bounded window + one aggregate. */
+  def sceneCuts(keyframes: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("id")).orderBy(col("frameIdx"))
+    keyframes
+      .withColumn("__prev", lag(col("avgLuma"), 1).over(w))
+      .withColumn("__jump", when(col("__prev").isNull, lit(0.0))
+        .otherwise(abs(col("avgLuma") - col("__prev"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("frames"),
+        sum(when(col("__jump") >= threshold, 1L).otherwise(0L)).as("cuts"),
+        round(max(col("__jump")), 4).as("max_jump"))
+      .select(col("id").as("doc_id"), col("frames"), col("cuts"),
+        (col("cuts") + 1L).as("shots"),
+        round(col("frames") / (col("cuts") + lit(1.0)), 4)
+          .as("mean_shot_len"),
+        col("max_jump"))
+  }
+
   /** Typed payload row: id + media kind + raw bytes. */
   final case class MediaRow(id: Long, kind: String, payload: Array[Byte])
 

@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned-table commits — the lakehouse primitive (the
+  * Delta/Iceberg shape) that belongs under every incremental structure this
+  * library maintains (the d12 dedup index, the x9 IVF index, the j8
+  * dimension): data files are immutable parquet, a tiny per-version
+  * manifest lists exactly the files that ARE the table at that version,
+  * and the newest manifest is the current table.
+  *
+  * The isolation argument is structural, not locked: a commit first writes
+  * its data files into a fresh subdirectory nobody references, then
+  * publishes the next manifest via an atomic rename — so a reader that
+  * resolved version N keeps reading N's exact file list forever
+  * (immutability = time travel for free), and no reader can observe a
+  * half-written version (the manifest appears only after its files are
+  * complete). Manifest I/O is driver-side METADATA work — a few KB per
+  * commit, the same coordinator role every table format gives the commit
+  * path — while all DATA moves through executors untouched.
+  *
+  * `replace = true` publishes a manifest listing ONLY the new files — the
+  * compaction/OPTIMIZE commit (e.g. re-clustering via
+  * [[Layout.zOrderWrite]]): the table's content is rewritten, yet every
+  * pre-compaction version stays readable because the old files are never
+  * deleted (vacuuming is a separate, explicitly destructive step this
+  * minimal core omits).
+  */
+object Manifest {
+
+  private def manifestDir(tablePath: String): Path =
+    Paths.get(tablePath, "_manifests")
+
+  private def manifestFile(tablePath: String, v: Long): Path =
+    manifestDir(tablePath).resolve(f"v$v%06d.txt")
+
+  private def ls(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.toArray.map(_.toString).toSeq finally s.close()
+  }
+
+  /** Newest committed version, 0 when the table does not exist yet. */
+  def version(tablePath: String): Long = {
+    val dir = manifestDir(tablePath)
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val vs = ls(dir)
+        .map(p => Paths.get(p).getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+          s.stripPrefix("v").stripSuffix(".txt").toLong }
+      if (vs.isEmpty) 0L else vs.max
+    }
+  }
+
+  private def listed(tablePath: String, v: Long): Seq[String] = {
+    val f = manifestFile(tablePath, v)
+    require(Files.exists(f), s"version $v is not committed at $tablePath")
+    Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
+  }
+
+  /** Commit `df` as the next version. Append commits carry the previous
+    * version's files plus the new ones; `replace = true` carries only the
+    * new ones. Returns the committed version number. */
+  def commit(df: DataFrame, tablePath: String,
+      replace: Boolean = false): Long = {
+    val prev = version(tablePath)
+    val next = prev + 1
+    val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
+    df.write.mode("errorifexists").parquet(batchDir.toString)
+    val fresh = ls(batchDir)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
+    val lines = (if (replace || prev == 0) Seq.empty
+                 else listed(tablePath, prev)) ++ fresh
+    Files.createDirectories(manifestDir(tablePath))
+    val tmp = manifestDir(tablePath).resolve(s".v$next.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // atomic publish: the version exists either fully or not at all
+    Files.move(tmp, manifestFile(tablePath, next),
+      StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
+  /** Read the table at `asOf` (default: the newest version). The resolved
+    * file list is pinned at call time — later commits cannot change what
+    * this frame reads. */
+  def read(spark: SparkSession, tablePath: String,
+      asOf: Long = -1L): DataFrame = {
+    val v = if (asOf >= 0) asOf else version(tablePath)
+    require(v > 0, s"no committed version at $tablePath")
+    val files = listed(tablePath, v)
+      .map(rel => Paths.get(tablePath).resolve(rel).toString)
+    spark.read.parquet(files: _*)
+  }
+}

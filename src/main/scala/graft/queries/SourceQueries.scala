@@ -202,6 +202,48 @@ object SourceQueries {
            GROUP BY 1 ORDER BY 1"""
       }),
 
+    // s16: versioned-table commits + time travel — the lakehouse
+    // primitive (Delta/Iceberg shape) under every incremental structure
+    // this library maintains: three append commits land thirds of
+    // `orders` as immutable parquet behind per-version manifests, a
+    // fourth REPLACE commit compacts the full table (the OPTIMIZE shape —
+    // new file list, same content), and the query reads every version via
+    // its pinned manifest. v1..v3 show the append history, v4 must equal
+    // v3 exactly (compaction is provably content-neutral), and the
+    // pre-compaction versions stay readable because data files are never
+    // deleted. Manifest I/O is KB-sized driver metadata (the commit-
+    // coordinator role every table format has); all data moves through
+    // executors. The oracle replays each version as its predicate slice.
+    "s16_time_travel" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s16_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        for (i <- 0 until 3)
+          Manifest.commit(o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+            tbl)
+        Manifest.commit(Manifest.read(s, tbl).coalesce(2), tbl,
+          replace = true)
+        (1L to 4L).map { v =>
+          Manifest.read(s, tbl, v)
+            .agg(count(lit(1)).as("orders"),
+              sum(dec(col("o_totalprice"))).cast("double")
+                .as("total_price"))
+            .select(lit(v).as("version"), col("orders"),
+              col("total_price"))
+        }.reduce(_ unionByName _).orderBy(col("version"))
+      },
+      Some(
+        """SELECT v.version,
+             CAST(count(o.o_orderkey) AS BIGINT) AS orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+           FROM (SELECT unnest(generate_series(1, 4)) AS version) v
+             JOIN orders o ON o.o_orderkey % 3 <=
+               (CASE WHEN v.version >= 3 THEN 2 ELSE v.version - 1 END)
+           GROUP BY v.version ORDER BY v.version""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

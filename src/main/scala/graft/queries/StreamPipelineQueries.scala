@@ -231,6 +231,37 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlCountMinTop20)),
 
+    // st16: STREAMING histogram maintenance — a12's sketch in continuous
+    // form, completing the every-sketch-gets-a-streaming-twin symmetry
+    // (a10 ↔ st13): bounds are PINNED (production reads them from table
+    // metadata — a data-derived bound can't exist before the data has
+    // streamed), each micro-batch appends its ≤ 16-row partial, and the
+    // re-aggregation equals the one-shot pinned-bounds histogram by the
+    // count/DECIMAL-mass associativity SketchesSpec locks. Zero streaming
+    // state; the parquet partials are the restart-safe state.
+    "st16_stream_histogram" -> Q(
+      (s, dir) => {
+        val out = scratch("st16_out", dir)
+        wipe(s"$out/h"); wipe(s"$out/h-ckpt")
+        Streams.histogramStreaming(s, dir, s"$out/h", "l_extendedprice",
+            bins = 16, lo = 900.0, hi = 110000.0,
+            name = s"graft_st16_${dir.hashCode.abs}_sink")
+          .orderBy(col("bin"))
+      },
+      Some("""WITH b AS (SELECT
+            CAST(least(15, greatest(0,
+              floor((CAST(l_extendedprice AS DOUBLE) - 900.0) * 16.0
+                / (110000.0 - 900.0)))) AS BIGINT) AS bin,
+            CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem)
+          SELECT bin,
+            round(900.0 + bin * ((110000.0 - 900.0) / 16.0), 4) AS lo_edge,
+            round(900.0 + (bin + 1) * ((110000.0 - 900.0) / 16.0), 4)
+              AS hi_edge,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS mass
+          FROM b GROUP BY bin ORDER BY bin""")),
+
     // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
     // continuous query: each micro-batch merges into the persisted
     // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,

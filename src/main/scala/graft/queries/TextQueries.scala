@@ -70,7 +70,9 @@ object TextQueries {
              ELSE toks[i] END), x -> x IS NOT NULL) AS toks
          FROM $rel CROSS JOIN ${out}_ps)"""
 
-  val defs: Map[String, Q] = Map(
+  val defs: Map[String, Q] = mainDefs ++ m6Defs
+
+  private def mainDefs: Map[String, Q] = Map(
 
     // t1: n-gram language-ID heuristic vs. the ground-truth lang column.
     "t1_langid" -> Q(
@@ -1295,6 +1297,66 @@ object TextQueries {
              FROM lagd GROUP BY doc_id)
            SELECT doc_id, total_frames, speech_frames,
              round(speech_frames / 16.0, 4) AS speech_ratio, segments, peak
+           FROM agg ORDER BY doc_id"""))
+  )
+
+  /** m6's shot pattern: frame i of video `id` is a constant-gray PNG at
+    * luma 30 + ((id·3 + ⌊i/3⌋·(id mod 5)) mod 5)·45 — 4 three-frame
+    * shots; the shot-to-shot step is id mod 5, so one video in five is a
+    * single static shot (zero cuts) and the rest cut at every shot
+    * boundary — the oracle replays both outcomes. */
+  private def M6Frames = 12
+
+  private[queries] def m6Defs: Map[String, Q] = Map(
+    // m6: scene-cut detection over the REAL video container path — the
+    // shot segmentation every video-curation pipeline runs before
+    // sampling frames for captioning/embedding: AVI containers synthesize
+    // with PNG frame payloads (lossless, so every frame's mean luma is
+    // analytic — m4/m5's codec-round-trip pattern extended to the RIFF
+    // walker + ImageIO per frame), the real keyframe decoder streams the
+    // frames, and a luma-jump detector segments shots per video. Decode
+    // is pure map work; the lag window is bounded by frames-per-video;
+    // one aggregate ends the plan. The oracle replays the shot grays,
+    // the jumps, and the cut count from the synth parameters.
+    "m6_scene_cuts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = T(s, dir, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              val frames = (0 until M6Frames).map { i =>
+                val g = (30 + ((id * 3 + (i / 3) * (id % 5)) % 5) * 45).toInt
+                Multimodal.synthGrayPng(9, 8, (_, _) => g)
+              }
+              Multimodal.MediaRow(id, "video", Multimodal.synthAvi(frames))
+            }
+          }
+        Multimodal.sceneCuts(
+            Multimodal.videoKeyframes(media).toDF(), threshold = 40.0)
+          .orderBy(col("doc_id"))
+      },
+      Some(
+        s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+           fr AS (SELECT doc_id, i,
+               CAST(30 + ((doc_id * 3 + (i // 3) * (doc_id % 5)) % 5) * 45
+                 AS DOUBLE) AS g
+             FROM ids,
+               (SELECT unnest(generate_series(0, ${M6Frames - 1})) AS i)),
+           lagd AS (SELECT doc_id, g,
+               lag(g) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+             FROM fr),
+           agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS frames,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND abs(g - prev) >= 40
+                 THEN 1 ELSE 0 END) AS BIGINT) AS cuts,
+               round(max(CASE WHEN prev IS NULL THEN 0.0
+                 ELSE abs(g - prev) END), 4) AS max_jump
+             FROM lagd GROUP BY doc_id)
+           SELECT doc_id, frames, cuts,
+             cuts + 1 AS shots,
+             round(frames / (cuts + 1.0), 4) AS mean_shot_len, max_jump
            FROM agg ORDER BY doc_id"""))
   )
 }

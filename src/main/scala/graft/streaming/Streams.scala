@@ -606,6 +606,47 @@ object Streams {
       .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
   }
 
+  /** STREAMING equi-width histogram maintenance — the continuous form of
+    * [[graft.ops.Sketches.equiWidthHistogram]], same contract as
+    * [[sketchStreaming]] (a10 ↔ st13): bounds are PINNED (in production
+    * they come from table metadata — data-derived bounds can't exist
+    * before the data has streamed), each micro-batch appends its own
+    * ≤ `bins`-row partial histogram, and the returned re-aggregation
+    * equals the one-shot pinned-bounds histogram of everything that
+    * streamed, by the DECIMAL mass / count associativity SketchesSpec
+    * locks. ZERO streaming state; the parquet partials are the
+    * restart-safe state. */
+  def histogramStreaming(spark: SparkSession, dir: String, outPath: String,
+      valueCol: String, bins: Int, lo: Double, hi: Double,
+      glob: String = "lineitem.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st16"): DataFrame = {
+    import graft.ops.Sketches
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(valueCol,
+        org.apache.spark.sql.types.DoubleType)))
+    val r = s.readStream.schema(schema).option("pathGlobFilter", glob)
+    val src = (if (maxFilesPerTrigger > 0)
+        r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else r).parquet(dir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Sketches.equiWidthHistogram(batch, valueCol, bins, Some((lo, hi)))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outPath)
+      .groupBy(col("bin"), col("lo_edge"), col("hi_edge"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("mass").cast("decimal(18,2)")).cast("double").as("mass"))
+      .select(col("bin"), col("lo_edge"), col("hi_edge"), col("n"),
+        col("mass"))
+  }
+
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
     * successor (the per-user final session is still open). */
   def closedSessionsBatch(events: DataFrame,

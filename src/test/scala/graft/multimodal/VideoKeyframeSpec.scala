@@ -86,4 +86,39 @@ class VideoKeyframeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("RIFF"))
   }
+
+  test("synthAvi round-trips through aviVideoFrames, PNG frames decode " +
+    "to exact luma") {
+    import spark.implicits._
+    val pngs = Seq(60, 60, 200).map(g =>
+      Multimodal.synthGrayPng(9, 8, (_, _) => g))
+    val avi = Multimodal.synthAvi(pngs)
+    val back = Multimodal.aviVideoFrames(avi).toSeq
+    assert(back.map(_.toSeq) == pngs.map(_.toSeq))
+    val kf = Multimodal
+      .videoKeyframes(Seq(MediaRow(1L, "video", avi)).toDS())
+      .collect().sortBy(_.frameIdx).map(_.avgLuma).toSeq
+    assert(kf == Seq(60.0, 60.0, 200.0), s"PNG luma must be exact: $kf")
+  }
+
+  test("sceneCuts: jump at threshold counts, below-threshold does not; " +
+    "static video has one shot") {
+    import spark.implicits._
+    def video(id: Long, grays: Int*) = MediaRow(id, "video",
+      Multimodal.synthAvi(grays.map(g =>
+        Multimodal.synthGrayPng(9, 8, (_, _) => g))))
+    val media = Seq(
+      video(1L, 10, 10, 50, 50, 49),  // one 40-jump cut; 1-jump is not
+      video(2L, 128, 128, 128),       // static: zero cuts
+      video(3L, 0, 39, 78)            // two 39-jumps: below threshold
+    ).toDS()
+    val r = Multimodal
+      .sceneCuts(Multimodal.videoKeyframes(media).toDF(), threshold = 40.0)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("frames"), x.getAs[Long]("cuts"),
+          x.getAs[Long]("shots"), x.getAs[Double]("max_jump")))).toMap
+    assert(r(1L) == ((5L, 1L, 2L, 40.0)))
+    assert(r(2L) == ((3L, 0L, 1L, 0.0)))
+    assert(r(3L) == ((3L, 0L, 1L, 39.0)))
+  }
 }

@@ -431,4 +431,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("st16 streaming histogram: 4-micro-batch partials re-aggregate " +
+      "to exactly the one-shot pinned-bounds histogram") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Sketches
+    import java.nio.file.Files
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val srcDir = Files.createTempDirectory("st16_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st16_chunk$i")
+      li.filter(col("l_orderkey") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"lineitem_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val outRoot = Files.createTempDirectory("st16_out").toString
+    def cells(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mass")))).toMap
+    val streamed = cells(Streams.histogramStreaming(spark,
+      srcDir.toString, s"$outRoot/h", "l_extendedprice",
+      bins = 8, lo = 900.0, hi = 110000.0,
+      glob = "lineitem_*.parquet", maxFilesPerTrigger = 1,
+      name = "st16_spec_sink").collect())
+    val batch = cells(Sketches.equiWidthHistogram(li, "l_extendedprice",
+      bins = 8, bounds = Some((900.0, 110000.0))).collect())
+    assert(streamed == batch)
+    assert(batch.values.map(_._1).sum == li.count())
+  }
 }
