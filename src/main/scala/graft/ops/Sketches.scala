@@ -109,4 +109,36 @@ object Sketches {
           .as("hi_edge"),
         col("n"), col("mass"))
   }
+
+  /** Quantile estimates read off an [[equiWidthHistogram]] — the sketch's
+    * classic consumer (optimizer statistics, range-partition boundary
+    * picks): for each requested fraction `q`, find the first bin whose
+    * cumulative count reaches `q·N` and interpolate linearly inside it.
+    * Everything downstream of the histogram is bounded by the bin count —
+    * the cumulative window and the per-q argmin run over ≤ `bins` rows,
+    * so probing any number of quantiles never rescans the data. Returns
+    * (q, est) with `est` rounded to 4; the same IEEE expression evaluated
+    * by any engine yields the same bits. */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "fractions must be in (0, 1]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+    val cum = hist // bounded: ≤ bins rows, so the global window is fine
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("cumb", col("cum") - col("n"))
+    val tot = hist.agg(sum(col("n")).as("total"))
+    qs.toDF("q")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(cum))
+      .filter(col("cum") >= col("q") * col("total"))
+      .groupBy(col("q"), col("total"))
+      .agg(min(struct(col("bin"), col("lo_edge"), col("hi_edge"),
+        col("n"), col("cumb"))).as("b"))
+      .select(col("q"),
+        round(col("b.lo_edge") +
+          ((col("q") * col("total") - col("b.cumb")) / col("b.n")) *
+            (col("b.hi_edge") - col("b.lo_edge")), 4).as("est"))
+  }
 }

@@ -1958,6 +1958,120 @@ object DedupQueries {
                AS misses,
              round(CAST(sum(cand) AS DOUBLE) / count(*), 2)
                AS avg_candidates
-           FROM perq JOIN cand USING (qid)"""))
+           FROM perq JOIN cand USING (qid)""")),
+
+    // x11: the nProbe recall/cost SWEEP — the tuning curve x10's single
+    // point is read against: the same IVF index probed at nProbe = 1..4,
+    // one row per setting with recall@10 vs the brute-force truth and the
+    // mean candidate volume (the scan cost that recall is bought with).
+    // This is the table a production deployment pins its nProbe from —
+    // recall rises and cost rises with every probe; the sweep makes the
+    // trade explicit and hash-verified. One k-means build, one corpus
+    // assignment, one truth pass — all checkpointed once; each sweep
+    // point only re-filters the rank-4 probe table, so the marginal cost
+    // of a sweep point is the sample-bounded score join, nothing
+    // corpus-sized.
+    "x11_nprobe_sweep" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val e = T(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 50)
+        val cents = broadcast(Checkpoints.checkpoint(Similarity
+          .kmeansCentroids(e, "vec_id", "embedding", k = 12, iters = 2)))
+        val assigned = Checkpoints.checkpoint(
+          Similarity.assignToCentroids(e, cents, "vec_id", "embedding"))
+        val truth = Checkpoints.checkpoint(
+          Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+            .select(col("qid"), col("nid")))
+        val csize = assigned.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("cn"))
+        val selfA = assigned.filter(col("nid") < 50)
+          .select(col("nid").as("qid"), col("cluster").as("self_cluster"))
+        val sweep = (1 to 4).map { p =>
+          val probes = Similarity.probeCentroids(q, cents, "vec_id",
+            "embedding", nProbe = p)
+          val approx = Similarity.ivfScoreTail(probes, assigned, k = 10)
+            .select(col("qid"), col("nid"))
+          val hits = truth.join(broadcast(approx), Seq("qid", "nid"),
+              "left_semi")
+            .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+          val recallRow = q.select(col("vec_id").as("qid"))
+            .join(broadcast(hits), Seq("qid"), "left")
+            .select(round(coalesce(col("hits"), lit(0L)).cast("double") /
+              lit(10.0), 4).as("recall"))
+            .agg(round(sum(col("recall").cast("decimal(18,4)"))
+              .cast("double") / count(lit(1)), 4).as("mean_recall"))
+          val candRow = probes.join(broadcast(csize), Seq("cluster"))
+            .join(broadcast(selfA), Seq("qid"))
+            .groupBy(col("qid"))
+            .agg((sum(col("cn")) -
+              sum(when(col("self_cluster") === col("cluster"), 1L)
+                .otherwise(0L))).as("cand"))
+            .agg(round(sum(col("cand")).cast("double") / count(lit(1)), 2)
+              .as("avg_candidates"))
+          recallRow.crossJoin(candRow)
+            .select(lit(p.toLong).as("nprobe"), col("mean_recall"),
+              col("avg_candidates"))
+        }
+        sweep.reduce(_ unionByName _).orderBy(col("nprobe"))
+      },
+      Some {
+        val perP = (1 to 4).map { p =>
+          s"""approx$p AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER
+                 (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+               FROM (SELECT pr.qid, a.nid,
+                   round(${sqlCosine("pr.qv", "a.nv")}, 4) AS cos
+                 FROM probes pr JOIN assign a
+                   ON a.cluster = pr.cluster AND a.nid <> pr.qid
+                 WHERE pr.rn <= $p))
+             WHERE rank <= 10),
+           perq$p AS (SELECT q.vec_id AS qid,
+               round(coalesce(h.hits, 0) / 10.0, 4) AS recall
+             FROM q LEFT JOIN (SELECT t.qid, count(*) AS hits
+               FROM truth t JOIN approx$p a
+                 ON a.qid = t.qid AND a.nid = t.nid
+               GROUP BY t.qid) h ON h.qid = q.vec_id),
+           cand$p AS (SELECT pr.qid,
+               sum(cs.cn) - sum(CASE WHEN sa.cluster = pr.cluster
+                 THEN 1 ELSE 0 END) AS cand
+             FROM probes pr JOIN csize cs ON cs.cluster = pr.cluster
+               JOIN assign sa ON sa.nid = pr.qid
+             WHERE pr.rn <= $p GROUP BY pr.qid)"""
+        }.mkString(",\n")
+        val rows = (1 to 4).map { p =>
+          s"""SELECT CAST($p AS BIGINT) AS nprobe,
+               (SELECT round(CAST(sum(CAST(recall AS DECIMAL(18,4)))
+                   AS DOUBLE) / count(*), 4) FROM perq$p) AS mean_recall,
+               (SELECT round(CAST(sum(cand) AS DOUBLE) / count(*), 2)
+                 FROM cand$p) AS avg_candidates"""
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $sqlKmeansCents,
+           q AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id < 50),
+           assign AS (SELECT nid, nv, cid AS cluster FROM (
+             SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cluster, rn FROM (
+             SELECT q.vec_id AS qid, q.embedding AS qv, c.cid AS cluster,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid)
+                 AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 4),
+           truth AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS cos
+               FROM q JOIN embeddings n ON n.vec_id <> q.vec_id))
+             WHERE rank <= 10),
+           csize AS (SELECT cluster, count(*) AS cn FROM assign
+             GROUP BY cluster),
+           $perP
+           SELECT * FROM ($rows) ORDER BY nprobe"""
+      })
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{hashing, text, textstats}
 import QueryDSL._
@@ -479,6 +480,55 @@ object TextQueries {
              FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
              GROUP BY doc_id, t)
            GROUP BY t ORDER BY tf DESC, token LIMIT 50""")),
+
+    // t28: per-document TF-IDF keyword extraction — the classic
+    // characteristic-terms pass (search indexing, near-dup triage, topic
+    // labeling): corpus-wide document frequencies build the idf table
+    // (ln(N/df) rounded to 6 — the t13 log contract both engines share),
+    // a 25-doc sample scores tf·idf, and a per-doc rank window (bounded
+    // by the doc's vocabulary) keeps the top 3. Scale shape: tf/df are
+    // the t18 no-DISTINCT aggregates over the full corpus; N comes from a
+    // 1-row broadcast (no collect); the sample side broadcasts into the
+    // vocabulary-sized idf join.
+    "t28_tfidf_keywords" -> Q(
+      (s, dir) => {
+        val d = spread(T(s, dir, "documents").select("doc_id", "text"))
+        val toks = d.select(col("doc_id"),
+          explode(textstats.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val n1 = d.agg(count(lit(1)).as("n"))
+        val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(n1))
+          .select(col("term"),
+            round(log(col("n").cast("double") / col("df")), 6).as("idf"))
+        val scored = idf
+          .join(broadcast(tf.filter(col("doc_id") < 25)), Seq("term"))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * col("idf"), 4).as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(
+        s"""WITH d AS (SELECT count(*) AS n FROM documents),
+           tf AS (SELECT doc_id, t, count(*) AS tf
+             FROM (SELECT doc_id, unnest($sqlToks) AS t FROM documents)
+             GROUP BY doc_id, t),
+           idf AS (SELECT t, round(ln(CAST((SELECT n FROM d) AS DOUBLE)
+               / count(*)), 6) AS idf
+             FROM tf GROUP BY t),
+           sc AS (SELECT tf.doc_id, tf.t AS term,
+               round(tf.tf * i.idf, 4) AS score
+             FROM tf JOIN idf i ON i.t = tf.t WHERE tf.doc_id < 25)
+           SELECT doc_id, rank, term, score FROM (
+             SELECT doc_id, term, score, row_number() OVER
+               (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+             FROM sc)
+           WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     // t21: tokenizer OOV-rate — per-document out-of-vocabulary fraction
     // against the corpus's own top-32 token vocabulary (the coverage

@@ -311,6 +311,77 @@ object WindowAggQueries {
             CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS mass
           FROM b GROUP BY bin, lo, hi ORDER BY bin""")),
 
+    // A13: quantiles read off the a12 histogram, audited against the
+    // exact answer — the sketch's classic consumer (optimizer statistics,
+    // range-partition boundary picks) shipped WITH its error accounting:
+    // for each fraction, the first bin whose cumulative count reaches q·N
+    // interpolates linearly; the exact side is percentile_disc (a data
+    // value — the t19 discrete contract both engines share); abs_err is
+    // the price of answering from 16 rows instead of a full sort. Scale:
+    // everything downstream of the histogram is bounded by the bin count,
+    // so probing any number of quantiles never rescans the data.
+    "a13_histogram_quantiles" -> Q(
+      (s, dir) => {
+        import graft.ops.Sketches
+        val li = T(s, dir, "lineitem").select(col("l_extendedprice"))
+        val hist = Sketches.equiWidthHistogram(li, "l_extendedprice",
+          bins = 16)
+        val est = Sketches.histogramQuantiles(hist,
+          Seq(0.25, 0.5, 0.75, 0.9))
+        val ex = li.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("q25"),
+          expr("percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("q50"),
+          expr("percentile_disc(0.75) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("q75"),
+          expr("percentile_disc(0.9) WITHIN GROUP " +
+            "(ORDER BY l_extendedprice)").as("q90"))
+          .select(expr("stack(4, 0.25d, q25, 0.5d, q50, 0.75d, q75, " +
+            "0.9d, q90) as (q, exact)"))
+        est.join(broadcast(ex), Seq("q"))
+          .select(col("q"), col("est"), col("exact"),
+            round(abs(col("est") - col("exact")), 4).as("abs_err"))
+          .orderBy(col("q"))
+      },
+      Some("""WITH mm AS (SELECT
+            min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+            max(CAST(l_extendedprice AS DOUBLE)) AS hi FROM lineitem),
+          b AS (SELECT
+            CAST(CASE WHEN m.hi = m.lo THEN 0
+              ELSE least(15, greatest(0,
+                floor((CAST(l.l_extendedprice AS DOUBLE) - m.lo)
+                  * 16.0 / (m.hi - m.lo)))) END AS BIGINT) AS bin,
+            m.lo, m.hi
+            FROM lineitem l CROSS JOIN mm m),
+          hist AS (SELECT bin,
+            round(lo + bin * ((hi - lo) / 16.0), 4) AS lo_edge,
+            round(lo + (bin + 1) * ((hi - lo) / 16.0), 4) AS hi_edge,
+            CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bin, lo, hi),
+          cum AS (SELECT bin, lo_edge, hi_edge, n,
+            CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM hist),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist),
+          qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
+          sel AS (SELECT q, total, lo_edge, hi_edge, n, cum - n AS cumb,
+              row_number() OVER (PARTITION BY q ORDER BY bin) AS rk
+            FROM qs CROSS JOIN tot CROSS JOIN cum WHERE cum >= q * total),
+          est AS (SELECT q,
+              round(lo_edge + ((q * total - cumb) / n) * (hi_edge - lo_edge),
+                4) AS est
+            FROM sel WHERE rk = 1),
+          ex AS (
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+              quantile_disc(l_extendedprice, 0.25) AS exact FROM lineitem
+            UNION ALL SELECT CAST(0.5 AS DOUBLE),
+              quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL SELECT CAST(0.75 AS DOUBLE),
+              quantile_disc(l_extendedprice, 0.75) FROM lineitem
+            UNION ALL SELECT CAST(0.9 AS DOUBLE),
+              quantile_disc(l_extendedprice, 0.9) FROM lineitem)
+          SELECT e.q, est, exact, round(abs(est - exact), 4) AS abs_err
+          FROM est JOIN ex e USING (q) ORDER BY q""")),
+
     // W7: the wider ranking surface (dense_rank, lead, ntile) the reference
     // never needed but Spark exposes for free (SURVEY §2.5 note).
     "w7_rank_functions" -> Q(

@@ -465,4 +465,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p) // checkpointed cents/assign
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("t28: TF-IDF pipeline has no count-DISTINCT expand; the sample " +
+    "side broadcasts into the idf join; top-3 is a bounded window") {
+    val p = plan("t28_tfidf_keywords")
+    assert(!p.contains("Expand"), p) // df via two-level group-by, t18-style
+    assert(p.contains("BroadcastHashJoin"), p) // sample tf into idf
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x11: the sweep reuses one checkpointed assignment/truth — no " +
+    "per-point k-means, no SMJ, no cartesian") {
+    val p = plan("x11_nprobe_sweep")
+    assert(p.contains("Scan ExistingRDD"), p) // checkpointed cents/assign
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("a13: quantile probes stay on the bounded histogram — the only " +
+    "full-data work is the histogram scan and the exact-percentile " +
+    "audit; no cartesian beyond the 1-row/bin-table broadcasts") {
+    val p = plan("a13_histogram_quantiles")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row mm/tot
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -98,4 +98,36 @@ class SketchesSpec extends SparkSpec {
     val whole = Sketches.equiWidthHistogram(li, "l_extendedprice", 8, bounds)
     assert(cells(merged) == cells(whole))
   }
+
+  test("histogramQuantiles: exact on a uniform planted distribution, " +
+    "monotone, and within one bin width of the true quantile") {
+    import spark.implicits._
+    // 1000 values 1..1000 over pinned bounds [0, 1000], 10 bins of 100:
+    // cum counts are exact multiples, so interpolation is near-exact
+    val vals = (1 to 1000).map(_.toDouble).toDF("v")
+    val hist = Sketches.equiWidthHistogram(vals, "v", bins = 10,
+      bounds = Some((0.0, 1000.0)))
+    val est = Sketches.histogramQuantiles(hist, Seq(0.1, 0.5, 0.9))
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("est"))
+      .toMap
+    assert(math.abs(est(0.1) - 100.0) <= 1.0, est.toString)
+    assert(math.abs(est(0.5) - 500.0) <= 1.0, est.toString)
+    assert(math.abs(est(0.9) - 900.0) <= 1.0, est.toString)
+    // real data: estimates are monotone in q and within one bin width
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_extendedprice"))
+    val h2 = Sketches.equiWidthHistogram(li, "l_extendedprice", 16)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val e2 = Sketches.histogramQuantiles(h2, qs).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("est")).toMap
+    assert(qs.map(e2).sliding(2).forall(p => p.head <= p.last))
+    val width = h2.collect().map(r =>
+      r.getAs[Double]("hi_edge") - r.getAs[Double]("lo_edge")).max
+    val exact = li.stat.approxQuantile("l_extendedprice",
+      qs.toArray, 0.0)
+    qs.zip(exact).foreach { case (q, ex) =>
+      assert(math.abs(e2(q) - ex) <= width,
+        s"q=$q est=${e2(q)} exact=$ex width=$width")
+    }
+  }
 }
