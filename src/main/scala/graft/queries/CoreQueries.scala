@@ -327,6 +327,64 @@ object CoreQueries {
       },
       Some(sqlScdOneShot)),
 
+    // j10: SCD2 POINT-IN-TIME lookup — the query j8's dimension exists
+    // for: facts join the version in force AT THEIR OWN event time
+    // (valid_from ≤ ts < valid_to), not the current one. The dimension
+    // builds from the signup events; purchase/click facts look up the
+    // signup value that governed them, with facts before a user's first
+    // version surfacing as unmatched (the LEFT join every late-arriving-
+    // dimension debate is about). Scale shape: the lookup is an EQUI-join
+    // on the key with the validity range as residual predicates — fan-out
+    // bounded by versions-per-key, one shuffle, no interval machinery
+    // needed (j7's banded join is for predicates with no equi component).
+    "j10_scd2_lookup" -> Q(
+      (s, dir) => {
+        import graft.ops.Scd
+        val ev = events(s, dir).filter(col("user_id") < 40)
+        val dim = Scd.buildScd2(
+          ev.filter(col("event_type") === "signup")
+            .select(col("user_id"), col("value"), col("ts"),
+              col("event_id")),
+          "user_id", "value", "ts", "event_id")
+          .select(col("user_id").as("dim_user"), col("attr"),
+            col("valid_from"), col("valid_to"))
+        val facts = ev
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        facts.join(dim,
+            col("user_id") === col("dim_user") &&
+              col("valid_from") <= col("ts") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")),
+            "left")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("facts"),
+            count(col("attr")).as("matched"),
+            sum(dec(col("attr"))).cast("double").as("attr_mass"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, value AS attr, epoch_ns(ts) AS ts,
+              event_id
+            FROM events WHERE user_id < 40 AND event_type = 'signup'),
+          ch AS (SELECT user_id, attr, ts, event_id FROM (
+              SELECT user_id, attr, ts, event_id, lag(attr) OVER w AS prev
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE prev IS NULL OR attr <> prev),
+          scd AS (SELECT user_id, attr, ts AS valid_from,
+              lead(ts) OVER w2 AS valid_to
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          f AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+            FROM events
+            WHERE user_id < 40 AND event_type IN ('purchase', 'click')),
+          j AS (SELECT f.event_type, s.attr
+            FROM f LEFT JOIN scd s ON s.user_id = f.user_id
+              AND s.valid_from <= f.ts
+              AND (s.valid_to IS NULL OR f.ts < s.valid_to))
+          SELECT event_type, count(*) AS facts,
+            count(attr) AS matched,
+            CAST(sum(CAST(attr AS DECIMAL(18,2))) AS DOUBLE) AS attr_mass
+          FROM j GROUP BY event_type ORDER BY event_type""")),
+
     // j9: SALTED skew join — the join-level twin of a8's salted
     // aggregation: l_returnflag has 3 values, so a plain shuffle join
     // lands the whole fact table on 3 reducers; the salt spreads each

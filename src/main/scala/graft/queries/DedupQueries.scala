@@ -2072,6 +2072,106 @@ object DedupQueries {
              GROUP BY cluster),
            $perP
            SELECT * FROM ($rows) ORDER BY nprobe"""
-      })
+      }),
+
+    // x12: FILTERED vector search — the production ANN question every
+    // vector store documents: top-k among vectors satisfying a metadata
+    // predicate (here: the query's own label — "same category only").
+    // PRE-filtering is exact and, because the filter is an equality, the
+    // filter IS a join key: corpus ⨝ queries on label is an equi-join
+    // (bucketed by label at scale), then a per-query rank — no filtered-
+    // out vector is ever scored. POST-filtering — take the unfiltered
+    // top-10, then drop label mismatches — is what a filter bolted onto
+    // an existing index does, and it STARVES: the hash-matched output
+    // carries the mean kept-count, the recall of post vs the exact
+    // pre-filtered top-3, and how many queries came back short. The
+    // oracle replays both pipelines and the comparison.
+    "x12_filtered_ann" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T(s, dir, "embeddings")
+        val q = broadcast(e.filter(col("vec_id") < 30)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("label").as("qlabel")))
+        val pre = e.select(col("vec_id").as("nid"),
+            col("embedding").as("nv"), col("label"))
+          .join(q, col("label") === col("qlabel") &&
+            col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"),
+            round(Similarity.cosine(col("qv"), col("nv")), 4).as("cos"))
+        val wq = Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("nid"))
+        val preTop = pre.withColumn("rank", row_number().over(wq))
+          .filter(col("rank") <= 3).select(col("qid"), col("nid"))
+        val top10 = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") < 30), "vec_id", "embedding", k = 10)
+        val post = top10
+          .join(e.select(col("vec_id").as("nid"),
+            col("label").as("nlabel")), Seq("nid"))
+          .join(q.select(col("qid"), col("qlabel")), Seq("qid"))
+          .filter(col("nlabel") === col("qlabel"))
+          .withColumn("prank", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("rank"))))
+          .filter(col("prank") <= 3).select(col("qid"), col("nid"))
+        val kept = post.groupBy(col("qid")).agg(count(lit(1)).as("kept"))
+        val hits = preTop.join(broadcast(post), Seq("qid", "nid"),
+            "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        q.select(col("qid"))
+          .join(broadcast(kept), Seq("qid"), "left")
+          .join(broadcast(hits), Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("kept"), lit(0L)).as("kept"),
+            round(coalesce(col("hits"), lit(0L)).cast("double") /
+              lit(3.0), 4).as("recall"))
+          .agg(count(lit(1)).as("n_queries"),
+            round(sum(col("kept")).cast("double") / count(lit(1)), 2)
+              .as("post_avg_kept"),
+            round(sum(col("recall").cast("decimal(18,4)")).cast("double") /
+              count(lit(1)), 4).as("post_recall"),
+            sum(when(col("kept") < 3, 1L).otherwise(0L)).as("starved"))
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label
+             AS qlabel FROM embeddings WHERE vec_id < 30),
+           pretop AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.qv", "n.embedding")}, 4) AS cos
+               FROM q JOIN embeddings n
+                 ON n.label = q.qlabel AND n.vec_id <> q.qid))
+             WHERE rank <= 3),
+           top10 AS (SELECT qid, nid, rank FROM (
+             SELECT qid, nid, cos, row_number() OVER
+               (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             FROM (SELECT q.qid, n.vec_id AS nid,
+                 round(${sqlCosine("q.qv", "n.embedding")}, 4) AS cos
+               FROM q JOIN embeddings n ON n.vec_id <> q.qid))
+             WHERE rank <= 10),
+           post AS (SELECT qid, nid FROM (
+             SELECT t.qid, t.nid, row_number() OVER
+               (PARTITION BY t.qid ORDER BY t.rank) AS prank
+             FROM top10 t JOIN embeddings n ON n.vec_id = t.nid
+               JOIN q ON q.qid = t.qid
+             WHERE n.label = q.qlabel)
+             WHERE prank <= 3),
+           perq AS (SELECT q.qid,
+               coalesce(k.kept, 0) AS kept,
+               round(coalesce(h.hits, 0) / 3.0, 4) AS recall
+             FROM q
+               LEFT JOIN (SELECT qid, count(*) AS kept FROM post
+                 GROUP BY qid) k ON k.qid = q.qid
+               LEFT JOIN (SELECT p.qid, count(*) AS hits FROM pretop p
+                 JOIN post po ON po.qid = p.qid AND po.nid = p.nid
+                 GROUP BY p.qid) h ON h.qid = q.qid)
+           SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             round(CAST(sum(kept) AS DOUBLE) / count(*), 2)
+               AS post_avg_kept,
+             round(CAST(sum(CAST(recall AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*), 4) AS post_recall,
+             CAST(sum(CASE WHEN kept < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS starved
+           FROM perq"""))
   )
 }

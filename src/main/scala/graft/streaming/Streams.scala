@@ -647,6 +647,32 @@ object Streams {
         col("mass"))
   }
 
+  /** STREAMING ingest through [[graft.ops.Manifest]] commits — the
+    * STORAGE twin of the fold-in family (dedup st11, sketch st13,
+    * vectors st14, dimensions st15): each micro-batch becomes ONE atomic
+    * versioned commit, so a downstream reader only ever sees whole
+    * batches — never a half-written file set — and can time-travel the
+    * ingest history batch by batch. Zero streaming state; the manifest
+    * IS the state (restart resumes from the source checkpoint and keeps
+    * committing). Returns the final table read on the caller's session. */
+  def commitStreaming(spark: SparkSession, dir: String, tablePath: String,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st_commit"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$tablePath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Manifest.commit(batch, tablePath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
     * successor (the per-user final session is still open). */
   def closedSessionsBatch(events: DataFrame,

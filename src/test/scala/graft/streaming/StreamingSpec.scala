@@ -464,4 +464,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.values.map(_._1).sum == li.count())
   }
+
+  test("streaming manifest ingest: one atomic commit per micro-batch, " +
+      "time travel replays the ingest history, final read == source") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = Files.createTempDirectory("stcommit_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"stcommit_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("stcommit_tbl").toString + "/t"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val finalRead = Streams.commitStreaming(spark, srcDir.toString, tbl,
+      glob = "documents_*.parquet", maxFilesPerTrigger = 1,
+      name = "stcommit_spec")
+    assert(Manifest.version(tbl) == 4L) // one commit per micro-batch
+    assert(ids(finalRead) == ids(docs))
+    // time travel: version v holds exactly the first v chunks (source
+    // files stream in mtime order)
+    for (v <- 1 to 4) {
+      assert(ids(Manifest.read(spark, tbl, v.toLong)) ==
+        ids(docs.filter(col("doc_id") % 4 < v)), s"version $v")
+    }
+  }
 }
