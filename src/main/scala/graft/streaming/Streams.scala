@@ -673,6 +673,45 @@ object Streams {
     Manifest.read(spark, tablePath)
   }
 
+  /** Ordered-step session FUNNEL — the conversion question sessionization
+    * exists to answer: of all gap-delimited sessions, how many reached
+    * step 1, steps 1→2 in order, 1→2→3 in order (each step's first
+    * occurrence strictly after the previous step's)? Returns ONE row:
+    * total sessions, a `reached_<step>` count per step, and the
+    * end-to-end conversion rate. Scale shape: the session id is the
+    * standard per-user break/cumsum window (one shuffle on user), the
+    * per-session step times are a min-CASE aggregate (map-side combined),
+    * and the funnel itself folds over one bounded row per session. */
+  def sessionFunnelBatch(events: DataFrame, steps: Seq[String],
+      gapNs: Long = SessionGapNs): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("__brk",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L).otherwise(0L))
+      .withColumn("__sid", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val stepAggs = steps.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, col("ts"))).as(s"__t$i")
+    }
+    val per = sess.groupBy(col("user_id"), col("__sid"))
+      .agg(stepAggs.head, stepAggs.tail: _*)
+    val reached = steps.indices.map { k =>
+      val present = (0 to k).map(i => col(s"__t$i").isNotNull)
+        .reduce(_ && _)
+      val ordered = (1 to k).map(i => col(s"__t$i") > col(s"__t${i - 1}"))
+        .foldLeft(lit(true))(_ && _)
+      sum(when(present && ordered, 1L).otherwise(0L))
+        .as(s"reached_${steps(k)}")
+    }
+    per.agg(count(lit(1)).as("sessions"), reached: _*)
+      .withColumn("conversion",
+        round(col(s"reached_${steps.last}").cast("double") /
+          col("sessions"), 4))
+  }
+
   /** Batch twin of [[closedSessionsStreaming]]: sessions that have a
     * successor (the per-user final session is still open). */
   def closedSessionsBatch(events: DataFrame,

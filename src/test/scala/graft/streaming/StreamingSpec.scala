@@ -465,6 +465,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.values.map(_._1).sum == li.count())
   }
 
+  test("sessionFunnelBatch: strict step ORDER, not presence — and gap " +
+      "breaks split the funnel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gap = 1000L
+    // user 1, one session: view(10) -> click(20) -> purchase(30): converts
+    // user 2, one session: click(10) -> view(20) -> purchase(30): click
+    //   precedes view, so only reached_view counts
+    // user 3: view(10) then a gap break, click/purchase land in session 2
+    //   (no view there): session 1 reaches view, session 2 reaches nothing
+    val ev = Seq(
+      (1L, "view", 10L, 1L), (1L, "click", 20L, 2L),
+      (1L, "purchase", 30L, 3L),
+      (2L, "click", 10L, 4L), (2L, "view", 20L, 5L),
+      (2L, "purchase", 30L, 6L),
+      (3L, "view", 10L, 7L), (3L, "click", 5000L, 8L),
+      (3L, "purchase", 5010L, 9L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val r = graft.streaming.Streams
+      .sessionFunnelBatch(ev, Seq("view", "click", "purchase"), gap)
+      .collect().head
+    assert(r.getAs[Long]("sessions") == 4L)
+    assert(r.getAs[Long]("reached_view") == 3L)
+    assert(r.getAs[Long]("reached_click") == 1L)
+    assert(r.getAs[Long]("reached_purchase") == 1L)
+    assert(r.getAs[Double]("conversion") == 0.25)
+  }
+
   test("streaming manifest ingest: one atomic commit per micro-batch, " +
       "time travel replays the ingest history, final read == source") {
     import org.apache.spark.sql.functions._
