@@ -530,6 +530,60 @@ object TextQueries {
              FROM sc)
            WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // t29: vocabulary-growth (Heaps' law) audit — the tokenizer-planning
+    // curve: how fast does the TYPE inventory grow as the corpus grows?
+    // The unit is the 3-token shingle (the d-family's type; this corpus's
+    // unigram vocabulary is 31 words and saturates in the first slice —
+    // shingle types keep growing, which is exactly the curve BPE budgets
+    // and vocab freezes are planned against). The corpus splits into 10
+    // deterministic hash-deciles (growing prefixes of a shuffled corpus);
+    // each type's FIRST decile is a min-aggregate (map-side combined, ONE
+    // pass — no per-prefix count-DISTINCT rescans), per-decile first
+    // appearances cumulate over the 10-row result into vocab(prefix). A
+    // flattening new_types column is the freeze-is-safe signal. All
+    // integer arithmetic; the oracle replays the decile hash and the
+    // fold.
+    "t29_vocab_growth" -> Q(
+      (s, dir) => {
+        val d = spread(T(s, dir, "documents").select("doc_id", "text"))
+          .withColumn("bucket",
+            pmod(hashing.h64(col("doc_id").cast("string")), lit(10L)))
+        val docsPerB = d.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("docs"))
+        val firstB = d
+          .select(col("bucket"),
+            explode(textstats.shingles(textstats.tokens(col("text")), 3))
+              .as("token"))
+          .groupBy(col("token")).agg(min(col("bucket")).as("fb"))
+          .groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
+        val w10 = Window.orderBy(col("bucket")) // 10 rows
+        docsPerB.join(firstB, col("bucket") === col("fb"), "left")
+          .select(col("bucket"), col("docs"),
+            coalesce(col("new_types"), lit(0L)).as("new_types"))
+          .withColumn("cum_vocab", sum(col("new_types")).over(w10))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        s"""WITH d AS (SELECT doc_id, text,
+             ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+             FROM documents),
+           db AS (SELECT bucket, count(*) AS docs FROM d GROUP BY bucket),
+           tk AS (SELECT bucket, $sqlToks AS toks FROM d),
+           sh AS (SELECT bucket, unnest(
+               CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+                    ELSE list_transform(generate_series(1, len(toks)-2),
+                      i -> array_to_string(list_slice(toks, i, i+2), ' '))
+               END) AS t
+             FROM tk),
+           fb AS (SELECT min(bucket) AS fb FROM sh GROUP BY t),
+           nb AS (SELECT fb, count(*) AS new_types FROM fb GROUP BY fb)
+           SELECT bucket, docs,
+             coalesce(new_types, 0) AS new_types,
+             CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY bucket)
+               AS BIGINT) AS cum_vocab
+           FROM db LEFT JOIN nb ON nb.fb = db.bucket
+           ORDER BY bucket""")),
+
     // t21: tokenizer OOV-rate — per-document out-of-vocabulary fraction
     // against the corpus's own top-32 token vocabulary (the coverage
     // signal vocab-size decisions are made on), rolled up per language as

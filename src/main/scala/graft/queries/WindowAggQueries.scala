@@ -391,6 +391,50 @@ object WindowAggQueries {
           SELECT e.q, est, exact, round(abs(est - exact), 4) AS abs_err
           FROM est JOIN ex e USING (q) ORDER BY q""")),
 
+    // W10: retention cohort matrix — the other canonical event-log
+    // report next to w9's funnel: users cohort by first-seen week
+    // (integer epoch-day arithmetic off the BIGINT nanos ts — no
+    // timezone/session dependence), activity marks (cohort_week,
+    // offset_week, user) once via DISTINCT, and the matrix carries
+    // cohort size + retention share. Scale shape: one shuffle for the
+    // per-user first-day aggregate, a key-equi-join back, a distinct +
+    // count over the bounded (cohorts × offsets × users) marks; the
+    // cohort-size table is weeks-bounded and broadcasts.
+    "w10_retention_cohorts" -> Q(
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"),
+          expr("ts div 86400000000000").as("dd"))
+        val f = e.groupBy(col("user_id")).agg(min(col("dd")).as("fd"))
+        val marks = e.join(f, Seq("user_id"))
+          .select(expr("fd div 7").as("cohort_week"),
+            expr("(dd - fd) div 7").as("offset_week"), col("user_id"))
+          .distinct()
+        val act = marks.groupBy(col("cohort_week"), col("offset_week"))
+          .agg(count(lit(1)).as("users"))
+        val sz = f.select(expr("fd div 7").as("cohort_week"))
+          .groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+        act.join(broadcast(sz), Seq("cohort_week"))
+          .withColumn("retention",
+            round(col("users").cast("double") / col("cohort_size"), 4))
+          .orderBy(col("cohort_week"), col("offset_week"))
+      },
+      Some("""WITH e AS (SELECT user_id,
+              epoch_ns(ts) // 86400000000000 AS dd FROM events),
+          f AS (SELECT user_id, min(dd) AS fd FROM e GROUP BY user_id),
+          marks AS (SELECT DISTINCT f.fd // 7 AS cohort_week,
+              (e.dd - f.fd) // 7 AS offset_week, e.user_id
+            FROM e JOIN f USING (user_id)),
+          act AS (SELECT cohort_week, offset_week, count(*) AS users
+            FROM marks GROUP BY 1, 2),
+          sz AS (SELECT fd // 7 AS cohort_week, count(*) AS cohort_size
+            FROM f GROUP BY 1)
+          SELECT act.cohort_week, act.offset_week, act.users,
+            sz.cohort_size,
+            round(CAST(act.users AS DOUBLE) / sz.cohort_size, 4)
+              AS retention
+          FROM act JOIN sz USING (cohort_week)
+          ORDER BY act.cohort_week, act.offset_week""")),
+
     // W9: ordered-step session funnel — the conversion report
     // sessionization (st2/st6) exists to feed: sessions that saw a view,
     // then a click strictly after it, then a purchase strictly after
