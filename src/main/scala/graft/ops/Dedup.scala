@@ -438,6 +438,43 @@ object Dedup {
       .drop("__ph", "__first")
   }
 
+  /** Corpus-level BOILERPLATE removal — the document-frequency twin of
+    * [[passageDedup]]'s first-occurrence rule (RefinedWeb's "line appears in
+    * many documents" filter): a k-token passage occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate (navigation chrome, cookie
+    * banners, license headers) and is removed from EVERY document — no
+    * first copy survives, unlike passageDedup where exactly one does.
+    * Returns the same shape as passageDedup (one row per passage, `kept`
+    * flag, non-text columns preserved) so [[reassembleKept]] rebuilds the
+    * scrubbed corpus unchanged.
+    *
+    * Scale design: the document frequency per passage is computed as a
+    * distinct (hash, id) projection — partial-deduplicated map-side —
+    * followed by a count keyed on the passage hash, so a passage repeated a
+    * billion times collapses before the exchange; the flag join back is an
+    * equi-join against one row per distinct passage (broadcast-able when
+    * the boilerplate universe is small, AQE's call). No window anywhere. */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int,
+      hash: Column => Column = hashing.h64): DataFrame = {
+    require(minDocs > 1, "minDocs must exceed 1 or everything is boilerplate")
+    val tok = textstats.tokens(col(textCol))
+    val passages =
+      when(size(tok) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(tok) - 1) / lit(k)).cast("int")),
+          i => array_join(slice(tok, i * k + 1, lit(k)), " ")))
+    val keep = df.columns.filterNot(_ == textCol).map(col)
+    val exploded = df
+      .select(keep :+ posexplode(passages).as(Seq("pos", "passage")): _*)
+      .withColumn("__ph", hash(col("passage")))
+    val docFreq = exploded.select(col("__ph"), col(idCol)).distinct()
+      .groupBy(col("__ph")).agg(count(lit(1)).as("__ndocs"))
+    exploded.join(docFreq, "__ph")
+      .withColumn("kept", col("__ndocs") < lit(minDocs))
+      .drop("__ph", "__ndocs")
+  }
+
   /** WITHIN-document repeated-passage removal — the rewrite form of the
     * Gopher repetition SIGNALS: t9 measures a document's duplicated
     * n-gram mass, this deletes it. The document's non-overlapping k-token

@@ -1265,6 +1265,47 @@ object DedupQueries {
              CAST(sum(length(text2)) AS BIGINT) AS kept_chars
            FROM rebuilt GROUP BY lang ORDER BY lang""")),
 
+    // d15: corpus-level BOILERPLATE scrub — the document-frequency rule
+    // (RefinedWeb's "line repeated across many documents" filter): 5-token
+    // passages present in >= 3 DISTINCT documents are removed from EVERY
+    // document, no first copy kept (d9 keeps one; boilerplate deserves
+    // zero). Doc frequency is a distinct (hash, doc) projection combined
+    // map-side then counted per passage hash — no window, no all-pairs —
+    // and the flag join is one equi-join per distinct passage. The oracle
+    // replays the cut and the >= 3 doc-frequency rule on passage strings.
+    "d15_boilerplate_scrub" -> Q(
+      (s, dir) => {
+        val sc = Dedup.boilerplateScrub(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text", k = 5, minDocs = 3)
+        sc.groupBy(col("lang"))
+          .agg(
+            countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("passages"),
+            sum(when(!col("kept"), 1).otherwise(0)).cast("long")
+              .as("boiler"),
+            sum(when(!col("kept"), length(col("passage"))).otherwise(0))
+              .cast("long").as("boiler_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+           pass AS (
+             SELECT doc_id, lang, i AS pos,
+               array_to_string(list_slice(toks, i*5 + 1, i*5 + 5), ' ') AS p
+             FROM tok, (SELECT unnest(generate_series(0,
+                 (SELECT max(len(toks)) // 5 FROM tok))) AS i)
+             WHERE len(toks) > 0 AND i <= (len(toks) - 1) // 5),
+           df AS (SELECT p, count(DISTINCT doc_id) AS nd
+             FROM pass GROUP BY p)
+           SELECT lang, count(DISTINCT doc_id) AS docs, count(*) AS passages,
+             CAST(sum(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS boiler,
+             CAST(sum(CASE WHEN nd >= 3 THEN length(p) ELSE 0 END)
+               AS BIGINT) AS boiler_chars
+           FROM pass JOIN df USING (p) GROUP BY lang ORDER BY lang""")),
+
     // e4: decontamination by EXACT n-gram overlap (the GPT-3/Llama-style
     // check, complementing e2's LSH near-dup form): eval-half documents
     // sharing any 8-token shingle with the train half are contaminated.

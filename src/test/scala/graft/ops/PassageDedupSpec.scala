@@ -64,6 +64,29 @@ class PassageDedupSpec extends SparkSpec {
     assert(twice == r.map { case (k, v) => k -> v._4 })
   }
 
+  test("boilerplateScrub removes >=minDocs passages from ALL docs, " +
+    "keeps sub-threshold duplicates everywhere") {
+    // "a b" in 3 docs (boilerplate at minDocs=3), "c d" in 2 (kept), the
+    // rest unique. Unlike passageDedup, no first copy of "a b" survives.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d"),
+      (3L, "a b x y"),
+      (4L, "")).toDF("doc_id", "text")
+    val sc = Dedup.boilerplateScrub(docs, "doc_id", "text", k = 2,
+      minDocs = 3)
+    val dropped = sc.filter(!col("kept"))
+      .select("doc_id", "passage").as[(Long, String)].collect().toSet
+    assert(dropped == Set((1L, "a b"), (2L, "a b"), (3L, "a b")),
+      "boilerplate dies in every document, including the first")
+    val rebuilt = Dedup.reassembleKept(sc, Seq("doc_id"), "text2")
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == "c d e f")
+    assert(rebuilt(2L) == "c d", "2-doc duplicate survives under threshold")
+    assert(rebuilt(3L) == "x y")
+    assert(!rebuilt.contains(4L))
+  }
+
   test("reassembleKept rebuilds docs in position order; redundant docs vanish") {
     val pd = Dedup.passageDedup(fixture, "doc_id", "text", k = 4)
     val rebuilt = Dedup.reassembleKept(pd, Seq("doc_id"), "text2")
