@@ -43,6 +43,55 @@ object Expectations {
     Check(name, countDistinct(cols.head, cols.tail: _*) / count(lit(1)),
       1.0)
 
+  /** Associative (streamable/shardable) form of a conditional-count
+    * check: the predicate's satisfied-count and the slice row count are
+    * sufficient statistics that SUM across slices or micro-batches —
+    * unlike [[Check]]'s opaque aggregate, which only evaluates over one
+    * frame. Covers completeness/range/domain; uniqueness instead travels
+    * as per-slice-distinct key tuples (see [[validateFromPartials]]). */
+  final case class CondCheck(name: String, pred: Column, minimum: Double)
+
+  /** ONE partial row per input slice: total rows plus each check's
+    * satisfied-count — the map-side-combined sufficient statistics
+    * [[validateFromPartials]] sums back together. */
+  def condPartials(df: DataFrame, checks: Seq[CondCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val aggs = checks.map(c => sum(when(c.pred, 1L).otherwise(0L)).as(c.name))
+    df.agg(count(lit(1)).as("__n"), aggs: _*)
+  }
+
+  /** Rebuild [[validate]]'s (check, observed, threshold, passed) verdict
+    * from appended [[condPartials]] rows plus the appended per-slice-
+    * distinct `uniqueKeys` tuples. Exactly equals `validate` over the
+    * union of the slices: conditional counts sum, and the distinct of
+    * unioned per-slice distincts is the distinct of the union. The only
+    * non-1-row input is `uniqueKeys` — that IS exact uniqueness's
+    * inherent cost (same shuffle mass as the batch distinct); both
+    * 1-row aggregates meet in a broadcast-trivial cross join. */
+  def validateFromPartials(partials: DataFrame, checks: Seq[CondCheck],
+      uniqueName: String, uniqueKeys: DataFrame,
+      uniqueMinimum: Double = 1.0): DataFrame = {
+    require(checks.nonEmpty, "at least one check")
+    val merged = partials.agg(sum(col("__n")).as("__n"),
+      checks.map(c => sum(col(c.name)).as(c.name)): _*)
+    // null-key tuples drop BEFORE the distinct so the count matches
+    // [[unique]]'s countDistinct exactly (SQL COUNT(DISTINCT a, b)
+    // ignores rows with any null argument)
+    val uniq = uniqueKeys.na.drop("any").distinct()
+      .agg(count(lit(1)).as(uniqueName))
+    val one = merged.crossJoin(uniq)
+    val stacked =
+      (checks.map(c => (c.name, c.minimum)) :+
+        ((uniqueName, uniqueMinimum))).map { case (n, m) =>
+        struct(lit(n).as("check"),
+          round(col(n).cast("double") / col("__n"), 6).as("observed"),
+          lit(m).as("threshold"))
+      }
+    one.select(explode(array(stacked: _*)).as("r"))
+      .select(col("r.check"), col("r.observed"), col("r.threshold"),
+        (col("r.observed") >= col("r.threshold")).as("passed"))
+  }
+
   /** Run all checks in ONE aggregation pass; returns
     * (check, observed, threshold, passed) rows in check order. Observed
     * values round to 6 decimals so the verdict is engine- and

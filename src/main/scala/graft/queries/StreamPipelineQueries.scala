@@ -231,6 +231,45 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlCountMinTop20)),
 
+    // st17: STREAMING data-quality expectations — a11's publish gate in
+    // continuous form (the monitoring shape: validate the feed as it
+    // lands, not after): each micro-batch appends ONE condPartials
+    // counter row plus its batch-distinct (orderkey, linenumber) key
+    // tuples; validateFromPartials re-aggregates to EXACTLY the one-shot
+    // validate over everything that streamed (counts sum,
+    // distinct-of-batch-distincts = distinct of the union), so st17
+    // shares a11's oracle verbatim. Zero streaming state; the parquet
+    // partials are the restart-safe state.
+    "st17_stream_expectations" -> Q(
+      (s, dir) => {
+        import graft.ops.Expectations.CondCheck
+        import org.apache.spark.sql.types._
+        val out = scratch("st17_out", dir)
+        wipe(s"$out/exp"); wipe(s"$out/exp-ckpt")
+        Streams.expectationsStreaming(s, dir, s"$out/exp",
+            StructType(Seq(
+              StructField("l_orderkey", LongType),
+              StructField("l_linenumber", IntegerType),
+              StructField("l_quantity", DoubleType),
+              StructField("l_returnflag", StringType))),
+            Seq(
+              CondCheck("orderkey_complete",
+                col("l_orderkey").isNotNull, 1.0),
+              CondCheck("quantity_range", col("l_quantity").isNotNull &&
+                col("l_quantity") >= 1 && col("l_quantity") <= 50, 1.0),
+              CondCheck("returnflag_domain",
+                col("l_returnflag").isInCollection(Seq("A", "N", "R")),
+                1.0),
+              CondCheck("quantity_under_10", col("l_quantity").isNotNull &&
+                col("l_quantity") >= 1 && col("l_quantity") <= 10, 1.0)),
+            uniqueName = "line_pk_unique",
+            keyCols = Seq("l_orderkey", "l_linenumber"),
+            name = s"graft_st17_${dir.hashCode.abs}")
+          .withColumnRenamed("check", "check_name")
+          .orderBy(col("check_name"))
+      },
+      Some(WindowAggQueries.sqlDataQuality)),
+
     // st16: STREAMING histogram maintenance — a12's sketch in continuous
     // form, completing the every-sketch-gets-a-streaming-twin symmetry
     // (a10 ↔ st13): bounds are PINNED (production reads them from table

@@ -13,6 +13,42 @@ import QueryDSL._
   */
 object WindowAggQueries {
 
+  /** Lineitem data-quality verdict — a11's oracle, and st17's verbatim:
+    * the streamed partials re-aggregate to the one-shot validate (counts
+    * sum; distinct-of-batch-distincts = distinct of the union), so both
+    * queries share ONE SQL. */
+  private[queries] val sqlDataQuality: String =
+    """WITH s AS (SELECT
+          round(CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0
+            END) AS DOUBLE) / count(*), 6) AS orderkey_complete,
+          round(CAST(count(DISTINCT (l_orderkey, l_linenumber))
+            AS DOUBLE) / count(*), 6) AS line_pk_unique,
+          round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            AS quantity_range,
+          round(CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            AS returnflag_domain,
+          round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 10
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+            AS quantity_under_10
+        FROM lineitem)
+        SELECT check_name, observed, threshold,
+          observed >= threshold AS passed
+        FROM (
+          SELECT 'orderkey_complete' AS check_name,
+            orderkey_complete AS observed,
+            CAST(1.0 AS DOUBLE) AS threshold FROM s
+          UNION ALL SELECT 'line_pk_unique', line_pk_unique,
+            CAST(1.0 AS DOUBLE) FROM s
+          UNION ALL SELECT 'quantity_range', quantity_range,
+            CAST(1.0 AS DOUBLE) FROM s
+          UNION ALL SELECT 'returnflag_domain', returnflag_domain,
+            CAST(1.0 AS DOUBLE) FROM s
+          UNION ALL SELECT 'quantity_under_10', quantity_under_10,
+            CAST(1.0 AS DOUBLE) FROM s)
+        ORDER BY check_name"""
+
   /** Count-min replay (4×1024 grid, top-20 true tokens) — a10's oracle,
     * and st13's verbatim: the streamed sketch re-aggregates to the batch
     * sketch by associativity, so both queries share ONE SQL. */
@@ -244,36 +280,7 @@ object WindowAggQueries {
           .withColumnRenamed("check", "check_name")
           .orderBy(col("check_name"))
       },
-      Some("""WITH s AS (SELECT
-            round(CAST(sum(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0
-              END) AS DOUBLE) / count(*), 6) AS orderkey_complete,
-            round(CAST(count(DISTINCT (l_orderkey, l_linenumber))
-              AS DOUBLE) / count(*), 6) AS line_pk_unique,
-            round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
-              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-              AS quantity_range,
-            round(CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
-              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-              AS returnflag_domain,
-            round(CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 10
-              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
-              AS quantity_under_10
-          FROM lineitem)
-          SELECT check_name, observed, threshold,
-            observed >= threshold AS passed
-          FROM (
-            SELECT 'orderkey_complete' AS check_name,
-              orderkey_complete AS observed,
-              CAST(1.0 AS DOUBLE) AS threshold FROM s
-            UNION ALL SELECT 'line_pk_unique', line_pk_unique,
-              CAST(1.0 AS DOUBLE) FROM s
-            UNION ALL SELECT 'quantity_range', quantity_range,
-              CAST(1.0 AS DOUBLE) FROM s
-            UNION ALL SELECT 'returnflag_domain', returnflag_domain,
-              CAST(1.0 AS DOUBLE) FROM s
-            UNION ALL SELECT 'quantity_under_10', quantity_under_10,
-              CAST(1.0 AS DOUBLE) FROM s)
-          ORDER BY check_name""")),
+      Some(sqlDataQuality)),
 
     // A12: equi-width histogram profile — the numeric-distribution sketch
     // (a10's quantitative sibling, a11's profiling input): 16 equal-width

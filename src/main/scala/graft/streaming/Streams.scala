@@ -647,6 +647,48 @@ object Streams {
         col("mass"))
   }
 
+  /** STREAMING data-quality expectations — the continuous form of
+    * [[graft.ops.Expectations.validate]] (a11 ↔ st17), same contract as
+    * [[sketchStreaming]]: each micro-batch appends ONE partial-counters
+    * row ([[graft.ops.Expectations.condPartials]]) plus its
+    * batch-distinct unique-key tuples, and the returned
+    * [[graft.ops.Expectations.validateFromPartials]] re-aggregation
+    * equals the one-shot validate over everything that streamed —
+    * conditional counts sum, distinct-of-appended-batch-distincts is the
+    * distinct of the union. ZERO streaming state; the parquet partials
+    * are the restart-safe state. The key append is exact uniqueness's
+    * inherent cost made explicit (one row per batch-distinct key — the
+    * same shuffle mass the batch distinct pays; SCALING.md's a11 note:
+    * swap for an HLL bound past the shuffle budget). */
+  def expectationsStreaming(spark: SparkSession, dir: String,
+      outPath: String, schema: StructType,
+      checks: Seq[graft.ops.Expectations.CondCheck],
+      uniqueName: String, keyCols: Seq[String],
+      glob: String = "lineitem.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st17"): DataFrame = {
+    import graft.ops.Expectations
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val r = s.readStream.schema(schema).option("pathGlobFilter", glob)
+    val src = (if (maxFilesPerTrigger > 0)
+        r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else r).parquet(dir)
+    val q = src.writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Expectations.condPartials(batch, checks)
+          .write.mode("append").parquet(s"$outPath/counters")
+        batch.select(keyCols.map(col): _*).distinct()
+          .write.mode("append").parquet(s"$outPath/keys")
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Expectations.validateFromPartials(
+      spark.read.parquet(s"$outPath/counters"), checks,
+      uniqueName, spark.read.parquet(s"$outPath/keys"))
+  }
+
   /** STREAMING ingest through [[graft.ops.Manifest]] commits — the
     * STORAGE twin of the fold-in family (dedup st11, sketch st13,
     * vectors st14, dimensions st15): each micro-batch becomes ONE atomic

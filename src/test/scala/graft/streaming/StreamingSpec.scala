@@ -525,4 +525,63 @@ class StreamingSpec extends SparkSpec {
         ids(docs.filter(col("doc_id") % 4 < v)), s"version $v")
     }
   }
+
+  test("st17 streaming expectations: 4-micro-batch stream == one-shot " +
+      "validate, with CROSS-batch duplicate keys deduped exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.ops.Expectations._
+    import java.nio.file.Files
+    import spark.implicits._
+    // synthetic feed: 80 rows in 4 chunks of 20; the key k1 = i%20 is
+    // REPEATED in every chunk, so a naive SUM of per-batch distinct
+    // counts would report 80 distinct keys where the truth is 20. Plus
+    // one null c1, one out-of-range qty, one out-of-domain flag.
+    val rows = (0 until 80).map { i =>
+      (i % 20L, i / 20,
+        if (i == 77) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i),
+        if (i == 78) 99.0 else 5.0, if (i == 79) "X" else "A")
+    }
+    val df = rows.toDF("k1", "chunk", "c1", "qty", "flag")
+    val srcDir = Files.createTempDirectory("st17_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st17_chunk$i")
+      df.filter(col("chunk") === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"feed_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val checks = Seq(
+      CondCheck("c1_complete", col("c1").isNotNull, 1.0),
+      CondCheck("qty_range", col("qty").isNotNull &&
+        col("qty") >= 1 && col("qty") <= 50, 1.0),
+      CondCheck("flag_domain", col("flag").isInCollection(Seq("A", "N")),
+        1.0))
+    val out = Files.createTempDirectory("st17_out").toString + "/exp"
+    val schema = StructType(Seq(StructField("k1", LongType),
+      StructField("chunk", IntegerType), StructField("c1", LongType),
+      StructField("qty", DoubleType), StructField("flag", StringType)))
+    def verdict(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("check").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3))).toSeq
+    val streamed = verdict(Streams.expectationsStreaming(spark,
+      srcDir.toString, out, schema, checks, "k1_unique", Seq("k1"),
+      glob = "feed_*.parquet", maxFilesPerTrigger = 1,
+      name = "st17_spec"))
+    val batch = verdict(validate(df, Seq(
+      complete("c1_complete", col("c1")),
+      unique("k1_unique", Seq(col("k1"))),
+      inRange("qty_range", col("qty"), 1, 50),
+      inSet("flag_domain", col("flag"), Seq("A", "N")))))
+    assert(streamed == batch)
+    // the planted defects surface, and the cross-batch dedup is exact:
+    // 20 distinct keys / 80 rows, NOT the 80/80 a per-batch sum gives
+    assert(streamed.forall(!_._3), s"all checks should fail: $streamed")
+    assert(streamed.find(_._1 == "k1_unique").get._2 == 0.25)
+    assert(streamed.find(_._1 == "c1_complete").get._2 == 0.9875)
+  }
 }
