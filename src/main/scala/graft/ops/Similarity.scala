@@ -647,6 +647,99 @@ object Similarity {
     * random vectors are PQ's documented worst case — this corpus's
     * ADC-only recall@3 is ~10%, refine lifts it to ~60%; real embedding
     * manifolds sit far closer to the PQ assumptions). */
+  // ---- IVF-PQ: coarse quantizer + PQ residuals + ADC + refine ----
+  //
+  // The full FAISS IVFPQ composition (the production big-index default,
+  // completing the triad x3 · x8 compose): a coarse k-means splits the
+  // corpus into inverted lists, each vector stores only the PQ codes of
+  // its RESIDUAL v − c(v) — residuals concentrate near zero once coarse
+  // structure is removed, which is why IVFPQ beats flat PQ at equal
+  // bits — and a query scores only its nProbe probed lists through a
+  // per-(query, list) ADC lookup table in exact L2:
+  //   d²(q, c + r̂) = |q−c|² − 2·(q−c)·r̂ + |r̂|²
+  // where the two right terms decompose per subspace exactly (r̂ is the
+  // concatenation of per-subspace codebook entries, so cross-subspace
+  // terms vanish). All three terms round into DECIMAL(18,9) before
+  // summing — the x8 determinism contract — and an exact-L2 rerank over
+  // a bounded shortlist picks the final top-k. Scale shape: the
+  // corpus-side scan reads codes only (`subspaces` bytes/vector);
+  // non-probed lists die in the broadcast-LUT equi-join on
+  // (cluster, sub, code) — bucket the codes by cluster for partition
+  // pruning; the LUT is |queries|·nProbe·subspaces·k rows,
+  // broadcast-sized by contract.
+
+  /** Coarse assignment + residuals: (id, cluster, rv = v − cv), the
+    * [[assignToCentroids]] argmin aggregate carrying the element-wise
+    * double residual the PQ codebooks then train on. */
+  def ivfResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents.select(col("cid"), col("cv"))))
+      .groupBy(col("id"))
+      .agg(min(struct(negate(cosine(col("v"), col("cv"))).as("negcos"),
+        col("cid").as("cid"), col("v").as("v"), col("cv").as("cv")))
+        .as("__best"))
+      .select(col("id"), col("__best.cid").as("cluster"),
+        zip_with(col("__best.v"), col("__best.cv"),
+          (a, c) => a.cast("double") - c).as("rv"))
+
+  /** IVF-PQ probe (see the block comment above): ADC over the probed
+    * lists' codes, shortlist by the exact-decimal approximate d², then
+    * exact-L2 rerank of `shortlist` candidates per query. `residuals`
+    * maps id → cluster ([[ivfResiduals]]); `codes`/`codebooks` come from
+    * [[pqEncode]]/[[pqCodebooks]] trained ON the residuals. */
+  def ivfPqTopK(corpus: DataFrame, residuals: DataFrame, codes: DataFrame,
+      codebooks: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, subspaces: Int,
+      nProbe: Int, k: Int, shortlist: Int): DataFrame = {
+    val len = dim / subspaces
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val cb = broadcast(cents.select(col("cid"), col("cv")))
+    val probes = probeCentroids(q, cb, "qid", "qv", nProbe)
+      .join(broadcast(cents.select(col("cid").as("cluster"),
+        col("cv").as("ccv"))), Seq("cluster"))
+      .select(col("qid"), col("cluster"),
+        zip_with(col("qv"), col("ccv"), (a, c) => a.cast("double") - c)
+          .as("qr"))
+    val qsubs = probes.select(col("qid"), col("cluster").as("qcluster"),
+        round(dot(col("qr"), col("qr")), 9).cast("decimal(18,9)")
+          .as("qrr"),
+        explode(array((0 until subspaces).map(s0 =>
+          struct(lit(s0).as("sub"),
+            slice(col("qr"), s0 * len + 1, len).as("qs"))): _*)).as("x"))
+      .select(col("qid"), col("qcluster"), col("qrr"),
+        col("x.sub").as("qsub"), col("x.qs").as("qs"))
+    val lut = qsubs.join(broadcast(codebooks), col("qsub") === col("sub"))
+      .select(col("qid"), col("qcluster"), col("qrr"), col("qsub"),
+        col("cid").as("qcid"),
+        round(dot(col("qs"), col("cv")), 9).cast("decimal(18,9)").as("pd"),
+        col("cc"))
+    val adc = codes
+      .join(residuals.select(col("id"), col("cluster")), Seq("id"))
+      .join(broadcast(lut),
+        col("sub") === col("qsub") && col("code") === col("qcid") &&
+          col("cluster") === col("qcluster"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("qrr")).as("qrr"), sum(col("pd")).as("spd"),
+        sum(col("cc")).as("scc"))
+      .select(col("qid"), col("id").as("nid"),
+        (col("qrr") - lit(2) * col("spd") + col("scc")).as("ad2"))
+    val sl = adc.withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ad2").asc, col("nid"))))
+      .filter(col("arank") <= shortlist)
+      .select(col("qid"), col("nid"))
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .join(broadcast(sl), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("qv")) + dot(col("nv"), col("nv")) -
+          lit(2) * dot(col("qv"), col("nv")), 4).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid"))))
+      .filter(col("rank") <= k)
+  }
+
   def pqTopK(corpus: DataFrame, corpusCodes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, subspaces: Int, k: Int,

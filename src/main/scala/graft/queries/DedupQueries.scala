@@ -1128,6 +1128,119 @@ object DedupQueries {
            WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
+    // x13: IVF-PQ — the full FAISS IVFPQ composition (x3's coarse lists
+    // × x8's product quantization, trained on RESIDUALS v − c(v)): a
+    // k=12 coarse k-means splits the corpus, 8 codebooks (k=16 per 8-dim
+    // slice) train on the residuals, queries probe nProbe=2 lists and
+    // ADC-score their codes in exact L2 — d² = |q−c|² − 2(q−c)·r̂ + |r̂|²
+    // decomposed per subspace with every term rounded into DECIMAL(18,9)
+    // before summing — then an exact-L2 rerank of a 32-candidate
+    // shortlist picks top-3. The oracle replays the coarse build, the
+    // residuals, all eight residual codebooks, the encoding, the ADC
+    // decomposition, and the rerank.
+    "x13_ivf_pq" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val e = T(s, dir, "embeddings")
+        val cents = Checkpoints.checkpoint(Similarity.kmeansCentroids(
+          e, "vec_id", "embedding", k = 12, iters = 2))
+        val rsd = Checkpoints.checkpoint(Similarity.ivfResiduals(
+          e, "vec_id", "embedding", cents))
+        val cbs = Checkpoints.checkpoint(Similarity.pqCodebooks(
+          rsd, "id", "rv", dim = 64, subspaces = 8, k = 16))
+        val codes = Checkpoints.checkpoint(Similarity.pqEncode(
+          rsd, "id", "rv", cbs, dim = 64, subspaces = 8))
+        Similarity.ivfPqTopK(e, rsd, codes, cbs, cents,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            dim = 64, subspaces = 8, nProbe = 2, k = 3, shortlist = 32)
+          .select(col("qid"), col("rank"), col("nid"), col("d2"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        val S = 8
+        val len = 64 / S
+        val sub = s"(SELECT unnest(generate_series(0, ${S - 1})) AS sub)"
+        val kms = (0 until S).map(s0 =>
+          sqlKmeansSliceFrom(s"r$s0", "res", s0 * len + 1, len, 16))
+          .mkString(",\n")
+        val cbUnion = (0 until S).map(s0 =>
+          s"SELECT $s0 AS sub, cid, cv FROM r${s0}cents")
+          .mkString(" UNION ALL ")
+        val resid = """list_transform(list_zip(v.embedding, c.cv),
+          z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"""
+        s"""WITH $sqlKmeansCents,
+           rsd AS (SELECT vec_id, cluster, rv FROM (
+               SELECT v.vec_id, c.cid AS cluster, $resid AS rv,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC,
+                     c.cid) AS rn
+               FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+           res AS (SELECT vec_id, rv AS embedding FROM rsd),
+           $kms,
+           codebooks AS ($cbUnion),
+           cbs AS (SELECT sub, cid, cv,
+               CAST(round(${sqlDot("cv", "cv")}, 9) AS DECIMAL(18,9)) AS cc
+             FROM codebooks),
+           subvecs AS (SELECT vec_id, s.sub,
+               list_slice(embedding, s.sub*$len + 1, s.sub*$len + $len)
+                 AS sv
+             FROM res, $sub s),
+           codes AS (SELECT vec_id, sub, cid AS code FROM (
+               SELECT v.vec_id, v.sub, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                   ORDER BY ${sqlCosine("v.sv", "c.cv")} DESC, c.cid) AS rn
+               FROM subvecs v JOIN cbs c ON c.sub = v.sub) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cluster, ccv FROM (
+               SELECT q.vec_id AS qid, q.embedding AS qv,
+                 c.cid AS cluster, c.cv AS ccv,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC,
+                     c.cid) AS rn
+               FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+             WHERE rn <= 2),
+           qres AS (SELECT qid, cluster,
+               list_transform(list_zip(qv, ccv),
+                 z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
+             FROM probes),
+           qrr AS (SELECT qid, cluster,
+               CAST(round(${sqlDot("qr", "qr")}, 9) AS DECIMAL(18,9))
+                 AS qrr
+             FROM qres),
+           qsub AS (SELECT qid, cluster, s.sub,
+               list_slice(qr, s.sub*$len + 1, s.sub*$len + $len) AS qs
+             FROM qres, $sub s),
+           lut AS (SELECT q.qid, q.cluster, q.sub, c.cid,
+               CAST(round(${sqlDot("q.qs", "c.cv")}, 9) AS DECIMAL(18,9))
+                 AS pd,
+               c.cc
+             FROM qsub q JOIN cbs c ON c.sub = q.sub),
+           scored AS (SELECT l.qid, k.vec_id AS nid,
+               min(r.qrr) AS qrr, sum(l.pd) AS spd, sum(l.cc) AS scc
+             FROM codes k
+               JOIN rsd a ON a.vec_id = k.vec_id
+               JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+                 AND l.cluster = a.cluster
+               JOIN qrr r ON r.qid = l.qid AND r.cluster = l.cluster
+             WHERE k.vec_id <> l.qid GROUP BY 1, 2),
+           sl AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY (qrr - 2*spd + scc) ASC, nid) AS arank
+               FROM scored)
+             WHERE arank <= 32),
+           qs2 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id < 10),
+           rer AS (SELECT s.qid, s.nid,
+               round(${sqlDot("q.qv", "q.qv")}
+                 + ${sqlDot("n.embedding", "n.embedding")}
+                 - 2 * ${sqlDot("q.qv", "n.embedding")}, 4) AS d2
+             FROM sl s JOIN qs2 q ON q.qid = s.qid
+               JOIN embeddings n ON n.vec_id = s.nid)
+           SELECT qid, rank, nid, d2 FROM (
+             SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid
+               ORDER BY d2 ASC, nid) AS rank FROM rer)
+           WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
     // x7: hybrid retrieval — reciprocal-rank fusion (c=60) of the BM25
     // keyword ranking (t11's scorer) and the brute-force embedding cosine
     // ranking (x1's scorer) for one probe: the standard RAG-era hybrid

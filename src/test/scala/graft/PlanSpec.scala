@@ -299,6 +299,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x13: IVF-PQ ADC scans checkpointed codes with the per-list LUT " +
+    "broadcast; assignment/codebooks never re-run; no cartesian") {
+    val p = plan("x13_ivf_pq")
+    assert(p.contains("dot_product"), p) // residual LUT + L2 rerank kernel
+    assert(p.contains("Scan ExistingRDD"), p) // cents/rsd/cbs/codes ckpts
+    assert(p.contains("BroadcastHashJoin"), p) // LUT + shortlist broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-side assignment/codes come from checkpoints — the probe plan
+    // contains no Lloyd's-round aggregate over the corpus (no partial_min
+    // argmin over __id, the training shape)
+    assert(!p.contains("windowspecdefinition(__id"), p)
+  }
+
   test("e7: the bloom bitmap is a 1-row broadcast and the probe test is " +
     "row-local — no train-side shuffle before the exact confirm") {
     val p = plan("e7_bloom_decontaminate")

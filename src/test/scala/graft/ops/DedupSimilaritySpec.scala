@@ -547,6 +547,66 @@ class DedupSimilaritySpec extends SparkSpec {
       "refine over the whole corpus must recover exact search")
   }
 
+  test("ivf-pq: residuals reconstruct (rv + cv = v), neighbors come only " +
+    "from probed lists, and all-lists + full shortlist recovers exact L2") {
+    val e = spark.range(60).select(col("id").cast("long").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), d =>
+        sin((col("id") + 1) * d.cast("double")).cast("float"))
+        .as("embedding"))
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val rsd = Similarity.ivfResiduals(e, "vec_id", "embedding", cents)
+    // residual + assigned centroid reconstructs the original vector
+    val recon = rsd.join(cents.withColumnRenamed("cid", "cluster"),
+        Seq("cluster"))
+      .join(e.withColumnRenamed("vec_id", "id"), Seq("id"))
+      .select(max(expr(
+        "aggregate(zip_with(zip_with(rv, cv, (r, c) -> r + c), embedding," +
+          " (s, v) -> abs(s - CAST(v AS DOUBLE)))," +
+          " CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))")).as("err"))
+      .collect()(0).getDouble(0)
+    assert(recon < 1e-12, s"residual reconstruction error $recon")
+    val cbs = Similarity.pqCodebooks(rsd, "id", "rv",
+      dim = 16, subspaces = 4, k = 4)
+    val codes = Similarity.pqEncode(rsd, "id", "rv", cbs,
+      dim = 16, subspaces = 4)
+    val q = e.filter(col("vec_id") < 5)
+    // nProbe = 1: every returned neighbor must live in the query's one
+    // probed list
+    val one = Similarity.ivfPqTopK(e, rsd, codes, cbs, cents, q,
+        "vec_id", "embedding", dim = 16, subspaces = 4, nProbe = 1,
+        k = 3, shortlist = 60)
+      .join(rsd.select(col("id").as("nid"),
+        col("cluster").as("ncluster")), Seq("nid"))
+    val probed = Similarity.probeCentroids(
+      q.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      cents, "qid", "qv", 1).select(col("qid"), col("cluster"))
+    assert(one.join(probed, Seq("qid"))
+      .filter(col("ncluster") =!= col("cluster")).count() == 0,
+      "a neighbor escaped the probed inverted list")
+    // nProbe = all lists + full shortlist: refine recovers exact L2 top-k
+    val viaIvfPq = Similarity.ivfPqTopK(e, rsd, codes, cbs, cents, q,
+        "vec_id", "embedding", dim = 16, subspaces = 4, nProbe = 4,
+        k = 3, shortlist = 60)
+      .select("qid", "rank", "nid", "d2").collect().map(_.toSeq).toSet
+    val exact = {
+      val qq = q.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d2").asc, col("nid"))
+      e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .join(broadcast(qq), col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(Similarity.dot(col("qv"), col("qv")) +
+            Similarity.dot(col("nv"), col("nv")) -
+            lit(2) * Similarity.dot(col("qv"), col("nv")), 4).as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("qid", "rank", "nid", "d2").collect().map(_.toSeq).toSet
+    }
+    assert(viaIvfPq == exact,
+      "all-lists probe + full-corpus shortlist must recover exact L2")
+  }
+
   test("bloom: no false negatives — every inserted hash passes its own " +
     "filter, even on a 64-bit filter where bit 63 is certainly used") {
     val hs = (1L to 200L).map(i => hashing.md5Long(s"h$i")).toDF("h")
