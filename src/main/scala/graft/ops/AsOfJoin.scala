@@ -59,6 +59,56 @@ object AsOfJoin {
     filled.filter(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Nearest-in-time join — for every left row, the right row (same key)
+    * minimizing |lts − rts|, ties to the EARLIER right row (the attribution
+    * rule: order by (gap, rts)). The event-log companion to [[lastPrior]]:
+    * prior-only attribution misses a purchase seconds AFTER the click.
+    *
+    * Composition, not a range join: one [[lastPrior]] pass attaches the
+    * greatest rts ≤ lts, a second pass on NEGATED timestamps attaches the
+    * smallest rts ≥ lts (the same ≤-with-ties window run on the mirrored
+    * axis), and a row-local comparison picks the smaller gap — two key
+    * shuffles total, each the sorted-stream plan, no per-key loop, no
+    * inequality join. Equidistant candidates resolve to prior (the smaller
+    * rts), exactly the (gap, rts) order. Left rows with no right row at
+    * all keep null match columns; same right-side uniqueness/non-null
+    * contract as [[lastPrior]].
+    *
+    * Returns left columns + `matched_ts` (the chosen rts) + `gap`
+    * (|lts − rts|, null when unmatched) + valueCols. */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, valueCols: Seq[String]): DataFrame = {
+    val pVals = valueCols.map(c => s"__p_$c")
+    val nVals = valueCols.map(c => s"__n_$c")
+    val rp = valueCols.zip(pVals).foldLeft(
+      right.withColumn("__pt", col(rts))) { case (df, (c, p)) =>
+        df.withColumnRenamed(c, p)
+      }
+    val withPrior = lastPrior(left, rp, key, lts, rts, "__pt" +: pVals)
+    val ln = withPrior.withColumn("__negl", negate(col(lts)))
+    val rn = valueCols.zip(nVals).foldLeft(
+      right.withColumn("__nt", col(rts))
+        .withColumn("__negr", negate(col(rts)))) { case (df, (c, n)) =>
+        df.withColumnRenamed(c, n)
+      }
+    val both = lastPrior(ln, rn, key, "__negl", "__negr", "__nt" +: nVals)
+    val usePrior = col("__pt").isNotNull &&
+      (col("__nt").isNull ||
+        (col(lts) - col("__pt")) <= (col("__nt") - col(lts)))
+    val matched = both
+      .withColumn("matched_ts",
+        when(usePrior, col("__pt")).otherwise(col("__nt")))
+      .withColumn("gap",
+        when(usePrior, col(lts) - col("__pt"))
+          .otherwise(col("__nt") - col(lts)))
+    val out = valueCols.zip(pVals.zip(nVals)).foldLeft(matched) {
+      case (df, (c, (p, n))) =>
+        df.withColumn(c, when(usePrior, col(p)).otherwise(col(n)))
+    }
+    out.select(left.columns.map(col) ++
+      Seq(col("matched_ts"), col("gap")) ++ valueCols.map(col): _*)
+  }
+
   /** Interval (band) join: all (left, right) pairs with the same `key` and
     * |lts − rts| ≤ tolerance. A naive inequality join degenerates to a
     * per-key nested loop; instead each side lands in coarse time buckets of

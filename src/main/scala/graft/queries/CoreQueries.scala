@@ -299,6 +299,46 @@ object CoreQueries {
             AND abs(c.tns - p.tns) <= 1800000000000
           GROUP BY c.event_id ORDER BY c.event_id""")),
 
+    // j11: NEAREST-in-time join — the attribution rule j6's
+    // backward-only as-of misses (a purchase seconds AFTER the click
+    // should win over one hours before): each click attaches the
+    // purchase minimizing |gap| for its user, ties to the earlier
+    // purchase. Two lastPrior window passes (prior + mirrored-axis next)
+    // and a row-local pick — two key shuffles, no inequality join. The
+    // oracle states the same semantics declaratively: argmin over the
+    // per-user click × purchase pairs ordered by (gap, purchase ts).
+    "j11_nearest_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"), col("ts").as("pts"))
+          .agg(max(col("value")).as("pvalue"))
+        graft.ops.AsOfJoin
+          .nearest(clicks, purchases, "user_id", "ts", "pts",
+            Seq("pvalue"))
+          .filter(col("matched_ts").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("matched_ts").as("mts"), col("gap").as("gap_ns"),
+            round(col("pvalue"), 4).as("pvalue"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH c AS (
+            SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+            WHERE event_type = 'click'),
+          p AS (
+            SELECT user_id, epoch_ns(ts) AS pts, max(value) AS pv
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT event_id, user_id, mts, gap_ns, pvalue FROM (
+            SELECT c.event_id, c.user_id, p.pts AS mts,
+              abs(c.tns - p.pts) AS gap_ns, round(p.pv, 4) AS pvalue,
+              row_number() OVER (PARTITION BY c.event_id
+                ORDER BY abs(c.tns - p.pts), p.pts) AS rn
+            FROM c JOIN p USING (user_id))
+          WHERE rn = 1 ORDER BY event_id"""),
+      ),
+
     // j8: SCD2 dimension build + INCREMENTAL maintenance — the warehouse
     // twin of the round's index lifecycles: the per-user value history
     // builds as a type-2 dimension over the first ~70% of the event

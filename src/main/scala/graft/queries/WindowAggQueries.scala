@@ -327,6 +327,58 @@ object WindowAggQueries {
     // the price of answering from 16 rows instead of a full sort. Scale:
     // everything downstream of the histogram is bounded by the bin count,
     // so probing any number of quantiles never rescans the data.
+    // A14: key-skew profile — the diagnostic every shuffle-sizing and
+    // salting decision (a8/j9) starts from: per-key counts collapse
+    // map-side, then the ≤-keys-row count table (checkpointed once — two
+    // consumers) answers the distribution row: total rows, distinct
+    // keys, max/p50/p90/p99 per-key counts (percentile_disc — the t19
+    // discrete contract), the max/median skew ratio, and how many keys
+    // run hotter than 2× the median. One row out whatever the table
+    // size; the two 1-row aggregates meet in broadcast-trivial joins —
+    // no collect, no global sort of the base table.
+    "a14_skew_profile" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val counts = Checkpoints.checkpoint(
+          T(s, dir, "orders").groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("cnt")))
+        val stats = counts.agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long").as("p50_cnt"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long").as("p90_cnt"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long").as("p99_cnt"))
+        val hot = counts
+          .crossJoin(broadcast(stats.select(col("p50_cnt").as("__p50"))))
+          .filter(col("cnt") > lit(2) * col("__p50"))
+          .agg(count(lit(1)).as("hot_keys"))
+        stats.crossJoin(hot)
+          .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+            col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+            round(col("max_cnt").cast("double") / col("p50_cnt"), 4)
+              .as("skew"),
+            col("hot_keys"))
+      },
+      Some("""WITH c AS (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+          s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+              count(*) AS n_keys, max(cnt) AS max_cnt,
+              quantile_disc(cnt, 0.5) AS p50_cnt,
+              quantile_disc(cnt, 0.9) AS p90_cnt,
+              quantile_disc(cnt, 0.99) AS p99_cnt
+            FROM c),
+          h AS (SELECT count(*) AS hot_keys FROM c, s
+            WHERE c.cnt > 2 * s.p50_cnt)
+          SELECT s.n_rows, s.n_keys, s.max_cnt, s.p50_cnt, s.p90_cnt,
+            s.p99_cnt,
+            round(CAST(s.max_cnt AS DOUBLE) / s.p50_cnt, 4) AS skew,
+            h.hot_keys
+          FROM s, h""")),
+
     "a13_histogram_quantiles" -> Q(
       (s, dir) => {
         import graft.ops.{Checkpoints, Sketches}

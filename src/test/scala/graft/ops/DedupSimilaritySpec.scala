@@ -138,6 +138,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r("c") == None) // right row is later than the probe
   }
 
+  test("asof nearest picks the smaller gap either direction, ties to the " +
+    "earlier right row, null when the key has no right rows") {
+    val left = Seq(
+      (1L, 10L, "next_wins"),   // prior at 2 (gap 8), next at 12 (gap 2)
+      (1L, 30L, "prior_wins"),  // prior at 28 (gap 2), next at 50 (gap 20)
+      (1L, 39L, "tie"),         // 28 and 50 both gap 11 -> earlier (28)
+      (2L, 5L, "only_next"),    // no prior; next at 9
+      (3L, 5L, "no_match")      // key 3 has no right rows at all
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1L, 2L, 20.0), (1L, 12L, 120.0), (1L, 28L, 280.0),
+      (1L, 50L, 500.0), (1L, 52L, 520.0), (2L, 9L, 90.0))
+      .toDF("k", "rts", "v")
+    val r = AsOfJoin.nearest(left, right, "k", "ts", "rts", Seq("v"))
+      .collect().map(x => (x.getAs[String]("tag"),
+        (Option(x.getAs[java.lang.Long]("matched_ts")).map(_.toLong),
+          Option(x.getAs[java.lang.Long]("gap")).map(_.toLong),
+          Option(x.getAs[java.lang.Double]("v")).map(_.toDouble)))).toMap
+    assert(r("next_wins") == ((Some(12L), Some(2L), Some(120.0))))
+    assert(r("prior_wins") == ((Some(28L), Some(2L), Some(280.0))))
+    assert(r("tie") == ((Some(28L), Some(11L), Some(280.0))),
+      "equidistant must resolve to the EARLIER right row")
+    assert(r("only_next") == ((Some(9L), Some(4L), Some(90.0))))
+    assert(r("no_match") == ((None, None, None)))
+  }
+
   test("LSH pairs == exact Jaccard pairs on the real corpus (full recall)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.9)
