@@ -49,4 +49,32 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction (plain OPTIMIZE, z-order's sibling): rewrite a
+    * Hive-partitioned table so every partition directory collapses to ONE
+    * data file — `repartition` on the partition column routes each value
+    * to exactly one task, and the partitioned writer emits one file per
+    * value a task holds. An append-per-commit table (streaming sinks,
+    * daily ingest) accumulates one file per batch — the classic
+    * small-files tax, paid on every scan as per-file open/footer/seek
+    * overhead. Compaction is pure rewrite: content provably unchanged
+    * (s17's oracle hash-matches the compacted read-back against the
+    * SOURCE rows), only the layout improves. Hash collisions mapping two
+    * partition values to one task still yield one file per value. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, partitionCol: String): Unit =
+    spark.read.parquet(inPath)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
+
+  /** Data files per partition directory (spec/observability helper). */
+  def filesPerPartition(path: String,
+      partitionCol: String): Map[String, Int] = {
+    val root = new java.io.File(path)
+    root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(partitionCol + "="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet")))
+      .toMap
+  }
 }

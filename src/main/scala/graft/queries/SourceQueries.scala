@@ -202,6 +202,38 @@ object SourceQueries {
            GROUP BY 1 ORDER BY 1"""
       }),
 
+    // s17: small-file compaction (plain OPTIMIZE, s15's sibling): the
+    // events feed lands Hive-partitioned by event_type but fragmented
+    // into up to 24 files per partition (one per append commit — the
+    // streaming/daily-ingest reality), then Layout.compactPartitions
+    // rewrites each partition to ONE file. The query aggregates the
+    // COMPACTED read-back and the oracle aggregates the SOURCE rows —
+    // compaction must be provably content-neutral; LayoutSpec asserts
+    // the actual file counts (many → 1 per partition).
+    "s17_compact_files" -> Q(
+      (s, dir) => {
+        import graft.ops.Layout
+        val out = scratch("s17_compact", dir)
+        wipe(s"$out/frag"); wipe(s"$out/opt")
+        events(s, dir).select(col("event_type"), col("user_id"),
+            col("value"))
+          .repartition(24)
+          .write.mode("overwrite").partitionBy("event_type")
+          .parquet(s"$out/frag")
+        Layout.compactPartitions(s, s"$out/frag", s"$out/opt",
+          "event_type")
+        s.read.parquet(s"$out/opt")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("users"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+            count(DISTINCT user_id) AS users,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1 ORDER BY 1""")),
+
     // s16: versioned-table commits + time travel — the lakehouse
     // primitive (Delta/Iceberg shape) under every incremental structure
     // this library maintains: three append commits land thirds of

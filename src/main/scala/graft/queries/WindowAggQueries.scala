@@ -450,6 +450,41 @@ object WindowAggQueries {
           SELECT e.q, est, exact, round(abs(est - exact), 4) AS abs_err
           FROM est JOIN ex e USING (q) ORDER BY q""")),
 
+    // W11: trailing-7-day active users (WAU curve) — the sliding
+    // distinct a RANGE-frame window cannot express scalably (distinct
+    // inside a moving frame re-buffers the frame per row): instead each
+    // (user, day) activity mark — deduped once, map-side — SUPPORTS the
+    // seven window positions it can satisfy via a bounded explode, and
+    // the curve is a plain count over distinct (user, window-day) pairs.
+    // 7× the deduped marks, two keyed aggregates, no window function at
+    // all; the day-range bound joins in from a broadcast 1-row stat (no
+    // collect). Day arithmetic is integer epoch-day off the BIGINT nanos
+    // ts — no timezone/session dependence (w10's contract).
+    "w11_sliding_active_users" -> Q(
+      (s, dir) => {
+        val ud = events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("d"))
+          .distinct()
+        val bounds = ud.agg(max(col("d")).as("dmax"))
+        ud.select(col("user_id"),
+            explode(sequence(col("d"), col("d") + 6)).as("day"))
+          .distinct()
+          .crossJoin(broadcast(bounds))
+          .filter(col("day") <= col("dmax"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("wau"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH ud AS (
+            SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+            FROM events),
+          b AS (SELECT max(d) AS dmax FROM ud),
+          x AS (SELECT DISTINCT user_id, d + i AS day
+            FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) g)
+          SELECT x.day, count(*) AS wau FROM x, b
+          WHERE x.day <= b.dmax
+          GROUP BY x.day ORDER BY x.day""")),
+
     // W10: retention cohort matrix — the other canonical event-log
     // report next to w9's funnel: users cohort by first-seen week
     // (integer epoch-day arithmetic off the BIGINT nanos ts — no

@@ -69,4 +69,27 @@ class LayoutSpec extends SparkSpec {
       .collect().head ==
       grid.agg(sum(col("x")), sum(col("y"))).collect().head)
   }
+
+  test("compactPartitions collapses a fragmented partitioned table to " +
+    "one file per partition with identical content") {
+    import spark.implicits._
+    val df = (0 until 400)
+      .map(i => (s"type${i % 4}", i.toLong, i * 1.5))
+      .toDF("kind", "id", "v")
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    df.repartition(12).write.mode("overwrite")
+      .partitionBy("kind").parquet(s"$root/frag")
+    val before = Layout.filesPerPartition(s"$root/frag", "kind")
+    assert(before.size == 4 && before.values.forall(_ > 1),
+      s"fixture must be fragmented: $before")
+    Layout.compactPartitions(spark, s"$root/frag", s"$root/opt", "kind")
+    val after = Layout.filesPerPartition(s"$root/opt", "kind")
+    assert(after.keySet == before.keySet && after.values.forall(_ == 1),
+      s"expected exactly one file per partition: $after")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select("kind", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(spark.read.parquet(s"$root/opt")) == key(df),
+      "compaction must be content-neutral")
+  }
 }
