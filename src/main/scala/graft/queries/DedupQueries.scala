@@ -478,6 +478,118 @@ object DedupQueries {
                   SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id)
            SELECT id, min(root) AS keep FROM cc GROUP BY id ORDER BY id""")),
 
+    // d16: duplicate-cluster size distribution — the report a dedup run
+    // is judged by (how much of the corpus is duplicated, and in what
+    // shapes: pairwise near-dups vs boilerplate blobs): LSH pairs →
+    // connected components → per-root sizes → size histogram, with the
+    // singleton mass (docs in no pair) accounted via two 1-row broadcast
+    // stats, no second corpus pass. The oracle replays the banding, the
+    // recursive closure, and the histogram arithmetic.
+    "d16_dup_cluster_stats" -> Q(
+      (s, dir) => {
+        val d = T(s, dir, "documents")
+        val comp = Dedup.survivors(
+          Dedup.minhashLshPairs(d, "doc_id", "text", k = 3,
+            threshold = 0.9, maxBucketSize = ProductionBucketCap))
+        val sizes = comp.groupBy(col("keep"))
+          .agg(count(lit(1)).as("size"))
+        val hist = sizes.groupBy(col("size"))
+          .agg(count(lit(1)).as("clusters"))
+        val total = d.agg(count(lit(1)).as("n_docs"))
+        val inC = sizes.agg(
+          coalesce(sum(col("size")), lit(0L)).as("in_c"))
+        val single = total.crossJoin(inC)
+          .select(lit(1L).as("size"),
+            (col("n_docs") - col("in_c")).as("clusters"))
+        hist.unionByName(single)
+          .groupBy(col("size"))
+          .agg(sum(col("clusters")).as("clusters"))
+          .select(col("size"), col("clusters"),
+            (col("size") * col("clusters")).as("docs"))
+          .orderBy(col("size"))
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${
+          sqlMinhashLshFrom("documents", ProductionBucketCap)})),
+           sym AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM sym),
+           cc AS (SELECT id, id AS root FROM nodes
+                  UNION
+                  SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id),
+           m AS (SELECT id, min(root) AS keep FROM cc GROUP BY id),
+           sizes AS (SELECT keep, count(*) AS size FROM m GROUP BY keep),
+           hist AS (SELECT size, count(*) AS clusters FROM sizes
+             GROUP BY size),
+           tot AS (SELECT count(*) AS n_docs FROM documents),
+           inc AS (SELECT CAST(coalesce(sum(size), 0) AS BIGINT) AS in_c
+             FROM sizes)
+           SELECT size, CAST(sum(clusters) AS BIGINT) AS clusters,
+             CAST(size * sum(clusters) AS BIGINT) AS docs
+           FROM (SELECT size, clusters FROM hist
+             UNION ALL SELECT 1 AS size,
+               (SELECT n_docs FROM tot) - (SELECT in_c FROM inc))
+           GROUP BY size ORDER BY size""")),
+
+    // e11: SOFT dedup — duplicates DOWN-WEIGHTED instead of dropped
+    // (the sampling-weights alternative to d6/e1's hard removal: keep
+    // every document, weight it 1/cluster-size so each duplicate
+    // cluster contributes one document's worth of sampling mass; hard
+    // dedup is the w = 1/n special case of choosing one member). The
+    // weight quantizes to DECIMAL(18,6) before any sum, so the
+    // effective-mass aggregates are exact under any partitioning and
+    // replayed digit-for-digit by the oracle. Plan: the cluster-size
+    // table (one row per duplicated doc) joins back LEFT — singletons
+    // keep weight 1 without appearing in any shuffle beyond the
+    // per-lang aggregate.
+    "e11_soft_dedup" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        val d = T(s, dir, "documents")
+        val comp = Dedup.survivors(
+          Dedup.minhashLshPairs(d, "doc_id", "text", k = 3,
+            threshold = 0.9, maxBucketSize = ProductionBucketCap))
+        val sizes = comp.groupBy(col("keep"))
+          .agg(count(lit(1)).as("size"))
+        val weighted = d
+          .join(comp.select(col("id").as("doc_id"), col("keep")),
+            Seq("doc_id"), "left")
+          .join(sizes, Seq("keep"), "left")
+          .withColumn("w",
+            round(lit(1.0) / coalesce(col("size"), lit(1L)), 6)
+              .cast("decimal(18,6)"))
+        weighted.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("w")).cast("double").as("eff_docs"),
+            sum(textstats.tokenCount(col("text")).cast("long"))
+              .as("tokens"),
+            sum(col("w") * textstats.tokenCount(col("text")).cast("long"))
+              .cast("double").as("eff_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${
+          sqlMinhashLshFrom("documents", ProductionBucketCap)})),
+           sym AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM sym),
+           cc AS (SELECT id, id AS root FROM nodes
+                  UNION
+                  SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id),
+           m AS (SELECT id, min(root) AS keep FROM cc GROUP BY id),
+           sizes AS (SELECT keep, count(*) AS size FROM m GROUP BY keep),
+           wdoc AS (SELECT d.lang, len($sqlToks) AS ntok,
+               CAST(round(1.0 / coalesce(s.size, 1), 6) AS DECIMAL(18,6))
+                 AS w
+             FROM documents d
+               LEFT JOIN m ON m.id = d.doc_id
+               LEFT JOIN sizes s ON s.keep = m.keep)
+           SELECT lang, count(*) AS docs,
+             CAST(sum(w) AS DOUBLE) AS eff_docs,
+             CAST(sum(ntok) AS BIGINT) AS tokens,
+             CAST(sum(w * ntok) AS DOUBLE) AS eff_tokens
+           FROM wdoc GROUP BY lang ORDER BY lang""")),
+
     // e1: the END-TO-END training-corpus pipeline — quality gate →
     // MinHash-LSH near-dup survivors → per-language corpus stats. One
     // declarative plan chaining the extension operators the way a real

@@ -138,6 +138,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r("c") == None) // right row is later than the probe
   }
 
+  test("soft-dedup weights: every duplicate cluster carries ~one doc of " +
+    "sampling mass, singletons keep weight 1") {
+    // 3-doc cluster + 2-doc cluster + singleton
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "distributed query engines shuffle partitioned data everywhere"),
+      (5L, "distributed query engines shuffle partitioned data everywhere"),
+      (6L, "completely unrelated single document standing alone here"))
+      .toDF("doc_id", "text")
+    val comp = Dedup.survivors(
+      Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.9))
+    val sizes = comp.groupBy(col("keep")).agg(count(lit(1)).as("size"))
+    val w = d.join(comp.select(col("id").as("doc_id"), col("keep")),
+        Seq("doc_id"), "left")
+      .join(sizes, Seq("keep"), "left")
+      .withColumn("w", round(lit(1.0) / coalesce(col("size"), lit(1L)), 6)
+        .cast("decimal(18,6)"))
+    val total = w.agg(sum(col("w")).cast("double")).collect()(0).getDouble(0)
+    // 3 clusters of mass ~1 each (two dup clusters + the singleton);
+    // quantization error ≤ n_docs × 5e-7
+    assert(math.abs(total - 3.0) < 6 * 5e-7, s"total mass $total")
+    val perDoc = w.select(col("doc_id"), col("w").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(perDoc(6L) == 1.0, "singleton must keep full weight")
+    assert(math.abs(perDoc(1L) - 1.0 / 3) < 1e-6)
+    assert(perDoc(4L) == 0.5)
+  }
+
   test("asof nearest picks the smaller gap either direction, ties to the " +
     "earlier right row, null when the key has no right rows") {
     val left = Seq(
