@@ -590,6 +590,57 @@ object DedupQueries {
              CAST(sum(w * ntok) AS DOUBLE) AS eff_tokens
            FROM wdoc GROUP BY lang ORDER BY lang""")),
 
+    // e12: LEAKAGE-SAFE train/val/test split — the eval-hygiene rule a
+    // doc-hash split silently breaks: hashing DOCUMENTS scatters a
+    // near-dup cluster across splits, so val/test leak training content.
+    // The split key is the dedup-cluster ROOT (connected components;
+    // singletons key on themselves), so whole clusters land in one split
+    // BY CONSTRUCTION — train/val/test = h64(root) mod 10 in 8/1/1. The
+    // oracle replays banding + closure + the hash split; the spec plants
+    // clusters and checks none straddles.
+    "e12_leakage_safe_split" -> Q(
+      (s, dir) => {
+        import graft.functions.hashing
+        val d = T(s, dir, "documents")
+        val comp = Dedup.survivors(
+          Dedup.minhashLshPairs(d, "doc_id", "text", k = 3,
+            threshold = 0.9, maxBucketSize = ProductionBucketCap))
+        d.join(comp.select(col("id").as("doc_id"), col("keep")),
+            Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("keep"), col("doc_id")))
+          .withColumn("bkt", pmod(hashing.h64(col("grp").cast("string")),
+            lit(10L)))
+          .withColumn("split",
+            when(col("bkt") < 8, "train")
+              .when(col("bkt") === 8, "val").otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(graft.functions.textstats.tokenCount(col("text"))
+              .cast("long")).as("tokens"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some {
+        import graft.functions.hashing
+        s"""WITH RECURSIVE pairs AS (SELECT a, b FROM (${
+          sqlMinhashLshFrom("documents", ProductionBucketCap)})),
+           sym AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+           nodes AS (SELECT DISTINCT src AS id FROM sym),
+           cc AS (SELECT id, id AS root FROM nodes
+                  UNION
+                  SELECT e.dst, cc.root FROM cc JOIN sym e ON e.src = cc.id),
+           m AS (SELECT id, min(root) AS keep FROM cc GROUP BY id),
+           sp AS (SELECT d.lang, len($sqlToks) AS ntok,
+               ${hashing.sqlH64(
+                 "CAST(coalesce(m.keep, d.doc_id) AS VARCHAR)")} % 10
+                 AS bkt
+             FROM documents d LEFT JOIN m ON m.id = d.doc_id)
+           SELECT CASE WHEN bkt < 8 THEN 'train'
+                       WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split,
+             lang, count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens
+           FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""
+      }),
+
     // e1: the END-TO-END training-corpus pipeline — quality gate →
     // MinHash-LSH near-dup survivors → per-language corpus stats. One
     // declarative plan chaining the extension operators the way a real

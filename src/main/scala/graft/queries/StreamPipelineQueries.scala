@@ -270,6 +270,22 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlDataQuality)),
 
+    // st18: STREAMING trailing-7-day active users — w11's curve in
+    // continuous form: per micro-batch the batch-distinct (user, day)
+    // marks append (the compact state a production WAU job maintains —
+    // grows with user-days, not events), and the re-aggregation equals
+    // the one-shot w11 because the marks pipeline is distinct-idempotent
+    // — so st18 shares w11's oracle verbatim. Zero streaming state.
+    "st18_stream_wau" -> Q(
+      (s, dir) => {
+        val out = scratch("st18_out", dir)
+        wipe(s"$out/marks"); wipe(s"$out/marks-ckpt")
+        Streams.wauStreaming(s, dir, s"$out/marks",
+            name = s"graft_st18_${dir.hashCode.abs}")
+          .orderBy(col("day"))
+      },
+      Some(WindowAggQueries.sqlWau)),
+
     // st16: STREAMING histogram maintenance — a12's sketch in continuous
     // form, completing the every-sketch-gets-a-streaming-twin symmetry
     // (a10 ↔ st13): bounds are PINNED (production reads them from table

@@ -13,6 +13,20 @@ import QueryDSL._
   */
 object WindowAggQueries {
 
+  /** Trailing-7-day active users — w11's oracle, and st18's verbatim:
+    * the streamed per-batch-distinct marks re-aggregate to the one-shot
+    * curve because the marks pipeline is distinct-idempotent. */
+  private[queries] val sqlWau: String =
+    """WITH ud AS (
+         SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
+         FROM events),
+       b AS (SELECT max(d) AS dmax FROM ud),
+       x AS (SELECT DISTINCT user_id, d + i AS day
+         FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) g)
+       SELECT x.day, count(*) AS wau FROM x, b
+       WHERE x.day <= b.dmax
+       GROUP BY x.day ORDER BY x.day"""
+
   /** Lineitem data-quality verdict — a11's oracle, and st17's verbatim:
     * the streamed partials re-aggregate to the one-shot validate (counts
     * sum; distinct-of-batch-distincts = distinct of the union), so both
@@ -475,15 +489,7 @@ object WindowAggQueries {
           .agg(count(lit(1)).as("wau"))
           .orderBy(col("day"))
       },
-      Some("""WITH ud AS (
-            SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS d
-            FROM events),
-          b AS (SELECT max(d) AS dmax FROM ud),
-          x AS (SELECT DISTINCT user_id, d + i AS day
-            FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) g)
-          SELECT x.day, count(*) AS wau FROM x, b
-          WHERE x.day <= b.dmax
-          GROUP BY x.day ORDER BY x.day""")),
+      Some(sqlWau)),
 
     // W10: retention cohort matrix — the other canonical event-log
     // report next to w9's funnel: users cohort by first-seen week

@@ -689,6 +689,44 @@ object Streams {
       uniqueName, spark.read.parquet(s"$outPath/keys"))
   }
 
+  /** STREAMING trailing-7-day active users — w11's curve maintained
+    * continuously: each micro-batch appends its batch-distinct
+    * (user, epoch-day) activity marks — the deduped support set, NOT raw
+    * events — and the returned re-aggregation (distinct marks → bounded
+    * 7-day explode → distinct (user, window-day) → count) equals the
+    * one-shot w11 over everything that streamed, because the marks
+    * pipeline is DISTINCT-IDEMPOTENT: appending a mark twice changes
+    * nothing. Zero streaming state; the mark table is the restart-safe
+    * state and exactly the compact structure a production WAU job
+    * maintains (marks grow with user-days, not events). */
+  def wauStreaming(spark: SparkSession, dir: String, outPath: String,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st18"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("user_id"),
+            expr("ts div 86400000000000").as("d"))
+          .distinct()
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val ud = spark.read.parquet(outPath).distinct()
+    val bounds = ud.agg(max(col("d")).as("dmax"))
+    ud.select(col("user_id"),
+        explode(sequence(col("d"), col("d") + 6)).as("day"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") <= col("dmax"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+  }
+
   /** STREAMING ingest through [[graft.ops.Manifest]] commits — the
     * STORAGE twin of the fold-in family (dedup st11, sketch st13,
     * vectors st14, dimensions st15): each micro-batch becomes ONE atomic

@@ -168,6 +168,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perDoc(4L) == 0.5)
   }
 
+  test("leakage-safe split: no LSH near-dup pair straddles two splits, " +
+    "and all three splits are populated on the real corpus") {
+    import graft.functions.hashing
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 3, 0.9,
+      maxBucketSize = 64)
+    val comp = Dedup.survivors(pairs)
+    val split = d.join(comp.select(col("id").as("doc_id"), col("keep")),
+        Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keep"), col("doc_id")))
+      .withColumn("bkt",
+        pmod(hashing.h64(col("grp").cast("string")), lit(10L)))
+      .select(col("doc_id"), col("bkt"))
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("a"), col("bkt").as("ba")), "a")
+      .join(split.select(col("doc_id").as("b"), col("bkt").as("bb")), "b")
+      .filter(col("ba") =!= col("bb")).count()
+    assert(straddling == 0,
+      "a near-dup pair crossed splits — train/val leakage")
+    assert(pairs.count() > 0, "fixture corpus must contain near-dups")
+    val buckets = split.select(
+        when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
+          .otherwise("test").as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(buckets == Set("train", "val", "test"))
+  }
+
   test("asof nearest picks the smaller gap either direction, ties to the " +
     "earlier right row, null when the key has no right rows") {
     val left = Seq(

@@ -526,6 +526,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st18 streaming WAU: 4-micro-batch stream == one-shot curve; " +
+    "cross-batch duplicate marks dedupe exactly once") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+    // chunk by event_id so each user's activity scatters across batches
+    // (the same (user, day) mark lands in several appends). Chunks are
+    // rebuilt through the QueryDSL.events contract with ts normalized to
+    // TIMESTAMP_NTZ micros (UTC session → wall-clock identity), so the
+    // fixture survives either physical ts type the driver has shipped.
+    val srcDir = Files.createTempDirectory("st18_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st18_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .select(col("event_id"),
+          expr("CAST(ts_utc AS TIMESTAMP_NTZ)").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st18_out").toString + "/marks"
+    val streamed = Streams.wauStreaming(spark, srcDir.toString, out,
+        glob = "events_*.parquet", maxFilesPerTrigger = 1,
+        name = "st18_spec")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ud = ev.select(col("user_id"),
+      expr("ts div 86400000000000").as("d")).distinct()
+    val batch = ud
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + 6))
+        .as("day"))
+      .distinct()
+      .crossJoin(broadcast(ud.agg(max(col("d")).as("dmax"))))
+      .filter(col("day") <= col("dmax"))
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    // the appended mark table must contain cross-batch duplicates that
+    // the final distinct collapses — else the dedup path wasn't exercised
+    val appended = spark.read.parquet(out).count()
+    val distinctMarks = spark.read.parquet(out).distinct().count()
+    assert(appended > distinctMarks,
+      s"no cross-batch duplicate marks ($appended vs $distinctMarks)")
+  }
+
   test("st17 streaming expectations: 4-micro-batch stream == one-shot " +
       "validate, with CROSS-batch duplicate keys deduped exactly once") {
     import org.apache.spark.sql.functions._
