@@ -543,6 +543,73 @@ object TextQueries {
     // flattening new_types column is the freeze-is-safe signal. All
     // integer arithmetic; the oracle replays the decile hash and the
     // fold.
+    // t30: language-CONSISTENCY audit — t1 predicts one language per
+    // document, but mixed-language documents (code-switching, embedded
+    // quotes, scraped boilerplate in another language) are exactly what
+    // per-doc langid hides and what a curation pipeline routes to
+    // splitting or dropping. Each document's non-overlapping 32-token
+    // chunks (t22's cutter at stride = window) get their own langid; a
+    // document's consistency is the fraction of chunks agreeing with its
+    // doc-level prediction. Per language: docs, mean consistency
+    // (DECIMAL(18,4)-summed), and how many docs are mixed (< 1.0). All
+    // row-local chunking + one keyed aggregate pair; the oracle replays
+    // the cutter, both langid layers, and the ratio arithmetic.
+    "t30_lang_consistency" -> Q(
+      (s, dir) => {
+        import graft.ops.TextSearch
+        val d = spread(T(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("text")))
+          .withColumn("dpred",
+            textstats.langId(textstats.tokens(col("text"))))
+        val ch = TextSearch.chunkWindows(d, "text", window = 32,
+            stride = 32)
+          .withColumn("cpred", textstats.langId(col("chunk")))
+        val per = ch.groupBy(col("doc_id"), col("lang"), col("dpred"))
+          .agg(count(lit(1)).as("chunks"),
+            sum(when(col("cpred") === col("dpred"), 1).otherwise(0))
+              .as("agree"))
+          .withColumn("consistency",
+            round(col("agree").cast("double") / col("chunks"), 4))
+        per.groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            round(sum(col("consistency").cast("decimal(18,4)"))
+              .cast("double") / count(lit(1)), 4).as("avg_consistency"),
+            sum(when(col("consistency") < 1.0, 1).otherwise(0))
+              .cast("long").as("mixed_docs"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        def hits(v: String, stop: Seq[String]): String =
+          s"len(list_filter($v, t -> list_contains(${
+            stop.mkString("['", "', '", "']")}, t)))"
+        def pred(v: String): String =
+          s"""CASE WHEN ${hits(v, textstats.EnStop)} > ${
+            hits(v, textstats.EsStop)} THEN 'en'
+               WHEN ${hits(v, textstats.EsStop)} > ${
+            hits(v, textstats.EnStop)} THEN 'es'
+               ELSE 'und' END"""
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+           d AS (SELECT doc_id, lang, toks, ${pred("toks")} AS dpred
+             FROM tok WHERE len(toks) > 0),
+           ch AS (SELECT doc_id, lang, dpred,
+               list_slice(toks, i*32 + 1, i*32 + 32) AS chunk
+             FROM d, (SELECT unnest(generate_series(0,
+                 (SELECT max((len(toks) - 1) // 32) FROM d))) AS i)
+             WHERE i <= (len(toks) - 1) // 32),
+           per AS (SELECT doc_id, lang,
+               round(CAST(sum(CASE WHEN ${pred("chunk")} = dpred
+                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+                 AS consistency
+             FROM ch GROUP BY doc_id, lang, dpred)
+           SELECT lang, count(*) AS docs,
+             round(CAST(sum(CAST(consistency AS DECIMAL(18,4)))
+               AS DOUBLE) / count(*), 4) AS avg_consistency,
+             CAST(sum(CASE WHEN consistency < 1.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS mixed_docs
+           FROM per GROUP BY lang ORDER BY lang"""
+      }),
+
     "t29_vocab_growth" -> Q(
       (s, dir) => {
         val d = spread(T(s, dir, "documents").select("doc_id", "text"))
