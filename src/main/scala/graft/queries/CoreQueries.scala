@@ -339,6 +339,51 @@ object CoreQueries {
           WHERE rn = 1 ORDER BY event_id"""),
       ),
 
+    // j12: POINT-IN-TIME feature join — the feature-store computation
+    // whose whole point is leakage-freedom (j6/j11 pick ONE matching
+    // row; training features need an AGGREGATE over the strictly-prior
+    // window): for every click, the count and value mass of the SAME
+    // user's purchases in the trailing 24 h — never a future purchase.
+    // The bucketed interval join (j7's equi-join + refine plan, no
+    // inequality join) produces prior-window pairs; clicks with no
+    // prior purchase keep zero features through the left join back.
+    // DECIMAL sums keep the mass exact under any partitioning.
+    "j12_pit_features" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("value").as("pvalue"))
+        val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+        val feat = graft.ops.AsOfJoin
+          .intervalJoin(clicks, purchases, "user_id", "ts", "pts",
+            tolerance = dayNs)
+          .filter(col("pts") <= col("ts"))
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_24h"),
+            sum(dec(col("pvalue"))).as("v_24h"))
+        clicks.join(feat, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_24h"), lit(0L)).as("n_purch_24h"),
+            coalesce(col("v_24h"), dec(lit(0))).cast("double")
+              .as("sum_purch_24h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT c.event_id, c.user_id,
+            CAST(count(p.pts) AS BIGINT) AS n_purch_24h,
+            CAST(coalesce(sum(CAST(p.value AS DECIMAL(18,2))),
+              CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_purch_24h
+          FROM (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events
+                WHERE event_type = 'click') c
+          LEFT JOIN (SELECT user_id, epoch_ns(ts) AS pts, value
+                FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id AND p.pts <= c.tns
+               AND c.tns - p.pts <= 86400000000000
+          GROUP BY 1, 2 ORDER BY 1"""),
+      ),
+
     // j8: SCD2 dimension build + INCREMENTAL maintenance — the warehouse
     // twin of the round's index lifecycles: the per-user value history
     // builds as a type-2 dimension over the first ~70% of the event

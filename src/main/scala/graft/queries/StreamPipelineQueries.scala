@@ -270,6 +270,47 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlDataQuality)),
 
+    // st19: STREAMING ingest with PERIODIC AUTO-COMPACTION — the
+    // lakehouse maintenance loop in continuous form: streaming ingest
+    // is what CREATES the small-files problem (one file set per
+    // commit), so every real table service compacts on a cadence. The
+    // corpus streams in as 4 mtime-ordered chunks (one micro-batch
+    // each); every 2nd append triggers a REPLACE commit compacting the
+    // whole table to 2 files. Compaction is content-neutral (s16's
+    // obligation), so the final read hash-matches the plain source
+    // aggregate whatever the cadence; StreamingSpec asserts the version
+    // history (4 appends + 2 compactions), the shrunken file set, and
+    // pre-compaction readability.
+    "st19_stream_commit_compact" -> Q(
+      (s, dir) => {
+        val out = scratch("st19", dir)
+        wipe(out)
+        val srcDir = new java.io.File(s"$out/src")
+        srcDir.mkdirs()
+        val docs = T(s, dir, "documents")
+        for (i <- 0 until 4) {
+          val tmp = s"$out/chunk$i"
+          docs.filter(pmod(col("doc_id"), lit(4)) === lit(i)).coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(srcDir, s"documents_$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(1700000000000L + i * 60000L)
+        }
+        Streams.compactingCommitStreaming(s, srcDir.getPath,
+            s"$out/tbl", every = 2, targetFiles = 2,
+            glob = "documents_*.parquet", maxFilesPerTrigger = 1,
+            name = s"graft_st19_${dir.hashCode.abs}")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS docs,
+            CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
     // st18: STREAMING trailing-7-day active users — w11's curve in
     // continuous form: per micro-batch the batch-distinct (user, day)
     // marks append (the compact state a production WAU job maintains —

@@ -753,6 +753,44 @@ object Streams {
     Manifest.read(spark, tablePath)
   }
 
+  /** STREAMING ingest with PERIODIC AUTO-COMPACTION —
+    * [[commitStreaming]] plus [[graft.ops.Layout]]-style maintenance
+    * folded into ONE continuous loop (the auto-OPTIMIZE every lakehouse
+    * runs, because streaming ingest is precisely what CREATES the
+    * small-files problem s17 fixes offline): each micro-batch lands as
+    * one atomic append commit, and after every `every` appends a
+    * REPLACE commit rewrites the accumulated file set down to
+    * `targetFiles` files. Compaction is content-neutral (s16's proof
+    * obligation), so the final read equals everything that streamed
+    * whatever the cadence — st19 shares the plain content-aggregate
+    * oracle. Pre-compaction versions stay readable (data files are
+    * never deleted); zero streaming state — the manifest is the state. */
+  def compactingCommitStreaming(spark: SparkSession, dir: String,
+      tablePath: String, every: Int, targetFiles: Int = 2,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st19"): DataFrame = {
+    import graft.ops.Manifest
+    require(every > 0, "compaction cadence must be positive")
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val appends = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$tablePath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        Manifest.commit(batch, tablePath)
+        if (appends.incrementAndGet() % every == 0)
+          Manifest.commit(
+            Manifest.read(bs, tablePath).coalesce(targetFiles),
+            tablePath, replace = true)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
   /** Ordered-step session FUNNEL — the conversion question sessionization
     * exists to answer: of all gap-delimited sessions, how many reached
     * step 1, steps 1→2 in order, 1→2→3 in order (each step's first

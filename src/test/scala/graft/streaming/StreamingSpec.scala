@@ -526,6 +526,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st19 compacting commit stream: 4 appends + 2 auto-compactions, " +
+    "file set shrinks, content and pre-compaction versions intact") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = Files.createTempDirectory("st19_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st19_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("st19_tbl").toString + "/t"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val finalRead = Streams.compactingCommitStreaming(spark,
+      srcDir.toString, tbl, every = 2, targetFiles = 2,
+      glob = "documents_*.parquet", maxFilesPerTrigger = 1,
+      name = "st19_spec")
+    // 4 appends + compactions after appends 2 and 4 = 6 versions
+    assert(Manifest.version(tbl) == 6L)
+    assert(ids(finalRead) == ids(docs), "compaction must lose nothing")
+    // the final (compacted) version reads from <= targetFiles files,
+    // fewer than the 4 append files it replaced
+    assert(Manifest.read(spark, tbl).inputFiles.length <= 2)
+    // pre-compaction history is intact: v3 = first compaction + chunk 2
+    assert(ids(Manifest.read(spark, tbl, 4L)) ==
+      ids(docs.filter(col("doc_id") % 4 < 3)), "version 4 = 3 chunks")
+    assert(ids(Manifest.read(spark, tbl, 3L)) ==
+      ids(docs.filter(col("doc_id") % 4 < 2)), "version 3 = compacted " +
+        "first two chunks")
+  }
+
   test("st18 streaming WAU: 4-micro-batch stream == one-shot curve; " +
     "cross-batch duplicate marks dedupe exactly once") {
     import org.apache.spark.sql.functions._
