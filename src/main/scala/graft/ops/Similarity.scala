@@ -691,6 +691,21 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, residuals: DataFrame, codes: DataFrame,
       codebooks: DataFrame, cents: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int, subspaces: Int,
+      nProbe: Int, k: Int, shortlist: Int): DataFrame =
+    ivfPqTopKClustered(corpus,
+      codes.join(residuals.select(col("id"), col("cluster")), Seq("id")),
+      codebooks, cents, queries, idCol, vecCol, dim, subspaces, nProbe,
+      k, shortlist)
+
+  /** [[ivfPqTopK]] over codes that ALREADY carry their cluster —
+    * (id, cluster, sub, code) — the persisted-index probe shape: a
+    * [[buildIvfPqIndex]] table stores the codes cluster-joined and
+    * bucketed by cluster, so the probe needs no id-join at all and
+    * non-probed lists die in the broadcast-LUT equi-join against a
+    * scan-only table. */
+  def ivfPqTopKClustered(corpus: DataFrame, clusteredCodes: DataFrame,
+      codebooks: DataFrame, cents: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, subspaces: Int,
       nProbe: Int, k: Int, shortlist: Int): DataFrame = {
     val len = dim / subspaces
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -714,8 +729,7 @@ object Similarity {
         col("cid").as("qcid"),
         round(dot(col("qs"), col("cv")), 9).cast("decimal(18,9)").as("pd"),
         col("cc"))
-    val adc = codes
-      .join(residuals.select(col("id"), col("cluster")), Seq("id"))
+    val adc = clusteredCodes
       .join(broadcast(lut),
         col("sub") === col("qsub") && col("code") === col("qcid") &&
           col("cluster") === col("qcluster"))
@@ -739,6 +753,52 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("nid"))))
       .filter(col("rank") <= k)
   }
+
+  /** Persist an IVF-PQ index — the FAISS write-to-disk shape for the
+    * [[ivfPqTopK]] composition ([[buildIvfIndex]]'s big sibling): the
+    * coarse centroid table, the residual PQ codebooks, and the
+    * cluster-joined code table ((id, cluster, sub, code), bucketed by
+    * cluster — `subspaces` bytes of payload per vector, the bytes a
+    * real index stores) as saved tables. Probes then run
+    * [[ivfPqTopKClustered]] against scan-only tables: no assignment or
+    * codebook recompute, no corpus shuffle — the same
+    * build-once/probe-many contract as x9/DedupIndex. */
+  def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, dim: Int, subspaces: Int,
+      coarseK: Int, codebookK: Int, iters: Int = 2, path: String,
+      prefix: String, buckets: Int = 8): Unit = {
+    for (t <- Seq("cents", "codebooks", "codes"))
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+    kmeansCentroids(corpus, idCol, vecCol, coarseK, iters)
+      .write.mode("overwrite").option("path", s"$path/cents")
+      .saveAsTable(s"${prefix}_cents")
+    val cents = broadcast(spark.table(s"${prefix}_cents"))
+    val rsd = Checkpoints.checkpoint(
+      ivfResiduals(corpus, idCol, vecCol, cents))
+    val cbs = pqCodebooks(rsd, "id", "rv", dim, subspaces, codebookK,
+      iters)
+    cbs.write.mode("overwrite").option("path", s"$path/codebooks")
+      .saveAsTable(s"${prefix}_codebooks")
+    pqEncode(rsd, "id", "rv", spark.table(s"${prefix}_codebooks"),
+        dim, subspaces)
+      .join(rsd.select(col("id"), col("cluster")), Seq("id"))
+      .write.mode("overwrite").bucketBy(buckets, "cluster")
+      .option("path", s"$path/codes").saveAsTable(s"${prefix}_codes")
+  }
+
+  /** ANN top-k against a [[buildIvfPqIndex]]-persisted index.
+    * Value-identical to the inline [[ivfPqTopK]] with the same
+    * training parameters (persistence is transparent — IvfIndexSpec
+    * asserts it); the corpus's full-precision vectors are touched only
+    * by the final shortlist rerank. */
+  def ivfPqProbePersisted(spark: SparkSession, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, dim: Int,
+      subspaces: Int, nProbe: Int, k: Int, shortlist: Int,
+      prefix: String): DataFrame =
+    ivfPqTopKClustered(corpus, spark.table(s"${prefix}_codes"),
+      spark.table(s"${prefix}_codebooks"),
+      spark.table(s"${prefix}_cents"), queries, idCol, vecCol, dim,
+      subspaces, nProbe, k, shortlist)
 
   def pqTopK(corpus: DataFrame, corpusCodes: DataFrame,
       codebooks: DataFrame, queries: DataFrame, idCol: String,

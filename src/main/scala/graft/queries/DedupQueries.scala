@@ -377,6 +377,95 @@ object DedupQueries {
          FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
        ${sqlJaccardTail(0.9)}"""
 
+  /** IVF-PQ replay (coarse k=12, 8 residual codebooks of k=16,
+    * nProbe=2, shortlist 32, top-3 in exact L2) — x13's oracle, and
+    * x14's verbatim: the persisted-index probe is value-identical to
+    * the inline build by construction, so both queries share ONE SQL. */
+  private val sqlIvfPq: String = {
+    val S = 8
+    val len = 64 / S
+        val sub = s"(SELECT unnest(generate_series(0, ${S - 1})) AS sub)"
+        val kms = (0 until S).map(s0 =>
+          sqlKmeansSliceFrom(s"r$s0", "res", s0 * len + 1, len, 16))
+          .mkString(",\n")
+        val cbUnion = (0 until S).map(s0 =>
+          s"SELECT $s0 AS sub, cid, cv FROM r${s0}cents")
+          .mkString(" UNION ALL ")
+        val resid = """list_transform(list_zip(v.embedding, c.cv),
+          z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"""
+        s"""WITH $sqlKmeansCents,
+           rsd AS (SELECT vec_id, cluster, rv FROM (
+               SELECT v.vec_id, c.cid AS cluster, $resid AS rv,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC,
+                     c.cid) AS rn
+               FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+           res AS (SELECT vec_id, rv AS embedding FROM rsd),
+           $kms,
+           codebooks AS ($cbUnion),
+           cbs AS (SELECT sub, cid, cv,
+               CAST(round(${sqlDot("cv", "cv")}, 9) AS DECIMAL(18,9)) AS cc
+             FROM codebooks),
+           subvecs AS (SELECT vec_id, s.sub,
+               list_slice(embedding, s.sub*$len + 1, s.sub*$len + $len)
+                 AS sv
+             FROM res, $sub s),
+           codes AS (SELECT vec_id, sub, cid AS code FROM (
+               SELECT v.vec_id, v.sub, c.cid,
+                 row_number() OVER (PARTITION BY v.vec_id, v.sub
+                   ORDER BY ${sqlCosine("v.sv", "c.cv")} DESC, c.cid) AS rn
+               FROM subvecs v JOIN cbs c ON c.sub = v.sub) WHERE rn = 1),
+           probes AS (SELECT qid, qv, cluster, ccv FROM (
+               SELECT q.vec_id AS qid, q.embedding AS qv,
+                 c.cid AS cluster, c.cv AS ccv,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC,
+                     c.cid) AS rn
+               FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
+             WHERE rn <= 2),
+           qres AS (SELECT qid, cluster,
+               list_transform(list_zip(qv, ccv),
+                 z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
+             FROM probes),
+           qrr AS (SELECT qid, cluster,
+               CAST(round(${sqlDot("qr", "qr")}, 9) AS DECIMAL(18,9))
+                 AS qrr
+             FROM qres),
+           qsub AS (SELECT qid, cluster, s.sub,
+               list_slice(qr, s.sub*$len + 1, s.sub*$len + $len) AS qs
+             FROM qres, $sub s),
+           lut AS (SELECT q.qid, q.cluster, q.sub, c.cid,
+               CAST(round(${sqlDot("q.qs", "c.cv")}, 9) AS DECIMAL(18,9))
+                 AS pd,
+               c.cc
+             FROM qsub q JOIN cbs c ON c.sub = q.sub),
+           scored AS (SELECT l.qid, k.vec_id AS nid,
+               min(r.qrr) AS qrr, sum(l.pd) AS spd, sum(l.cc) AS scc
+             FROM codes k
+               JOIN rsd a ON a.vec_id = k.vec_id
+               JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+                 AND l.cluster = a.cluster
+               JOIN qrr r ON r.qid = l.qid AND r.cluster = l.cluster
+             WHERE k.vec_id <> l.qid GROUP BY 1, 2),
+           sl AS (SELECT qid, nid FROM (
+               SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                 ORDER BY (qrr - 2*spd + scc) ASC, nid) AS arank
+               FROM scored)
+             WHERE arank <= 32),
+           qs2 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+             WHERE vec_id < 10),
+           rer AS (SELECT s.qid, s.nid,
+               round(${sqlDot("q.qv", "q.qv")}
+                 + ${sqlDot("n.embedding", "n.embedding")}
+                 - 2 * ${sqlDot("q.qv", "n.embedding")}, 4) AS d2
+             FROM sl s JOIN qs2 q ON q.qid = s.qid
+               JOIN embeddings n ON n.vec_id = s.nid)
+           SELECT qid, rank, nid, d2 FROM (
+             SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid
+               ORDER BY d2 ASC, nid) AS rank FROM rer)
+           WHERE rank <= 3 ORDER BY qid, rank"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // d2: MinHash + LSH near-dup pairs, exact-Jaccard verified. The oracle
@@ -1319,90 +1408,33 @@ object DedupQueries {
           .select(col("qid"), col("rank"), col("nid"), col("d2"))
           .orderBy(col("qid"), col("rank"))
       },
-      Some {
-        val S = 8
-        val len = 64 / S
-        val sub = s"(SELECT unnest(generate_series(0, ${S - 1})) AS sub)"
-        val kms = (0 until S).map(s0 =>
-          sqlKmeansSliceFrom(s"r$s0", "res", s0 * len + 1, len, 16))
-          .mkString(",\n")
-        val cbUnion = (0 until S).map(s0 =>
-          s"SELECT $s0 AS sub, cid, cv FROM r${s0}cents")
-          .mkString(" UNION ALL ")
-        val resid = """list_transform(list_zip(v.embedding, c.cv),
-          z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))"""
-        s"""WITH $sqlKmeansCents,
-           rsd AS (SELECT vec_id, cluster, rv FROM (
-               SELECT v.vec_id, c.cid AS cluster, $resid AS rv,
-                 row_number() OVER (PARTITION BY v.vec_id
-                   ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC,
-                     c.cid) AS rn
-               FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
-           res AS (SELECT vec_id, rv AS embedding FROM rsd),
-           $kms,
-           codebooks AS ($cbUnion),
-           cbs AS (SELECT sub, cid, cv,
-               CAST(round(${sqlDot("cv", "cv")}, 9) AS DECIMAL(18,9)) AS cc
-             FROM codebooks),
-           subvecs AS (SELECT vec_id, s.sub,
-               list_slice(embedding, s.sub*$len + 1, s.sub*$len + $len)
-                 AS sv
-             FROM res, $sub s),
-           codes AS (SELECT vec_id, sub, cid AS code FROM (
-               SELECT v.vec_id, v.sub, c.cid,
-                 row_number() OVER (PARTITION BY v.vec_id, v.sub
-                   ORDER BY ${sqlCosine("v.sv", "c.cv")} DESC, c.cid) AS rn
-               FROM subvecs v JOIN cbs c ON c.sub = v.sub) WHERE rn = 1),
-           probes AS (SELECT qid, qv, cluster, ccv FROM (
-               SELECT q.vec_id AS qid, q.embedding AS qv,
-                 c.cid AS cluster, c.cv AS ccv,
-                 row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC,
-                     c.cid) AS rn
-               FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
-             WHERE rn <= 2),
-           qres AS (SELECT qid, cluster,
-               list_transform(list_zip(qv, ccv),
-                 z -> CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) AS qr
-             FROM probes),
-           qrr AS (SELECT qid, cluster,
-               CAST(round(${sqlDot("qr", "qr")}, 9) AS DECIMAL(18,9))
-                 AS qrr
-             FROM qres),
-           qsub AS (SELECT qid, cluster, s.sub,
-               list_slice(qr, s.sub*$len + 1, s.sub*$len + $len) AS qs
-             FROM qres, $sub s),
-           lut AS (SELECT q.qid, q.cluster, q.sub, c.cid,
-               CAST(round(${sqlDot("q.qs", "c.cv")}, 9) AS DECIMAL(18,9))
-                 AS pd,
-               c.cc
-             FROM qsub q JOIN cbs c ON c.sub = q.sub),
-           scored AS (SELECT l.qid, k.vec_id AS nid,
-               min(r.qrr) AS qrr, sum(l.pd) AS spd, sum(l.cc) AS scc
-             FROM codes k
-               JOIN rsd a ON a.vec_id = k.vec_id
-               JOIN lut l ON l.sub = k.sub AND l.cid = k.code
-                 AND l.cluster = a.cluster
-               JOIN qrr r ON r.qid = l.qid AND r.cluster = l.cluster
-             WHERE k.vec_id <> l.qid GROUP BY 1, 2),
-           sl AS (SELECT qid, nid FROM (
-               SELECT qid, nid, row_number() OVER (PARTITION BY qid
-                 ORDER BY (qrr - 2*spd + scc) ASC, nid) AS arank
-               FROM scored)
-             WHERE arank <= 32),
-           qs2 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-             WHERE vec_id < 10),
-           rer AS (SELECT s.qid, s.nid,
-               round(${sqlDot("q.qv", "q.qv")}
-                 + ${sqlDot("n.embedding", "n.embedding")}
-                 - 2 * ${sqlDot("q.qv", "n.embedding")}, 4) AS d2
-             FROM sl s JOIN qs2 q ON q.qid = s.qid
-               JOIN embeddings n ON n.vec_id = s.nid)
-           SELECT qid, rank, nid, d2 FROM (
-             SELECT qid, nid, d2, row_number() OVER (PARTITION BY qid
-               ORDER BY d2 ASC, nid) AS rank FROM rer)
-           WHERE rank <= 3 ORDER BY qid, rank"""
-      }),
+      Some(sqlIvfPq)),
+
+    // x14: the PERSISTED IVF-PQ index — x13's training artifacts
+    // (coarse centroids, residual codebooks, cluster-joined code table
+    // bucketed by cluster: `subspaces` bytes of payload per vector, the
+    // bytes FAISS writes to disk) land as saved tables ONCE, and the
+    // query probes them scan-only — no assignment or codebook
+    // recompute, no corpus shuffle; full-precision vectors touched only
+    // by the shortlist rerank. Value-identical to the inline x13 by
+    // construction (IvfIndexSpec asserts it), so x14 shares x13's
+    // oracle verbatim — the x9/DedupIndex build-once/probe-many
+    // contract extended to the compressed index.
+    "x14_ivfpq_persisted" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val prefix = s"graft_x14_${dir.hashCode.abs}"
+        Similarity.buildIvfPqIndex(s, e, "vec_id", "embedding",
+          dim = 64, subspaces = 8, coarseK = 12, codebookK = 16,
+          path = scratch("x14_index", dir), prefix = prefix)
+        Similarity.ivfPqProbePersisted(s, e,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            dim = 64, subspaces = 8, nProbe = 2, k = 3, shortlist = 32,
+            prefix = prefix)
+          .select(col("qid"), col("rank"), col("nid"), col("d2"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(sqlIvfPq)),
 
     // x7: hybrid retrieval — reciprocal-rank fusion (c=60) of the BM25
     // keyword ranking (t11's scorer) and the brute-force embedding cosine

@@ -41,6 +41,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("persisted IVF-PQ probe ≡ inline ivfPqTopK with the same " +
+      "training parameters (persistence is transparent)") {
+    import graft.ops.Checkpoints
+    val pqPrefix = "graft_ivfpqspec"
+    Similarity.buildIvfPqIndex(spark, emb, "vec_id", "embedding",
+      dim = 64, subspaces = 8, coarseK = 12, codebookK = 16,
+      path = QueryDSL.scratch("ivfpqspec_index", sf), prefix = pqPrefix)
+    val cents = Checkpoints.checkpoint(Similarity.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 12, iters = 2))
+    val rsd = Checkpoints.checkpoint(Similarity.ivfResiduals(
+      emb, "vec_id", "embedding", cents))
+    val cbs = Checkpoints.checkpoint(Similarity.pqCodebooks(
+      rsd, "id", "rv", dim = 64, subspaces = 8, k = 16))
+    val codes = Similarity.pqEncode(rsd, "id", "rv", cbs,
+      dim = 64, subspaces = 8)
+    def d2rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rank"), col("nid"), col("d2"))
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val inline = d2rows(Similarity.ivfPqTopK(emb, rsd, codes, cbs,
+      cents, queries, "vec_id", "embedding", dim = 64, subspaces = 8,
+      nProbe = 2, k = 3, shortlist = 32))
+    val probed = d2rows(Similarity.ivfPqProbePersisted(spark, emb,
+      queries, "vec_id", "embedding", dim = 64, subspaces = 8,
+      nProbe = 2, k = 3, shortlist = 32, prefix = pqPrefix))
+    assert(probed === inline)
+    assert(inline.nonEmpty)
+  }
+
   test("appendToIvfIndex: probe after append ≡ inline over the grown " +
       "corpus with the original centroids") {
     val prefix2 = "graft_ivfspec2"
