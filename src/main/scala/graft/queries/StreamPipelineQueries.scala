@@ -270,6 +270,24 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlDataQuality)),
 
+    // st20: STREAMING corpus-drift counts — t31's divergence monitor in
+    // continuous form (the deployment shape: the drift alert should fire
+    // AS data lands, not in a nightly batch): per micro-batch one
+    // map-side-combined (lang, side, token) count partial appends
+    // (vocabulary-bounded, not token-bounded), re-aggregation equals the
+    // one-shot counts by sum associativity, and the shared JS tail is a
+    // pure function of the counts — so st20 shares t31's oracle
+    // verbatim. Zero streaming state.
+    "st20_stream_drift" -> Q(
+      (s, dir) => {
+        val out = scratch("st20_out", dir)
+        wipe(s"$out/cnt"); wipe(s"$out/cnt-ckpt")
+        val cnt = Streams.driftCountsStreaming(s, dir, s"$out/cnt",
+          name = s"graft_st20_${dir.hashCode.abs}")
+        TextQueries.jsDivergenceTail(cnt).orderBy(col("lang"))
+      },
+      Some(TextQueries.sqlTokenDrift)),
+
     // st19: STREAMING ingest with PERIODIC AUTO-COMPACTION — the
     // lakehouse maintenance loop in continuous form: streaming ingest
     // is what CREATES the small-files problem (one file set per

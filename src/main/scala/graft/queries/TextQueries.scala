@@ -17,6 +17,84 @@ object TextQueries {
   private def sqlStopHits(stop: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains(${stop.mkString("['", "', '", "']")}, t)))"
 
+  /** Jensen-Shannon divergence tail over a (lang, side, t, c) unigram
+    * count table — shared by t31 (inline counts) and st20 (streamed
+    * count partials re-aggregated, identical by sum associativity):
+    * per-(lang, side) totals broadcast back, the two distributions meet
+    * in a FULL OUTER (lang, t) join, and every term
+    * 0.5·p·ln(2p/(p+q)) + 0.5·q·ln(2q/(p+q)) (0·ln0 := 0) rounds to 9
+    * decimals into DECIMAL(18,9) before the per-lang sum (the t13 ln
+    * guard). Vocab sizes + overlap ride the same join. */
+  private[queries] def jsDivergenceTail(
+      cnt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = cnt.groupBy(col("lang"), col("side"))
+      .agg(sum(col("c")).as("n"))
+    val p = cnt.join(broadcast(tot), Seq("lang", "side"))
+      .select(col("lang"), col("side"), col("t"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val a = p.filter(col("side") === 0)
+      .select(col("lang"), col("t"), col("p").as("pa"))
+    val b = p.filter(col("side") === 1)
+      .select(col("lang"), col("t"), col("p").as("pb"))
+    val j = a.join(b, Seq("lang", "t"), "full_outer")
+      .select(col("lang"), coalesce(col("pa"), lit(0.0)).as("pa"),
+        coalesce(col("pb"), lit(0.0)).as("pb"))
+    val terms = j.select(col("lang"), col("pa"), col("pb"),
+      round(
+        when(col("pa") > 0, col("pa") *
+          log(lit(2) * col("pa") / (col("pa") + col("pb"))))
+          .otherwise(lit(0.0)) * lit(0.5) +
+        when(col("pb") > 0, col("pb") *
+          log(lit(2) * col("pb") / (col("pa") + col("pb"))))
+          .otherwise(lit(0.0)) * lit(0.5), 9)
+        .cast("decimal(18,9)").as("contrib"))
+    terms.groupBy(col("lang"))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("js"),
+        sum(when(col("pa") > 0, 1).otherwise(0)).cast("long")
+          .as("vocab_a"),
+        sum(when(col("pb") > 0, 1).otherwise(0)).cast("long")
+          .as("vocab_b"),
+        sum(when(col("pa") > 0 && col("pb") > 0, 1).otherwise(0))
+          .cast("long").as("shared_vocab"))
+  }
+
+  /** t31's oracle, and st20's verbatim (the streamed per-batch count
+    * partials re-aggregate to the one-shot counts by sum
+    * associativity, and the JS tail is a pure function of the counts). */
+  private[queries] val sqlTokenDrift: String =
+    s"""WITH toks AS (
+         SELECT lang,
+           ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 2 AS side,
+           unnest($sqlToks) AS t
+         FROM documents),
+       cnt AS (SELECT lang, side, t, count(*) AS c FROM toks
+         GROUP BY 1, 2, 3),
+       tot AS (SELECT lang, side, CAST(sum(c) AS BIGINT) AS n
+         FROM cnt GROUP BY 1, 2),
+       p AS (SELECT c.lang, c.side, c.t, CAST(c.c AS DOUBLE) / t2.n
+           AS p
+         FROM cnt c JOIN tot t2 USING (lang, side)),
+       a AS (SELECT lang, t, p AS pa FROM p WHERE side = 0),
+       b AS (SELECT lang, t, p AS pb FROM p WHERE side = 1),
+       j AS (SELECT lang, coalesce(pa, 0.0) AS pa,
+           coalesce(pb, 0.0) AS pb
+         FROM a FULL OUTER JOIN b USING (lang, t)),
+       terms AS (SELECT lang, pa, pb, CAST(round(
+           (CASE WHEN pa > 0
+              THEN pa * ln(2 * pa / (pa + pb)) ELSE 0.0 END) * 0.5
+           + (CASE WHEN pb > 0
+              THEN pb * ln(2 * pb / (pa + pb)) ELSE 0.0 END) * 0.5,
+           9) AS DECIMAL(18,9)) AS contrib
+         FROM j)
+       SELECT lang, round(CAST(sum(contrib) AS DOUBLE), 6) AS js,
+         CAST(sum(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_a,
+         CAST(sum(CASE WHEN pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS vocab_b,
+         CAST(sum(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS shared_vocab
+       FROM terms GROUP BY lang ORDER BY lang"""
+
   /** t13/t19 shared unigram-LM replay (the TextSearch.unigramLogProbs
     * round-6 DECIMAL(18,6) contract): corpus-self token log-probs summed
     * per document, as CTEs toks/vocab/tot/lp/doc, with
@@ -633,72 +711,9 @@ object TextQueries {
             explode(textstats.tokens(col("text"))).as("t"))
         val cnt = toks.groupBy(col("lang"), col("side"), col("t"))
           .agg(count(lit(1)).as("c"))
-        val tot = cnt.groupBy(col("lang"), col("side"))
-          .agg(sum(col("c")).as("n"))
-        val p = cnt.join(broadcast(tot), Seq("lang", "side"))
-          .select(col("lang"), col("side"), col("t"),
-            (col("c").cast("double") / col("n")).as("p"))
-        val a = p.filter(col("side") === 0)
-          .select(col("lang"), col("t"), col("p").as("pa"))
-        val b = p.filter(col("side") === 1)
-          .select(col("lang"), col("t"), col("p").as("pb"))
-        val j = a.join(b, Seq("lang", "t"), "full_outer")
-          .select(col("lang"), coalesce(col("pa"), lit(0.0)).as("pa"),
-            coalesce(col("pb"), lit(0.0)).as("pb"))
-        val terms = j.select(col("lang"), col("pa"), col("pb"),
-          round(
-            when(col("pa") > 0, col("pa") *
-              log(lit(2) * col("pa") / (col("pa") + col("pb"))))
-              .otherwise(lit(0.0)) * lit(0.5) +
-            when(col("pb") > 0, col("pb") *
-              log(lit(2) * col("pb") / (col("pa") + col("pb"))))
-              .otherwise(lit(0.0)) * lit(0.5), 9)
-            .cast("decimal(18,9)").as("contrib"))
-        terms.groupBy(col("lang"))
-          .agg(round(sum(col("contrib")).cast("double"), 6).as("js"),
-            sum(when(col("pa") > 0, 1).otherwise(0)).cast("long")
-              .as("vocab_a"),
-            sum(when(col("pb") > 0, 1).otherwise(0)).cast("long")
-              .as("vocab_b"),
-            sum(when(col("pa") > 0 && col("pb") > 0, 1).otherwise(0))
-              .cast("long").as("shared_vocab"))
-          .orderBy(col("lang"))
+        jsDivergenceTail(cnt).orderBy(col("lang"))
       },
-      Some {
-        import graft.functions.hashing
-        s"""WITH toks AS (
-             SELECT lang,
-               ${hashing.sqlH64("CAST(doc_id AS VARCHAR)")} % 2 AS side,
-               unnest($sqlToks) AS t
-             FROM documents),
-           cnt AS (SELECT lang, side, t, count(*) AS c FROM toks
-             GROUP BY 1, 2, 3),
-           tot AS (SELECT lang, side, CAST(sum(c) AS BIGINT) AS n
-             FROM cnt GROUP BY 1, 2),
-           p AS (SELECT c.lang, c.side, c.t, CAST(c.c AS DOUBLE) / t2.n
-               AS p
-             FROM cnt c JOIN tot t2 USING (lang, side)),
-           a AS (SELECT lang, t, p AS pa FROM p WHERE side = 0),
-           b AS (SELECT lang, t, p AS pb FROM p WHERE side = 1),
-           j AS (SELECT lang, coalesce(pa, 0.0) AS pa,
-               coalesce(pb, 0.0) AS pb
-             FROM a FULL OUTER JOIN b USING (lang, t)),
-           terms AS (SELECT lang, pa, pb, CAST(round(
-               (CASE WHEN pa > 0
-                  THEN pa * ln(2 * pa / (pa + pb)) ELSE 0.0 END) * 0.5
-               + (CASE WHEN pb > 0
-                  THEN pb * ln(2 * pb / (pa + pb)) ELSE 0.0 END) * 0.5,
-               9) AS DECIMAL(18,9)) AS contrib
-             FROM j)
-           SELECT lang, round(CAST(sum(contrib) AS DOUBLE), 6) AS js,
-             CAST(sum(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS vocab_a,
-             CAST(sum(CASE WHEN pb > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS vocab_b,
-             CAST(sum(CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END)
-               AS BIGINT) AS shared_vocab
-           FROM terms GROUP BY lang ORDER BY lang"""
-      }),
+      Some(sqlTokenDrift)),
 
     "t29_vocab_growth" -> Q(
       (s, dir) => {

@@ -727,6 +727,43 @@ object Streams {
       .agg(count(lit(1)).as("wau"))
   }
 
+  /** STREAMING corpus-drift counts — t31's divergence monitor fed
+    * continuously: each micro-batch appends its partial per-(lang,
+    * side, token) counts (one map-side-combined aggregate per batch;
+    * the same deterministic h64-half `side` rule t31 uses), and the
+    * returned re-aggregation equals the one-shot counts by sum
+    * associativity — so a JS-divergence tail over the re-aggregated
+    * counts reproduces t31 exactly and st20 shares its oracle verbatim.
+    * ZERO streaming state; the count partials are the restart-safe
+    * state, and their volume is vocabulary-bounded per batch, not
+    * token-bounded. */
+  def driftCountsStreaming(spark: SparkSession, dir: String,
+      outPath: String, glob: String = "documents.parquet",
+      maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st20"): DataFrame = {
+    import graft.functions.{hashing, textstats}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(col("lang"),
+            (hashing.h64(col("doc_id").cast("string")) % 2).cast("int")
+              .as("side"),
+            explode(textstats.tokens(col("text"))).as("t"))
+          .groupBy(col("lang"), col("side"), col("t"))
+          .agg(count(lit(1)).as("c"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outPath)
+      .groupBy(col("lang"), col("side"), col("t"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** STREAMING ingest through [[graft.ops.Manifest]] commits — the
     * STORAGE twin of the fold-in family (dedup st11, sketch st13,
     * vectors st14, dimensions st15): each micro-batch becomes ONE atomic

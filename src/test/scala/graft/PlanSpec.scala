@@ -312,6 +312,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(__id"), p)
   }
 
+  test("d15: boilerplate doc-frequency combines map-side (partial " +
+    "count over the distinct projection), flag join-back is equi") {
+    val p = plan("d15_boilerplate_scrub")
+    assert(p.contains("partial_count"), p) // df count combines map-side
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no window anywhere — the doc-frequency rule is pure aggregates
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("j12: the point-in-time window is a bucketed EQUI join (no " +
+    "inequality/nested-loop join reaches the plan)") {
+    val p = plan("j12_pit_features")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__lb"), p) // the coarse time-bucket equi key
+  }
+
+  test("t31: drift shuffles carry aggregated token counts (map-side " +
+    "partial), the distribution join is equi, no cartesian") {
+    val p = plan("t31_token_drift")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // 1-row-per-(lang, side) totals broadcast back
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("e7: the bloom bitmap is a 1-row broadcast and the probe test is " +
     "row-local — no train-side shuffle before the exact confirm") {
     val p = plan("e7_bloom_decontaminate")

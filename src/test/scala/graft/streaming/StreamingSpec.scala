@@ -526,6 +526,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st20 streaming drift counts: 4-micro-batch partials re-aggregate " +
+      "to the one-shot counts; cross-batch token partials merge") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{hashing, textstats}
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val srcDir = Files.createTempDirectory("st20_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st20_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st20_out").toString + "/cnt"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    val streamed = rows(Streams.driftCountsStreaming(spark,
+      srcDir.toString, out, glob = "documents_*.parquet",
+      maxFilesPerTrigger = 1, name = "st20_spec")
+      .select(col("lang"), col("side"), col("t"), col("c")))
+    val batch = rows(docs.select(col("lang"),
+        (hashing.h64(col("doc_id").cast("string")) % 2).cast("int")
+          .as("side"),
+        explode(textstats.tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("side"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("lang"), col("side"), col("t"), col("c")))
+    assert(streamed == batch)
+    // common tokens appear in several batches — the appended partials
+    // must outnumber the merged keys, or the merge was never exercised
+    val appended = spark.read.parquet(out).count()
+    assert(appended > streamed.size,
+      s"no cross-batch partials ($appended vs ${streamed.size})")
+  }
+
   test("st19 compacting commit stream: 4 appends + 2 auto-compactions, " +
     "file set shrinks, content and pre-compaction versions intact") {
     import org.apache.spark.sql.functions._
