@@ -622,6 +622,42 @@ object Dedup {
           .as("bits"))
   }
 
+  /** Per-GROUP dense Bloom bitmaps — one independent mBits filter per
+    * group value (the data-skipping SIDECAR shape: group = a partition
+    * value, hashes = that partition's point-lookup keys, so a literal
+    * probe can discard partitions whose filter misses — the Parquet
+    * bloom / lakehouse data-skipping idea, with the pass set feeding a
+    * broadcast join that triggers dynamic partition pruning instead of
+    * any driver-side collect). Same md5-LCG probes and bit_or word
+    * packing as the 1-row [[bloomBitmap]]; densified via a
+    * groups × word-domain join (the group table is sidecar-scale by
+    * contract — one row per partition). */
+  def bloomBitmapGrouped(hashes: DataFrame, groupCol: String,
+      hCol: String, mBits: Int, numProbes: Int): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0,
+      "mBits must be a positive multiple of 64")
+    require(numProbes > 0 && numProbes <= hashing.NumHashes,
+      s"numProbes must be in [1, ${hashing.NumHashes}]")
+    val words = mBits / 64
+    val posMasks = hashes
+      .select(col(groupCol).as("__g"),
+        explode(array((0 until numProbes).map(j =>
+          hashing.perm(j, pmod(col(hCol), lit(hashing.P))) % lit(mBits)): _*))
+          .as("p"))
+      .groupBy(col("__g"), (col("p") / lit(64)).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
+    hashes.select(col(groupCol).as("__g")).distinct()
+      .crossJoin(broadcast(hashes.sparkSession.range(words.toLong)
+        .select(col("id").cast("int").as("w"))))
+      .join(posMasks, Seq("__g", "w"), "left")
+      .groupBy(col("__g"))
+      .agg(collect_list(struct(col("w"),
+        coalesce(col("mask"), lit(0L)).as("mask"))).as("wms"))
+      .select(col("__g").as(groupCol),
+        transform(array_sort(col("wms")), s => s.getField("mask"))
+          .as("bits"))
+  }
+
   /** Sharded twin of [[bloomMightContain]]: each probe position joins only
     * its shard's slice on the `shard` key, so no task ever holds more than
     * one mBits/numShards slice. A hash passes when ALL `numProbes` probe

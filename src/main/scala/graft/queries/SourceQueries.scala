@@ -234,6 +234,98 @@ object SourceQueries {
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // s18: BLOOM data-skipping sidecar — min-max stats (s15) can't prune
+    // point lookups on high-cardinality keys (every partition's [min,
+    // max] straddles most keys); the lakehouse answer is a per-partition
+    // Bloom filter. The events feed lands partitioned by epoch-day, a
+    // ≤-days-row sidecar holds one 1024-bit filter per day over the
+    // day's user_ids (Dedup.bloomBitmapGrouped), and a point lookup
+    // tests its THREE LITERAL probe positions row-locally against the
+    // sidecar — the passing-day set then drives a broadcast join that
+    // dynamic-partition-prunes the fact scan. NO driver collect anywhere:
+    // the pass set stays a DataFrame. No false negatives ⇒ the lookup
+    // result equals the direct filter exactly; false-positive days cost
+    // one wasted partition scan each (days_scanned − days_active, both
+    // in the hash-matched output — the oracle replays the per-day
+    // bitmaps and the literal probes bit-for-bit).
+    "s18_bloom_skipping" -> Q(
+      (s, dir) => {
+        import graft.functions.hashing
+        import graft.ops.Dedup
+        val out = scratch("s18_skip", dir)
+        wipe(s"$out/t"); wipe(s"$out/sidecar")
+        val ev = events(s, dir)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select(col("day"), col("user_id"), col("value"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(s"$out/t")
+        val m = 1024; val probes = 3; val key = 7L
+        Dedup.bloomBitmapGrouped(
+            ev.select(col("day"),
+              hashing.h64(col("user_id").cast("string")).as("h"))
+              .distinct(),
+            "day", "h", mBits = m, numProbes = probes)
+          .write.mode("overwrite").parquet(s"$out/sidecar")
+        val sidecar = s.read.parquet(s"$out/sidecar")
+        val hk = hashing.md5Long(key.toString) % hashing.P
+        val pass = (0 until probes).map { j =>
+          val p = (((hashing.A(j) * hk + hashing.B(j)) % hashing.P)
+            % m).toInt
+          element_at(col("bits"), p / 64 + 1)
+            .bitwiseAND(lit(1L << (p % 64))) =!= lit(0L)
+        }.reduce(_ && _)
+        val passing = sidecar.filter(pass)
+        val looked = s.read.parquet(s"$out/t")
+          .join(broadcast(passing
+            .select(col("day").cast("long").as("day"))), Seq("day"))
+          .filter(col("user_id") === key)
+        Seq(
+          sidecar.agg(count(lit(1)).as("days_total")),
+          passing.agg(count(lit(1)).as("days_scanned")),
+          looked.agg(countDistinct(col("day")).as("days_active"),
+            count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast("double").as("sum_value")))
+          .reduce((a, b) => a.crossJoin(broadcast(b)))
+      },
+      Some {
+        import graft.functions.hashing
+        val m = 1024; val probes = 3; val key = 7L
+        val hk = hashing.md5Long(key.toString) % hashing.P
+        def bitLit(b: Long): String =
+          if (b == Long.MinValue) "(-9223372036854775807 - 1)"
+          else b.toString
+        val conds = (0 until probes).map { j =>
+          val p = (((hashing.A(j) * hk + hashing.B(j)) % hashing.P)
+            % m).toInt
+          s"""max(CASE WHEN w = ${p / 64}
+               AND (mask & CAST(${bitLit(1L << (p % 64))} AS BIGINT)) <> 0
+               THEN 1 ELSE 0 END) = 1"""
+        }.mkString("\n             AND ")
+        val probeList = (0 until probes)
+          .map(j => s"(${hashing.sqlPerm(j, s"(h % ${hashing.P})")} % $m)")
+          .mkString(", ")
+        s"""WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             user_id, value FROM events),
+           keys AS (SELECT DISTINCT day,
+               ${hashing.sqlH64("CAST(user_id AS VARCHAR)")} AS h
+             FROM ev),
+           pos AS (SELECT day, unnest([$probeList]) AS p FROM keys),
+           words AS (SELECT day, p // 64 AS w,
+               bit_or(CASE WHEN p % 64 = 63
+                 THEN (-9223372036854775807 - 1)
+                 ELSE 1::BIGINT << CAST(p % 64 AS INTEGER) END) AS mask
+             FROM pos GROUP BY 1, 2),
+           pass AS (SELECT day FROM words GROUP BY day
+             HAVING $conds),
+           hit AS (SELECT * FROM ev WHERE user_id = $key)
+           SELECT
+             (SELECT count(DISTINCT day) FROM ev) AS days_total,
+             (SELECT count(*) FROM pass) AS days_scanned,
+             (SELECT count(DISTINCT day) FROM hit) AS days_active,
+             (SELECT count(*) FROM hit) AS n_events,
+             (SELECT CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               FROM hit) AS sum_value"""
+      }),
+
     // s16: versioned-table commits + time travel — the lakehouse
     // primitive (Delta/Iceberg shape) under every incremental structure
     // this library maintains: three append commits land thirds of

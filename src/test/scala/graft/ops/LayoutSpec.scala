@@ -70,6 +70,52 @@ class LayoutSpec extends SparkSpec {
       grid.agg(sum(col("x")), sum(col("y"))).collect().head)
   }
 
+  test("bloom sidecar skipping: a sparse key's lookup scans only its " +
+    "bloom-passing partitions via dynamic partition pruning, exactly") {
+    import graft.functions.hashing
+    import spark.implicits._
+    // 1600 rows over 16 partitions; key 999 planted in partitions 3 and
+    // 11 only — the sparse-lookup case partition min-max can't prune
+    val rows = (0 until 1600).map { i =>
+      val part = i % 16
+      val k = if (i == 3 || i == 1099) 999L else (i % 50).toLong
+      (part, k, i * 1.0)
+    }
+    val df = rows.toDF("part", "k", "v")
+    val root = java.nio.file.Files.createTempDirectory("skip").toString
+    df.write.mode("overwrite").partitionBy("part").parquet(s"$root/t")
+    val sidecar = Dedup.bloomBitmapGrouped(
+      df.select(col("part"), hashing.h64(col("k").cast("string")).as("h"))
+        .distinct(), "part", "h", mBits = 4096, numProbes = 3)
+    val key = 999L
+    val hk = hashing.md5Long(key.toString) % hashing.P
+    val pass = (0 until 3).map { j =>
+      val p = (((hashing.A(j) * hk + hashing.B(j)) % hashing.P)
+        % 4096).toInt
+      element_at(col("bits"), p / 64 + 1)
+        .bitwiseAND(lit(1L << (p % 64))) =!= lit(0L)
+    }.reduce(_ && _)
+    val passing = sidecar.filter(pass)
+    val passParts = passing.select("part").collect()
+      .map(_.getInt(0)).toSet
+    assert(passParts.contains(3) && passParts.contains(11),
+      "no false negatives: the key's partitions must pass")
+    assert(passParts.size < 16, s"bloom should prune: $passParts")
+    val looked = spark.read.parquet(s"$root/t")
+      .join(broadcast(passing.select(col("part").cast("int").as("part"))),
+        Seq("part"))
+      .filter(col("k") === key)
+    val got = looked.select("part", "v").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((3, 3.0), (11, 1099.0)),
+      "pruned lookup must equal the direct filter")
+    // the pass-set join reaches the fact scan as a runtime DPP filter
+    looked.collect()
+    val p = looked.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$p")
+  }
+
   test("compactPartitions collapses a fragmented partitioned table to " +
     "one file per partition with identical content") {
     import spark.implicits._
