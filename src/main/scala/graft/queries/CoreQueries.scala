@@ -336,8 +336,7 @@ object CoreQueries {
               row_number() OVER (PARTITION BY c.event_id
                 ORDER BY abs(c.tns - p.pts), p.pts) AS rn
             FROM c JOIN p USING (user_id))
-          WHERE rn = 1 ORDER BY event_id"""),
-      ),
+          WHERE rn = 1 ORDER BY event_id""")),
 
     // j12: POINT-IN-TIME feature join — the feature-store computation
     // whose whole point is leakage-freedom (j6/j11 pick ONE matching
@@ -381,8 +380,7 @@ object CoreQueries {
                 FROM events WHERE event_type = 'purchase') p
             ON c.user_id = p.user_id AND p.pts <= c.tns
                AND c.tns - p.pts <= 86400000000000
-          GROUP BY 1, 2 ORDER BY 1"""),
-      ),
+          GROUP BY 1, 2 ORDER BY 1""")),
 
     // j8: SCD2 dimension build + INCREMENTAL maintenance — the warehouse
     // twin of the round's index lifecycles: the per-user value history
