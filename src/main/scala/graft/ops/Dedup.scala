@@ -658,6 +658,53 @@ object Dedup {
           .as("bits"))
   }
 
+  /** AUTO-SIZED per-group Bloom bitmaps — [[bloomBitmapGrouped]] with each
+    * group's filter sized from ITS OWN key cardinality instead of one global
+    * `mBits`: m_g = ceil(keys_g * bitsPerKey / 64) * 64. A fixed size is the
+    * classic scale trap for a data-skipping sidecar — right at the tuning
+    * scale, saturated (all partitions pass, zero pruning) at 10× the keys —
+    * whereas bits-per-key holds the false-positive rate constant however the
+    * corpus grows (12 bits/key ≈ 1% FP at 3 probes, this module's documented
+    * sizing contract). The sidecar carries `m` alongside `bits` so probes
+    * compute their positions against each group's own modulus; the whole
+    * derivation is count arithmetic, so the oracle replays it exactly.
+    * Output: (groupCol, m: long, bits: array<long> of length m/64). */
+  def bloomBitmapGroupedAuto(hashes: DataFrame, groupCol: String,
+      hCol: String, bitsPerKey: Int, numProbes: Int): DataFrame = {
+    require(bitsPerKey > 0, "bitsPerKey must be positive")
+    require(numProbes > 0 && numProbes <= hashing.NumHashes,
+      s"numProbes must be in [1, ${hashing.NumHashes}]")
+    val keyed = hashes.select(col(groupCol).as("__g"), col(hCol).as("__h"))
+      .distinct()
+    // One row per group (sidecar-scale by contract) → broadcast back onto
+    // the keys so position math sees each group's modulus.
+    val sizes = keyed.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("m",
+        expr(s"((__k * $bitsPerKey + 63) div 64) * 64").cast("long"))
+      .drop("__k")
+    val posMasks = keyed.join(broadcast(sizes), Seq("__g"))
+      .select(col("__g"),
+        explode(array((0 until numProbes).map(j =>
+          hashing.perm(j, pmod(col("__h"), lit(hashing.P))) % col("m")): _*))
+          .as("p"))
+      .groupBy(col("__g"), (col("p") / lit(64)).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 64 as int)))").as("mask"))
+    // Densify per group over ITS OWN word domain (sequence explode — the
+    // range-crossJoin of the fixed-size build can't vary per group).
+    sizes
+      .select(col("__g"), col("m"),
+        explode(sequence(lit(0),
+          (col("m") / lit(64)).cast("int") - lit(1))).as("w"))
+      .join(posMasks, Seq("__g", "w"), "left")
+      .groupBy(col("__g"), col("m"))
+      .agg(collect_list(struct(col("w"),
+        coalesce(col("mask"), lit(0L)).as("mask"))).as("wms"))
+      .select(col("__g").as(groupCol), col("m"),
+        transform(array_sort(col("wms")), s => s.getField("mask"))
+          .as("bits"))
+  }
+
   /** Sharded twin of [[bloomMightContain]]: each probe position joins only
     * its shard's slice on the `shard` key, so no task ever holds more than
     * one mBits/numShards slice. A hash passes when ALL `numProbes` probe

@@ -238,16 +238,20 @@ object SourceQueries {
     // point lookups on high-cardinality keys (every partition's [min,
     // max] straddles most keys); the lakehouse answer is a per-partition
     // Bloom filter. The events feed lands partitioned by epoch-day, a
-    // ≤-days-row sidecar holds one 1024-bit filter per day over the
-    // day's user_ids (Dedup.bloomBitmapGrouped), and a point lookup
-    // tests its THREE LITERAL probe positions row-locally against the
-    // sidecar — the passing-day set then drives a broadcast join that
-    // dynamic-partition-prunes the fact scan. NO driver collect anywhere:
-    // the pass set stays a DataFrame. No false negatives ⇒ the lookup
-    // result equals the direct filter exactly; false-positive days cost
-    // one wasted partition scan each (days_scanned − days_active, both
-    // in the hash-matched output — the oracle replays the per-day
-    // bitmaps and the literal probes bit-for-bit).
+    // ≤-days-row sidecar holds one AUTO-SIZED filter per day over the
+    // day's user_ids (Dedup.bloomBitmapGroupedAuto at 12 bits/key — a
+    // FIXED size is the scale trap this query shipped with in r8: 1024
+    // bits saturated at sf0.1's ~1.3k keys/day and pruned nothing),
+    // and a point lookup tests its three probe positions row-locally
+    // against the sidecar, each modulo THAT DAY's m — the passing-day
+    // set then drives a broadcast join that dynamic-partition-prunes
+    // the fact scan. NO driver collect anywhere: the pass set stays a
+    // DataFrame. No false negatives ⇒ the lookup result equals the
+    // direct filter exactly; false-positive days (~1% at 12 bits/key,
+    // 3 probes, at ANY scale) cost one wasted partition scan each
+    // (days_scanned − days_active, both in the hash-matched output —
+    // the oracle replays the per-day sizing, bitmaps, and probes
+    // bit-for-bit).
     "s18_bloom_skipping" -> Q(
       (s, dir) => {
         import graft.functions.hashing
@@ -258,20 +262,21 @@ object SourceQueries {
           .withColumn("day", expr("ts div 86400000000000"))
           .select(col("day"), col("user_id"), col("value"))
         ev.write.mode("overwrite").partitionBy("day").parquet(s"$out/t")
-        val m = 1024; val probes = 3; val key = 7L
-        Dedup.bloomBitmapGrouped(
+        val bitsPerKey = 12; val probes = 3; val key = 7L
+        Dedup.bloomBitmapGroupedAuto(
             ev.select(col("day"),
               hashing.h64(col("user_id").cast("string")).as("h"))
               .distinct(),
-            "day", "h", mBits = m, numProbes = probes)
+            "day", "h", bitsPerKey = bitsPerKey, numProbes = probes)
           .write.mode("overwrite").parquet(s"$out/sidecar")
         val sidecar = s.read.parquet(s"$out/sidecar")
         val hk = hashing.md5Long(key.toString) % hashing.P
         val pass = (0 until probes).map { j =>
-          val p = (((hashing.A(j) * hk + hashing.B(j)) % hashing.P)
-            % m).toInt
-          element_at(col("bits"), p / 64 + 1)
-            .bitwiseAND(lit(1L << (p % 64))) =!= lit(0L)
+          val pv = (hashing.A(j) * hk + hashing.B(j)) % hashing.P
+          val p = lit(pv) % col("m")
+          element_at(col("bits"), (p / lit(64)).cast("int") + lit(1))
+            .bitwiseAND(call_function("shiftleft", lit(1L),
+              (p % lit(64)).cast("int"))) =!= lit(0L)
         }.reduce(_ && _)
         val passing = sidecar.filter(pass)
         val looked = s.read.parquet(s"$out/t")
@@ -288,33 +293,40 @@ object SourceQueries {
       },
       Some {
         import graft.functions.hashing
-        val m = 1024; val probes = 3; val key = 7L
+        val bitsPerKey = 12; val probes = 3; val key = 7L
         val hk = hashing.md5Long(key.toString) % hashing.P
-        def bitLit(b: Long): String =
-          if (b == Long.MinValue) "(-9223372036854775807 - 1)"
-          else b.toString
+        // Probe bit masks depend on the per-day modulus m, so both the
+        // word index and the in-word bit are SQL expressions over m (the
+        // CASE guards DuckDB's overflow-checked 1<<63).
+        def sqlBit(pExpr: String): String =
+          s"""(CASE WHEN ($pExpr) % 64 = 63
+               THEN (-9223372036854775807 - 1)
+               ELSE 1::BIGINT << CAST(($pExpr) % 64 AS INTEGER) END)"""
         val conds = (0 until probes).map { j =>
-          val p = (((hashing.A(j) * hk + hashing.B(j)) % hashing.P)
-            % m).toInt
-          s"""max(CASE WHEN w = ${p / 64}
-               AND (mask & CAST(${bitLit(1L << (p % 64))} AS BIGINT)) <> 0
+          val pv = (hashing.A(j) * hk + hashing.B(j)) % hashing.P
+          s"""max(CASE WHEN w = ($pv % m) // 64
+               AND (mask & ${sqlBit(s"$pv % m")}) <> 0
                THEN 1 ELSE 0 END) = 1"""
         }.mkString("\n             AND ")
         val probeList = (0 until probes)
-          .map(j => s"(${hashing.sqlPerm(j, s"(h % ${hashing.P})")} % $m)")
+          .map(j => s"(${hashing.sqlPerm(j, s"(h % ${hashing.P})")} % m)")
           .mkString(", ")
         s"""WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
              user_id, value FROM events),
            keys AS (SELECT DISTINCT day,
                ${hashing.sqlH64("CAST(user_id AS VARCHAR)")} AS h
              FROM ev),
-           pos AS (SELECT day, unnest([$probeList]) AS p FROM keys),
+           sz AS (SELECT day, ((count(*) * $bitsPerKey + 63) // 64) * 64 AS m
+             FROM keys GROUP BY 1),
+           pos AS (SELECT day, unnest([$probeList]) AS p
+             FROM keys JOIN sz USING (day)),
            words AS (SELECT day, p // 64 AS w,
                bit_or(CASE WHEN p % 64 = 63
                  THEN (-9223372036854775807 - 1)
                  ELSE 1::BIGINT << CAST(p % 64 AS INTEGER) END) AS mask
              FROM pos GROUP BY 1, 2),
-           pass AS (SELECT day FROM words GROUP BY day
+           pass AS (SELECT day FROM words JOIN sz USING (day)
+             GROUP BY day, m
              HAVING $conds),
            hit AS (SELECT * FROM ev WHERE user_id = $key)
            SELECT

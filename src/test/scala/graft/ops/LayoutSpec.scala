@@ -116,6 +116,46 @@ class LayoutSpec extends SparkSpec {
       s"expected dynamic partition pruning in:\n$p")
   }
 
+  test("auto-sized bloom sidecar keeps pruning when key cardinality grows " +
+    "10x (the saturation trap a fixed mBits falls into)") {
+    import graft.functions.hashing
+    import spark.implicits._
+    val key = 99999L
+    // Two corpora: ~50 and ~500 distinct keys per partition (the r8 fixed
+    // 1024-bit default saturated at the larger scale: all partitions
+    // passed, zero pruning). The probe key lives in partitions 2 and 9.
+    for ((keysPerPart, tag) <- Seq((50, "small"), (500, "big"))) {
+      val rows = (0 until 16).flatMap { part =>
+        val planted = if (part == 2 || part == 9) Seq(key) else Seq.empty
+        (0 until keysPerPart).map(i =>
+          (part, (part * keysPerPart + i).toLong)) ++
+          planted.map(k => (part, k))
+      }
+      val df = rows.toDF("part", "k")
+      val sidecar = Dedup.bloomBitmapGroupedAuto(
+        df.select(col("part"), hashing.h64(col("k").cast("string")).as("h"))
+          .distinct(), "part", "h", bitsPerKey = 12, numProbes = 3)
+      // m tracks the group's cardinality: ceil(k*12/64)*64
+      val ms = sidecar.select("m").distinct().collect().map(_.getLong(0))
+      assert(ms.forall(_ >= keysPerPart * 12L),
+        s"[$tag] m must scale with keys: $ms")
+      val hk = hashing.md5Long(key.toString) % hashing.P
+      val pass = (0 until 3).map { j =>
+        val pv = (hashing.A(j) * hk + hashing.B(j)) % hashing.P
+        val p = lit(pv) % col("m")
+        element_at(col("bits"), (p / lit(64)).cast("int") + lit(1))
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (p % lit(64)).cast("int"))) =!= lit(0L)
+      }.reduce(_ && _)
+      val passParts = sidecar.filter(pass).select("part").collect()
+        .map(_.getInt(0)).toSet
+      assert(passParts.contains(2) && passParts.contains(9),
+        s"[$tag] no false negatives: the key's partitions must pass")
+      assert(passParts.size < 16,
+        s"[$tag] auto-sized bloom must still prune at this scale: $passParts")
+    }
+  }
+
   test("compactPartitions collapses a fragmented partitioned table to " +
     "one file per partition with identical content") {
     import spark.implicits._
