@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.textstats
+
+/** Persisted BM25 inverted index — build-once/probe-many keyword retrieval,
+  * the text twin of [[Similarity.buildIvfIndex]]/[[DedupIndex]] (north-star
+  * extension; the reference's only search is the BCRP API's server-side
+  * series search, `perustats/bcrp/core.py`).
+  *
+  * [[TextSearch.bm25]] recomputes corpus df/tf statistics inside every
+  * query — two full corpus scans per term set. At 100 TB the corpus scan IS
+  * the cost, and retrieval workloads ask many term sets against the same
+  * snapshot, so the classic answer is an inverted index: pay the scan once,
+  * then answer each probe from the (tiny) slice of the index its terms
+  * touch. Three persisted tables:
+  *
+  *   - `<prefix>_postings` (token, tf, id, dl, passthrough...) — one row
+  *     per (token, document), BUCKETED + sorted BY TOKEN, so a probe's
+  *     `token IN (...)` filter prunes to its terms' buckets (bucket pruning
+  *     shows as `SelectedBucketsCount` in the scan) and never touches the
+  *     rest of the index. `dl` and the passthrough columns ride on the
+  *     posting rows (the standard impact-ordered-postings denormalization:
+  *     joins back to a doc table would need an id-keyed shuffle that
+  *     bucketing by token can't serve).
+  *   - `<prefix>_termstats` (token, df) — bucketed by token with the same
+  *     bucket count, so the df join is shuffle-free.
+  *   - `<prefix>_corpusstats` (n, dlsum) — ONE row (broadcast at probe).
+  *
+  * Probe cost is bounded by the probed terms' posting lists (+ one
+  * per-matching-doc aggregate), independent of corpus size. Scores are
+  * IEEE-identical to the inline [[TextSearch.bm25TopK]]: the contribution
+  * expression reuses the same constants and shape, per-term partial sums
+  * collapse to at most one row each (postings are (token, id)-distinct),
+  * and the final score adds the per-term partials in fixed term order with
+  * the same 0.0 fill for absent terms. TextIndexSpec asserts probe ≡ inline
+  * on the real corpus and that the probe plan never reads the corpus file.
+  *
+  * Contract: a probe ranks only documents containing ≥ 1 probed term.
+  * Inline BM25 ranks zero-score documents too, so parity needs ≥ k matching
+  * documents — true for any real retrieval query; a term set matching < k
+  * docs returns the complete matching set.
+  */
+object TextIndex {
+
+  def postingsTable(prefix: String): String = s"${prefix}_postings"
+  def termStatsTable(prefix: String): String = s"${prefix}_termstats"
+  def corpusStatsTable(prefix: String): String = s"${prefix}_corpusstats"
+
+  /** Build and persist the index for `corpus` under `path`, registering
+    * `<prefix>_postings` / `<prefix>_termstats` / `<prefix>_corpusstats`.
+    * Two corpus scans, both build-time-only: one for the exploded postings,
+    * one for the corpus stats (which must count zero-token documents that
+    * emit no posting rows). Columns other than `textCol` pass through onto
+    * the posting rows. */
+  def buildIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, path: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    Seq(postingsTable(prefix), termStatsTable(prefix),
+      corpusStatsTable(prefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val keep = corpus.columns.filterNot(_ == textCol)
+    val base = corpus.select(keep.map(col) :+
+      textstats.tokens(col(textCol)).as("__toks"): _*)
+      .withColumn("dl", size(col("__toks")))
+    base.select(keep.map(col) ++ Seq(col("dl"),
+        explode(col("__toks")).as("token")): _*)
+      .groupBy(col("token") +: keep.map(col) :+ col("dl"): _*)
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").bucketBy(buckets, "token").sortBy("token")
+      .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
+    // df from the persisted postings (one row per (token, id) by the
+    // groupBy above, so count(*) IS the document frequency) — scan-only,
+    // no third corpus pass.
+    spark.table(postingsTable(prefix))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").bucketBy(buckets, "token")
+      .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("dlsum"))
+      .write.mode("overwrite")
+      .option("path", s"$path/corpusstats")
+      .saveAsTable(corpusStatsTable(prefix))
+  }
+
+  /** Top-k BM25 over the persisted index: reads ONLY the probed terms'
+    * postings (bucket-pruned) + df rows + the 1-row corpus stats — never
+    * the corpus. Output: the postings' passthrough columns (id, metadata)
+    * plus `score` rounded to 4, ordered score desc / id asc, limited to k
+    * via TakeOrderedAndProject. */
+  def bm25Probe(spark: SparkSession, prefix: String, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val posts = spark.table(postingsTable(prefix))
+      .filter(col("token").isin(terms: _*))
+    val dfs = spark.table(termStatsTable(prefix))
+      .filter(col("token").isin(terms: _*))
+    val stats = spark.table(corpusStatsTable(prefix))
+    val keep = posts.columns.filterNot(Set("token", "tf").contains)
+    val avgdl = col("dlsum") / col("n")
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * ((col("tf") * lit(TextSearch.K1 + 1)) /
+      (col("tf") + lit(TextSearch.K1) * (lit(1 - TextSearch.B) +
+        lit(TextSearch.B) * (col("dl") / avgdl))))
+    val partials = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === lit(t), col("__c"))).as(s"__c$i")
+    }
+    val score = terms.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _)
+    posts.join(dfs, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+      .groupBy(keep.map(col): _*)
+      .agg(partials.head, partials.tail: _*)
+      .withColumn("score", round(score, 4))
+      .drop(terms.indices.map(i => s"__c$i"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -151,6 +151,29 @@ object TextQueries {
 
   val defs: Map[String, Q] = mainDefs ++ m6Defs
 
+  /** Shared t11/t32 oracle: BM25 top-10 for the fixed probe terms, scoring
+    * constants interpolated from [[graft.ops.TextSearch]] — one SQL text so
+    * the inline and persisted-index paths cannot drift. */
+  private def sqlBm25TopK: String = {
+    import graft.ops.TextSearch
+    val terms = Seq("dup", "vector", "query")
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    s"""WITH base AS (
+         SELECT doc_id, lang, len(toks) AS dl, $tfs
+         FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents)),
+       stats AS (
+         SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, $dfs
+         FROM base)
+       SELECT doc_id, lang, round(${TextSearch.sqlScore(terms)}, 4) AS score
+       FROM base, stats
+       ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
   private def mainDefs: Map[String, Q] = Map(
 
     // t1: n-gram language-ID heuristic vs. the ground-truth lang column.
@@ -464,25 +487,30 @@ object TextQueries {
           "doc_id", "text", terms = Seq("dup", "vector", "query"), k = 10)
           .select(col("doc_id"), col("lang"), col("score"))
       },
-      Some {
-        import graft.ops.TextSearch
-        val terms = Seq("dup", "vector", "query")
-        val tfs = terms.zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
-        }.mkString(", ")
-        val dfs = terms.indices.map(i =>
-          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
-          .mkString(", ")
-        s"""WITH base AS (
-             SELECT doc_id, lang, len(toks) AS dl, $tfs
-             FROM (SELECT doc_id, lang, $sqlToks AS toks FROM documents)),
-           stats AS (
-             SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, $dfs
-             FROM base)
-           SELECT doc_id, lang, round(${TextSearch.sqlScore(terms)}, 4) AS score
-           FROM base, stats
-           ORDER BY score DESC, doc_id LIMIT 10"""
-      }),
+      Some(sqlBm25TopK)),
+
+    // t32: PERSISTED BM25 — t11's retrieval answered from a build-once
+    // inverted index (TextIndex) instead of two per-query corpus scans:
+    // postings + df bucketed by token (probes bucket-prune to their
+    // terms), corpus stats one broadcast row. Probe scores are
+    // IEEE-identical to inline t11 (same constants, fixed term-order
+    // summation), so t32 shares t11's oracle verbatim — the
+    // build-once/probe-many contract (x9/x14 for vectors, d12 for dedup)
+    // extended to text retrieval. TextIndexSpec asserts probe ≡ inline
+    // and a corpus-scan-free probe plan.
+    "t32_bm25_persisted" -> Q(
+      (s, dir) => {
+        import graft.ops.TextIndex
+        val prefix = s"graft_t32_${dir.hashCode.abs}"
+        TextIndex.buildIndex(s,
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text", path = scratch("t32_bm25_idx", dir),
+          prefix = prefix)
+        TextIndex.bm25Probe(s, prefix, "doc_id",
+            terms = Seq("dup", "vector", "query"), k = 10)
+          .select(col("doc_id"), col("lang"), col("score"))
+      },
+      Some(sqlBm25TopK)),
 
     // t12: sequence packing — per-source concat-and-chunk into 2048-token
     // training sequences in deterministic hash order; integer-only window

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract of the persisted BM25 inverted index ([[TextIndex]]):
+  *  - correctness: probe scores/ranking ≡ the inline [[TextSearch.bm25TopK]]
+  *    on the same corpus (IEEE-identical doubles, not just same rounding);
+  *  - scale posture: the probe plan never reads the corpus file (its only
+  *    inputs are the three persisted tables) and the postings scan is
+  *    bucket-pruned to the probed terms' buckets;
+  *  - contract edge: a term set matching fewer than k documents returns
+  *    exactly the matching set (inline pads with zero-score docs).
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private val prefix = "graft_textidxspec"
+  private val path = {
+    val f = new java.io.File("/root/repo/target/scratch/textidxspec")
+    f.mkdirs(); f.getPath
+  }
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "lang", "text")
+
+  private lazy val built: Unit =
+    TextIndex.buildIndex(spark, docs, "doc_id", "text", path, prefix)
+
+  private val terms = Seq("dup", "vector", "query")
+
+  test("probe over the persisted index equals the inline BM25 top-k " +
+    "(scores bit-for-bit, same rank order)") {
+    built
+    val inline = TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .select("doc_id", "lang", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val probe = TextIndex.bm25Probe(spark, prefix, "doc_id", terms, k = 10)
+      .select("doc_id", "lang", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(probe == inline,
+      s"probe must replay inline exactly:\n$probe\nvs\n$inline")
+  }
+
+  test("probe plan is corpus-scan-free and bucket-prunes the postings " +
+    "to the probed terms") {
+    built
+    val df = TextIndex.bm25Probe(spark, prefix, "doc_id", terms, k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // The whole point of the index: no probe may read the corpus file.
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("textidxspec/postings"), p)
+    assert(p.contains("textidxspec/termstats"), p)
+    // token IN (...) on the bucketed column prunes to <= |terms| buckets
+    // (of 8): the scan line advertises the selected-bucket count.
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+    val counts = sel.findAllMatchIn(p).map(_.group(1).toInt).toList
+    assert(counts.nonEmpty, s"expected bucket pruning in:\n$p")
+    assert(counts.forall(_ <= terms.size),
+      s"postings scan must touch at most ${terms.size} buckets: $counts\n$p")
+  }
+
+  test("a term set matching fewer than k docs returns exactly the " +
+    "matching set") {
+    built
+    // 'dup' is the corpus's rare term; count its docs directly, then ask
+    // for far more than that.
+    val nDup = docs
+      .filter(array_contains(graft.functions.textstats.tokens(col("text")),
+        "dup")).count()
+    assert(nDup > 0 && nDup < 500)
+    val probe = TextIndex.bm25Probe(spark, prefix, "doc_id", Seq("dup"),
+      k = nDup.toInt + 100)
+    assert(probe.count() == nDup)
+  }
+}
