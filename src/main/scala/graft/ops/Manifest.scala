@@ -42,17 +42,20 @@ object Manifest {
     try s.toArray.map(_.toString).toSeq finally s.close()
   }
 
+  private def committedVersions(tablePath: String): Seq[Long] = {
+    val dir = manifestDir(tablePath)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else ls(dir)
+      .map(p => Paths.get(p).getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toLong }
+      .sorted
+  }
+
   /** Newest committed version, 0 when the table does not exist yet. */
   def version(tablePath: String): Long = {
-    val dir = manifestDir(tablePath)
-    if (!Files.isDirectory(dir)) 0L
-    else {
-      val vs = ls(dir)
-        .map(p => Paths.get(p).getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-          s.stripPrefix("v").stripSuffix(".txt").toLong }
-      if (vs.isEmpty) 0L else vs.max
-    }
+    val vs = committedVersions(tablePath)
+    if (vs.isEmpty) 0L else vs.max
   }
 
   private def listed(tablePath: String, v: Long): Seq[String] = {
@@ -82,6 +85,49 @@ object Manifest {
     Files.move(tmp, manifestFile(tablePath, next),
       StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** VACUUM — the explicitly destructive maintenance half the commit path
+    * deliberately omits (every table format separates them: commits only
+    * ever add, retention only ever removes, so a commit bug can never eat
+    * data and a vacuum bug can never corrupt a retained version). Keeps
+    * the newest `retainLast` committed versions readable and reclaims
+    * everything else: older manifests are dropped, then data files that NO
+    * retained manifest references are deleted. A file shared between a
+    * dropped and a retained version survives — append commits carry their
+    * ancestors' files forward, so vacuuming history under an append chain
+    * reclaims nothing until a `replace` commit (compaction) severs the
+    * lineage; that is correct, not a missed delete.
+    *
+    * Deletion order is the crash-safety argument: manifests go first, data
+    * files second, so an interrupted vacuum can strand unreferenced data
+    * files (re-vacuum reclaims them) but can never leave a readable
+    * manifest pointing at deleted files. Reading a vacuumed version fails
+    * loudly ("version v is not committed") — exactly [[read]]'s existing
+    * missing-manifest check.
+    *
+    * Like all manifest I/O this is driver-side metadata work plus file
+    * deletes; at cluster scale the deletes fan out through the same
+    * filesystem client the commit path writes through. Returns the dropped
+    * versions and the deleted table-relative file paths. */
+  def vacuum(tablePath: String, retainLast: Int): (Seq[Long], Seq[String]) = {
+    require(retainLast >= 1, "must retain at least the newest version")
+    val all = committedVersions(tablePath)
+    val dropped = all.dropRight(retainLast)
+    if (dropped.isEmpty) return (Seq.empty, Seq.empty)
+    val keep = all.takeRight(retainLast)
+      .flatMap(listed(tablePath, _)).toSet
+    val doomed = dropped.flatMap(listed(tablePath, _)).toSet -- keep
+    dropped.foreach(v => Files.delete(manifestFile(tablePath, v)))
+    val gone = doomed.toSeq.sorted
+    gone.foreach { rel =>
+      val p = Paths.get(tablePath).resolve(rel)
+      Files.deleteIfExists(p)
+      // tidy now-empty batch directories; harmless if others remain
+      val dir = p.getParent
+      if (Files.isDirectory(dir) && ls(dir).isEmpty) Files.delete(dir)
+    }
+    (dropped, gone)
   }
 
   /** Read the table at `asOf` (default: the newest version). The resolved
