@@ -101,33 +101,59 @@ object Manifest {
     *
     * Deletion order is the crash-safety argument: manifests go first, data
     * files second, so an interrupted vacuum can strand unreferenced data
-    * files (re-vacuum reclaims them) but can never leave a readable
-    * manifest pointing at deleted files. Reading a vacuumed version fails
-    * loudly ("version v is not committed") — exactly [[read]]'s existing
-    * missing-manifest check.
+    * files but can never leave a readable manifest pointing at deleted
+    * files. Stray reclamation is a data-dir SWEEP, not a dropped-manifest
+    * walk: any parquet in a batch directory at-or-below the newest
+    * committed version that no retained manifest references is garbage —
+    * whether it came from a version this call drops or from a previously
+    * interrupted vacuum whose manifests are already gone. Batch
+    * directories ABOVE the newest committed version belong to an in-flight
+    * commit (data lands before its manifest publishes) and are never
+    * touched. Reading a vacuumed version fails loudly ("version v is not
+    * committed") — exactly [[read]]'s existing missing-manifest check.
     *
     * Like all manifest I/O this is driver-side metadata work plus file
     * deletes; at cluster scale the deletes fan out through the same
     * filesystem client the commit path writes through. Returns the dropped
-    * versions and the deleted table-relative file paths. */
+    * versions and the deleted table-relative parquet paths. */
   def vacuum(tablePath: String, retainLast: Int): (Seq[Long], Seq[String]) = {
     require(retainLast >= 1, "must retain at least the newest version")
     val all = committedVersions(tablePath)
+    if (all.isEmpty) return (Seq.empty, Seq.empty)
+    val newest = all.max
     val dropped = all.dropRight(retainLast)
-    if (dropped.isEmpty) return (Seq.empty, Seq.empty)
     val keep = all.takeRight(retainLast)
       .flatMap(listed(tablePath, _)).toSet
-    val doomed = dropped.flatMap(listed(tablePath, _)).toSet -- keep
     dropped.foreach(v => Files.delete(manifestFile(tablePath, v)))
-    val gone = doomed.toSeq.sorted
-    gone.foreach { rel =>
-      val p = Paths.get(tablePath).resolve(rel)
-      Files.deleteIfExists(p)
-      // tidy now-empty batch directories; harmless if others remain
-      val dir = p.getParent
-      if (Files.isDirectory(dir) && ls(dir).isEmpty) Files.delete(dir)
+    val dataDir = Paths.get(tablePath, "data")
+    val sweepDirs =
+      if (!Files.isDirectory(dataDir)) Seq.empty[Path]
+      else ls(dataDir).map(Paths.get(_)).filter { d =>
+        val name = d.getFileName.toString
+        Files.isDirectory(d) && name.startsWith("b") &&
+          name.drop(1).nonEmpty && name.drop(1).forall(_.isDigit) &&
+          name.drop(1).toLong <= newest
+      }
+    val gone = Seq.newBuilder[String]
+    sweepDirs.foreach { d =>
+      ls(d).filter(_.endsWith(".parquet")).foreach { p =>
+        val rel = Paths.get(tablePath).relativize(Paths.get(p)).toString
+        if (!keep.contains(rel)) {
+          Files.deleteIfExists(Paths.get(p))
+          gone += rel
+        }
+      }
+      // a batch dir with no retained parquet left holds only write-time
+      // sidecars (_SUCCESS, .crc) — reclaim it whole; a concurrent commit
+      // racing files in between the check and the delete just means
+      // "others remain", not a failure
+      if (!ls(d).exists(_.endsWith(".parquet"))) {
+        ls(d).foreach(p => Files.deleteIfExists(Paths.get(p)))
+        try Files.delete(d)
+        catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+      }
     }
-    (dropped, gone)
+    (dropped, gone.result().sorted)
   }
 
   /** Read the table at `asOf` (default: the newest version). The resolved
