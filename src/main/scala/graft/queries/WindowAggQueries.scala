@@ -232,16 +232,30 @@ object WindowAggQueries {
 
     // A9: HyperLogLog distinct sketch per group — the 100 TB substitute for
     // exact COUNT(DISTINCT) (no global shuffle of the distinct values; the
-    // sketch merges associatively). No oracle: DuckDB's approx sketch is a
-    // different estimator, so the driver records the rows-only check; the
-    // error bound vs. exact is asserted in DedupSimilaritySpec.
+    // sketch merges associatively). DuckDB's approx sketch is a different
+    // estimator, so the sketch VALUE cannot be oracled — instead the
+    // output carries the exact per-group distinct (which DuckDB replays)
+    // plus a Spark-computed `within_bound` flag asserting the sketch
+    // landed within 3× its configured rsd; the oracle claims TRUE, so any
+    // sketch drift past the bound flips the hash red. The exact side
+    // exists only for this verification harness — production runs the
+    // sketch alone (DedupSimilaritySpec asserts the same bound offline).
     "a9_approx_distinct" -> Q(
       (s, dir) => events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
           count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("exact_users"), col("cnt"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users") * lit(0.06)).as("within_bound"))
         .orderBy(col("event_type")),
-      None),
+      Some("""SELECT event_type,
+          count(DISTINCT user_id) AS exact_users,
+          count(*) AS cnt,
+          TRUE AS within_bound
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // A10: count-min sketch heavy hitters — the bounded-memory frequency
     // counter for key domains too large to count exactly (token streams,
