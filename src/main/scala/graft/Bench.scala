@@ -71,7 +71,7 @@ object Bench {
     var failed = Map.empty[String, String]
     val timed = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val resultsFull = timed.map { case (name, fn) =>
+    val resultsFull = timed.zipWithIndex.map { case ((name, fn), pos) =>
       System.gc()
       var samples = List.empty[Double]
       var k = 0
@@ -90,9 +90,12 @@ object Bench {
         samples ::= (System.nanoTime() - t0) / 1e9
         k += 1
       }
-      (name, samples.min, samples.reverse) // samples in execution order
+      // samples in execution order; pos = the query's suite run index, so
+      // suite-pressure adjudications can regress time on position without
+      // re-running solos
+      (name, samples.min, samples.reverse, pos)
     }
-    val results = resultsFull.map { case (n, v, _) => n -> v }
+    val results = resultsFull.map { case (n, v, _, _) => n -> v }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     // Per-sample raw times (execution order): makes every perf adjudication
@@ -100,9 +103,11 @@ object Bench {
     // state; a min sitting far below its siblings documents the spike the
     // adaptive sampler absorbed. Shipped in the detail file only (the
     // summary line must stay small for the driver's tail capture).
-    val ss = resultsFull.map { case (k, _, s) =>
+    val ss = resultsFull.map { case (k, _, s, _) =>
       s"\"" + k + "\":[" + s.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val ps = resultsFull.map { case (k, _, _, p) => s"\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
     val fs = failed.toSeq.sorted.map { case (k, m) => s"\"$k\":\"$m\"" }
       .mkString("{", ",", "}")
     // Subtotals count SUCCESSFUL queries only: a query that burned 20 s and
@@ -120,7 +125,7 @@ object Bench {
     // (only the summary survives), which made round-over-round per-query
     // comparison impossible for the alphabetically-early keys — so the full
     // detail also goes to a FILE the round artifacts keep.
-    val detail = s"""{"queries":$qs,"samples":$ss,"failed":$fs,"sf":"$sfDir"}"""
+    val detail = s"""{"queries":$qs,"samples":$ss,"pos":$ps,"failed":$fs,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),

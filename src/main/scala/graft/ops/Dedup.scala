@@ -503,6 +503,77 @@ object Dedup {
       .drop("__kept")
   }
 
+  /** Variable-length EXACT-SUBSTRING dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr) shape, re-expressed distributed: any duplicated token
+    * run of length ≥ k is removed wherever it is not the corpus-wide
+    * first occurrence, at TOKEN granularity. [[passageDedup]]'s fixed
+    * k-token grid both misses duplicates straddling grid boundaries and
+    * rounds every removal to grid multiples; this operator marks the
+    * maximal duplicated span exactly.
+    *
+    * Mechanism (the map-reduce stand-in for the paper's single-machine
+    * suffix array, which cannot shard): stride-1 overlapping k-token
+    * shingles; per distinct shingle the corpus-wide first occurrence —
+    * min(struct(id, pos)), the same map-side-combining aggregate kernel
+    * as [[passageDedup]] — wins; every token covered by a NON-winning
+    * shingle occurrence lies inside a duplicated run of ≥ k tokens, and
+    * the per-document union of those [pos, pos+k-1] windows (adjacent /
+    * overlapping intervals coalesced by a row-local fold) is exactly the
+    * set of maximal duplicated spans. A duplicated block of L ≥ k tokens
+    * yields ONE span of exactly L tokens — its L−k+1 duplicated shingles
+    * merge — while runs shorter than k are untouched (k is the minimum
+    * match length, the paper's 50-token knob).
+    *
+    * Returns one row per input document: all non-text columns, plus
+    * `n_tokens`, `spans` (array<array<int>> of [start, end] inclusive
+    * 0-based token bounds, position-ordered), `n_spans`, `dup_tokens`,
+    * and `rewritten` (the document with every span's tokens removed).
+    *
+    * Scale: the shingle table is the k× token amplification every
+    * n-gram operator here pays (8-byte hashes keep the exchange lean);
+    * ONE shuffle keyed by shingle hash with partial min combine — a
+    * shingle repeated a billion times collapses to one row per map task
+    * — then one equi-join back and one groupBy(id) to collect each
+    * document's duplicated positions (bounded by the document's own
+    * length, the same per-doc-state assumption as reassembly). The
+    * interval fold and rewrite are row-local HOFs, no window anywhere. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, k: Int,
+      hash: Column => Column = hashing.h64): DataFrame = {
+    require(k > 1, "minimum duplicate length must exceed 1 token")
+    val withToks = df.withColumn("__toks", textstats.tokens(col(textCol)))
+    val exploded = withToks
+      .select(col(idCol),
+        posexplode(textstats.shingles(col("__toks"), k)).as(Seq("pos", "s")))
+      .select(col(idCol), col("pos"), hash(col("s")).as("__sh"))
+    val firsts = exploded.groupBy(col("__sh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val dupPos = exploded.join(firsts, "__sh")
+      .filter(struct(col(idCol), col("pos")) =!= col("__first"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+    val lastOf = (acc: Column) => element_at(acc, -1)
+    val spans = aggregate(
+      coalesce(col("__dups"), array().cast("array<int>")),
+      array().cast("array<array<int>>"),
+      (acc, p) => when(
+          size(acc) === 0 || p > element_at(lastOf(acc), 2) + 1,
+          concat(acc, array(array(p, p + lit(k - 1)))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(array(element_at(lastOf(acc), 1), p + lit(k - 1))))))
+    val covered = (i: Column) => exists(col("spans"),
+      a => i >= element_at(a, 1) && i <= element_at(a, 2))
+    withToks.join(dupPos, Seq(idCol), "left_outer")
+      .withColumn("spans", spans)
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("n_spans", size(col("spans")))
+      .withColumn("dup_tokens", aggregate(col("spans"), lit(0),
+        (acc, a) => acc + element_at(a, 2) - element_at(a, 1) + 1))
+      .withColumn("rewritten", array_join(
+        filter(col("__toks"), (_, i) => !covered(i)), " "))
+      .drop("__toks", "__dups", textCol)
+  }
+
   // ---- Bloom-prefiltered decontamination ----
   //
   // The 100 TB decontamination pattern: the eval/benchmark side is small

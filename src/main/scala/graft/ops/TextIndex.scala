@@ -48,26 +48,49 @@ object TextIndex {
   def termStatsTable(prefix: String): String = s"${prefix}_termstats"
   def corpusStatsTable(prefix: String): String = s"${prefix}_corpusstats"
 
+  /** Tokenized projection shared by build and append: all non-text
+    * columns, `__toks`, `dl`. */
+  private def tokenized(corpus: DataFrame, textCol: String): DataFrame = {
+    val keep = corpus.columns.filterNot(_ == textCol)
+    corpus.select(keep.map(col) :+
+      textstats.tokens(col(textCol)).as("__toks"): _*)
+      .withColumn("dl", size(col("__toks")))
+  }
+
+  /** One posting row per (token, document) — grouped by (token, idCol),
+    * which is the uniqueness df counting and the probe's partial-sum
+    * collapse depend on; `dl` and the metadata columns ride along via ONE
+    * min(struct(...)) so every carried field comes from the same source
+    * row (deterministic even if a contract-violating duplicate id slips
+    * in). ONE definition shared by build and append so the posting shape
+    * cannot drift between them. */
+  private def postingRows(base: DataFrame, idCol: String): DataFrame = {
+    val metaCols = base.columns
+      .filterNot(Set(idCol, "__toks", "dl").contains).toSeq
+    base.select(col(idCol) +: metaCols.map(col) :+ col("dl") :+
+        explode(col("__toks")).as("token"): _*)
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"),
+        min(struct(col("dl") +: metaCols.map(col): _*)).as("__m"))
+      .select(Seq(col("token"), col(idCol), col("tf"),
+        col("__m.dl").as("dl")) ++
+        metaCols.map(m => col(s"__m.$m").as(m)): _*)
+  }
+
   /** Build and persist the index for `corpus` under `path`, registering
     * `<prefix>_postings` / `<prefix>_termstats` / `<prefix>_corpusstats`.
     * Two corpus scans, both build-time-only: one for the exploded postings,
     * one for the corpus stats (which must count zero-token documents that
-    * emit no posting rows). Columns other than `textCol` pass through onto
-    * the posting rows. */
+    * emit no posting rows). Columns other than `textCol` and `idCol` are
+    * metadata carried onto the posting rows. */
   def buildIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, path: String, prefix: String,
       buckets: Int = 8): Unit = {
     Seq(postingsTable(prefix), termStatsTable(prefix),
       corpusStatsTable(prefix))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    val keep = corpus.columns.filterNot(_ == textCol)
-    val base = corpus.select(keep.map(col) :+
-      textstats.tokens(col(textCol)).as("__toks"): _*)
-      .withColumn("dl", size(col("__toks")))
-    base.select(keep.map(col) ++ Seq(col("dl"),
-        explode(col("__toks")).as("token")): _*)
-      .groupBy(col("token") +: keep.map(col) :+ col("dl"): _*)
-      .agg(count(lit(1)).as("tf"))
+    val base = tokenized(corpus, textCol)
+    postingRows(base, idCol)
       .write.mode("overwrite").bucketBy(buckets, "token").sortBy("token")
       .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
     // df from the persisted postings (one row per (token, id) by the
@@ -79,6 +102,52 @@ object TextIndex {
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     base.agg(count(lit(1)).as("n"), sum(col("dl")).as("dlsum"))
       .write.mode("overwrite")
+      .option("path", s"$path/corpusstats")
+      .saveAsTable(corpusStatsTable(prefix))
+  }
+
+  /** Fold NEW documents into the index — the append step that completes
+    * the build-once/probe-many lifecycle for text, symmetric with
+    * [[Similarity.appendToIvfIndex]] (x9) and [[DedupIndex.appendBatch]]
+    * (d12): the new documents' posting rows append as additional
+    * per-bucket files (the bucket layout, and with it the probe's bucket
+    * pruning, is preserved — same mechanism as DedupIndex), while the
+    * derived statistics fold INCREMENTALLY with no corpus or postings
+    * re-scan: df' = df ⊎ df(new) (full-outer merge of the vocab-sized
+    * termstats table), (n, dlsum)' = (n + |new|, dlsum + Σ dl(new)) on
+    * the 1-row corpus stats. Merged tables are checkpointed before the
+    * overwrite so the old version is never read and rewritten in the
+    * same plan.
+    *
+    * Contract (shared with every append in this library): `newDocs` ids
+    * must be documents the index has not seen — re-appending an indexed
+    * id would double-count its tf/df mass. After appendDocs, probes are
+    * bit-identical to a fresh [[buildIndex]] over the union corpus
+    * (TextIndexSpec asserts this). */
+  def appendDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, path: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    val base = tokenized(newDocs, textCol)
+    val posts = Checkpoints.checkpoint(postingRows(base, idCol))
+    posts.write.mode("append").bucketBy(buckets, "token").sortBy("token")
+      .saveAsTable(postingsTable(prefix))
+    val delta = posts.groupBy(col("token")).agg(count(lit(1)).as("__ddf"))
+    val mergedDf = Checkpoints.checkpoint(
+      spark.table(termStatsTable(prefix))
+        .join(delta, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L)))
+            .as("df")))
+    mergedDf.write.mode("overwrite").bucketBy(buckets, "token")
+      .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
+    val mergedStats = Checkpoints.checkpoint(
+      spark.table(corpusStatsTable(prefix))
+        .unionByName(base.agg(count(lit(1)).as("n"),
+          // coalesce: an empty append's sum is NULL, and NULL must not
+          // poison the folded corpus total
+          coalesce(sum(col("dl")), lit(0L)).as("dlsum")))
+        .agg(sum(col("n")).as("n"), sum(col("dlsum")).as("dlsum")))
+    mergedStats.write.mode("overwrite")
       .option("path", s"$path/corpusstats")
       .saveAsTable(corpusStatsTable(prefix))
   }

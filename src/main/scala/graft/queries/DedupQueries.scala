@@ -1614,6 +1614,78 @@ object DedupQueries {
                AS BIGINT) AS boiler_chars
            FROM pass JOIN df USING (p) GROUP BY lang ORDER BY lang""")),
 
+    // d17: variable-length exact-substring dedup (Lee et al. 2022
+    // ExactSubstr) — stride-1 20-token shingles, corpus-wide first
+    // occurrence wins, every non-winning occurrence's covered tokens
+    // coalesce into MAXIMAL per-document spans (a duplicated 50-token
+    // block is ONE 50-token span, not a grid-rounded set of passages —
+    // `spans` vs `dup_tokens` exposes exactly the coalescing d9 cannot
+    // do). The oracle replays shingling, the first-occurrence rule, the
+    // gaps-and-islands interval merge, AND the token-level rewrite
+    // (kept_chars pins `rewritten` itself, not just the span bounds).
+    "d17_span_dedup" -> Q(
+      (s, dir) => {
+        val sd = Dedup.spanDedup(
+          spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
+          "doc_id", "text", k = 20)
+        sd.withColumn("max_span", aggregate(col("spans"), lit(0),
+            (acc, a) => greatest(acc,
+              element_at(a, 2) - element_at(a, 1) + 1)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("docs"),
+            sum((col("n_spans") > 0).cast("int")).cast("long").as("dup_docs"),
+            sum(col("n_spans").cast("long")).as("spans"),
+            sum(col("dup_tokens").cast("long")).as("dup_tokens"),
+            max(col("max_span")).cast("long").as("max_span"),
+            sum(length(col("rewritten")).cast("long")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        s"""WITH tok AS (
+             SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+           sh AS (
+             SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS s
+             FROM tok, (SELECT unnest(generate_series(0,
+                 (SELECT max(len(toks)) FROM tok))) AS i)
+             WHERE len(toks) >= 20 AND i <= len(toks) - 20),
+           flag AS (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+             FROM sh),
+           dup AS (SELECT doc_id, pos FROM flag WHERE rn > 1),
+           isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                   ORDER BY pos) <= 20 THEN 0 ELSE 1 END AS brk
+             FROM dup),
+           grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             FROM isl),
+           spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 19 AS e
+             FROM grp GROUP BY doc_id, g),
+           perdoc AS (SELECT doc_id, count(*) AS n_spans,
+               sum(e - s + 1) AS dup_tokens, max(e - s + 1) AS max_span
+             FROM spans GROUP BY doc_id),
+           toku AS (SELECT doc_id, unnest(toks) AS tk,
+               unnest(generate_series(0, len(toks) - 1)) AS i
+             FROM tok WHERE len(toks) > 0),
+           keptdoc AS (SELECT tu.doc_id,
+               sum(length(tu.tk)) + count(*) - 1 AS kept_chars
+             FROM toku tu
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+               WHERE sp.doc_id = tu.doc_id AND tu.i BETWEEN sp.s AND sp.e)
+             GROUP BY tu.doc_id)
+           SELECT t.lang, count(*) AS docs,
+             CAST(sum(CASE WHEN pd.n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_docs,
+             CAST(sum(coalesce(pd.n_spans, 0)) AS BIGINT) AS spans,
+             CAST(sum(coalesce(pd.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+             CAST(max(coalesce(pd.max_span, 0)) AS BIGINT) AS max_span,
+             CAST(sum(coalesce(kd.kept_chars, 0)) AS BIGINT) AS kept_chars
+           FROM tok t
+           LEFT JOIN perdoc pd ON pd.doc_id = t.doc_id
+           LEFT JOIN keptdoc kd ON kd.doc_id = t.doc_id
+           GROUP BY t.lang ORDER BY t.lang""")),
+
     // e4: decontamination by EXACT n-gram overlap (the GPT-3/Llama-style
     // check, complementing e2's LSH near-dup form): eval-half documents
     // sharing any 8-token shingle with the train half are contaminated.

@@ -501,7 +501,11 @@ object TextQueries {
     "t32_bm25_persisted" -> Q(
       (s, dir) => {
         import graft.ops.TextIndex
-        val prefix = s"graft_t32_${dir.hashCode.abs}"
+        // md5-derived suffix (same derivation as QueryDSL.scratch): the
+        // Int hashCode it replaces could collide across sf dirs sharing a
+        // metastore, and .abs of Int.MinValue is negative
+        val prefix = "graft_t32_" +
+          graft.functions.hashing.md5Long(dir).toHexString.take(8)
         TextIndex.buildIndex(s,
           spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
           "doc_id", "text", path = scratch("t32_bm25_idx", dir),

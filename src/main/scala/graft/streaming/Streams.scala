@@ -60,13 +60,29 @@ object Streams {
     * data sizes that lifecycle dwarfs the work itself when the stream
     * inherits the 32-wide batch shuffle width (measured on the two-sided
     * join: 6.7 s at 32 → 2.6 s at 8, identical results). At real scale
-    * the same dial is keys-per-partition sizing. */
-  private val StreamStatePartitions = "8"
+    * the same dial is keys-per-partition sizing: set
+    * `spark.graft.stream.statePartitions` ≈ expected distinct state keys
+    * ÷ target keys-per-partition (state stores like ~100k–1M hot keys
+    * per partition; more partitions only add lifecycle overhead until
+    * per-partition state stops fitting executor memory). The width is
+    * FIXED for a stream's lifetime — Structured Streaming pins state
+    * layout to the shuffle width at first start, so re-draining an
+    * existing checkpoint at a new setting needs a fresh checkpoint dir
+    * (every drain here uses one). Results are width-independent
+    * (StreamingSpec asserts identical output at two settings). */
+  private val DefaultStreamStatePartitions = "8"
+
+  /** The state width for a drain's CHILD session, read from the CALLER's
+    * session conf (`newSession()` does not inherit runtime conf, so the
+    * knob is read where the user set it). */
+  private def streamStatePartitions(parent: SparkSession): String =
+    parent.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse(DefaultStreamStatePartitions)
 
   /** Build the stream on a CHILD session (`spark.newSession()`: same
     * SparkContext and shared state, its own session-scoped conf + temp-view
     * catalog) with the stream's state partitioning pinned to
-    * [[StreamStatePartitions]], drain the bounded source, and return the
+    * [[streamStatePartitions]], drain the bounded source, and return the
     * memory table. Because the pin lives only in the child's conf, a drain
     * can never leak the narrow width into a concurrent drain or a batch
     * plan built on the caller's session — drains are safely concurrent
@@ -77,7 +93,7 @@ object Streams {
       build: SparkSession => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : DataFrame = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = build(s).format("memory").queryName(name).start()
     try q.processAllAvailable() finally {
       try lastDrainStateRows.set(q.recentProgress.toSeq
@@ -349,7 +365,7 @@ object Streams {
       hash: Column => Column = graft.functions.hashing.h64): DataFrame = {
     import graft.ops.DedupIndex
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     // Start from an EMPTY index (schema-pinned zero-row frame): the first
     // micro-batch has nothing to cross against and folds itself in.
     val empty = s.createDataFrame(
@@ -462,7 +478,7 @@ object Streams {
       name: String = "graft_st12"): DataFrame = {
     import graft.ops.Similarity
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
@@ -497,7 +513,7 @@ object Streams {
       name: String = "graft_st14"): Unit = {
     import graft.ops.Similarity
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
@@ -531,7 +547,7 @@ object Streams {
       name: String = "graft_st15"): DataFrame = {
     import graft.ops.Scd
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val dimSchema = StructType(Seq(
       StructField(keyCol, LongType),
       StructField("attr", DoubleType),
@@ -587,7 +603,7 @@ object Streams {
     import graft.functions.textstats
     import graft.ops.Sketches
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -622,7 +638,7 @@ object Streams {
       name: String = "graft_st16"): DataFrame = {
     import graft.ops.Sketches
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(valueCol,
         org.apache.spark.sql.types.DoubleType)))
@@ -668,7 +684,7 @@ object Streams {
       name: String = "graft_st17"): DataFrame = {
     import graft.ops.Expectations
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val r = s.readStream.schema(schema).option("pathGlobFilter", glob)
     val src = (if (maxFilesPerTrigger > 0)
         r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -703,7 +719,7 @@ object Streams {
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st18"): DataFrame = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -743,7 +759,7 @@ object Streams {
       name: String = "graft_st20"): DataFrame = {
     import graft.functions.{hashing, textstats}
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -777,7 +793,7 @@ object Streams {
       name: String = "graft_st_commit"): DataFrame = {
     import graft.ops.Manifest
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$tablePath-ckpt")
@@ -809,7 +825,7 @@ object Streams {
     import graft.ops.Manifest
     require(every > 0, "compaction cadence must be positive")
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val appends = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream

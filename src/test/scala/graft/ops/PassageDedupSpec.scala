@@ -87,6 +87,73 @@ class PassageDedupSpec extends SparkSpec {
     assert(!rebuilt.contains(4L))
   }
 
+  test("spanDedup removes a planted 50-token duplicate block as ONE " +
+    "maximal token-exact span, not a grid of passages") {
+    val block = (0 until 50).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),                                  // first occurrence: kept
+      (2L, s"u0 u1 u2 $block v0 v1 v2"),            // block at tokens 3..52
+      (3L, (0 until 9).map(i => s"b$i").mkString(" ") + " q0 q1")
+    ).toDF("doc_id", "text")
+    val sd = Dedup.spanDedup(docs, "doc_id", "text", k = 10)
+    val r = sd.select("doc_id", "n_tokens", "n_spans", "dup_tokens",
+        "rewritten")
+      .as[(Long, Int, Int, Int, String)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 50, 0, 0, block)), "first occurrence untouched")
+    assert(r(2L)._3 == 1, "the 41 duplicated stride-1 shingles coalesce " +
+      "into a single maximal span")
+    assert(r(2L)._4 == 50, "the span is exactly the 50 planted tokens — " +
+      "no grid rounding")
+    assert(r(2L)._5 == "u0 u1 u2 v0 v1 v2",
+      "rewrite removes the block, keeps the straddling context")
+    val spans2 = sd.filter(col("doc_id") === 2L)
+      .select("spans").as[Seq[Seq[Int]]].collect().head
+    assert(spans2 == Seq(Seq(3, 52)), "token-exact inclusive bounds")
+    assert(r(3L) == ((3L, 11, 0, 0,
+      (0 until 9).map(i => s"b$i").mkString(" ") + " q0 q1")),
+      "a shared run shorter than k is below the match threshold")
+  }
+
+  test("spanDedup keeps a 1-token gap between two in-document copies as " +
+    "two spans and survives empty docs") {
+    val block = (0 until 50).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),
+      (2L, s"x0 x1 $block y0 $block z0"), // copies at 2..51 and 53..102
+      (3L, "")).toDF("doc_id", "text")
+    val sd = Dedup.spanDedup(docs, "doc_id", "text", k = 10)
+    val d2 = sd.filter(col("doc_id") === 2L)
+      .select("n_spans", "dup_tokens", "rewritten", "spans")
+      .as[(Int, Int, String, Seq[Seq[Int]])].collect().head
+    assert(d2._1 == 2 && d2._2 == 100)
+    assert(d2._4 == Seq(Seq(2, 51), Seq(53, 102)),
+      "the unique gap token keeps the spans apart")
+    assert(d2._3 == "x0 x1 y0 z0")
+    val d3 = sd.filter(col("doc_id") === 3L)
+      .select("n_tokens", "n_spans", "rewritten")
+      .as[(Int, Int, String)].collect().head
+    assert(d3 == ((0, 0, "")))
+  }
+
+  test("spanDedup catches a duplicate d9's fixed grid misses: a block " +
+    "straddling passage boundaries") {
+    // 12-token block planted at offset 3 in doc 2: with k=6 the fixed
+    // grid cuts doc 2 at tokens 0/6/12 — NO grid passage equals a doc-1
+    // passage, so passageDedup sees nothing; spanDedup marks the block.
+    val block = (0 until 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, block),
+      (2L, s"c0 c1 c2 $block d0 d1 d2")).toDF("doc_id", "text")
+    val pd = Dedup.passageDedup(docs, "doc_id", "text", k = 6)
+    assert(pd.filter(!col("kept")).count() == 0,
+      "the grid-aligned operator is blind to the straddling duplicate")
+    val sd = Dedup.spanDedup(docs, "doc_id", "text", k = 6)
+    val d2 = sd.filter(col("doc_id") === 2L)
+      .select("n_spans", "dup_tokens", "rewritten")
+      .as[(Int, Int, String)].collect().head
+    assert(d2 == ((1, 12, "c0 c1 c2 d0 d1 d2")))
+  }
+
   test("reassembleKept rebuilds docs in position order; redundant docs vanish") {
     val pd = Dedup.passageDedup(fixture, "doc_id", "text", k = 4)
     val rebuilt = Dedup.reassembleKept(pd, Seq("doc_id"), "text2")

@@ -61,6 +61,54 @@ class TextIndexSpec extends SparkSpec {
       s"postings scan must touch at most ${terms.size} buckets: $counts\n$p")
   }
 
+  test("appendDocs folds new documents in: probe-after-append is " +
+    "bit-identical to a fresh build over the union corpus") {
+    // Split the corpus deterministically, build on one half, append the
+    // other, and compare every probe artifact against a one-shot build.
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val incPath = new java.io.File(path, "inc").getPath
+    val fullPath = new java.io.File(path, "full").getPath
+    TextIndex.buildIndex(spark, half1, "doc_id", "text", incPath,
+      "graft_tidx_inc")
+    TextIndex.appendDocs(spark, half2, "doc_id", "text", incPath,
+      "graft_tidx_inc")
+    TextIndex.buildIndex(spark, docs, "doc_id", "text", fullPath,
+      "graft_tidx_full")
+    def probe(p: String) =
+      TextIndex.bm25Probe(spark, p, "doc_id", terms, k = 10)
+        .select("doc_id", "lang", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(probe("graft_tidx_inc") == probe("graft_tidx_full"),
+      "incremental index must be probe-indistinguishable from a rebuild")
+    // the folded statistics themselves agree, not just one probe's view
+    def stats(p: String) = spark.table(TextIndex.corpusStatsTable(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stats("graft_tidx_inc") == stats("graft_tidx_full"))
+    def dfTab(p: String) = spark.table(TextIndex.termStatsTable(p))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfTab("graft_tidx_inc") == dfTab("graft_tidx_full"))
+    // append preserves the bucket layout: the incremental probe still
+    // bucket-prunes its postings scan
+    val q = TextIndex.bm25Probe(spark, "graft_tidx_inc", "doc_id", terms, 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 8".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+      .exists(_ <= terms.size), plan)
+  }
+
+  test("appendDocs of an empty batch is a no-op on every statistic") {
+    built
+    val before = spark.table(TextIndex.corpusStatsTable(prefix))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    TextIndex.appendDocs(spark, docs.filter(lit(false)), "doc_id", "text",
+      path, prefix)
+    val after = spark.table(TextIndex.corpusStatsTable(prefix))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after == before, "an empty append must not poison n/dlsum")
+  }
+
   test("a term set matching fewer than k docs returns exactly the " +
     "matching set") {
     built

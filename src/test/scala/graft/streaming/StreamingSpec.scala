@@ -128,6 +128,25 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == Streams.dedupStreaming(spark, sf, "conc_b2").count())
   }
 
+  test("stream state width is conf-driven: identical results at two " +
+    "settings, and the value demonstrably reaches the drain") {
+    def run(name: String) = Streams.runTumblingToMemory(spark, sf, name)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    try {
+      spark.conf.set("spark.graft.stream.statePartitions", "4")
+      val at4 = run("spw_4")
+      spark.conf.set("spark.graft.stream.statePartitions", "16")
+      val at16 = run("spw_16")
+      assert(at4 == at16 && at4.nonEmpty,
+        "state-partition width must never change results")
+      // a non-numeric width fails loudly at the child-session pin — proof
+      // the conf actually reaches the drain rather than being ignored
+      spark.conf.set("spark.graft.stream.statePartitions", "wide")
+      intercept[IllegalArgumentException](run("spw_bad"))
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
   test("stream-stream range join == batch self-join on the same data") {
     import org.apache.spark.sql.functions._
     val ev = QueryDSL.events(spark, sf)
