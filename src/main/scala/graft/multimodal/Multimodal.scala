@@ -397,6 +397,99 @@ object Multimodal {
     chunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ body)
   }
 
+  /** One row of the VIDEO SIDECAR table — the per-id container metadata
+    * an external probe emits (production: ffprobe/mp4dump writing a
+    * parquet sidecar next to the media lake; here: [[probeVideoSidecar]]'s
+    * ISO-BMFF box walk). Curation decisions (duration/resolution gates,
+    * bitrate budgeting, frame-sample planning) join THIS table by id and
+    * never touch the payload bytes — the same external-convert pattern as
+    * the SPSS/Stata ingest path (`ingest/SavReader.scala`). */
+  final case class VideoSidecar(id: Long, brand: String, timescale: Long,
+      durationUnits: Long, width: Int, height: Int, mdatBytes: Long)
+
+  /** Build a minimal structurally-valid ISO-BMFF (MP4) container:
+    * `ftyp` (major brand isom) + `moov`(`mvhd` carrying
+    * timescale/duration + `trak`(`tkhd` carrying 16.16 fixed-point
+    * width/height)) + one `mdat` of deterministic filler. The codec
+    * payload is junk by design — the MP4/MKV DECODE stub (m1) stays
+    * honest — but the box structure is real ISO/IEC 14496-12, so
+    * [[probeVideoSidecar]]'s walk must invert every parameter (the
+    * synth→parse round-trip contract of [[synthWav]]/[[synthAvi]]). */
+  def synthMp4(timescale: Int, durationUnits: Int, width: Int, height: Int,
+      mdatBytes: Int): Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array[Byte]((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(cc: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ cc.getBytes("ISO-8859-1") ++ payload
+    val matrix = Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .flatMap(be32)
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ be32(0) ++
+        "isom".getBytes("ISO-8859-1"))
+    // mvhd v0: fullbox(4) creation(4) modification(4) TIMESCALE(4)
+    // DURATION(4) rate(4) volume(2) reserved(10) matrix(36) predefined(24)
+    // next_track(4)
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(durationUnits) ++ be32(0x00010000) ++
+      Array[Byte](0x01, 0x00) ++ new Array[Byte](10) ++ matrix ++
+      new Array[Byte](24) ++ be32(2))
+    // tkhd v0: fullbox(4) creation(4) modification(4) track(4) reserved(4)
+    // duration(4) reserved(8) layer/alt/volume/reserved(8) matrix(36)
+    // WIDTH(4, 16.16) HEIGHT(4, 16.16)
+    val tkhd = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++
+      be32(0) ++ be32(durationUnits) ++ new Array[Byte](16) ++ matrix ++
+      be32(width << 16) ++ be32(height << 16))
+    val mdat = box("mdat",
+      Array.tabulate(mdatBytes)(i => (i * 31 + 7).toByte))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd)) ++ mdat
+  }
+
+  /** REAL ISO-BMFF box walk of one payload: top-level boxes, recursing
+    * into moov/trak, reading mvhd (timescale, duration), tkhd (16.16
+    * width/height) and summing mdat payload bytes. Corrupt structure
+    * fails loudly with the offending id — a curation pipeline must
+    * quarantine bad containers, not silently zero their metadata. */
+  def parseMp4Sidecar(id: Long, b: Array[Byte]): VideoSidecar = {
+    def u32(off: Int): Long = ((b(off) & 0xffL) << 24) |
+      ((b(off + 1) & 0xffL) << 16) | ((b(off + 2) & 0xffL) << 8) |
+      (b(off + 3) & 0xffL)
+    def cc(off: Int): String = new String(b, off + 4, 4, "ISO-8859-1")
+    var brand = ""; var ts = 0L; var du = 0L
+    var w = 0; var h = 0; var md = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(off)
+        require(size >= 8 && off + size <= end,
+          s"corrupt box '${cc(off)}' (size $size) at $off in media $id")
+        cc(off) match {
+          case "ftyp" => brand = new String(b, off + 8, 4, "ISO-8859-1")
+          case "moov" | "trak" => walk(off + 8, off + size.toInt)
+          case "mvhd" => ts = u32(off + 8 + 12); du = u32(off + 8 + 16)
+          case "tkhd" =>
+            w = (u32(off + 8 + 76) >>> 16).toInt
+            h = (u32(off + 8 + 80) >>> 16).toInt
+          case "mdat" => md += size - 8
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    walk(0, b.length)
+    require(ts > 0, s"no mvhd box in media $id — not an MP4 container")
+    VideoSidecar(id, brand, ts, du, w, h, md)
+  }
+
+  /** The external-probe step as a typed partition map: media bytes in,
+    * sidecar metadata rows out. Production runs this ONCE per ingested
+    * batch and persists the result (the m7 query writes it to a parquet
+    * sidecar table); every later curation query joins the sidecar by id
+    * and leaves the payload column unread. */
+  def probeVideoSidecar(media: Dataset[MediaRow]): Dataset[VideoSidecar] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseMp4Sidecar(r.id, r.payload)))
+  }
+
   /** Scene-cut detection over [[videoKeyframes]] output: a cut is a
     * frame whose mean-luma jump from its predecessor reaches `threshold`
     * (the classic histogram/intensity-difference shot detector). Per

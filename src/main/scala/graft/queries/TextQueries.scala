@@ -1665,6 +1665,63 @@ object TextQueries {
            SELECT doc_id, frames, cuts,
              cuts + 1 AS shots,
              round(frames / (cuts + 1.0), 4) AS mean_shot_len, max_jump
-           FROM agg ORDER BY doc_id"""))
+           FROM agg ORDER BY doc_id""")),
+
+    // m7: the MP4 SIDECAR-METADATA path — the production shape for video
+    // curation that m1's honest decode stub points at: per-id MP4
+    // payloads (real ISO-BMFF box structure, synthesized from
+    // doc_id-derived parameters) go through ONE external-probe pass
+    // (Multimodal.probeVideoSidecar — a real mvhd/tkhd/mdat box walk,
+    // ffprobe's role) persisted as a parquet SIDECAR table; the curation
+    // query then reads ONLY the sidecar — duration/resolution gates,
+    // per-width clip budgets — and never touches payload bytes again
+    // (the SavReader external-convert pattern applied to video). The
+    // oracle recomputes every parameter analytically, so the check is
+    // that the box walk INVERTS the synth (m3's codec round-trip
+    // contract), sidecar persistence included.
+    "m7_video_sidecar" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val media = T(s, dir, "documents").filter(col("doc_id") < 80)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              Multimodal.MediaRow(id, "video", Multimodal.synthMp4(
+                timescale = 600,
+                durationUnits = (600L * (5 + id % 20)).toInt,
+                width = (320 + 16 * (id % 8)).toInt,
+                height = (240 + 16 * (id % 5)).toInt,
+                mdatBytes = (1000 + id % 512).toInt))
+            }
+          }
+        val sidecarPath = scratch("m7_sidecar", dir)
+        Multimodal.probeVideoSidecar(media)
+          .write.mode("overwrite").parquet(sidecarPath)
+        s.read.parquet(sidecarPath)
+          .withColumn("duration_sec",
+            (col("durationUnits") / col("timescale")).cast("long"))
+          .filter(col("duration_sec").between(10, 20) &&
+            col("width") >= 384)
+          .groupBy(col("width").cast("long").as("width"))
+          .agg(count(lit(1)).as("clips"),
+            sum(col("duration_sec")).as("total_sec"),
+            sum(col("mdatBytes")).as("mdat_bytes"),
+            countDistinct(col("height")).as("heights"))
+          .orderBy(col("width"))
+      },
+      Some(
+        """WITH p AS (SELECT doc_id,
+             5 + doc_id % 20 AS duration_sec,
+             320 + 16 * (doc_id % 8) AS width,
+             240 + 16 * (doc_id % 5) AS height,
+             1000 + doc_id % 512 AS mdat
+           FROM documents WHERE doc_id < 80)
+           SELECT width, count(*) AS clips,
+             CAST(sum(duration_sec) AS BIGINT) AS total_sec,
+             CAST(sum(mdat) AS BIGINT) AS mdat_bytes,
+             count(DISTINCT height) AS heights
+           FROM p WHERE duration_sec BETWEEN 10 AND 20 AND width >= 384
+           GROUP BY width ORDER BY width"""))
   )
 }

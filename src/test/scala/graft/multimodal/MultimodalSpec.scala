@@ -129,4 +129,59 @@ class MultimodalSpec extends SparkSpec {
     assert(r(3L) == ((3L, 3L, 1L, 700L)))
     assert(r(4L) == ((2L, 1L, 1L, 500L)))
   }
+
+  test("synthMp4 → parseMp4Sidecar round-trip: the box walk inverts " +
+    "every parameter, including 16.16 fixed-point dimensions") {
+    val cases = Seq(
+      (600, 600 * 7, 320, 240, 1000),
+      (90000, 90000 * 19, 1920, 1080, 512),
+      (1, 1, 16, 16, 0)) // zero-byte mdat still counts as a box
+    cases.foreach { case (ts, du, w, h, md) =>
+      val sc = Multimodal.parseMp4Sidecar(9L,
+        Multimodal.synthMp4(ts, du, w, h, md))
+      assert(sc == Multimodal.VideoSidecar(9L, "isom", ts, du, w, h, md),
+        s"params ($ts,$du,$w,$h,$md) did not round-trip: $sc")
+    }
+  }
+
+  test("parseMp4Sidecar fails loudly on corrupt or non-MP4 payloads, " +
+    "naming the id") {
+    // truncated mid-box: size field points past the payload end
+    val good = Multimodal.synthMp4(600, 6000, 320, 240, 100)
+    val err1 = intercept[IllegalArgumentException](
+      Multimodal.parseMp4Sidecar(7L, good.dropRight(50)))
+    assert(err1.getMessage.contains("media 7"))
+    // structurally valid boxes but no moov/mvhd: not a video container
+    val err2 = intercept[IllegalArgumentException](
+      Multimodal.parseMp4Sidecar(8L,
+        Array[Byte](0, 0, 0, 8) ++ "free".getBytes("ISO-8859-1")))
+    assert(err2.getMessage.contains("no mvhd"))
+  }
+
+  test("probeVideoSidecar is the one pass that touches bytes: the " +
+    "persisted sidecar answers curation queries payload-free") {
+    val media = (0L until 20L).toDF("id")
+      .select(col("id"), lit("video").as("kind")).as[(Long, String)]
+      .map { case (id, kind) => Multimodal.MediaRow(id, kind,
+        Multimodal.synthMp4(600, (600L * (5 + id % 20)).toInt,
+          (320 + 16 * (id % 8)).toInt, (240 + 16 * (id % 5)).toInt,
+          (1000 + id).toInt)) }
+    val dir = java.nio.file.Files.createTempDirectory("m7spec").toString
+    Multimodal.probeVideoSidecar(media).write.mode("overwrite").parquet(dir)
+    val sc = spark.read.parquet(dir)
+    // analytic truth: duration, dims and mdat all come back from parquet
+    val rows = sc.select("id", "brand", "timescale", "durationUnits",
+        "width", "height", "mdatBytes")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5), r.getLong(6)))).toMap
+    (0L until 20L).foreach { id =>
+      assert(rows(id) == (("isom", 600L, 600L * (5 + id % 20),
+        (320 + 16 * (id % 8)).toInt, (240 + 16 * (id % 5)).toInt,
+        1000L + id)))
+    }
+    // and the curation read's plan touches only the sidecar parquet
+    val plan = sc.filter(col("width") >= 384).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("m7spec") && !plan.contains("payload"), plan)
+  }
 }
