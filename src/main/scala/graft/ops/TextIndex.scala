@@ -100,7 +100,10 @@ object TextIndex {
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").bucketBy(buckets, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
-    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("dlsum"))
+    // coalesce: an EMPTY corpus (the streaming-ingest seed, st21) sums
+    // dl to NULL, and NULL must not poison later incremental folds
+    base.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("dlsum"))
       .write.mode("overwrite")
       .option("path", s"$path/corpusstats")
       .saveAsTable(corpusStatsTable(prefix))

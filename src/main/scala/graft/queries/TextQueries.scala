@@ -516,6 +516,32 @@ object TextQueries {
       },
       Some(sqlBm25TopK)),
 
+    // st21: STREAMING BM25 INDEX INGEST — t32's lifecycle closed from
+    // the write side (the st14-for-text twin): the index seeds EMPTY,
+    // every micro-batch of documents folds in via TextIndex.appendDocs
+    // (zero streaming state; the bucketed index tables are the
+    // restart-safe state), and the post-drain probe must equal t11's
+    // inline answer over everything that streamed — st21, t32 and t11
+    // share ONE oracle SQL string. Incremental folds are integer
+    // arithmetic (df/n/dlsum), so scores are IEEE-identical, not just
+    // close.
+    "st21_stream_text_ingest" -> Q(
+      (s, dir) => {
+        import graft.ops.TextIndex
+        import graft.streaming.Streams
+        val prefix = "graft_st21_" +
+          graft.functions.hashing.md5Long(dir).toHexString.take(8)
+        val ckpt = scratch("st21_ckpt", dir)
+        wipe(ckpt)
+        Streams.textIndexIngestStreaming(s, dir,
+          indexPath = scratch("st21_idx", dir), prefix = prefix,
+          checkpoint = ckpt, name = s"${prefix}_sink")
+        TextIndex.bm25Probe(s, prefix, "doc_id",
+            terms = Seq("dup", "vector", "query"), k = 10)
+          .select(col("doc_id"), col("lang"), col("score"))
+      },
+      Some(sqlBm25TopK)),
+
     // t12: sequence packing — per-source concat-and-chunk into 2048-token
     // training sequences in deterministic hash order; integer-only window
     // arithmetic, so the bin layout is exactly reproducible anywhere.

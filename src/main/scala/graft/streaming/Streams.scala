@@ -527,6 +527,44 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMING BM25 INDEX INGEST — the text twin of st14's vector
+    * fold-in, closing the t32 index lifecycle from the write side: each
+    * micro-batch of new documents folds into the persisted inverted
+    * index via [[graft.ops.TextIndex.appendDocs]] (postings append as
+    * per-bucket files, term df and corpus stats fold incrementally —
+    * integer arithmetic, so the folded statistics are EXACTLY the
+    * one-shot build's and probe scores stay IEEE-identical). ZERO
+    * streaming state; the index tables are the restart-safe state
+    * (checkpointed source offsets decide what has been folded). The
+    * drain starts from an EMPTY schema-pinned index, so after it the
+    * index is probe-indistinguishable from a fresh build over
+    * everything that streamed — which is why st21 shares t11/t32's
+    * oracle verbatim (StreamingSpec asserts the 4-micro-batch ≡
+    * one-shot identity bit-for-bit). */
+  def textIndexIngestStreaming(spark: SparkSession, dir: String,
+      indexPath: String, prefix: String,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st21"): Unit = {
+    import graft.ops.TextIndex
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val empty = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+    TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
+      "doc_id", "text", indexPath, prefix)
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .select("doc_id", "lang", "text")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextIndex.appendDocs(batch.sparkSession, batch, "doc_id", "text",
+          indexPath, prefix)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** STREAMING SCD2 INGEST — the warehouse fold-in in continuous form:
     * each micro-batch of events merges into the persisted type-2
     * dimension via [[graft.ops.Scd.applyChanges]] (within-batch chains,

@@ -254,6 +254,49 @@ class StreamingSpec extends SparkSpec {
       "no cross-micro-batch pair — the fold-in was never exercised")
   }
 
+  test("st21 streaming BM25 ingest: 4-micro-batch fold-in == one-shot " +
+      "index build, probe bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextIndex
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val srcDir = Files.createTempDirectory("st21_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st21_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    Streams.textIndexIngestStreaming(spark, srcDir.toString,
+      indexPath = Files.createTempDirectory("st21_idx").toString,
+      prefix = "graft_st21spec", glob = "documents_*.parquet",
+      maxFilesPerTrigger = 1,
+      checkpoint = Files.createTempDirectory("st21_ckpt").toString,
+      name = "st21_spec_sink")
+    TextIndex.buildIndex(spark, docs, "doc_id", "text",
+      Files.createTempDirectory("st21_full").toString, "graft_st21spec_full")
+    val terms = Seq("dup", "vector", "query")
+    def probe(p: String) =
+      TextIndex.bm25Probe(spark, p, "doc_id", terms, k = 10)
+        .select("doc_id", "lang", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val streamed = probe("graft_st21spec")
+    assert(streamed.nonEmpty)
+    assert(streamed == probe("graft_st21spec_full"),
+      "four incremental folds must be probe-indistinguishable from a " +
+        "one-shot build (IEEE-identical scores, same ranks)")
+    // the folded statistics are exactly the one-shot ones — integer
+    // arithmetic, not approximation
+    def stats(p: String) = spark.table(TextIndex.corpusStatsTable(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stats("graft_st21spec") == stats("graft_st21spec_full"))
+  }
+
   test("st10 index probe: streaming == batch band join, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.functions._
