@@ -155,6 +155,27 @@ object TextIndex {
       .saveAsTable(corpusStatsTable(prefix))
   }
 
+  /** COMPACTION — rewrite the postings and termstats tables from their
+    * CURRENT contents (one scan each, no corpus access), collapsing the
+    * per-append file accumulation back to one file per bucket: the input
+    * is repartitioned on the bucket column with the bucket count, so each
+    * write task holds exactly one bucket's rows (repartition and bucketBy
+    * share murmur3 hash partitioning). Probes are unchanged — same rows,
+    * same bucketing, same pruning — only the file layout improves; the
+    * [[DedupIndex.compact]] contract applied to text. Checkpointed before
+    * the overwrite (never read-and-rewrite in one plan). */
+  def compact(spark: SparkSession, path: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    val posts = Checkpoints.checkpoint(spark.table(postingsTable(prefix)))
+    posts.repartition(buckets, col("token"))
+      .write.mode("overwrite").bucketBy(buckets, "token").sortBy("token")
+      .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
+    val ts = Checkpoints.checkpoint(spark.table(termStatsTable(prefix)))
+    ts.repartition(buckets, col("token"))
+      .write.mode("overwrite").bucketBy(buckets, "token")
+      .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
+  }
+
   /** Top-k BM25 over the persisted index: reads ONLY the probed terms'
     * postings (bucket-pruned) + df rows + the 1-row corpus stats — never
     * the corpus. Output: the postings' passthrough columns (id, metadata)

@@ -380,6 +380,52 @@ object SourceQueries {
                (CASE WHEN v.version >= 3 THEN 2 ELSE v.version - 1 END)
            GROUP BY v.version ORDER BY v.version""")),
 
+    // s19: VACUUM retention — the destructive half s16 deliberately
+    // omits, as an oracle-checked lifecycle: the same 3-append + 1-replace
+    // history (each commit coalesced to a KNOWN file count, so
+    // reclamation arithmetic is deterministic), then vacuum(retainLast=1)
+    // must (a) drop exactly versions 1-3, (b) reclaim exactly the 3
+    // pre-compaction files — the replace severed the append lineage, so
+    // nothing is shared with the survivor — (c) leave the survivor
+    // byte-identical (its aggregate is the DuckDB-replayed side), and
+    // (d) make a dropped version unreadable, failing loudly. The oracle
+    // pins (a)/(b)/(d) as claimed constants the Spark side must EARN from
+    // the real vacuum — any missed delete, over-delete, or silently
+    // readable dropped version flips the row red (the a9 within-bound
+    // pattern applied to retention).
+    "s19_vacuum_retention" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s19_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        for (i <- 0 until 3)
+          Manifest.commit(
+            o.filter(pmod(col("o_orderkey"), lit(3)) === i).coalesce(1),
+            tbl)
+        Manifest.commit(Manifest.read(s, tbl).coalesce(2), tbl,
+          replace = true)
+        val (dropped, reclaimed) = Manifest.vacuum(tbl, retainLast = 1)
+        val v2Fails = scala.util.Try(Manifest.read(s, tbl, 2L)).isFailure
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("survivor_orders"),
+            sum(dec(col("o_totalprice"))).cast("double")
+              .as("survivor_price"))
+          .select(
+            lit(dropped.mkString(",")).as("dropped_versions"),
+            lit(reclaimed.length).cast("long").as("files_reclaimed"),
+            col("survivor_orders"), col("survivor_price"),
+            lit(v2Fails).as("dropped_read_fails"))
+      },
+      Some(
+        """SELECT '1,2,3' AS dropped_versions,
+             CAST(3 AS BIGINT) AS files_reclaimed,
+             CAST(count(*) AS BIGINT) AS survivor_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS survivor_price,
+             TRUE AS dropped_read_fails
+           FROM orders""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

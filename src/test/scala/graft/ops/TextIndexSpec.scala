@@ -98,6 +98,37 @@ class TextIndexSpec extends SparkSpec {
       .exists(_ <= terms.size), plan)
   }
 
+  test("compact collapses per-append file accumulation to one file per " +
+    "bucket; probes are bit-identical before and after") {
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val cPath = new java.io.File(path, "cmp").getPath
+    TextIndex.buildIndex(spark, half1, "doc_id", "text", cPath,
+      "graft_tidx_cmp")
+    TextIndex.appendDocs(spark, half2, "doc_id", "text", cPath,
+      "graft_tidx_cmp")
+    def files() = Option(new java.io.File(cPath, "postings").listFiles())
+      .toSeq.flatten.count(_.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before > 8, s"append should have accumulated files, got $before")
+    val probeBefore = TextIndex
+      .bm25Probe(spark, "graft_tidx_cmp", "doc_id", terms, 10)
+      .collect().map(_.toSeq).toSeq
+    TextIndex.compact(spark, cPath, "graft_tidx_cmp")
+    assert(files() == 8, s"expected one file per bucket, got ${files()}")
+    val probeAfter = TextIndex
+      .bm25Probe(spark, "graft_tidx_cmp", "doc_id", terms, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(probeAfter == probeBefore)
+    // pruning intact on the compacted layout
+    val q = TextIndex.bm25Probe(spark, "graft_tidx_cmp", "doc_id", terms, 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of 8".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toList
+      .exists(_ <= terms.size), plan)
+  }
+
   test("appendDocs of an empty batch is a no-op on every statistic") {
     built
     val before = spark.table(TextIndex.corpusStatsTable(prefix))
