@@ -153,7 +153,18 @@ object TextIndex {
     mergedStats.write.mode("overwrite")
       .option("path", s"$path/corpusstats")
       .saveAsTable(corpusStatsTable(prefix))
+    refresh(spark, prefix)
   }
+
+  /** Invalidate cached file listings for the index tables in `spark`.
+    * Table relation caches are PER SESSION: a probe session that read the
+    * index before another session's [[appendDocs]]/[[compact]] overwrote
+    * the statistics tables would otherwise resolve dropped files
+    * (FAILED_READ_FILE). Writers refresh their own session automatically;
+    * call this in any OTHER long-lived session before re-probing. */
+  def refresh(spark: SparkSession, prefix: String): Unit =
+    Seq(postingsTable(prefix), termStatsTable(prefix),
+      corpusStatsTable(prefix)).foreach(spark.catalog.refreshTable)
 
   /** COMPACTION — rewrite the postings and termstats tables from their
     * CURRENT contents (one scan each, no corpus access), collapsing the
@@ -174,6 +185,7 @@ object TextIndex {
     ts.repartition(buckets, col("token"))
       .write.mode("overwrite").bucketBy(buckets, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
+    refresh(spark, prefix)
   }
 
   /** Top-k BM25 over the persisted index: reads ONLY the probed terms'

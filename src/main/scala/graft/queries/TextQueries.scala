@@ -536,6 +536,10 @@ object TextQueries {
         Streams.textIndexIngestStreaming(s, dir,
           indexPath = scratch("st21_idx", dir), prefix = prefix,
           checkpoint = ckpt, name = s"${prefix}_sink")
+        // the drain's child session wrote the tables; drop this session's
+        // cached file listings before probing (bench re-runs the query in
+        // one long-lived session)
+        TextIndex.refresh(s, prefix)
         TextIndex.bm25Probe(s, prefix, "doc_id",
             terms = Seq("dup", "vector", "query"), k = 10)
           .select(col("doc_id"), col("lang"), col("score"))

@@ -544,14 +544,37 @@ object Streams {
   def textIndexIngestStreaming(spark: SparkSession, dir: String,
       indexPath: String, prefix: String,
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
-      checkpoint: String, name: String = "graft_st21"): Unit = {
+      checkpoint: String, name: String = "graft_st21"): Unit =
+    textIndexIngest(spark, dir, indexPath, prefix, glob,
+      maxFilesPerTrigger, checkpoint, name, seed = true)
+
+  /** RESTART of [[textIndexIngestStreaming]]: adopt the EXISTING index
+    * (re-seeding would erase everything folded so far) and let the
+    * checkpointed source offsets decide which files are new — the
+    * restart-safety contract every fold-in here shares, made explicit
+    * for the one whose seed step is destructive (StreamingSpec: a second
+    * drain after one more file lands folds ONLY that file; the grown
+    * index equals a one-shot build). */
+  def textIndexIngestResume(spark: SparkSession, dir: String,
+      indexPath: String, prefix: String,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st21"): Unit =
+    textIndexIngest(spark, dir, indexPath, prefix, glob,
+      maxFilesPerTrigger, checkpoint, name, seed = false)
+
+  private def textIndexIngest(spark: SparkSession, dir: String,
+      indexPath: String, prefix: String, glob: String,
+      maxFilesPerTrigger: Int, checkpoint: String, name: String,
+      seed: Boolean): Unit = {
     import graft.ops.TextIndex
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
-    val empty = s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
-    TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
-      "doc_id", "text", indexPath, prefix)
+    if (seed) {
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
+        "doc_id", "text", indexPath, prefix)
+    }
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .select("doc_id", "lang", "text")
       .writeStream

@@ -529,4 +529,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row mm/tot
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d17: span winner is d9's map-combining aggregate shape — the " +
+    "interval fold adds no window, no extra shuffle, no nested loop") {
+    val p = plan("d17_span_dedup")
+    assert(p.contains("partial_min"), p) // winner select combines map-side
+    assert(!p.contains("Window"), p) // fold is a row-local HOF, not a window
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t32/st21 probe shape: postings scan bucket-prunes, corpus stats " +
+    "broadcast as the 1-row build side, top-k bounded") {
+    val p = plan("t32_bm25_persisted")
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row corpus stats
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the returned frame is the PROBE: the corpus file must not appear —
+    // its content is answered entirely from the persisted index tables
+    assert(!p.contains("documents.parquet"), p)
+  }
 }

@@ -297,6 +297,56 @@ class StreamingSpec extends SparkSpec {
     assert(stats("graft_st21spec") == stats("graft_st21spec_full"))
   }
 
+  test("st21 restart safety: a second drain on the same checkpoint folds " +
+      "ONLY files that arrived since — no double-counting") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextIndex
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val srcDir = Files.createTempDirectory("st21r_src")
+    def land(i: Int): Unit = {
+      val chunkDir = Files.createTempDirectory(s"st21r_chunk$i")
+      docs.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val idxPath = Files.createTempDirectory("st21r_idx").toString
+    val ckpt = Files.createTempDirectory("st21r_ckpt").toString
+    land(0)
+    Streams.textIndexIngestStreaming(spark, srcDir.toString, idxPath,
+      prefix = "graft_st21r", glob = "documents_*.parquet",
+      checkpoint = ckpt, name = "st21r_sink_a")
+    val afterFirst = spark.table(TextIndex.corpusStatsTable("graft_st21r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    // "restart": a NEW drain over the same source + checkpoint, after one
+    // more file lands. The checkpointed offsets must skip file 0 — but the
+    // fold must NOT re-seed the index (seeding on restart would erase it).
+    land(1)
+    Streams.textIndexIngestResume(spark, srcDir.toString, idxPath,
+      prefix = "graft_st21r", glob = "documents_*.parquet",
+      checkpoint = ckpt, name = "st21r_sink_b")
+    TextIndex.refresh(spark, "graft_st21r") // cross-session cache drop
+    val stats = spark.table(TextIndex.corpusStatsTable("graft_st21r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(stats._1 == docs.count(),
+      s"expected every doc folded exactly once, got n=${stats._1} " +
+        s"(first drain folded ${afterFirst._1})")
+    // and the probe equals a one-shot build over everything
+    TextIndex.buildIndex(spark, docs, "doc_id", "text",
+      Files.createTempDirectory("st21r_full").toString, "graft_st21r_full")
+    val terms = Seq("dup", "vector", "query")
+    def probe(p: String) =
+      TextIndex.bm25Probe(spark, p, "doc_id", terms, k = 10)
+        .select("doc_id", "lang", "score").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(probe("graft_st21r") == probe("graft_st21r_full"))
+  }
+
   test("st10 index probe: streaming == batch band join, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.functions._
