@@ -396,6 +396,39 @@ object StreamPipelineQueries {
       },
       Some(CoreQueries.sqlScdOneShot)),
 
+    // st22: STREAMING approximate distinct — a9's HLL pattern made
+    // SHARDABLE and continuous: per micro-batch ONE Datasketches HLL
+    // sketch row per event type appends to a parquet partial table
+    // (zero streaming state), the final count is one union+estimate
+    // pass (register-wise max merge — the associativity that counts
+    // distincts across 1000 executors with no global shuffle of the
+    // values). Oracled exactly like a9: the exact side replays in
+    // DuckDB and within_bound claims the sketch landed inside 5% —
+    // earned from the real merged estimate, red if the merge ever
+    // loses mass. StreamingSpec additionally asserts the merged
+    // estimate EQUALS the one-shot sketch's, not just within bound.
+    "st22_stream_approx_distinct" -> Q(
+      (s, dir) => {
+        val out = scratch("st22_out", dir)
+        wipe(s"$out/sk"); wipe(s"$out/ckpt")
+        val approx = Streams.approxDistinctStreaming(s, dir,
+          s"$out/sk", s"$out/ckpt",
+          name = s"graft_st22_${dir.hashCode.abs}")
+        events(s, dir).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            count(lit(1)).as("cnt"))
+          .join(approx, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"), col("cnt"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users") * lit(0.05)).as("within_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+          count(DISTINCT user_id) AS exact_users,
+          count(*) AS cnt,
+          TRUE AS within_bound
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -588,6 +588,40 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** STREAMING approximate-distinct via persisted Datasketches HLL
+    * partials — a9's 100 TB distinct-count pattern in continuous form,
+    * and the proof it SHARDS: each micro-batch appends ONE HLL sketch
+    * row per group (bounded: groups × ~KB whatever the batch holds),
+    * zero streaming state, and the final count is one union+estimate
+    * pass over the partial table. HLL register state merges by
+    * element-wise max, so the union of per-batch sketches is the SAME
+    * sketch a one-shot pass builds (StreamingSpec asserts estimate
+    * equality, not closeness) — the associativity that lets a
+    * 1000-executor cluster count distincts with no global shuffle of
+    * the distinct values, per shard, per day, or per batch. */
+  def approxDistinctStreaming(spark: SparkSession, dir: String,
+      outPath: String, checkpoint: String, lgK: Int = 12,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st22"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outPath)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true))
+        .as("approx_users"))
+  }
+
   /** STREAMING SCD2 INGEST — the warehouse fold-in in continuous form:
     * each micro-batch of events merges into the persisted type-2
     * dimension via [[graft.ops.Scd.applyChanges]] (within-batch chains,

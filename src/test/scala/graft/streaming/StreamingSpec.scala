@@ -347,6 +347,48 @@ class StreamingSpec extends SparkSpec {
     assert(probe("graft_st21r") == probe("graft_st21r_full"))
   }
 
+  test("st22 streaming HLL partials: union of 4 micro-batch sketches " +
+      "estimates EXACTLY like the one-shot sketch (register-max merge)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val srcDir = Files.createTempDirectory("st22_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st22_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st22_out").toString
+    val merged = Streams.approxDistinctStreaming(spark, srcDir.toString,
+        s"$out/sk", s"$out/ckpt", glob = "events_*.parquet",
+        maxFilesPerTrigger = 1, name = "st22_spec_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // at least 2 micro-batches actually wrote partials (several sketch
+    // rows per type), or the merge was never exercised
+    val partials = spark.read.parquet(s"$out/sk")
+    assert(partials.groupBy("event_type").count()
+      .collect().forall(_.getLong(1) >= 2), "expected multi-batch partials")
+    val oneShot = QueryDSL.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+        .as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged == oneShot,
+      s"sketch merge must be lossless: $merged vs $oneShot")
+    // and the estimate is a real estimate: within 5% of exact
+    val exact = QueryDSL.events(spark, sf).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (t, x) =>
+      assert(math.abs(merged(t) - x) <= 0.05 * x, s"$t: ${merged(t)} vs $x")
+    }
+  }
+
   test("st10 index probe: streaming == batch band join, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.functions._
