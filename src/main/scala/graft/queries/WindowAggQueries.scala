@@ -257,6 +257,110 @@ object WindowAggQueries {
           TRUE AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // A15: Theta-sketch SET ALGEBRA — the distinct-count question HLL
+    // (a9/st22) cannot answer: approximate INTERSECTION and DIFFERENCE
+    // cardinalities between user sets (the audience-overlap query), from
+    // two bounded sketches instead of a user-level join. Each side is one
+    // Datasketches theta sketch (map-side-combined aggregate, ≤ 4096
+    // retained hashes whatever the corpus); union/intersection/difference
+    // are sketch-level operations on the two 1-row frames. The exact side
+    // — one conditional-flag pass per user, no self-join — replays in
+    // DuckDB; the within-bound flags (5% of the UNION size, the scale
+    // theta set-op error tracks) are earned from the real estimates.
+    "a15_theta_set_algebra" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val sk = ev.filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(theta_sketch_agg(col("user_id")).as("sk"))
+        val c = sk.filter(col("event_type") === "click")
+          .select(col("sk").as("cs"))
+        val p = sk.filter(col("event_type") === "purchase")
+          .select(col("sk").as("ps"))
+        val approx = c.crossJoin(p).select(
+          theta_sketch_estimate(theta_union(col("cs"), col("ps")))
+            .as("au"),
+          theta_sketch_estimate(theta_intersection(col("cs"), col("ps")))
+            .as("ai"),
+          theta_sketch_estimate(theta_difference(col("cs"), col("ps")))
+            .as("ad"))
+        val exact = ev.groupBy(col("user_id")).agg(
+            max((col("event_type") === "click").cast("int")).as("c"),
+            max((col("event_type") === "purchase").cast("int")).as("p"))
+          .agg(
+            sum(when(col("c") === 1 || col("p") === 1, 1).otherwise(0))
+              .cast("long").as("exact_union"),
+            sum(when(col("c") === 1 && col("p") === 1, 1).otherwise(0))
+              .cast("long").as("exact_inter"),
+            sum(when(col("c") === 1 && col("p") === 0, 1).otherwise(0))
+              .cast("long").as("exact_diff"))
+        val tol = col("exact_union") * lit(0.05)
+        exact.crossJoin(approx).select(
+          col("exact_union"), col("exact_inter"), col("exact_diff"),
+          (abs(col("au") - col("exact_union")) <= tol).as("union_ok"),
+          (abs(col("ai") - col("exact_inter")) <= tol).as("inter_ok"),
+          (abs(col("ad") - col("exact_diff")) <= tol).as("diff_ok"))
+      },
+      Some("""WITH f AS (
+             SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+             FROM events GROUP BY user_id)
+           SELECT
+             CAST(sum(CASE WHEN c = 1 OR p = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS exact_union,
+             CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS exact_inter,
+             CAST(sum(CASE WHEN c = 1 AND p = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS exact_diff,
+             TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+           FROM f""")),
+
+    // A16: KLL quantile sketch — the MERGEABLE production quantile
+    // answer next to a13's fixed-bin histogram (KLL adapts its retained
+    // items to the distribution; partials merge associatively, so the
+    // same one-pass shape shards across executors/days). The audit is in
+    // RANK space, where KLL's guarantee lives: each estimated quantile's
+    // empirical CDF position must sit within 0.05 of its requested
+    // fraction (k=200 gives σ ≈ 0.6% rank error — 0.05 is ~8σ, immune
+    // to the sketch's internal compaction randomness, which per
+    // CLAUDE.md's determinism rule must never decide a hash row). The
+    // exact percentile_disc values are the DuckDB-replayed side; rank
+    // checks are one broadcast pass, no sort of the data.
+    "a16_kll_quantiles" -> Q(
+      (s, dir) => {
+        val fracs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+        val ev = events(s, dir).select(col("value"))
+        val est = ev.agg(kll_sketch_agg_double(col("value"), 200).as("sk"))
+          .select(fracs.zipWithIndex.map { case (f, i) =>
+            kll_sketch_get_quantile_double(col("sk"), lit(f)).as(s"e$i")
+          }: _*)
+        val ranks = ev.crossJoin(broadcast(est))
+          .agg(fracs.indices.map(i =>
+            (sum((col("value") <= col(s"e$i")).cast("long")) /
+              count(lit(1))).as(s"r$i")).head,
+            fracs.indices.map(i =>
+              (sum((col("value") <= col(s"e$i")).cast("long")) /
+                count(lit(1))).as(s"r$i")).tail: _*)
+        val exacts = ev.agg(
+          expr(s"percentile_disc(${fracs.head}) WITHIN GROUP " +
+            "(ORDER BY value)").as("x0"),
+          fracs.tail.zipWithIndex.map { case (f, i) =>
+            expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY value)")
+              .as(s"x${i + 1}")
+          }: _*)
+        val joined = exacts.crossJoin(ranks)
+        fracs.zipWithIndex.map { case (f, i) =>
+          joined.select(lit(f).as("frac"), col(s"x$i").as("exact_q"),
+            (abs(col(s"r$i") - lit(f)) <= lit(0.05)).as("rank_ok"))
+        }.reduce(_ unionByName _).orderBy(col("frac"))
+      },
+      Some(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(f =>
+        s"""SELECT CAST($f AS DOUBLE) AS frac,
+            quantile_disc(value, $f) AS exact_q, TRUE AS rank_ok
+          FROM events""").mkString("", " UNION ALL ",
+        " ORDER BY frac"))),
+
     // A10: count-min sketch heavy hitters — the bounded-memory frequency
     // counter for key domains too large to count exactly (token streams,
     // URLs): a 4×1024 counter grid built in ONE pass with map-side

@@ -130,4 +130,30 @@ class SketchesSpec extends SparkSpec {
         s"q=$q est=${e2(q)} exact=$ex width=$width")
     }
   }
+
+  test("KLL and theta sketches shard: per-shard partials merge into " +
+    "answers within the one-shot bounds (a15/a16's scale contract)") {
+    val ev = graft.queries.QueryDSL.events(spark, sf)
+      .select(col("value"), col("user_id"), col("event_id"))
+    val parts = ev.withColumn("shard", pmod(col("event_id"), lit(4)))
+      .groupBy(col("shard"))
+      .agg(kll_sketch_agg_double(col("value"), 200).as("ksk"),
+        theta_sketch_agg(col("user_id")).as("tsk"))
+    assert(parts.count() == 4)
+    val merged = parts.agg(
+        kll_sketch_get_quantile_double(
+          kll_merge_agg_double(col("ksk"), 200), lit(0.5)).as("p50"),
+        theta_sketch_estimate(theta_union_agg(col("tsk"))).as("users"))
+      .head
+    // KLL guarantee lives in RANK space: the merged sketch's median
+    // estimate must sit at empirical CDF 0.5 ± 0.05
+    val n = ev.count().toDouble
+    val rank = ev.filter(col("value") <= merged.getDouble(0)).count() / n
+    assert(math.abs(rank - 0.5) <= 0.05, s"merged p50 rank $rank")
+    // theta union of shard sketches lands within 5% of the exact distinct
+    val exactUsers = ev.agg(countDistinct(col("user_id")).as("u"))
+      .head.getLong(0)
+    assert(math.abs(merged.getLong(1) - exactUsers) <= 0.05 * exactUsers,
+      s"merged theta ${merged.getLong(1)} vs exact $exactUsers")
+  }
 }
