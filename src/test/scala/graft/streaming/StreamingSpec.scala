@@ -351,7 +351,13 @@ class StreamingSpec extends SparkSpec {
       "estimates EXACTLY like the one-shot sketch (register-max merge)") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // chunk via the library reader, not a raw file read: events.parquet
+    // has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across
+    // rounds (memory: events-ts-schema-drift) — reconstruct the MICROS
+    // shape readEventsStream's pinned schema expects
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
     val srcDir = Files.createTempDirectory("st22_src")
     for (i <- 0 until 4) {
       val chunkDir = Files.createTempDirectory(s"st22_chunk$i")
@@ -526,9 +532,14 @@ class StreamingSpec extends SparkSpec {
     val cuts = Seq(Long.MinValue) ++ bounds.map(_.toLong) :+ Long.MaxValue
     for (i <- 0 until 4) {
       val chunkDir = Files.createTempDirectory(s"st15_chunk$i")
-      // write the RAW parquet shape (micros ts) the streaming reader
-      // expects: filter the raw file by the derived nano bounds
-      spark.read.parquet(s"$sf/events.parquet")
+      // write the MICROS parquet shape the streaming reader expects —
+      // reconstructed via the library reader, never a raw file read: the
+      // driver has shipped ts as both NANOS and MICROS across rounds
+      // (memory: events-ts-schema-drift)
+      QueryDSL.events(spark, sf)
+        .select(col("event_id"),
+          col("ts_utc").cast("timestamp_ntz").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
         .join(ev.filter(col("ts") > cuts(i) && col("ts") <= cuts(i + 1))
           .select(col("event_id")), Seq("event_id"), "left_semi")
         .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
