@@ -158,7 +158,13 @@ object DedupQueries {
   /** The probe half of the IVF replay (assign all vectors to `cents`,
     * probe the vec_id < 10 queries at nProbe = 2, top-3) — shared by the
     * full-corpus-trained oracle below and st14's quarter-trained one. */
-  private def sqlIvfProbeBody: String =
+  /** Parameterized IVF probe CTE chain (ending in `ivftop(qid, rank,
+    * nid, cos)`): assignment of every vector to its `cents` winner, the
+    * `queryPred` queries probing their nProbe nearest lists, in-list
+    * cosine scoring, per-query top-k. Shared by the x3/x9/st12/st14
+    * oracle (via [[sqlIvfProbeBody]]) and x15's single-query k=20 probe. */
+  private def sqlIvfProbeCtes(queryPred: String, nProbe: Int,
+      k: Int): String =
     s"""assign AS (SELECT nid, nv, cid AS cluster FROM (
          SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
@@ -168,17 +174,21 @@ object DedupQueries {
          SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
              ORDER BY ${sqlCosine("q.embedding", "c.cv")} DESC, c.cid) AS rn
-         FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10)
-         WHERE rn <= 2),
+         FROM embeddings q CROSS JOIN cents c WHERE $queryPred)
+         WHERE rn <= $nProbe),
        scored AS (SELECT p.qid, a.nid,
            round(${sqlCosine("p.qv", "a.nv")}, 4) AS cos
          FROM probes p JOIN assign a
-           ON a.cluster = p.cluster AND a.nid <> p.qid)
-       SELECT qid, rank, nid, cos FROM (
+           ON a.cluster = p.cluster AND a.nid <> p.qid),
+       ivftop AS (SELECT qid, rank, nid, cos FROM (
          SELECT qid, nid, cos, row_number() OVER
            (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
          FROM scored)
-       WHERE rank <= 3 ORDER BY qid, rank"""
+       WHERE rank <= $k)"""
+
+  private def sqlIvfProbeBody: String =
+    s"""${sqlIvfProbeCtes("q.vec_id < 10", 2, 3)}
+       SELECT qid, rank, nid, cos FROM ivftop ORDER BY qid, rank"""
 
   private[queries] val sqlIvfAnn: String =
     s"""WITH $sqlKmeansCents,
@@ -1489,6 +1499,76 @@ object DedupQueries {
            vr AS (SELECT nid AS id,
                row_number() OVER (ORDER BY cos DESC, nid) AS rank_vec
              FROM vtop)
+           SELECT id, rank_bm, rank_vec,
+             round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_vec), 0.0), 6)
+               AS rrf
+           FROM bm FULL OUTER JOIN vr USING (id)
+           ORDER BY rrf DESC, id LIMIT 10"""
+      }),
+
+    // x15: hybrid retrieval from the two PERSISTED indexes — the
+    // production RAG serving path x7 prototypes inline: the BM25 side
+    // probes the t32 inverted index (bucket-pruned postings, never the
+    // corpus), the vector side probes the x9 IVF index (scan-only
+    // clustered assignments, nProbe=2), and RRF fuses the two bounded
+    // top-20 lists. Build cost is paid once per index (offline in
+    // production); the query-time work is two index probes + an O(k)
+    // fuse. The oracle replays BM25 top-20 + the IVF probe (k-means +
+    // assignment + 2-list scoring) + the fusion — so the row pins BOTH
+    // persisted probe paths and their composition in one hash.
+    "x15_hybrid_persisted" -> Q(
+      (s, dir) => {
+        import graft.ops.{TextIndex, TextSearch}
+        import org.apache.spark.sql.expressions.Window
+        val suffix = graft.functions.hashing.md5Long(dir).toHexString.take(8)
+        val tPrefix = s"graft_x15t_$suffix"
+        val vPrefix = s"graft_x15v_$suffix"
+        TextIndex.buildIndex(s,
+          spread(T(s, dir, "documents").select("doc_id", "text")),
+          "doc_id", "text", path = scratch("x15_text_idx", dir),
+          prefix = tPrefix)
+        Similarity.buildIvfIndex(s, T(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 12, iters = 2,
+          path = scratch("x15_ivf_idx", dir), prefix = vPrefix)
+        val bm = TextIndex.bm25Probe(s, tPrefix, "doc_id",
+            terms = Seq("dup", "vector", "query"), k = 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+          .select(col("doc_id").as("id"), col("rank"))
+        val e = T(s, dir, "embeddings")
+        val vec = Similarity.ivfProbePersisted(s,
+            e.filter(col("vec_id") === 0), "vec_id", "embedding",
+            nProbe = 2, k = 20, prefix = vPrefix)
+          .select(col("nid").as("id"), col("rank"))
+        TextSearch.rrfFuse(Seq(bm, vec), "id", k = 10)
+          .select(col("id"), col("rank0").as("rank_bm"),
+            col("rank1").as("rank_vec"), col("rrf"))
+      },
+      Some {
+        import graft.ops.TextSearch
+        val terms = Seq("dup", "vector", "query")
+        val tfs = terms.zipWithIndex.map { case (t, i) =>
+          s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+        }.mkString(", ")
+        val dfs = terms.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+          .mkString(", ")
+        s"""WITH $sqlKmeansCents,
+           ${sqlIvfProbeCtes("q.vec_id = 0", 2, 20)},
+           vr AS (SELECT nid AS id, rank AS rank_vec FROM ivftop),
+           base AS (
+             SELECT doc_id, len(toks) AS dl, $tfs
+             FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+           stats AS (
+             SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS dlsum, $dfs
+             FROM base),
+           bmtop AS (
+             SELECT doc_id, round(${TextSearch.sqlScore(terms)}, 4) AS score
+             FROM base, stats ORDER BY score DESC, doc_id LIMIT 20),
+           bm AS (SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank_bm
+             FROM bmtop)
            SELECT id, rank_bm, rank_vec,
              round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_bm), 0.0)
                  + coalesce(CAST(1.0 AS DOUBLE) / (60 + rank_vec), 0.0), 6)
