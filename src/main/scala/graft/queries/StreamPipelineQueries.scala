@@ -429,6 +429,26 @@ object StreamPipelineQueries {
           TRUE AS within_bound
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // st23: STREAMING quantile sketch — a16's mergeable-quantile
+    // contract in continuous form, completing the sketch-streaming
+    // family (st13 count-min, st16 histogram, st22 HLL): per
+    // micro-batch ONE k=200 KLL partial appends (zero streaming state),
+    // the answer is one kll_merge pass. KLL compaction is randomized so
+    // the merged sketch is not bit-identical to a one-shot build — its
+    // guarantee IS the rank bound, which is exactly what the shared a16
+    // oracle checks (exact percentile_disc replayed, rank_ok earned
+    // from the real merged estimates).
+    "st23_stream_quantiles" -> Q(
+      (s, dir) => {
+        val out = scratch("st23_out", dir)
+        wipe(s"$out/sk"); wipe(s"$out/ckpt")
+        val merged = Streams.quantileSketchStreaming(s, dir,
+          s"$out/sk", s"$out/ckpt",
+          name = s"graft_st23_${dir.hashCode.abs}")
+        WindowAggQueries.kllRankAudit(s, dir, merged)
+      },
+      Some(WindowAggQueries.sqlKllQuantiles)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.agg.ModeAgg
@@ -87,6 +88,48 @@ object WindowAggQueries {
        FROM pr JOIN sk ON sk.d = pr.d AND sk.bucket = pr.bucket
        GROUP BY pr.token, pr.true_cnt
        ORDER BY true_cnt DESC, token"""
+  }
+
+  /** The five audited fractions shared by a16 and st23. */
+  private[queries] val KllFracs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  /** KLL rank audit — a16's oracle, and st23's verbatim (the merged
+    * per-batch partials carry the same rank guarantee as the one-shot
+    * sketch, which is all the bound checks): exact percentile_disc
+    * values replay in DuckDB, rank_ok flags are claimed TRUE. */
+  private[queries] val sqlKllQuantiles: String =
+    KllFracs.map(f =>
+      s"""SELECT CAST($f AS DOUBLE) AS frac,
+          quantile_disc(value, $f) AS exact_q, TRUE AS rank_ok
+        FROM events""").mkString("", " UNION ALL ", " ORDER BY frac")
+
+  /** Audit a 1-row KLL sketch frame (`sk` column) against the events
+    * value distribution, in RANK space where the KLL guarantee lives:
+    * per fraction, the estimate's empirical CDF position must sit within
+    * 0.05 (~8σ at k=200 — immune to the sketch's internal compaction
+    * randomness, which must never decide a hash row) of the requested
+    * fraction. One broadcast pass for all ranks, no data sort; exact
+    * percentile_disc values ride along as the DuckDB-replayed side. */
+  private[queries] def kllRankAudit(s: SparkSession, dir: String,
+      sketch: DataFrame): DataFrame = {
+    val fracs = KllFracs
+    val ev = events(s, dir).select(col("value"))
+    val est = sketch.select(fracs.zipWithIndex.map { case (f, i) =>
+      kll_sketch_get_quantile_double(col("sk"), lit(f)).as(s"e$i")
+    }: _*)
+    val rankCols = fracs.indices.map(i =>
+      (sum((col("value") <= col(s"e$i")).cast("long")) /
+        count(lit(1))).as(s"r$i"))
+    val ranks = ev.crossJoin(broadcast(est))
+      .agg(rankCols.head, rankCols.tail: _*)
+    val exactCols = fracs.zipWithIndex.map { case (f, i) =>
+      expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY value)").as(s"x$i")
+    }
+    val joined = ev.agg(exactCols.head, exactCols.tail: _*).crossJoin(ranks)
+    fracs.zipWithIndex.map { case (f, i) =>
+      joined.select(lit(f).as("frac"), col(s"x$i").as("exact_q"),
+        (abs(col(s"r$i") - lit(f)) <= lit(0.05)).as("rank_ok"))
+    }.reduce(_ unionByName _).orderBy(col("frac"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -208,7 +251,8 @@ object WindowAggQueries {
     // shuffle by user, per-key sort inside the window operator.
     "w8_time_range_frame" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("sec")).rangeBetween(-600, 0)
         events(s, dir).filter(col("user_id") < 50)
@@ -328,38 +372,10 @@ object WindowAggQueries {
     // exact percentile_disc values are the DuckDB-replayed side; rank
     // checks are one broadcast pass, no sort of the data.
     "a16_kll_quantiles" -> Q(
-      (s, dir) => {
-        val fracs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
-        val ev = events(s, dir).select(col("value"))
-        val est = ev.agg(kll_sketch_agg_double(col("value"), 200).as("sk"))
-          .select(fracs.zipWithIndex.map { case (f, i) =>
-            kll_sketch_get_quantile_double(col("sk"), lit(f)).as(s"e$i")
-          }: _*)
-        val ranks = ev.crossJoin(broadcast(est))
-          .agg(fracs.indices.map(i =>
-            (sum((col("value") <= col(s"e$i")).cast("long")) /
-              count(lit(1))).as(s"r$i")).head,
-            fracs.indices.map(i =>
-              (sum((col("value") <= col(s"e$i")).cast("long")) /
-                count(lit(1))).as(s"r$i")).tail: _*)
-        val exacts = ev.agg(
-          expr(s"percentile_disc(${fracs.head}) WITHIN GROUP " +
-            "(ORDER BY value)").as("x0"),
-          fracs.tail.zipWithIndex.map { case (f, i) =>
-            expr(s"percentile_disc($f) WITHIN GROUP (ORDER BY value)")
-              .as(s"x${i + 1}")
-          }: _*)
-        val joined = exacts.crossJoin(ranks)
-        fracs.zipWithIndex.map { case (f, i) =>
-          joined.select(lit(f).as("frac"), col(s"x$i").as("exact_q"),
-            (abs(col(s"r$i") - lit(f)) <= lit(0.05)).as("rank_ok"))
-        }.reduce(_ unionByName _).orderBy(col("frac"))
-      },
-      Some(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(f =>
-        s"""SELECT CAST($f AS DOUBLE) AS frac,
-            quantile_disc(value, $f) AS exact_q, TRUE AS rank_ok
-          FROM events""").mkString("", " UNION ALL ",
-        " ORDER BY frac"))),
+      (s, dir) => kllRankAudit(s, dir,
+        events(s, dir).select(col("value"))
+          .agg(kll_sketch_agg_double(col("value"), 200).as("sk"))),
+      Some(sqlKllQuantiles)),
 
     // A10: count-min sketch heavy hitters — the bounded-memory frequency
     // counter for key domains too large to count exactly (token streams,

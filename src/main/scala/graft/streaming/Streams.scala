@@ -622,6 +622,36 @@ object Streams {
         .as("approx_users"))
   }
 
+  /** STREAMING quantile sketch via persisted KLL partials — a16's
+    * mergeable-quantile contract in continuous form, completing the
+    * sketch-streaming family (st13 count-min, st16 histogram, st22
+    * HLL): each micro-batch appends ONE k=200 KLL sketch row (bounded
+    * whatever the batch holds), zero streaming state; the answer is one
+    * kll_merge_agg pass over the partial table. Unlike HLL's register-max
+    * (st22's exact identity), KLL compaction is randomized, so the merged
+    * sketch is not bit-identical to a one-shot build — its guarantee is
+    * the same RANK bound, which is exactly what a16's oracle checks, so
+    * st23 shares it verbatim. Returns the 1-row merged-sketch frame. */
+  def quantileSketchStreaming(spark: SparkSession, dir: String,
+      outPath: String, checkpoint: String, k: Int = 200,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st23"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.agg(kll_sketch_agg_double(col("value"), k).as("sk"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outPath)
+      .agg(kll_merge_agg_double(col("sk"), k).as("sk"))
+  }
+
   /** STREAMING SCD2 INGEST — the warehouse fold-in in continuous form:
     * each micro-batch of events merges into the persisted type-2
     * dimension via [[graft.ops.Scd.applyChanges]] (within-batch chains,

@@ -395,6 +395,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st23 streaming KLL partials: 4-micro-batch merge holds the rank " +
+      "bound at every audited fraction") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val srcDir = Files.createTempDirectory("st23_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st23_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st23_out").toString
+    val merged = Streams.quantileSketchStreaming(spark, srcDir.toString,
+      s"$out/sk", s"$out/ckpt", glob = "events_*.parquet",
+      maxFilesPerTrigger = 1, name = "st23_spec_sink")
+    assert(spark.read.parquet(s"$out/sk").count() >= 2,
+      "expected multi-batch partials, or the merge was never exercised")
+    val n = ev.count().toDouble
+    Seq(0.25, 0.5, 0.75, 0.9, 0.99).foreach { f =>
+      val est = merged.select(
+        kll_sketch_get_quantile_double(col("sk"), lit(f))).head.getDouble(0)
+      val rank = ev.filter(col("value") <= est).count() / n
+      assert(math.abs(rank - f) <= 0.05,
+        s"fraction $f: merged estimate $est sits at empirical rank $rank")
+    }
+  }
+
   test("st10 index probe: streaming == batch band join, with ZERO " +
       "streaming state") {
     import org.apache.spark.sql.functions._
