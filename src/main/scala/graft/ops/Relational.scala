@@ -143,6 +143,36 @@ object Relational {
     f.join(b, keys :+ "__salt").drop("__salt")
   }
 
+  /** PARTIAL (adaptive) salting — [[saltedJoin]] at production cost: only
+    * the keys in `hotKeys` (a SMALL set — a14's skew profile output, a
+    * top-k count, an ops-supplied list — broadcast twice) salt and
+    * replicate; the cold majority joins completely plain on salt 0. The
+    * build-side replication bill drops from |build| × buckets to
+    * |hot ∩ build| × buckets, which is what makes salting affordable
+    * when the build side is large and only a handful of keys are hot —
+    * the standard refinement over uniform salting, and the loop-closer
+    * for the a14 profile (measure skew, salt exactly what it names).
+    * Result is exactly the plain equi-join for any salt assignment:
+    * every fact row meets every matching build row exactly once, in its
+    * own bucket (cold: bucket 0; hot: its salted bucket, where the
+    * replicated build row waits). Salt must be deterministic (hash of a
+    * row-identifying fact column, never rand()). */
+  def adaptiveSaltedJoin(fact: DataFrame, build: DataFrame,
+      keys: Seq[String], salt: Column, buckets: Int,
+      hotKeys: DataFrame): DataFrame = {
+    val hot = hotKeys.select(keys.map(col): _*).distinct()
+      .withColumn("__hot", lit(true))
+    val f = fact.join(broadcast(hot), keys, "left_outer")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(salt, lit(buckets)).cast("int")).otherwise(lit(0)))
+      .drop("__hot")
+    val b = build.join(broadcast(hot), keys, "left_outer")
+      .withColumn("__salt", explode(when(col("__hot"),
+        sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0)))))
+      .drop("__hot")
+    f.join(b, keys :+ "__salt").drop("__salt")
+  }
+
   /** R1: long -> wide pivot of a series triple table. `first(value)` matches
     * the reference's one-value-per-(date, series) contract
     * (`perustats/BCRP/utils.py:130-137`). Callers pass `seriesValues` when

@@ -504,6 +504,50 @@ object CoreQueries {
           FROM lineitem l JOIN d USING (l_returnflag)
           GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // j13: ADAPTIVE (partial) salted join — j9 at production cost, and
+    // the loop-closer for a14's skew profile: only the profiled hot keys
+    // (top-10 users by event count — deterministic, oracle-replayed)
+    // salt into 8 buckets and replicate build-side; the cold majority
+    // joins plain on salt 0, so the replication bill is |hot| × 8, not
+    // |build| × 8. The oracle IS the plain join (salting must be
+    // result-invisible), plus the hot-row mass per group so the row
+    // proves the adaptive split actually partitioned the data it
+    // claimed to.
+    "j13_adaptive_salted_join" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val dim = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+          .hint("shuffle_hash")
+        val hot = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("user_id")).limit(10)
+          .select(col("user_id"))
+        Relational.adaptiveSaltedJoin(
+            ev.select("user_id", "event_type", "value", "event_id"), dim,
+            Seq("user_id"), salt = xxhash64(col("event_id")), buckets = 8,
+            hotKeys = hot)
+          .join(broadcast(hot.withColumn("__h", lit(1))), Seq("user_id"),
+            "left_outer")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("facts"),
+            sum(dec(col("value"))).cast("double").as("value_sum"),
+            sum(coalesce(col("__h"), lit(0))).cast("long").as("hot_facts"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH dim AS (SELECT user_id, min(epoch_ns(ts)) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+          hot AS (SELECT user_id FROM (
+            SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+            ORDER BY c DESC, user_id LIMIT 10)),
+          j AS (SELECT e.event_type, e.value,
+              CASE WHEN e.user_id IN (SELECT user_id FROM hot) THEN 1
+                ELSE 0 END AS h
+            FROM events e JOIN dim d ON e.user_id = d.user_id)
+          SELECT event_type, count(*) AS facts,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+            CAST(sum(h) AS BIGINT) AS hot_facts
+          FROM j GROUP BY event_type ORDER BY event_type""")),
+
     // A4: keyed distinct.
     "a4_distinct" -> Q(
       (s, dir) => T(s, dir, "lineitem")

@@ -91,4 +91,41 @@ class RelationalSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 400) // 200 rows x 2 matching build rows
   }
+
+  test("adaptiveSaltedJoin == plain join; hot keys spread over buckets " +
+      "while cold keys stay on salt 0 (replication only where profiled)") {
+    import org.apache.spark.sql.functions._
+    // key 1 pathologically hot (180 of 200 rows); keys 2..6 cold
+    val fact = (1 to 200)
+      .map(i => (if (i <= 180) 1L else (i % 5) + 2L, i.toLong))
+      .toDF("k", "rid")
+    val build = (1L to 6L).map(k => (k, s"d$k")).toDF("k", "tag")
+    val hot = Seq(1L).toDF("k")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rid"), r.getAs[String]("tag"))).toSeq.sorted
+    val plain = rows(fact.join(build, Seq("k")))
+    val adaptive = rows(Relational.adaptiveSaltedJoin(fact, build,
+      Seq("k"), salt = xxhash64(col("rid")), buckets = 8, hotKeys = hot))
+    assert(adaptive == plain)
+    assert(adaptive.size == 200)
+    // degenerate profiles still agree with the plain join: nothing hot
+    // (pure plain path) and everything hot (uniform saltedJoin shape)
+    val noneHot = rows(Relational.adaptiveSaltedJoin(fact, build,
+      Seq("k"), xxhash64(col("rid")), 8, hot.filter(lit(false))))
+    assert(noneHot == plain)
+    val allHot = rows(Relational.adaptiveSaltedJoin(fact, build,
+      Seq("k"), xxhash64(col("rid")), 8, build.select(col("k"))))
+    assert(allHot == plain)
+    // the mechanism itself: hot fact rows actually spread over several
+    // buckets, cold fact rows all sit on salt 0
+    val salts = fact
+      .join(broadcast(hot.withColumn("__hot", lit(true))), Seq("k"),
+        "left_outer")
+      .withColumn("__salt", when(col("__hot"),
+        pmod(xxhash64(col("rid")), lit(8)).cast("int")).otherwise(lit(0)))
+    assert(salts.filter(col("k") === 1L).select("__salt")
+      .distinct().count() > 4, "hot key must fan out over buckets")
+    assert(salts.filter(col("k") =!= 1L).select("__salt")
+      .distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
 }
