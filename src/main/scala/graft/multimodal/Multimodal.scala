@@ -462,11 +462,15 @@ object Multimodal {
         val size = u32(off)
         require(size >= 8 && off + size <= end,
           s"corrupt box '${cc(off)}' (size $size) at $off in media $id")
+        def need(n: Int): Unit = require(size >= 8 + n,
+          s"box '${cc(off)}' at $off too small ($size) in media $id")
         cc(off) match {
-          case "ftyp" => brand = new String(b, off + 8, 4, "ISO-8859-1")
+          case "ftyp" => need(4)
+            brand = new String(b, off + 8, 4, "ISO-8859-1")
           case "moov" | "trak" => walk(off + 8, off + size.toInt)
-          case "mvhd" => ts = u32(off + 8 + 12); du = u32(off + 8 + 16)
-          case "tkhd" =>
+          case "mvhd" => need(20)
+            ts = u32(off + 8 + 12); du = u32(off + 8 + 16)
+          case "tkhd" => need(84)
             w = (u32(off + 8 + 76) >>> 16).toInt
             h = (u32(off + 8 + 80) >>> 16).toInt
           case "mdat" => md += size - 8

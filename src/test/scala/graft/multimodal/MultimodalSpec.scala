@@ -156,6 +156,12 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseMp4Sidecar(8L,
         Array[Byte](0, 0, 0, 8) ++ "free".getBytes("ISO-8859-1")))
     assert(err2.getMessage.contains("no mvhd"))
+    // a box whose fourcc promises a payload its size can't hold must
+    // fail the parse contract, not throw an array read
+    val err3 = intercept[IllegalArgumentException](
+      Multimodal.parseMp4Sidecar(9L,
+        Array[Byte](0, 0, 0, 8) ++ "mvhd".getBytes("ISO-8859-1")))
+    assert(err3.getMessage.contains("too small"))
   }
 
   test("probeVideoSidecar is the one pass that touches bytes: the " +
