@@ -1021,7 +1021,7 @@ object DedupQueries {
       (s, dir) => {
         import graft.streaming.Streams
         val e = T(s, dir, "embeddings")
-        val prefix = s"graft_st14_${dir.hashCode.abs}"
+        val prefix = s"graft_st14_${dirTag(dir)}"
         Similarity.buildIvfIndex(s, e.filter(col("vec_id") % 4 === 0),
           "vec_id", "embedding", k = 12, iters = 2,
           path = scratch("st14_ivf", dir), prefix = prefix)
@@ -1433,7 +1433,7 @@ object DedupQueries {
     "x14_ivfpq_persisted" -> Q(
       (s, dir) => {
         val e = T(s, dir, "embeddings")
-        val prefix = s"graft_x14_${dir.hashCode.abs}"
+        val prefix = s"graft_x14_${dirTag(dir)}"
         Similarity.buildIvfPqIndex(s, e, "vec_id", "embedding",
           dim = 64, subspaces = 8, coarseK = 12, codebookK = 16,
           path = scratch("x14_index", dir), prefix = prefix)
@@ -1521,9 +1521,8 @@ object DedupQueries {
       (s, dir) => {
         import graft.ops.{TextIndex, TextSearch}
         import org.apache.spark.sql.expressions.Window
-        val suffix = graft.functions.hashing.md5Long(dir).toHexString.take(8)
-        val tPrefix = s"graft_x15t_$suffix"
-        val vPrefix = s"graft_x15v_$suffix"
+        val tPrefix = s"graft_x15t_${dirTag(dir)}"
+        val vPrefix = s"graft_x15v_${dirTag(dir)}"
         TextIndex.buildIndex(s,
           spread(T(s, dir, "documents").select("doc_id", "text")),
           "doc_id", "text", path = scratch("x15_text_idx", dir),

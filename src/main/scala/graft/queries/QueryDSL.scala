@@ -24,8 +24,15 @@ object QueryDSL {
     * The input-dir hash suffix keeps two concurrent runs over different sf
     * dirs (the realistic overlap: Verify at sf0.01 while Bench runs sf0.1
     * on one checkout) from racing on a single directory. */
+  /** Collision-resistant tag for an input dir, safe in catalog table and
+    * streaming-query names. Replaces `dir.hashCode.abs`, whose Int range
+    * collides across sf dirs sharing a metastore and whose .abs is
+    * negative for Int.MinValue (an invalid identifier character). */
+  def dirTag(sfDir: String): String =
+    graft.functions.hashing.md5Long(sfDir).toHexString.take(8)
+
   def scratch(name: String, sfDir: String): String = {
-    val suffix = graft.functions.hashing.md5Long(sfDir).toHexString.take(8)
+    val suffix = dirTag(sfDir)
     val dir = new java.io.File("/root/repo/target/scratch", s"${name}_$suffix")
     dir.mkdirs()
     dir.getPath

@@ -20,7 +20,7 @@ object StreamPipelineQueries {
     // complete-mode output must equal the batch aggregate over the same data.
     "st1_stream_window" -> Q(
       (s, dir) => Streams
-        .runTumblingToMemory(s, dir, name = s"graft_st1_${dir.hashCode.abs}")
+        .runTumblingToMemory(s, dir, name = s"graft_st1_${dirTag(dir)}")
         .orderBy(col("window_start"), col("event_type")),
       Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
             AS window_start, event_type, count(*) AS cnt
@@ -50,7 +50,7 @@ object StreamPipelineQueries {
     // the batch distinct.
     "st3_stream_dedup" -> Q(
       (s, dir) => Streams
-        .dedupStreaming(s, dir, name = s"graft_st3_${dir.hashCode.abs}")
+        .dedupStreaming(s, dir, name = s"graft_st3_${dirTag(dir)}")
         .groupBy(col("lang")).agg(count(lit(1)).as("uniq_docs"))
         .orderBy(col("lang")),
       Some("""SELECT lang, count(*) AS uniq_docs FROM (
@@ -66,7 +66,7 @@ object StreamPipelineQueries {
     // data, the complete-mode drain invariant.
     "st5_stream_enrich" -> Q(
       (s, dir) => Streams
-        .enrichBySegmentStreaming(s, dir, name = s"graft_st5_${dir.hashCode.abs}")
+        .enrichBySegmentStreaming(s, dir, name = s"graft_st5_${dirTag(dir)}")
         .orderBy(col("c_mktsegment")),
       Some("""SELECT c_mktsegment, count(*) AS events,
             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
@@ -81,7 +81,7 @@ object StreamPipelineQueries {
     "st7_stream_stream_join" -> Q(
       (s, dir) => Streams
         .clickPurchaseJoinStreaming(s, dir,
-          name = s"graft_st7_${dir.hashCode.abs}")
+          name = s"graft_st7_${dirTag(dir)}")
         .groupBy(col("user_id")).agg(count(lit(1)).as("pairs"))
         .orderBy(col("user_id")),
       Some("""SELECT c.user_id, count(*) AS pairs
@@ -101,7 +101,7 @@ object StreamPipelineQueries {
     "st8_stream_lsh_candidates" -> Q(
       (s, dir) => Streams
         .lshCandidatesStreaming(s, dir,
-          name = s"graft_st8_${dir.hashCode.abs}")
+          name = s"graft_st8_${dirTag(dir)}")
         .distinct()
         .orderBy(col("a"), col("b")),
       Some(DedupQueries.sqlMinhashCandidates)),
@@ -117,7 +117,7 @@ object StreamPipelineQueries {
     "st9_stream_lsh_windowed" -> Q(
       (s, dir) => Streams
         .lshCandidatesStreamingWindowed(s, dir,
-          name = s"graft_st9_${dir.hashCode.abs}")
+          name = s"graft_st9_${dirTag(dir)}")
         .distinct()
         .orderBy(col("a"), col("b")),
       Some(DedupQueries.sqlMinhashCandidatesWithin(3))),
@@ -136,7 +136,7 @@ object StreamPipelineQueries {
         import graft.functions.hashing
         import graft.ops.DedupIndex
         val coin = hashing.h64(col("doc_id").cast("string")) % 10000
-        val prefix = s"graft_st10_${dir.hashCode.abs}"
+        val prefix = s"graft_st10_${dirTag(dir)}"
         DedupIndex.buildIndex(s, T(s, dir, "documents").filter(coin < 8000),
           "doc_id", "text", k = 3,
           maxBucketSize = DedupQueries.ProductionBucketCap,
@@ -167,7 +167,7 @@ object StreamPipelineQueries {
     // (restart-safe by construction).
     "st11_stream_incremental_dedup" -> Q(
       (s, dir) => {
-        val prefix = s"graft_st11_${dir.hashCode.abs}"
+        val prefix = s"graft_st11_${dirTag(dir)}"
         val idxPath = scratch("st11_index", dir)
         val outRoot = scratch("st11_out", dir)
         wipe(s"$outRoot/pairs"); wipe(s"$outRoot/pairs-ckpt")
@@ -190,7 +190,7 @@ object StreamPipelineQueries {
     "st12_stream_ann_probe" -> Q(
       (s, dir) => {
         import graft.ops.Similarity
-        val prefix = s"graft_st12_${dir.hashCode.abs}"
+        val prefix = s"graft_st12_${dirTag(dir)}"
         Similarity.buildIvfIndex(s, T(s, dir, "embeddings"), "vec_id",
           "embedding", k = 12, iters = 2,
           path = scratch("st12_ivf", dir), prefix = prefix)
@@ -218,7 +218,7 @@ object StreamPipelineQueries {
         wipe(s"$out/sk"); wipe(s"$out/sk-ckpt")
         val sketch = Streams.sketchStreaming(s, dir, s"$out/sk",
           depth = 4, width = 1024,
-          name = s"graft_st13_${dir.hashCode.abs}_sink")
+          name = s"graft_st13_${dirTag(dir)}_sink")
         val toks = T(s, dir, "documents")
           .select(explode(textstats.tokens(col("text"))).as("token"))
         val top = toks.groupBy(col("token"))
@@ -264,7 +264,7 @@ object StreamPipelineQueries {
                 col("l_quantity") >= 1 && col("l_quantity") <= 10, 1.0)),
             uniqueName = "line_pk_unique",
             keyCols = Seq("l_orderkey", "l_linenumber"),
-            name = s"graft_st17_${dir.hashCode.abs}")
+            name = s"graft_st17_${dirTag(dir)}")
           .withColumnRenamed("check", "check_name")
           .orderBy(col("check_name"))
       },
@@ -283,7 +283,7 @@ object StreamPipelineQueries {
         val out = scratch("st20_out", dir)
         wipe(s"$out/cnt"); wipe(s"$out/cnt-ckpt")
         val cnt = Streams.driftCountsStreaming(s, dir, s"$out/cnt",
-          name = s"graft_st20_${dir.hashCode.abs}")
+          name = s"graft_st20_${dirTag(dir)}")
         TextQueries.jsDivergenceTail(cnt).orderBy(col("lang"))
       },
       Some(TextQueries.sqlTokenDrift)),
@@ -319,7 +319,7 @@ object StreamPipelineQueries {
         Streams.compactingCommitStreaming(s, srcDir.getPath,
             s"$out/tbl", every = 2, targetFiles = 2,
             glob = "documents_*.parquet", maxFilesPerTrigger = 1,
-            name = s"graft_st19_${dir.hashCode.abs}")
+            name = s"graft_st19_${dirTag(dir)}")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("docs"),
             sum(col("n_chars")).as("chars"))
@@ -340,7 +340,7 @@ object StreamPipelineQueries {
         val out = scratch("st18_out", dir)
         wipe(s"$out/marks"); wipe(s"$out/marks-ckpt")
         Streams.wauStreaming(s, dir, s"$out/marks",
-            name = s"graft_st18_${dir.hashCode.abs}")
+            name = s"graft_st18_${dirTag(dir)}")
           .orderBy(col("day"))
       },
       Some(WindowAggQueries.sqlWau)),
@@ -359,7 +359,7 @@ object StreamPipelineQueries {
         wipe(s"$out/h"); wipe(s"$out/h-ckpt")
         Streams.histogramStreaming(s, dir, s"$out/h", "l_extendedprice",
             bins = 16, lo = 900.0, hi = 110000.0,
-            name = s"graft_st16_${dir.hashCode.abs}_sink")
+            name = s"graft_st16_${dirTag(dir)}_sink")
           .orderBy(col("bin"))
       },
       Some("""WITH b AS (SELECT
@@ -391,7 +391,7 @@ object StreamPipelineQueries {
         wipe(work)
         Streams.scdIngestStreaming(s, dir, work, "user_id", "value",
             where = col("user_id") < 40,
-            name = s"graft_st15_${dir.hashCode.abs}")
+            name = s"graft_st15_${dirTag(dir)}")
           .orderBy(col("user_id"), col("valid_from"))
       },
       Some(CoreQueries.sqlScdOneShot)),
@@ -413,7 +413,7 @@ object StreamPipelineQueries {
         wipe(s"$out/sk"); wipe(s"$out/ckpt")
         val approx = Streams.approxDistinctStreaming(s, dir,
           s"$out/sk", s"$out/ckpt",
-          name = s"graft_st22_${dir.hashCode.abs}")
+          name = s"graft_st22_${dirTag(dir)}")
         events(s, dir).groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_users"),
             count(lit(1)).as("cnt"))
@@ -444,7 +444,7 @@ object StreamPipelineQueries {
         wipe(s"$out/sk"); wipe(s"$out/ckpt")
         val merged = Streams.quantileSketchStreaming(s, dir,
           s"$out/sk", s"$out/ckpt",
-          name = s"graft_st23_${dir.hashCode.abs}")
+          name = s"graft_st23_${dirTag(dir)}")
         WindowAggQueries.kllRankAudit(s, dir, merged)
       },
       Some(WindowAggQueries.sqlKllQuantiles)),

@@ -225,7 +225,7 @@ object TextQueries {
     // share the band SQL fragments.
     "st4_stream_quality" -> Q(
       (s, dir) => graft.streaming.Streams
-        .qualityGateStreaming(s, dir, name = s"graft_st4_${dir.hashCode.abs}")
+        .qualityGateStreaming(s, dir, name = s"graft_st4_${dirTag(dir)}")
         .orderBy(col("band")),
       Some(
         s"""SELECT band, count(*) AS cnt, CAST(sum(ntok) AS BIGINT) AS tok_sum
@@ -501,11 +501,7 @@ object TextQueries {
     "t32_bm25_persisted" -> Q(
       (s, dir) => {
         import graft.ops.TextIndex
-        // md5-derived suffix (same derivation as QueryDSL.scratch): the
-        // Int hashCode it replaces could collide across sf dirs sharing a
-        // metastore, and .abs of Int.MinValue is negative
-        val prefix = "graft_t32_" +
-          graft.functions.hashing.md5Long(dir).toHexString.take(8)
+        val prefix = s"graft_t32_${dirTag(dir)}"
         TextIndex.buildIndex(s,
           spread(T(s, dir, "documents").select("doc_id", "lang", "text")),
           "doc_id", "text", path = scratch("t32_bm25_idx", dir),
@@ -529,8 +525,7 @@ object TextQueries {
       (s, dir) => {
         import graft.ops.TextIndex
         import graft.streaming.Streams
-        val prefix = "graft_st21_" +
-          graft.functions.hashing.md5Long(dir).toHexString.take(8)
+        val prefix = s"graft_st21_${dirTag(dir)}"
         val ckpt = scratch("st21_ckpt", dir)
         wipe(ckpt)
         Streams.textIndexIngestStreaming(s, dir,
