@@ -449,6 +449,26 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlKllQuantiles)),
 
+    // st24: STREAMING heavy hitters — a17's mergeable frequent-items
+    // contract in continuous form (the last sketch-streaming twin:
+    // st13 count-min, st16 histogram, st22 HLL, st23 KLL, st24 top-k):
+    // per micro-batch ONE ≤256-entry ItemsSketch partial appends (zero
+    // streaming state), the answer is one combine+estimate pass. In the
+    // no-purge regime sketch merge is exact counter addition, so the
+    // combined estimate equals the one-shot sketch's and st24 shares
+    // a17's oracle verbatim (est_ok earned from the real merged
+    // counts; deterministic re-sort in the audit, never the sketch).
+    "st24_stream_heavy_hitters" -> Q(
+      (s, dir) => {
+        val out = scratch("st24_out", dir)
+        wipe(s"$out/sk"); wipe(s"$out/ckpt")
+        val est = Streams.topKSketchStreaming(s, dir,
+          s"$out/sk", s"$out/ckpt",
+          name = s"graft_st24_${dirTag(dir)}")
+        WindowAggQueries.heavyHitterAudit(s, dir, est)
+      },
+      Some(WindowAggQueries.sqlHeavyHitters)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -132,6 +132,39 @@ object WindowAggQueries {
     }.reduce(_ unionByName _).orderBy(col("frac"))
   }
 
+  /** Heavy-hitter audit shared by a17 and st24: join a combined
+    * frequent-items estimate (`token`, `est`) onto the EXACT top-10
+    * tokens (count desc, token — a total order both engines replay;
+    * the sketch's own tie order between equal counts is arbitrary, so
+    * it must never pick the rows). The `est_ok` flag is earned from the
+    * real sketch counts: in the no-purge regime (corpus vocabulary ≪
+    * sketch capacity) a frequent-items sketch is EXACT, so the oracle
+    * claims TRUE — any purge-induced undercount or lost merge mass
+    * flips the hash red. SketchesSpec exercises the genuinely
+    * approximate purge regime (vocabulary ≫ capacity) offline, where
+    * the guarantee weakens to no-false-negatives + ε·N bounds. */
+  private[queries] def heavyHitterAudit(s: SparkSession, dir: String,
+      est: DataFrame): DataFrame = {
+    import graft.functions.textstats
+    val exact = spread(T(s, dir, "documents"))
+      .select(explode(textstats.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(10)
+    exact.join(est, Seq("token"), "left")
+      .select(col("token"), col("cnt"),
+        (col("est") <=> col("cnt")).as("est_ok"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  /** a17's oracle, and st24's verbatim: exact top-10 token counts
+    * replay in DuckDB, est_ok flags are claimed TRUE. */
+  private[queries] val sqlHeavyHitters: String =
+    s"""SELECT t AS token, cnt, TRUE AS est_ok FROM (
+        SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(${QueryDSL.sqlToks}) AS t FROM documents)
+        GROUP BY t ORDER BY cnt DESC, t LIMIT 10)
+      ORDER BY cnt DESC, token"""
+
   val defs: Map[String, Q] = Map(
 
     // A1: deterministic mode via the custom Aggregator (ties -> smallest
@@ -376,6 +409,41 @@ import org.apache.spark.sql.expressions.Window
         events(s, dir).select(col("value"))
           .agg(kll_sketch_agg_double(col("value"), 200).as("sk"))),
       Some(sqlKllQuantiles)),
+
+    // A17: frequent-items HEAVY HITTERS (Datasketches ItemsSketch via
+    // approx_top_k_accumulate/combine/estimate) — the top-k question
+    // a10's count-min answers only per probe key, solved as ONE bounded
+    // mergeable sketch: each shard (the per-executor/per-day shape)
+    // folds its token stream into a ≤256-item sketch, partials COMBINE
+    // associatively into the corpus answer — no token-keyed shuffle of
+    // the stream, the workflow that profiles a 100 TB corpus's
+    // vocabulary head from per-shard kilobytes. This corpus's 31-word
+    // vocabulary sits far under capacity, so the Misra-Gries purge
+    // never fires and every estimate is EXACT — which is what makes the
+    // row hash-checkable (est_ok earned from the real counts, per the
+    // a9/a15 bounded-flag pattern); SketchesSpec drives the purge
+    // regime (vocab ≫ capacity) and checks the weaker production
+    // guarantees there. The deterministic re-sort (cnt desc, token)
+    // happens HERE, never inside the sketch, because the sketch's
+    // ordering between tied counts is engine-private.
+    "a17_heavy_hitters" -> Q(
+      (s, dir) => {
+        import graft.functions.textstats
+        val toks = spread(T(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(textstats.tokens(col("text"))).as("token"))
+        val est = toks
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .groupBy(col("shard"))
+          .agg(expr("approx_top_k_accumulate(token, 256)").as("st"))
+          .agg(expr(
+            "approx_top_k_estimate(approx_top_k_combine(st, 256), 256)")
+            .as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("token"), col("e.count").as("est"))
+        heavyHitterAudit(s, dir, est)
+      },
+      Some(sqlHeavyHitters)),
 
     // A10: count-min sketch heavy hitters — the bounded-memory frequency
     // counter for key domains too large to count exactly (token streams,

@@ -652,6 +652,41 @@ object Streams {
       .agg(kll_merge_agg_double(col("sk"), k).as("sk"))
   }
 
+  /** STREAMING heavy hitters via persisted frequent-items partials —
+    * a17's mergeable top-k contract in continuous form: each micro-batch
+    * of documents tokenizes and folds into ONE ≤`maxItems`-entry
+    * Datasketches ItemsSketch row appended to a parquet partial table
+    * (zero streaming state), and the answer is one combine+estimate pass
+    * over the partials. In the no-purge regime (vocabulary ≪ capacity)
+    * sketch merge is exact counter addition, so the combined estimate
+    * EQUALS the one-shot sketch's (StreamingSpec asserts equality) —
+    * which is why st24 shares a17's oracle verbatim. Returns the
+    * estimate as (`token`, `est`) rows. */
+  def topKSketchStreaming(spark: SparkSession, dir: String,
+      outPath: String, checkpoint: String, maxItems: Int = 256,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st24"): DataFrame = {
+    import graft.functions.textstats
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(explode(textstats.tokens(col("text"))).as("token"))
+          .agg(expr(s"approx_top_k_accumulate(token, $maxItems)").as("st"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(outPath)
+      .agg(expr(s"approx_top_k_estimate(" +
+        s"approx_top_k_combine(st, $maxItems), $maxItems)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("est"))
+  }
+
   /** STREAMING SCD2 INGEST — the warehouse fold-in in continuous form:
     * each micro-batch of events merges into the persisted type-2
     * dimension via [[graft.ops.Scd.applyChanges]] (within-batch chains,

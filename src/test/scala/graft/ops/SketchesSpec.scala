@@ -156,4 +156,48 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(merged.getLong(1) - exactUsers) <= 0.05 * exactUsers,
       s"merged theta ${merged.getLong(1)} vs exact $exactUsers")
   }
+
+  test("frequent-items sketch (a17): exact in the no-purge regime; in " +
+    "the purge regime planted heavies survive with |err| <= 3.5*N/cap") {
+    import spark.implicits._
+    // no-purge regime — the corpus's 31-token vocabulary under a
+    // 256-capacity sketch: every estimate must EQUAL the exact count
+    // (the claim a17's est_ok hash row rides on)
+    val toks = corpusToks
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val noPurge = toks
+      .agg(expr(
+        "approx_top_k_estimate(approx_top_k_accumulate(token, 256), 256)")
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(noPurge == exact,
+      "under-capacity sketch must be exact counter addition")
+    // purge regime — 5005 distinct tokens under capacity 64: the
+    // Misra-Gries purge fires, and the production guarantees take over:
+    // items with freq > eps*N survive (no false negatives) and every
+    // surviving estimate sits within eps*N of truth, eps = 3.5/capacity
+    val heavies = (0 until 5).flatMap(h => Seq.fill(3000)(s"heavy_$h"))
+    val tail = (0 until 5000).flatMap(t => Seq.fill(2)(s"tail_$t"))
+    val stream = heavies ++ tail
+    val bound = 3.5 * stream.size / 64
+    assert(bound < 3000, "planted heavies must clear the error threshold")
+    val est = stream.toDF("token").repartition(8)
+      .agg(expr(
+        "approx_top_k_estimate(approx_top_k_accumulate(token, 64), 64)")
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.size <= 64)
+    for (h <- 0 until 5) {
+      val k = s"heavy_$h"
+      assert(est.contains(k),
+        s"$k (freq 3000 > eps*N = $bound) must survive every purge")
+      assert(math.abs(est(k) - 3000.0) <= bound,
+        s"$k estimate ${est(k)} drifted past the eps*N bound $bound")
+    }
+  }
 }

@@ -395,6 +395,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("st24 streaming frequent-items partials: combine of 4 micro-batch " +
+      "sketches estimates EXACTLY like the one-shot sketch (no-purge " +
+      "regime is counter addition)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val srcDir = Files.createTempDirectory("st24_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st24_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st24_out").toString
+    val merged = Streams.topKSketchStreaming(spark, srcDir.toString,
+        s"$out/sk", s"$out/ckpt", glob = "documents_*.parquet",
+        maxFilesPerTrigger = 1, name = "st24_spec_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the merge was actually exercised: one partial per micro-batch
+    assert(spark.read.parquet(s"$out/sk").count() >= 2,
+      "expected multi-batch partials")
+    val oneShot = docs
+      .select(explode(graft.functions.textstats.tokens(col("text")))
+        .as("token"))
+      .agg(expr(
+        "approx_top_k_estimate(approx_top_k_accumulate(token, 256), 256)")
+        .as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged == oneShot,
+      "combined partials must equal the one-shot sketch")
+    // and both equal the exact counts — the claim a17/st24's shared
+    // oracle hash-checks
+    val exact = docs
+      .select(explode(graft.functions.textstats.tokens(col("text")))
+        .as("token"))
+      .groupBy("token").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged == exact)
+  }
+
   test("st23 streaming KLL partials: 4-micro-batch merge holds the rank " +
       "bound at every audited fraction") {
     import org.apache.spark.sql.functions._
