@@ -58,17 +58,44 @@ object Manifest {
     if (vs.isEmpty) 0L else vs.max
   }
 
-  private def listed(tablePath: String, v: Long): Seq[String] = {
+  private def lines(tablePath: String, v: Long): Seq[String] = {
     val f = manifestFile(tablePath, v)
     require(Files.exists(f), s"version $v is not committed at $tablePath")
     Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
   }
 
+  private def listed(tablePath: String, v: Long): Seq[String] =
+    lines(tablePath, v).filterNot(_.startsWith("#"))
+
+  /** Table-relative parquet paths that ARE version `v` (newest version
+    * when omitted) — the file-level diff surface incremental readers
+    * ([[Materialize.filesAdded]]) build on. */
+  def files(tablePath: String, v: Long = -1L): Seq[String] =
+    listed(tablePath, if (v >= 0) v else version(tablePath))
+
+  /** Commit metadata recorded with version `v` (newest when omitted):
+    * the `#key=value` manifest lines. Published atomically WITH the
+    * version — a reader can never observe the version without its
+    * metadata (the property [[Materialize.refresh]]'s source watermark
+    * rides on). */
+  def meta(tablePath: String, v: Long = -1L): Map[String, String] =
+    lines(tablePath, if (v >= 0) v else version(tablePath))
+      .filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
-    * new ones. Returns the committed version number. */
+    * new ones. `meta` entries publish as `#key=value` manifest lines —
+    * atomic with the version itself. Returns the committed version
+    * number. */
   def commit(df: DataFrame, tablePath: String,
-      replace: Boolean = false): Long = {
+      replace: Boolean = false,
+      meta: Map[String, String] = Map.empty): Long = {
+    meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"invalid meta key '$k'"))
+    meta.values.foreach(v => require(!v.contains("\n"),
+      s"meta value may not span lines: '$v'"))
     val prev = version(tablePath)
     val next = prev + 1
     val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
@@ -76,8 +103,9 @@ object Manifest {
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
-    val lines = (if (replace || prev == 0) Seq.empty
-                 else listed(tablePath, prev)) ++ fresh
+    val lines = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+      (if (replace || prev == 0) Seq.empty
+       else listed(tablePath, prev)) ++ fresh
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(s".v$next.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

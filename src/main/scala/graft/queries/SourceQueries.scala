@@ -426,6 +426,57 @@ object SourceQueries {
              TRUE AS dropped_read_fails
            FROM orders""")),
 
+    // S20: INCREMENTAL MATERIALIZED-AGGREGATE REFRESH — the warehouse
+    // dashboard loop at 100 TB: when new data commits, fold ONLY the
+    // newly-added files into the materialized aggregate (scan ∝ the
+    // day's arrivals) instead of rescanning the corpus. Two event
+    // quarters commit and materialize, two more commit, and the second
+    // refresh folds exactly their 2 delta files (delta_only — a claimed
+    // constant the Spark side EARNS, the s19 pattern), then an idle
+    // refresh no-ops. Counts and DECIMAL masses fold associatively, so
+    // the incrementally-maintained aggregate must EQUAL the one-shot
+    // aggregate over everything — which is exactly what the oracle
+    // hash-checks. Crash safety: the source watermark is commit
+    // metadata of the aggregate version itself (one atomic manifest
+    // publish — no half-applied or double-applied delta state);
+    // ManifestSpec covers the combiner law, double-count protection,
+    // and the severed-lineage (replace commit) loud failure.
+    "s20_incremental_agg_refresh" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Materialize}
+        import org.apache.spark.sql.DataFrame
+        val src = scratch("s20_src", dir)
+        val agg = scratch("s20_agg", dir)
+        wipe(src); wipe(agg)
+        val ev = events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id"))
+        val partial = (df: DataFrame) => df.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("decimal(18,2)").as("mass"))
+        val merge = (df: DataFrame) => df.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("cnt"),
+            sum(col("mass")).cast("decimal(18,2)").as("mass"))
+        for (i <- 0 until 2)
+          Manifest.commit(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1), src)
+        Materialize.refresh(s, src, agg, partial, merge)
+        for (i <- 2 until 4)
+          Manifest.commit(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1), src)
+        val (_, deltaFiles) = Materialize.refresh(s, src, agg, partial, merge)
+        val (_, idleFiles) = Materialize.refresh(s, src, agg, partial, merge)
+        Manifest.read(s, agg)
+          .select(col("event_type"), col("cnt"),
+            col("mass").cast("double").as("value_mass"),
+            lit(deltaFiles == 2).as("delta_only"),
+            lit(idleFiles == 0).as("idle_noop"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass,
+          TRUE AS delta_only, TRUE AS idle_noop
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

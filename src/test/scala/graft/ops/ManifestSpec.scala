@@ -159,4 +159,77 @@ class ManifestSpec extends SparkSpec {
     assert(tableParquets(tbl).filter(_.contains("b000002")) == inflightFiles)
     intercept[IllegalArgumentException](Manifest.vacuum(tbl, 0))
   }
+
+  test("commit metadata publishes atomically with the version and reads " +
+    "back per version; invalid keys/values fail before any write") {
+    val tbl = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl, meta = Map("day" -> "2026-08-14"))
+    Manifest.commit(Seq(2).toDF("x"), tbl) // no meta
+    Manifest.commit(Seq(3).toDF("x"), tbl,
+      meta = Map("day" -> "2026-08-15", "src" -> "a=b")) // '=' in value ok
+    assert(Manifest.meta(tbl, 1L) == Map("day" -> "2026-08-14"))
+    assert(Manifest.meta(tbl, 2L) == Map.empty)
+    assert(Manifest.meta(tbl) == Map("day" -> "2026-08-15", "src" -> "a=b"))
+    // meta lines never leak into the file list
+    assert(Manifest.files(tbl).forall(_.endsWith(".parquet")))
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 3))
+    intercept[IllegalArgumentException](Manifest.commit(
+      Seq(4).toDF("x"), tbl, meta = Map("bad=key" -> "v")))
+    intercept[IllegalArgumentException](Manifest.commit(
+      Seq(4).toDF("x"), tbl, meta = Map("k" -> "two\nlines")))
+  }
+
+  test("Materialize.refresh: incremental folds equal a from-scratch " +
+    "recompute, scan only the delta, and never double-apply") {
+    val src = freshTable()
+    val agg = freshTable() + "_agg"
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(18,2)").as("m"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"),
+        sum(col("m")).cast("decimal(18,2)").as("m"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("g"), col("cnt"), col("m").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val day1 = Seq(("a", 1.5), ("b", 2.0), ("a", 3.0)).toDF("g", "v")
+    val day2 = Seq(("b", 4.25), ("c", 0.5)).toDF("g", "v")
+    Manifest.commit(day1.coalesce(1), src)
+    val (v1, d1) = Materialize.refresh(spark, src, agg, partial, merge)
+    assert(v1 == 1L && d1 == 1)
+    assert(Materialize.sourceVersion(agg) == 1L)
+    Manifest.commit(day2.coalesce(1), src)
+    val (v2, d2) = Materialize.refresh(spark, src, agg, partial, merge)
+    assert(v2 == 2L && d2 == 1, "second refresh must fold ONLY day2's file")
+    // combiner law on this instance: incremental == one-shot
+    assert(rows(Manifest.read(spark, agg)) ==
+      rows(merge(partial(day1.unionByName(day2)))))
+    // idle refresh is a no-op commit-wise
+    val (v3, d3) = Materialize.refresh(spark, src, agg, partial, merge)
+    assert(v3 == 2L && d3 == 0)
+    assert(Manifest.version(agg) == 2L, "no-op must not commit a version")
+    // pre-refresh aggregate versions stay readable (replace lineage)
+    assert(rows(Manifest.read(spark, agg, 1L)) ==
+      rows(merge(partial(day1))))
+  }
+
+  test("Materialize.refresh fails loudly when a replace commit severed " +
+    "the append lineage (folding would double-count)") {
+    val src = freshTable()
+    val agg = freshTable() + "_agg"
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+    Manifest.commit(Seq(("a", 1)).toDF("g", "v").coalesce(1), src)
+    Materialize.refresh(spark, src, agg, partial, merge)
+    // compaction rewrites the table: v1's files are no longer listed
+    Manifest.commit(Manifest.read(spark, src).coalesce(1), src,
+      replace = true)
+    val e = intercept[IllegalArgumentException](
+      Materialize.refresh(spark, src, agg, partial, merge))
+    assert(e.getMessage.contains("severed"))
+  }
 }
