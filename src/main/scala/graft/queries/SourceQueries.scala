@@ -17,6 +17,23 @@ object SourceQueries {
   // (QueryDSL.scratch/wipe, imported above): per-(name, input-dir)
   // isolation for concurrent runs.
 
+  /** The combiner pair s20 and st25 share (per-event-type count +
+    * DECIMAL value mass), satisfying the map-side-combine law
+    * Materialize.refresh requires; schema-stable across repeated folds
+    * (the sums re-cast to DECIMAL(18,2) so a twice-folded aggregate
+    * has the same schema as a fresh one). */
+  private[queries] val eventAggPartial
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("decimal(18,2)").as("mass"))
+
+  private[queries] val eventAggMerge
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => df.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("mass")).cast("decimal(18,2)").as("mass"))
+
   val defs: Map[String, Q] = Map(
 
     // S3: nested-JSON API response flatten — the BCRP shape
@@ -444,18 +461,13 @@ object SourceQueries {
     "s20_incremental_agg_refresh" -> Q(
       (s, dir) => {
         import graft.ops.{Manifest, Materialize}
-        import org.apache.spark.sql.DataFrame
         val src = scratch("s20_src", dir)
         val agg = scratch("s20_agg", dir)
         wipe(src); wipe(agg)
         val ev = events(s, dir)
           .select(col("event_type"), col("value"), col("event_id"))
-        val partial = (df: DataFrame) => df.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(dec(col("value"))).cast("decimal(18,2)").as("mass"))
-        val merge = (df: DataFrame) => df.groupBy(col("event_type"))
-          .agg(sum(col("cnt")).as("cnt"),
-            sum(col("mass")).cast("decimal(18,2)").as("mass"))
+        val partial = eventAggPartial
+        val merge = eventAggMerge
         for (i <- 0 until 2)
           Manifest.commit(
             ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1), src)

@@ -469,6 +469,41 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlHeavyHitters)),
 
+    // st25: STREAMING incremental aggregate maintenance — s20's
+    // refresh loop fused into the drain (the st19-for-materialized-
+    // views twin): each micro-batch commits atomically to the source
+    // Manifest table and folds into the materialized aggregate via
+    // Materialize.refresh, whose delta read touches ONLY that commit's
+    // files (watermark = commit metadata, advanced atomically with the
+    // fold — restart re-folds, never half/double-applies). Zero
+    // streaming state; the two manifest tables are the restart-safe
+    // state. Counts and DECIMAL masses fold associatively, so the
+    // maintained aggregate equals the one-shot aggregate over
+    // everything that streamed — the hash check. watermark_ok is the
+    // claimed lifecycle constant: the aggregate's recorded source
+    // watermark must equal the source's final version.
+    "st25_stream_agg_refresh" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Materialize}
+        val src = scratch("st25_src", dir)
+        val agg = scratch("st25_agg", dir)
+        val ckpt = scratch("st25_ckpt", dir)
+        wipe(src); wipe(agg); wipe(ckpt)
+        val folded = Streams.refreshingCommitStreaming(s, dir, src, agg,
+          SourceQueries.eventAggPartial, SourceQueries.eventAggMerge,
+          project = _.select(col("event_type"), col("value")),
+          checkpoint = ckpt, name = s"graft_st25_${dirTag(dir)}")
+        folded.select(col("event_type"), col("cnt"),
+            col("mass").cast("double").as("value_mass"),
+            lit(Materialize.sourceVersion(agg) == Manifest.version(src))
+              .as("watermark_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_mass,
+          TRUE AS watermark_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

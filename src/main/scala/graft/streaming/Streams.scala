@@ -966,6 +966,43 @@ object Streams {
     Manifest.read(spark, tablePath)
   }
 
+  /** STREAMING ingest + INCREMENTAL AGGREGATE MAINTENANCE — s20's
+    * refresh loop fused into the drain (the st19-for-materialized-views
+    * twin): each micro-batch lands as ONE atomic append commit to the
+    * source [[graft.ops.Manifest]] table and is immediately folded into
+    * the materialized aggregate by [[graft.ops.Materialize.refresh]],
+    * whose delta read touches ONLY that commit's files (the watermark
+    * advanced atomically with the previous fold — commit metadata, so a
+    * crash between commit and fold just re-folds the same delta on
+    * restart, never half- or double-applies it). ZERO streaming state:
+    * the two manifest tables ARE the restart-safe state. Under the
+    * map-side-combine law the folded aggregate EQUALS the one-shot
+    * aggregate over everything that streamed (StreamingSpec asserts it
+    * across 4 micro-batches), which is what the shared oracle
+    * hash-checks. Returns the final materialized aggregate. */
+  def refreshingCommitStreaming(spark: SparkSession, dir: String,
+      sourcePath: String, aggPath: String,
+      partial: DataFrame => DataFrame, merge: DataFrame => DataFrame,
+      project: DataFrame => DataFrame = identity,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st25"): DataFrame = {
+    import graft.ops.{Manifest, Materialize}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Manifest.commit(project(batch), sourcePath)
+        Materialize.refresh(batch.sparkSession, sourcePath, aggPath,
+          partial, merge)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, aggPath)
+  }
+
   /** STREAMING ingest with PERIODIC AUTO-COMPACTION —
     * [[commitStreaming]] plus [[graft.ops.Layout]]-style maintenance
     * folded into ONE continuous loop (the auto-OPTIMIZE every lakehouse

@@ -442,6 +442,63 @@ class StreamingSpec extends SparkSpec {
     assert(merged == exact)
   }
 
+  test("st25 streaming incremental aggregate maintenance: 4 micro-batch " +
+      "commit+refresh cycles == one-shot aggregate; watermark tracks the " +
+      "source head; every fold read only its own commit") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Materialize}
+    import graft.queries.QueryDSL
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val srcDir = Files.createTempDirectory("st25_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st25_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("st25_tbl").toString
+    val agg = Files.createTempDirectory("st25_agg").toString + "/m"
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("event_type")).agg(sum(col("cnt")).as("cnt"))
+    val folded = Streams.refreshingCommitStreaming(spark, srcDir.toString,
+        s"$tbl/src", agg, partial, merge,
+        project = _.select(col("event_type")),
+        glob = "events_*.parquet", maxFilesPerTrigger = 1,
+        checkpoint = s"$tbl/ckpt", name = "st25_spec_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // 4 micro-batches -> 4 source versions, 4 aggregate versions, and
+    // the watermark sits at the source head
+    assert(Manifest.version(s"$tbl/src") == 4L)
+    assert(Manifest.version(agg) == 4L)
+    assert(Materialize.sourceVersion(agg) == 4L)
+    // every fold read only its own commit's delta (1 coalesced file)
+    for (v <- 2L to 4L)
+      assert(Materialize.filesAdded(s"$tbl/src", v - 1, v).size == 1)
+    // maintained aggregate == one-shot over everything that streamed
+    val oneShot = QueryDSL.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(folded == oneShot)
+    // intermediate materializations stay readable: v2 == one-shot over
+    // the first two chunks (time travel on the aggregate table)
+    val v2 = Manifest.read(spark, agg, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val firstTwo = QueryDSL.events(spark, sf)
+      .filter(col("event_id") % 4 < 2)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v2 == firstTwo)
+  }
+
   test("st23 streaming KLL partials: 4-micro-batch merge holds the rank " +
       "bound at every audited fraction") {
     import org.apache.spark.sql.functions._
