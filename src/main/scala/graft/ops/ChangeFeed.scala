@@ -1,0 +1,181 @@
+package graft.ops
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CHANGE DATA FEED over [[Manifest]] tables — the row-level twin of
+  * [[Materialize]]'s file-level incrementality, and the contract every
+  * table format exposes for downstream consumers (Delta CDF / Iceberg
+  * changelog shape): "give me what changed between version v0 and v1"
+  * as tagged row images, so a downstream table can stay in sync at a
+  * cost proportional to the CHANGES, not the snapshot.
+  *
+  * Two regimes, picked per version step from the manifest file lists
+  * alone (driver-side metadata, no data read):
+  *
+  *  - APPEND commit (previous file list ⊆ current): the feed is exactly
+  *    the added files read as `insert` rows — scan ∝ arrivals, no join,
+  *    no key required. At 100 TB this is the hot path: ingest commits
+  *    are appends, and their CDC is free.
+  *  - REPLACE commit (lineage severed): the general row-level diff of
+  *    the two snapshots by primary key — one full-outer shuffle join
+  *    ([[snapshotDiff]]). That is the unavoidable price of snapshot-diff
+  *    CDC without write-time change recording; the payoff is that a
+  *    pure compaction (same rows, new layout — [[Layout.zOrderWrite]] /
+  *    s17) diffs to an EMPTY feed, which is semantically exactly right:
+  *    OPTIMIZE changes no data, so consumers see nothing.
+  *
+  * Change types follow the Delta CDF vocabulary: `insert`, `delete`,
+  * `update_preimage`, `update_postimage` (an updated key emits both
+  * images). Unchanged rows emit nothing.
+  */
+object ChangeFeed {
+
+  /** Change-type tag column added to every feed row. */
+  val TypeCol = "_change_type"
+
+  /** Committed version a feed row belongs to. */
+  val VersionCol = "_commit_version"
+
+  private def resolve(tablePath: String, rels: Seq[String]): Seq[String] =
+    rels.map(rel => Paths.get(tablePath).resolve(rel).toString)
+
+  /** Row-level diff of two same-schema snapshots by primary key —
+    * ONE full-outer join on `keyCols` (null-safe), one pass, codegen:
+    * key only in `nu` → `insert` (new image); key only in `old` →
+    * `delete` (old image); key in both with any non-key column
+    * differing (null-safe compare) → `update_preimage` (old image) +
+    * `update_postimage` (new image); identical rows emit nothing.
+    * Returns ([[TypeCol]], table columns…). */
+  def snapshotDiff(old: DataFrame, nu: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val cols = nu.columns.toSeq
+    require(old.columns.sorted.toSeq == cols.sorted,
+      s"snapshot schemas differ: [${old.columns.sorted.mkString(",")}] " +
+        s"vs [${cols.sorted.mkString(",")}]")
+    keyCols.foreach(k => require(cols.contains(k), s"missing key col $k"))
+    val dataCols = cols.filterNot(keyCols.contains)
+    val o = old.select(cols.map(col): _*)
+      .withColumn("_o_present", lit(true)).alias("o")
+    val n = nu.withColumn("_n_present", lit(true)).alias("n")
+    val onKeys = keyCols.map(k => col(s"o.$k") <=> col(s"n.$k"))
+      .reduce(_ && _)
+    val oldP = col("o._o_present").isNotNull
+    val newP = col("n._n_present").isNotNull
+    val changed = dataCols.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val oRow = struct(cols.map(c => col(s"o.$c").as(c)): _*)
+    val nRow = struct(cols.map(c => col(s"n.$c").as(c)): _*)
+    def tag(t: String, row: Column): Column =
+      struct(lit(t).as(TypeCol), row.as("row"))
+    // when-chain with no otherwise: identical rows fall through to NULL,
+    // and explode(NULL) emits zero rows — the unchanged case costs nothing
+    // downstream of the join.
+    o.join(n, onKeys, "full_outer")
+      .select(explode(
+        when(!oldP, array(tag("insert", nRow)))
+          .when(!newP, array(tag("delete", oRow)))
+          .when(changed, array(tag("update_preimage", oRow),
+            tag("update_postimage", nRow)))).as("c"))
+      .select((col(s"c.$TypeCol") +: cols.map(c => col(s"c.row.$c"))): _*)
+  }
+
+  /** The change feed of `tablePath` for versions (`sinceVersion`,
+    * `toVersion`] (newest when omitted): one tagged frame
+    * ([[VersionCol]], [[TypeCol]], table columns…). Append steps read
+    * only their added files and need no key; a replace step requires
+    * `keyCols` for the row-level diff and fails loudly without them. */
+  def changes(spark: SparkSession, tablePath: String, sinceVersion: Long,
+      toVersion: Long = -1L, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val v1 = if (toVersion >= 0) toVersion else Manifest.version(tablePath)
+    require(sinceVersion >= 0 && sinceVersion < v1,
+      s"need 0 <= since < to; got since=$sinceVersion to=$v1 at $tablePath")
+    val steps = ((sinceVersion + 1) to v1).flatMap { v =>
+      val prev =
+        if (v == 1) Set.empty[String]
+        else Manifest.files(tablePath, v - 1).toSet
+      val cur = Manifest.files(tablePath, v)
+      val feed =
+        if (prev.subsetOf(cur.toSet)) { // append: feed = added files
+          val added = cur.filterNot(prev.contains)
+          if (added.isEmpty) None
+          else Some(spark.read.parquet(resolve(tablePath, added): _*)
+            .withColumn(TypeCol, lit("insert")))
+        } else { // replace: row-level snapshot diff
+          require(keyCols.nonEmpty, s"version $v of $tablePath is a " +
+            "replace commit — row-level CDC needs keyCols")
+          Some(snapshotDiff(Manifest.read(spark, tablePath, v - 1),
+            Manifest.read(spark, tablePath, v), keyCols))
+        }
+      feed.map(_.withColumn(VersionCol, lit(v)))
+    }
+    require(steps.nonEmpty, s"no data files in ($sinceVersion, $v1]")
+    val f = steps.reduce(_ unionByName _)
+    f.select((col(VersionCol) +: col(TypeCol) +:
+      f.columns.filterNot(Set(VersionCol, TypeCol)).map(col).toSeq): _*)
+  }
+
+  /** Source version the newest replica commit has applied through;
+    * 0 when the replica has never been synced. */
+  def replicaSourceVersion(replicaPath: String): Long =
+    if (Manifest.version(replicaPath) == 0) 0L
+    else Manifest.meta(replicaPath).getOrElse("source_version", "0").toLong
+
+  /** Keep a DERIVED downstream table in sync with a source [[Manifest]]
+    * table by applying its change feed — the production shape for
+    * "maintain `clicks_only` next to `events` at 100 TB": each source
+    * append applies as an append of `transform`(added rows) (scan ∝
+    * arrivals, no join); a source replace applies as one key-based
+    * merge (anti-join out deleted/updated keys, union in transformed
+    * inserts/postimages). `transform` must be ROW-WISE (filter /
+    * project) and must retain `keyCols`, so it commutes with the
+    * key-based merge. One replica commit per source version, with the
+    * applied source version as commit metadata — the same atomic
+    * watermark contract as [[Materialize.refresh]], so an interrupted
+    * sync resumes at the exact version it reached, never half- or
+    * double-applying a step. Returns (replica version, steps applied);
+    * idle sync is a no-op returning 0 steps. */
+  def syncReplica(spark: SparkSession, sourcePath: String,
+      replicaPath: String, keyCols: Seq[String],
+      transform: DataFrame => DataFrame = identity): (Long, Int) = {
+    val v0 = replicaSourceVersion(replicaPath)
+    val v1 = Manifest.version(sourcePath)
+    require(v1 > 0, s"no committed version at $sourcePath")
+    var applied = 0
+    for (v <- (v0 + 1) to v1) {
+      val prev =
+        if (v == 1) Set.empty[String]
+        else Manifest.files(sourcePath, v - 1).toSet
+      val cur = Manifest.files(sourcePath, v)
+      val meta = Map("source_version" -> v.toString)
+      if (prev.subsetOf(cur.toSet)) {
+        val added = cur.filterNot(prev.contains)
+        val ins =
+          if (added.isEmpty) transform(
+            Manifest.read(spark, sourcePath, v).limit(0))
+          else transform(
+            spark.read.parquet(resolve(sourcePath, added): _*))
+        Manifest.commit(ins, replicaPath, meta = meta)
+      } else {
+        val feed = snapshotDiff(
+          Manifest.read(spark, sourcePath, v - 1),
+          Manifest.read(spark, sourcePath, v), keyCols)
+        val removed = feed
+          .where(col(TypeCol).isin("delete", "update_preimage"))
+          .select(keyCols.map(col): _*)
+        val upserts = transform(feed
+          .where(col(TypeCol).isin("insert", "update_postimage"))
+          .drop(TypeCol))
+        val kept = Manifest.read(spark, replicaPath)
+          .join(removed, keyCols, "left_anti")
+        Manifest.commit(kept.unionByName(upserts), replicaPath,
+          replace = true, meta = meta)
+      }
+      applied += 1
+    }
+    (Manifest.version(replicaPath), applied)
+  }
+}

@@ -489,6 +489,136 @@ object SourceQueries {
           TRUE AS delta_only, TRUE AS idle_noop
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // S21: CHANGE DATA FEED — the row-level twin of s20's file-level
+    // incrementality (the Delta CDF / Iceberg changelog contract): two
+    // append commits land event quarters, then a replace commit rewrites
+    // the snapshot with planted deletes (value < 20 dropped), updates
+    // (click values +100) and inserts (the third quarter). The feed must
+    // tag each version's row images exactly: appends read ONLY their
+    // added files as inserts (no join, no key — scan ∝ arrivals), the
+    // replace diffs the two snapshots by primary key in ONE full-outer
+    // join, and an updated key emits BOTH images. The oracle replays the
+    // planted history from the base table, so a missed delete, a
+    // double-counted insert, or an unchanged row leaking into the feed
+    // flips the row red.
+    "s21_table_cdc" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Manifest}
+        val tbl = scratch("s21_table", dir)
+        wipe(tbl)
+        val ev = events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        for (i <- 0 until 2)
+          Manifest.commit(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1), tbl)
+        val next = Manifest.read(s, tbl)
+          .filter(col("value") >= 20)
+          .withColumn("value",
+            when(col("event_type") === "click", col("value") + 100)
+              .otherwise(col("value")))
+          .unionByName(ev.filter(pmod(col("event_id"), lit(4)) === 2))
+        Manifest.commit(next, tbl, replace = true)
+        ChangeFeed.changes(s, tbl, sinceVersion = 0L,
+            keyCols = Seq("event_id"))
+          .groupBy(col(ChangeFeed.VersionCol).as("commit_version"),
+            col(ChangeFeed.TypeCol).as("change_type"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("value_mass"))
+          .orderBy(col("commit_version"), col("change_type"),
+            col("event_type"))
+      },
+      Some(
+        """WITH old AS (SELECT event_id, event_type, value FROM events
+               WHERE event_id % 4 IN (0, 1)),
+             feed AS (
+               SELECT 1 AS commit_version, 'insert' AS change_type,
+                   event_type, value
+                 FROM events WHERE event_id % 4 = 0
+               UNION ALL
+               SELECT 2, 'insert', event_type, value
+                 FROM events WHERE event_id % 4 = 1
+               UNION ALL
+               SELECT 3, 'insert', event_type, value
+                 FROM events WHERE event_id % 4 = 2
+               UNION ALL
+               SELECT 3, 'delete', event_type, value
+                 FROM old WHERE value < 20
+               UNION ALL
+               SELECT 3, 'update_preimage', event_type, value
+                 FROM old WHERE value >= 20 AND event_type = 'click'
+               UNION ALL
+               SELECT 3, 'update_postimage', event_type, value + 100
+                 FROM old WHERE value >= 20 AND event_type = 'click')
+           SELECT CAST(commit_version AS BIGINT) AS commit_version,
+             change_type, event_type,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS value_mass
+           FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // S22: CDC REPLICA SYNC — maintain a DERIVED downstream table (the
+    // clicks-only replica) by APPLYING s21's change feed, the
+    // Materialize.refresh contract at row granularity: source appends
+    // apply as appends of the transformed arrivals (no join), the
+    // replace applies as ONE key-based merge, the applied source version
+    // rides as atomic commit metadata, and an idle sync no-ops. The
+    // maintained replica must EQUAL the transform of the final snapshot
+    // — which is exactly what the oracle hash-checks — and the step
+    // counts are claimed constants the Spark side EARNS from the real
+    // sync loop (the s19/s20 pattern).
+    "s22_cdc_replica_sync" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Manifest}
+        val src = scratch("s22_src", dir)
+        val rep = scratch("s22_replica", dir)
+        wipe(src); wipe(rep)
+        val ev = events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val clicksOnly =
+          (df: org.apache.spark.sql.DataFrame) =>
+            df.filter(col("event_type") === "click")
+        for (i <- 0 until 2)
+          Manifest.commit(
+            ev.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1), src)
+        val (_, firstSteps) = ChangeFeed.syncReplica(s, src, rep,
+          keyCols = Seq("event_id"), transform = clicksOnly)
+        val next = Manifest.read(s, src)
+          .filter(col("value") >= 20)
+          .withColumn("value",
+            when(col("event_type") === "click", col("value") + 100)
+              .otherwise(col("value")))
+          .unionByName(ev.filter(pmod(col("event_id"), lit(4)) === 2))
+        Manifest.commit(next, src, replace = true)
+        val (_, secondSteps) = ChangeFeed.syncReplica(s, src, rep,
+          keyCols = Seq("event_id"), transform = clicksOnly)
+        val (_, idleSteps) = ChangeFeed.syncReplica(s, src, rep,
+          keyCols = Seq("event_id"), transform = clicksOnly)
+        Manifest.read(s, rep)
+          .agg(count(lit(1)).as("clicks"),
+            sum(dec(col("value"))).cast("double").as("click_mass"))
+          .select(col("clicks"), col("click_mass"),
+            lit(firstSteps == 2).as("appends_applied"),
+            lit(secondSteps == 1).as("replace_applied"),
+            lit(idleSteps == 0).as("idle_noop"))
+      },
+      Some(
+        """WITH old AS (SELECT event_id, event_type, value FROM events
+               WHERE event_id % 4 IN (0, 1)),
+             snap AS (
+               SELECT event_id, event_type,
+                   CASE WHEN event_type = 'click' THEN value + 100
+                        ELSE value END AS value
+                 FROM old WHERE value >= 20
+               UNION ALL
+               SELECT event_id, event_type, value
+                 FROM events WHERE event_id % 4 = 2)
+           SELECT CAST(count(*) AS BIGINT) AS clicks,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS click_mass,
+             TRUE AS appends_applied, TRUE AS replace_applied,
+             TRUE AS idle_noop
+           FROM snap WHERE event_type = 'click'""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.
