@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object ChangeFeed {
 
+  /** Commit-metadata key a writer sets to `"false"` on a LAYOUT-ONLY
+    * replace (compaction / re-clustering: same rows, new files) — the
+    * Delta `dataChange=false` contract. Flagged commits are skipped by
+    * [[changes]] and [[syncReplica]] without reading any data; an
+    * UNFLAGGED replace still self-identifies as a no-op through the
+    * snapshot diff, just at the price of the join. */
+  val DataChangeKey = "data_change"
+
   /** Change-type tag column added to every feed row. */
   val TypeCol = "_change_type"
 
@@ -98,8 +106,11 @@ object ChangeFeed {
         if (v == 1) Set.empty[String]
         else Manifest.files(tablePath, v - 1).toSet
       val cur = Manifest.files(tablePath, v)
+      val layoutOnly = Manifest.meta(tablePath, v)
+        .get(DataChangeKey).contains("false")
       val feed =
-        if (prev.subsetOf(cur.toSet)) { // append: feed = added files
+        if (layoutOnly) None // writer-flagged compaction: no changes
+        else if (prev.subsetOf(cur.toSet)) { // append: feed = added files
           val added = cur.filterNot(prev.contains)
           if (added.isEmpty) None
           else Some(spark.read.parquet(resolve(tablePath, added): _*)
@@ -112,8 +123,12 @@ object ChangeFeed {
         }
       feed.map(_.withColumn(VersionCol, lit(v)))
     }
-    require(steps.nonEmpty, s"no data files in ($sinceVersion, $v1]")
-    val f = steps.reduce(_ unionByName _)
+    // a range holding only flagged compactions / empty appends is a
+    // legitimate EMPTY feed, not an error
+    val f = steps.reduceOption(_ unionByName _).getOrElse(
+      Manifest.read(spark, tablePath, v1).limit(0)
+        .withColumn(TypeCol, lit("insert"))
+        .withColumn(VersionCol, lit(v1)))
     f.select((col(VersionCol) +: col(TypeCol) +:
       f.columns.filterNot(Set(VersionCol, TypeCol)).map(col).toSeq): _*)
   }
@@ -130,7 +145,10 @@ object ChangeFeed {
     * append applies as an append of `transform`(added rows) (scan ∝
     * arrivals, no join); a source replace applies as one key-based
     * merge (anti-join out deleted/updated keys, union in transformed
-    * inserts/postimages). `transform` must be ROW-WISE (filter /
+    * inserts/postimages) — unless the replace diffs to an EMPTY feed
+    * (a pure compaction), which advances the watermark with a
+    * zero-row append so routine upstream OPTIMIZE never rewrites the
+    * replica. `transform` must be ROW-WISE (filter /
     * project) and must retain `keyCols`, so it commutes with the
     * key-based merge. One replica commit per source version, with the
     * applied source version as commit metadata — the same atomic
@@ -151,7 +169,15 @@ object ChangeFeed {
         else Manifest.files(sourcePath, v - 1).toSet
       val cur = Manifest.files(sourcePath, v)
       val meta = Map("source_version" -> v.toString)
-      if (prev.subsetOf(cur.toSet)) {
+      val layoutOnly = Manifest.meta(sourcePath, v)
+        .get(DataChangeKey).contains("false")
+      if (layoutOnly) {
+        // writer-flagged compaction: trust the flag — advance the
+        // watermark with a zero-row append; no diff, no row data read
+        Manifest.commit(
+          transform(Manifest.read(spark, sourcePath, v)).limit(0),
+          replicaPath, meta = meta)
+      } else if (prev.subsetOf(cur.toSet)) {
         val added = cur.filterNot(prev.contains)
         val ins =
           if (added.isEmpty) transform(
@@ -162,17 +188,30 @@ object ChangeFeed {
       } else {
         val feed = snapshotDiff(
           Manifest.read(spark, sourcePath, v - 1),
-          Manifest.read(spark, sourcePath, v), keyCols)
-        val removed = feed
-          .where(col(TypeCol).isin("delete", "update_preimage"))
-          .select(keyCols.map(col): _*)
-        val upserts = transform(feed
-          .where(col(TypeCol).isin("insert", "update_postimage"))
-          .drop(TypeCol))
-        val kept = Manifest.read(spark, replicaPath)
-          .join(removed, keyCols, "left_anti")
-        Manifest.commit(kept.unionByName(upserts), replicaPath,
-          replace = true, meta = meta)
+          Manifest.read(spark, sourcePath, v), keyCols).persist()
+        try {
+          if (feed.isEmpty) {
+            // pure compaction upstream (OPTIMIZE: same rows, new
+            // layout) — the routine replace at 100 TB. Nothing
+            // changed, so advance the watermark with a zero-row
+            // APPEND, leaving the replica's files untouched instead
+            // of rewriting the whole replica.
+            Manifest.commit(
+              transform(Manifest.read(spark, sourcePath, v)).limit(0),
+              replicaPath, meta = meta)
+          } else {
+            val removed = feed
+              .where(col(TypeCol).isin("delete", "update_preimage"))
+              .select(keyCols.map(col): _*)
+            val upserts = transform(feed
+              .where(col(TypeCol).isin("insert", "update_postimage"))
+              .drop(TypeCol))
+            val kept = Manifest.read(spark, replicaPath)
+              .join(removed, keyCols, "left_anti")
+            Manifest.commit(kept.unionByName(upserts), replicaPath,
+              replace = true, meta = meta)
+          }
+        } finally { feed.unpersist(); () }
       }
       applied += 1
     }

@@ -504,6 +504,45 @@ object StreamPipelineQueries {
           TRUE AS watermark_ok
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // st26: STREAMING CDC REPLICA — st25's row-level twin (s22 fused
+    // into the drain): each micro-batch commits atomically to the
+    // source Manifest table, then auto-compacts it (compactEvery=1,
+    // published with the data_change=false writer flag), then
+    // ChangeFeed.syncReplica applies the feed to the clicks-only
+    // replica — appends apply join-free (cost ∝ batch), and the
+    // flagged compactions are skipped WITHOUT a diff, which is how
+    // OPTIMIZE traffic must vanish for CDC consumers at 100 TB. Zero
+    // streaming state; the maintained replica must equal the one-shot
+    // filter of everything that streamed (the hash check), and
+    // watermark_ok pins the replica's applied source version to the
+    // source head — compacted versions included.
+    "st26_stream_cdc_replica" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Manifest}
+        val src = scratch("st26_src", dir)
+        val rep = scratch("st26_rep", dir)
+        val ckpt = scratch("st26_ckpt", dir)
+        wipe(src); wipe(rep); wipe(ckpt)
+        val replica = Streams.replicatingCommitStreaming(s, dir, src, rep,
+          keyCols = Seq("event_id"),
+          transform = _.filter(col("event_type") === "click"),
+          project = _.select(col("event_id"), col("event_type"),
+            col("value")),
+          compactEvery = 1,
+          checkpoint = ckpt, name = s"graft_st26_${dirTag(dir)}")
+        replica
+          .agg(count(lit(1)).as("clicks"),
+            sum(dec(col("value"))).cast("double").as("click_mass"))
+          .select(col("clicks"), col("click_mass"),
+            lit(ChangeFeed.replicaSourceVersion(rep) ==
+              Manifest.version(src)).as("watermark_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS clicks,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            AS click_mass,
+          TRUE AS watermark_ok
+        FROM events WHERE event_type = 'click'""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -1003,6 +1003,53 @@ object Streams {
     Manifest.read(spark, aggPath)
   }
 
+  /** STREAMING ingest + CDC REPLICA MAINTENANCE — the row-level twin of
+    * [[refreshingCommitStreaming]] (st26 = st25 for DERIVED TABLES):
+    * each micro-batch lands as ONE atomic append commit on the source
+    * [[graft.ops.Manifest]] table and is immediately applied to the
+    * downstream replica by [[graft.ops.ChangeFeed.syncReplica]] — an
+    * append-only feed, so every apply is a join-free append of
+    * `transform`(batch) and per-batch cost is ∝ the batch. Every
+    * `compactEvery` batches the source ALSO auto-compacts (the st19
+    * maintenance loop), publishing the replace with the
+    * `data_change=false` writer flag — so the sync skips it without a
+    * diff, exactly how OPTIMIZE traffic must vanish for CDC consumers
+    * at 100 TB. ZERO streaming state: both manifest tables are the
+    * restart-safe state, and the per-version watermark metadata makes
+    * crash recovery resume at the exact source version reached.
+    * Returns the final replica. */
+  def replicatingCommitStreaming(spark: SparkSession, dir: String,
+      sourcePath: String, replicaPath: String, keyCols: Seq[String],
+      transform: DataFrame => DataFrame,
+      project: DataFrame => DataFrame = identity,
+      compactEvery: Int = 0, targetFiles: Int = 2,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st26"): DataFrame = {
+    import graft.ops.{ChangeFeed, Manifest}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        Manifest.commit(project(batch), sourcePath)
+        if (compactEvery > 0 &&
+            batches.incrementAndGet() % compactEvery == 0)
+          Manifest.commit(
+            Manifest.read(bs, sourcePath).coalesce(targetFiles),
+            sourcePath, replace = true,
+            meta = Map(ChangeFeed.DataChangeKey -> "false"))
+        ChangeFeed.syncReplica(bs, sourcePath, replicaPath, keyCols,
+          transform)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, replicaPath)
+  }
+
   /** STREAMING ingest with PERIODIC AUTO-COMPACTION —
     * [[commitStreaming]] plus [[graft.ops.Layout]]-style maintenance
     * folded into ONE continuous loop (the auto-OPTIMIZE every lakehouse

@@ -74,6 +74,26 @@ class ChangeFeedSpec extends SparkSpec {
       (4L, "update_postimage", 2L), (4L, "insert", 4L)))
   }
 
+  test("data_change=false flagged replace: changes() skips it with no " +
+    "key and no diff; syncReplica advances the watermark key-free") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    Manifest.commit(Manifest.read(spark, tbl).repartition(1), tbl,
+      replace = true, meta = Map(ChangeFeed.DataChangeKey -> "false"))
+    Manifest.commit(Seq((3L, "c")).toDF("id", "v"), tbl)
+    // no keyCols anywhere: the flagged replace never reaches the diff
+    val feed = ChangeFeed.changes(spark, tbl, sinceVersion = 0L)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(ChangeFeed.changes(spark, tbl, sinceVersion = 1L,
+      toVersion = 2L).count() == 0L, "flagged range must be empty")
+    val rep = freshTable() + "/replica"
+    assert(ChangeFeed.syncReplica(spark, tbl, rep,
+      keyCols = Seq.empty) == (3L, 3))
+    assert(Manifest.read(spark, rep).as[(Long, String)].collect()
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("syncReplica: filtered replica tracks appends incrementally, " +
     "survives a replace via one key-merge, resumes idempotently, and " +
     "always equals transform(snapshot)") {
@@ -104,5 +124,16 @@ class ChangeFeedSpec extends SparkSpec {
     assert(replica == oneShot)
     assert(Manifest.read(spark, rep, 1L).as[(Long, Int)].collect()
       .sorted.toSeq == Seq((2L, 20)))
+    // a pure source compaction advances the watermark WITHOUT
+    // rewriting the replica: its file list must be carried forward
+    val filesBefore = Manifest.files(rep).toSet
+    Manifest.commit(Manifest.read(spark, src).repartition(1), src,
+      replace = true)
+    assert(sync() == (4L, 1))
+    assert(ChangeFeed.replicaSourceVersion(rep) == 4L)
+    assert(filesBefore.subsetOf(Manifest.files(rep).toSet),
+      "compaction sync must not rewrite replica files")
+    assert(Manifest.read(spark, rep).as[(Long, Int)].collect().sorted
+      .toSeq == oneShot)
   }
 }

@@ -499,6 +499,60 @@ class StreamingSpec extends SparkSpec {
     assert(v2 == firstTwo)
   }
 
+  test("st26 streaming CDC replica: 4 micro-batches with mid-stream " +
+      "flagged compactions == one-shot filter; compactions skipped " +
+      "without rewriting the replica; watermark tracks the source head") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ChangeFeed, Manifest}
+    import graft.queries.QueryDSL
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val srcDir = Files.createTempDirectory("st26_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st26_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("st26_tbl").toString
+    val rep = s"$tbl/replica"
+    val replica = Streams.replicatingCommitStreaming(spark,
+        srcDir.toString, s"$tbl/src", rep,
+        keyCols = Seq("event_id"),
+        transform = _.filter(col("event_type") === "click"),
+        project = _.select(col("event_id"), col("event_type"),
+          col("value")),
+        compactEvery = 2,
+        glob = "events_*.parquet", maxFilesPerTrigger = 1,
+        checkpoint = s"$tbl/ckpt", name = "st26_spec_sink")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    // 4 appends + 2 flagged compactions = 6 source versions, all
+    // applied: one replica commit per source version, watermark at head
+    assert(Manifest.version(s"$tbl/src") == 6L)
+    assert(Manifest.version(rep) == 6L)
+    assert(ChangeFeed.replicaSourceVersion(rep) == 6L)
+    // the final compaction left the source at targetFiles files
+    assert(Manifest.files(s"$tbl/src").size == 2)
+    // compaction steps appended ZERO rows to the replica (its lineage
+    // is append-only: every earlier file list is carried forward)
+    for (v <- 1L until 6L)
+      assert(Manifest.files(rep, v).toSet
+        .subsetOf(Manifest.files(rep, v + 1).toSet),
+        s"replica v${v + 1} rewrote files")
+    // maintained replica == one-shot filter over everything streamed
+    val oneShot = QueryDSL.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(replica == oneShot)
+  }
+
   test("st23 streaming KLL partials: 4-micro-batch merge holds the rank " +
       "bound at every audited fraction") {
     import org.apache.spark.sql.functions._
