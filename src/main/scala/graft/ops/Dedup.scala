@@ -68,10 +68,21 @@ object Dedup {
 
   /** LSH banding: (id, band, bandKey) — documents sharing a full band of
     * Rows consecutive signature values land in the same bucket. */
-  def lshBands(signatures: DataFrame): DataFrame = {
-    val bandStructs = (0 until hashing.Bands).map { b =>
-      val ks = (b * hashing.Rows until (b + 1) * hashing.Rows)
-        .map(j => col(s"m$j"))
+  def lshBands(signatures: DataFrame): DataFrame =
+    lshBandsConfig(signatures, hashing.Bands, hashing.Rows)
+
+  /** LSH banding with an EXPLICIT (bands × rows) geometry over the same
+    * signature columns m0..m{NumHashes-1} — the calibration surface: the
+    * candidate probability for a pair at Jaccard s is 1 − (1 − s^rows)^bands
+    * (the S-curve), so sweeping geometries against exact-Jaccard ground
+    * truth on a corpus sample is how production picks its banding before
+    * a 100 TB run (d18). Consumes the first `bands · rows ≤ NumHashes`
+    * signature values. */
+  def lshBandsConfig(signatures: DataFrame, bands: Int, rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= hashing.NumHashes,
+      s"need 1 <= bands*rows <= ${hashing.NumHashes}; got $bands x $rows")
+    val bandStructs = (0 until bands).map { b =>
+      val ks = (b * rows until (b + 1) * rows).map(j => col(s"m$j"))
       struct(lit(b).as("band"), concat_ws(",", ks: _*).as("bandKey"))
     }
     signatures.select(col("id"), explode(array(bandStructs: _*)).as("bk"))

@@ -1765,6 +1765,89 @@ object DedupQueries {
            LEFT JOIN keptdoc kd ON kd.doc_id = t.doc_id
            GROUP BY t.lang ORDER BY t.lang""")),
 
+    // d18: LSH BAND-GEOMETRY CALIBRATION — the x10-recall pattern for
+    // dedup: before a 100 TB run you pick (bands × rows) by sweeping
+    // geometries on a corpus SAMPLE against exact-Jaccard ground truth
+    // (the S-curve: P[candidate | jac=s] = 1-(1-s^r)^b). One hashed-
+    // shingle pass, one signature build, one exact-truth pass — all
+    // checkpointed — then each geometry re-bands the SAME 12 signature
+    // values and counts its candidates and its recall of the truth set.
+    // More bands (shorter rows) must monotonically widen the candidate
+    // net; the oracle replays every geometry's banding plus the exact
+    // truth, so both the counts and the recalls are hash-exact.
+    "d18_lsh_calibration" -> Q(
+      (s, dir) => {
+        import graft.ops.Checkpoints
+        val d = T(s, dir, "documents")
+        val hashed = Dedup.hashedShingles(d, "doc_id", "text", k = 3)
+        val sig = Checkpoints.checkpoint(Dedup.minhashSignatures(hashed))
+        val truth = Checkpoints.checkpoint(
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", k = 3,
+            threshold = 0.9).select(col("a"), col("b")))
+        val nt = truth.agg(count(lit(1)).as("true_pairs"))
+        Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+          val cand = Dedup.lshCandidatePairs(
+            Dedup.lshBandsConfig(sig, b, r))
+          val nc = cand.agg(count(lit(1)).as("n_candidates"))
+          val matched = cand.join(truth, Seq("a", "b"))
+            .agg(count(lit(1)).as("matched"))
+          nc.crossJoin(nt).crossJoin(matched)
+            .select(lit(b).as("n_bands"), lit(r).as("rows_per_band"),
+              col("n_candidates"), col("true_pairs"), col("matched"),
+              round(col("matched").cast("double") /
+                col("true_pairs"), 4).as("recall"))
+        }.reduce(_ unionByName _).orderBy(col("n_bands"))
+      },
+      Some {
+        def bandsFor(name: String, b: Int, r: Int): String = {
+          val union = (0 until b).map { bnd =>
+            val ks = (bnd * r until (bnd + 1) * r).map(j => s"m$j")
+              .mkString(", ")
+            s"SELECT doc_id, $bnd AS band, concat_ws(',', $ks) AS key FROM mh"
+          }.mkString(" UNION ALL ")
+          s"""${name}bands AS ($union),
+             ${name}cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM ${name}bands x JOIN ${name}bands y
+                 ON x.band = y.band AND x.key = y.key
+                   AND x.doc_id < y.doc_id)"""
+        }
+        val mins = (0 until NumHashes)
+          .map(j => s"min(${hashing.sqlPerm(j, s"(h % $P)")}) AS m$j")
+          .mkString(", ")
+        val cfgs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+        val rows = cfgs.map { case (b, r) =>
+          s"""SELECT $b AS n_bands, $r AS rows_per_band,
+               (SELECT count(*) FROM g${b}cand) AS n_candidates,
+               (SELECT count(*) FROM truth) AS true_pairs,
+               (SELECT count(*) FROM g${b}cand c
+                  JOIN truth t ON t.a = c.a AND t.b = c.b) AS matched"""
+        }.mkString(" UNION ALL ")
+        s"""WITH $sqlShingles,
+           $sqlHashedShingles,
+           shd0 AS (SELECT DISTINCT doc_id, h FROM hsall),
+           sizes AS (SELECT doc_id, count(*) AS n FROM shd0 GROUP BY doc_id),
+           candall AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM shd0 x JOIN shd0 y ON x.h = y.h AND x.doc_id < y.doc_id),
+           inter AS (SELECT c.a, c.b, count(*) AS i FROM candall c
+             JOIN shd0 sa ON sa.doc_id = c.a
+             JOIN shd0 sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           truth AS (SELECT i.a, i.b FROM inter i
+             JOIN sizes sa ON sa.doc_id = i.a
+             JOIN sizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9),
+           mh AS (SELECT doc_id, $mins FROM hsall GROUP BY doc_id),
+           ${cfgs.map { case (b, r) => bandsFor(s"g$b", b, r) }
+            .mkString(",\n")}
+           SELECT n_bands, rows_per_band,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(true_pairs AS BIGINT) AS true_pairs,
+             CAST(matched AS BIGINT) AS matched,
+             round(CAST(matched AS DOUBLE) / true_pairs, 4) AS recall
+           FROM ($rows) ORDER BY n_bands"""
+      }),
+
     // e4: decontamination by EXACT n-gram overlap (the GPT-3/Llama-style
     // check, complementing e2's LSH near-dup form): eval-half documents
     // sharing any 8-token shingle with the train half are contaminated.

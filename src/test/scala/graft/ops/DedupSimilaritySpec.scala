@@ -45,6 +45,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.contains((1L, 4L)))
   }
 
+  test("lshBandsConfig: the (Bands, Rows) geometry reproduces lshBands " +
+    "exactly; more bands widen the candidate net monotonically; bad " +
+    "geometries fail loudly") {
+    val sig = Dedup.minhashSignatures(
+      Dedup.hashedShingles(docs, "doc_id", "text"))
+    val viaConfig = Dedup
+      .lshBandsConfig(sig, hashing.Bands, hashing.Rows)
+      .collect().map(_.toSeq).toSet
+    val viaDefault = Dedup.lshBands(sig).collect().map(_.toSeq).toSet
+    assert(viaConfig == viaDefault)
+    // S-curve direction, where it is SET-guaranteed: a geometry whose
+    // bands refine another's (every coarse band contains a full fine
+    // band) can only ADD candidates. (2,6) nests inside all of
+    // (3,4)/(4,3)/(6,2), and (6,2) contains all of them; (3,4) vs
+    // (4,3) is only monotone in EXPECTATION, so it is not asserted.
+    val cand = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+      (b, r) -> Dedup.lshCandidatePairs(Dedup.lshBandsConfig(sig, b, r))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }.toMap
+    for (g <- Seq((3, 4), (4, 3), (6, 2)))
+      assert(cand((2, 6)).subsetOf(cand(g)), s"(2,6) not within $g")
+    for (g <- Seq((2, 6), (3, 4), (4, 3)))
+      assert(cand(g).subsetOf(cand((6, 2))), s"$g not within (6,2)")
+    // the exact pair (1,4) is caught by EVERY geometry
+    cand.values.foreach(c => assert(c.contains((1L, 4L))))
+    intercept[IllegalArgumentException](Dedup.lshBandsConfig(sig, 5, 3))
+    intercept[IllegalArgumentException](Dedup.lshBandsConfig(sig, 0, 3))
+  }
+
   test("exact dup has identical minhash signature and simhash") {
     val sig = Dedup.minhashSignatures(Dedup.hashedShingles(docs, "doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
