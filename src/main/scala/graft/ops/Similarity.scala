@@ -53,6 +53,74 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity pass retrieval stacks run AFTER recall: greedily
+    * pick k results maximizing `λ·rel(q,c) − (1−λ)·max sim(c, s)` over
+    * the already-selected set s, so near-duplicate hits can't crowd the
+    * top ranks. Two-stage scale shape: recall is the existing ANN/brute
+    * shortlist (corpus-bounded work happens ONCE, here
+    * [[bruteForceTopK]]), while the greedy runs k BOUNDED rounds over
+    * |queries| × shortlist rows — shortlist relevances and the
+    * shortlist×shortlist diversity sims are checkpointed once, and each
+    * round is one anti-join + one left join + one per-query argmax
+    * (row_number), never touching the corpus again. Cross-engine
+    * determinism: cosines round to 4 entering the greedy, and the MMR
+    * combination runs in EXACT DECIMAL (λ quantized to tenths, scores
+    * DECIMAL(·,5)) — a double `0.7·rel` lands exactly on five-decimal
+    * half-boundaries (0.7 × 0.3985 = 0.27895), where Spark and DuckDB
+    * round differently. Returns (qid, rank, nid, score). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, shortlist: Int, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need 1 <= k <= shortlist")
+    require(lambda >= 0 && lambda <= 1 &&
+      math.rint(lambda * 10) == lambda * 10,
+      "lambda in [0, 1] in steps of 0.1 (exact decimal arithmetic)")
+    val lam = lit(lambda).cast("decimal(2,1)")
+    val inv = lit(1.0 - lambda).cast("decimal(2,1)")
+    def d4(c: Column): Column = c.cast("decimal(18,4)")
+    val sl = bruteForceTopK(corpus, queries, idCol, vecCol, shortlist)
+      .select(col("qid"), col("nid"), col("cos").as("rel"))
+    val cv = corpus.select(col(idCol).as("nid"), col(vecCol).as("cv"))
+    val slv = Checkpoints.checkpoint(sl.join(cv, "nid")
+      .select(col("qid"), col("nid"), col("rel"), col("cv")))
+    val sims = Checkpoints.checkpoint(slv.alias("a").join(slv.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("cid"),
+        col("b.nid").as("sid"),
+        round(cosine(col("a.cv"), col("b.cv")), 4).as("sim")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr").desc, col("nid"))
+    var remaining = slv.select(col("qid"), col("nid"), col("rel"))
+    var selected: DataFrame = null
+    for (r <- 1 to k) {
+      val scored =
+        if (selected == null)
+          remaining.select(col("qid"), col("nid"),
+            (lam * d4(col("rel"))).as("mmr"))
+        else {
+          val simToSel = sims
+            .join(selected.select(col("qid"), col("nid").as("sid")),
+              Seq("qid", "sid"))
+            .groupBy(col("qid"), col("cid").as("nid"))
+            .agg(max(col("sim")).as("msim"))
+          remaining.join(simToSel, Seq("qid", "nid"), "left_outer")
+            .select(col("qid"), col("nid"),
+              (lam * d4(col("rel")) - inv *
+                d4(coalesce(col("msim"), lit(0.0)))).as("mmr"))
+        }
+      val pick = Checkpoints.checkpoint(
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("qid"), col("nid"), lit(r).as("rank"),
+            col("mmr").cast("double").as("score")))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(pick.select("qid", "nid"),
+        Seq("qid", "nid"), "left_anti")
+    }
+    selected
+  }
+
   /** Number of random hyperplanes = signature bits. */
   val Planes = 8
 

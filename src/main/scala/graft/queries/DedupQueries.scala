@@ -984,6 +984,74 @@ object DedupQueries {
                WHERE q.vec_id < 10))
            WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // x16: MMR DIVERSITY RE-RANK (Carbonell & Goldstein, SIGIR'98) — the
+    // pass retrieval stacks run AFTER recall so near-duplicate hits
+    // can't crowd the top ranks: greedily pick k = 3 of each query's
+    // 8-candidate shortlist maximizing λ·rel − (1−λ)·max-sim-to-selected
+    // (λ = 0.7). Corpus-bounded work happens ONCE (the x1 shortlist);
+    // the greedy is k bounded per-query argmax rounds over checkpointed
+    // shortlist relevances and shortlist×shortlist diversity sims.
+    // Cosines round to 4 entering the greedy and the λ-combination runs
+    // in EXACT DECIMAL on both engines (0.7·rel in double lands on
+    // five-decimal half-boundaries where the engines round apart), so
+    // the oracle — which unrolls the three picks as CTEs over the same
+    // inputs — replays the selection bit-for-bit, ties included.
+    "x16_mmr_rerank" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        Similarity.mmrRerank(e, e.filter(col("vec_id") < 10), "vec_id",
+            "embedding", shortlist = 8, k = 3, lambda = 0.7)
+          .select(col("qid"), col("rank"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        def pick(src: String): String =
+          s"""SELECT qid, nid, mmr FROM (
+               SELECT qid, nid, mmr, row_number() OVER
+                 (PARTITION BY qid ORDER BY mmr DESC, nid) AS rk
+               FROM $src) WHERE rk = 1"""
+        def cand(sel: String, ms: String): String =
+          s"""SELECT s.qid, s.nid,
+               CAST(0.7 AS DECIMAL(2,1)) * CAST(s.rel AS DECIMAL(18,4))
+                 - CAST(0.3 AS DECIMAL(2,1))
+                   * CAST(coalesce(m.msim, 0) AS DECIMAL(18,4)) AS mmr
+             FROM sl s LEFT JOIN $ms m ON m.qid = s.qid AND m.nid = s.nid
+             WHERE NOT EXISTS (SELECT 1 FROM $sel p
+               WHERE p.qid = s.qid AND p.nid = s.nid)"""
+        def maxSim(sel: String): String =
+          s"""SELECT x.qid, x.cid AS nid, max(x.sim) AS msim FROM sims x
+             JOIN $sel p ON p.qid = x.qid AND p.nid = x.sid
+             GROUP BY x.qid, x.cid"""
+        s"""WITH rel0 AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+               round(${sqlCosine("q.embedding", "n.embedding")}, 4) AS rel
+             FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+             WHERE q.vec_id < 10),
+           sl AS (SELECT qid, nid, rel FROM (
+               SELECT qid, nid, rel, row_number() OVER
+                 (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+               FROM rel0) WHERE rk <= 8),
+           sims AS (SELECT a.qid, a.nid AS cid, b.nid AS sid,
+               round(${sqlCosine("ea.embedding", "eb.embedding")}, 4) AS sim
+             FROM sl a JOIN sl b ON b.qid = a.qid AND b.nid <> a.nid
+             JOIN embeddings ea ON ea.vec_id = a.nid
+             JOIN embeddings eb ON eb.vec_id = b.nid),
+           p1 AS (${pick("(SELECT qid, nid, CAST(0.7 AS DECIMAL(2,1)) " +
+          "* CAST(rel AS DECIMAL(18,4)) AS mmr FROM sl)")}),
+           ms1 AS (${maxSim("p1")}),
+           c2 AS (${cand("p1", "ms1")}),
+           p2 AS (${pick("c2")}),
+           sel2 AS (SELECT qid, nid FROM p1
+             UNION ALL SELECT qid, nid FROM p2),
+           ms2 AS (${maxSim("sel2")}),
+           c3 AS (${cand("sel2", "ms2")}),
+           p3 AS (${pick("c3")})
+           SELECT qid, rank, nid, CAST(mmr AS DOUBLE) AS score FROM (
+             SELECT qid, 1 AS rank, nid, mmr FROM p1
+             UNION ALL SELECT qid, 2, nid, mmr FROM p2
+             UNION ALL SELECT qid, 3, nid, mmr FROM p3)
+           ORDER BY qid, rank"""
+      }),
+
     // x3: IVF ANN with a real k-means index — deterministic distributed
     // Lloyd's (hash-seeded init, exact decimal means, 2 unrolled rounds)
     // builds the centroids; the corpus is assigned to nearest-centroid

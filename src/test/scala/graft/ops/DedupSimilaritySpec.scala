@@ -74,6 +74,34 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.lshBandsConfig(sig, 0, 3))
   }
 
+  test("mmrRerank: diversity beats a redundant higher-tie candidate; " +
+    "lambda = 1 degenerates to pure relevance order") {
+    // q=[1,0,0]; c1=[1,1,0] and c3=[1,-1,0] tie on relevance (0.7071),
+    // c2=[1,0.9,0] tops it (0.743) but is nearly identical to c1
+    // (sim 0.9989), while c3 is nearly orthogonal to c2 (sim 0.0526).
+    val corpus = Seq(
+      (1L, Seq(1f, 1f, 0f)), (2L, Seq(1f, 0.9f, 0f)),
+      (3L, Seq(1f, -1f, 0f)), (10L, Seq(1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") === 10L)
+    def picks(lambda: Double) =
+      Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+          shortlist = 3, k = 2, lambda = lambda)
+        .orderBy(col("rank")).collect()
+        .map(r => r.getAs[Long]("nid")).toSeq
+    // MMR: c2 first (best rel), then c3 — diversity overrides c1's
+    // relevance tie-break win
+    assert(picks(0.7) == Seq(2L, 3L))
+    // pure relevance (lambda = 1): c2 then the tie-break winner c1
+    assert(picks(1.0) == Seq(2L, 1L))
+    // rank-1 score is lambda * rel in all cases
+    val r1 = Similarity.mmrRerank(corpus, queries, "vec_id", "embedding",
+        shortlist = 3, k = 1, lambda = 0.7)
+      .collect().head
+    assert(r1.getAs[Long]("nid") == 2L)
+    assert(math.abs(r1.getAs[Double]("score") - 0.7 * 0.743) < 5e-4)
+  }
+
   test("exact dup has identical minhash signature and simhash") {
     val sig = Dedup.minhashSignatures(Dedup.hashedShingles(docs, "doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
