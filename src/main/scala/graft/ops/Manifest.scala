@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal versioned-table commits — the lakehouse primitive (the
   * Delta/Iceberg shape) that belongs under every incremental structure this
@@ -73,37 +74,89 @@ object Manifest {
   def files(tablePath: String, v: Long = -1L): Seq[String] =
     listed(tablePath, if (v >= 0) v else version(tablePath))
 
-  /** Commit metadata recorded with version `v` (newest when omitted):
-    * the `#key=value` manifest lines. Published atomically WITH the
-    * version — a reader can never observe the version without its
-    * metadata (the property [[Materialize.refresh]]'s source watermark
-    * rides on). */
-  def meta(tablePath: String, v: Long = -1L): Map[String, String] =
+  private def rawMeta(tablePath: String, v: Long): Map[String, String] =
     lines(tablePath, if (v >= 0) v else version(tablePath))
       .filter(_.startsWith("#"))
       .map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, value) => k -> value }.toMap
 
+  /** Commit metadata recorded with version `v` (newest when omitted):
+    * the `#key=value` manifest lines, minus reserved internal keys
+    * ([[SchemaKey]] — read that via [[schemaOf]]). Published atomically
+    * WITH the version — a reader can never observe the version without
+    * its metadata (the property [[Materialize.refresh]]'s source
+    * watermark rides on). */
+  def meta(tablePath: String, v: Long = -1L): Map[String, String] =
+    rawMeta(tablePath, v) - SchemaKey
+
+  /** Reserved metadata key holding the table schema at a version, as
+    * single-line Spark JSON. The schema lives in the LOG, not in file
+    * footers — the Delta/Iceberg contract: a read never lists or opens
+    * footers to discover columns (at 100 TB that is thousands of
+    * driver-side footer fetches), and schema EVOLUTION is a metadata
+    * event, checked and published atomically with the commit. */
+  val SchemaKey = "schema"
+
+  /** Schema recorded with version `v` (newest when omitted); None for
+    * tables written before schema tracking (read falls back to footer
+    * inference). */
+  def schemaOf(tablePath: String, v: Long = -1L): Option[StructType] =
+    rawMeta(tablePath, v).get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+
+  /** Append-compatible evolution of `prev` by `next`: columns shared by
+    * both must keep their exact type; columns only in `next` append to
+    * the end (new files carry them, old files read as null); columns
+    * only in `prev` are retained (the new files read as null — the
+    * diagonal-union semantics). Incompatible type changes fail loudly —
+    * rewrite via `replace = true` instead. */
+  private def evolve(prev: StructType, next: StructType): StructType = {
+    val prevTypes = prev.fields.map(f => f.name -> f.dataType).toMap
+    next.fields.foreach { f =>
+      prevTypes.get(f.name).foreach(t => require(t == f.dataType,
+        s"schema evolution cannot change column '${f.name}' from $t to " +
+          s"${f.dataType}; commit with replace = true to rewrite"))
+    }
+    val nextNames = next.fieldNames.toSet
+    // nullability relaxes to the union's (a column absent from any
+    // file generation is nullable in the merged view)
+    StructType(
+      prev.fields.map(f =>
+        if (nextNames.contains(f.name)) f else f.copy(nullable = true)) ++
+        next.fields.filterNot(f => prevTypes.contains(f.name))
+          .map(_.copy(nullable = true)))
+  }
+
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
     * new ones. `meta` entries publish as `#key=value` manifest lines —
-    * atomic with the version itself. Returns the committed version
+    * atomic with the version itself. The version's schema is recorded as
+    * [[SchemaKey]] metadata: appends evolve the previous schema
+    * append-compatibly ([[evolve]] — new columns allowed, type changes
+    * loud), replaces reset it to `df`'s. Returns the committed version
     * number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty): Long = {
+    require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
     val prev = version(tablePath)
     val next = prev + 1
+    val schema =
+      if (replace || prev == 0) df.schema
+      else schemaOf(tablePath, prev)
+        .map(evolve(_, df.schema)).getOrElse(df.schema)
     val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
     df.write.mode("errorifexists").parquet(batchDir.toString)
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
-    val lines = meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+    val lines =
+      (meta + (SchemaKey -> schema.json)).toSeq.sorted
+        .map { case (k, v) => s"#$k=$v" } ++
       (if (replace || prev == 0) Seq.empty
        else listed(tablePath, prev)) ++ fresh
     Files.createDirectories(manifestDir(tablePath))
@@ -186,13 +239,19 @@ object Manifest {
 
   /** Read the table at `asOf` (default: the newest version). The resolved
     * file list is pinned at call time — later commits cannot change what
-    * this frame reads. */
+    * this frame reads. The version's RECORDED schema drives the scan (no
+    * footer merge): files predating an appended column read it as null,
+    * and time travel sees exactly the schema that version published.
+    * Tables without recorded schemas fall back to footer inference. */
   def read(spark: SparkSession, tablePath: String,
       asOf: Long = -1L): DataFrame = {
     val v = if (asOf >= 0) asOf else version(tablePath)
     require(v > 0, s"no committed version at $tablePath")
     val files = listed(tablePath, v)
       .map(rel => Paths.get(tablePath).resolve(rel).toString)
-    spark.read.parquet(files: _*)
+    schemaOf(tablePath, v) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 }

@@ -619,6 +619,52 @@ object SourceQueries {
              TRUE AS idle_noop
            FROM snap WHERE event_type = 'click'""")),
 
+    // S23: SCHEMA EVOLUTION IN THE LOG — the Delta/Iceberg contract R3's
+    // cache-level evolution points at, applied to the Manifest core: each
+    // version RECORDS its schema as commit metadata (atomic with the
+    // publish; reads never open footers to discover columns — at 100 TB
+    // that is thousands of driver-side footer fetches), appends evolve it
+    // append-compatibly (v2 adds `value`; v3 omits `event_type` — both
+    // directions of the diagonal-union shape), and files predating a
+    // column read it as null. The aggregate pins exactly which thirds
+    // carry each column, and v1_schema_pinned is the time-travel claim:
+    // version 1 still reads with its own 2-column schema after two
+    // evolving commits. Type changes fail loudly (ManifestSpec).
+    "s23_schema_evolution" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s23_table", dir)
+        wipe(tbl)
+        val ev = events(s, dir)
+        Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0)
+          .select(col("event_id"), col("event_type")), tbl)
+        Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 1)
+          .select(col("event_id"), col("event_type"), col("value")), tbl)
+        Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 2)
+          .select(col("event_id"), col("value")), tbl)
+        val v1Pinned = Manifest.read(s, tbl, 1L).columns.toSeq ==
+          Seq("event_id", "event_type")
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("rows_total"),
+            count(col("event_type")).as("typed_rows"),
+            count(col("value")).as("valued_rows"),
+            sum(dec(col("value"))).cast("double").as("value_mass"))
+          .select(col("rows_total"), col("typed_rows"),
+            col("valued_rows"), col("value_mass"),
+            lit(v1Pinned).as("v1_schema_pinned"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS rows_total,
+             CAST(count(CASE WHEN event_id % 3 <> 2 THEN 1 END) AS BIGINT)
+               AS typed_rows,
+             CAST(count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS BIGINT)
+               AS valued_rows,
+             CAST(sum(CASE WHEN event_id % 3 <> 0
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS value_mass,
+             TRUE AS v1_schema_pinned
+           FROM events""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

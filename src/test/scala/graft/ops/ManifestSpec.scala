@@ -215,6 +215,48 @@ class ManifestSpec extends SparkSpec {
       rows(merge(partial(day1))))
   }
 
+  test("schema evolution in the log: appends add columns (old files read " +
+    "null), omitted columns survive, time travel pins each version's own " +
+    "schema, type changes fail loudly, replace resets") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, "a")).toDF("id", "s"), tbl)
+    // v2 appends a column; v3 omits one — both diagonal directions
+    Manifest.commit(Seq((2L, "b", 10.0)).toDF("id", "s", "x"), tbl)
+    Manifest.commit(Seq((3L, 30.0)).toDF("id", "x"), tbl)
+    val full = Manifest.read(spark, tbl)
+    assert(full.columns.toSeq == Seq("id", "s", "x"))
+    val rows = full.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, Some("a"), None), (2L, Some("b"), Some(10.0)),
+      (3L, None, Some(30.0))))
+    // time travel sees the schema THAT version published
+    assert(Manifest.read(spark, tbl, 1L).columns.toSeq == Seq("id", "s"))
+    assert(Manifest.read(spark, tbl, 2L).columns.toSeq ==
+      Seq("id", "s", "x"))
+    // incompatible type change is loud; replace legitimizes the rewrite
+    val e = intercept[IllegalArgumentException](
+      Manifest.commit(Seq((4L, 9)).toDF("id", "x"), tbl))
+    assert(e.getMessage.contains("cannot change column"))
+    Manifest.commit(Seq((5L, 9)).toDF("id", "x"), tbl, replace = true)
+    assert(Manifest.read(spark, tbl).columns.toSeq == Seq("id", "x"))
+    assert(Manifest.schemaOf(tbl).get.fieldNames.toSeq == Seq("id", "x"))
+  }
+
+  test("pre-schema-tracking manifests (no recorded schema) still read " +
+    "via footer inference") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, "a")).toDF("id", "s"), tbl)
+    // strip the schema line, simulating a table written before tracking
+    val mf = java.nio.file.Paths.get(tbl, "_manifests", "v000001.txt")
+    val kept = java.nio.file.Files.readAllLines(mf).toArray.map(_.toString)
+      .filterNot(_.startsWith(s"#${Manifest.SchemaKey}="))
+    java.nio.file.Files.write(mf, kept.mkString("\n").getBytes)
+    assert(Manifest.schemaOf(tbl).isEmpty)
+    assert(Manifest.read(spark, tbl).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+  }
+
   test("Materialize.refresh fails loudly when a replace commit severed " +
     "the append lineage (folding would double-count)") {
     val src = freshTable()
