@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.textstats
 
@@ -68,11 +68,15 @@ object TextIndex {
     val metaCols = base.columns
       .filterNot(Set(idCol, "__toks", "dl").contains).toSeq
     base.select(col(idCol) +: metaCols.map(col) :+ col("dl") :+
-        explode(col("__toks")).as("token"): _*)
+        posexplode(col("__toks")).as(Seq("pos", "token")): _*)
       .groupBy(col("token"), col(idCol))
       .agg(count(lit(1)).as("tf"),
+        // positional postings (the Lucene shape): each (token, doc)
+        // row carries the token's sorted in-document positions, sized
+        // by tf — what phraseProbe intersects; BM25 probes ignore it
+        sort_array(collect_list(col("pos"))).as("positions"),
         min(struct(col("dl") +: metaCols.map(col): _*)).as("__m"))
-      .select(Seq(col("token"), col(idCol), col("tf"),
+      .select(Seq(col("token"), col(idCol), col("tf"), col("positions"),
         col("__m.dl").as("dl")) ++
         metaCols.map(m => col(s"__m.$m").as(m)): _*)
   }
@@ -201,7 +205,8 @@ object TextIndex {
     val dfs = spark.table(termStatsTable(prefix))
       .filter(col("token").isin(terms: _*))
     val stats = spark.table(corpusStatsTable(prefix))
-    val keep = posts.columns.filterNot(Set("token", "tf").contains)
+    val keep = posts.columns
+      .filterNot(Set("token", "tf", "positions").contains)
     val avgdl = col("dlsum") / col("n")
     val idf = log(lit(1.0) +
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -222,5 +227,37 @@ object TextIndex {
       .drop(terms.indices.map(i => s"__c$i"): _*)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** EXACT PHRASE search from the positional postings — the query BM25's
+    * bag-of-words cannot express ("table scan" as an adjacent pair, not
+    * two independent terms). Each term's postings read bucket-pruned
+    * (`token = t` hits one bucket), the m lists join by document id, and
+    * the match count is the positional intersection
+    * `|{p ∈ pos(t₀) : p+i ∈ pos(tᵢ) ∀i}|` — row-local array work sized
+    * by term frequency, the Lucene positions-intersection algorithm as
+    * codegen'd higher-order functions. Probe cost is bounded by the
+    * probed terms' posting lists, independent of corpus size; documents
+    * without every term never survive the joins. Overlapping
+    * occurrences count individually ("batch batch batch" matches
+    * "batch batch" twice — TextIndexSpec pins it). Returns (id,
+    * matches > 0), ordered by id. */
+  def phraseProbe(spark: SparkSession, prefix: String, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val posts = spark.table(postingsTable(prefix))
+    val sides = terms.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("token") === t)
+        .select(col(idCol), col("positions").as(s"__p$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq(idCol)))
+    val adjacent = (p: Column) => (1 until terms.size)
+      .map(i => array_contains(col(s"__p$i"), p + lit(i)))
+      .reduce(_ && _)
+    joined
+      .select(col(idCol),
+        size(filter(col("__p0"), adjacent)).cast("long").as("matches"))
+      .filter(col("matches") > 0)
+      .orderBy(col(idCol))
   }
 }

@@ -512,6 +512,38 @@ object TextQueries {
       },
       Some(sqlBm25TopK)),
 
+    // t33: EXACT PHRASE SEARCH over t32's index, now positional — the
+    // query bag-of-words BM25 cannot express: documents where "table"
+    // and "scan" are ADJACENT, with the occurrence count. Postings carry
+    // each (token, doc)'s sorted positions (the Lucene shape); the probe
+    // reads only the two terms' buckets, joins their lists by doc, and
+    // counts the positional intersection row-locally — corpus never
+    // rescanned, cost bounded by the phrase terms' posting lists. The
+    // oracle is an INDEPENDENT truth: it recounts adjacent pairs
+    // straight off the tokenized documents (the d17 token-window
+    // pattern), so an off-by-one in positions, a dropped overlapping
+    // occurrence, or a doc leaking through the join flips the row red.
+    "t33_phrase_search" -> Q(
+      (s, dir) => {
+        import graft.ops.TextIndex
+        val prefix = s"graft_t33_${dirTag(dir)}"
+        TextIndex.buildIndex(s,
+          spread(T(s, dir, "documents").select("doc_id", "text")),
+          "doc_id", "text", path = scratch("t33_phrase_idx", dir),
+          prefix = prefix)
+        TextIndex.phraseProbe(s, prefix, "doc_id",
+          terms = Seq("table", "scan"))
+      },
+      Some(
+        s"""WITH tok AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+           hits AS (SELECT doc_id, CAST(len(list_filter(
+               generate_series(1, len(toks) - 1),
+               i -> toks[i] = 'table' AND toks[i+1] = 'scan'))
+               AS BIGINT) AS matches
+             FROM tok)
+           SELECT doc_id, matches FROM hits WHERE matches > 0
+           ORDER BY doc_id""")),
+
     // st21: STREAMING BM25 INDEX INGEST — t32's lifecycle closed from
     // the write side (the st14-for-text twin): the index seeds EMPTY,
     // every micro-batch of documents folds in via TextIndex.appendDocs

@@ -153,4 +153,30 @@ class TextIndexSpec extends SparkSpec {
       k = nDup.toInt + 100)
     assert(probe.count() == nDup)
   }
+
+  test("phraseProbe: positional adjacency, overlapping occurrences " +
+    "counted individually, three-term phrases, absent-term docs excluded") {
+    import spark.implicits._
+    val pfx = "graft_textidxspec_phrase"
+    val ppath = new java.io.File(
+      "/root/repo/target/scratch/textidxspec_phrase")
+    ppath.mkdirs()
+    val fixture = Seq(
+      (1L, "batch batch batch stream"), // "batch batch" overlaps: 2
+      (2L, "the quick batch then batch batch again"), // 1
+      (3L, "batch only once stream"), // adjacency broken: 0
+      (4L, "stream batch stream batch stream"), // "stream batch stream": 2x? positions of phrase: idx0(stream batch stream) and idx2(stream batch stream) -> 2
+      (5L, "no relevant tokens here")
+    ).toDF("doc_id", "text")
+    TextIndex.buildIndex(spark, fixture, "doc_id", "text",
+      ppath.getPath, pfx)
+    def probe(ts: String*) =
+      TextIndex.phraseProbe(spark, pfx, "doc_id", ts)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(probe("batch", "batch") == Map(1L -> 2L, 2L -> 1L))
+    assert(probe("batch", "batch", "batch") == Map(1L -> 1L))
+    assert(probe("stream", "batch", "stream") == Map(4L -> 2L))
+    assert(probe("no", "batch") == Map.empty[Long, Long])
+    intercept[IllegalArgumentException](probe("batch"))
+  }
 }
