@@ -245,7 +245,17 @@ object TextIndex {
   def phraseProbe(spark: SparkSession, prefix: String, idCol: String,
       terms: Seq[String]): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
-    val posts = spark.table(postingsTable(prefix))
+    // The phrase join runs on the DOC id, not the bucket column, so
+    // Spark's autoBucketedScan heuristic would fall back to a plain
+    // file scan — losing the bucket PRUNE (1 of `buckets` read per
+    // term), which the heuristic does not credit. Pin bucketed
+    // scanning on in a child session: at index scale the 1/buckets
+    // read dwarfs the one-task-per-bucket parallelism cost of a
+    // pruned single-bucket scan.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val posts = s.table(postingsTable(prefix))
     val sides = terms.zipWithIndex.map { case (t, i) =>
       posts.filter(col("token") === t)
         .select(col(idCol), col("positions").as(s"__p$i"))

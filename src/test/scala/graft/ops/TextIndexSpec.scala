@@ -179,4 +179,22 @@ class TextIndexSpec extends SparkSpec {
     assert(probe("no", "batch") == Map.empty[Long, Long])
     intercept[IllegalArgumentException](probe("batch"))
   }
+
+  test("phraseProbe plan is corpus-scan-free and bucket-prunes each " +
+    "term's postings read") {
+    built
+    val df = TextIndex.phraseProbe(spark, prefix, "doc_id",
+      Seq("table", "scan"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("documents.parquet"), p)
+    assert(p.contains("textidxspec/postings"), p)
+    // each side filters token = <term>: every postings scan prunes to
+    // ONE bucket of 8
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+    val counts = sel.findAllMatchIn(p).map(_.group(1).toInt).toList
+    assert(counts.nonEmpty, s"expected bucket pruning in:\n$p")
+    assert(counts.forall(_ == 1),
+      s"each per-term scan must touch exactly 1 bucket: $counts\n$p")
+  }
 }
