@@ -82,12 +82,13 @@ object Manifest {
 
   /** Commit metadata recorded with version `v` (newest when omitted):
     * the `#key=value` manifest lines, minus reserved internal keys
-    * ([[SchemaKey]] — read that via [[schemaOf]]). Published atomically
-    * WITH the version — a reader can never observe the version without
-    * its metadata (the property [[Materialize.refresh]]'s source
-    * watermark rides on). */
+    * ([[SchemaKey]] → [[schemaOf]]; `constraint.*` → [[constraintsOf]]).
+    * Published atomically WITH the version — a reader can never observe
+    * the version without its metadata (the property
+    * [[Materialize.refresh]]'s source watermark rides on). */
   def meta(tablePath: String, v: Long = -1L): Map[String, String] =
-    rawMeta(tablePath, v) - SchemaKey
+    (rawMeta(tablePath, v) - SchemaKey)
+      .filterNot(_._1.startsWith(ConstraintPrefix))
 
   /** Reserved metadata key holding the table schema at a version, as
     * single-line Spark JSON. The schema lives in the LOG, not in file
@@ -127,14 +128,69 @@ object Manifest {
           .map(_.copy(nullable = true)))
   }
 
+  /** Prefix of metadata keys holding table CHECK constraints — the
+    * Delta constraints contract: an invariant recorded ONCE in the log
+    * (`#constraint.<name>=<sql-expr>`) gates EVERY later commit. */
+  val ConstraintPrefix = "constraint."
+
+  /** Constraints in force at version `v` (newest when omitted), by
+    * name. */
+  def constraintsOf(tablePath: String,
+      v: Long = -1L): Map[String, String] =
+    rawMeta(tablePath, v).collect {
+      case (k, expr) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> expr
+    }
+
+  /** Record a CHECK constraint as a METADATA-ONLY commit (zero-row
+    * append): every subsequent commit validates its rows against the
+    * expression and ABORTS — nothing written, no version published — if
+    * any row violates it. The expression must also hold on the current
+    * table content, else this call itself fails (the Delta `ADD
+    * CONSTRAINT` contract: you cannot declare an invariant the table
+    * already breaks). Constraints carry forward through appends AND
+    * replaces until [[dropConstraint]]. */
+  def addConstraint(spark: SparkSession, tablePath: String, name: String,
+      expression: String): Long = {
+    require(name.nonEmpty && !name.contains("=") && !name.contains("\n"),
+      s"invalid constraint name '$name'")
+    val existing = read(spark, tablePath)
+    val bad = existing
+      .filter(!org.apache.spark.sql.functions.expr(expression)).count()
+    require(bad == 0L, s"cannot add constraint '$name': $bad existing " +
+      s"rows violate ($expression)")
+    commit(existing.limit(0), tablePath,
+      meta = Map(s"$ConstraintPrefix$name" -> expression))
+  }
+
+  /** Remove a constraint via a metadata-only commit. Later commits stop
+    * validating it; history keeps showing it in force for the versions
+    * it gated. */
+  def dropConstraint(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    require(constraintsOf(tablePath).contains(name),
+      s"no constraint '$name' at $tablePath")
+    dropConstraintName = Some(name)
+    try commit(read(spark, tablePath).limit(0), tablePath)
+    finally dropConstraintName = None
+  }
+
+  // plumbing for dropConstraint's carry-forward exclusion (single
+  // driver-side call path; commits are driver-coordinated like every
+  // table format's)
+  @volatile private var dropConstraintName: Option[String] = None
+
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
     * new ones. `meta` entries publish as `#key=value` manifest lines —
     * atomic with the version itself. The version's schema is recorded as
     * [[SchemaKey]] metadata: appends evolve the previous schema
     * append-compatibly ([[evolve]] — new columns allowed, type changes
-    * loud), replaces reset it to `df`'s. Returns the committed version
-    * number. */
+    * loud), replaces reset it to `df`'s. CHECK constraints in force
+    * ([[addConstraint]]) carry forward and validate `df`'s rows in ONE
+    * aggregate pass before anything lands — a violating commit aborts
+    * with per-constraint counts and publishes nothing. Returns the
+    * committed version number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty): Long = {
@@ -149,13 +205,41 @@ object Manifest {
       if (replace || prev == 0) df.schema
       else schemaOf(tablePath, prev)
         .map(evolve(_, df.schema)).getOrElse(df.schema)
+    // constraints in force = inherited (minus a drop in progress) plus
+    // any recorded by this commit; validated in ONE aggregate pass —
+    // a violating commit aborts before anything lands
+    val inherited =
+      if (prev == 0) Map.empty[String, String]
+      else constraintsOf(tablePath, prev) -- dropConstraintName.toSeq
+    val passed = meta.collect {
+      case (k, ex) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> ex
+    }
+    val constraints = inherited ++ passed
+    if (constraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, sum, when, lit}
+      val names = constraints.keys.toSeq.sorted
+      val aggs = names.map(n => sum(when(
+        !expr(constraints(n)), lit(1L)).otherwise(lit(0L))).as(n))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val bad = names.zipWithIndex
+        .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L
+          else row.getLong(i)) }
+        .filter(_._2 > 0)
+      require(bad.isEmpty, "commit violates CHECK constraint(s) " +
+        bad.map { case (n, c) =>
+          s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
+        " — nothing was written")
+    }
+    val constraintMeta = (inherited ++ passed)
+      .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
     val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
     df.write.mode("errorifexists").parquet(batchDir.toString)
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
     val lines =
-      (meta + (SchemaKey -> schema.json)).toSeq.sorted
+      (meta ++ constraintMeta + (SchemaKey -> schema.json)).toSeq.sorted
         .map { case (k, v) => s"#$k=$v" } ++
       (if (replace || prev == 0) Seq.empty
        else listed(tablePath, prev)) ++ fresh

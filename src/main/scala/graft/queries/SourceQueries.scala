@@ -665,6 +665,49 @@ object SourceQueries {
              TRUE AS v1_schema_pinned
            FROM events""")),
 
+    // S24: CHECK CONSTRAINTS ON COMMIT — the other half of a11's data
+    // quality story, moved INTO the write path (the Delta constraints
+    // contract): invariants declared once as log metadata gate every
+    // later commit in one aggregate pass over the incoming rows — a
+    // violating commit aborts loudly and publishes NOTHING (no version,
+    // no files), which at 100 TB is the difference between rejecting a
+    // bad batch and quarantining a poisoned table. Two constraints
+    // land as metadata-only commits, a clean third passes, a negated
+    // batch must abort, and the claimed constants pin that the abort
+    // left the version counter untouched. The surviving content is the
+    // oracle-replayed side.
+    "s24_check_constraints" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s24_table", dir)
+        wipe(tbl)
+        val ev = events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+          tbl)
+        Manifest.addConstraint(s, tbl, "value_nonneg", "value >= 0")
+        Manifest.addConstraint(s, tbl, "type_known",
+          "event_type IN ('click','view','purchase','signup','error')")
+        Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 1),
+          tbl)
+        val rejected = scala.util.Try(
+          Manifest.commit(ev.filter(pmod(col("event_id"), lit(3)) === 2)
+            .withColumn("value", -col("value")), tbl)).isFailure
+        val vAfter = Manifest.version(tbl)
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("rows_kept"),
+            sum(dec(col("value"))).cast("double").as("value_mass"))
+          .select(col("rows_kept"), col("value_mass"),
+            lit(rejected).as("bad_commit_aborted"),
+            lit(vAfter == 4L).as("nothing_published"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS rows_kept,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS value_mass,
+             TRUE AS bad_commit_aborted, TRUE AS nothing_published
+           FROM events WHERE event_id % 3 IN (0, 1)""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

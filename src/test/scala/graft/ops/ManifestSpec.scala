@@ -243,6 +243,42 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.schemaOf(tbl).get.fieldNames.toSeq == Seq("id", "x"))
   }
 
+  test("CHECK constraints: declared once, gate every later commit " +
+    "(violations abort with nothing written), survive replace, and " +
+    "dropConstraint lifts the gate") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 10), (2L, 20)).toDF("id", "v"), tbl)
+    // cannot declare an invariant the table already breaks
+    val e0 = intercept[IllegalArgumentException](
+      Manifest.addConstraint(spark, tbl, "big", "v > 15"))
+    assert(e0.getMessage.contains("existing"))
+    Manifest.addConstraint(spark, tbl, "positive", "v > 0")
+    assert(Manifest.constraintsOf(tbl) == Map("positive" -> "v > 0"))
+    // a violating commit aborts loudly and publishes NOTHING
+    val vBefore = Manifest.version(tbl)
+    val filesBefore = Manifest.files(tbl)
+    val e = intercept[IllegalArgumentException](
+      Manifest.commit(Seq((3L, -5), (4L, 40)).toDF("id", "v"), tbl))
+    assert(e.getMessage.contains("positive") &&
+      e.getMessage.contains("1 rows"))
+    assert(Manifest.version(tbl) == vBefore)
+    assert(Manifest.files(tbl) == filesBefore)
+    // valid commits pass; the constraint survives a replace commit
+    Manifest.commit(Seq((5L, 50)).toDF("id", "v"), tbl)
+    Manifest.commit(Manifest.read(spark, tbl).repartition(1), tbl,
+      replace = true)
+    assert(Manifest.constraintsOf(tbl) == Map("positive" -> "v > 0"))
+    intercept[IllegalArgumentException](
+      Manifest.commit(Seq((6L, 0)).toDF("id", "v"), tbl))
+    // dropping the constraint lifts the gate
+    Manifest.dropConstraint(spark, tbl, "positive")
+    assert(Manifest.constraintsOf(tbl).isEmpty)
+    Manifest.commit(Seq((6L, 0)).toDF("id", "v"), tbl)
+    assert(Manifest.read(spark, tbl).count() == 4L)
+    intercept[IllegalArgumentException](
+      Manifest.dropConstraint(spark, tbl, "positive"))
+  }
+
   test("pre-schema-tracking manifests (no recorded schema) still read " +
     "via footer inference") {
     val tbl = freshTable()
