@@ -1738,47 +1738,93 @@ object TextQueries {
     // contract), sidecar persistence included.
     "m7_video_sidecar" -> Q(
       (s, dir) => {
-        import s.implicits._
-        import graft.multimodal.Multimodal
-        val media = T(s, dir, "documents").filter(col("doc_id") < 80)
-          .select(col("doc_id")).as[Long]
-          .mapPartitions { it =>
-            it.map { id =>
-              Multimodal.MediaRow(id, "video", Multimodal.synthMp4(
-                timescale = 600,
-                durationUnits = (600L * (5 + id % 20)).toInt,
-                width = (320 + 16 * (id % 8)).toInt,
-                height = (240 + 16 * (id % 5)).toInt,
-                mdatBytes = (1000 + id % 512).toInt))
-            }
-          }
         val sidecarPath = scratch("m7_sidecar", dir)
-        Multimodal.probeVideoSidecar(media)
+        mediaSidecarProbe(T(s, dir, "documents"))
           .write.mode("overwrite").parquet(sidecarPath)
-        s.read.parquet(sidecarPath)
-          .withColumn("duration_sec",
-            (col("durationUnits") / col("timescale")).cast("long"))
-          .filter(col("duration_sec").between(10, 20) &&
-            col("width") >= 384)
-          .groupBy(col("width").cast("long").as("width"))
-          .agg(count(lit(1)).as("clips"),
-            sum(col("duration_sec")).as("total_sec"),
-            sum(col("mdatBytes")).as("mdat_bytes"),
-            countDistinct(col("height")).as("heights"))
-          .orderBy(col("width"))
+        sidecarCuration(s.read.parquet(sidecarPath))
       },
-      Some(
-        """WITH p AS (SELECT doc_id,
-             5 + doc_id % 20 AS duration_sec,
-             320 + 16 * (doc_id % 8) AS width,
-             240 + 16 * (doc_id % 5) AS height,
-             1000 + doc_id % 512 AS mdat
-           FROM documents WHERE doc_id < 80)
-           SELECT width, count(*) AS clips,
-             CAST(sum(duration_sec) AS BIGINT) AS total_sec,
-             CAST(sum(mdat) AS BIGINT) AS mdat_bytes,
-             count(DISTINCT height) AS heights
-           FROM p WHERE duration_sec BETWEEN 10 AND 20 AND width >= 384
-           GROUP BY width ORDER BY width"""))
+      Some(sqlVideoSidecar)),
+
+    // st27: STREAMING MEDIA-SIDECAR INGEST — m7's external-probe path
+    // in continuous form, closing the multimodal streaming symmetry:
+    // media arrives micro-batch by micro-batch, each batch's payloads
+    // go through the real ISO-BMFF box walk ONCE on arrival, and the
+    // probe results land as one atomic append commit per batch on a
+    // versioned Manifest sidecar table — payload bytes never travel
+    // again, downstream curation reads only the sidecar (and can time
+    // travel its ingest history). Zero streaming state. The curation
+    // aggregate and the analytic oracle are SHARED with m7 verbatim,
+    // so the streamed sidecar must equal the one-shot probe exactly.
+    "st27_stream_media_sidecar" -> Q(
+      (s, dir) => {
+        import graft.streaming.Streams
+        val tbl = scratch("st27_sidecar", dir)
+        val ckpt = scratch("st27_ckpt", dir)
+        wipe(tbl); wipe(ckpt)
+        sidecarCuration(Streams.probedCommitStreaming(s, dir, tbl,
+          probe = mediaSidecarProbe, checkpoint = ckpt,
+          name = s"graft_st27_${dirTag(dir)}"))
+      },
+      Some(sqlVideoSidecar))
   )
+
+  /** m7/st27 shared fixture probe: synthesize each document id's MP4
+    * payload from doc_id-derived parameters and box-walk it
+    * ([[graft.multimodal.Multimodal.probeVideoSidecar]]) into sidecar
+    * rows — ONE definition so the batch and streaming paths cannot
+    * drift. */
+  private def mediaSidecarProbe(
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.multimodal.Multimodal
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val media = batch.filter(col("doc_id") < 80)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          Multimodal.MediaRow(id, "video", Multimodal.synthMp4(
+            timescale = 600,
+            durationUnits = (600L * (5 + id % 20)).toInt,
+            width = (320 + 16 * (id % 8)).toInt,
+            height = (240 + 16 * (id % 5)).toInt,
+            mdatBytes = (1000 + id % 512).toInt))
+        }
+      }
+    Multimodal.probeVideoSidecar(media).toDF()
+  }
+
+  /** m7/st27 shared curation over the sidecar: duration/resolution
+    * gates + per-width clip budgets, payload-free. */
+  private def sidecarCuration(
+      sidecar: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sidecar
+      .withColumn("duration_sec",
+        (col("durationUnits") / col("timescale")).cast("long"))
+      .filter(col("duration_sec").between(10, 20) &&
+        col("width") >= 384)
+      .groupBy(col("width").cast("long").as("width"))
+      .agg(count(lit(1)).as("clips"),
+        sum(col("duration_sec")).as("total_sec"),
+        sum(col("mdatBytes")).as("mdat_bytes"),
+        countDistinct(col("height")).as("heights"))
+      .orderBy(col("width"))
+
+  /** The analytic replay of the synth parameters — m7 and st27 share it
+    * verbatim (the t11/t32 one-oracle pattern): the check is that the
+    * box walk inverts the synth, whichever path persisted the rows.
+    * (lazy: referenced from `defs`, which is initialized above this
+    * declaration — a strict val would be null there.) */
+  private lazy val sqlVideoSidecar: String =
+    """WITH p AS (SELECT doc_id,
+         5 + doc_id % 20 AS duration_sec,
+         320 + 16 * (doc_id % 8) AS width,
+         240 + 16 * (doc_id % 5) AS height,
+         1000 + doc_id % 512 AS mdat
+       FROM documents WHERE doc_id < 80)
+       SELECT width, count(*) AS clips,
+         CAST(sum(duration_sec) AS BIGINT) AS total_sec,
+         CAST(sum(mdat) AS BIGINT) AS mdat_bytes,
+         count(DISTINCT height) AS heights
+       FROM p WHERE duration_sec BETWEEN 10 AND 20 AND width >= 384
+       GROUP BY width ORDER BY width"""
 }

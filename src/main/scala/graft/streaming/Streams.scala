@@ -966,6 +966,34 @@ object Streams {
     Manifest.read(spark, tablePath)
   }
 
+  /** STREAMING ingest through a PER-BATCH PROBE — [[commitStreaming]]
+    * with a transformation between source and table: each micro-batch
+    * runs `probe` (an external-probe / enrichment pass — the m7 media
+    * box walk, a parser, a feature extractor) and commits ITS OUTPUT as
+    * one atomic append to the [[graft.ops.Manifest]] table. The
+    * continuous form of the sidecar pattern: payload bytes are touched
+    * exactly once, on arrival, and everything downstream reads only the
+    * versioned probe results. Zero streaming state; probe cost ∝ the
+    * batch. Returns the final sidecar table. */
+  def probedCommitStreaming(spark: SparkSession, dir: String,
+      tablePath: String, probe: DataFrame => DataFrame,
+      glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st27"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Manifest.commit(probe(batch), tablePath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
   /** STREAMING ingest + INCREMENTAL AGGREGATE MAINTENANCE — s20's
     * refresh loop fused into the drain (the st19-for-materialized-views
     * twin): each micro-batch lands as ONE atomic append commit to the

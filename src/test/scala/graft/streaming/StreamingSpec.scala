@@ -553,6 +553,51 @@ class StreamingSpec extends SparkSpec {
     assert(replica == oneShot)
   }
 
+  test("st27 probed commit stream: 4 micro-batches of media probe into " +
+      "a versioned sidecar == one-shot probe; one commit per batch") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import graft.multimodal.Multimodal
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val srcDir = Files.createTempDirectory("st27_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st27_chunk$i")
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"documents_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("st27_tbl").toString + "/sidecar"
+    val probe = (batch: org.apache.spark.sql.DataFrame) => {
+      val sp = batch.sparkSession
+      import sp.implicits._
+      Multimodal.probeVideoSidecar(
+        batch.select(col("doc_id")).as[Long].map(id =>
+          Multimodal.MediaRow(id, "video", Multimodal.synthMp4(
+            timescale = 600, durationUnits = (600L * (2 + id % 3)).toInt,
+            width = 320, height = 240, mdatBytes = 1000)))).toDF()
+    }
+    val streamed = Streams.probedCommitStreaming(spark, srcDir.toString,
+        tbl, probe, glob = "documents_*.parquet", maxFilesPerTrigger = 1,
+        checkpoint = s"$tbl-ckpt", name = "st27_spec_sink")
+      .select("id", "durationUnits", "width")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(Manifest.version(tbl) == 4L) // one atomic commit per batch
+    val oneShot = probe(docs)
+      .select("id", "durationUnits", "width")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == oneShot)
+    // the ingest history time-travels: v1 holds exactly chunk 0's rows
+    assert(Manifest.read(spark, tbl, 1L).count() ==
+      docs.filter(col("doc_id") % 4 === 0).count())
+  }
+
   test("st23 streaming KLL partials: 4-micro-batch merge holds the rank " +
       "bound at every audited fraction") {
     import org.apache.spark.sql.functions._
