@@ -543,6 +543,64 @@ object StreamPipelineQueries {
           TRUE AS watermark_ok
         FROM events WHERE event_type = 'click'""")),
 
+    // st28: GATED STREAMING INGEST WITH QUARANTINE — s24's CHECK
+    // constraints in the drain, resolved the way a stream must: an
+    // aborting gate would stall the pipeline, so each micro-batch
+    // SPLITS — rows passing the table's recorded constraints commit to
+    // the main table, violators commit to a quarantine table tagged
+    // with the failed constraint's name (the dead-letter contract:
+    // nothing dropped, every quarantined row says why). A planted
+    // corruption negates every 10th event's value; the oracle replays
+    // the mutation and the split exactly, and right_constraint pins
+    // that every quarantined row names value_nonneg and nothing else.
+    "st28_stream_gated_ingest" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("st28_table", dir)
+        val quar = scratch("st28_quar", dir)
+        val ckpt = scratch("st28_ckpt", dir)
+        wipe(tbl); wipe(quar); wipe(ckpt)
+        val proj = (df: org.apache.spark.sql.DataFrame) =>
+          df.select(col("event_id"), col("event_type"),
+            when(pmod(col("event_id"), lit(10)) === 0, -col("value"))
+              .otherwise(col("value")).as("value"))
+        Manifest.commit(proj(events(s, dir)).limit(0), tbl)
+        Manifest.addConstraint(s, tbl, "value_nonneg", "value >= 0")
+        Manifest.addConstraint(s, tbl, "type_known",
+          "event_type IN ('click','view','purchase','signup','error')")
+        val main = Streams.gatedCommitStreaming(s, dir, tbl, quar,
+          project = proj, checkpoint = ckpt,
+          name = s"graft_st28_${dirTag(dir)}")
+        val kept = main.agg(count(lit(1)).as("kept_rows"),
+          sum(dec(col("value"))).cast("double").as("kept_mass"))
+        val bad = Manifest.read(s, quar)
+          .agg(count(lit(1)).as("quarantined_rows"),
+            sum(dec(col("value"))).cast("double").as("quarantined_mass"),
+            min(col("violated")).as("__vmin"),
+            max(col("violated")).as("__vmax"))
+        kept.crossJoin(bad)
+          .select(col("kept_rows"), col("kept_mass"),
+            col("quarantined_rows"), col("quarantined_mass"),
+            (col("__vmin") === "value_nonneg" &&
+              col("__vmax") === "value_nonneg").as("right_constraint"))
+      },
+      Some("""WITH mut AS (SELECT event_id, event_type,
+            CASE WHEN event_id % 10 = 0 THEN -value ELSE value END AS value
+          FROM events)
+        SELECT
+          CAST(count(CASE WHEN value >= 0 THEN 1 END) AS BIGINT)
+            AS kept_rows,
+          CAST(sum(CASE WHEN value >= 0
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS kept_mass,
+          CAST(count(CASE WHEN NOT value >= 0 THEN 1 END) AS BIGINT)
+            AS quarantined_rows,
+          CAST(sum(CASE WHEN NOT value >= 0
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+            AS quarantined_mass,
+          TRUE AS right_constraint
+        FROM mut""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -966,6 +966,51 @@ object Streams {
     Manifest.read(spark, tablePath)
   }
 
+  /** STREAMING ingest behind the TABLE'S OWN CHECK CONSTRAINTS, with a
+    * QUARANTINE — s24's write gate in continuous form, resolved the way
+    * a stream must: aborting a micro-batch would stall the pipeline, so
+    * each batch SPLITS instead — rows passing every constraint recorded
+    * on the target table ([[graft.ops.Manifest.constraintsOf]]) commit
+    * there, violating rows commit to the quarantine table tagged with a
+    * `violated` column naming the failed constraint(s) (the dead-letter
+    * contract: nothing is dropped, every quarantined row says why).
+    * Both commits are atomic appends; the main commit re-passes the s24
+    * gate by construction (clean rows re-validate for free as defense
+    * in depth). Zero streaming state. Returns the final main table. */
+  def gatedCommitStreaming(spark: SparkSession, dir: String,
+      tablePath: String, quarantinePath: String,
+      project: DataFrame => DataFrame = identity,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      checkpoint: String, name: String = "graft_st28"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = project(batch0)
+        val cs = Manifest.constraintsOf(tablePath)
+        require(cs.nonEmpty,
+          s"gated ingest needs CHECK constraints on $tablePath")
+        val names = cs.keys.toSeq.sorted
+        val vcol = array_join(filter(array(names.map(n =>
+          when(!expr(cs(n)), lit(n))): _*), x => x.isNotNull), ",")
+        val tagged = batch.withColumn("__violated", vcol)
+        Manifest.commit(
+          tagged.filter(col("__violated") === "").drop("__violated"),
+          tablePath)
+        Manifest.commit(
+          tagged.filter(col("__violated") =!= "")
+            .withColumnRenamed("__violated", "violated"),
+          quarantinePath)
+        ()
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
   /** STREAMING ingest through a PER-BATCH PROBE — [[commitStreaming]]
     * with a transformation between source and table: each micro-batch
     * runs `probe` (an external-probe / enrichment pass — the m7 media
