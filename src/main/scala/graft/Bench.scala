@@ -115,12 +115,34 @@ object Bench {
     // partial time is still visible in the per-query detail line).
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val total = ok.map(_._2).sum
-    // Extension workloads (dedup/similarity/text/multimodal/stream) have no
-    // reference counterpart; the core subtotal is the reference-parity set.
-    val isExtension = (n: String) => n.startsWith("d") || n.startsWith("x") ||
-      n.startsWith("t") || n.startsWith("m") || n.startsWith("st") ||
-      n.startsWith("e") || n == "a8_salted_agg" || n == "a9_approx_distinct"
-    val core = ok.collect { case (k, v) if !isExtension(k) => v }.sum
+    // The core subtotal is the EXPLICIT reference-parity set — the queries
+    // mapped to SURVEY §2's operator inventory (S/P/J/A1-A7/W1-W5/U/F/R rows
+    // plus the four reference pipeline lifecycles and the flagship). An
+    // explicit list, not a prefix rule, so newly added extension queries
+    // (a10+, j6+, s12+, w6+, c2, f19, …) can never drift into "core" and
+    // round-over-round core_sec stays comparable on a fixed set.
+    val coreSet = Set(
+      "q1_agg",
+      "s3_json_flatten", "s4_pruned_scan", "s5_roundtrip",
+      "s6_upsert_ignore", "s7_partitioned_sink", "s8_csv_roundtrip",
+      "s11_paged_union",
+      "p1_project_rename", "p2_regex_filter", "p3_date_cutoff",
+      "p4_nulldrop", "p5_inlist", "p6_notin", "p7_lookup", "p8_first_match",
+      "j1_fullouter_upsert", "j2_anti_resume", "j3_semi_validate",
+      "j4_broadcast_enrich", "j5_except_delta",
+      "a1_mode", "a2_batch_index", "a3_collect_set_join", "a4_distinct",
+      "a5_hash_dedup", "a6_ceil_paging", "a7_coercion_stats",
+      "w1_sort_topn", "w2_rank_in_order", "w3_first_per_key",
+      "w4_size_rank", "w5_collision_suffix",
+      "u1_union_all", "u2_diagonal_union", "u4_intersect",
+      "f1_normalize_ws", "f3_initcap", "f4_zeropad", "f5_slugify",
+      "f6_sanitize", "f7f8_bcrp_dates", "f9_api_format",
+      "f10_numeric_coercion", "f11_coalesce_pref", "f12_when_cascade",
+      "f13_lit_tag", "f14_format_path", "f15_json_extract", "f16_sha256",
+      "f18_extract_int",
+      "r1_pivot", "r2_unpivot", "r3_mef_rollup", "r4_grouping_sets",
+      "g1_staged_dag", "g2_composite_upsert", "c1_cache_lifecycle")
+    val core = ok.collect { case (k, v) if coreSet.contains(k) => v }.sum
     // The stdout detail line is routinely lost to the driver's tail capture
     // (only the summary survives), which made round-over-round per-query
     // comparison impossible for the alphabetically-early keys — so the full

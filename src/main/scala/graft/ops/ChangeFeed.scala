@@ -95,7 +95,18 @@ object ChangeFeed {
     * `toVersion`] (newest when omitted): one tagged frame
     * ([[VersionCol]], [[TypeCol]], table columns…). Append steps read
     * only their added files and need no key; a replace step requires
-    * `keyCols` for the row-level diff and fails loudly without them. */
+    * `keyCols` for the row-level diff and fails loudly without them.
+    *
+    * Schema-evolution safe: each append step reads its files under the
+    * schema its version RECORDED (so a step predating an appended column
+    * never mis-infers from footers), and steps combine with null padding
+    * — a feed range spanning an s23-style evolution commit emits change
+    * rows in the FINAL version's column set, with columns a step's
+    * schema lacked read as null (exactly how [[Manifest.read]] shows
+    * those rows at the newest version). A replace step whose diff
+    * would span a TYPE change still fails loudly inside
+    * [[snapshotDiff]] — that rewrite severed row identity, so row-level
+    * CDC across it is not well-defined. */
   def changes(spark: SparkSession, tablePath: String, sinceVersion: Long,
       toVersion: Long = -1L, keyCols: Seq[String] = Seq.empty): DataFrame = {
     val v1 = if (toVersion >= 0) toVersion else Manifest.version(tablePath)
@@ -113,7 +124,7 @@ object ChangeFeed {
         else if (prev.subsetOf(cur.toSet)) { // append: feed = added files
           val added = cur.filterNot(prev.contains)
           if (added.isEmpty) None
-          else Some(spark.read.parquet(resolve(tablePath, added): _*)
+          else Some(readStep(spark, tablePath, v, added)
             .withColumn(TypeCol, lit("insert")))
         } else { // replace: row-level snapshot diff
           require(keyCols.nonEmpty, s"version $v of $tablePath is a " +
@@ -124,13 +135,31 @@ object ChangeFeed {
       feed.map(_.withColumn(VersionCol, lit(v)))
     }
     // a range holding only flagged compactions / empty appends is a
-    // legitimate EMPTY feed, not an error
-    val f = steps.reduceOption(_ unionByName _).getOrElse(
-      Manifest.read(spark, tablePath, v1).limit(0)
-        .withColumn(TypeCol, lit("insert"))
-        .withColumn(VersionCol, lit(v1)))
+    // legitimate EMPTY feed, not an error. allowMissingColumns pads a
+    // pre-evolution step's absent columns with nulls instead of throwing.
+    val f = steps
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(
+        Manifest.read(spark, tablePath, v1).limit(0)
+          .withColumn(TypeCol, lit("insert"))
+          .withColumn(VersionCol, lit(v1)))
     f.select((col(VersionCol) +: col(TypeCol) +:
       f.columns.filterNot(Set(VersionCol, TypeCol)).map(col).toSeq): _*)
+  }
+
+  /** Read an append step's added files under the schema version `v`
+    * recorded — restricted to the columns the ADDED files can actually
+    * carry is unnecessary: the version's recorded schema already lists
+    * ancestor columns as nullable, and parquet reads absent columns as
+    * null. Falls back to footer inference for pre-schema-tracking
+    * tables. */
+  private def readStep(spark: SparkSession, tablePath: String, v: Long,
+      added: Seq[String]): DataFrame = {
+    val paths = resolve(tablePath, added)
+    Manifest.schemaOf(tablePath, v) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Source version the newest replica commit has applied through;
@@ -179,11 +208,15 @@ object ChangeFeed {
           replicaPath, meta = meta)
       } else if (prev.subsetOf(cur.toSet)) {
         val added = cur.filterNot(prev.contains)
+        // readStep: added files under the version's RECORDED schema, so a
+        // sync spanning an s23-style evolution commit sees the appended
+        // columns (and pre-evolution ancestors as null) instead of
+        // mis-inferring from footers; the replica commit then evolves its
+        // own schema append-compatibly through Manifest.commit.
         val ins =
           if (added.isEmpty) transform(
             Manifest.read(spark, sourcePath, v).limit(0))
-          else transform(
-            spark.read.parquet(resolve(sourcePath, added): _*))
+          else transform(readStep(spark, sourcePath, v, added))
         Manifest.commit(ins, replicaPath, meta = meta)
       } else {
         val feed = snapshotDiff(
@@ -208,8 +241,9 @@ object ChangeFeed {
               .drop(TypeCol))
             val kept = Manifest.read(spark, replicaPath)
               .join(removed, keyCols, "left_anti")
-            Manifest.commit(kept.unionByName(upserts), replicaPath,
-              replace = true, meta = meta)
+            Manifest.commit(
+              kept.unionByName(upserts, allowMissingColumns = true),
+              replicaPath, replace = true, meta = meta)
           }
         } finally { feed.unpersist(); () }
       }

@@ -82,13 +82,56 @@ object Manifest {
 
   /** Commit metadata recorded with version `v` (newest when omitted):
     * the `#key=value` manifest lines, minus reserved internal keys
-    * ([[SchemaKey]] → [[schemaOf]]; `constraint.*` → [[constraintsOf]]).
-    * Published atomically WITH the version — a reader can never observe
-    * the version without its metadata (the property
-    * [[Materialize.refresh]]'s source watermark rides on). */
+    * ([[SchemaKey]] → [[schemaOf]]; `constraint.*` → [[constraintsOf]];
+    * `txn.*` → [[lastTxn]]). Published atomically WITH the version — a
+    * reader can never observe the version without its metadata (the
+    * property [[Materialize.refresh]]'s source watermark rides on). */
   def meta(tablePath: String, v: Long = -1L): Map[String, String] =
     (rawMeta(tablePath, v) - SchemaKey)
       .filterNot(_._1.startsWith(ConstraintPrefix))
+      .filterNot(_._1.startsWith(TxnPrefix))
+
+  /** Prefix of metadata keys recording idempotent-writer transactions —
+    * the Delta `txn` (appId, version) contract that makes streaming
+    * `foreachBatch` sinks exactly-once: a writer stamps each commit with
+    * its application id and a monotonically increasing transaction
+    * version (the micro-batch id), and [[commitOnce]] refuses to re-apply
+    * a transaction the table has already recorded. The stamp is a
+    * manifest line of the version itself, so "the data landed" and "the
+    * transaction is recorded" are ONE atomic event — the property a
+    * sink-side marker file cannot give. */
+  val TxnPrefix = "txn."
+
+  /** Highest transaction version `appId` has committed to `tablePath`
+    * (scanning versions newest-first; -1 when the app never wrote).
+    * Driver-side metadata walk, newest-first with early exit — commits
+    * from one streaming app stamp every batch, so the hit is almost
+    * always the newest version. */
+  def lastTxn(tablePath: String, appId: String): Long =
+    committedVersions(tablePath).sorted(Ordering[Long].reverse)
+      .iterator
+      .flatMap(v => rawMeta(tablePath, v).get(s"$TxnPrefix$appId"))
+      .map(_.toLong)
+      .nextOption().getOrElse(-1L)
+
+  /** Idempotent commit — the exactly-once primitive for replayable
+    * writers (Structured Streaming `foreachBatch` is documented
+    * at-least-once: a crash between the sink commit and the streaming
+    * commit-log write replays the batch with the same `batchId`).
+    * Commits `df` stamped with (`appId`, `txnVersion`) unless the table
+    * has already recorded a transaction >= `txnVersion` for `appId`, in
+    * which case NOTHING happens and None is returned — the replayed
+    * batch is dropped instead of double-applied. Returns Some(version)
+    * when the commit happened. */
+  def commitOnce(df: DataFrame, tablePath: String, appId: String,
+      txnVersion: Long, replace: Boolean = false,
+      meta: Map[String, String] = Map.empty): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains("=") && !appId.contains("\n"),
+      s"invalid txn appId '$appId'")
+    if (lastTxn(tablePath, appId) >= txnVersion) None
+    else Some(commit(df, tablePath, replace,
+      meta + (s"$TxnPrefix$appId" -> txnVersion.toString)))
+  }
 
   /** Reserved metadata key holding the table schema at a version, as
     * single-line Spark JSON. The schema lives in the LOG, not in file
@@ -170,15 +213,9 @@ object Manifest {
       name: String): Long = {
     require(constraintsOf(tablePath).contains(name),
       s"no constraint '$name' at $tablePath")
-    dropConstraintName = Some(name)
-    try commit(read(spark, tablePath).limit(0), tablePath)
-    finally dropConstraintName = None
+    commit(read(spark, tablePath).limit(0), tablePath,
+      excludeConstraint = Some(name))
   }
-
-  // plumbing for dropConstraint's carry-forward exclusion (single
-  // driver-side call path; commits are driver-coordinated like every
-  // table format's)
-  @volatile private var dropConstraintName: Option[String] = None
 
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
@@ -187,13 +224,16 @@ object Manifest {
     * [[SchemaKey]] metadata: appends evolve the previous schema
     * append-compatibly ([[evolve]] — new columns allowed, type changes
     * loud), replaces reset it to `df`'s. CHECK constraints in force
-    * ([[addConstraint]]) carry forward and validate `df`'s rows in ONE
-    * aggregate pass before anything lands — a violating commit aborts
-    * with per-constraint counts and publishes nothing. Returns the
+    * ([[addConstraint]]) carry forward and gate the commit from ONE
+    * materialization: the batch files are written first, the WRITTEN
+    * rows are validated in one aggregate pass, and only then does the
+    * manifest publish — a violating commit deletes its batch files and
+    * aborts with per-constraint counts, publishing nothing. Returns the
     * committed version number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
-      meta: Map[String, String] = Map.empty): Long = {
+      meta: Map[String, String] = Map.empty,
+      excludeConstraint: Option[String] = None): Long = {
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
@@ -205,36 +245,57 @@ object Manifest {
       if (replace || prev == 0) df.schema
       else schemaOf(tablePath, prev)
         .map(evolve(_, df.schema)).getOrElse(df.schema)
-    // constraints in force = inherited (minus a drop in progress) plus
-    // any recorded by this commit; validated in ONE aggregate pass —
-    // a violating commit aborts before anything lands
+    // constraints in force = inherited (minus `excludeConstraint`, the
+    // [[dropConstraint]] carve-out) plus any recorded by this commit
     val inherited =
       if (prev == 0) Map.empty[String, String]
-      else constraintsOf(tablePath, prev) -- dropConstraintName.toSeq
+      else constraintsOf(tablePath, prev) -- excludeConstraint.toSeq
     val passed = meta.collect {
       case (k, ex) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> ex
     }
     val constraints = inherited ++ passed
+    val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
+    // A pre-existing b$next dir is debris from a commit that crashed
+    // between its data write and its manifest publish (no manifest can
+    // reference it: version $next was never committed, and append
+    // manifests only carry files their OWN batch or ancestors wrote).
+    // Reclaim it so the retry — the foreachBatch replay path — succeeds.
+    if (Files.isDirectory(batchDir)) {
+      ls(batchDir).foreach(p => Files.deleteIfExists(Paths.get(p)))
+      Files.delete(batchDir)
+    }
+    // Write FIRST, then validate the WRITTEN files: `df` is executed
+    // exactly once, so a non-deterministic or concurrently-changing
+    // input can never pass validation yet land different (violating)
+    // rows — what it wrote is literally what was checked. A violation
+    // deletes the batch dir and aborts; no manifest was published, so
+    // readers never saw anything.
+    df.write.mode("errorifexists").parquet(batchDir.toString)
     if (constraints.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, sum, when, lit}
+      import org.apache.spark.sql.functions.{expr, lit, sum, when}
       val names = constraints.keys.toSeq.sorted
       val aggs = names.map(n => sum(when(
         !expr(constraints(n)), lit(1L)).otherwise(lit(0L))).as(n))
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val written = df.sparkSession.read.schema(df.schema)
+        .parquet(batchDir.toString)
+      val row = written.agg(aggs.head, aggs.tail: _*).head()
       val bad = names.zipWithIndex
         .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L
           else row.getLong(i)) }
         .filter(_._2 > 0)
-      require(bad.isEmpty, "commit violates CHECK constraint(s) " +
-        bad.map { case (n, c) =>
-          s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
-        " — nothing was written")
+      if (bad.nonEmpty) {
+        ls(batchDir).foreach(p => Files.deleteIfExists(Paths.get(p)))
+        Files.delete(batchDir)
+        throw new IllegalArgumentException(
+          "requirement failed: commit violates CHECK constraint(s) " +
+            bad.map { case (n, c) =>
+              s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
+            " — nothing was published")
+      }
     }
     val constraintMeta = (inherited ++ passed)
       .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
-    val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
-    df.write.mode("errorifexists").parquet(batchDir.toString)
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)

@@ -284,8 +284,6 @@ object WindowAggQueries {
     // shuffle by user, per-key sort inside the window operator.
     "w8_time_range_frame" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("sec")).rangeBetween(-600, 0)
         events(s, dir).filter(col("user_id") < 50)

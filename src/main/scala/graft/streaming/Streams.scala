@@ -79,6 +79,103 @@ object Streams {
     parent.conf.getOption("spark.graft.stream.statePartitions")
       .getOrElse(DefaultStreamStatePartitions)
 
+  /** EXACTLY-ONCE plumbing for the fold-in sinks. Structured Streaming's
+    * `foreachBatch` is documented AT-LEAST-ONCE: source offsets are
+    * checkpointed before the batch function runs and batch completion
+    * only after it returns, so a crash between the sink's side effect
+    * and the streaming commit-log write REPLAYS the batch — with the
+    * same data and, critically, the same `batchId`. Every sink here
+    * therefore derives idempotence from that id, one of three ways:
+    *
+    *  1. Manifest sinks commit through [[graft.ops.Manifest.commitOnce]]
+    *     — the Delta `txn` recipe: the (appId, batchId) stamp is a
+    *     manifest line of the committed version itself, so "data landed"
+    *     and "batch recorded" are ONE atomic event and a replayed id is
+    *     dropped outright. This is full exactly-once.
+    *  2. Parquet-partial sinks write each batch to a
+    *     `batch=<batchId>` subdirectory with `mode("overwrite")` — a
+    *     replay overwrites its own output instead of appending a second
+    *     copy. Idempotent by construction, no marker needed.
+    *  3. Index fold-ins (the [[graft.ops.DedupIndex]] /
+    *     [[graft.ops.TextIndex]] / IVF appends, whose bucketed-table
+    *     appends cannot be keyed by batch without breaking the bucket
+    *     layout) gate on a [[Txn]] marker recorded via atomic rename
+    *     immediately after the fold. A replay after the marker landed is
+    *     skipped; the residual window is the fold→rename gap — one tiny
+    *     filesystem rename, the honest limit of exactly-once without a
+    *     transactional index commit (Delta closes that gap by putting
+    *     the txn INSIDE the commit, which is exactly what the Manifest
+    *     sinks do).
+    *
+    * StreamingSpec's replay cases invoke each family's batch function
+    * twice with the same id and assert the final state unchanged. */
+  private[graft] object Txn {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+
+    private def marker(dir: String, appId: String) =
+      Paths.get(dir, "_txn", appId)
+
+    /** Highest batch id recorded as applied for (`dir`, `appId`); -1
+      * when none. */
+    def last(dir: String, appId: String): Long = {
+      val m = marker(dir, appId)
+      if (Files.exists(m))
+        new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong
+      else -1L
+    }
+
+    /** Record `batchId` as applied — write-tmp + atomic rename, so a
+      * reader sees the old id or the new one, never a torn write. */
+    def record(dir: String, appId: String, batchId: Long): Unit = {
+      val m = marker(dir, appId)
+      Files.createDirectories(m.getParent)
+      val tmp = m.getParent.resolve(s".$appId.tmp")
+      Files.write(tmp,
+        batchId.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
+    /** Run `body` unless `batchId` is already recorded as applied, then
+      * record it. Returns true when the body ran. */
+    def once(dir: String, appId: String, batchId: Long)(
+        body: => Unit): Boolean =
+      if (last(dir, appId) >= batchId) false
+      else { body; record(dir, appId, batchId); true }
+
+    /** Drop every marker under `dir` — called when an index is RESEEDED
+      * (rebuilt from empty): the new stream's batch ids restart at 0,
+      * and a stale marker from the previous index generation must not
+      * skip them. */
+    def clear(dir: String): Unit = {
+      val d = Paths.get(dir, "_txn")
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try s.toArray.foreach(p =>
+          Files.deleteIfExists(p.asInstanceOf[java.nio.file.Path]))
+        finally s.close()
+      }
+    }
+  }
+
+  /** Write a micro-batch's partial output idempotently: each batch owns
+    * the `batch=<batchId>` subdirectory of `outPath` and OVERWRITES it,
+    * so an at-least-once replay replaces its own previous output instead
+    * of appending a duplicate copy. Readers see the directory as a
+    * partitioned parquet table with a synthetic `batch` column —
+    * [[readPartials]] drops it. */
+  private def writePartial(batch: DataFrame, outPath: String,
+      batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+
+  /** Read a [[writePartial]] table back, dropping the synthetic `batch`
+    * partition column so downstream re-aggregation sees exactly the
+    * partial schema the batches wrote. */
+  private def readPartials(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath).drop("batch")
+
   /** Build the stream on a CHILD session (`spark.newSession()`: same
     * SparkContext and shared state, its own session-scoped conf + temp-view
     * catalog) with the stream's state partitioning pinned to
@@ -353,10 +450,13 @@ object Streams {
     *
     * Pairs are emitted id-normalized (a < b) because arrival order and
     * id order need not agree across micro-batches. All per-batch work is
-    * distributed (probe joins + bucketed appends + a parquet append of
-    * the pairs); `foreachBatch` sequences it, holding NO streaming state
-    * — the persisted index IS the state, which is what makes the
-    * continuous form restart-safe on a real cluster. */
+    * distributed (probe joins + bucketed appends + per-batch parquet
+    * writes of the pairs); `foreachBatch` sequences it, holding NO
+    * streaming state — the persisted index IS the state. EXACTLY-ONCE:
+    * pairs land per-batch-overwrite ([[writePartial]]) and the fold-in
+    * gates on a [[Txn]] marker at `indexPath`, so an at-least-once
+    * replay rewrites its own pairs and skips the already-applied
+    * append (StreamingSpec replay case). */
   def incrementalDedupStreaming(spark: SparkSession, dir: String,
       indexPath: String, outPath: String, prefix: String, k: Int = 3,
       threshold: Double = 0.8, maxBucketSize: Int = 0,
@@ -372,23 +472,40 @@ object Streams {
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
     DedupIndex.buildIndex(s, empty, "doc_id", "text", k, maxBucketSize,
       indexPath, prefix, hash = hash)
+    Txn.clear(indexPath) // reseeded: prior generation's markers are void
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession // micro-batch session, shared catalog
-        val pairs = DedupIndex.dedupBatch(bs, batch, "doc_id", "text", k,
-          threshold, maxBucketSize, prefix, hash)
-        pairs.select(least(col("a"), col("b")).as("a"),
-            greatest(col("a"), col("b")).as("b"), col("jac"))
-          .write.mode("append").parquet(outPath)
-        DedupIndex.appendBatch(bs, batch, "doc_id", "text", k,
-          maxBucketSize, prefix, hash = hash)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIncrementalDedupBatch(batch, batchId, indexPath, outPath,
+          prefix, k, threshold, maxBucketSize, hash)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outPath)
+    readPartials(s, outPath)
+  }
+
+  /** st11's per-batch body: probe, write the batch's pairs
+    * idempotently, fold the batch into the index behind its [[Txn]]
+    * marker. Package-visible so the replay spec can invoke it twice
+    * with one id. */
+  private[graft] def applyIncrementalDedupBatch(batch: DataFrame,
+      batchId: Long, indexPath: String, outPath: String, prefix: String,
+      k: Int, threshold: Double, maxBucketSize: Int,
+      hash: Column => Column): Unit = {
+    import graft.ops.DedupIndex
+    val bs = batch.sparkSession // micro-batch session, shared catalog
+    Txn.once(indexPath, "st11_fold", batchId) {
+      val pairs = DedupIndex.dedupBatch(bs, batch, "doc_id", "text", k,
+        threshold, maxBucketSize, prefix, hash)
+      writePartial(
+        pairs.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"), col("jac")),
+        outPath, batchId)
+      DedupIndex.appendBatch(bs, batch, "doc_id", "text", k,
+        maxBucketSize, prefix, hash = hash)
+    }
+    ()
   }
 
   /** A closed session: [startTs, endTs] nanos with its event count. */
@@ -465,35 +582,41 @@ object Streams {
     * micro-batch. Each batch runs the exact batch probe
     * ([[graft.ops.Similarity.ivfProbePersisted]]) inside `foreachBatch`:
     * per-query top-k is independent across queries and every query vector
-    * arrives in exactly one micro-batch, so the appended output over a
-    * bounded drain is value-identical to the one-shot batch probe — which
-    * is the oracle (x3/x9's shared SQL). ZERO streaming state: no
-    * watermark, no join state — the index tables ARE the lookup bound,
-    * and `foreachBatch` holds nothing between batches (restart-safe via
-    * the checkpointed source offsets + idempotent-per-query appends). */
+    * arrives in exactly one micro-batch, so the output over a bounded
+    * drain is value-identical to the one-shot batch probe — which is the
+    * oracle (x3/x9's shared SQL). ZERO streaming state: no watermark, no
+    * join state — the index tables ARE the lookup bound, and
+    * `foreachBatch` holds nothing between batches. EXACTLY-ONCE: each
+    * batch's probe results land per-batch-overwrite ([[writePartial]]),
+    * so an at-least-once replay replaces its own output. */
   def ivfProbeStreaming(spark: SparkSession, dir: String, prefix: String,
       outPath: String, where: Column = lit(true), nProbe: Int = 2,
       k: Int = 3, glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st12"): DataFrame = {
-    import graft.ops.Similarity
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession // micro-batch session, shared catalog
-        Similarity.ivfProbePersisted(bs, batch, "vec_id", "embedding",
-            nProbe, k, prefix)
-          .select(col("qid"), col("rank"), col("nid"), col("cos"))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfProbeBatch(batch, batchId, prefix, outPath, nProbe, k)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outPath)
+    readPartials(s, outPath)
+  }
+
+  /** st12's per-batch body — a pure idempotent partial write. */
+  private[graft] def applyIvfProbeBatch(batch: DataFrame, batchId: Long,
+      prefix: String, outPath: String, nProbe: Int, k: Int): Unit = {
+    import graft.ops.Similarity
+    writePartial(
+      Similarity.ivfProbePersisted(batch.sparkSession, batch, "vec_id",
+          "embedding", nProbe, k, prefix)
+        .select(col("qid"), col("rank"), col("nid"), col("cos")),
+      outPath, batchId)
   }
 
   /** STREAMING IVF INDEX INGEST — the vector twin of st11's fold-in:
@@ -506,25 +629,39 @@ object Streams {
     * with the original centroids (IvfIndexSpec's append identity,
     * exercised here micro-batch by micro-batch; st14's oracle replays
     * slice-training + full-corpus assignment + probe). `where`
-    * pre-filters the stream to the not-yet-indexed vectors. */
+    * pre-filters the stream to the not-yet-indexed vectors.
+    * EXACTLY-ONCE: the fold gates on a [[Txn]] marker INSIDE the
+    * checkpoint directory (the index has no path handle here, and the
+    * marker must share the checkpoint's lifetime — delete both together
+    * to re-stream), so an at-least-once replay skips the
+    * already-applied append. */
   def ivfIngestStreaming(spark: SparkSession, dir: String, prefix: String,
       where: Column = lit(true), glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0, checkpoint: String,
       name: String = "graft_st14"): Unit = {
-    import graft.ops.Similarity
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendToIvfIndex(batch.sparkSession, batch, "vec_id",
-          "embedding", prefix)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfIngestBatch(batch, batchId, prefix, checkpoint)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** st14's per-batch body: fold the batch into the IVF index behind
+    * its [[Txn]] marker. */
+  private[graft] def applyIvfIngestBatch(batch: DataFrame, batchId: Long,
+      prefix: String, checkpoint: String): Unit = {
+    import graft.ops.Similarity
+    Txn.once(checkpoint, "st14_fold", batchId) {
+      Similarity.appendToIvfIndex(batch.sparkSession, batch, "vec_id",
+        "embedding", prefix)
+    }
+    ()
   }
 
   /** STREAMING BM25 INDEX INGEST — the text twin of st14's vector
@@ -574,18 +711,33 @@ object Streams {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
       TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
         "doc_id", "text", indexPath, prefix)
+      Txn.clear(indexPath) // reseeded: prior generation's markers are void
     }
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .select("doc_id", "lang", "text")
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        TextIndex.appendDocs(batch.sparkSession, batch, "doc_id", "text",
-          indexPath, prefix)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTextIndexBatch(batch, batchId, indexPath, prefix)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
+  }
+
+  /** st21's per-batch body: fold the batch into the inverted index
+    * behind its [[Txn]] marker at `indexPath` (the marker shares the
+    * index's lifetime — a rebuild via [[textIndexIngestStreaming]]'s
+    * seed wipes the index dir, markers included), so an at-least-once
+    * replay skips an already-applied fold instead of double-counting
+    * term statistics. */
+  private[graft] def applyTextIndexBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, prefix: String): Unit = {
+    import graft.ops.TextIndex
+    Txn.once(indexPath, "st21_fold", batchId) {
+      TextIndex.appendDocs(batch.sparkSession, batch, "doc_id", "text",
+        indexPath, prefix)
+    }
+    ()
   }
 
   /** STREAMING approximate-distinct via persisted Datasketches HLL
@@ -608,15 +760,14 @@ object Streams {
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy(col("event_type"))
-          .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(batch.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lgK).as("sk")),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outPath)
+    readPartials(s, outPath)
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), true))
         .as("approx_users"))
@@ -641,14 +792,14 @@ object Streams {
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.agg(kll_sketch_agg_double(col("value"), k).as("sk"))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(
+          batch.agg(kll_sketch_agg_double(col("value"), k).as("sk")),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outPath)
+    readPartials(s, outPath)
       .agg(kll_merge_agg_double(col("sk"), k).as("sk"))
   }
 
@@ -672,15 +823,15 @@ object Streams {
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(explode(textstats.tokens(col("text"))).as("token"))
-          .agg(expr(s"approx_top_k_accumulate(token, $maxItems)").as("st"))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(batch
+          .select(explode(textstats.tokens(col("text"))).as("token"))
+          .agg(expr(s"approx_top_k_accumulate(token, $maxItems)").as("st")),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    s.read.parquet(outPath)
+    readPartials(s, outPath)
       .agg(expr(s"approx_top_k_estimate(" +
         s"approx_top_k_combine(st, $maxItems), $maxItems)").as("tk"))
       .select(explode(col("tk")).as("e"))
@@ -691,10 +842,15 @@ object Streams {
     * each micro-batch of events merges into the persisted type-2
     * dimension via [[graft.ops.Scd.applyChanges]] (within-batch chains,
     * boundary no-op filter, open rows close at the first new version).
-    * The dimension lives as versioned parquet snapshots (write-next,
-    * advance — never read-while-overwrite); the returned frame is the
-    * final version. ZERO streaming state: the dimension table IS the
-    * state, restart-safe via the checkpointed source offsets. Requires
+    * The dimension lives as parquet snapshots KEYED BY BATCH ID
+    * (write-next, advance — never read-while-overwrite); the returned
+    * frame is the newest snapshot. ZERO streaming state: the dimension
+    * table IS the state, restart-safe via the checkpointed source
+    * offsets. EXACTLY-ONCE by construction: batch `n` always reads
+    * snapshot `n-1` and OVERWRITES snapshot `n`, and Structured
+    * Streaming replays a batch with the same id — so a replayed fold
+    * recomputes the identical snapshot in place instead of stacking a
+    * second application (StreamingSpec replay case). Requires
     * event-time-ordered arrival across micro-batches (the file source's
     * modification-time order — same contract as the other fold-ins);
     * within a batch any order is fine. Over a bounded drain the result
@@ -705,7 +861,6 @@ object Streams {
       keyCol: String, attrCol: String, where: Column = lit(true),
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st15"): DataFrame = {
-    import graft.ops.Scd
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val dimSchema = StructType(Seq(
@@ -714,35 +869,44 @@ object Streams {
       StructField("valid_from", LongType),
       StructField("valid_to", LongType),
       StructField("is_current", BooleanType)))
-    // resume-aware seed: adopt the highest existing snapshot (restart
-    // replays from the checkpointed source offsets against it); first
-    // run starts from an empty schema-pinned dimension
-    val existing = Option(new java.io.File(workDir).listFiles()).toSeq
-      .flatten.map(_.getName).filter(_.startsWith("dim_v"))
-      .map(_.stripPrefix("dim_v").toInt)
-    val ver = new java.util.concurrent.atomic.AtomicInteger(
-      if (existing.isEmpty) 0 else existing.max)
-    if (existing.isEmpty)
+    // the empty seed is idempotent to (re)write; a restart's replayed
+    // batches then rebuild their snapshots deterministically from it
+    if (scdSnapshots(workDir).isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           dimSchema)
-        .write.mode("overwrite").parquet(s"$workDir/dim_v0")
+        .write.mode("overwrite").parquet(s"$workDir/dim_seed")
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .select(col(keyCol), col(attrCol), col("ts"), col("event_id"))
       .writeStream
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        val cur = bs.read.parquet(s"$workDir/dim_v${ver.get}")
-        Scd.applyChanges(cur, batch, keyCol, attrCol, "ts", "event_id")
-          .write.mode("overwrite")
-          .parquet(s"$workDir/dim_v${ver.get + 1}")
-        ver.incrementAndGet()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScdBatch(batch, batchId, workDir, keyCol, attrCol)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(s"$workDir/dim_v${ver.get}")
+    val last = scdSnapshots(workDir).max
+    spark.read.parquet(s"$workDir/dim_b$last")
+  }
+
+  /** Batch-id-keyed dimension snapshots present under `workDir`. */
+  private def scdSnapshots(workDir: String): Seq[Long] =
+    Option(new java.io.File(workDir).listFiles()).toSeq
+      .flatten.map(_.getName).filter(_.startsWith("dim_b"))
+      .map(_.stripPrefix("dim_b").toLong)
+
+  /** st15's per-batch body: snapshot `batchId` = applyChanges(snapshot
+    * `batchId - 1`, batch), written with overwrite — deterministic and
+    * idempotent under replay. */
+  private[graft] def applyScdBatch(batch: DataFrame, batchId: Long,
+      workDir: String, keyCol: String, attrCol: String): Unit = {
+    import graft.ops.Scd
+    val bs = batch.sparkSession
+    val prev =
+      if (batchId == 0) s"$workDir/dim_seed" else s"$workDir/dim_b${batchId - 1}"
+    val cur = bs.read.parquet(prev)
+    Scd.applyChanges(cur, batch, keyCol, attrCol, "ts", "event_id")
+      .write.mode("overwrite").parquet(s"$workDir/dim_b$batchId")
   }
 
   /** STREAMING count-min sketch maintenance — the continuous form of
@@ -754,32 +918,41 @@ object Streams {
     * associativity (SketchesSpec's slice-merge property) equals the
     * one-shot batch sketch over everything that streamed — so a10's
     * estimate oracle replays the streamed sketch exactly. ZERO streaming
-    * state: the parquet partials ARE the state (restart-safe via source
-    * offsets in the checkpoint). */
+    * state: the parquet partials ARE the state. EXACTLY-ONCE: each
+    * batch's partial lands per-batch-overwrite ([[writePartial]]), so an
+    * at-least-once replay replaces its own partial instead of
+    * double-counting it (StreamingSpec replay case). */
   def sketchStreaming(spark: SparkSession, dir: String, outPath: String,
       depth: Int, width: Int, glob: String = "documents.parquet",
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st13"): DataFrame = {
-    import graft.functions.textstats
-    import graft.ops.Sketches
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sketches.countMin(
-            batch.select(explode(textstats.tokens(col("text"))).as("token")),
-            "token", depth, width)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySketchBatch(batch, batchId, outPath, depth, width)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     // read back on the CALLER's session: the sketch feeds straight into
     // batch probes (countMinEstimate joins) built there
-    spark.read.parquet(outPath)
+    readPartials(spark, outPath)
       .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+  }
+
+  /** st13's per-batch body — the representative [[writePartial]] sink
+    * for the replay spec. */
+  private[graft] def applySketchBatch(batch: DataFrame, batchId: Long,
+      outPath: String, depth: Int, width: Int): Unit = {
+    import graft.functions.textstats
+    import graft.ops.Sketches
+    writePartial(
+      Sketches.countMin(
+        batch.select(explode(textstats.tokens(col("text"))).as("token")),
+        "token", depth, width),
+      outPath, batchId)
   }
 
   /** STREAMING equi-width histogram maintenance — the continuous form of
@@ -808,14 +981,14 @@ object Streams {
       else r).parquet(dir)
     val q = src.writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Sketches.equiWidthHistogram(batch, valueCol, bins, Some((lo, hi)))
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(
+          Sketches.equiWidthHistogram(batch, valueCol, bins, Some((lo, hi))),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outPath)
+    readPartials(spark, outPath)
       .groupBy(col("bin"), col("lo_edge"), col("hi_edge"))
       .agg(sum(col("n")).as("n"),
         sum(col("mass").cast("decimal(18,2)")).cast("double").as("mass"))
@@ -851,18 +1024,27 @@ object Streams {
       else r).parquet(dir)
     val q = src.writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Expectations.condPartials(batch, checks)
-          .write.mode("append").parquet(s"$outPath/counters")
-        batch.select(keyCols.map(col): _*).distinct()
-          .write.mode("append").parquet(s"$outPath/keys")
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyExpectationsBatch(batch, batchId, outPath, checks, keyCols)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Expectations.validateFromPartials(
-      spark.read.parquet(s"$outPath/counters"), checks,
-      uniqueName, spark.read.parquet(s"$outPath/keys"))
+      readPartials(spark, s"$outPath/counters"), checks,
+      uniqueName, readPartials(spark, s"$outPath/keys"))
+  }
+
+  /** st17's per-batch body: BOTH partial tables (counters + keys) write
+    * per-batch-overwrite, so a replay replaces both slices coherently. */
+  private[graft] def applyExpectationsBatch(batch: DataFrame,
+      batchId: Long, outPath: String,
+      checks: Seq[graft.ops.Expectations.CondCheck],
+      keyCols: Seq[String]): Unit = {
+    import graft.ops.Expectations
+    writePartial(Expectations.condPartials(batch, checks),
+      s"$outPath/counters", batchId)
+    writePartial(batch.select(keyCols.map(col): _*).distinct(),
+      s"$outPath/keys", batchId)
   }
 
   /** STREAMING trailing-7-day active users — w11's curve maintained
@@ -883,16 +1065,15 @@ object Streams {
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("user_id"),
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(batch.select(col("user_id"),
             expr("ts div 86400000000000").as("d"))
-          .distinct()
-          .write.mode("append").parquet(outPath)
-        ()
+          .distinct(),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    val ud = spark.read.parquet(outPath).distinct()
+    val ud = readPartials(spark, outPath).distinct()
     val bounds = ud.agg(max(col("d")).as("dmax"))
     ud.select(col("user_id"),
         explode(sequence(col("d"), col("d") + 6)).as("day"))
@@ -923,19 +1104,18 @@ object Streams {
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.select(col("lang"),
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writePartial(batch.select(col("lang"),
             (hashing.h64(col("doc_id").cast("string")) % 2).cast("int")
               .as("side"),
             explode(textstats.tokens(col("text"))).as("t"))
           .groupBy(col("lang"), col("side"), col("t"))
-          .agg(count(lit(1)).as("c"))
-          .write.mode("append").parquet(outPath)
-        ()
+          .agg(count(lit(1)).as("c")),
+          outPath, batchId)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outPath)
+    readPartials(spark, outPath)
       .groupBy(col("lang"), col("side"), col("t"))
       .agg(sum(col("c")).as("c"))
   }
@@ -946,8 +1126,13 @@ object Streams {
     * versioned commit, so a downstream reader only ever sees whole
     * batches — never a half-written file set — and can time-travel the
     * ingest history batch by batch. Zero streaming state; the manifest
-    * IS the state (restart resumes from the source checkpoint and keeps
-    * committing). Returns the final table read on the caller's session. */
+    * IS the state. EXACTLY-ONCE: commits go through
+    * [[graft.ops.Manifest.commitOnce]] — the batch id is stamped into
+    * the committed version's own manifest, so an at-least-once replay
+    * (restart after a crash between the table commit and the streaming
+    * commit-log write) is recognized and dropped instead of appending
+    * the batch twice (StreamingSpec replay case). Returns the final
+    * table read on the caller's session. */
   def commitStreaming(spark: SparkSession, dir: String, tablePath: String,
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st_commit"): DataFrame = {
@@ -957,13 +1142,31 @@ object Streams {
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$tablePath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Manifest.commit(batch, tablePath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCommitBatch(batch, batchId, tablePath)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, tablePath)
+  }
+
+  /** [[commitStreaming]]'s per-batch body — the representative
+    * Manifest-sink for the replay spec.
+    *
+    * SKIP-EMPTY CONTRACT (the whole Manifest streaming family): a sink
+    * never publishes a version for a batch that contributes ZERO rows
+    * to that table — version history counts contributing batches only,
+    * keeping time travel and change feeds meaningful under idle
+    * triggers. The one sanctioned exception is a WATERMARK-CARRYING
+    * commit ([[graft.ops.ChangeFeed.syncReplica]] applying a flagged
+    * compaction, [[graft.ops.Materialize.refresh]]): there the zero-row
+    * version IS the record that a source version was seen and changed
+    * nothing — dropping it would lose the resume point. */
+  private[graft] def applyCommitBatch(batch: DataFrame, batchId: Long,
+      tablePath: String): Unit = {
+    if (!batch.isEmpty)
+      graft.ops.Manifest.commitOnce(batch, tablePath, "st_ingest", batchId)
+    ()
   }
 
   /** STREAMING ingest behind the TABLE'S OWN CHECK CONSTRAINTS, with a
@@ -974,9 +1177,17 @@ object Streams {
     * there, violating rows commit to the quarantine table tagged with a
     * `violated` column naming the failed constraint(s) (the dead-letter
     * contract: nothing is dropped, every quarantined row says why).
-    * Both commits are atomic appends; the main commit re-passes the s24
-    * gate by construction (clean rows re-validate for free as defense
-    * in depth). Zero streaming state. Returns the final main table. */
+    * Both commits are atomic appends through
+    * [[graft.ops.Manifest.commitOnce]] (each table tracks its own
+    * applied-batch watermark, so a replay after either commit landed
+    * re-applies NEITHER); a slice that is EMPTY for a batch commits
+    * nothing — a clean batch publishes no quarantine version and an
+    * all-violators batch publishes no main version, so version history
+    * on each table counts only batches that actually contributed rows
+    * (the skip-empty-commit contract, StreamingSpec-pinned). The main
+    * commit re-passes the s24 gate by construction (clean rows
+    * re-validate for free as defense in depth). Zero streaming state.
+    * Returns the final main table. */
   def gatedCommitStreaming(spark: SparkSession, dir: String,
       tablePath: String, quarantinePath: String,
       project: DataFrame => DataFrame = identity,
@@ -988,27 +1199,35 @@ object Streams {
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val batch = project(batch0)
-        val cs = Manifest.constraintsOf(tablePath)
-        require(cs.nonEmpty,
-          s"gated ingest needs CHECK constraints on $tablePath")
-        val names = cs.keys.toSeq.sorted
-        val vcol = array_join(filter(array(names.map(n =>
-          when(!expr(cs(n)), lit(n))): _*), x => x.isNotNull), ",")
-        val tagged = batch.withColumn("__violated", vcol)
-        Manifest.commit(
-          tagged.filter(col("__violated") === "").drop("__violated"),
-          tablePath)
-        Manifest.commit(
-          tagged.filter(col("__violated") =!= "")
-            .withColumnRenamed("__violated", "violated"),
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        applyGatedBatch(project(batch0), batchId, tablePath,
           quarantinePath)
-        ()
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, tablePath)
+  }
+
+  /** st28's per-batch body: constraint-split the batch, commit each
+    * NON-EMPTY slice exactly once to its table. */
+  private[graft] def applyGatedBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, quarantinePath: String): Unit = {
+    import graft.ops.Manifest
+    val cs = Manifest.constraintsOf(tablePath)
+    require(cs.nonEmpty,
+      s"gated ingest needs CHECK constraints on $tablePath")
+    val names = cs.keys.toSeq.sorted
+    val vcol = array_join(filter(array(names.map(n =>
+      when(!expr(cs(n)), lit(n))): _*), x => x.isNotNull), ",")
+    val tagged = batch.withColumn("__violated", vcol)
+    val clean = tagged.filter(col("__violated") === "").drop("__violated")
+    val viol = tagged.filter(col("__violated") =!= "")
+      .withColumnRenamed("__violated", "violated")
+    if (!clean.isEmpty)
+      Manifest.commitOnce(clean, tablePath, "st_gated", batchId)
+    if (!viol.isEmpty)
+      Manifest.commitOnce(viol, quarantinePath, "st_gated", batchId)
+    ()
   }
 
   /** STREAMING ingest through a PER-BATCH PROBE — [[commitStreaming]]
@@ -1019,7 +1238,9 @@ object Streams {
     * continuous form of the sidecar pattern: payload bytes are touched
     * exactly once, on arrival, and everything downstream reads only the
     * versioned probe results. Zero streaming state; probe cost ∝ the
-    * batch. Returns the final sidecar table. */
+    * batch. EXACTLY-ONCE via [[graft.ops.Manifest.commitOnce]]: a
+    * replayed batch re-probes (idempotent read work) but never commits
+    * a second sidecar version. Returns the final sidecar table. */
   def probedCommitStreaming(spark: SparkSession, dir: String,
       tablePath: String, probe: DataFrame => DataFrame,
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
@@ -1030,8 +1251,13 @@ object Streams {
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Manifest.commit(probe(batch), tablePath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // commitOnce short-circuits BEFORE the probe on a replayed id:
+        // check first, probe only when the batch is new and NON-EMPTY
+        // (skip-empty contract, applyCommitBatch scaladoc)
+        if (Manifest.lastTxn(tablePath, "st_probe") < batchId &&
+            !batch.isEmpty)
+          Manifest.commitOnce(probe(batch), tablePath, "st_probe", batchId)
         ()
       }
       .queryName(name).start()
@@ -1044,11 +1270,15 @@ object Streams {
     * twin): each micro-batch lands as ONE atomic append commit to the
     * source [[graft.ops.Manifest]] table and is immediately folded into
     * the materialized aggregate by [[graft.ops.Materialize.refresh]],
-    * whose delta read touches ONLY that commit's files (the watermark
-    * advanced atomically with the previous fold — commit metadata, so a
-    * crash between commit and fold just re-folds the same delta on
-    * restart, never half- or double-applies it). ZERO streaming state:
-    * the two manifest tables ARE the restart-safe state. Under the
+    * whose delta read touches ONLY that commit's files. EXACTLY-ONCE at
+    * BOTH stages: the source commit goes through
+    * [[graft.ops.Manifest.commitOnce]] (a replayed batch id commits no
+    * second source version), and the fold is guarded by the aggregate's
+    * own `#source_version=` watermark — advanced atomically WITH the
+    * fold, so a crash between commit and fold just re-folds the same
+    * delta on restart, and a replay after both landed re-applies
+    * neither (StreamingSpec replay case). ZERO streaming state: the two
+    * manifest tables ARE the restart-safe state. Under the
     * map-side-combine law the folded aggregate EQUALS the one-shot
     * aggregate over everything that streamed (StreamingSpec asserts it
     * across 4 micro-batches), which is what the shared oracle
@@ -1065,15 +1295,31 @@ object Streams {
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Manifest.commit(project(batch), sourcePath)
-        Materialize.refresh(batch.sparkSession, sourcePath, aggPath,
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyRefreshingBatch(project(batch), batchId, sourcePath, aggPath,
           partial, merge)
-        ()
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, aggPath)
+  }
+
+  /** st25's per-batch body: exactly-once source commit, then the
+    * watermark-guarded fold (a no-op when the aggregate already folded
+    * through the source head — the replay path). */
+  private[graft] def applyRefreshingBatch(batch: DataFrame, batchId: Long,
+      sourcePath: String, aggPath: String,
+      partial: DataFrame => DataFrame,
+      merge: DataFrame => DataFrame): Unit = {
+    import graft.ops.{Manifest, Materialize}
+    // skip-empty contract (applyCommitBatch scaladoc): an idle batch
+    // publishes no source version; refresh then sees no new delta
+    if (!batch.isEmpty) {
+      Manifest.commitOnce(batch, sourcePath, "st_ingest", batchId)
+      Materialize.refresh(batch.sparkSession, sourcePath, aggPath,
+        partial, merge)
+    }
+    ()
   }
 
   /** STREAMING ingest + CDC REPLICA MAINTENANCE — the row-level twin of
@@ -1087,10 +1333,14 @@ object Streams {
     * maintenance loop), publishing the replace with the
     * `data_change=false` writer flag — so the sync skips it without a
     * diff, exactly how OPTIMIZE traffic must vanish for CDC consumers
-    * at 100 TB. ZERO streaming state: both manifest tables are the
-    * restart-safe state, and the per-version watermark metadata makes
-    * crash recovery resume at the exact source version reached.
-    * Returns the final replica. */
+    * at 100 TB. EXACTLY-ONCE at every stage: ingest and compaction
+    * commits go through [[graft.ops.Manifest.commitOnce]] (compaction
+    * cadence derives from the BATCH ID, not a run-local counter, so it
+    * is deterministic across restarts), and the replica apply is
+    * guarded by its own per-version `#source_version=` watermark — a
+    * replayed batch commits nothing new and syncs zero steps
+    * (StreamingSpec replay case). ZERO streaming state: both manifest
+    * tables are the restart-safe state. Returns the final replica. */
   def replicatingCommitStreaming(spark: SparkSession, dir: String,
       sourcePath: String, replicaPath: String, keyCols: Seq[String],
       transform: DataFrame => DataFrame,
@@ -1098,29 +1348,41 @@ object Streams {
       compactEvery: Int = 0, targetFiles: Int = 2,
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       checkpoint: String, name: String = "graft_st26"): DataFrame = {
-    import graft.ops.{ChangeFeed, Manifest}
+    import graft.ops.Manifest
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        Manifest.commit(project(batch), sourcePath)
-        if (compactEvery > 0 &&
-            batches.incrementAndGet() % compactEvery == 0)
-          Manifest.commit(
-            Manifest.read(bs, sourcePath).coalesce(targetFiles),
-            sourcePath, replace = true,
-            meta = Map(ChangeFeed.DataChangeKey -> "false"))
-        ChangeFeed.syncReplica(bs, sourcePath, replicaPath, keyCols,
-          transform)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyReplicatingBatch(project(batch), batchId, sourcePath,
+          replicaPath, keyCols, transform, compactEvery, targetFiles)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, replicaPath)
+  }
+
+  /** st26's per-batch body: exactly-once ingest commit, batch-id-paced
+    * exactly-once compaction, watermark-guarded replica sync. */
+  private[graft] def applyReplicatingBatch(batch: DataFrame, batchId: Long,
+      sourcePath: String, replicaPath: String, keyCols: Seq[String],
+      transform: DataFrame => DataFrame, compactEvery: Int,
+      targetFiles: Int): Unit = {
+    import graft.ops.{ChangeFeed, Manifest}
+    val bs = batch.sparkSession
+    // skip-empty contract (applyCommitBatch scaladoc); compaction pacing
+    // stays on the batch id so cadence survives idle batches unchanged
+    if (!batch.isEmpty)
+      Manifest.commitOnce(batch, sourcePath, "st_ingest", batchId)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Manifest.commitOnce(
+        Manifest.read(bs, sourcePath).coalesce(targetFiles),
+        sourcePath, "st_compact", batchId, replace = true,
+        meta = Map(ChangeFeed.DataChangeKey -> "false"))
+    ChangeFeed.syncReplica(bs, sourcePath, replicaPath, keyCols,
+      transform)
+    ()
   }
 
   /** STREAMING ingest with PERIODIC AUTO-COMPACTION —
@@ -1143,22 +1405,32 @@ object Streams {
     require(every > 0, "compaction cadence must be positive")
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
-    val appends = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$tablePath-ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bs = batch.sparkSession
-        Manifest.commit(batch, tablePath)
-        if (appends.incrementAndGet() % every == 0)
-          Manifest.commit(
-            Manifest.read(bs, tablePath).coalesce(targetFiles),
-            tablePath, replace = true)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCompactingBatch(batch, batchId, tablePath, every, targetFiles)
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, tablePath)
+  }
+
+  /** st19's per-batch body: exactly-once append, then an exactly-once
+    * compaction replace every `every` batches — cadence from the batch
+    * id, deterministic across restarts. */
+  private[graft] def applyCompactingBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, every: Int, targetFiles: Int): Unit = {
+    import graft.ops.Manifest
+    val bs = batch.sparkSession
+    // skip-empty contract (applyCommitBatch scaladoc)
+    if (!batch.isEmpty)
+      Manifest.commitOnce(batch, tablePath, "st_ingest", batchId)
+    if ((batchId + 1) % every == 0)
+      Manifest.commitOnce(
+        Manifest.read(bs, tablePath).coalesce(targetFiles),
+        tablePath, "st_compact", batchId, replace = true)
+    ()
   }
 
   /** Ordered-step session FUNNEL — the conversion question sessionization

@@ -136,4 +136,33 @@ class ChangeFeedSpec extends SparkSpec {
     assert(Manifest.read(spark, rep).as[(Long, Int)].collect().sorted
       .toSeq == oneShot)
   }
+
+  test("schema evolution across the feed: a range spanning an s23-style " +
+    "column-add emits null-padded change rows in the final column set, " +
+    "each step read under ITS version's recorded schema; syncReplica " +
+    "applies the evolved appends") {
+    val src = freshTable()
+    Manifest.commit(Seq((1L, "a")).toDF("id", "s"), src)
+    // evolved append: new column n; v1's files never carried it
+    Manifest.commit(Seq((2L, "b", 10)).toDF("id", "s", "n"), src)
+    val feed = ChangeFeed.changes(spark, src, sinceVersion = 0L)
+    assert(feed.columns.toSet ==
+      Set(ChangeFeed.VersionCol, ChangeFeed.TypeCol, "id", "s", "n"))
+    val rows = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getString(3),
+      if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSet
+    assert(rows == Set(
+      (1L, "insert", 1L, "a", None), // pre-evolution step: n null-padded
+      (2L, "insert", 2L, "b", Some(10))))
+    // a replica synced ACROSS the evolution commit lands both steps,
+    // evolving its own schema append-compatibly
+    val rep = freshTable() + "/replica"
+    ChangeFeed.syncReplica(spark, src, rep, keyCols = Seq("id"),
+      transform = identity)
+    assert(ChangeFeed.replicaSourceVersion(rep) == 2L)
+    val repRows = Manifest.read(spark, rep).select("id", "s", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSet
+    assert(repRows == Set((1L, "a", None), (2L, "b", Some(10))))
+  }
 }

@@ -310,4 +310,62 @@ class ManifestSpec extends SparkSpec {
       Materialize.refresh(spark, src, agg, partial, merge))
     assert(e.getMessage.contains("severed"))
   }
+
+  test("commitOnce (the Delta txn recipe): a replayed (appId, txn) " +
+    "commits NOTHING, apps track independently, stamps hide from meta() " +
+    "and survive interleaved plain commits") {
+    val tbl = freshTable()
+    assert(Manifest.lastTxn(tbl, "app") == -1L)
+    assert(Manifest.commitOnce(Seq(1).toDF("x"), tbl, "app", 0L)
+      .contains(1L))
+    assert(Manifest.lastTxn(tbl, "app") == 0L)
+    // replay: same txn version — dropped, nothing published
+    assert(Manifest.commitOnce(Seq(1).toDF("x"), tbl, "app", 0L).isEmpty)
+    assert(Manifest.version(tbl) == 1L)
+    // monotone: a STALE txn below the watermark is dropped too
+    assert(Manifest.commitOnce(Seq(9).toDF("x"), tbl, "app", 1L)
+      .contains(2L))
+    assert(Manifest.commitOnce(Seq(0).toDF("x"), tbl, "app", 0L).isEmpty)
+    // a different app id is tracked independently on the same table
+    assert(Manifest.commitOnce(Seq(7).toDF("x"), tbl, "other", 0L)
+      .contains(3L))
+    assert(Manifest.lastTxn(tbl, "app") == 1L)
+    assert(Manifest.lastTxn(tbl, "other") == 0L)
+    // txn.* is internal bookkeeping: invisible to user metadata
+    assert((1L to 3L).forall(v =>
+      Manifest.meta(tbl, v).keys.forall(!_.startsWith(Manifest.TxnPrefix))))
+    // a plain commit in between must not blind the newest-first scan
+    Manifest.commit(Seq(5).toDF("x"), tbl)
+    assert(Manifest.lastTxn(tbl, "app") == 1L)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      Seq(1, 5, 7, 9))
+    // appIds that would corrupt the manifest line are rejected up front
+    intercept[IllegalArgumentException](
+      Manifest.commitOnce(Seq(1).toDF("x"), tbl, "bad=app", 9L))
+  }
+
+  test("commit validates the WRITTEN files from ONE materialization: a " +
+    "violating commit leaves no batch-dir debris, and orphan debris " +
+    "from a crashed commit never blocks the retry") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 10)).toDF("id", "v"), tbl)
+    Manifest.addConstraint(spark, tbl, "positive", "v > 0")
+    // violating commit: aborts AND deletes the batch dir it wrote
+    val nextV = Manifest.version(tbl) + 1
+    val bdir = Paths.get(tbl, "data", f"b$nextV%06d")
+    intercept[IllegalArgumentException](
+      Manifest.commit(Seq((2L, -1)).toDF("id", "v"), tbl))
+    assert(!JFiles.exists(bdir), s"abort left batch-dir debris at $bdir")
+    // simulate a crash BETWEEN data write and manifest publish: the
+    // orphan dir exists with junk; the retry (the foreachBatch replay
+    // path) reclaims it instead of failing errorifexists
+    JFiles.createDirectories(bdir)
+    JFiles.write(bdir.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    Manifest.commit(Seq((3L, 30)).toDF("id", "v"), tbl)
+    assert(Manifest.version(tbl) == nextV)
+    assert(Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 10), (3L, 30)))
+  }
 }

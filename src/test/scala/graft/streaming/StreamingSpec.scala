@@ -1048,8 +1048,11 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     // the appended mark table must contain cross-batch duplicates that
     // the final distinct collapses — else the dedup path wasn't exercised
+    // drop the synthetic batch partition column the per-batch-overwrite
+    // sink adds — marks dedupe on (user_id, d)
     val appended = spark.read.parquet(out).count()
-    val distinctMarks = spark.read.parquet(out).distinct().count()
+    val distinctMarks = spark.read.parquet(out).drop("batch")
+      .distinct().count()
     assert(appended > distinctMarks,
       s"no cross-batch duplicate marks ($appended vs $distinctMarks)")
   }
@@ -1111,5 +1114,199 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(!_._3), s"all checks should fail: $streamed")
     assert(streamed.find(_._1 == "k1_unique").get._2 == 0.25)
     assert(streamed.find(_._1 == "c1_complete").get._2 == 0.9875)
+  }
+
+  // ---- exactly-once replay battery ------------------------------------
+  // Structured Streaming's foreachBatch is AT-LEAST-ONCE: a crash between
+  // the sink's side effect and the streaming commit-log write re-delivers
+  // the batch with the SAME batchId. Each test below invokes one sink
+  // family's per-batch body twice with one id — the replayed call must
+  // leave the sink state bit-identical (then a genuinely new id must
+  // still apply, proving the guard is per-batch, not a global latch).
+
+  test("replay: Manifest-txn sinks drop a re-delivered batchId " +
+      "(applyCommitBatch, the st_ingest family)") {
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    val tbl = Files.createTempDirectory("replay_commit").toString + "/t"
+    val df = spark.range(5).toDF("id")
+    Streams.applyCommitBatch(df, 0L, tbl)
+    assert(Manifest.version(tbl) == 1L)
+    // crash-replay: same id, same data — nothing moves
+    Streams.applyCommitBatch(df, 0L, tbl)
+    assert(Manifest.version(tbl) == 1L)
+    assert(Manifest.read(spark, tbl).count() == 5L)
+    // the guard is per-batch: the NEXT id still commits
+    Streams.applyCommitBatch(spark.range(5, 8).toDF("id"), 1L, tbl)
+    assert(Manifest.version(tbl) == 2L)
+    assert(Manifest.read(spark, tbl).count() == 8L)
+    // skip-empty contract: an idle batch publishes NO version, and a
+    // later contributing batch still lands
+    Streams.applyCommitBatch(spark.range(0).toDF("id"), 2L, tbl)
+    assert(Manifest.version(tbl) == 2L,
+      "an empty batch must publish no version")
+    Streams.applyCommitBatch(spark.range(8, 9).toDF("id"), 3L, tbl)
+    assert(Manifest.version(tbl) == 3L)
+  }
+
+  test("st28 gated ingest: the batch splits on the table's constraints " +
+      "with violators named, clean batches publish NO quarantine " +
+      "version, and a replayed batchId re-applies NEITHER commit") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("replay_gate").toString
+    val tbl = s"$root/t"; val quar = s"$root/q"
+    Manifest.commit(
+      Seq.empty[(Long, Double)].toDF("event_id", "value"), tbl)
+    Manifest.addConstraint(spark, tbl, "value_nonneg", "value >= 0")
+    val mixed = Seq((1L, 1.0), (2L, -2.0), (3L, 3.0))
+      .toDF("event_id", "value")
+    Streams.applyGatedBatch(mixed, 0L, tbl, quar)
+    val mainV = Manifest.version(tbl); val quarV = Manifest.version(quar)
+    assert(Manifest.read(spark, tbl).select("event_id").as[Long]
+      .collect().toSet == Set(1L, 3L))
+    assert(Manifest.read(spark, quar).select("event_id", "violated")
+      .as[(Long, String)].collect().toSet == Set((2L, "value_nonneg")))
+    // crash-replay: same batchId — NEITHER table moves (each tracks its
+    // own applied-batch watermark)
+    Streams.applyGatedBatch(mixed, 0L, tbl, quar)
+    assert(Manifest.version(tbl) == mainV)
+    assert(Manifest.version(quar) == quarV)
+    // clean batch: main commits, quarantine skips the empty version
+    Streams.applyGatedBatch(Seq((4L, 4.0)).toDF("event_id", "value"),
+      1L, tbl, quar)
+    assert(Manifest.version(tbl) == mainV + 1)
+    assert(Manifest.version(quar) == quarV,
+      "a clean batch must publish no quarantine version")
+    // all-violators batch: quarantine commits, main skips
+    Streams.applyGatedBatch(Seq((5L, -5.0)).toDF("event_id", "value"),
+      2L, tbl, quar)
+    assert(Manifest.version(tbl) == mainV + 1,
+      "an all-violators batch must publish no main version")
+    assert(Manifest.version(quar) == quarV + 1)
+  }
+
+  test("replay: writePartial sinks overwrite their own batch directory " +
+      "— a re-delivered batchId replaces, never duplicates " +
+      "(applySketchBatch, the st13 partial family)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val out = Files.createTempDirectory("replay_partial").toString + "/cm"
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    def state(): Seq[String] =
+      spark.read.parquet(out).drop("batch").collect()
+        .map(_.toString).sorted.toSeq
+    Streams.applySketchBatch(docs, 0L, out, 3, 16)
+    val once = state()
+    Streams.applySketchBatch(docs, 0L, out, 3, 16) // crash-replay
+    assert(state() == once, "replay must not double-count the partial")
+    // a NEW id lands alongside in its own batch= directory
+    Streams.applySketchBatch(docs, 1L, out, 3, 16)
+    assert(state().size == 2 * once.size)
+    val dirs = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=0", "batch=1"))
+  }
+
+  test("replay: Txn-marker fold-ins skip an already-applied batchId " +
+      "(applyTextIndexBatch, the st21/st14/st11 index family)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextIndex
+    import java.nio.file.Files
+    import spark.implicits._
+    val idx = Files.createTempDirectory("replay_txn").toString
+    val prefix = "replay_txn_idx"
+    TextIndex.buildIndex(spark,
+      Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"),
+      "doc_id", "text", idx, prefix)
+    def dfOf(token: String): Long =
+      spark.table(TextIndex.termStatsTable(prefix))
+        .filter(col("token") === token).select("df").as[Long].head()
+    val batch = Seq((1L, "en", "alpha beta"), (2L, "en", "beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    Streams.applyTextIndexBatch(batch, 0L, idx, prefix)
+    assert(dfOf("beta") == 2L)
+    // crash-replay: appendDocs would double tf/df mass — the marker
+    // must short-circuit it
+    Streams.applyTextIndexBatch(batch, 0L, idx, prefix)
+    assert(dfOf("beta") == 2L, "replayed fold double-counted df")
+    // the next id still folds
+    Streams.applyTextIndexBatch(
+      Seq((3L, "en", "beta")).toDF("doc_id", "lang", "text"),
+      1L, idx, prefix)
+    assert(dfOf("beta") == 3L)
+  }
+
+  test("replay: st15's snapshot-keyed SCD fold recomputes its own " +
+      "snapshot in place on a re-delivered batchId") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val work = Files.createTempDirectory("replay_scd").toString
+    val dimSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("attr", DoubleType),
+      StructField("valid_from", LongType),
+      StructField("valid_to", LongType),
+      StructField("is_current", BooleanType)))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dimSchema)
+      .write.mode("overwrite").parquet(s"$work/dim_seed")
+    val batch = Seq((7L, 1.0, 100L, 1L), (7L, 2.0, 200L, 2L))
+      .toDF("user_id", "attr", "ts", "event_id")
+    def snapshot(): Seq[String] =
+      spark.read.parquet(s"$work/dim_b0").collect()
+        .map(_.toString).sorted.toSeq
+    Streams.applyScdBatch(batch, 0L, work, "user_id", "attr")
+    val once = snapshot()
+    assert(once.size == 2) // closed row + open row for the chained key
+    Streams.applyScdBatch(batch, 0L, work, "user_id", "attr") // replay
+    assert(snapshot() == once,
+      "replayed fold must overwrite its own snapshot, not stack")
+    assert(new java.io.File(work).listFiles()
+      .map(_.getName).count(_.startsWith("dim_b")) == 1)
+  }
+
+  test("replay: the composite st25/st26 bodies (commit+fold, " +
+      "commit+sync) re-applied with one batchId move neither the " +
+      "source, the aggregate, nor the replica") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{ChangeFeed, Manifest, Materialize}
+    import java.nio.file.Files
+    import spark.implicits._
+    val root = Files.createTempDirectory("replay_comp").toString
+    // st25: exactly-once source commit + watermark-guarded fold
+    val src = s"$root/src"; val agg = s"$root/agg"
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("event_type")).agg(sum(col("cnt")).as("cnt"))
+    val ev = Seq("click", "click", "view").toDF("event_type")
+    Streams.applyRefreshingBatch(ev, 0L, src, agg, partial, merge)
+    assert(Manifest.version(src) == 1L && Manifest.version(agg) == 1L)
+    Streams.applyRefreshingBatch(ev, 0L, src, agg, partial, merge)
+    assert(Manifest.version(src) == 1L, "replay re-committed the source")
+    assert(Manifest.version(agg) == 1L, "replay re-folded the aggregate")
+    assert(Materialize.sourceVersion(agg) == 1L)
+    assert(Manifest.read(spark, agg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap ==
+      Map("click" -> 2L, "view" -> 1L))
+    // st26: exactly-once ingest + watermark-guarded replica sync
+    val src2 = s"$root/src2"; val rep = s"$root/rep"
+    val batch2 = Seq((1L, "click", 1.0), (2L, "view", 2.0))
+      .toDF("event_id", "event_type", "value")
+    val clicks = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "click")
+    Streams.applyReplicatingBatch(batch2, 0L, src2, rep, Seq("event_id"),
+      clicks, compactEvery = 0, targetFiles = 2)
+    assert(Manifest.version(src2) == 1L && Manifest.version(rep) == 1L)
+    Streams.applyReplicatingBatch(batch2, 0L, src2, rep, Seq("event_id"),
+      clicks, compactEvery = 0, targetFiles = 2)
+    assert(Manifest.version(src2) == 1L && Manifest.version(rep) == 1L,
+      "replay re-applied the CDC sync")
+    assert(ChangeFeed.replicaSourceVersion(rep) == 1L)
+    assert(Manifest.read(spark, rep).count() == 1L)
   }
 }
