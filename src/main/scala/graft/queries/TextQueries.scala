@@ -1334,22 +1334,40 @@ object TextQueries {
            ORDER BY b.lang"""
       }),
 
-    // t15: compression-ratio quality signal — per-language distribution of
-    // DEFLATE size / raw size (repetition proxy). ROWS-ONLY check: neither
-    // engine has a SQL deflate, so there is no oracle (a9 precedent); the
-    // kernel and banding are spec-tested instead, and the output stays
-    // deterministic (DECIMAL sums) like every other query.
+    // t15: compression-ratio quality signal — per-language DEFLATE size /
+    // raw size (repetition proxy). HASH-GREEN via the a9 bounded-flag
+    // pattern: neither engine has a SQL deflate, so the deflate output
+    // itself stays invisible to the hash — the row carries exact,
+    // DuckDB-replayable per-lang counts (docs, raw bytes) plus flags the
+    // Spark side EARNS from the real ratios and the oracle claims TRUE:
+    // every ratio inside the deflate-plausibility band [0.05, 1.5], the
+    // per-lang mean inside [0.30, 0.80] (prose compresses to ~0.52 here;
+    // bounds are ~3× the observed spread, sf0.01 AND sf0.1 measured
+    // 0.51–0.55), and the highly-repetitive (<0.35) mass under 10% of
+    // docs (measured 0 at both SFs). A kernel regression — broken
+    // normalization, byte-order, length accounting — lands outside the
+    // band and flips the row red; the exact kernel arithmetic stays
+    // spec-tested (TextKernelsSpec).
     "t15_compress_ratio" -> Q(
       (s, dir) => spread(T(s, dir, "documents"))
-        .select(col("lang"),
-          textstats.compressionRatio(col("text")).as("ratio"))
+        .select(col("lang"), octet_length(col("text")).cast("long").as("__b"),
+          textstats.compressionRatio(col("text")).as("__r"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("docs"),
-          sum(col("ratio").cast("decimal(18,4)")).cast("double")
-            .as("ratio_sum"),
-          sum((col("ratio") < 0.35).cast("int")).as("highly_repetitive"))
+          sum(col("__b")).as("bytes"),
+          min(col("__r")).as("__mn"), max(col("__r")).as("__mx"),
+          avg(col("__r")).as("__avg"),
+          sum((col("__r") < 0.35).cast("long")).as("__rep"))
+        .select(col("lang"), col("docs"), col("bytes"),
+          (col("__mn") >= 0.05 && col("__mx") <= 1.5).as("ratio_in_band"),
+          (col("__avg") >= 0.30 && col("__avg") <= 0.80).as("avg_in_band"),
+          (col("__rep") <= col("docs") * 0.10).as("repetitive_frac_ok"))
         .orderBy(col("lang")),
-      None),
+      Some("""SELECT lang, count(*) AS docs,
+          CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+          TRUE AS ratio_in_band, TRUE AS avg_in_band,
+          TRUE AS repetitive_frac_ok
+        FROM documents GROUP BY lang ORDER BY lang""")),
 
     // t16: Gopher-style quality rule battery (Rae et al. 2021, appendix
     // A1.1, adapted to this corpus's signals): word-count bounds [50,
