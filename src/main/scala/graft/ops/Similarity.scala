@@ -65,8 +65,32 @@ object Similarity {
     * per unlabeled id. */
   def knnPropagateLabels(labeled: DataFrame, unlabeled: DataFrame,
       idCol: String, vecCol: String, labelCol: String,
-      k: Int): DataFrame = {
-    val neigh = bruteForceTopK(labeled, unlabeled, idCol, vecCol, k)
+      k: Int): DataFrame =
+    voteLabels(bruteForceTopK(labeled, unlabeled, idCol, vecCol, k),
+      labeled, idCol, labelCol)
+
+  /** [[knnPropagateLabels]] at INDEX SCALE — the production form: the
+    * recall stage probes a [[buildIvfIndex]]-persisted index over the
+    * labeled seed (nProbe lists per query, scan-only bucketed
+    * assignment table — x9's bounded cost) instead of brute-scanning
+    * the seed per query, killing the |eval| × |seed| quadratic term.
+    * The vote is byte-identical to the brute form (shared
+    * [[voteLabels]]); with nProbe = the index's cluster count the
+    * probe IS exhaustive and the two forms agree exactly
+    * (DedupSimilaritySpec). */
+  def knnPropagateLabelsIndexed(spark: SparkSession, labeled: DataFrame,
+      unlabeled: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nProbe: Int, prefix: String): DataFrame =
+    voteLabels(
+      ivfProbePersisted(spark, unlabeled, idCol, vecCol, nProbe, k, prefix),
+      labeled, idCol, labelCol)
+
+  /** The propagation vote shared by both recall stages: per (query,
+    * label) neighbor counts, majority wins, ties to the smaller label.
+    * Two keyed aggregates over |queries| × k rows — never touches the
+    * corpus. */
+  private def voteLabels(neigh: DataFrame, labeled: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
     val lab = labeled.select(col(idCol).as("nid"), col(labelCol).as("__nl"))
     val votes = neigh.join(lab, "nid")
       .groupBy(col("qid"), col("__nl")).agg(count(lit(1)).as("__c"))

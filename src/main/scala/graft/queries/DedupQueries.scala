@@ -164,12 +164,12 @@ object DedupQueries {
     * cosine scoring, per-query top-k. Shared by the x3/x9/st12/st14
     * oracle (via [[sqlIvfProbeBody]]) and x15's single-query k=20 probe. */
   private def sqlIvfProbeCtes(queryPred: String, nProbe: Int,
-      k: Int): String =
+      k: Int, corpusRel: String = "embeddings"): String =
     s"""assign AS (SELECT nid, nv, cid AS cluster FROM (
          SELECT v.vec_id AS nid, v.embedding AS nv, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
              ORDER BY ${sqlCosine("v.embedding", "c.cv")} DESC, c.cid) AS rn
-         FROM embeddings v CROSS JOIN cents c) WHERE rn = 1),
+         FROM $corpusRel v CROSS JOIN cents c) WHERE rn = 1),
        probes AS (SELECT qid, qv, cid AS cluster FROM (
          SELECT q.vec_id AS qid, q.embedding AS qv, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
@@ -1108,6 +1108,62 @@ object DedupQueries {
              CAST(sum(CASE WHEN plabel = tlabel THEN 1 ELSE 0 END)
                AS BIGINT) AS n_correct
            FROM pred GROUP BY tlabel ORDER BY label""")),
+
+    // x18: x17 AT INDEX SCALE — the production composition SCALING.md
+    // documents for x17's deliberately quadratic recall stage: the
+    // labeled seed persists as an IVF index ONCE (12 lists, the x9
+    // build), and each eval vector probes only its nProbe=2 nearest
+    // lists' bucketed rows for its 5 voting neighbors — recall cost
+    // |eval| × (2/12 of the seed) instead of |eval| × |seed|, and the
+    // corpus-side work is a scan of the persisted assignment table (no
+    // brute nested-loop reaches the plan, PlanSpec). The vote is the
+    // SAME two keyed aggregates as x17 (shared voteLabels, spec-proven
+    // equal to brute at exhaustive nProbe); the oracle replays the
+    // seed-trained k-means, the probe, and the vote exactly. The
+    // learnability verdict is unchanged — chance-level agreement,
+    // x17's honest negative control, now at the cost you'd actually
+    // pay to run it on a corpus that matters.
+    "x18_knn_label_prop_indexed" -> Q(
+      (s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val seed = e.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val ev = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val prefix = s"graft_x18_${dirTag(dir)}"
+        Similarity.buildIvfIndex(s, seed, "vec_id", "embedding", k = 12,
+          iters = 2, path = scratch("x18_ivf", dir), prefix = prefix)
+        Similarity.knnPropagateLabelsIndexed(s, seed, ev, "vec_id",
+            "embedding", "label", k = 5, nProbe = 2, prefix = prefix)
+          .withColumnRenamed("label", "plabel")
+          .join(ev.select(col("vec_id").as("qid"),
+            col("label").as("tlabel")), "qid")
+          .groupBy(col("tlabel"))
+          .agg(count(lit(1)).as("n_eval"),
+            sum((col("plabel") === col("tlabel")).cast("int"))
+              .cast("long").as("n_correct"))
+          .select(col("tlabel").as("label"), col("n_eval"),
+            col("n_correct"))
+          .orderBy(col("label"))
+      },
+      Some(
+        s"""WITH seedrel AS (SELECT vec_id, embedding, label
+               FROM embeddings WHERE vec_id % 5 <> 0),
+           ${sqlKmeansCentsFrom("seedrel")},
+           ${sqlIvfProbeCtes("q.vec_id % 5 = 0", 2, 5,
+              corpusRel = "seedrel")},
+           votes AS (SELECT t.qid, s.label AS nlabel, count(*) AS c
+             FROM ivftop t JOIN seedrel s ON s.vec_id = t.nid
+             GROUP BY t.qid, s.label),
+           pred AS (SELECT qid, nlabel AS plabel FROM (
+               SELECT qid, nlabel, row_number() OVER
+                 (PARTITION BY qid ORDER BY c DESC, nlabel) AS rk
+               FROM votes) WHERE rk = 1),
+           truth AS (SELECT vec_id AS qid, label AS tlabel
+             FROM embeddings WHERE vec_id % 5 = 0)
+           SELECT t.tlabel AS label, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN p.plabel = t.tlabel THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+           FROM pred p JOIN truth t ON t.qid = p.qid
+           GROUP BY t.tlabel ORDER BY label""")),
 
     // x3: IVF ANN with a real k-means index — deterministic distributed
     // Lloyd's (hash-seeded init, exact decimal means, 2 unrolled rounds)

@@ -312,6 +312,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(__id"), p)
   }
 
+  test("x18: label-prop recall probes the PERSISTED bucketed IVF table " +
+    "— no corpus-side brute scan, no in-plan assignment recompute, " +
+    "cluster/label lookups equi-join") {
+    val p = plan("x18_knn_label_prop_indexed")
+    // the seed's vectors enter ONLY through the persisted index table
+    // (a regression back to x17's brute recall would scan embeddings
+    // for the seed and never touch the index)
+    assert(p.contains("_ivf"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the probe recomputes no assignment (the training argmin combines
+    // map-side as partial_min — it must stay OUT of the probe plan)
+    assert(!p.contains("partial_min"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // cluster + label joins
+  }
+
   test("d15: boilerplate doc-frequency combines map-side (partial " +
     "count over the distinct projection), flag join-back is equi") {
     val p = plan("d15_boilerplate_scrub")

@@ -93,6 +93,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(prop(2) == Map(10L -> 3)) // 1-1 tie -> smaller label
   }
 
+  test("knnPropagateLabelsIndexed == knnPropagateLabels at exhaustive " +
+    "nProbe (the shared vote is recall-stage-independent); the " +
+    "production nProbe=2 still predicts for every eval id") {
+    import graft.queries.QueryDSL
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seed = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val ev = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val prefix = "graft_x18spec"
+    Similarity.buildIvfIndex(spark, seed, "vec_id", "embedding", k = 12,
+      iters = 2, path = QueryDSL.scratch("x18spec_index", sf),
+      prefix = prefix)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val brute = m(Similarity.knnPropagateLabels(seed, ev,
+      "vec_id", "embedding", "label", k = 5))
+    // nProbe = cluster count -> the probe is exhaustive -> identical
+    // neighbors -> identical votes, id for id
+    val exhaustive = m(Similarity.knnPropagateLabelsIndexed(spark, seed,
+      ev, "vec_id", "embedding", "label", k = 5, nProbe = 12,
+      prefix = prefix))
+    assert(brute.nonEmpty)
+    assert(exhaustive == brute)
+    // the bounded production probe covers the same eval set (recall is
+    // approximate; coverage must not be)
+    val approx = m(Similarity.knnPropagateLabelsIndexed(spark, seed, ev,
+      "vec_id", "embedding", "label", k = 5, nProbe = 2,
+      prefix = prefix))
+    assert(approx.keySet == brute.keySet)
+  }
+
   test("mmrRerank: diversity beats a redundant higher-tie candidate; " +
     "lambda = 1 degenerates to pure relevance order") {
     // q=[1,0,0]; c1=[1,1,0] and c3=[1,-1,0] tie on relevance (0.7071),
