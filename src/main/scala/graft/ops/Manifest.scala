@@ -219,7 +219,11 @@ object Manifest {
 
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
-    * new ones. `meta` entries publish as `#key=value` manifest lines —
+    * new ones; `removeFiles` (with `replace = false`) carries the previous
+    * list MINUS those paths plus the new ones — the copy-on-write rewrite
+    * [[Merge]] publishes (Delta's remove/add actions; removed files stay
+    * on disk, so older versions keep time-traveling).
+    * `meta` entries publish as `#key=value` manifest lines —
     * atomic with the version itself. The version's schema is recorded as
     * [[SchemaKey]] metadata: appends evolve the previous schema
     * append-compatibly ([[evolve]] — new columns allowed, type changes
@@ -233,14 +237,28 @@ object Manifest {
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
-      excludeConstraint: Option[String] = None): Long = {
+      excludeConstraint: Option[String] = None,
+      removeFiles: Seq[String] = Seq.empty): Long = {
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
+    require(removeFiles.isEmpty || !replace,
+      "removeFiles is meaningless with replace (replace drops everything)")
     val prev = version(tablePath)
     val next = prev + 1
+    // the COPY-ON-WRITE commit shape (Delta remove/add actions): the new
+    // manifest carries the previous file list MINUS `removeFiles` plus
+    // this commit's files — the surgical rewrite MERGE/DELETE publish.
+    // Every removed path must be live at the previous version; old
+    // versions keep reading the removed files (never deleted here).
+    if (removeFiles.nonEmpty) {
+      val live = listed(tablePath, prev).toSet
+      val dead = removeFiles.filterNot(live.contains)
+      require(dead.isEmpty,
+        s"removeFiles not in version $prev: ${dead.mkString(", ")}")
+    }
     val schema =
       if (replace || prev == 0) df.schema
       else schemaOf(tablePath, prev)
@@ -303,7 +321,7 @@ object Manifest {
       (meta ++ constraintMeta + (SchemaKey -> schema.json)).toSeq.sorted
         .map { case (k, v) => s"#$k=$v" } ++
       (if (replace || prev == 0) Seq.empty
-       else listed(tablePath, prev)) ++ fresh
+       else listed(tablePath, prev).filterNot(removeFiles.toSet)) ++ fresh
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(s".v$next.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))

@@ -708,6 +708,110 @@ object SourceQueries {
              TRUE AS bad_commit_aborted, TRUE AS nothing_published
            FROM events WHERE event_id % 3 IN (0, 1)""")),
 
+    // S25: MERGE INTO as a COPY-ON-WRITE file rewrite — the row-level
+    // upsert every warehouse ships (Delta MERGE), done the only way it
+    // survives 100 TB: the table lands as four single-file commits with
+    // disjoint key residues, the source updates every %4=0 key (status
+    // -> 'X') and inserts mirror keys (negated %4=1 keys ≤ 200), and the
+    // merge must rewrite ONLY the file holding the matched residue —
+    // the other three files carry by REFERENCE, bytes untouched
+    // (pruned_rewrite / carried_rest are the earned file accounting;
+    // MergeSpec pins the mechanism, byte-identical carried paths and
+    // time travel included). The merged CONTENT is the oracle-replayed
+    // side: a lost update, a dropped carry, or a double insert flips
+    // the hash red.
+    "s25_merge_cow" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val tbl = scratch("s25_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(pmod(col("o_orderkey"), lit(4)) === i).coalesce(1),
+            tbl)
+        val updates = o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+          .withColumn("o_orderstatus", lit("X"))
+        val inserts = o.filter(pmod(col("o_orderkey"), lit(4)) === 1 &&
+            col("o_orderkey") <= 200)
+          .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice"))
+        val st = Merge.upsert(s, tbl, updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+              .as("updated"),
+            sum(when(col("o_orderkey") < 0, 1L).otherwise(0L))
+              .as("inserted"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("updated"), col("inserted"),
+            col("price_mass"),
+            lit(st.filesRewritten == 1).as("pruned_rewrite"),
+            lit(st.filesCarried == 3).as("carried_rest"))
+      },
+      Some(
+        """WITH merged AS (
+             SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN 'X'
+                 ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice
+             FROM orders
+             UNION ALL
+             SELECT -o_orderkey, 'N', o_totalprice FROM orders
+             WHERE o_orderkey % 4 = 1 AND o_orderkey <= 200)
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END)
+               AS BIGINT) AS updated,
+             CAST(sum(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS inserted,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS pruned_rewrite, TRUE AS carried_rest
+           FROM merged""")),
+
+    // S26: DELETE FROM as a COPY-ON-WRITE file rewrite — MERGE's
+    // destructive sibling (GDPR erasure, retention scrubs): the same
+    // four-file layout, a predicate matching only the %4=2 residue
+    // (status 'F' there), and the delete must rewrite ONLY that file —
+    // re-emitting its SURVIVORS — while three files carry by reference
+    // and every pre-delete version keeps time-traveling (MergeSpec).
+    // The surviving content is the oracle side; the file accounting is
+    // the earned scale claim.
+    "s26_delete_cow" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val tbl = scratch("s26_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(pmod(col("o_orderkey"), lit(4)) === i).coalesce(1),
+            tbl)
+        val st = Merge.deleteWhere(s, tbl,
+          pmod(col("o_orderkey"), lit(4)) === 2 &&
+            col("o_orderstatus") === "F")
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("f_left"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("f_left"), col("price_mass"),
+            lit(st.filesRewritten == 1).as("pruned_rewrite"),
+            lit(st.filesCarried == 3).as("carried_rest"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_left,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS pruned_rewrite, TRUE AS carried_rest
+           FROM orders
+           WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -601,6 +601,40 @@ object StreamPipelineQueries {
           TRUE AS right_constraint
         FROM mut""")),
 
+    // st29: STREAMING MERGE — the row-level upsert drain (CDC
+    // compaction: "latest row per key" materialized continuously): each
+    // micro-batch reduces to its newest row per user and MERGEs into a
+    // Manifest table through the copy-on-write upsert, exactly-once via
+    // the txn stamp published atomically with the merge version.
+    // Requires event-time-ordered arrival across batches (st15's file-
+    // source contract); over the bounded drain the table must equal the
+    // one-shot per-user argmax over everything that streamed — which is
+    // what the oracle replays (row_number over (ts, event_id) DESC),
+    // so a lost update, a stale overwrite, or a double-applied batch
+    // flips the hash red. Output: per-event-type count of users whose
+    // LATEST event is that type, plus their value mass.
+    "st29_stream_merge_upsert" -> Q(
+      (s, dir) => {
+        val tbl = scratch("st29_table", dir)
+        val ckpt = scratch("st29_ckpt", dir)
+        wipe(tbl); wipe(ckpt)
+        Streams.mergeCommitStreaming(s, dir, tbl, checkpoint = ckpt,
+            name = s"graft_st29_${dirTag(dir)}")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("users"),
+            sum(dec(col("value"))).cast("double").as("latest_mass"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH latest AS (
+            SELECT user_id, event_type, value, row_number() OVER
+              (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+            FROM events)
+          SELECT event_type, CAST(count(*) AS BIGINT) AS users,
+            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              AS latest_mass
+          FROM latest WHERE rk = 1
+          GROUP BY event_type ORDER BY event_type""")),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

@@ -1433,6 +1433,62 @@ object Streams {
     ()
   }
 
+  /** STREAMING MERGE — the row-level upsert drain (the CDC-compaction
+    * materialization every warehouse keeps: "latest row per key"): each
+    * micro-batch reduces to its newest row per user (max (ts, event_id)
+    * — deterministic, ids unique) and MERGEs into the target through
+    * [[graft.ops.Merge.upsertOnce]] — the copy-on-write upsert, so only
+    * files containing arriving keys rewrite and the (appId, batchId) txn
+    * stamp publishes atomically with the merge version (a crash-replay
+    * merges NOTHING — StreamingSpec replay case). The first batch
+    * CREATES the table (Merge's create-or-merge shape). Requires
+    * event-time-ordered arrival across micro-batches (the file source's
+    * mtime order — st15's contract): upsert is last-writer-wins, so a
+    * later batch must not carry an older row. Over a bounded drain the
+    * table equals the one-shot per-user argmax over everything that
+    * streamed — which is what the shared oracle replays. ZERO streaming
+    * state; the manifest table IS the state. Returns the final table. */
+  def mergeCommitStreaming(spark: SparkSession, dir: String,
+      tablePath: String, glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0, checkpoint: String,
+      name: String = "graft_st29"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMergeBatch(batch, batchId, tablePath)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
+  /** st29's per-batch body: batch-local latest per key (lexicographic
+    * struct max on the unique (ts, event_id)), then the exactly-once
+    * copy-on-write upsert; empty batches merge nothing (skip-empty
+    * contract, applyCommitBatch scaladoc). */
+  private[graft] def applyMergeBatch(batch: DataFrame, batchId: Long,
+      tablePath: String): Unit = {
+    import graft.ops.Merge
+    if (!batch.isEmpty) {
+      val latest = batch.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("__m"))
+        .select(col("user_id"), col("__m.ts").as("ts"),
+          col("__m.event_id").as("event_id"),
+          col("__m.event_type").as("event_type"),
+          col("__m.value").as("value"))
+      Merge.upsertOnce(batch.sparkSession, tablePath, latest,
+        Seq("user_id"), "st_merge", batchId)
+    }
+    ()
+  }
+
   /** Ordered-step session FUNNEL — the conversion question sessionization
     * exists to answer: of all gap-delimited sessions, how many reached
     * step 1, steps 1→2 in order, 1→2→3 in order (each step's first

@@ -1,0 +1,112 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Copy-on-write MERGE / DELETE contracts over [[Manifest]] tables: only
+  * files containing affected keys are rewritten (untouched files carry by
+  * REFERENCE — the 100 TB claim), matched rows update, unmatched insert,
+  * predicates delete, older versions keep time-traveling, CHECK
+  * constraints gate the rewrite, and the merge commit reads as a
+  * row-level diff in the change feed. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("merge_tbl").toString
+
+  /** 3 single-file commits with disjoint key decades: ids 0-3, 10-13,
+    * 20-23 — so a key names exactly one file. */
+  private def seed(tbl: String): Unit =
+    for (i <- 0 until 3)
+      Manifest.commit(
+        Seq.tabulate(4)(j => (i * 10L + j, s"v$i$j", i))
+          .toDF("id", "s", "g").coalesce(1), tbl)
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+
+  test("upsert: matched keys update, unmatched insert, ONLY files " +
+    "holding matched keys rewrite — the rest carry by reference and " +
+    "older versions still time-travel") {
+    val tbl = freshTable(); seed(tbl)
+    val before = Manifest.files(tbl)
+    // id 0 lives in the first file; id 23 exists (third file); id 99 new
+    val src = Seq((0L, "UP", 9), (23L, "UP2", 9), (99L, "NEW", 9))
+      .toDF("id", "s", "g")
+    val st = Merge.upsert(spark, tbl, src, Seq("id"))
+    assert(st == Merge.CowStats(4L, 3, 2, 1),
+      s"expected files 1 and 3 rewritten, file 2 carried: $st")
+    val now = asMap(Manifest.read(spark, tbl))
+    assert(now.size == 13) // 12 seeded + 1 insert
+    assert(now(0L) == ("UP", 9) && now(23L) == ("UP2", 9) &&
+      now(99L) == ("NEW", 9))
+    assert(now(1L) == ("v01", 0) && now(11L) == ("v11", 1)) // untouched
+    // the carried file is the SAME relative path, not a rewritten copy
+    val after = Manifest.files(tbl).toSet
+    assert((before.toSet intersect after).size == 1)
+    // pre-merge versions pinned: v3 reads the original 12 rows
+    val v3 = asMap(Manifest.read(spark, tbl, 3L))
+    assert(v3.size == 12 && v3(0L) == ("v00", 0))
+  }
+
+  test("insert-only upsert degenerates to a pure append (zero " +
+    "rewrites); a source violating a CHECK constraint aborts with " +
+    "nothing published") {
+    val tbl = freshTable(); seed(tbl)
+    Manifest.addConstraint(spark, tbl, "g_nonneg", "g >= 0") // v4 (+1 file)
+    val st = Merge.upsert(spark, tbl,
+      Seq((99L, "A", 1)).toDF("id", "s", "g"), Seq("id"))
+    assert(st.filesRewritten == 0 && st.filesCarried == st.filesBefore)
+    assert(asMap(Manifest.read(spark, tbl)).size == 13)
+    // the constraint gates the merge's rewritten rows like any commit
+    val v = Manifest.version(tbl)
+    val files = Manifest.files(tbl)
+    val e = intercept[IllegalArgumentException](
+      Merge.upsert(spark, tbl,
+        Seq((0L, "B", -1)).toDF("id", "s", "g"), Seq("id")))
+    assert(e.getMessage.contains("g_nonneg"))
+    assert(Manifest.version(tbl) == v && Manifest.files(tbl) == files)
+  }
+
+  test("deleteWhere rewrites only files containing matches with their " +
+    "survivors; a no-match predicate publishes NOTHING; upsertOnce " +
+    "drops a replayed txn") {
+    val tbl = freshTable(); seed(tbl)
+    val st = Merge.deleteWhere(spark, tbl, col("id") === 11L)
+    assert(st == Merge.CowStats(4L, 3, 1, 2), s"$st")
+    val now = asMap(Manifest.read(spark, tbl))
+    assert(now.size == 11 && !now.contains(11L))
+    assert(now(10L) == ("v10", 1) && now(12L) == ("v12", 1)) // survivors
+    // no-match delete: no version published (no empty-rewrite spam)
+    val noop = Merge.deleteWhere(spark, tbl, col("id") === 999L)
+    assert(noop.filesRewritten == 0 && Manifest.version(tbl) == 4L)
+    // idempotent merge for replayable writers: same txn twice = once
+    val src = Seq((50L, "T", 1)).toDF("id", "s", "g")
+    assert(Merge.upsertOnce(spark, tbl, src, Seq("id"), "app", 0L)
+      .isDefined)
+    assert(Merge.upsertOnce(spark, tbl, src, Seq("id"), "app", 0L)
+      .isEmpty)
+    assert(Manifest.version(tbl) == 5L)
+    assert(asMap(Manifest.read(spark, tbl)).size == 12)
+  }
+
+  test("the merge commit reads as a ROW-LEVEL diff in the change feed: " +
+    "update images for updated keys, insert for new keys, nothing for " +
+    "carried rows") {
+    val tbl = freshTable(); seed(tbl)
+    Merge.upsert(spark, tbl,
+      Seq((0L, "UP", 9), (99L, "NEW", 9)).toDF("id", "s", "g"), Seq("id"))
+    val feed = ChangeFeed.changes(spark, tbl, sinceVersion = 3L,
+        keyCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(feed == Set(
+      (4L, "update_preimage", 0L, "v00"),
+      (4L, "update_postimage", 0L, "UP"),
+      (4L, "insert", 99L, "NEW")))
+  }
+}

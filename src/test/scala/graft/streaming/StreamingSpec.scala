@@ -1269,6 +1269,74 @@ class StreamingSpec extends SparkSpec {
       .map(_.getName).count(_.startsWith("dim_b")) == 1)
   }
 
+  test("st29 streaming merge upsert: ts-ordered micro-batches fold to " +
+      "the one-shot latest-row-per-user; one merge commit per batch; a " +
+      "replayed batchId merges nothing") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.Manifest
+    import graft.queries.QueryDSL
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val n = ev.count()
+    // 4 chunks in EVENT-TIME order — the contract (upsert is
+    // last-writer-wins, so later batches must carry newer rows)
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    val chunked = ev.withColumn("__c",
+      (((row_number().over(w) - 1L) * 4L) / n).cast("int"))
+    val srcDir = Files.createTempDirectory("st29_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st29_chunk$i")
+      chunked.filter(col("__c") === i).drop("__c")
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tbl = Files.createTempDirectory("st29_tbl").toString + "/t"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_id", "event_type", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+    val streamed = rows(Streams.mergeCommitStreaming(spark,
+      srcDir.toString, tbl, glob = "events_*.parquet",
+      maxFilesPerTrigger = 1, checkpoint = s"$tbl-ckpt",
+      name = "st29_spec"))
+    assert(Manifest.version(tbl) == 4L) // one merge commit per batch
+    // == the one-shot per-user argmax over everything that streamed
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val oneShot = rows(QueryDSL.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") === 1).drop("__rk", "ts"))
+    assert(streamed == oneShot)
+    // cross-batch UPDATES were exercised: users span chunks, so merges
+    // processed more per-batch rows than survive in the table
+    val perBatchUsers = chunked.select(col("user_id"), col("__c"))
+      .distinct().count()
+    assert(perBatchUsers > streamed.size,
+      s"no user spans chunks ($perBatchUsers vs ${streamed.size})")
+    // replay: the same batchId merges nothing (txn stamp atomic with
+    // the merge version)
+    val tbl2 = Files.createTempDirectory("st29_tbl2").toString + "/t"
+    val slice = QueryDSL.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .filter(col("user_id") < 20)
+    Streams.applyMergeBatch(slice, 0L, tbl2)
+    val once = rows(Manifest.read(spark, tbl2))
+    Streams.applyMergeBatch(slice, 0L, tbl2)
+    assert(Manifest.version(tbl2) == 1L,
+      "replayed merge published a second version")
+    assert(rows(Manifest.read(spark, tbl2)) == once)
+  }
+
   test("replay: the composite st25/st26 bodies (commit+fold, " +
       "commit+sync) re-applied with one batchId move neither the " +
       "source, the aggregate, nor the replica") {
