@@ -137,4 +137,36 @@ object AsOfJoin {
       .filter(abs(col(lts) - col(rts)) <= tolerance)
       .drop("__lb", "__rb", "__rkey")
   }
+
+  /** Interval-OVERLAP join — the range join over two INTERVAL sets with
+    * NO equi key ([[intervalJoin]] handles keyed point-in-band): all
+    * (left, right) pairs with `ls ≤ re AND rs ≤ le`. A direct inequality
+    * join is a cartesian; instead both sides explode into fixed
+    * `bucketNs`-wide time buckets covering their span, candidates form an
+    * EQUI join on the bucket id, and the exact overlap refines after.
+    * Overlapping pairs share every bucket of their intersection, so each
+    * pair is emitted ONCE by the canonical-bucket rule: keep it only in
+    * the FIRST shared bucket, max(first(l), first(r)) — no distinct, no
+    * second shuffle. Replication is span/bucketNs per row (size the
+    * bucket near the typical interval length); at scale this is the
+    * standard overlap-join shape — a shuffle on the bucket id, never an
+    * all-pairs comparison. Columns must be disjoint across sides. */
+  def overlapJoin(left: DataFrame, right: DataFrame, ls: String,
+      le: String, rs: String, re: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucket width must be positive")
+    require(left.columns.intersect(right.columns).isEmpty,
+      "left/right column names must be disjoint")
+    // integer `div`, not floor(x / width): see intervalJoin
+    val l = left.withColumn("__bkt",
+      explode(sequence(expr(s"`$ls` div ${bucketNs}L"),
+        expr(s"`$le` div ${bucketNs}L"))))
+    val r = right.withColumn("__rbkt",
+      explode(sequence(expr(s"`$rs` div ${bucketNs}L"),
+        expr(s"`$re` div ${bucketNs}L"))))
+    l.join(r, col("__bkt") === col("__rbkt"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le) &&
+        col("__bkt") === greatest(expr(s"`$ls` div ${bucketNs}L"),
+          expr(s"`$rs` div ${bucketNs}L")))
+      .drop("__bkt", "__rbkt")
+  }
 }

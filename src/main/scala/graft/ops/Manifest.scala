@@ -325,9 +325,32 @@ object Manifest {
     Files.createDirectories(manifestDir(tablePath))
     val tmp = manifestDir(tablePath).resolve(s".v$next.tmp")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    // atomic publish: the version exists either fully or not at all
-    Files.move(tmp, manifestFile(tablePath, next),
-      StandardCopyOption.ATOMIC_MOVE)
+    // Atomic EXCLUSIVE publish: the version appears fully-formed or not
+    // at all, and a second writer racing the same version number LOSES
+    // LOUDLY instead of silently replacing the winner. A plain
+    // ATOMIC_MOVE cannot give the second property — POSIX rename()
+    // replaces an existing target without error — so the publish is a
+    // hard link of the fully-written tmp onto the version name: link()
+    // is atomic AND fails with EEXIST if the target appeared in the
+    // meantime. Commits are SINGLE-WRITER per table by contract (every
+    // sink here serializes through the driver / foreachBatch); this
+    // turns a violated contract into a visible error, never lost data.
+    try {
+      Files.createLink(manifestFile(tablePath, next), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit detected at $tablePath: version $next " +
+            "was published by another writer after this commit " +
+            "resolved its base — single-writer coordination is the " +
+            "table contract; retry on the new head")
+      case _: UnsupportedOperationException =>
+        // filesystem without hard links: atomic but non-exclusive
+        Files.move(tmp, manifestFile(tablePath, next),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
     next
   }
 
@@ -398,6 +421,76 @@ object Manifest {
       }
     }
     (dropped, gone.result().sorted)
+  }
+
+  /** Per-version commit info for [[history]]. `change_type`: `append`
+    * (previous files all carried), `replace` (nothing carried — the
+    * compaction/OPTIMIZE shape), `rewrite` (the copy-on-write
+    * [[Merge]] shape: some carried, some removed). `data_change` is
+    * false only for commits flagged with the writer's
+    * `data_change=false` metadata (OPTIMIZE traffic CDC consumers
+    * skip). */
+  case class CommitInfo(version: Long, change_type: String,
+      files_added: Long, files_removed: Long, rows_added: Long,
+      rows_removed: Long, data_change: Boolean)
+
+  /** DESCRIBE HISTORY — one row per committed version, derived entirely
+    * from the manifests plus ONE read of each data file (each file is
+    * added by exactly one version, so counting every version's ADDED
+    * files under that version's recorded schema touches each file once;
+    * removed-row counts reuse those counts — a removed file was added
+    * earlier). The per-version file lists and the per-file count map are
+    * driver-side metadata (bounded by file count, the commit-coordinator
+    * class); production table formats keep these counts as footer/commit
+    * stats and skip the read entirely. */
+  def history(spark: SparkSession, tablePath: String): Seq[CommitInfo] = {
+    val vs = committedVersions(tablePath)
+    val fileRows = scala.collection.mutable.Map.empty[String, Long]
+    // pair each version with its PREDECESSOR IN THE SURVIVING CHAIN (a
+    // vacuumed table has gaps; the oldest retained version reads as the
+    // append that created its whole file set, and counts for files whose
+    // adding version was vacuumed resolve to 0 — stats, like the
+    // versions, are only as deep as retention)
+    vs.zip(None +: vs.init.map(Some(_))).map { case (v, prevV) =>
+      val prev: Set[String] =
+        prevV.map(listed(tablePath, _).toSet).getOrElse(Set.empty)
+      val cur = listed(tablePath, v)
+      val added = cur.filterNot(prev.contains)
+      val removed = prev -- cur
+      if (added.nonEmpty) {
+        val paths = added.map(r =>
+          Paths.get(tablePath).resolve(r).toString)
+        val reader = schemaOf(tablePath, v) match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read
+        }
+        import org.apache.spark.sql.functions.{col, count, lit}
+        reader.parquet(paths: _*)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().foreach { r =>
+            val rel = Paths.get(tablePath).toAbsolutePath.normalize
+              .relativize(Paths.get({
+                val p = r.getString(0)
+                if (p.startsWith("file:")) new java.net.URI(p).getPath
+                else p
+              }).toAbsolutePath.normalize).toString
+            fileRows(rel) = r.getLong(1)
+          }
+        // a file can hold zero rows (empty append/metadata commit) and
+        // then emits no group — record it explicitly
+        added.foreach(f => fileRows.getOrElseUpdate(f, 0L))
+      }
+      val changeType =
+        if (removed.isEmpty) "append"
+        else if (cur.forall(!prev.contains(_))) "replace"
+        else "rewrite"
+      CommitInfo(v, changeType, added.size.toLong, removed.size.toLong,
+        added.map(fileRows.getOrElse(_, 0L)).sum,
+        removed.toSeq.map(fileRows.getOrElse(_, 0L)).sum,
+        rawMeta(tablePath, v).get(ChangeFeed.DataChangeKey)
+          .forall(_ != "false"))
+    }
   }
 
   /** Read the table at `asOf` (default: the newest version). The resolved

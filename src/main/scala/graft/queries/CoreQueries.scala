@@ -299,6 +299,81 @@ object CoreQueries {
             AND abs(c.tns - p.tns) <= 1800000000000
           GROUP BY c.event_id ORDER BY c.event_id""")),
 
+    // J14: interval-OVERLAP join — the range join over two INTERVAL
+    // sets with NO equi key, the shape j7's keyed band join can't
+    // express (incident correlation: which user sessions were live
+    // during a platform incident?). Sessions are st2's 30-min-gap
+    // islands as [start, end] intervals (one shuffle on user);
+    // incidents are ±5-min windows around a bounded set of error
+    // events. The overlap is AsOfJoin.overlapJoin: both interval sets
+    // explode into 1-hour buckets, candidates equi-join on the bucket
+    // id, the exact overlap refines, and the canonical-bucket rule
+    // (keep a pair only in its FIRST shared bucket) emits every true
+    // pair exactly once with no distinct — a shuffle on the bucket id,
+    // never an all-pairs comparison. The oracle is the naive
+    // declarative overlap join, so a pair double-emitted by the
+    // bucketing, or one lost at a bucket boundary, flips the hash.
+    "j14_overlap_join" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapNs = 1800000000000L
+        val ev = events(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = ev
+          .withColumn("__brk", when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") - lag(col("ts"), 1).over(w) > gapNs, 1L)
+            .otherwise(0L))
+          .withColumn("sid", sum(col("__brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        val inc = ev.filter(col("event_type") === "error" &&
+            col("user_id") < 20)
+          .select(col("event_id").as("incident_id"),
+            (col("ts") - 300000000000L).as("i_start"),
+            (col("ts") + 300000000000L).as("i_end"))
+        val pairs = graft.ops.AsOfJoin.overlapJoin(sess, inc,
+          "s_start", "s_end", "i_start", "i_end",
+          bucketNs = 3600000000000L)
+        pairs.agg(count(lit(1)).as("pairs"),
+            countDistinct(col("user_id"), col("sid")).as("sessions_hit"),
+            countDistinct(col("incident_id")).as("incidents_hit"))
+          .crossJoin(sess.agg(count(lit(1)).as("sessions_total")))
+          .crossJoin(inc.agg(count(lit(1)).as("incidents_total")))
+      },
+      Some("""WITH m AS (SELECT user_id, epoch_ns(ts) AS t, event_id,
+              CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                  > 1800000000000 THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+              ORDER BY epoch_ns(ts), event_id)),
+          g AS (SELECT user_id, t, sum(brk) OVER
+              (PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m),
+          sess AS (SELECT user_id, sid, min(t) AS s_start,
+              max(t) AS s_end
+            FROM g GROUP BY 1, 2),
+          inc AS (SELECT event_id AS incident_id,
+              epoch_ns(ts) - 300000000000 AS i_start,
+              epoch_ns(ts) + 300000000000 AS i_end
+            FROM events WHERE event_type = 'error' AND user_id < 20),
+          pairs AS (SELECT s.user_id, s.sid, i.incident_id
+            FROM sess s JOIN inc i
+              ON s.s_start <= i.i_end AND i.i_start <= s.s_end)
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT user_id, sid FROM pairs)) AS sessions_hit,
+            (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT incident_id FROM pairs)) AS incidents_hit,
+            (SELECT CAST(count(*) AS BIGINT) FROM sess)
+              AS sessions_total,
+            (SELECT CAST(count(*) AS BIGINT) FROM inc)
+              AS incidents_total""")),
+
     // j11: NEAREST-in-time join — the attribution rule j6's
     // backward-only as-of misses (a purchase seconds AFTER the click
     // should win over one hours before): each click attaches the

@@ -812,6 +812,69 @@ object SourceQueries {
            FROM orders
            WHERE NOT (o_orderkey % 4 = 2 AND o_orderstatus = 'F')""")),
 
+    // S27: DESCRIBE HISTORY — the table-audit surface every lakehouse
+    // exposes, derived here entirely from the manifests plus one read
+    // of each data file (production formats keep these counts as
+    // commit stats and skip the read): one row per version with its
+    // change type (append / replace / rewrite), row deltas, and the
+    // data_change writer flag. The planted five-commit history — two
+    // appends, a flagged compaction, a third append, a copy-on-write
+    // delete touching only the last append's file — exercises every
+    // change type, and every row delta is replayable from the base
+    // table, so a misclassified commit or a miscounted delta flips the
+    // hash. File-count claims (single-file appends, 1-file cow prune)
+    // are earned Spark-side flags, since cow rewrite file counts are
+    // partitioning-dependent.
+    "s27_table_history" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Manifest, Merge}
+        val tbl = scratch("s27_table", dir)
+        wipe(tbl)
+        val ev = events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        for (i <- 0 until 2)
+          Manifest.commit(
+            ev.filter(pmod(col("event_id"), lit(3)) === i).coalesce(1),
+            tbl)
+        Manifest.commit(Manifest.read(s, tbl).coalesce(1), tbl,
+          replace = true, meta = Map(ChangeFeed.DataChangeKey -> "false"))
+        Manifest.commit(
+          ev.filter(pmod(col("event_id"), lit(3)) === 2).coalesce(1), tbl)
+        Merge.deleteWhere(s, tbl, col("event_type") === "error" &&
+          pmod(col("event_id"), lit(3)) === 2)
+        val hist = Manifest.history(s, tbl)
+        val singleFile = hist.filter(_.change_type != "rewrite")
+          .forall(_.files_added == 1)
+        val cowPruned = hist.last.change_type == "rewrite" &&
+          hist.last.files_removed == 1
+        s.createDataFrame(hist)
+          .select(col("version"), col("change_type"), col("rows_added"),
+            col("rows_removed"), col("data_change"),
+            lit(singleFile).as("single_file_appends"),
+            lit(cowPruned).as("cow_pruned"))
+          .orderBy(col("version"))
+      },
+      Some(
+        """WITH c AS (SELECT
+             count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS n0,
+             count(CASE WHEN event_id % 3 = 1 THEN 1 END) AS n1,
+             count(CASE WHEN event_id % 3 = 2 THEN 1 END) AS n2,
+             count(CASE WHEN event_id % 3 = 2 AND event_type = 'error'
+               THEN 1 END) AS e2
+           FROM events)
+           SELECT * FROM (
+             SELECT CAST(1 AS BIGINT) AS version, 'append' AS change_type,
+               CAST(n0 AS BIGINT) AS rows_added,
+               CAST(0 AS BIGINT) AS rows_removed, TRUE AS data_change,
+               TRUE AS single_file_appends, TRUE AS cow_pruned FROM c
+             UNION ALL SELECT 2, 'append', n1, 0, TRUE, TRUE, TRUE FROM c
+             UNION ALL SELECT 3, 'replace', n0 + n1, n0 + n1, FALSE,
+               TRUE, TRUE FROM c
+             UNION ALL SELECT 4, 'append', n2, 0, TRUE, TRUE, TRUE FROM c
+             UNION ALL SELECT 5, 'rewrite', n2 - e2, n2, TRUE, TRUE, TRUE
+               FROM c)
+           ORDER BY version""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -14,6 +14,54 @@ import QueryDSL._
   */
 object WindowAggQueries {
 
+  /** w12's grid + forward-fill tail over a (user_id, d, v) daily frame —
+    * shared verbatim with st30's streamed-partial readout (argmax is
+    * associative, so the re-argmaxed partial table IS w12's daily
+    * frame): per-user day grid from first activity to the broadcast
+    * global horizon (w11's bounded explode), one LEFT join of
+    * observations, gaps forward-filled with last(IGNORE NULLS) over the
+    * ONE user-keyed window. */
+  private[queries] def resampleFfillTail(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(max(col("d")).as("dmax"))
+    val grid = daily.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("dmax"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
+  /** w12's oracle — and st30's verbatim (the streamed per-batch argmax
+    * partials re-aggregate to the one-shot daily frame by argmax
+    * associativity on the unique (ts, event_id) order). */
+  private[queries] val sqlResampleFfill: String =
+    """WITH e AS (SELECT user_id,
+          epoch_ns(ts) // 86400000000000 AS d, ts, event_id, value
+        FROM events WHERE user_id < 50),
+      daily AS (SELECT user_id, d, value AS v FROM (
+          SELECT user_id, d, value, row_number() OVER
+            (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC)
+            AS rk
+          FROM e) WHERE rk = 1),
+      grid AS (SELECT user_id,
+          unnest(generate_series(d0, (SELECT max(d) FROM daily)))
+            AS d
+        FROM (SELECT user_id, min(d) AS d0 FROM daily
+          GROUP BY user_id)),
+      j AS (SELECT g.user_id, g.d, dd.v FROM grid g
+        LEFT JOIN daily dd ON dd.user_id = g.user_id AND dd.d = g.d)
+      SELECT user_id, d, last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS value_filled,
+        v IS NOT NULL AS observed
+      FROM j ORDER BY user_id, d"""
+
   /** Trailing-7-day active users — w11's oracle, and st18's verbatim:
     * the streamed per-batch-distinct marks re-aggregate to the one-shot
     * curve because the marks pipeline is distinct-idempotent. */
@@ -690,6 +738,32 @@ object WindowAggQueries {
           .orderBy(col("day"))
       },
       Some(sqlWau)),
+
+    // W12: daily RESAMPLE + FORWARD FILL — the feature-pipeline staple
+    // (as-of state per entity per day: account balances, last-seen
+    // device, model features) a range window can't express because the
+    // output grid has rows the input lacks. Per user: the day's LAST
+    // value (argmax on the unique (ts, event_id) — the st29 reduction),
+    // a per-user day grid from first activity to the global horizon
+    // (w11's bounded explode — grid mass = users × days, never events),
+    // one LEFT join of observations onto the grid, and the gap days
+    // forward-fill via last(IGNORE NULLS) over the user-keyed window.
+    // Scale shape: one map-side-combined argmax aggregate, a broadcast
+    // 1-row horizon, a key-equi-join, ONE shuffle on user for the fill
+    // window. No value arithmetic — fills carry the observed doubles
+    // bit-identically, which is why the row-level output hash-compares.
+    "w12_resample_ffill" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("user_id") < 50)
+          .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+            col("ts"), col("event_id"), col("value"))
+        val daily = ev.groupBy(col("user_id"), col("d"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value")))
+            .as("__m"))
+          .select(col("user_id"), col("d"), col("__m.value").as("v"))
+        resampleFfillTail(daily)
+      },
+      Some(sqlResampleFfill)),
 
     // W10: retention cohort matrix — the other canonical event-log
     // report next to w9's funnel: users cohort by first-seen week

@@ -328,6 +328,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // cluster + label joins
   }
 
+  test("j14: the keyless interval-overlap join is a bucket EQUI join " +
+    "(no cartesian); the only nested-loop joins are the 1-row stat " +
+    "broadcasts") {
+    val p = plan("j14_overlap_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("__bkt"), p) // candidates equi-join on the bucket id
+  }
+
   test("d15: boilerplate doc-frequency combines map-side (partial " +
     "count over the distinct projection), flag join-back is equi") {
     val p = plan("d15_boilerplate_scrub")

@@ -362,6 +362,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set(("l1", "r1"), ("l1", "r2")))
   }
 
+  test("overlapJoin: exactly the overlapping interval pairs, each " +
+    "emitted ONCE (canonical bucket) — boundaries in, multi-bucket " +
+    "spans not duplicated, disjoint intervals out") {
+    // bucket width 100: l1 spans buckets 0-2, l2 bucket 5, l3 bucket 9
+    val left = Seq((1L, 10L, 250L), (2L, 500L, 560L), (3L, 900L, 910L))
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (10L, 40L, 260L),  // overlaps l1 across 3 shared buckets -> ONE pair
+      (11L, 250L, 300L), // touches l1 exactly at le (boundary in)
+      (12L, 561L, 600L), // starts after l2 ends -> out
+      (13L, 860L, 900L)  // touches l3 exactly at ls (boundary in)
+    ).toDF("rid", "rs", "re")
+    val pairs = AsOfJoin.overlapJoin(left, right, "ls", "le", "rs", "re",
+        bucketNs = 100L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a Seq (not Set) so a double-emitted pair would fail the test
+    assert(pairs.sorted.toSeq == Seq((1L, 10L), (1L, 11L), (3L, 13L)))
+    intercept[IllegalArgumentException](AsOfJoin.overlapJoin(
+      left, right, "ls", "le", "rs", "re", bucketNs = 0L))
+    intercept[IllegalArgumentException](AsOfJoin.overlapJoin(
+      left, left, "ls", "le", "ls", "le", bucketNs = 100L))
+  }
+
   test("kmeansCentroids is deterministic, bounded by k, and well-formed") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val c1 = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)

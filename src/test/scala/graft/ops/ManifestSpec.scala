@@ -311,6 +311,60 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("severed"))
   }
 
+  test("history: change types classify (append / replace / rewrite), " +
+    "row deltas count each file once, metadata-only commits read as " +
+    "zero-row appends, and the data_change flag surfaces") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 10), (2L, 20)).toDF("id", "v")
+      .coalesce(1), tbl)                                          // v1
+    Manifest.commit(Seq((3L, 30)).toDF("id", "v").coalesce(1), tbl) // v2
+    Manifest.commit(Manifest.read(spark, tbl).coalesce(1), tbl,   // v3
+      replace = true, meta = Map(ChangeFeed.DataChangeKey -> "false"))
+    Manifest.addConstraint(spark, tbl, "v_pos", "v > 0")          // v4
+    Merge.upsert(spark, tbl,                                      // v5
+      Seq((3L, 33), (9L, 90)).toDF("id", "v"), Seq("id"))
+    val h = Manifest.history(spark, tbl)
+      .map(i => (i.version, i.change_type, i.rows_added,
+        i.rows_removed, i.data_change))
+    assert(h == Seq(
+      (1L, "append", 2L, 0L, true),
+      (2L, "append", 1L, 0L, true),
+      (3L, "replace", 3L, 3L, false),
+      (4L, "append", 0L, 0L, true), // constraint = zero-row metadata
+      (5L, "rewrite", 4L, 3L, true))) // 3 carried-rows + insert; file out
+    // file accounting: the compaction dropped 2 files for 1
+    val v3 = Manifest.history(spark, tbl).find(_.version == 3L).get
+    assert(v3.files_added == 1L && v3.files_removed == 2L)
+  }
+
+  test("a commit losing a version race fails LOUDLY (never a silent " +
+    "overwrite) and leaves the winner's version intact") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tbl = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl)
+    // a commit whose DATA WRITE is slow enough for a racer to publish
+    // the same next version first (the lost-race window: base resolved,
+    // publish pending)
+    val slow = Seq(2).toDS().map { v => Thread.sleep(4000); v }.toDF("x")
+    val loser = Future(Manifest.commit(slow, tbl))
+    Thread.sleep(1500)
+    val racer = Paths.get(tbl, "_manifests", "v000002.txt")
+    val winner = "#schema=" + Seq(1).toDF("x").schema.json +
+      "\ndata/b000001/part-racer.parquet"
+    JFiles.write(racer, winner.getBytes)
+    val e = intercept[IllegalStateException](
+      Await.result(loser, 120.seconds))
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's manifest is untouched and no tmp debris remains
+    assert(new String(JFiles.readAllBytes(racer)) == winner)
+    assert(!JFiles.exists(
+      Paths.get(tbl, "_manifests").resolve(".v2.tmp")))
+    assert(Manifest.version(tbl) == 2L)
+  }
+
   test("commitOnce (the Delta txn recipe): a replayed (appId, txn) " +
     "commits NOTHING, apps track independently, stamps hide from meta() " +
     "and survive interleaved plain commits") {
