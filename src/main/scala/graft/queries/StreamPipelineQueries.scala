@@ -635,6 +635,25 @@ object StreamPipelineQueries {
           FROM latest WHERE rk = 1
           GROUP BY event_type ORDER BY event_type""")),
 
+    // st30: STREAMING RESAMPLE STATE — w12's feature-store write path
+    // in continuous form: each micro-batch appends one argmax row per
+    // (user, day) it touches (bounded by key spread, not events), the
+    // readout re-argmaxes the partials — associative on the unique
+    // (ts, event_id) order, so batch boundaries are invisible — and
+    // the shared w12 grid + forward-fill tail runs downstream. Shares
+    // w12's oracle verbatim; unlike st29's upsert, NO arrival-order
+    // contract is needed (argmax commutes).
+    "st30_stream_resample" -> Q(
+      (s, dir) => {
+        val out = scratch("st30_out", dir)
+        val ckpt = scratch("st30_ckpt", dir)
+        wipe(out); wipe(ckpt)
+        WindowAggQueries.resampleFfillTail(
+          Streams.resampleStreaming(s, dir, out, checkpoint = ckpt,
+            name = s"graft_st30_${dirTag(dir)}"))
+      },
+      Some(WindowAggQueries.sqlResampleFfill)),
+
     // st6: the NATIVE session_window operator (Spark's own gap-merge
     // aggregate — the Spark-first twin of st2's hand-rolled sessionizer;
     // the same expression runs under a watermark in streaming mode).

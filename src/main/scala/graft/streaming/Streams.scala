@@ -1433,6 +1433,55 @@ object Streams {
     ()
   }
 
+  /** STREAMING RESAMPLE STATE — w12's as-of daily state maintained
+    * continuously (the feature-store write path: per entity per day,
+    * the day's last value): each micro-batch appends ONE batch-argmax
+    * row per (user, day) it touches — bounded by the batch's key
+    * spread, never its event count — via [[writePartial]] (per-batch
+    * overwrite, so an at-least-once replay replaces its own partial;
+    * the replay battery's writePartial case covers the family). The
+    * returned frame re-argmaxes the partials: argmax is ASSOCIATIVE on
+    * the unique (ts, event_id) order, so the re-aggregation EQUALS the
+    * one-shot daily frame whatever the batch boundaries — which is why
+    * st30 shares w12's oracle verbatim (the grid + forward-fill tail
+    * runs downstream of this readout). ZERO streaming state; the
+    * partial table is the restart-safe state. */
+  def resampleStreaming(spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String, userCap: Int = 50,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st30"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .filter(col("user_id") < userCap)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyResampleBatch(batch, batchId, outPath)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    readPartials(spark, outPath)
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("__m"))
+      .select(col("user_id"), col("d"), col("__m.value").as("v"))
+  }
+
+  /** st30's per-batch body: one map-side-combined argmax per touched
+    * (user, day), landed per-batch-overwrite. */
+  private[graft] def applyResampleBatch(batch: DataFrame, batchId: Long,
+      outPath: String): Unit =
+    writePartial(batch
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("__m"))
+      .select(col("user_id"), col("d"), col("__m.ts").as("ts"),
+        col("__m.event_id").as("event_id"), col("__m.value").as("value")),
+      outPath, batchId)
+
   /** STREAMING MERGE — the row-level upsert drain (the CDC-compaction
     * materialization every warehouse keeps: "latest row per key"): each
     * micro-batch reduces to its newest row per user (max (ts, event_id)

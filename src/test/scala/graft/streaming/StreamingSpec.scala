@@ -1337,6 +1337,53 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Manifest.read(spark, tbl2)) == once)
   }
 
+  test("st30 streaming resample state: 4 micro-batch argmax partials " +
+      "re-aggregate to the one-shot daily frame (argmax associativity " +
+      "— NO arrival-order contract); cross-batch merges exercised") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryDSL
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val srcDir = Files.createTempDirectory("st30_src")
+    // chunk by event_id residue — DELIBERATELY not time-ordered, to
+    // prove argmax associativity needs no arrival-order contract
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st30_chunk$i")
+      ev.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st30_out").toString + "/p"
+    val ckpt = Files.createTempDirectory("st30_ckpt").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val streamed = rows(Streams.resampleStreaming(spark, srcDir.toString,
+      out, checkpoint = ckpt, glob = "events_*.parquet",
+      maxFilesPerTrigger = 1, name = "st30_spec"))
+    val oneShot = rows(QueryDSL.events(spark, sf)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("ts div 86400000000000").as("d"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value")))
+        .as("__m"))
+      .select(col("user_id"), col("d"), col("__m.value").as("v")))
+    assert(streamed == oneShot)
+    // (user, day) keys recur across the residue chunks, so the partial
+    // table must hold MORE rows than the merged daily frame — else the
+    // cross-batch argmax merge was never exercised
+    val appended = spark.read.parquet(out).count()
+    assert(appended > streamed.size,
+      s"no cross-batch partials ($appended vs ${streamed.size})")
+  }
+
   test("replay: the composite st25/st26 bodies (commit+fold, " +
       "commit+sync) re-applied with one batchId move neither the " +
       "source, the aggregate, nor the replica") {
