@@ -90,6 +90,71 @@ object Manifest {
     (rawMeta(tablePath, v) - SchemaKey)
       .filterNot(_._1.startsWith(ConstraintPrefix))
       .filterNot(_._1.startsWith(TxnPrefix))
+      .filterNot(_._1.startsWith(FileStatsPrefix))
+
+  /** Prefix of metadata keys recording per-file column min/max — the
+    * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
+    * them without opening a single footer (at 100 TB, footer fetches
+    * ARE the planning cost). Each commit records stats only for its own
+    * fresh files (`filestats.<relpath>=col:min:max|…`); a file's stats
+    * live in its adding version's manifest and follow it for life. */
+  val FileStatsPrefix = "filestats."
+
+  /** Per-file numeric (min, max) stats for the files of version `v`
+    * (newest when omitted): relpath → col → (min, max) as doubles.
+    * Files committed without stats are simply absent — readers must
+    * treat them as unprunable. Driver-side metadata walk over the
+    * versions that added the live files. */
+  def fileStats(tablePath: String,
+      v: Long = -1L): Map[String, Map[String, (Double, Double)]] = {
+    val live = files(tablePath, v).toSet
+    val upTo = if (v >= 0) v else version(tablePath)
+    committedVersions(tablePath).filter(_ <= upTo).flatMap { cv =>
+      rawMeta(tablePath, cv).collect {
+        case (k, spec) if k.startsWith(FileStatsPrefix) &&
+            live.contains(k.stripPrefix(FileStatsPrefix)) =>
+          k.stripPrefix(FileStatsPrefix) ->
+            spec.split('|').map { part =>
+              val Array(c, lo, hi) = part.split(':')
+              c -> (lo.toDouble, hi.toDouble)
+            }.toMap
+      }
+    }.toMap
+  }
+
+  /** MIN/MAX FILE SKIPPING — read only the files whose recorded
+    * [min, max] for `column` intersects [`lo`, `hi`]; files without
+    * stats are conservatively kept. Returns (frame over the kept files,
+    * kept count, skipped count). The pruning decision is pure manifest
+    * metadata — zero data or footer I/O — which is the entire point:
+    * combined with clustering ([[Layout.zOrderWrite]] / range-batched
+    * ingest), a selective predicate plans in O(files) driver work and
+    * reads O(matching files) bytes. Callers apply the EXACT predicate
+    * on the returned frame (stats only bound, never filter rows). */
+  def readPruned(spark: SparkSession, tablePath: String, column: String,
+      lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    val v = version(tablePath)
+    val stats = fileStats(tablePath, v)
+    val all = files(tablePath, v)
+    val kept = all.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats recorded: cannot prune
+      }
+    }
+    val schema = schemaOf(tablePath, v)
+    val paths = kept.map(r => Paths.get(tablePath).resolve(r).toString)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema.getOrElse(read(spark, tablePath, v).schema))
+      else schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.parquet(paths: _*)
+      }
+    (df, kept.size, all.size - kept.size)
+  }
 
   /** Prefix of metadata keys recording idempotent-writer transactions —
     * the Delta `txn` (appId, version) contract that makes streaming
@@ -238,7 +303,10 @@ object Manifest {
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
       excludeConstraint: Option[String] = None,
-      removeFiles: Seq[String] = Seq.empty): Long = {
+      removeFiles: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    statsCols.foreach(c => require(!c.contains(":") && !c.contains("|"),
+      s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
@@ -317,8 +385,42 @@ object Manifest {
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
+    // per-file numeric min/max for the FRESH files, from the same
+    // written batch the validation read — one bounded aggregate, stats
+    // published atomically with the version (the Iceberg/Delta
+    // data-skipping contract; [[readPruned]] consumes them)
+    val statsMeta: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, max => fmax,
+          min => fmin}
+        val aggs = statsCols.flatMap(c => Seq(
+          fmin(col(c)).cast("double").as(s"__mn_$c"),
+          fmax(col(c)).cast("double").as(s"__mx_$c")))
+        df.sparkSession.read.schema(df.schema)
+          .parquet(batchDir.toString)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().flatMap { r =>
+            val p = r.getString(0)
+            val fs = if (p.startsWith("file:"))
+              new java.net.URI(p).getPath else p
+            val rel = Paths.get(tablePath).toAbsolutePath.normalize
+              .relativize(Paths.get(fs).toAbsolutePath.normalize)
+              .toString
+            val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
+              (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
+                case (Some(mn), Some(mx)) => Some(s"$c:$mn:$mx")
+                case _ => None // all-null column: no bound for this col
+              }
+            }.mkString("|")
+            if (spec.isEmpty) None
+            else Some(s"$FileStatsPrefix$rel" -> spec)
+          }.toMap
+      }
     val lines =
-      (meta ++ constraintMeta + (SchemaKey -> schema.json)).toSeq.sorted
+      (meta ++ constraintMeta ++ statsMeta +
+        (SchemaKey -> schema.json)).toSeq.sorted
         .map { case (k, v) => s"#$k=$v" } ++
       (if (replace || prev == 0) Seq.empty
        else listed(tablePath, prev).filterNot(removeFiles.toSet)) ++ fresh

@@ -875,6 +875,52 @@ object SourceQueries {
                FROM c)
            ORDER BY version""")),
 
+    // S28: MIN/MAX FILE SKIPPING FROM THE LOG — the third leg of the
+    // data-skipping triad (s15 z-order clusters, s18 bloom-prunes
+    // partitions, s28 prunes FILES from manifest stats): every commit
+    // records its fresh files' per-column min/max as manifest metadata
+    // (one bounded aggregate over the already-written batch, atomic
+    // with the version), and a selective read drops files whose range
+    // can't match — pure driver-side metadata, zero footer I/O, which
+    // at 100 TB is the difference between planning in O(files) and
+    // opening a million footers. Orders land as four contiguous
+    // key-range commits (the clustered-ingest shape stats need to
+    // bite); the second-quartile probe must plan to exactly ONE file
+    // (earned flags), and the surviving content is the oracle side.
+    "s28_minmax_skipping" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s28_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        // driver-side scalar bound (the s11 paged-fetch precedent)
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val (pruned, kept, skipped) = Manifest.readPruned(s, tbl,
+          "o_orderkey", q.toDouble, (2 * q - 1).toDouble)
+        pruned.filter(col("o_orderkey") >= q &&
+            col("o_orderkey") <= 2 * q - 1)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("price_mass"),
+            lit(kept == 1).as("one_file_read"),
+            lit(skipped == 3).as("three_skipped"))
+      },
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS one_file_read, TRUE AS three_skipped
+           FROM orders, b
+           WHERE o_orderkey >= q AND o_orderkey <= 2 * q - 1""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

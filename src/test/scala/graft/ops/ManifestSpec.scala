@@ -337,6 +337,34 @@ class ManifestSpec extends SparkSpec {
     assert(v3.files_added == 1L && v3.files_removed == 2L)
   }
 
+  test("min/max file stats: recorded per fresh file atomically with " +
+    "the version, hidden from meta(), carried for life; readPruned " +
+    "keeps boundary touches and unprunable stat-less files") {
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, "a"), (5L, "b")).toDF("k", "s").coalesce(1),
+      tbl, statsCols = Seq("k"))
+    Manifest.commit(Seq((10L, "c"), (20L, "d")).toDF("k", "s")
+      .coalesce(1), tbl, statsCols = Seq("k"))
+    // a commit WITHOUT stats: its file must stay unprunable
+    Manifest.commit(Seq((100L, "e")).toDF("k", "s").coalesce(1), tbl)
+    val stats = Manifest.fileStats(tbl)
+    assert(stats.size == 2) // only the stats-recorded files
+    assert(stats.values.map(_("k")).toSet == Set((1.0, 5.0), (10.0, 20.0)))
+    assert(Manifest.meta(tbl).isEmpty) // filestats.* is internal
+    // probe [4, 9]: file 1 overlaps at its max (boundary kept), file 2
+    // is disjoint (skipped), the stat-less file is kept conservatively
+    val (df, kept, skipped) = Manifest.readPruned(spark, tbl, "k", 4, 9)
+    assert(kept == 2 && skipped == 1)
+    assert(df.select("k").as[Long].collect().toSet == Set(1L, 5L, 100L))
+    // pruned + exact predicate == full read + exact predicate
+    assert(df.filter(col("k") >= 4 && col("k") <= 9).count() ==
+      Manifest.read(spark, tbl)
+        .filter(col("k") >= 4 && col("k") <= 9).count())
+    // fully disjoint probe: only the unprunable file survives
+    val (_, k2, s2) = Manifest.readPruned(spark, tbl, "k", 1000, 2000)
+    assert(k2 == 1 && s2 == 2)
+  }
+
   test("a commit losing a version race fails LOUDLY (never a silent " +
     "overwrite) and leaves the winner's version intact") {
     import java.nio.file.{Files => JFiles, Paths}
