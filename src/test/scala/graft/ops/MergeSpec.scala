@@ -94,6 +94,31 @@ class MergeSpec extends SparkSpec {
     assert(asMap(Manifest.read(spark, tbl)).size == 12)
   }
 
+  test("a source past the broadcast key gate degrades to a shuffle " +
+    "semi-join with IDENTICAL results (file accounting included); a " +
+    "duplicate-key source fails loudly before anything is written") {
+    val tblA = freshTable(); seed(tblA)
+    val tblB = freshTable(); seed(tblB)
+    val src = Seq((0L, "UP", 9), (23L, "UP2", 9), (99L, "NEW", 9))
+      .toDF("id", "s", "g")
+    val stBc = Merge.upsert(spark, tblA, src, Seq("id"))
+    // limit 0 forces the no-hint path for ANY source — the large-CDC
+    // fallback exercised end to end
+    val stSh = Merge.upsert(spark, tblB, src, Seq("id"),
+      broadcastKeyLimit = 0L)
+    assert(stSh == stBc, s"shuffle path diverged: $stSh vs $stBc")
+    assert(asMap(Manifest.read(spark, tblB)) ==
+      asMap(Manifest.read(spark, tblA)))
+    // duplicate source keys: the MERGE precondition is ENFORCED (the
+    // Delta multiple-match error), and nothing was published
+    val v = Manifest.version(tblA)
+    val e = intercept[IllegalArgumentException](
+      Merge.upsert(spark, tblA,
+        Seq((5L, "A", 1), (5L, "B", 2)).toDF("id", "s", "g"), Seq("id")))
+    assert(e.getMessage.contains("duplicate keys"))
+    assert(Manifest.version(tblA) == v)
+  }
+
   test("the merge commit reads as a ROW-LEVEL diff in the change feed: " +
     "update images for updated keys, insert for new keys, nothing for " +
     "carried rows") {
