@@ -91,6 +91,7 @@ object Manifest {
       .filterNot(_._1.startsWith(ConstraintPrefix))
       .filterNot(_._1.startsWith(TxnPrefix))
       .filterNot(_._1.startsWith(FileStatsPrefix))
+      .filterNot(_._1.startsWith(FileRowsPrefix))
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -100,11 +101,24 @@ object Manifest {
     * live in its adding version's manifest and follow it for life. */
   val FileStatsPrefix = "filestats."
 
+  /** Prefix of metadata keys recording per-file ROW COUNTS
+    * (`filerows.<relpath>=n`) — recorded by EVERY commit for its own
+    * fresh files, from the same one-pass executor-side aggregate that
+    * collects [[FileStatsPrefix]] bounds. [[history]] consumes them, so
+    * the audit surface is pure driver metadata (production table
+    * formats keep exactly these counts as commit stats); files
+    * committed by pre-stats writers fall back to one read. */
+  val FileRowsPrefix = "filerows."
+
   /** Per-file numeric (min, max) stats for the files of version `v`
     * (newest when omitted): relpath → col → (min, max) as doubles.
-    * Files committed without stats are simply absent — readers must
-    * treat them as unprunable. Driver-side metadata walk over the
-    * versions that added the live files. */
+    * Recorded bounds are WIDENED by one ulp per side
+    * ([[commit]]), so they are conservative even for BIGINT values
+    * above 2^53 whose double image rounds — a file can never be
+    * falsely pruned by cast rounding. Files committed without stats
+    * are simply absent — readers must treat them as unprunable.
+    * Driver-side metadata walk over the versions that added the live
+    * files. */
   def fileStats(tablePath: String,
       v: Long = -1L): Map[String, Map[String, (Double, Double)]] = {
     val live = files(tablePath, v).toSet
@@ -130,7 +144,11 @@ object Manifest {
     * combined with clustering ([[Layout.zOrderWrite]] / range-batched
     * ingest), a selective predicate plans in O(files) driver work and
     * reads O(matching files) bytes. Callers apply the EXACT predicate
-    * on the returned frame (stats only bound, never filter rows). */
+    * on the returned frame (stats only bound, never filter rows).
+    * Recorded bounds are ulp-widened (see [[fileStats]]) so cast
+    * rounding can never skip a matching file; `lo`/`hi` live in double
+    * space, so for BIGINT probes above 2^53 pass bounds that are
+    * conservative under double rounding (e.g. widen the same way). */
   def readPruned(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double): (DataFrame, Int, Int) = {
     val v = version(tablePath)
@@ -385,41 +403,53 @@ object Manifest {
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
-    // per-file numeric min/max for the FRESH files, from the same
-    // written batch the validation read — one bounded aggregate, stats
-    // published atomically with the version (the Iceberg/Delta
-    // data-skipping contract; [[readPruned]] consumes them)
-    val statsMeta: Map[String, String] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, max => fmax,
-          min => fmin}
-        val aggs = statsCols.flatMap(c => Seq(
-          fmin(col(c)).cast("double").as(s"__mn_$c"),
-          fmax(col(c)).cast("double").as(s"__mx_$c")))
-        df.sparkSession.read.schema(df.schema)
-          .parquet(batchDir.toString)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().flatMap { r =>
-            val p = r.getString(0)
-            val fs = if (p.startsWith("file:"))
-              new java.net.URI(p).getPath else p
-            val rel = Paths.get(tablePath).toAbsolutePath.normalize
-              .relativize(Paths.get(fs).toAbsolutePath.normalize)
-              .toString
-            val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
-              (Option(r.get(1 + 2 * i)), Option(r.get(2 + 2 * i))) match {
-                case (Some(mn), Some(mx)) => Some(s"$c:$mn:$mx")
-                case _ => None // all-null column: no bound for this col
-              }
-            }.mkString("|")
-            if (spec.isEmpty) None
-            else Some(s"$FileStatsPrefix$rel" -> spec)
-          }.toMap
-      }
+    // Per-file commit stats for the FRESH files, from ONE bounded
+    // executor-side aggregate over the written batch (metadata-width
+    // scan: row counts always — the audit stats [[history]] answers
+    // from without touching data — plus numeric min/max for
+    // `statsCols`, the Iceberg/Delta data-skipping contract
+    // [[readPruned]] consumes). Published atomically with the version.
+    // Min/max are widened one ulp per side so a lossy long→double cast
+    // (values past 2^53, e.g. nanosecond timestamps) can only LOOSEN a
+    // bound, never falsely prune a matching file.
+    val (rowsMeta, statsMeta): (Map[String, String], Map[String, String]) = {
+      import org.apache.spark.sql.functions.{col, count, lit,
+        max => fmax, min => fmin}
+      val aggs = count(lit(1L)).as("__rows") +: statsCols.flatMap(c => Seq(
+        fmin(col(c)).cast("double").as(s"__mn_$c"),
+        fmax(col(c)).cast("double").as(s"__mx_$c")))
+      val perFile = df.sparkSession.read.schema(df.schema)
+        .parquet(batchDir.toString)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val p = r.getString(0)
+          val fs = if (p.startsWith("file:"))
+            new java.net.URI(p).getPath else p
+          val rel = Paths.get(tablePath).toAbsolutePath.normalize
+            .relativize(Paths.get(fs).toAbsolutePath.normalize)
+            .toString
+          val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            (Option(r.get(2 + 2 * i)), Option(r.get(3 + 2 * i))) match {
+              case (Some(mn), Some(mx))
+                  if !mn.asInstanceOf[Double].isNaN &&
+                    !mx.asInstanceOf[Double].isNaN =>
+                Some(s"$c:${Math.nextDown(mn.asInstanceOf[Double])}:" +
+                  s"${Math.nextUp(mx.asInstanceOf[Double])}")
+              case _ => None // all-null or NaN column: unprunable
+            }
+          }.mkString("|")
+          rel -> (r.getLong(1), spec)
+        }.toMap
+      // a fresh file can hold zero rows (empty partition) and then
+      // emits no group — record it explicitly as 0
+      (fresh.map(f => s"$FileRowsPrefix$f" ->
+         perFile.get(f).map(_._1).getOrElse(0L).toString).toMap,
+       perFile.collect { case (f, (_, spec)) if spec.nonEmpty =>
+         s"$FileStatsPrefix$f" -> spec })
+    }
     val lines =
-      (meta ++ constraintMeta ++ statsMeta +
+      (meta ++ constraintMeta ++ rowsMeta ++ statsMeta +
         (SchemaKey -> schema.json)).toSeq.sorted
         .map { case (k, v) => s"#$k=$v" } ++
       (if (replace || prev == 0) Seq.empty
@@ -536,31 +566,39 @@ object Manifest {
       files_added: Long, files_removed: Long, rows_added: Long,
       rows_removed: Long, data_change: Boolean)
 
-  /** DESCRIBE HISTORY — one row per committed version, derived entirely
-    * from the manifests plus ONE read of each data file (each file is
-    * added by exactly one version, so counting every version's ADDED
-    * files under that version's recorded schema touches each file once;
-    * removed-row counts reuse those counts — a removed file was added
-    * earlier). The per-version file lists and the per-file count map are
-    * driver-side metadata (bounded by file count, the commit-coordinator
-    * class); production table formats keep these counts as footer/commit
-    * stats and skip the read entirely. */
+  /** DESCRIBE HISTORY — one row per committed version, answered from
+    * COMMIT METADATA ALONE on stats-bearing tables: every commit records
+    * its fresh files' row counts as [[FileRowsPrefix]] manifest lines,
+    * so the per-version row deltas are a driver-side metadata walk with
+    * ZERO data or footer I/O (the production-format contract — at 100 TB
+    * an audit query must not read the table; ManifestSpec proves history
+    * still answers with the data directory renamed away). Files written
+    * by PRE-STATS writers fall back to one read of exactly the uncovered
+    * files, under their adding version's recorded schema. Removed-row
+    * counts reuse the adding version's counts — a removed file was
+    * added earlier. */
   def history(spark: SparkSession, tablePath: String): Seq[CommitInfo] = {
     val vs = committedVersions(tablePath)
     val fileRows = scala.collection.mutable.Map.empty[String, Long]
     // pair each version with its PREDECESSOR IN THE SURVIVING CHAIN (a
     // vacuumed table has gaps; the oldest retained version reads as the
-    // append that created its whole file set, and counts for files whose
-    // adding version was vacuumed resolve to 0 — stats, like the
-    // versions, are only as deep as retention)
+    // append that created its whole file set — its carried files' counts
+    // come from the fallback read, since their adding manifests are gone)
     vs.zip(None +: vs.init.map(Some(_))).map { case (v, prevV) =>
       val prev: Set[String] =
         prevV.map(listed(tablePath, _).toSet).getOrElse(Set.empty)
       val cur = listed(tablePath, v)
       val added = cur.filterNot(prev.contains)
       val removed = prev -- cur
-      if (added.nonEmpty) {
-        val paths = added.map(r =>
+      // commit-stats first: the version's own #filerows. lines
+      rawMeta(tablePath, v).foreach { case (k, n) =>
+        if (k.startsWith(FileRowsPrefix))
+          fileRows.getOrElseUpdate(k.stripPrefix(FileRowsPrefix),
+            n.toLong)
+      }
+      val uncovered = added.filterNot(fileRows.contains)
+      if (uncovered.nonEmpty) {
+        val paths = uncovered.map(r =>
           Paths.get(tablePath).resolve(r).toString)
         val reader = schemaOf(tablePath, v) match {
           case Some(s) => spark.read.schema(s)
@@ -581,7 +619,7 @@ object Manifest {
           }
         // a file can hold zero rows (empty append/metadata commit) and
         // then emits no group — record it explicitly
-        added.foreach(f => fileRows.getOrElseUpdate(f, 0L))
+        uncovered.foreach(f => fileRows.getOrElseUpdate(f, 0L))
       }
       val changeType =
         if (removed.isEmpty) "append"

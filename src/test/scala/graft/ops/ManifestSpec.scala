@@ -337,6 +337,44 @@ class ManifestSpec extends SparkSpec {
     assert(v3.files_added == 1L && v3.files_removed == 2L)
   }
 
+  test("history is METADATA-ONLY on stats-bearing tables: every commit " +
+    "records per-file row counts, so the audit answers with the data " +
+    "directory renamed away; pre-stats manifests fall back to one read " +
+    "of exactly the uncovered files") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.charset.StandardCharsets
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 10), (2L, 20)).toDF("id", "v")
+      .coalesce(1), tbl)                                            // v1
+    Manifest.commit(Seq((3L, 30)).toDF("id", "v").coalesce(1), tbl) // v2
+    Merge.deleteWhere(spark, tbl, col("id") === 3L)                 // v3
+    val expected = Manifest.history(spark, tbl)
+      .map(i => (i.version, i.change_type, i.rows_added, i.rows_removed))
+    assert(expected == Seq((1L, "append", 2L, 0L),
+      (2L, "append", 1L, 0L), (3L, "rewrite", 0L, 1L)))
+    // the zero-read proof: hide the data, history still answers
+    val data = Paths.get(tbl, "data")
+    val hidden = Paths.get(tbl, "data_hidden")
+    JFiles.move(data, hidden)
+    try {
+      val h = Manifest.history(spark, tbl)
+        .map(i => (i.version, i.change_type, i.rows_added,
+          i.rows_removed))
+      assert(h == expected, "history touched data files")
+    } finally JFiles.move(hidden, data)
+    // a PRE-STATS writer's manifest (no #filerows. lines): strip v1's
+    // and history must fall back to reading exactly v1's file
+    val mf = Paths.get(tbl, "_manifests", "v000001.txt")
+    val stripped = new String(JFiles.readAllBytes(mf),
+      StandardCharsets.UTF_8).linesIterator
+      .filterNot(_.startsWith("#" + Manifest.FileRowsPrefix))
+      .mkString("\n")
+    JFiles.write(mf, stripped.getBytes(StandardCharsets.UTF_8))
+    assert(Manifest.history(spark, tbl)
+      .map(i => (i.version, i.change_type, i.rows_added, i.rows_removed))
+      == expected)
+  }
+
   test("min/max file stats: recorded per fresh file atomically with " +
     "the version, hidden from meta(), carried for life; readPruned " +
     "keeps boundary touches and unprunable stat-less files") {
@@ -349,7 +387,14 @@ class ManifestSpec extends SparkSpec {
     Manifest.commit(Seq((100L, "e")).toDF("k", "s").coalesce(1), tbl)
     val stats = Manifest.fileStats(tbl)
     assert(stats.size == 2) // only the stats-recorded files
-    assert(stats.values.map(_("k")).toSet == Set((1.0, 5.0), (10.0, 20.0)))
+    // recorded bounds are ulp-WIDENED (conservative even when a long
+    // past 2^53 rounds under the double cast) — contain the true range,
+    // tight to within a couple of ulps
+    val bounds = stats.values.map(_("k")).toSeq.sortBy(_._1)
+    assert(bounds.zip(Seq((1.0, 5.0), (10.0, 20.0))).forall {
+      case ((lo, hi), (mn, mx)) => lo <= mn && hi >= mx &&
+        mn - lo <= 2 * math.ulp(mn) && hi - mx <= 2 * math.ulp(mx) },
+      bounds.toString)
     assert(Manifest.meta(tbl).isEmpty) // filestats.* is internal
     // probe [4, 9]: file 1 overlaps at its max (boundary kept), file 2
     // is disjoint (skipped), the stat-less file is kept conservatively
