@@ -33,9 +33,15 @@ object Merge {
 
   /** Earned file accounting of one copy-on-write commit: what the table
     * held, what was rewritten, what was carried untouched (by reference —
-    * the scale claim queries surface as flags). */
+    * the scale claim queries surface as flags). `filesCandidates` is the
+    * file count the TOUCH-DETECTION scan actually read: when the
+    * manifest carries [[Manifest.FileStatsPrefix]] bounds for the merge
+    * keys (or the delete's `pruneRange` column), files whose recorded
+    * range cannot intersect the source's are excluded from the scan
+    * before any byte is read — the Delta data-skipping-in-MERGE shape
+    * (equals `filesBefore` when no stats prune). */
   case class CowStats(version: Long, filesBefore: Int, filesRewritten: Int,
-      filesCarried: Int)
+      filesCarried: Int, filesCandidates: Int)
 
   /** Above this many distinct source keys the key set is NOT broadcast-
     * hinted: a hint overrides Spark's size threshold, so an unbounded
@@ -67,20 +73,43 @@ object Merge {
     // MERGE into a not-yet-existing table creates it (the CREATE OR
     // MERGE shape streaming sinks need for their first micro-batch)
     if (Manifest.version(tablePath) == 0L)
-      return CowStats(Manifest.commit(source, tablePath, meta = meta),
-        0, 0, 0)
-    // ONE bounded aggregate over the source keys serves both guards:
-    // per-key row counts roll up to (distinct keys, max rows per key) —
-    // the duplicate-key precondition check and the broadcast gate.
+      return CowStats(Manifest.commit(source, tablePath, meta = meta,
+        statsCols = keyCols.filterNot(c =>
+          c.contains(":") || c.contains("|"))),
+        0, 0, 0, 0)
+    // ONE bounded aggregate over the source keys serves all three
+    // guards: per-key row counts roll up to (distinct keys, max rows
+    // per key, per-key-column min/max) — the duplicate-key precondition
+    // check, the broadcast gate, and the file-skipping bounds below.
+    val boundAggs = keyCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
     val guard = source.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-      .agg(count(lit(1)).as("__k"), max(col("__n")).as("__m")).head()
+      .agg(count(lit(1)).as("__k"),
+        max(col("__n")).as("__m") +: boundAggs: _*).head()
     val keyCount = guard.getLong(0)
     val maxPerKey = if (guard.isNullAt(1)) 0L else guard.getLong(1)
     require(maxPerKey <= 1L,
       s"MERGE source has duplicate keys on (${keyCols.mkString(", ")}): " +
         s"up to $maxPerKey source rows share one key; a MERGE source " +
         "must carry at most one row per key")
+    // Source key bounds (ulp-widened, like the recorded file stats) —
+    // a file whose recorded range is disjoint from the source's on ANY
+    // key column cannot contain a matched key, so the touch-detection
+    // scan skips it from pure manifest metadata. Non-numeric key
+    // columns cast to null and simply don't prune.
+    val srcBounds: Map[String, (Double, Double)] =
+      keyCols.zipWithIndex.flatMap { case (c, i) =>
+        (Option(guard.get(2 + 2 * i)), Option(guard.get(3 + 2 * i))) match {
+          case (Some(mn), Some(mx))
+              if !mn.asInstanceOf[Double].isNaN &&
+                !mx.asInstanceOf[Double].isNaN =>
+            Some(c -> (Math.nextDown(mn.asInstanceOf[Double]),
+              Math.nextUp(mx.asInstanceOf[Double])))
+          case _ => None
+        }
+      }.toMap
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val keys =
       if (keyCount <= broadcastKeyLimit) broadcast(srcKeys) else srcKeys
@@ -89,7 +118,31 @@ object Merge {
       rewrite = touched =>
         touched.join(keys, keyCols, "left_anti")
           .unionByName(source),
-      meta)
+      meta, candidates = Some(candidateFiles(tablePath, srcBounds)),
+      // the rewrite commit records key-column stats for ITS fresh
+      // files, so rewritten files stay prunable by later merges (a
+      // non-numeric key column yields all-null bounds and is dropped)
+      statsCols = keyCols.filterNot(c =>
+        c.contains(":") || c.contains("|")))
+  }
+
+  /** Files of the current version whose recorded
+    * [[Manifest.FileStatsPrefix]] bounds could intersect `bounds` on
+    * every bounded column — the candidate set a COW touch scan must
+    * read. Files without stats (or without stats for a bounded column)
+    * are conservatively kept; pure driver-side metadata. */
+  private def candidateFiles(tablePath: String,
+      bounds: Map[String, (Double, Double)]): Seq[String] = {
+    val all = Manifest.files(tablePath)
+    if (bounds.isEmpty) all
+    else {
+      val stats = Manifest.fileStats(tablePath)
+      all.filter { f =>
+        stats.get(f).forall(colStats => bounds.forall { case (c, (lo, hi)) =>
+          colStats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        })
+      }
+    }
   }
 
   /** Idempotent [[upsert]] for replayable writers (the streaming MERGE
@@ -113,32 +166,57 @@ object Merge {
     * CONTAINING a matching row are rewritten (with the survivors of those
     * files), everything else is carried by reference. A predicate that
     * matches nothing publishes nothing (returns the no-op stats with the
-    * current version). */
+    * current version). `pruneRange = Some((column, lo, hi))` declares a
+    * numeric range the predicate implies (every matching row has
+    * `column` in [lo, hi]): files whose recorded
+    * [[Manifest.FileStatsPrefix]] bounds cannot intersect it are skipped
+    * from the touch scan via pure manifest metadata — the caller's
+    * EXACT predicate still decides every row, the range only bounds. */
   def deleteWhere(spark: SparkSession, tablePath: String, pred: Column,
-      meta: Map[String, String] = Map.empty): CowStats =
+      meta: Map[String, String] = Map.empty,
+      pruneRange: Option[(String, Double, Double)] = None): CowStats =
     cowRewrite(spark, tablePath,
       touches = snap => snap.filter(pred),
       rewrite = touched => touched.filter(!pred),
-      meta, skipWhenUntouched = true)
+      meta, skipWhenUntouched = true,
+      candidates = Some(candidateFiles(tablePath,
+        pruneRange.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)),
+      // survivors keep their range column's stats prunable
+      statsCols = pruneRange.map(_._1).toSeq)
 
-  /** The shared copy-on-write skeleton: locate the files `touches` hits,
+  /** The shared copy-on-write skeleton: locate the files `touches` hits
+    * (scanning only `candidates` when stats bounded the search),
     * re-emit them through `rewrite`, publish with `removeFiles`. */
   private def cowRewrite(spark: SparkSession, tablePath: String,
       touches: DataFrame => DataFrame, rewrite: DataFrame => DataFrame,
       meta: Map[String, String],
-      skipWhenUntouched: Boolean = false): CowStats = {
+      skipWhenUntouched: Boolean = false,
+      candidates: Option[Seq[String]] = None,
+      statsCols: Seq[String] = Seq.empty): CowStats = {
     val before = Manifest.files(tablePath)
     val base = Manifest.read(spark, tablePath) // one manifest resolve
     val schema = base.schema
-    val snap = base.withColumn("__f", col("_metadata.file_path"))
+    val cand = candidates.getOrElse(before)
+    // The touch scan reads ONLY the candidate files — built from their
+    // explicit paths, so the stats prune is structural (a skipped
+    // file's bytes cannot be read), not a filter Spark may or may not
+    // push. A file outside the candidate set provably holds no match.
+    val scanned =
+      if (candidates.isEmpty || cand.size == before.size) base
+      else if (cand.isEmpty) null // no candidate can match: no touches
+      else spark.read.schema(schema).parquet(
+        cand.map(r => Paths.get(tablePath).resolve(r).toString): _*)
     // Driver-side FILE-PATH listing — the commit coordinator's matched-
     // file metadata action (bounded by the table's file count, no data
     // rows cross the driver); the data itself moves executor-side below.
-    val touchedAbs = touches(snap).select(col("__f")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touchedAbs =
+      if (scanned == null) Seq.empty[String]
+      else touches(scanned.withColumn("__f", col("_metadata.file_path")))
+        .select(col("__f")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
     if (touchedAbs.isEmpty && skipWhenUntouched)
       return CowStats(Manifest.version(tablePath), before.size, 0,
-        before.size)
+        before.size, cand.size)
     val tblRoot = Paths.get(tablePath).toAbsolutePath.normalize
     val touchedRel = touchedAbs.map { p =>
       val fsPath = // _metadata.file_path is a URI (file:/...): decode it
@@ -152,8 +230,8 @@ object Merge {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(touchedAbs: _*)
     val v = Manifest.commit(rewrite(touchedRows), tablePath, meta = meta,
-      removeFiles = touchedRel)
+      removeFiles = touchedRel, statsCols = statsCols)
     CowStats(v, before.size, touchedRel.size,
-      before.size - touchedRel.size)
+      before.size - touchedRel.size, cand.size)
   }
 }

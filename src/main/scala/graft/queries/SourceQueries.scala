@@ -921,6 +921,59 @@ object SourceQueries {
            FROM orders, b
            WHERE o_orderkey >= q AND o_orderkey <= 2 * q - 1""")),
 
+    // S29: STATS-PRUNED MERGE — s28's file skipping composed INTO s25's
+    // copy-on-write touch detection (the Delta data-skipping-in-MERGE
+    // shape): the merge derives the source's key bounds in the same
+    // bounded aggregate that enforces the one-row-per-key precondition,
+    // intersects them with the manifests' per-file `#filestats.` ranges,
+    // and builds the touch scan from ONLY the surviving candidate paths
+    // — a key-range source (the CDC backfill / partitioned-upsert shape)
+    // plans its touch detection in O(files) driver metadata and reads
+    // one file of four instead of the table (stats_pruned_touch is the
+    // earned flag: candidates == 1, structural, since skipped files'
+    // paths never enter the scan). Content is the oracle-replayed side —
+    // a lost update, dropped carry, or a file wrongly pruned (its
+    // matches silently unmerged) flips the hash.
+    "s29_merge_pruned" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val tbl = scratch("s29_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        // driver-side scalar bound (the s11 paged-fetch precedent)
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val src = o.filter(col("o_orderkey") >= q &&
+            col("o_orderkey") < 2 * q)
+          .withColumn("o_orderstatus", lit("X"))
+        val st = Merge.upsert(s, tbl, src, Seq("o_orderkey"))
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L))
+              .as("updated"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("updated"), col("price_mass"),
+            lit(st.filesCandidates == 1).as("stats_pruned_touch"),
+            lit(st.filesRewritten == 1).as("one_rewritten"),
+            lit(st.filesCarried == 3).as("three_carried"))
+      },
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders)
+           SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey >= q AND o_orderkey < 2 * q
+               THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS stats_pruned_touch, TRUE AS one_rewritten,
+             TRUE AS three_carried
+           FROM orders, b""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -38,7 +38,7 @@ class MergeSpec extends SparkSpec {
     val src = Seq((0L, "UP", 9), (23L, "UP2", 9), (99L, "NEW", 9))
       .toDF("id", "s", "g")
     val st = Merge.upsert(spark, tbl, src, Seq("id"))
-    assert(st == Merge.CowStats(4L, 3, 2, 1),
+    assert(st == Merge.CowStats(4L, 3, 2, 1, 3),
       s"expected files 1 and 3 rewritten, file 2 carried: $st")
     val now = asMap(Manifest.read(spark, tbl))
     assert(now.size == 13) // 12 seeded + 1 insert
@@ -77,7 +77,7 @@ class MergeSpec extends SparkSpec {
     "drops a replayed txn") {
     val tbl = freshTable(); seed(tbl)
     val st = Merge.deleteWhere(spark, tbl, col("id") === 11L)
-    assert(st == Merge.CowStats(4L, 3, 1, 2), s"$st")
+    assert(st == Merge.CowStats(4L, 3, 1, 2, 3), s"$st")
     val now = asMap(Manifest.read(spark, tbl))
     assert(now.size == 11 && !now.contains(11L))
     assert(now(10L) == ("v10", 1) && now(12L) == ("v12", 1)) // survivors
@@ -117,6 +117,40 @@ class MergeSpec extends SparkSpec {
         Seq((5L, "A", 1), (5L, "B", 2)).toDF("id", "s", "g"), Seq("id")))
     assert(e.getMessage.contains("duplicate keys"))
     assert(Manifest.version(tblA) == v)
+  }
+
+  test("manifest file stats prune the touch-detection scan: a " +
+    "single-quartile source reads 1 of 4 files (structurally — the " +
+    "scan is built from the candidate paths), content identical to " +
+    "the unpruned merge; delete prunes via pruneRange; disjoint " +
+    "bounds read nothing") {
+    val tbl = freshTable()
+    // 4 stats-bearing single-file commits over disjoint id ranges
+    for (i <- 0 until 4)
+      Manifest.commit(
+        Seq.tabulate(4)(j => (i * 10L + j, s"v$i$j", i))
+          .toDF("id", "s", "g").coalesce(1), tbl, statsCols = Seq("id"))
+    // source keys live entirely in the second file's [10, 13] range
+    val st = Merge.upsert(spark, tbl,
+      Seq((10L, "UP", 9), (12L, "UP2", 9)).toDF("id", "s", "g"),
+      Seq("id"))
+    assert(st == Merge.CowStats(5L, 4, 1, 3, 1),
+      s"expected a 1-of-4 candidate prune: $st")
+    val now = asMap(Manifest.read(spark, tbl))
+    assert(now.size == 16 && now(10L) == ("UP", 9) &&
+      now(12L) == ("UP2", 9) && now(11L) == ("v11", 1) &&
+      now(0L) == ("v00", 0))
+    // delete with a declared range: only the third file's scan runs
+    val dl = Merge.deleteWhere(spark, tbl, col("id") === 21L,
+      pruneRange = Some(("id", 21.0, 21.0)))
+    assert(dl.filesCandidates == 1 && dl.filesRewritten == 1)
+    assert(!asMap(Manifest.read(spark, tbl)).contains(21L))
+    // a source wholly OUTSIDE every recorded range: zero candidates,
+    // the merge degenerates to a pure append without reading any file
+    val ins = Merge.upsert(spark, tbl,
+      Seq((900L, "NEW", 9)).toDF("id", "s", "g"), Seq("id"))
+    assert(ins.filesCandidates == 0 && ins.filesRewritten == 0)
+    assert(asMap(Manifest.read(spark, tbl))(900L) == ("NEW", 9))
   }
 
   test("the merge commit reads as a ROW-LEVEL diff in the change feed: " +
