@@ -14,14 +14,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * and the newest manifest is the current table.
   *
   * The isolation argument is structural, not locked: a commit first writes
-  * its data files into a fresh subdirectory nobody references, then
-  * publishes the next manifest via an atomic rename — so a reader that
-  * resolved version N keeps reading N's exact file list forever
-  * (immutability = time travel for free), and no reader can observe a
+  * its data files into a freshly CLAIMED subdirectory nobody references
+  * (an atomic createDirectory — two writers can never share a batch dir),
+  * then publishes the next manifest via an atomic-exclusive hard link —
+  * so a reader that resolved version N keeps reading N's exact file list
+  * forever (immutability = time travel for free), no reader can observe a
   * half-written version (the manifest appears only after its files are
-  * complete). Manifest I/O is driver-side METADATA work — a few KB per
-  * commit, the same coordinator role every table format gives the commit
-  * path — while all DATA moves through executors untouched.
+  * complete), and a writer losing the version race either REBASES (pure
+  * appends: disjoint fresh files re-publish onto the new head — the
+  * Delta/Iceberg optimistic-commit retry) or fails loudly
+  * (replace/copy-on-write/constraint commits, whose correctness was
+  * resolved against a now-stale base). Manifest I/O is driver-side
+  * METADATA work — a few KB per commit, the same coordinator role every
+  * table format gives the commit path — while all DATA moves through
+  * executors untouched.
   *
   * `replace = true` publishes a manifest listing ONLY the new files — the
   * compaction/OPTIMIZE commit (e.g. re-clustering via
@@ -42,6 +48,22 @@ object Manifest {
     val s = Files.list(dir)
     try s.toArray.map(_.toString).toSeq finally s.close()
   }
+
+  /** Recursive delete (deepest-first), tolerating concurrently-vanishing
+    * entries — the shape debris takes after a crash mid-`df.write` is a
+    * NESTED `_temporary/` task tree, which a flat list+delete cannot
+    * reclaim. */
+  private def rmTree(p: Path): Unit = if (Files.exists(p)) {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(q => Files.deleteIfExists(q))
+    finally s.close()
+  }
+
+  /** Test seam: invoked immediately before each manifest-publish attempt
+    * (ManifestSpec injects a competing commit here to exercise the
+    * optimistic-rebase path deterministically). No-op in production. */
+  private[ops] var beforePublish: () => Unit = () => ()
 
   private def committedVersions(tablePath: String): Seq[Long] = {
     val dir = manifestDir(tablePath)
@@ -315,8 +337,16 @@ object Manifest {
     * materialization: the batch files are written first, the WRITTEN
     * rows are validated in one aggregate pass, and only then does the
     * manifest publish — a violating commit deletes its batch files and
-    * aborts with per-constraint counts, publishing nothing. Returns the
-    * committed version number. */
+    * aborts with per-constraint counts, publishing nothing.
+    *
+    * CONCURRENCY: batch dirs are claimed atomically (two writers never
+    * share one) and the publish is an atomic-exclusive link with the
+    * table-format optimistic retry — a pure append losing the version
+    * race rebases onto the new head (disjoint files, schema and
+    * constraints re-resolved; aborts loudly if the head's constraint
+    * set changed after validation); replace / copy-on-write /
+    * constraint-changing commits abort loudly on any conflict. Returns
+    * the committed version number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
@@ -332,50 +362,56 @@ object Manifest {
       s"meta value may not span lines: '$v'"))
     require(removeFiles.isEmpty || !replace,
       "removeFiles is meaningless with replace (replace drops everything)")
-    val prev = version(tablePath)
-    val next = prev + 1
+    val prev0 = version(tablePath)
     // the COPY-ON-WRITE commit shape (Delta remove/add actions): the new
     // manifest carries the previous file list MINUS `removeFiles` plus
     // this commit's files — the surgical rewrite MERGE/DELETE publish.
     // Every removed path must be live at the previous version; old
     // versions keep reading the removed files (never deleted here).
     if (removeFiles.nonEmpty) {
-      val live = listed(tablePath, prev).toSet
+      val live = listed(tablePath, prev0).toSet
       val dead = removeFiles.filterNot(live.contains)
       require(dead.isEmpty,
-        s"removeFiles not in version $prev: ${dead.mkString(", ")}")
+        s"removeFiles not in version $prev0: ${dead.mkString(", ")}")
     }
-    val schema =
-      if (replace || prev == 0) df.schema
-      else schemaOf(tablePath, prev)
-        .map(evolve(_, df.schema)).getOrElse(df.schema)
     // constraints in force = inherited (minus `excludeConstraint`, the
     // [[dropConstraint]] carve-out) plus any recorded by this commit
-    val inherited =
-      if (prev == 0) Map.empty[String, String]
-      else constraintsOf(tablePath, prev) -- excludeConstraint.toSeq
+    val inherited0 =
+      if (prev0 == 0) Map.empty[String, String]
+      else constraintsOf(tablePath, prev0) -- excludeConstraint.toSeq
     val passed = meta.collect {
       case (k, ex) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> ex
     }
-    val constraints = inherited ++ passed
-    val batchDir = Paths.get(tablePath, "data", f"b$next%06d")
-    // A pre-existing b$next dir is debris from a commit that crashed
-    // between its data write and its manifest publish (no manifest can
-    // reference it: version $next was never committed, and append
-    // manifests only carry files their OWN batch or ancestors wrote).
-    // Reclaim it so the retry — the foreachBatch replay path — succeeds.
-    if (Files.isDirectory(batchDir)) {
-      ls(batchDir).foreach(p => Files.deleteIfExists(Paths.get(p)))
-      Files.delete(batchDir)
+    val constraints = inherited0 ++ passed
+    // CLAIM a fresh batch directory atomically (createDirectory fails
+    // on EEXIST): a dir left by a CRASHED commit is simply skipped —
+    // never reclaimed, so a claim can never destroy a concurrent
+    // writer's in-flight data — and a later vacuum sweeps it (it is
+    // unreferenced by construction: its manifest never published). The
+    // claimed number can exceed the published version (dir names are
+    // storage addresses, not version numbers; manifests carry explicit
+    // file lists).
+    val dataDir = Paths.get(tablePath, "data")
+    Files.createDirectories(dataDir)
+    var claim = prev0 + 1
+    var batchDir: Path = null
+    while (batchDir == null) {
+      val cand = dataDir.resolve(f"b$claim%06d")
+      try { Files.createDirectory(cand); batchDir = cand }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => claim += 1
+      }
     }
     // Write FIRST, then validate the WRITTEN files: `df` is executed
     // exactly once, so a non-deterministic or concurrently-changing
     // input can never pass validation yet land different (violating)
     // rows — what it wrote is literally what was checked. A violation
     // deletes the batch dir and aborts; no manifest was published, so
-    // readers never saw anything.
-    df.write.mode("errorifexists").parquet(batchDir.toString)
+    // readers never saw anything. (append into the just-claimed empty
+    // dir ≡ a fresh write, without overwrite's delete-and-recreate
+    // window that would drop the claim.)
+    df.write.mode("append").parquet(batchDir.toString)
     if (constraints.nonEmpty) {
       import org.apache.spark.sql.functions.{expr, lit, sum, when}
       val names = constraints.keys.toSeq.sorted
@@ -389,8 +425,7 @@ object Manifest {
           else row.getLong(i)) }
         .filter(_._2 > 0)
       if (bad.nonEmpty) {
-        ls(batchDir).foreach(p => Files.deleteIfExists(Paths.get(p)))
-        Files.delete(batchDir)
+        rmTree(batchDir)
         throw new IllegalArgumentException(
           "requirement failed: commit violates CHECK constraint(s) " +
             bad.map { case (n, c) =>
@@ -398,8 +433,6 @@ object Manifest {
             " — nothing was published")
       }
     }
-    val constraintMeta = (inherited ++ passed)
-      .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
@@ -448,42 +481,93 @@ object Manifest {
        perFile.collect { case (f, (_, spec)) if spec.nonEmpty =>
          s"$FileStatsPrefix$f" -> spec })
     }
-    val lines =
-      (meta ++ constraintMeta ++ rowsMeta ++ statsMeta +
-        (SchemaKey -> schema.json)).toSeq.sorted
-        .map { case (k, v) => s"#$k=$v" } ++
-      (if (replace || prev == 0) Seq.empty
-       else listed(tablePath, prev).filterNot(removeFiles.toSet)) ++ fresh
+    // PUBLISH with optimistic concurrency (the table-format retry):
+    // each attempt builds the manifest against the CURRENT head and
+    // claims the next version via an atomic-exclusive hard link (link()
+    // appears fully-formed or not at all, and — unlike POSIX rename() —
+    // fails with EEXIST if the target landed in the meantime, so a
+    // racing writer can never silently replace the winner). Losing the
+    // race is terminal only for non-commutable commits: a PURE APPEND
+    // (no replace, no removeFiles, no constraint or txn-independent
+    // metadata change) rebases onto the new head — its fresh files are
+    // disjoint by the batch-dir claim, the new head's file list is
+    // re-carried, schema evolution and inherited constraints are
+    // re-resolved against the head — and re-publishes, exactly the
+    // Delta/Iceberg commit-retry loop. Replace/copy-on-write commits,
+    // constraint changes, and appends whose head grew a DIFFERENT
+    // constraint set than they validated against abort loudly instead
+    // (their correctness was resolved against a now-stale base).
     Files.createDirectories(manifestDir(tablePath))
-    val tmp = manifestDir(tablePath).resolve(s".v$next.tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    // Atomic EXCLUSIVE publish: the version appears fully-formed or not
-    // at all, and a second writer racing the same version number LOSES
-    // LOUDLY instead of silently replacing the winner. A plain
-    // ATOMIC_MOVE cannot give the second property — POSIX rename()
-    // replaces an existing target without error — so the publish is a
-    // hard link of the fully-written tmp onto the version name: link()
-    // is atomic AND fails with EEXIST if the target appeared in the
-    // meantime. Commits are SINGLE-WRITER per table by contract (every
-    // sink here serializes through the driver / foreachBatch); this
-    // turns a violated contract into a visible error, never lost data.
-    try {
-      Files.createLink(manifestFile(tablePath, next), tmp)
-      Files.deleteIfExists(tmp)
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+    val commutable = !replace && removeFiles.isEmpty &&
+      passed.isEmpty && excludeConstraint.isEmpty
+    var base = prev0
+    var attempts = 0
+    while (true) {
+      if (base != prev0) {
+        if (!commutable) {
+          rmTree(batchDir)
+          throw new IllegalStateException(
+            s"concurrent commit detected at $tablePath: version " +
+              s"${base} was published by another writer after this " +
+              "commit resolved its base, and a " +
+              "replace/rewrite/constraint commit cannot rebase — " +
+              "retry on the new head")
+        }
+        if (constraintsOf(tablePath, base) != inherited0) {
+          rmTree(batchDir)
+          throw new IllegalStateException(
+            s"concurrent commit detected at $tablePath: the table's " +
+              "CHECK constraints changed after this commit validated " +
+              "its rows — retry on the new head")
+        }
+      }
+      val schema =
+        if (replace || base == 0) df.schema
+        else schemaOf(tablePath, base)
+          .map(evolve(_, df.schema)).getOrElse(df.schema)
+      val inherited =
+        if (base == 0) Map.empty[String, String]
+        else constraintsOf(tablePath, base) -- excludeConstraint.toSeq
+      val constraintMeta = (inherited ++ passed)
+        .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
+      val next = base + 1
+      val lines =
+        (meta ++ constraintMeta ++ rowsMeta ++ statsMeta +
+          (SchemaKey -> schema.json)).toSeq.sorted
+          .map { case (k, v) => s"#$k=$v" } ++
+        (if (replace || base == 0) Seq.empty
+         else listed(tablePath, base).filterNot(removeFiles.toSet)) ++
+        fresh
+      // writer-unique tmp (createTempFile): concurrent publishers of
+      // the same version must not overwrite each other's staging file
+      val tmp = Files.createTempFile(manifestDir(tablePath),
+        s".v$next-", ".tmp")
+      Files.write(tmp,
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      beforePublish()
+      try {
+        Files.createLink(manifestFile(tablePath, next), tmp)
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
-          s"concurrent commit detected at $tablePath: version $next " +
-            "was published by another writer after this commit " +
-            "resolved its base — single-writer coordination is the " +
-            "table contract; retry on the new head")
-      case _: UnsupportedOperationException =>
-        // filesystem without hard links: atomic but non-exclusive
-        Files.move(tmp, manifestFile(tablePath, next),
-          StandardCopyOption.ATOMIC_MOVE)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempts += 1
+          if (attempts > 20) {
+            rmTree(batchDir)
+            throw new IllegalStateException(
+              s"concurrent commit detected at $tablePath: still losing " +
+                s"the publish race after $attempts rebases — giving up")
+          }
+          base = version(tablePath)
+        case _: UnsupportedOperationException =>
+          // filesystem without hard links: atomic but non-exclusive
+          Files.move(tmp, manifestFile(tablePath, next),
+            StandardCopyOption.ATOMIC_MOVE)
+          return next
+      }
     }
-    next
+    throw new IllegalStateException("unreachable")
   }
 
   /** VACUUM — the explicitly destructive maintenance half the commit path
@@ -504,12 +588,18 @@ object Manifest {
     * files. Stray reclamation is a data-dir SWEEP, not a dropped-manifest
     * walk: any parquet in a batch directory at-or-below the newest
     * committed version that no retained manifest references is garbage —
-    * whether it came from a version this call drops or from a previously
-    * interrupted vacuum whose manifests are already gone. Batch
-    * directories ABOVE the newest committed version belong to an in-flight
-    * commit (data lands before its manifest publishes) and are never
-    * touched. Reading a vacuumed version fails loudly ("version v is not
-    * committed") — exactly [[read]]'s existing missing-manifest check.
+    * whether it came from a version this call drops, a previously
+    * interrupted vacuum whose manifests are already gone, or a crashed
+    * commit's claimed-but-never-published batch (commits skip debris
+    * rather than reclaim it; vacuum is the reclaimer, nested
+    * `_temporary/` trees included). Batch directories ABOVE the newest
+    * committed version belong to an in-flight commit (data lands before
+    * its manifest publishes) and are never touched; do NOT run vacuum
+    * concurrently with in-flight commits on a multi-writer table — an
+    * unpublished claimed batch numbered at-or-below the head is
+    * indistinguishable from debris. Reading a vacuumed version fails
+    * loudly ("version v is not committed") — exactly [[read]]'s existing
+    * missing-manifest check.
     *
     * Like all manifest I/O this is driver-side metadata work plus file
     * deletes; at cluster scale the deletes fan out through the same
@@ -543,12 +633,13 @@ object Manifest {
         }
       }
       // a batch dir with no retained parquet left holds only write-time
-      // sidecars (_SUCCESS, .crc) — reclaim it whole; a concurrent commit
-      // racing files in between the check and the delete just means
-      // "others remain", not a failure
+      // sidecars (_SUCCESS, .crc) or crash debris — including the NESTED
+      // `_temporary/` task tree a commit interrupted mid-df.write leaves
+      // behind, which a flat delete cannot reclaim — so the sweep is
+      // recursive; a concurrent commit racing files in between the check
+      // and the delete just means "others remain", not a failure
       if (!ls(d).exists(_.endsWith(".parquet"))) {
-        ls(d).foreach(p => Files.deleteIfExists(Paths.get(p)))
-        try Files.delete(d)
+        try rmTree(d)
         catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }

@@ -410,32 +410,66 @@ class ManifestSpec extends SparkSpec {
     assert(k2 == 1 && s2 == 2)
   }
 
-  test("a commit losing a version race fails LOUDLY (never a silent " +
-    "overwrite) and leaves the winner's version intact") {
+  test("optimistic concurrency: a pure append losing the version race " +
+    "REBASES onto the new head (both writers land, both file sets " +
+    "present); replace and constraint-change conflicts fail loudly " +
+    "with the winner intact") {
     import java.nio.file.{Files => JFiles, Paths}
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     val tbl = freshTable()
-    Manifest.commit(Seq(1).toDF("x"), tbl)
-    // a commit whose DATA WRITE is slow enough for a racer to publish
-    // the same next version first (the lost-race window: base resolved,
-    // publish pending)
-    val slow = Seq(2).toDS().map { v => Thread.sleep(4000); v }.toDF("x")
-    val loser = Future(Manifest.commit(slow, tbl))
-    Thread.sleep(1500)
-    val racer = Paths.get(tbl, "_manifests", "v000002.txt")
-    val winner = "#schema=" + Seq(1).toDF("x").schema.json +
-      "\ndata/b000001/part-racer.parquet"
-    JFiles.write(racer, winner.getBytes)
-    val e = intercept[IllegalStateException](
-      Await.result(loser, 120.seconds))
+    Manifest.commit(Seq(1).toDF("x"), tbl) // v1
+    // deterministic interleave: the seam fires between the loser's
+    // manifest construction and its publish link, where a competing
+    // append steals the version number
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(Seq(100).toDF("x"), tbl) // the winner takes v2
+    }
+    try {
+      val v = Manifest.commit(Seq(2).toDF("x"), tbl)
+      assert(v == 3L, "the losing append must rebase to the next slot")
+    } finally Manifest.beforePublish = () => ()
+    // both appends landed: v2 = winner, v3 = loser carrying v2's files
+    assert(Manifest.version(tbl) == 3L)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 100))
+    assert(Manifest.files(tbl, 2L).toSet.subsetOf(
+      Manifest.files(tbl, 3L).toSet), "rebase must carry the winner")
+    val mdir = Paths.get(tbl, "_manifests")
+    val tmpLeft = {
+      val s = JFiles.list(mdir)
+      try s.toArray.map(_.toString).count(_.endsWith(".tmp"))
+      finally s.close()
+    }
+    assert(tmpLeft == 0, "publish retries must clean their tmp files")
+    // a REPLACE losing the race cannot rebase: loud abort, winner
+    // intact, the loser's claimed batch dir reclaimed
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(Seq(200).toDF("x"), tbl) // winner takes v4
+    }
+    val e = try intercept[IllegalStateException](
+      Manifest.commit(Seq(9).toDF("x"), tbl, replace = true))
+    finally Manifest.beforePublish = () => ()
     assert(e.getMessage.contains("concurrent commit"))
-    // the winner's manifest is untouched and no tmp debris remains
-    assert(new String(JFiles.readAllBytes(racer)) == winner)
-    assert(!JFiles.exists(
-      Paths.get(tbl, "_manifests").resolve(".v2.tmp")))
-    assert(Manifest.version(tbl) == 2L)
+    assert(Manifest.version(tbl) == 4L)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      Seq(1, 2, 100, 200))
+    // an append racing a CONSTRAINT change aborts too — its rows were
+    // validated against a base whose invariants no longer hold
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.addConstraint(spark, tbl, "x_pos", "x > 0") // v5
+    }
+    val e2 = try intercept[IllegalStateException](
+      Manifest.commit(Seq(7).toDF("x"), tbl))
+    finally Manifest.beforePublish = () => ()
+    assert(e2.getMessage.contains("constraints changed"))
+    assert(Manifest.version(tbl) == 5L)
+    // and after the dust settles a plain append still works (and is
+    // validated against the new constraint)
+    assert(Manifest.commit(Seq(8).toDF("x"), tbl) == 6L)
+    intercept[IllegalArgumentException](
+      Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
   test("commitOnce (the Delta txn recipe): a replayed (appId, txn) " +
@@ -485,12 +519,26 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq((2L, -1)).toDF("id", "v"), tbl))
     assert(!JFiles.exists(bdir), s"abort left batch-dir debris at $bdir")
     // simulate a crash BETWEEN data write and manifest publish: the
-    // orphan dir exists with junk; the retry (the foreachBatch replay
-    // path) reclaims it instead of failing errorifexists
-    JFiles.createDirectories(bdir)
+    // orphan dir exists with junk — INCLUDING the nested _temporary/
+    // task tree a crash mid-df.write really leaves. The retry (the
+    // foreachBatch replay path) SKIPS the debris (claims the next dir;
+    // it never reclaims, so it can never destroy a concurrent writer's
+    // in-flight batch) and still publishes the expected version —
+    // batch-dir names are storage addresses, not version numbers.
+    JFiles.createDirectories(bdir.resolve("_temporary").resolve("0"))
     JFiles.write(bdir.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    JFiles.write(bdir.resolve("_temporary").resolve("0")
+      .resolve("task.bin"), Array[Byte](4, 5))
     Manifest.commit(Seq((3L, 30)).toDF("id", "v"), tbl)
     assert(Manifest.version(tbl) == nextV)
+    assert(Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 10), (3L, 30)))
+    // vacuum is the reclaimer: its recursive sweep eats the nested
+    // debris tree (a flat delete would throw DirectoryNotEmpty and
+    // block retention forever)
+    Manifest.vacuum(tbl, retainLast = 10)
+    assert(!JFiles.exists(bdir), "vacuum must reclaim nested debris")
     assert(Manifest.read(spark, tbl).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSet ==
       Set((1L, 10), (3L, 30)))
