@@ -885,8 +885,12 @@ object Streams {
       }
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    val last = scdSnapshots(workDir).max
-    spark.read.parquet(s"$workDir/dim_b$last")
+    // a drain where NO micro-batch ever fired (empty/no-match source)
+    // leaves only the seed — return the empty dimension rather than
+    // throwing on max of an empty snapshot list
+    val snaps = scdSnapshots(workDir)
+    if (snaps.isEmpty) spark.read.parquet(s"$workDir/dim_seed")
+    else spark.read.parquet(s"$workDir/dim_b${snaps.max}")
   }
 
   /** Batch-id-keyed dimension snapshots present under `workDir`. */

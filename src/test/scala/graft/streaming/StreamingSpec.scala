@@ -802,6 +802,18 @@ class StreamingSpec extends SparkSpec {
     assert(oneShot.nonEmpty)
   }
 
+  test("st15 drain where NO micro-batch ever fires (glob matches no " +
+    "files) returns the empty seed dimension instead of throwing") {
+    import java.nio.file.Files
+    val workDir = Files.createTempDirectory("st15_empty").toString
+    val out = Streams.scdIngestStreaming(spark, sf, workDir, "user_id",
+      "value", glob = "no_such_file_*.parquet",
+      name = "st15_empty_sink")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "attr", "valid_from", "valid_to", "is_current"))
+  }
+
   test("st13 streaming sketch: 4-micro-batch partial sketches " +
       "re-aggregate to exactly the one-shot batch sketch") {
     import org.apache.spark.sql.functions._
