@@ -90,6 +90,42 @@ object DedupIndex {
       .saveAsTable(bandTable(prefix))
   }
 
+  /** STAGE an [[appendBatch]] delta into `stagingDir` without touching
+    * the live tables — phase 1 of the commit-atomic streaming fold
+    * ([[graft.streaming.Streams]] Txn.foldOnce): the batch's distinct
+    * shingle sets and capped band rows are written bucketed (same
+    * layout as the live tables) under `stagingDir/shingles` and
+    * `stagingDir/bands`. Deterministic given the batch and the
+    * (unmutated) index, so a pre-freeze replay re-stages identically. */
+  def stageBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, maxBucketSize: Int = 0,
+      stagingDir: String, prefix: String, buckets: Int = 8,
+      hash: Column => Column = hashing.h64): Unit = {
+    val sh = Checkpoints.checkpoint(
+      Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
+    FoldFiles.writeBucketed(sh, Seq("id"), Seq("id"), buckets,
+      s"$stagingDir/shingles", s"${prefix}_stage_sh")
+    FoldFiles.writeBucketed(
+      Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(sh)),
+        maxBucketSize),
+      Seq("band", "bandKey"), Seq.empty, buckets,
+      s"$stagingDir/bands", s"${prefix}_stage_bands")
+  }
+
+  /** PUBLISH a [[stageBatch]]-frozen delta into the live tables —
+    * phase 3 of the commit-atomic fold: batch-tagged hard links into
+    * the bucketed table dirs (idempotent under replay; bucket layout
+    * preserved because the staged names keep Spark's bucket-id
+    * suffix), then a catalog refresh so the next probe in this session
+    * resolves the grown file list. */
+  def publishStaged(spark: SparkSession, stagingDir: String, path: String,
+      prefix: String, tag: String): Unit = {
+    FoldFiles.linkAppend(s"$stagingDir/shingles", s"$path/shingles", tag)
+    FoldFiles.linkAppend(s"$stagingDir/bands", s"$path/bands", tag)
+    spark.catalog.refreshTable(shTable(prefix))
+    spark.catalog.refreshTable(bandTable(prefix))
+  }
+
   /** COMPACTION — rebuild the band table from the CURRENT shingle table
     * with whole-index bucket-cap counts, the step [[appendBatch]]'s
     * per-increment caps defer to: a bucket that only became degenerate

@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level plumbing for COMMIT-ATOMIC index fold-ins (the
+  * [[graft.streaming.Streams]] Txn.foldOnce protocol): a micro-batch's
+  * index delta is first STAGED as ordinary Spark output in a scratch
+  * directory nobody reads, then PUBLISHED into the live bucketed-table
+  * directories by hard-linking the staged files under deterministic,
+  * batch-tagged names. Because the staging content is frozen before any
+  * link is created (the `.staged` marker), every publish step is
+  * idempotent — a link that already exists is skipped, a stale
+  * generation file is re-deleted — so a crash at ANY point replays to
+  * exactly-once, with no window in which the fold is applied but
+  * unrecorded.
+  *
+  * Linked names keep the staged file's tail, so Spark's bucket-id
+  * parse (`..._00003.c000.snappy.parquet`) still resolves and the
+  * bucketed layout — and every no-shuffle probe property riding on it —
+  * is preserved. Appends link-only ([[linkAppend]]); statistics tables
+  * that fold by read-merge-rewrite publish as a tagged generation
+  * REPLACE ([[linkReplace]]: delete every file not carrying this
+  * batch's tag, then link the staged generation in).
+  */
+private[graft] object FoldFiles {
+
+  /** Test seam: simulated-crash countdown. When >= 0, each publish-side
+    * file operation (delete or link) decrements it and throws once it
+    * reaches zero — the kill-injection the replay specs drive through
+    * every crash window. Production value is -1 (off). */
+  private[graft] var failAfterOps: Int = -1
+
+  private def maybeCrash(): Unit =
+    if (failAfterOps >= 0) {
+      failAfterOps -= 1
+      if (failAfterOps < 0)
+        throw new RuntimeException("simulated crash (FoldFiles test seam)")
+    }
+
+  private def parquets(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+
+  private def linkOrCopy(dest: Path, src: Path): Unit =
+    try Files.createLink(dest, src)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => () // replayed
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: copy, replace-idempotent
+        // (the staged source is frozen, so a re-copy is byte-identical)
+        Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Publish a staged APPEND: link every staged parquet into `destDir`
+    * as `<tag>-<stagedName>`. Idempotent given frozen staging. */
+  def linkAppend(stagingSub: String, destDir: String, tag: String): Unit = {
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    parquets(Paths.get(stagingSub)).foreach { f =>
+      maybeCrash()
+      linkOrCopy(dest.resolve(s"$tag-${f.getFileName}"), f)
+    }
+  }
+
+  /** Publish a staged REPLACE: drop every parquet in `destDir` NOT
+    * tagged as this batch's generation, then link the staged files in.
+    * Idempotent given frozen staging; a crash mid-replace leaves a torn
+    * view only until the replay completes it (single-writer per index,
+    * and probe sessions re-resolve via refresh — the same visibility
+    * caveat as Spark's own overwrite). */
+  def linkReplace(stagingSub: String, destDir: String, tag: String): Unit = {
+    val dest = Paths.get(destDir)
+    Files.createDirectories(dest)
+    parquets(dest).filterNot(_.getFileName.toString.startsWith(s"$tag-"))
+      .foreach { f => maybeCrash(); Files.deleteIfExists(f) }
+    parquets(Paths.get(stagingSub)).foreach { f =>
+      maybeCrash()
+      linkOrCopy(dest.resolve(s"$tag-${f.getFileName}"), f)
+    }
+  }
+
+  /** Write `df` as BUCKETED parquet at `path` without touching any live
+    * table: `bucketBy` requires a catalog table, so the write goes
+    * through a transient external table that is dropped immediately
+    * (external ⇒ the files stay). The staged files carry Spark's
+    * bucket-id suffix, which [[linkAppend]]/[[linkReplace]] preserve. */
+  def writeBucketed(df: DataFrame, bucketCols: Seq[String],
+      sortCols: Seq[String], buckets: Int, path: String,
+      tmpTable: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*)
+     else w).option("path", path).saveAsTable(tmpTable)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+  }
+
+  /** Filesystem location of a catalog table (the bucketed index tables
+    * register with explicit external paths). */
+  def tableLocation(spark: SparkSession, table: String): String = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    Paths.get(spark.sessionState.catalog.getTableMetadata(ident).location)
+      .toString
+  }
+}

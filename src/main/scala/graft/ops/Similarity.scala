@@ -380,6 +380,33 @@ object Similarity {
       .saveAsTable(s"${prefix}_ivf")
   }
 
+  /** STAGE an [[appendToIvfIndex]] delta (assignments to the EXISTING
+    * centroids, bucketed by cluster) into `stagingDir` without touching
+    * the live table — phase 1 of the commit-atomic streaming fold
+    * (st14; [[graft.streaming.Streams]] Txn.foldOnce). Deterministic:
+    * centroids are immutable, so a pre-freeze replay re-stages
+    * identically. */
+  def stageIvfAppend(spark: SparkSession, batch: DataFrame, idCol: String,
+      vecCol: String, prefix: String, stagingDir: String,
+      buckets: Int = 8): Unit = {
+    val cents = broadcast(spark.table(s"${prefix}_cents"))
+    FoldFiles.writeBucketed(
+      assignToCentroids(batch, cents, idCol, vecCol),
+      Seq("cluster"), Seq.empty, buckets, s"$stagingDir/ivf",
+      s"${prefix}_stage_ivf")
+  }
+
+  /** PUBLISH a [[stageIvfAppend]]-frozen delta: batch-tagged links into
+    * the live bucketed assignment table (located via the catalog — the
+    * streaming fold holds no path handle), then refresh. Idempotent
+    * under replay. */
+  def publishStagedIvf(spark: SparkSession, stagingDir: String,
+      prefix: String, tag: String): Unit = {
+    FoldFiles.linkAppend(s"$stagingDir/ivf",
+      FoldFiles.tableLocation(spark, s"${prefix}_ivf"), tag)
+    spark.catalog.refreshTable(s"${prefix}_ivf")
+  }
+
   /** ANN top-k against a [[buildIvfIndex]]-persisted index. Value-identical
     * to [[ivfTopK]] with the same centroids (persistence is transparent —
     * IvfIndexSpec asserts it); the corpus side enters only through the

@@ -160,6 +160,50 @@ object TextIndex {
     refresh(spark, prefix)
   }
 
+  /** STAGE an [[appendDocs]] fold into `stagingDir` without touching the
+    * live tables — phase 1 of the commit-atomic streaming fold (st21;
+    * [[graft.streaming.Streams]] Txn.foldOnce): the batch's posting
+    * rows (bucketed, append-shaped) plus the MERGED termstats and
+    * corpusstats (computed against the current — pre-fold — tables, so
+    * a pre-freeze replay re-stages identically). */
+  def stageDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
+      textCol: String, stagingDir: String, prefix: String,
+      buckets: Int = 8): Unit = {
+    val base = tokenized(newDocs, textCol)
+    val posts = Checkpoints.checkpoint(postingRows(base, idCol))
+    FoldFiles.writeBucketed(posts, Seq("token"), Seq("token"), buckets,
+      s"$stagingDir/postings", s"${prefix}_stage_p")
+    val delta = posts.groupBy(col("token")).agg(count(lit(1)).as("__ddf"))
+    FoldFiles.writeBucketed(
+      spark.table(termStatsTable(prefix))
+        .join(delta, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L)))
+            .as("df")),
+      Seq("token"), Seq.empty, buckets, s"$stagingDir/termstats",
+      s"${prefix}_stage_t")
+    spark.table(corpusStatsTable(prefix))
+      .unionByName(base.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("dlsum")))
+      .agg(sum(col("n")).as("n"), sum(col("dlsum")).as("dlsum"))
+      .write.mode("overwrite").parquet(s"$stagingDir/corpusstats")
+  }
+
+  /** PUBLISH a [[stageDocs]]-frozen fold — phase 3: postings link in as
+    * a batch-tagged APPEND; termstats/corpusstats publish as tagged
+    * generation REPLACES (the staged merge supersedes the old rows).
+    * Every step is idempotent under replay, so there is no point where
+    * the statistics are half-folded and unrecoverable. */
+  def publishStagedDocs(spark: SparkSession, stagingDir: String,
+      path: String, prefix: String, tag: String): Unit = {
+    FoldFiles.linkAppend(s"$stagingDir/postings", s"$path/postings", tag)
+    FoldFiles.linkReplace(s"$stagingDir/termstats", s"$path/termstats",
+      tag)
+    FoldFiles.linkReplace(s"$stagingDir/corpusstats",
+      s"$path/corpusstats", tag)
+    refresh(spark, prefix)
+  }
+
   /** Invalidate cached file listings for the index tables in `spark`.
     * Table relation caches are PER SESSION: a probe session that read the
     * index before another session's [[appendDocs]]/[[compact]] overwrote

@@ -97,18 +97,25 @@ object Streams {
     *     replay overwrites its own output instead of appending a second
     *     copy. Idempotent by construction, no marker needed.
     *  3. Index fold-ins (the [[graft.ops.DedupIndex]] /
-    *     [[graft.ops.TextIndex]] / IVF appends, whose bucketed-table
-    *     appends cannot be keyed by batch without breaking the bucket
-    *     layout) gate on a [[Txn]] marker recorded via atomic rename
-    *     immediately after the fold. A replay after the marker landed is
-    *     skipped; the residual window is the fold→rename gap — one tiny
-    *     filesystem rename, the honest limit of exactly-once without a
-    *     transactional index commit (Delta closes that gap by putting
-    *     the txn INSIDE the commit, which is exactly what the Manifest
-    *     sinks do).
+    *     [[graft.ops.TextIndex]] / IVF appends) run the two-phase
+    *     [[Txn.foldOnce]] protocol: the batch's delta is STAGED as
+    *     ordinary Spark output in a scratch dir (no live mutation),
+    *     FROZEN by an atomic `.staged` marker, then PUBLISHED into the
+    *     bucketed table dirs through idempotent batch-tagged file ops
+    *     (link-if-absent appends; tagged-generation replaces for the
+    *     merged statistics) before the applied marker lands. Mutation
+    *     starts only after the freeze, and every publish step replays
+    *     to a no-op — so this family is full exactly-once too: there is
+    *     no crash point at which a fold is applied but unrecorded, or
+    *     recorded but unrecoverable. The bucketed layout (and every
+    *     no-shuffle probe property riding on it) is preserved because
+    *     linked names keep Spark's bucket-id suffix.
     *
     * StreamingSpec's replay cases invoke each family's batch function
-    * twice with the same id and assert the final state unchanged. */
+    * twice with the same id and assert the final state unchanged, and
+    * kill-inject the fold family at every phase boundary (after stage,
+    * after the freeze, mid-publish) proving the replay converges to the
+    * exactly-once state. */
   private[graft] object Txn {
     import java.nio.charset.StandardCharsets
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -145,16 +152,71 @@ object Streams {
       if (last(dir, appId) >= batchId) false
       else { body; record(dir, appId, batchId); true }
 
-    /** Drop every marker under `dir` — called when an index is RESEEDED
-      * (rebuilt from empty): the new stream's batch ids restart at 0,
-      * and a stale marker from the previous index generation must not
-      * skip them. */
+    /** Test seam: throw immediately after the `.staged` marker lands —
+      * the exact point that used to be the fold→marker residual window. */
+    private[graft] var failAfterStage: Boolean = false
+
+    /** COMMIT-ATOMIC fold — exactly-once with NO residual window, via a
+      * two-phase write-ahead protocol over [[graft.ops.FoldFiles]]:
+      *
+      *  1. STAGE: `stage(stagingDir)` writes the batch's index delta as
+      *     ordinary Spark output into a scratch dir nobody reads. A
+      *     crash here is free — nothing live changed; the replay wipes
+      *     and re-stages (the pre-fold index is untouched, so the
+      *     re-staged content is identical).
+      *  2. The `.staged` marker FREEZES the staging dir (atomic rename;
+      *     a replay past this point never re-stages).
+      *  3. PUBLISH: `publish(stagingDir)` moves the frozen delta into
+      *     the live tables through idempotent, batch-tagged file ops
+      *     (link-if-absent appends, tagged-generation replaces). A
+      *     crash anywhere here replays to completion — each op is a
+      *     no-op the second time.
+      *  4. The applied marker records the batch; the staging dir is
+      *     reclaimed.
+      *
+      * There is no longer any point where the index is mutated but the
+      * batch unrecorded-and-unrecoverable: mutation begins only after
+      * the frozen stage, and from then on the replay deterministically
+      * finishes the SAME publish instead of re-deriving it. Returns
+      * true when the fold ran (false: already applied, staging debris
+      * reclaimed). */
+    def foldOnce(dir: String, appId: String, batchId: Long)(
+        stage: String => Unit)(publish: String => Unit): Boolean = {
+      val staging = Paths.get(dir, "_txn", s"$appId-stage")
+      if (last(dir, appId) >= batchId) { rmTree(staging); false }
+      else {
+        if (last(dir, s"$appId.staged") < batchId) {
+          rmTree(staging)
+          stage(staging.toString)
+          record(dir, s"$appId.staged", batchId)
+        }
+        if (failAfterStage)
+          throw new RuntimeException("simulated crash (Txn test seam)")
+        publish(staging.toString)
+        record(dir, appId, batchId)
+        rmTree(staging)
+        true
+      }
+    }
+
+    private def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(q => Files.deleteIfExists(q))
+        finally s.close()
+      }
+
+    /** Drop every marker (and staging debris) under `dir` — called when
+      * an index is RESEEDED (rebuilt from empty): the new stream's
+      * batch ids restart at 0, and a stale marker from the previous
+      * index generation must not skip them. */
     def clear(dir: String): Unit = {
       val d = Paths.get(dir, "_txn")
       if (Files.isDirectory(d)) {
         val s = Files.list(d)
         try s.toArray.foreach(p =>
-          Files.deleteIfExists(p.asInstanceOf[java.nio.file.Path]))
+          rmTree(p.asInstanceOf[java.nio.file.Path]))
         finally s.close()
       }
     }
@@ -454,9 +516,11 @@ object Streams {
     * writes of the pairs); `foreachBatch` sequences it, holding NO
     * streaming state — the persisted index IS the state. EXACTLY-ONCE:
     * pairs land per-batch-overwrite ([[writePartial]]) and the fold-in
-    * gates on a [[Txn]] marker at `indexPath`, so an at-least-once
-    * replay rewrites its own pairs and skips the already-applied
-    * append (StreamingSpec replay case). */
+    * runs the commit-atomic [[Txn.foldOnce]] protocol at `indexPath`
+    * (stage → freeze → idempotent publish), so an at-least-once replay
+    * rewrites its own pairs and converges the fold to exactly-once
+    * from ANY crash point (StreamingSpec replay + kill-injection
+    * cases). */
   def incrementalDedupStreaming(spark: SparkSession, dir: String,
       indexPath: String, outPath: String, prefix: String, k: Int = 3,
       threshold: Double = 0.8, maxBucketSize: Int = 0,
@@ -486,24 +550,31 @@ object Streams {
   }
 
   /** st11's per-batch body: probe, write the batch's pairs
-    * idempotently, fold the batch into the index behind its [[Txn]]
-    * marker. Package-visible so the replay spec can invoke it twice
-    * with one id. */
+    * idempotently, fold the batch into the index COMMIT-ATOMICALLY
+    * ([[Txn.foldOnce]]: the probe + pair write + staged delta all land
+    * before the freeze marker — none of them mutates the index, so a
+    * pre-freeze replay recomputes them identically against the
+    * unmutated index — and the index mutation itself is the idempotent
+    * publish of the frozen delta). Package-visible so the replay spec
+    * can invoke it twice with one id and kill-inject every window. */
   private[graft] def applyIncrementalDedupBatch(batch: DataFrame,
       batchId: Long, indexPath: String, outPath: String, prefix: String,
       k: Int, threshold: Double, maxBucketSize: Int,
       hash: Column => Column): Unit = {
     import graft.ops.DedupIndex
     val bs = batch.sparkSession // micro-batch session, shared catalog
-    Txn.once(indexPath, "st11_fold", batchId) {
+    Txn.foldOnce(indexPath, "st11_fold", batchId) { staging =>
       val pairs = DedupIndex.dedupBatch(bs, batch, "doc_id", "text", k,
         threshold, maxBucketSize, prefix, hash)
       writePartial(
         pairs.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"), col("jac")),
         outPath, batchId)
-      DedupIndex.appendBatch(bs, batch, "doc_id", "text", k,
-        maxBucketSize, prefix, hash = hash)
+      DedupIndex.stageBatch(bs, batch, "doc_id", "text", k,
+        maxBucketSize, staging, prefix, hash = hash)
+    } { staging =>
+      DedupIndex.publishStaged(bs, staging, indexPath, prefix,
+        s"fold-b$batchId")
     }
     ()
   }
@@ -630,11 +701,12 @@ object Streams {
     * exercised here micro-batch by micro-batch; st14's oracle replays
     * slice-training + full-corpus assignment + probe). `where`
     * pre-filters the stream to the not-yet-indexed vectors.
-    * EXACTLY-ONCE: the fold gates on a [[Txn]] marker INSIDE the
-    * checkpoint directory (the index has no path handle here, and the
-    * marker must share the checkpoint's lifetime — delete both together
-    * to re-stream), so an at-least-once replay skips the
-    * already-applied append. */
+    * EXACTLY-ONCE: the fold runs the commit-atomic [[Txn.foldOnce]]
+    * protocol with markers and staging INSIDE the checkpoint directory
+    * (the index has no path handle here, and the protocol state must
+    * share the checkpoint's lifetime — delete both together to
+    * re-stream), so an at-least-once replay converges the append to
+    * exactly-once from any crash point. */
   def ivfIngestStreaming(spark: SparkSession, dir: String, prefix: String,
       where: Column = lit(true), glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0, checkpoint: String,
@@ -652,14 +724,18 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
-  /** st14's per-batch body: fold the batch into the IVF index behind
-    * its [[Txn]] marker. */
+  /** st14's per-batch body: fold the batch into the IVF index
+    * commit-atomically ([[Txn.foldOnce]] — stage the assignments, then
+    * publish the frozen delta idempotently). */
   private[graft] def applyIvfIngestBatch(batch: DataFrame, batchId: Long,
       prefix: String, checkpoint: String): Unit = {
     import graft.ops.Similarity
-    Txn.once(checkpoint, "st14_fold", batchId) {
-      Similarity.appendToIvfIndex(batch.sparkSession, batch, "vec_id",
-        "embedding", prefix)
+    val bs = batch.sparkSession
+    Txn.foldOnce(checkpoint, "st14_fold", batchId) { staging =>
+      Similarity.stageIvfAppend(bs, batch, "vec_id", "embedding", prefix,
+        staging)
+    } { staging =>
+      Similarity.publishStagedIvf(bs, staging, prefix, s"fold-b$batchId")
     }
     ()
   }
@@ -725,17 +801,22 @@ object Streams {
   }
 
   /** st21's per-batch body: fold the batch into the inverted index
-    * behind its [[Txn]] marker at `indexPath` (the marker shares the
-    * index's lifetime — a rebuild via [[textIndexIngestStreaming]]'s
-    * seed wipes the index dir, markers included), so an at-least-once
-    * replay skips an already-applied fold instead of double-counting
-    * term statistics. */
+    * commit-atomically ([[Txn.foldOnce]] at `indexPath` — markers and
+    * staging share the index's lifetime; a rebuild via
+    * [[textIndexIngestStreaming]]'s seed wipes the index dir, markers
+    * included): the postings delta and the MERGED statistics are staged
+    * and frozen first, then published through idempotent tagged file
+    * ops, so a replay at any point neither double-counts term
+    * statistics nor loses a half-applied fold. */
   private[graft] def applyTextIndexBatch(batch: DataFrame, batchId: Long,
       indexPath: String, prefix: String): Unit = {
     import graft.ops.TextIndex
-    Txn.once(indexPath, "st21_fold", batchId) {
-      TextIndex.appendDocs(batch.sparkSession, batch, "doc_id", "text",
-        indexPath, prefix)
+    val bs = batch.sparkSession
+    Txn.foldOnce(indexPath, "st21_fold", batchId) { staging =>
+      TextIndex.stageDocs(bs, batch, "doc_id", "text", staging, prefix)
+    } { staging =>
+      TextIndex.publishStagedDocs(bs, staging, indexPath, prefix,
+        s"fold-b$batchId")
     }
     ()
   }

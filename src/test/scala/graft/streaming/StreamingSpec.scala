@@ -1252,6 +1252,113 @@ class StreamingSpec extends SparkSpec {
     assert(dfOf("beta") == 3L)
   }
 
+  test("kill-injection: the commit-atomic fold survives a crash at " +
+      "EVERY phase boundary — after stage (the old fold→marker " +
+      "window), and at each successive publish file-op — replaying to " +
+      "the exactly-once state") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{FoldFiles, TextIndex}
+    import java.nio.file.Files
+    import spark.implicits._
+    def build(p: String): String = {
+      val idx = Files.createTempDirectory(s"kill_$p").toString
+      TextIndex.buildIndex(spark,
+        Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text"),
+        "doc_id", "text", idx, p)
+      idx
+    }
+    val b0 = Seq((1L, "en", "alpha beta"), (2L, "en", "beta gamma"))
+      .toDF("doc_id", "lang", "text")
+    val b1 = Seq((3L, "en", "beta")).toDF("doc_id", "lang", "text")
+    // clean reference fold
+    val refIdx = build("kill_ref")
+    Streams.applyTextIndexBatch(b0, 0L, refIdx, "kill_ref")
+    Streams.applyTextIndexBatch(b1, 1L, refIdx, "kill_ref")
+    // crashed fold: die right after the freeze marker (nothing live
+    // mutated yet — the index must be byte-untouched), then die at
+    // publish op 0, 1, 2, ... on successive replays until completion:
+    // every replay makes idempotent progress from the frozen stage
+    val crIdx = build("kill_cr")
+    Streams.Txn.failAfterStage = true
+    try intercept[RuntimeException](
+      Streams.applyTextIndexBatch(b0, 0L, crIdx, "kill_cr"))
+    finally Streams.Txn.failAfterStage = false
+    assert(spark.table(TextIndex.corpusStatsTable("kill_cr"))
+      .select("n").as[Long].head() == 0L,
+      "a pre-publish crash must leave the index untouched")
+    var done = false
+    var k = 0
+    while (!done && k < 60) {
+      FoldFiles.failAfterOps = k
+      try { Streams.applyTextIndexBatch(b0, 0L, crIdx, "kill_cr"); done = true }
+      catch { case _: RuntimeException => () }
+      k += 1
+    }
+    FoldFiles.failAfterOps = -1
+    assert(done, "replays never completed the fold")
+    assert(k > 2, "the gauntlet must actually have crashed mid-publish")
+    Streams.applyTextIndexBatch(b1, 1L, crIdx, "kill_cr")
+    // the crashed-and-replayed index is STATISTIC-IDENTICAL to the
+    // clean one: df per token, corpus stats, postings mass
+    def dfTab(p: String) = spark.table(TextIndex.termStatsTable(p))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfTab("kill_cr") == dfTab("kill_ref"))
+    def stats(p: String) = spark.table(TextIndex.corpusStatsTable(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stats("kill_cr") == stats("kill_ref"))
+    def posts(p: String) = spark.table(TextIndex.postingsTable(p))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"),
+        sum(col("tf")).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(posts("kill_cr") == posts("kill_ref"))
+  }
+
+  test("kill-injection: the dedup-index fold (st11 family) crashed " +
+      "mid-publish replays to the exactly-once band/shingle tables — " +
+      "probes against the recovered index equal the clean twin's") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{DedupIndex, FoldFiles}
+    import java.nio.file.Files
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(40).cache()
+    def build(p: String): (String, String) = {
+      val idx = Files.createTempDirectory(s"killd_$p").toString
+      val out = Files.createTempDirectory(s"killd_out_$p").toString
+      DedupIndex.buildIndex(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0, idx, p)
+      Streams.Txn.clear(idx)
+      (idx, out)
+    }
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    val (refIdx, refOut) = build("killd_ref")
+    Streams.applyIncrementalDedupBatch(b0, 0L, refIdx, refOut,
+      "killd_ref", 3, 0.8, 0, graft.functions.hashing.h64)
+    Streams.applyIncrementalDedupBatch(b1, 1L, refIdx, refOut,
+      "killd_ref", 3, 0.8, 0, graft.functions.hashing.h64)
+    val (crIdx, crOut) = build("killd_cr")
+    Streams.applyIncrementalDedupBatch(b0, 0L, crIdx, crOut,
+      "killd_cr", 3, 0.8, 0, graft.functions.hashing.h64)
+    // crash mid-publish of batch 1's fold, then replay clean
+    FoldFiles.failAfterOps = 1
+    try intercept[RuntimeException](
+      Streams.applyIncrementalDedupBatch(b1, 1L, crIdx, crOut,
+        "killd_cr", 3, 0.8, 0, graft.functions.hashing.h64))
+    finally FoldFiles.failAfterOps = -1
+    Streams.applyIncrementalDedupBatch(b1, 1L, crIdx, crOut,
+      "killd_cr", 3, 0.8, 0, graft.functions.hashing.h64)
+    def table(n: String) = spark.table(n).collect().map(_.toSeq).toSet
+    assert(table("killd_cr_shingles") == table("killd_ref_shingles"))
+    assert(table("killd_cr_bands") == table("killd_ref_bands"))
+    // the emitted pair partials match too (idempotent writePartial)
+    def pairs(out: String) = spark.read.parquet(out)
+      .select("a", "b", "jac").collect().map(_.toSeq).toSet
+    assert(pairs(crOut) == pairs(refOut))
+  }
+
   test("replay: st15's snapshot-keyed SCD fold recomputes its own " +
       "snapshot in place on a re-delivered batchId") {
     import java.nio.file.Files
