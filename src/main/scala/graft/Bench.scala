@@ -42,10 +42,19 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     val warmed = new java.io.File(warmDir).isDirectory
-    if (warmed) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    // Under SPARK_GRAFT_BENCH_ONLY the warmup is restricted to the SAME
+    // query set: a solo A/B across jars with different registries must
+    // not warm a different number of plans on each side — the divergent
+    // heap/JIT state skews the timed minimums and reads as a phantom
+    // regression (the r12 a8/a9 adjudication's finding).
+    val warmOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    if (warmed) SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => warmOnly.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     // Machine-read output: format with Locale.ROOT (a comma-decimal default
     // locale would corrupt the JSON) and strip everything JSON-unsafe from
     // error text (quotes, backslashes, ALL control chars).

@@ -494,6 +494,167 @@ object Multimodal {
     media.mapPartitions(_.map(r => parseMp4Sidecar(r.id, r.payload)))
   }
 
+  /** One MKV payload's probed sidecar row — the Matroska twin of
+    * [[VideoSidecar]]: EBML DocType, timestamp scale (ns per tick;
+    * Matroska's default 1,000,000 applies when the element is absent),
+    * duration in ticks (a float in the container), pixel dimensions
+    * from the video TrackEntry, and the summed SimpleBlock frame
+    * bytes (the `mdat` analog). Curation joins THIS table by id and
+    * never touches payload bytes again. */
+  final case class MkvSidecar(id: Long, docType: String,
+      timestampScale: Long, durationTicks: Double, width: Int,
+      height: Int, blockBytes: Long)
+
+  /** Build a minimal structurally-valid Matroska container (EBML, RFC
+    * 8794 / matroska.org): EBML header carrying DocType, then one
+    * Segment with Info (TimestampScale + float Duration),
+    * Tracks/TrackEntry (type video) with PixelWidth/PixelHeight, and
+    * one Cluster holding a SimpleBlock of deterministic filler frames.
+    * The codec payload is junk by design — the DECODE stub (m1) stays
+    * honest — but the element structure is real EBML, so
+    * [[parseMkvSidecar]]'s walk must invert every parameter (the
+    * synth→parse round-trip contract of [[synthMp4]]/[[synthWav]]).
+    * `omitScale = true` drops the TimestampScale element so the parse
+    * side's spec can prove the Matroska DEFAULT (1,000,000 ns). */
+  def synthMkv(timestampScale: Long, durationTicks: Double, width: Int,
+      height: Int, blockBytes: Int,
+      omitScale: Boolean = false): Array[Byte] = {
+    def vintSize(n: Long): Array[Byte] = {
+      var len = 1
+      while (len <= 8 && n >= (1L << (7 * len)) - 1) len += 1
+      require(len <= 8, s"size $n does not fit an EBML VINT")
+      val out = new Array[Byte](len)
+      var v = n | (1L << (7 * len)) // the marker bit
+      for (i <- (len - 1) to 0 by -1) { out(i) = (v & 0xff).toByte; v >>>= 8 }
+      out
+    }
+    def uintBytes(v: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+      Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+    }
+    def el(id: Array[Int], data: Array[Byte]): Array[Byte] =
+      id.map(_.toByte) ++ vintSize(data.length.toLong) ++ data
+    def f64(d: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      Array.tabulate(8)(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte)
+    }
+    val header = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "matroska".getBytes("ISO-8859-1")))
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      (if (omitScale) Array.emptyByteArray
+       else el(Array(0x2A, 0xD7, 0xB1), uintBytes(timestampScale))) ++
+        el(Array(0x44, 0x89), f64(durationTicks)))
+    val video = el(Array(0xE0),
+      el(Array(0xB0), uintBytes(width.toLong)) ++
+        el(Array(0xBA), uintBytes(height.toLong)))
+    val trackEntry = el(Array(0xAE),
+      el(Array(0xD7), uintBytes(1L)) ++ // TrackNumber
+        el(Array(0x83), uintBytes(1L)) ++ video) // TrackType = video
+    val tracks = el(Array(0x16, 0x54, 0xAE, 0x6B), trackEntry)
+    // SimpleBlock data: track VINT (0x81) + 2-byte rel timestamp +
+    // flags (keyframe) + the junk frame bytes the sidecar counts
+    val blockData = Array[Byte](0x81.toByte, 0, 0, 0x80.toByte) ++
+      Array.tabulate(blockBytes)(i => (i * 37 + 11).toByte)
+    val cluster = el(Array(0x1F, 0x43, 0xB6, 0x75),
+      el(Array(0xE7), uintBytes(0L)) ++ el(Array(0xA3), blockData))
+    header ++ el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+  }
+
+  /** REAL EBML walk of one Matroska payload: element IDs and sizes are
+    * variable-length integers (length from the leading byte's marker
+    * bit), master elements (EBML / Segment / Info / Tracks / TrackEntry
+    * / Video / Cluster) recurse, leaves decode as uint / float /
+    * string, SimpleBlock frame bytes sum net of the block header
+    * (track VINT + timestamp + flags). TimestampScale falls back to
+    * Matroska's spec default 1,000,000 ns when absent. Corrupt
+    * structure — size overruns, unknown-size (streamed) elements, a
+    * missing DocType or video dimensions — fails loudly with the
+    * offending id: a curation pipeline must quarantine bad containers,
+    * not silently zero their metadata. */
+  def parseMkvSidecar(id: Long, b: Array[Byte]): MkvSidecar = {
+    def vintLen(first: Byte, what: String, off: Int): Int = {
+      val u = first & 0xff
+      require(u != 0, s"corrupt $what VINT at $off in media $id")
+      8 - (31 - Integer.numberOfLeadingZeros(u)) // leading-zero count + 1
+    }
+    def readId(off: Int): (Long, Int) = {
+      val len = vintLen(b(off), "id", off)
+      require(len <= 4 && off + len <= b.length,
+        s"corrupt element id at $off in media $id")
+      var v = 0L
+      for (i <- 0 until len) v = (v << 8) | (b(off + i) & 0xffL)
+      (v, len)
+    }
+    def readSize(off: Int): (Long, Int) = {
+      val len = vintLen(b(off), "size", off)
+      require(off + len <= b.length,
+        s"corrupt element size at $off in media $id")
+      var v = (b(off) & 0xffL) & ((1L << (8 - len)) - 1)
+      for (i <- 1 until len) v = (v << 8) | (b(off + i) & 0xffL)
+      require(v != (1L << (7 * len)) - 1,
+        s"unknown-size (streamed) element at $off in media $id — " +
+          "unsupported")
+      (v, len)
+    }
+    def uint(off: Int, n: Int): Long = {
+      var v = 0L
+      for (i <- 0 until n) v = (v << 8) | (b(off + i) & 0xffL)
+      v
+    }
+    var docType = ""; var ts = -1L; var dur = 0.0
+    var w = 0; var h = 0; var blk = 0L
+    val masters = Set(0x1A45DFA3L, 0x18538067L, 0x1549A966L, 0x1654AE6BL,
+      0xAEL, 0xE0L, 0x1F43B675L)
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off < end) {
+        val (eid, idLen) = readId(off)
+        val (sz, szLen) = readSize(off + idLen)
+        val data = off + idLen + szLen
+        require(data + sz <= end,
+          s"corrupt element 0x${eid.toHexString} (size $sz) at $off " +
+            s"overruns its parent in media $id")
+        val n = sz.toInt
+        eid match {
+          case m if masters.contains(m) => walk(data, data + n)
+          case 0x4282L => docType = new String(b, data, n, "ISO-8859-1")
+          case 0x2AD7B1L => ts = uint(data, n)
+          case 0x4489L =>
+            require(n == 4 || n == 8,
+              s"Duration float must be 4 or 8 bytes, got $n in media $id")
+            dur = if (n == 4)
+              java.lang.Float.intBitsToFloat(uint(data, 4).toInt).toDouble
+            else java.lang.Double.longBitsToDouble(uint(data, 8))
+          case 0xB0L => w = uint(data, n).toInt
+          case 0xBAL => h = uint(data, n).toInt
+          case 0xA3L =>
+            val tLen = vintLen(b(data), "block track", data)
+            require(n >= tLen + 3,
+              s"SimpleBlock too small ($n) in media $id")
+            blk += n - (tLen + 3) // net of track VINT + timestamp + flags
+          case _ => () // unknown leaf: skip (EBML forward-compat rule)
+        }
+        off = data + n
+      }
+    }
+    walk(0, b.length)
+    require(docType.nonEmpty,
+      s"no EBML DocType in media $id — not a Matroska container")
+    require(w > 0 && h > 0,
+      s"no video dimensions in media $id — not a video Matroska file")
+    MkvSidecar(id, docType, if (ts > 0) ts else 1000000L, dur, w, h, blk)
+  }
+
+  /** The MKV external-probe step as a typed partition map — the
+    * Matroska twin of [[probeVideoSidecar]]: run ONCE per ingested
+    * batch, persisted as a sidecar table, payload bytes never travel
+    * again. */
+  def probeMkvSidecar(media: Dataset[MediaRow]): Dataset[MkvSidecar] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseMkvSidecar(r.id, r.payload)))
+  }
+
   /** Scene-cut detection over [[videoKeyframes]] output: a cut is a
     * frame whose mean-luma jump from its predecessor reaches `threshold`
     * (the classic histogram/intensity-difference shot detector). Per

@@ -132,6 +132,26 @@ object Manifest {
     * committed by pre-stats writers fall back to one read. */
   val FileRowsPrefix = "filerows."
 
+  /** Exact row count of version `v` (newest when omitted) from COMMIT
+    * METADATA alone — the metadata-only `SELECT count(*)` every table
+    * format serves: sum the [[FileRowsPrefix]] counts of the live
+    * files, each recorded by the version that added the file. None if
+    * any live file predates row-count recording (the caller falls back
+    * to a data read); zero data or footer I/O otherwise. */
+  def rowCount(tablePath: String, v: Long = -1L): Option[Long] = {
+    val live = files(tablePath, v).toSet
+    val upTo = if (v >= 0) v else version(tablePath)
+    val counts = committedVersions(tablePath).filter(_ <= upTo)
+      .flatMap { cv =>
+        rawMeta(tablePath, cv).collect {
+          case (k, n) if k.startsWith(FileRowsPrefix) &&
+              live.contains(k.stripPrefix(FileRowsPrefix)) =>
+            k.stripPrefix(FileRowsPrefix) -> n.toLong
+        }
+      }.toMap
+    if (counts.keySet == live) Some(counts.values.sum) else None
+  }
+
   /** Per-file numeric (min, max) stats for the files of version `v`
     * (newest when omitted): relpath → col → (min, max) as doubles.
     * Recorded bounds are WIDENED by one ulp per side

@@ -974,6 +974,57 @@ object SourceQueries {
              TRUE AS three_carried
            FROM orders, b""")),
 
+    // S30: METADATA-ONLY COUNT(*) — the query every table format
+    // answers without touching data: each commit records its fresh
+    // files' row counts as `#filerows.` manifest lines (r12), so the
+    // exact row count OF EVERY VERSION — time travel included, and
+    // across a copy-on-write delete whose rewrite re-recorded its
+    // surviving file's count — is a driver-side metadata sum
+    // (Manifest.rowCount), zero data or footer I/O at any table size.
+    // The oracle replays all four per-version counts from the base
+    // table, so a miscounted file, a carry lost across the cow
+    // rewrite, or a stale count after the delete flips the hash;
+    // metadata_only is the earned flag (rowCount answered — defined —
+    // for every version).
+    "s30_metadata_rowcount" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val tbl = scratch("s30_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+        for (i <- 0 until 3)
+          Manifest.commit(
+            o.filter(pmod(col("o_orderkey"), lit(3)) === i).coalesce(1),
+            tbl)
+        Merge.deleteWhere(s, tbl,
+          pmod(col("o_orderkey"), lit(3)) === 1 &&
+            col("o_orderstatus") === "F")
+        val counts = (1L to Manifest.version(tbl)).map { v =>
+          val rc = Manifest.rowCount(tbl, v) // pure manifest metadata
+          (v, rc.getOrElse(-1L), rc.isDefined)
+        }
+        import s.implicits._
+        counts.toDF("version", "live_rows", "metadata_only")
+          .orderBy(col("version"))
+      },
+      Some(
+        """WITH c AS (SELECT
+             count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS n0,
+             count(CASE WHEN o_orderkey % 3 = 1 THEN 1 END) AS n1,
+             count(CASE WHEN o_orderkey % 3 = 2 THEN 1 END) AS n2,
+             count(CASE WHEN o_orderkey % 3 = 1 AND o_orderstatus = 'F'
+               THEN 1 END) AS f1
+           FROM orders)
+           SELECT * FROM (
+             SELECT CAST(1 AS BIGINT) AS version,
+               CAST(n0 AS BIGINT) AS live_rows, TRUE AS metadata_only
+               FROM c
+             UNION ALL SELECT 2, n0 + n1, TRUE FROM c
+             UNION ALL SELECT 3, n0 + n1 + n2, TRUE FROM c
+             UNION ALL SELECT 4, n0 + n1 + n2 - f1, TRUE FROM c)
+           ORDER BY version""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -1783,7 +1783,67 @@ object TextQueries {
           probe = mediaSidecarProbe, checkpoint = ckpt,
           name = s"graft_st27_${dirTag(dir)}"))
       },
-      Some(sqlVideoSidecar))
+      Some(sqlVideoSidecar)),
+
+    // m8: the MATROSKA (MKV) SIDECAR path — m7's external-probe shape
+    // over the other dominant video container: per-id MKV payloads
+    // (real EBML element structure — VINT ids/sizes, nested
+    // Segment/Info/Tracks/Cluster, a float Duration, SimpleBlock frame
+    // mass — synthesized from doc_id-derived parameters) go through ONE
+    // real EBML walk (Multimodal.probeMkvSidecar, mkvinfo's role),
+    // persist as a parquet sidecar, and the curation reads ONLY the
+    // sidecar: DocType gate, duration window (ticks × scale — the MKV
+    // time model, where duration is a FLOAT in TimestampScale units),
+    // resolution floor, per-width clip budgets. The oracle recomputes
+    // every parameter analytically, so the check is that the EBML walk
+    // INVERTS the synth — closing the container-format pair m1's
+    // honest stub names (MP4 ∧ MKV both probed, neither fake-decoded).
+    "m8_mkv_sidecar" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal
+        val sidecarPath = scratch("m8_sidecar", dir)
+        val media = T(s, dir, "documents").filter(col("doc_id") < 80)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              Multimodal.MediaRow(id, "video", Multimodal.synthMkv(
+                timestampScale = 1000000L, // 1 ms ticks
+                durationTicks = ((4 + id % 25) * 1000).toDouble,
+                width = (256 + 32 * (id % 6)).toInt,
+                height = (144 + 16 * (id % 4)).toInt,
+                blockBytes = (900 + id % 300).toInt))
+            }
+          }
+        Multimodal.probeMkvSidecar(media).toDF()
+          .write.mode("overwrite").parquet(sidecarPath)
+        s.read.parquet(sidecarPath)
+          .filter(col("docType") === "matroska")
+          .withColumn("duration_sec",
+            (col("durationTicks") * col("timestampScale") / lit(1e9))
+              .cast("long"))
+          .filter(col("duration_sec").between(8, 20) &&
+            col("width") >= 320)
+          .groupBy(col("width").cast("long").as("width"))
+          .agg(count(lit(1)).as("clips"),
+            sum(col("duration_sec")).as("total_sec"),
+            sum(col("blockBytes")).as("block_bytes"),
+            countDistinct(col("height")).as("heights"))
+          .orderBy(col("width"))
+      },
+      Some(
+        """WITH p AS (SELECT doc_id,
+             4 + doc_id % 25 AS duration_sec,
+             256 + 32 * (doc_id % 6) AS width,
+             144 + 16 * (doc_id % 4) AS height,
+             900 + doc_id % 300 AS blk
+           FROM documents WHERE doc_id < 80)
+           SELECT width, count(*) AS clips,
+             CAST(sum(duration_sec) AS BIGINT) AS total_sec,
+             CAST(sum(blk) AS BIGINT) AS block_bytes,
+             count(DISTINCT height) AS heights
+           FROM p WHERE duration_sec BETWEEN 8 AND 20 AND width >= 320
+           GROUP BY width ORDER BY width"""))
   )
 
   /** m7/st27 shared fixture probe: synthesize each document id's MP4

@@ -164,6 +164,50 @@ class MultimodalSpec extends SparkSpec {
     assert(err3.getMessage.contains("too small"))
   }
 
+  test("synthMkv → parseMkvSidecar round-trip: the EBML walk inverts " +
+    "every parameter (VINT ids/sizes, float Duration, SimpleBlock " +
+    "frame mass); an absent TimestampScale falls back to Matroska's " +
+    "1,000,000 ns default") {
+    val cases = Seq(
+      (1000000L, 7000.0, 640, 360, 1000),
+      (50000L, 123456.0, 1920, 1080, 0), // zero-frame block still parses
+      // a >2^14 size VINT (big block) and a multi-byte uint scale
+      (1000000000L, 1.5, 16, 16, 20000))
+    cases.foreach { case (ts, du, w, h, blk) =>
+      val sc = Multimodal.parseMkvSidecar(9L,
+        Multimodal.synthMkv(ts, du, w, h, blk))
+      assert(sc == Multimodal.MkvSidecar(9L, "matroska", ts, du, w, h,
+        blk.toLong), s"params ($ts,$du,$w,$h,$blk) did not round-trip: $sc")
+    }
+    val defaulted = Multimodal.parseMkvSidecar(3L,
+      Multimodal.synthMkv(999L, 5000.0, 320, 240, 10, omitScale = true))
+    assert(defaulted.timestampScale == 1000000L,
+      s"absent TimestampScale must default: $defaulted")
+  }
+
+  test("parseMkvSidecar fails loudly on corrupt or non-Matroska " +
+    "payloads, naming the id") {
+    val good = Multimodal.synthMkv(1000000L, 7000.0, 640, 360, 500)
+    // truncated mid-element: a size overruns its parent
+    val err1 = intercept[IllegalArgumentException](
+      Multimodal.parseMkvSidecar(7L, good.dropRight(40)))
+    assert(err1.getMessage.contains("media 7"))
+    // structurally-valid EBML but no DocType: not a Matroska container
+    val err2 = intercept[IllegalArgumentException](
+      Multimodal.parseMkvSidecar(8L,
+        Array[Byte](0xEC.toByte, 0x82.toByte, 1, 2))) // Void element
+    assert(err2.getMessage.contains("no EBML DocType"))
+    // an unknown-size (streamed) element is rejected, not misparsed
+    val err3 = intercept[IllegalArgumentException](
+      Multimodal.parseMkvSidecar(9L,
+        Array[Byte](0xEC.toByte, 0xFF.toByte, 0)))
+    assert(err3.getMessage.contains("unknown-size"))
+    // a zero first byte can never start a VINT
+    val err4 = intercept[IllegalArgumentException](
+      Multimodal.parseMkvSidecar(10L, Array[Byte](0, 1, 2)))
+    assert(err4.getMessage.contains("VINT"))
+  }
+
   test("probeVideoSidecar is the one pass that touches bytes: the " +
     "persisted sidecar answers curation queries payload-free") {
     val media = (0L until 20L).toDF("id")

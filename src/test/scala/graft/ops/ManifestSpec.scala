@@ -362,6 +362,11 @@ class ManifestSpec extends SparkSpec {
           i.rows_removed))
       assert(h == expected, "history touched data files")
     } finally JFiles.move(hidden, data)
+    // metadata-only COUNT(*): every version's exact row count from the
+    // manifests, time travel included, across the cow delete
+    assert(Manifest.rowCount(tbl, 1L).contains(2L))
+    assert(Manifest.rowCount(tbl, 2L).contains(3L))
+    assert(Manifest.rowCount(tbl).contains(2L)) // v3: (3L,30) deleted
     // a PRE-STATS writer's manifest (no #filerows. lines): strip v1's
     // and history must fall back to reading exactly v1's file
     val mf = Paths.get(tbl, "_manifests", "v000001.txt")
@@ -373,6 +378,9 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.history(spark, tbl)
       .map(i => (i.version, i.change_type, i.rows_added, i.rows_removed))
       == expected)
+    // rowCount refuses to guess for pre-stats files: v1's file is live
+    // at v2 but its count is gone — None, caller falls back to a read
+    assert(Manifest.rowCount(tbl, 2L).isEmpty)
   }
 
   test("min/max file stats: recorded per fresh file atomically with " +
