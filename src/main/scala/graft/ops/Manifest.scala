@@ -590,6 +590,61 @@ object Manifest {
     throw new IllegalStateException("unreachable")
   }
 
+  /** RESTORE — roll the table back to `toVersion` as a METADATA-ONLY
+    * commit (the Delta `RESTORE TABLE ... TO VERSION` shape): publishes
+    * a NEW version listing exactly `toVersion`'s files, with its schema
+    * and its constraints — the whole snapshot state returns, while
+    * history keeps every intervening version readable (a restore never
+    * rewinds the log; it appends to it, so a bad restore is itself
+    * restorable). No data is read, copied, or rewritten — immutable
+    * files make rollback a driver-side manifest write at any table
+    * size. The restored version records its provenance as
+    * `restore.of=<v>` metadata. Fails loudly if `toVersion` was
+    * vacuumed, and on a concurrent-commit conflict (a restore resolves
+    * the whole table state, so it can never rebase). */
+  def restore(tablePath: String, toVersion: Long,
+      meta: Map[String, String] = Map.empty): Long = {
+    val head = version(tablePath)
+    require(toVersion >= 1 && toVersion <= head,
+      s"cannot restore $tablePath to $toVersion (head is $head)")
+    require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
+    meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"invalid meta key '$k'"))
+    meta.values.foreach(v => require(!v.contains("\n"),
+      s"meta value may not span lines: '$v'"))
+    val fs = listed(tablePath, toVersion) // throws if vacuumed
+    val restoredMeta =
+      rawMeta(tablePath, toVersion).get(SchemaKey)
+        .map(SchemaKey -> _).toMap ++
+      constraintsOf(tablePath, toVersion)
+        .map { case (n, e) => s"$ConstraintPrefix$n" -> e }
+    val next = head + 1
+    val lines =
+      (meta ++ restoredMeta + ("restore.of" -> toVersion.toString))
+        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fs
+    Files.createDirectories(manifestDir(tablePath))
+    val tmp = Files.createTempFile(manifestDir(tablePath),
+      s".v$next-", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    beforePublish()
+    try {
+      Files.createLink(manifestFile(tablePath, next), tmp)
+      Files.deleteIfExists(tmp)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"concurrent commit detected at $tablePath: version $next " +
+            "was published by another writer — a restore resolves the " +
+            "whole table state and cannot rebase; retry on the new head")
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, manifestFile(tablePath, next),
+          StandardCopyOption.ATOMIC_MOVE)
+        next
+    }
+  }
+
   /** VACUUM — the explicitly destructive maintenance half the commit path
     * deliberately omits (every table format separates them: commits only
     * ever add, retention only ever removes, so a commit bug can never eat

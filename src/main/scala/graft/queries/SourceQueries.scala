@@ -1025,6 +1025,58 @@ object SourceQueries {
              UNION ALL SELECT 4, n0 + n1 + n2 - f1, TRUE FROM c)
            ORDER BY version""")),
 
+    // S31: RESTORE — rollback as a METADATA-ONLY commit (the Delta
+    // RESTORE TABLE shape): a bad delete is undone by publishing a new
+    // version that lists exactly the pre-delete version's files — no
+    // data read, copied, or rewritten (immutable files make rollback a
+    // driver-side manifest write at any table size), history keeps the
+    // bad version readable (a restore appends to the log, so IT is
+    // restorable too), and provenance lands as restore.of metadata.
+    // The oracle replays the restored content (the full pre-delete
+    // mass — a restore that lost or duplicated rows flips the hash);
+    // metadata_only (restored file list IS the old list, zero fresh
+    // files) and bad_still_readable (time travel into the undone
+    // version) are the earned flags.
+    "s31_restore" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val tbl = scratch("s31_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        for (i <- 0 until 2)
+          Manifest.commit(
+            o.filter(pmod(col("o_orderkey"), lit(2)) === i).coalesce(1),
+            tbl)
+        // the "bad" delete: drops every F-status row (v3)
+        Merge.deleteWhere(s, tbl, col("o_orderstatus") === "F")
+        val deletedRows = Manifest.rowCount(tbl).get // metadata count
+        val filesBefore = Manifest.files(tbl, 2L)
+        val v = Manifest.restore(tbl, 2L) // v4, metadata-only
+        val restoredSame = Manifest.files(tbl, v) == filesBefore
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("f_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("f_rows"), col("price_mass"),
+            lit(restoredSame).as("metadata_only"),
+            lit(Manifest.rowCount(tbl, 3L).contains(deletedRows))
+              .as("bad_still_readable"),
+            lit(Manifest.meta(tbl, v).get("restore.of").contains("2"))
+              .as("provenance"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS f_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS metadata_only, TRUE AS bad_still_readable,
+             TRUE AS provenance
+           FROM orders""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

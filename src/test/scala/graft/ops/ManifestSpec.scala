@@ -383,6 +383,51 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.rowCount(tbl, 2L).isEmpty)
   }
 
+  test("restore: rollback is a METADATA-ONLY commit (answers with the " +
+    "data dir hidden) that re-lists the target version's files, schema " +
+    "and constraints; history keeps the undone version; a vacuumed " +
+    "target and a concurrent publish fail loudly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 5), (2L, 6)).toDF("id", "v").coalesce(1),
+      tbl)                                                         // v1
+    Manifest.addConstraint(spark, tbl, "v_pos", "v > 0")           // v2
+    Merge.deleteWhere(spark, tbl, col("id") === 2L)                // v3
+    assert(Manifest.read(spark, tbl).count() == 1L)
+    // restore to the pre-delete state WITHOUT touching data bytes
+    val data = Paths.get(tbl, "data")
+    val hidden = Paths.get(tbl, "data_hidden")
+    JFiles.move(data, hidden)
+    val v = try Manifest.restore(tbl, 2L) finally JFiles.move(hidden, data)
+    assert(v == 4L)
+    assert(Manifest.files(tbl, 4L) == Manifest.files(tbl, 2L))
+    assert(Manifest.read(spark, tbl).count() == 2L)
+    assert(Manifest.meta(tbl).get("restore.of").contains("2"))
+    // the restored state carries the target's constraints forward
+    intercept[IllegalArgumentException](
+      Manifest.commit(Seq((9L, -1)).toDF("id", "v"), tbl))
+    // the undone version stays readable (restore appends, never rewinds)
+    assert(Manifest.read(spark, tbl, 3L).count() == 1L)
+    assert(Manifest.rowCount(tbl, 3L).contains(1L))
+    // a vacuumed target version fails loudly
+    val tbl2 = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl2)
+    Manifest.commit(Seq(2).toDF("x"), tbl2, replace = true)
+    Manifest.vacuum(tbl2, retainLast = 1)
+    intercept[IllegalArgumentException](Manifest.restore(tbl2, 1L))
+    // a restore losing a publish race aborts (never rebases) — the
+    // seam lands a competing append between resolve and link
+    Manifest.commit(Seq(3).toDF("x"), tbl2)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(Seq(4).toDF("x"), tbl2)
+    }
+    val e = try intercept[IllegalStateException](
+      Manifest.restore(tbl2, 2L))
+    finally Manifest.beforePublish = () => ()
+    assert(e.getMessage.contains("concurrent commit"))
+  }
+
   test("min/max file stats: recorded per fresh file atomically with " +
     "the version, hidden from meta(), carried for life; readPruned " +
     "keeps boundary touches and unprunable stat-less files") {
