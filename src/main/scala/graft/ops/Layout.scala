@@ -67,6 +67,46 @@ object Layout {
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(outPath)
 
+  /** OPTIMIZE WHERE — SELECTIVE compaction of a [[Manifest]] table (the
+    * Delta `OPTIMIZE ... WHERE` shape): only the files whose recorded
+    * `#filestats.` range intersects [`lo`, `hi`] on `column` rewrite —
+    * coalesced to `numFiles` range-partitioned, sorted files, so their
+    * re-recorded stats come out TIGHT and later range probes keep
+    * pruning — while every other file carries by reference. Files
+    * WITHOUT stats are included: they are exactly the unclustered
+    * small-file accumulation the maintenance pass exists to absorb,
+    * and absorbing them makes the whole targeted range stats-bearing.
+    * Publishes with the `data_change=false` writer flag (a layout
+    * commit; CDC consumers skip it with no diff). Maintenance cost ∝
+    * the targeted slice, never the table. Returns (version,
+    * filesRewritten, filesCarried); a table with no targeted files
+    * publishes nothing. */
+  def optimizeWhere(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, column: String, lo: Double, hi: Double,
+      numFiles: Int = 1): (Long, Int, Int) = {
+    val all = Manifest.files(tablePath)
+    val stats = Manifest.fileStats(tablePath)
+    val targets = all.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    if (targets.isEmpty)
+      return (Manifest.version(tablePath), 0, all.size)
+    val schema = Manifest.schemaOf(tablePath)
+      .getOrElse(Manifest.read(spark, tablePath).schema)
+    val paths = targets.map(r =>
+      java.nio.file.Paths.get(tablePath).resolve(r).toString)
+    val v = Manifest.commit(
+      spark.read.schema(schema).parquet(paths: _*)
+        .repartitionByRange(numFiles, col(column))
+        .sortWithinPartitions(col(column)),
+      tablePath, removeFiles = targets, statsCols = Seq(column),
+      meta = Map(ChangeFeed.DataChangeKey -> "false"))
+    (v, targets.size, all.size - targets.size)
+  }
+
   /** Data files per partition directory (spec/observability helper). */
   def filesPerPartition(path: String,
       partitionCol: String): Map[String, Int] = {

@@ -1077,6 +1077,55 @@ object SourceQueries {
              TRUE AS provenance
            FROM orders""")),
 
+    // S32: OPTIMIZE WHERE — SELECTIVE compaction, the composition that
+    // completes the maintenance triad (s17 compacts everything, s15
+    // re-clusters everything, s32 does both to ONLY the targeted
+    // range): the manifests' per-file stats name the files whose range
+    // intersects the WHERE, exactly those rewrite into one sorted
+    // file (stats re-recorded TIGHT, so later probes keep pruning —
+    // restats_prune is the earned receipt: a first-quartile probe
+    // after the optimize plans to 1 of 3 files), the rest carry by
+    // reference, and the commit ships the data_change=false writer
+    // flag so CDC consumers skip it with no diff (flagged_layout).
+    // Maintenance cost ∝ the targeted slice, never the table. Content
+    // is the oracle-replayed side — a row lost or duplicated across
+    // the rewrite flips the hash.
+    "s32_optimize_where" -> Q(
+      (s, dir) => {
+        import graft.ops.{Layout, Manifest}
+        val tbl = scratch("s32_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val (v, rewrote, carried) = Layout.optimizeWhere(s, tbl,
+          "o_orderkey", 0.0, (2 * q - 1).toDouble)
+        val (_, kept, skipped) = Manifest.readPruned(s, tbl,
+          "o_orderkey", 0.0, (q - 1).toDouble)
+        val flagged = Manifest.history(s, tbl)
+          .find(_.version == v).exists(!_.data_change)
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"), col("price_mass"),
+            lit(rewrote == 2 && carried == 2).as("targeted_only"),
+            lit(kept == 1 && skipped == 2).as("restats_prune"),
+            lit(flagged).as("flagged_layout"))
+      },
+      Some(
+        """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS targeted_only, TRUE AS restats_prune,
+             TRUE AS flagged_layout
+           FROM orders""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

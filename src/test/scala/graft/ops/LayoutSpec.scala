@@ -70,6 +70,36 @@ class LayoutSpec extends SparkSpec {
       grid.agg(sum(col("x")), sum(col("y"))).collect().head)
   }
 
+  test("optimizeWhere compacts ONLY the targeted range (stat-less " +
+    "strays absorbed, content unchanged, stats re-tightened, CDC " +
+    "skips the layout commit); no targeted files publishes nothing") {
+    import java.nio.file.Files
+    val tbl = Files.createTempDirectory("optw_tbl").toString
+    // 3 stats-bearing range files + 1 stat-less stray in the low range
+    for (i <- 0 until 3)
+      Manifest.commit(
+        Seq.tabulate(4)(j => (i * 10L + j, s"v$i$j")).toDF("k", "s")
+          .coalesce(1), tbl, statsCols = Seq("k"))
+    Manifest.commit(Seq((5L, "stray")).toDF("k", "s").coalesce(1), tbl)
+    val before = Manifest.read(spark, tbl).collect().map(_.toSeq).toSet
+    // optimize the [0, 13] slice: files 1, 2 and the stat-less stray
+    val (v, rewrote, carried) =
+      Layout.optimizeWhere(spark, tbl, "k", 0.0, 13.0)
+    assert(rewrote == 3 && carried == 1, s"($rewrote, $carried)")
+    assert(Manifest.files(tbl).size == 2) // 1 merged + 1 carried
+    assert(Manifest.read(spark, tbl).collect().map(_.toSeq).toSet ==
+      before, "optimize must never change content")
+    // re-recorded stats keep pruning, stray now covered
+    val (_, kept, skipped) = Manifest.readPruned(spark, tbl, "k", 0, 13)
+    assert(kept == 1 && skipped == 1)
+    // the layout commit carries data_change=false: CDC yields no diff
+    assert(ChangeFeed.changes(spark, tbl, sinceVersion = v - 1,
+      keyCols = Seq("k")).isEmpty)
+    // a fully-disjoint WHERE publishes nothing
+    val (v2, r2, _) = Layout.optimizeWhere(spark, tbl, "k", 900, 999)
+    assert(v2 == v && r2 == 0)
+  }
+
   test("bloom sidecar skipping: a sparse key's lookup scans only its " +
     "bloom-passing partitions via dynamic partition pruning, exactly") {
     import graft.functions.hashing
