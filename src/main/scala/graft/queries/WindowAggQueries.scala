@@ -14,6 +14,34 @@ import QueryDSL._
   */
 object WindowAggQueries {
 
+  /** w13's EWMA control-chart fold over an (event_type, day, cnt) daily
+    * frame: per type, a STRICT LEFT FOLD over the date-sorted counts —
+    * the first day seeds the baseline, every later day updates it as
+    * 0.3·cnt + 0.7·e (computed in exactly that op order, so the DuckDB
+    * recursive-CTE oracle reproduces the doubles bit-for-bit), and a
+    * day is anomalous when cnt > 1.5 × the PRE-update baseline after a
+    * 3-day burn-in. Fold mass is days-per-type, never events. Output:
+    * (event_type, ewma rounded 4, anomalies, days). */
+  private[queries] def ewmaAnomalyFold(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt"))))
+        .as("ds"))
+      .select(col("event_type"),
+        aggregate(col("ds"),
+          struct(lit(0.0).as("e"), lit(0L).as("a"), lit(0L).as("i")),
+          (acc, x) => struct(
+            when(acc("i") === 0L, x("cnt").cast("double"))
+              .otherwise(lit(0.3) * x("cnt") + lit(0.7) * acc("e"))
+              .as("e"),
+            (acc("a") + when(acc("i") >= 3L &&
+                x("cnt").cast("double") > lit(1.5) * acc("e"), 1L)
+              .otherwise(0L)).as("a"),
+            (acc("i") + 1L).as("i"))).as("st"))
+      .select(col("event_type"),
+        round(col("st.e"), 4).as("ewma"),
+        col("st.a").as("anomalies"), col("st.i").as("days"))
+      .orderBy(col("event_type"))
+
   /** w12's grid + forward-fill tail over a (user_id, d, v) daily frame —
     * shared verbatim with st30's streamed-partial readout (argmax is
     * associative, so the re-argmaxed partial table IS w12's daily
@@ -764,6 +792,51 @@ object WindowAggQueries {
         resampleFfillTail(daily)
       },
       Some(sqlResampleFfill)),
+
+    // W13: EWMA CONTROL-CHART ANOMALIES — the monitoring primitive the
+    // drift family (t31/st20) lacks: per event type, daily volumes fold
+    // through an exponentially-weighted moving average (α = 0.3) and a
+    // day is anomalous when its count exceeds 1.5× the PRE-UPDATE
+    // baseline after a 3-day burn-in. EWMA is inherently sequential, so
+    // it runs as a STRICT LEFT FOLD over each type's date-sorted daily
+    // counts (`aggregate` over a sort_array'd collect — the x1/d5
+    // cross-engine fold pattern; bounded: days-per-type, never events),
+    // and the oracle replays the identical op order via a recursive
+    // CTE — the doubles are IEEE-identical, so the threshold
+    // comparisons (not just the rounded display value) hash-match. At
+    // 100 TB the daily pre-aggregate is the only corpus-sized pass (one
+    // map-side-combined shuffle); the fold touches #types × #days rows.
+    "w13_ewma_anomaly" -> Q(
+      (s, dir) => {
+        ewmaAnomalyFold(events(s, dir)
+          .groupBy(col("event_type"),
+            expr("ts div 86400000000000").as("day"))
+          .agg(count(lit(1)).as("cnt")))
+      },
+      Some(
+        """WITH RECURSIVE daily AS (
+             SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+           r AS (SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type ORDER BY day)
+                 AS rn
+             FROM daily),
+           f AS (
+             SELECT event_type, rn, CAST(cnt AS DOUBLE) AS e,
+               CAST(0 AS BIGINT) AS anoms
+             FROM r WHERE rn = 1
+             UNION ALL
+             SELECT r.event_type, r.rn, 0.3 * r.cnt + 0.7 * f.e,
+               f.anoms + CASE WHEN f.rn >= 3 AND r.cnt > 1.5 * f.e
+                 THEN 1 ELSE 0 END
+             FROM r JOIN f
+               ON r.event_type = f.event_type AND r.rn = f.rn + 1)
+           SELECT event_type, CAST(round(e, 4) AS DOUBLE) AS ewma,
+             anoms AS anomalies, CAST(rn AS BIGINT) AS days
+           FROM f
+           QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+           ORDER BY event_type""")),
 
     // W10: retention cohort matrix — the other canonical event-log
     // report next to w9's funnel: users cohort by first-seen week
