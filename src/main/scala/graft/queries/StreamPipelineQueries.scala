@@ -376,6 +376,25 @@ object StreamPipelineQueries {
             CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS mass
           FROM b GROUP BY bin ORDER BY bin""")),
 
+    // st31: STREAMING EWMA control chart — w13's anomaly monitor in
+    // continuous form (the shape a production volume monitor actually
+    // runs): each micro-batch appends its bounded (type, day) count
+    // partials, the re-aggregation is the exact one-shot daily frame
+    // (integer associativity), and the shared sequential fold
+    // (WindowAggQueries.ewmaAnomalyFold — ONE definition, batch and
+    // stream cannot drift) flags days whose volume breaks the
+    // pre-update EWMA baseline. Zero streaming state; partials are the
+    // restart-safe state; w13's recursive-CTE oracle verbatim.
+    "st31_stream_ewma" -> Q(
+      (s, dir) => {
+        val out = scratch("st31_out", dir)
+        wipe(s"$out/d"); wipe(s"$out/d-ckpt")
+        WindowAggQueries.ewmaAnomalyFold(
+          Streams.dailyCountsStreaming(s, dir, s"$out/d",
+            name = s"graft_st31_${dirTag(dir)}_sink"))
+      },
+      Some(WindowAggQueries.sqlEwma)),
+
     // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
     // continuous query: each micro-batch merges into the persisted
     // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,

@@ -90,6 +90,37 @@ object WindowAggQueries {
         v IS NOT NULL AS observed
       FROM j ORDER BY user_id, d"""
 
+  /** w13's oracle, and st31's verbatim (the streamed per-batch daily
+    * partials re-aggregate to the exact one-shot daily frame by integer
+    * count associativity, and the fold is sequential over that frame):
+    * the recursive CTE replays the fold's EXACT op order — 0.3·cnt +
+    * 0.7·e, pre-update threshold compare — so the doubles are
+    * IEEE-identical, not merely close. */
+  private[queries] val sqlEwma: String =
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+           count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       r AS (SELECT event_type, cnt,
+           row_number() OVER (PARTITION BY event_type ORDER BY day)
+             AS rn
+         FROM daily),
+       f AS (
+         SELECT event_type, rn, CAST(cnt AS DOUBLE) AS e,
+           CAST(0 AS BIGINT) AS anoms
+         FROM r WHERE rn = 1
+         UNION ALL
+         SELECT r.event_type, r.rn, 0.3 * r.cnt + 0.7 * f.e,
+           f.anoms + CASE WHEN f.rn >= 3 AND r.cnt > 1.5 * f.e
+             THEN 1 ELSE 0 END
+         FROM r JOIN f
+           ON r.event_type = f.event_type AND r.rn = f.rn + 1)
+       SELECT event_type, CAST(round(e, 4) AS DOUBLE) AS ewma,
+         anoms AS anomalies, CAST(rn AS BIGINT) AS days
+       FROM f
+       QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
+       ORDER BY event_type"""
+
   /** Trailing-7-day active users — w11's oracle, and st18's verbatim:
     * the streamed per-batch-distinct marks re-aggregate to the one-shot
     * curve because the marks pipeline is distinct-idempotent. */
@@ -813,30 +844,7 @@ object WindowAggQueries {
             expr("ts div 86400000000000").as("day"))
           .agg(count(lit(1)).as("cnt")))
       },
-      Some(
-        """WITH RECURSIVE daily AS (
-             SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
-               count(*) AS cnt
-             FROM events GROUP BY 1, 2),
-           r AS (SELECT event_type, cnt,
-               row_number() OVER (PARTITION BY event_type ORDER BY day)
-                 AS rn
-             FROM daily),
-           f AS (
-             SELECT event_type, rn, CAST(cnt AS DOUBLE) AS e,
-               CAST(0 AS BIGINT) AS anoms
-             FROM r WHERE rn = 1
-             UNION ALL
-             SELECT r.event_type, r.rn, 0.3 * r.cnt + 0.7 * f.e,
-               f.anoms + CASE WHEN f.rn >= 3 AND r.cnt > 1.5 * f.e
-                 THEN 1 ELSE 0 END
-             FROM r JOIN f
-               ON r.event_type = f.event_type AND r.rn = f.rn + 1)
-           SELECT event_type, CAST(round(e, 4) AS DOUBLE) AS ewma,
-             anoms AS anomalies, CAST(rn AS BIGINT) AS days
-           FROM f
-           QUALIFY rn = max(rn) OVER (PARTITION BY event_type)
-           ORDER BY event_type""")),
+      Some(sqlEwma)),
 
     // W10: retention cohort matrix — the other canonical event-log
     // report next to w9's funnel: users cohort by first-seen week

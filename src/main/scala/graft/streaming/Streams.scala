@@ -1081,6 +1081,45 @@ object Streams {
         col("mass"))
   }
 
+  /** STREAMING DAILY-VOLUME maintenance — the feed for w13's EWMA
+    * control chart in continuous form (st31): each micro-batch appends
+    * its (event_type, day) partial counts (bounded by the types × days
+    * the batch touches, never its rows), and the returned
+    * re-aggregation is the EXACT one-shot daily frame by integer count
+    * associativity — so the caller's sequential EWMA fold over it is
+    * identical to the batch twin's, and st31 shares w13's oracle
+    * verbatim. ZERO streaming state; the parquet partials are the
+    * restart-safe state; a replay overwrites its own batch directory
+    * ([[writePartial]]). */
+  def dailyCountsStreaming(spark: SparkSession, dir: String,
+      outPath: String, glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st31"): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .writeStream
+      .option("checkpointLocation", s"$outPath-ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyDailyCountBatch(batch, batchId, outPath)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    readPartials(spark, outPath)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** st31's per-batch body — an idempotent partial write of the batch's
+    * daily counts. */
+  private[graft] def applyDailyCountBatch(batch: DataFrame, batchId: Long,
+      outPath: String): Unit =
+    writePartial(
+      batch.groupBy(col("event_type"),
+          expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      outPath, batchId)
+
   /** STREAMING data-quality expectations — the continuous form of
     * [[graft.ops.Expectations.validate]] (a11 ↔ st17), same contract as
     * [[sketchStreaming]]: each micro-batch appends ONE partial-counters

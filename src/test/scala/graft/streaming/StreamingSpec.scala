@@ -846,6 +846,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("st31 streaming daily counts: 4 micro-batch partials " +
+      "re-aggregate to the exact one-shot daily frame (the EWMA fold's " +
+      "input), and a replayed batchId overwrites its own partials") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    import graft.queries.QueryDSL
+    val srcDir = Files.createTempDirectory("st31_src")
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st31_chunk$i")
+      // the MICROS parquet shape the streaming reader expects,
+      // reconstructed via the library reader (memory:
+      // events-ts-schema-drift — never read events.parquet raw)
+      QueryDSL.events(spark, sf)
+        .select(col("event_id"),
+          col("ts_utc").cast("timestamp_ntz").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = Files.createTempDirectory("st31_out").toString
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = toMap(Streams.dailyCountsStreaming(spark,
+      srcDir.toString, s"$out/d", glob = "events_*.parquet",
+      maxFilesPerTrigger = 1, name = "st31_spec_sink").collect())
+    val oneShot = toMap(QueryDSL.events(spark, sf)
+      .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+      .agg(count(lit(1)).as("cnt")).collect())
+    assert(streamed == oneShot && oneShot.nonEmpty)
+    // crash-replay: re-applying a batch id overwrites its own partial
+    // directory — the re-aggregated frame is unchanged
+    val chunk0 = QueryDSL.events(spark, sf)
+      .filter(col("event_id") % 4 === 0)
+    Streams.applyDailyCountBatch(chunk0, 0L, s"$out/d")
+    val replayed = toMap(spark.read.parquet(s"$out/d").drop("batch")
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cnt")).as("cnt")).collect())
+    assert(replayed == oneShot, "replayed partial double-counted")
+  }
+
   test("st16 streaming histogram: 4-micro-batch partials re-aggregate " +
       "to exactly the one-shot pinned-bounds histogram") {
     import org.apache.spark.sql.functions._
