@@ -432,75 +432,81 @@ object Manifest {
     // dir ≡ a fresh write, without overwrite's delete-and-recreate
     // window that would drop the claim.)
     df.write.mode("append").parquet(batchDir.toString)
-    if (constraints.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, lit, sum, when}
-      val names = constraints.keys.toSeq.sorted
-      val aggs = names.map(n => sum(when(
-        !expr(constraints(n)), lit(1L)).otherwise(lit(0L))).as(n))
-      val written = df.sparkSession.read.schema(df.schema)
-        .parquet(batchDir.toString)
-      val row = written.agg(aggs.head, aggs.tail: _*).head()
-      val bad = names.zipWithIndex
-        .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L
-          else row.getLong(i)) }
-        .filter(_._2 > 0)
-      if (bad.nonEmpty) {
-        rmTree(batchDir)
-        throw new IllegalArgumentException(
-          "requirement failed: commit violates CHECK constraint(s) " +
-            bad.map { case (n, c) =>
-              s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
-            " — nothing was published")
-      }
-    }
     val fresh = ls(batchDir)
       .filter(_.endsWith(".parquet")).sorted
       .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
-    // Per-file commit stats for the FRESH files, from ONE bounded
-    // executor-side aggregate over the written batch (metadata-width
-    // scan: row counts always — the audit stats [[history]] answers
-    // from without touching data — plus numeric min/max for
-    // `statsCols`, the Iceberg/Delta data-skipping contract
-    // [[readPruned]] consumes). Published atomically with the version.
+    // ONE bounded executor-side aggregate over the written batch serves
+    // the whole commit: per-file row counts always (the audit stats
+    // [[history]]/[[rowCount]] answer from without touching data),
+    // per-file min/max for `statsCols` (the Iceberg/Delta data-skipping
+    // contract [[readPruned]] consumes), AND the CHECK-constraint
+    // violation counts — fused into a single job so a constraint-gated
+    // stats-bearing commit reads its batch once, not three times. A
+    // violation deletes the batch dir and aborts; nothing published.
     // Min/max are widened one ulp per side so a lossy long→double cast
     // (values past 2^53, e.g. nanosecond timestamps) can only LOOSEN a
-    // bound, never falsely prune a matching file.
-    val (rowsMeta, statsMeta): (Map[String, String], Map[String, String]) = {
-      import org.apache.spark.sql.functions.{col, count, lit,
-        max => fmax, min => fmin}
-      val aggs = count(lit(1L)).as("__rows") +: statsCols.flatMap(c => Seq(
-        fmin(col(c)).cast("double").as(s"__mn_$c"),
-        fmax(col(c)).cast("double").as(s"__mx_$c")))
-      val perFile = df.sparkSession.read.schema(df.schema)
-        .parquet(batchDir.toString)
-        .groupBy(col("_metadata.file_path").as("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect().map { r =>
-          val p = r.getString(0)
-          val fs = if (p.startsWith("file:"))
-            new java.net.URI(p).getPath else p
-          val rel = Paths.get(tablePath).toAbsolutePath.normalize
-            .relativize(Paths.get(fs).toAbsolutePath.normalize)
-            .toString
-          val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            (Option(r.get(2 + 2 * i)), Option(r.get(3 + 2 * i))) match {
-              case (Some(mn), Some(mx))
-                  if !mn.asInstanceOf[Double].isNaN &&
-                    !mx.asInstanceOf[Double].isNaN =>
-                Some(s"$c:${Math.nextDown(mn.asInstanceOf[Double])}:" +
-                  s"${Math.nextUp(mx.asInstanceOf[Double])}")
-              case _ => None // all-null or NaN column: unprunable
+    // bound, never falsely prune a matching file. An EMPTY batch (a
+    // metadata-only commit wrote no files) skips the job outright.
+    val cNames = constraints.keys.toSeq.sorted
+    val (rowsMeta, statsMeta): (Map[String, String], Map[String, String]) =
+      if (fresh.isEmpty) (Map.empty, Map.empty)
+      else {
+        import org.apache.spark.sql.functions.{col, count, expr, lit,
+          sum, when, max => fmax, min => fmin}
+        val aggs = count(lit(1L)).as("__rows") +:
+          (cNames.map(n => sum(when(
+             !expr(constraints(n)), lit(1L)).otherwise(lit(0L)))
+             .as(s"__viol_$n")) ++
+           statsCols.flatMap(c => Seq(
+             fmin(col(c)).cast("double").as(s"__mn_$c"),
+             fmax(col(c)).cast("double").as(s"__mx_$c"))))
+        val statsBase = 2 + cNames.size
+        val perFile = df.sparkSession.read.schema(df.schema)
+          .parquet(batchDir.toString)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val p = r.getString(0)
+            val fs = if (p.startsWith("file:"))
+              new java.net.URI(p).getPath else p
+            val rel = Paths.get(tablePath).toAbsolutePath.normalize
+              .relativize(Paths.get(fs).toAbsolutePath.normalize)
+              .toString
+            val viols = cNames.zipWithIndex.map { case (n, i) =>
+              n -> (if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i))
             }
-          }.mkString("|")
-          rel -> (r.getLong(1), spec)
-        }.toMap
-      // a fresh file can hold zero rows (empty partition) and then
-      // emits no group — record it explicitly as 0
-      (fresh.map(f => s"$FileRowsPrefix$f" ->
-         perFile.get(f).map(_._1).getOrElse(0L).toString).toMap,
-       perFile.collect { case (f, (_, spec)) if spec.nonEmpty =>
-         s"$FileStatsPrefix$f" -> spec })
-    }
+            val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
+              (Option(r.get(statsBase + 2 * i)),
+               Option(r.get(statsBase + 1 + 2 * i))) match {
+                case (Some(mn), Some(mx))
+                    if !mn.asInstanceOf[Double].isNaN &&
+                      !mx.asInstanceOf[Double].isNaN =>
+                  Some(s"$c:${Math.nextDown(mn.asInstanceOf[Double])}:" +
+                    s"${Math.nextUp(mx.asInstanceOf[Double])}")
+                case _ => None // all-null or NaN column: unprunable
+              }
+            }.mkString("|")
+            (rel, r.getLong(1), viols, spec)
+          }
+        val bad = cNames.map(n =>
+            n -> perFile.map(_._3.toMap.getOrElse(n, 0L)).sum)
+          .filter(_._2 > 0)
+        if (bad.nonEmpty) {
+          rmTree(batchDir)
+          throw new IllegalArgumentException(
+            "requirement failed: commit violates CHECK constraint(s) " +
+              bad.map { case (n, c) =>
+                s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
+              " — nothing was published")
+        }
+        val byRel = perFile.map(t => t._1 -> (t._2, t._4)).toMap
+        // a fresh file can hold zero rows (empty partition) and then
+        // emits no group — record it explicitly as 0
+        (fresh.map(f => s"$FileRowsPrefix$f" ->
+           byRel.get(f).map(_._1).getOrElse(0L).toString).toMap,
+         byRel.collect { case (f, (_, spec)) if spec.nonEmpty =>
+           s"$FileStatsPrefix$f" -> spec })
+      }
     // PUBLISH with optimistic concurrency (the table-format retry):
     // each attempt builds the manifest against the CURRENT head and
     // claims the next version via an atomic-exclusive hard link (link()
