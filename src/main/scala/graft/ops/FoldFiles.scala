@@ -49,14 +49,40 @@ private[graft] object FoldFiles {
       finally s.close()
     }
 
+  /** Copy `src` to `dest` so `dest` appears fully-formed or not at all
+    * (write a sibling temp, then POSIX rename — atomic on one mount).
+    * This preserves the link path's crash contract for the copy
+    * fallbacks: a replay that sees `dest` existing may safely treat the
+    * publish step as done, because a crash mid-copy strands only a
+    * hidden `.tmp` (which [[parquets]] never lists), never a torn
+    * `dest`. Rename-over-existing is the IDEMPOTENT replay (frozen
+    * staging ⇒ byte-identical content). */
+  private def copyAtomic(dest: Path, src: Path): Unit = {
+    val tmp = Files.createTempFile(dest.getParent,
+      s".${dest.getFileName}-", ".tmp")
+    Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   private def linkOrCopy(dest: Path, src: Path): Unit =
     try Files.createLink(dest, src)
     catch {
       case _: java.nio.file.FileAlreadyExistsException => () // replayed
       case _: UnsupportedOperationException =>
-        // no hard links on this filesystem: copy, replace-idempotent
-        // (the staged source is frozen, so a re-copy is byte-identical)
-        Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING)
+        // no hard links on this filesystem: atomic copy, replay-safe
+        copyAtomic(dest, src)
+      case _: java.nio.file.FileSystemException
+          if !Files.exists(dest) =>
+        // hard link REFUSED rather than unsupported — the EXDEV case:
+        // staging (checkpoint dir) and destination (warehouse) on
+        // different mounts fails with FileSystemException, not
+        // UnsupportedOperationException, and without this fallback every
+        // publish AND every replay would throw identically, wedging the
+        // fold forever. Same atomic copy (frozen source). The !exists
+        // guard keeps genuine dest-side errors (permissions on an
+        // existing, fully-formed file) loud instead of silently
+        // re-copied over.
+        copyAtomic(dest, src)
     }
 
   /** Publish a staged APPEND: link every staged parquet into `destDir`

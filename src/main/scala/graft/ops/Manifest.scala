@@ -227,6 +227,19 @@ object Manifest {
     * sink-side marker file cannot give. */
   val TxnPrefix = "txn."
 
+  /** Thrown INSIDE the commit retry loop when a rebase discovers the
+    * new head already covers this commit's (appId, txnVersion) stamp —
+    * the zombie-writer replay race ([[commitOnce]] converts it into its
+    * idempotent `None`; any caller that commits txn-stamped metadata
+    * directly through [[commit]] sees it loudly instead of
+    * double-applying). */
+  private[graft] final class TxnAlreadyApplied(
+      val tablePath: String, val appId: String, val txnVersion: Long)
+    extends IllegalStateException(
+      s"transaction ($appId, $txnVersion) was committed to $tablePath " +
+        "by a concurrent writer while this commit was rebasing — " +
+        "dropping the replay instead of double-applying it")
+
   /** Highest transaction version `appId` has committed to `tablePath`
     * (scanning versions newest-first; -1 when the app never wrote).
     * Driver-side metadata walk, newest-first with early exit — commits
@@ -254,8 +267,16 @@ object Manifest {
     require(appId.nonEmpty && !appId.contains("=") && !appId.contains("\n"),
       s"invalid txn appId '$appId'")
     if (lastTxn(tablePath, appId) >= txnVersion) None
-    else Some(commit(df, tablePath, replace,
-      meta + (s"$TxnPrefix$appId" -> txnVersion.toString)))
+    else
+      try Some(commit(df, tablePath, replace,
+        meta + (s"$TxnPrefix$appId" -> txnVersion.toString)))
+      catch {
+        // lost the publish race to a concurrent writer that landed this
+        // very transaction (the commit retry loop's txn conflict
+        // check): the batch IS applied — exactly once, by the winner —
+        // so the idempotent contract is None, same as the pre-check.
+        case _: TxnAlreadyApplied => None
+      }
   }
 
   /** Reserved metadata key holding the table schema at a version, as
@@ -546,6 +567,25 @@ object Manifest {
               "CHECK constraints changed after this commit validated " +
               "its rows — retry on the new head")
         }
+        // TXN CONFLICT CHECK (Delta's retry-loop guard): [[commitOnce]]
+        // pre-checks `lastTxn` ONCE, against the head it resolved.
+        // Losing the publish race means the head moved — and the new
+        // head may ALREADY carry this (appId, txnVersion): two writers
+        // replaying the same micro-batch (the zombie-driver case
+        // streaming checkpoints exist for) both pass the pre-check and
+        // claim disjoint batch dirs; without this re-check the loser
+        // would rebase onto the winner and land the SAME transaction
+        // twice — duplicated rows that `lastTxn` reports as
+        // applied-once. Re-check every stamp against the rebased head
+        // and surrender the replay instead.
+        meta.foreach { case (k, v) =>
+          if (k.startsWith(TxnPrefix) &&
+              lastTxn(tablePath, k.stripPrefix(TxnPrefix)) >= v.toLong) {
+            rmTree(batchDir)
+            throw new TxnAlreadyApplied(tablePath,
+              k.stripPrefix(TxnPrefix), v.toLong)
+          }
+        }
       }
       val schema =
         if (replace || base == 0) df.schema
@@ -587,7 +627,25 @@ object Manifest {
           }
           base = version(tablePath)
         case _: UnsupportedOperationException =>
-          // filesystem without hard links: atomic but non-exclusive
+          // Filesystem without hard links: POSIX rename is atomic but
+          // NON-exclusive — it would silently replace a manifest a
+          // racing writer just published, losing that committed
+          // version. There is no exclusive atomic publish primitive on
+          // such a filesystem, so this path does NOT offer multi-writer
+          // rebase semantics: re-check the slot immediately before the
+          // move (narrows the race to the single-writer contract the
+          // pre-hardlink code had) and treat an occupied slot as a
+          // terminal conflict rather than rebasing into a lossy rename.
+          if (Files.exists(manifestFile(tablePath, next))) {
+            Files.deleteIfExists(tmp)
+            rmTree(batchDir)
+            throw new IllegalStateException(
+              s"concurrent commit detected at $tablePath: version " +
+                s"$next was published by another writer, and this " +
+                "filesystem has no hard links (no exclusive atomic " +
+                "publish) — multi-writer commits require hard-link " +
+                "support; retry on the new head")
+          }
           Files.move(tmp, manifestFile(tablePath, next),
             StandardCopyOption.ATOMIC_MOVE)
           return next
@@ -645,6 +703,16 @@ object Manifest {
             "was published by another writer — a restore resolves the " +
             "whole table state and cannot rebase; retry on the new head")
       case _: UnsupportedOperationException =>
+        // no hard links ⇒ no exclusive publish; same last-instant
+        // re-check as [[commit]]'s fallback (single-writer contract)
+        if (Files.exists(manifestFile(tablePath, next))) {
+          Files.deleteIfExists(tmp)
+          throw new IllegalStateException(
+            s"concurrent commit detected at $tablePath: version $next " +
+              "was published by another writer — a restore resolves " +
+              "the whole table state and cannot rebase; retry on the " +
+              "new head")
+        }
         Files.move(tmp, manifestFile(tablePath, next),
           StandardCopyOption.ATOMIC_MOVE)
         next

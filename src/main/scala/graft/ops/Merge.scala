@@ -77,6 +77,15 @@ object Merge {
         statsCols = keyCols.filterNot(c =>
           c.contains(":") || c.contains("|"))),
         0, 0, 0, 0)
+    // SNAPSHOT the source before anything reads it: the guard below, the
+    // key set, and the rewrite union must all see the SAME rows, or a
+    // non-deterministic / concurrently-changing source could pass the
+    // duplicate-key check (and the stats bounds) yet merge different
+    // rows — the same read-twice race [[Manifest.commit]] closes by
+    // validating the written batch. localCheckpoint materializes ONE
+    // eager evaluation (bounded: a MERGE source is a CDC batch, not the
+    // table) and every later reference replays the stored partitions.
+    val src = source.localCheckpoint()
     // ONE bounded aggregate over the source keys serves all three
     // guards: per-key row counts roll up to (distinct keys, max rows
     // per key, per-key-column min/max) — the duplicate-key precondition
@@ -84,7 +93,7 @@ object Merge {
     val boundAggs = keyCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"__mn_$c"),
       max(col(c)).cast("double").as(s"__mx_$c")))
-    val guard = source.groupBy(keyCols.map(col): _*)
+    val guard = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
       .agg(count(lit(1)).as("__k"),
         max(col("__n")).as("__m") +: boundAggs: _*).head()
@@ -110,14 +119,14 @@ object Merge {
           case _ => None
         }
       }.toMap
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val srcKeys = src.select(keyCols.map(col): _*).distinct()
     val keys =
       if (keyCount <= broadcastKeyLimit) broadcast(srcKeys) else srcKeys
     cowRewrite(spark, tablePath,
       touches = snap => snap.join(keys, keyCols, "left_semi"),
       rewrite = touched =>
         touched.join(keys, keyCols, "left_anti")
-          .unionByName(source),
+          .unionByName(src),
       meta, candidates = Some(candidateFiles(tablePath, srcBounds)),
       // the rewrite commit records key-column stats for ITS fresh
       // files, so rewritten files stay prunable by later merges (a

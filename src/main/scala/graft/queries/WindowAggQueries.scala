@@ -110,7 +110,8 @@ object WindowAggQueries {
            CAST(0 AS BIGINT) AS anoms
          FROM r WHERE rn = 1
          UNION ALL
-         SELECT r.event_type, r.rn, 0.3 * r.cnt + 0.7 * f.e,
+         SELECT r.event_type, r.rn,
+           0.3 * CAST(r.cnt AS DOUBLE) + 0.7 * f.e,
            f.anoms + CASE WHEN f.rn >= 3 AND r.cnt > 1.5 * f.e
              THEN 1 ELSE 0 END
          FROM r JOIN f

@@ -27,24 +27,44 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of the events parquet (schema pinned). Re-derives the
-    * batch-side contract from [[graft.queries.QueryDSL.events]]: `ts` =
-    * BIGINT nanos-since-epoch, `ts_utc` = microsecond timestamp; the
-    * `timestampdiff` against the NTZ epoch is wall-clock arithmetic with no
-    * session-timezone dependence. */
+  /** Streaming scan of the events parquet. Streaming sources require the
+    * schema pinned up front, but the driver has shipped `ts` as BOTH
+    * parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across testdata
+    * generations, so pinning one physical type would break every
+    * streaming query on the next flip while the batch side adapts.
+    * Instead, probe the footer ONCE (a driver-side batch schema read —
+    * no data scanned) and branch exactly like the batch reader
+    * [[graft.queries.QueryDSL.events]]; both readers then derive the
+    * library contract — `ts` = BIGINT nanos-since-epoch, `ts_utc` =
+    * microsecond timestamp — from the file's ACTUAL type. The
+    * `timestampdiff` against the NTZ epoch is wall-clock arithmetic with
+    * no session-timezone dependence. */
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       maxFilesPerTrigger: Int = 0): DataFrame = {
-    val r = spark.readStream.schema(eventSchema)
+    // TIMESTAMP(NANOS) surfaces as LongType only under this conf; the
+    // batch reader sets it identically, so the two probes agree.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.option("pathGlobFilter", glob)
+      .parquet(dir).schema("ts").dataType
+    val schema = StructType(eventSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val r = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
-    (if (maxFilesPerTrigger > 0)
+    val raw = (if (maxFilesPerTrigger > 0)
        r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
      else r).parquet(dir)
-      .withColumn("ts_us", expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
-      .withColumn("ts", expr("ts_us * 1000L"))
-      .withColumn("ts_utc", timestamp_micros(expr("ts_us")))
-      .drop("ts_us")
+    tsType match {
+      case LongType => // nanos-as-long generation: ts is already the contract
+        raw.withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP(MICROS) generation (TIMESTAMP_NTZ in Spark)
+        raw
+          .withColumn("ts_us", expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+          .withColumn("ts", expr("ts_us * 1000L"))
+          .withColumn("ts_utc", timestamp_micros(expr("ts_us")))
+          .drop("ts_us")
+    }
   }
 
   /** Tumbling 1-hour counts per event type — the canonical windowed

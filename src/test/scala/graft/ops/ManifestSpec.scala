@@ -596,4 +596,76 @@ class ManifestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet ==
       Set((1L, 10), (3L, 30)))
   }
+
+  test("txn conflict check in the rebase loop: two writers replaying " +
+    "the same (appId, txn) land it EXACTLY once — the loser surrenders " +
+    "as the idempotent None instead of rebasing a double-apply " +
+    "(zombie-writer replay)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val tbl = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl) // v1
+    // Both writers pass commitOnce's pre-check (lastTxn < 7 when each
+    // resolves). The seam fires between the loser's manifest build and
+    // its publish link: the competing writer lands the SAME transaction
+    // first, so the loser's link loses the version race and rebases —
+    // where the txn conflict check must catch the duplicate.
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      assert(Manifest.commitOnce(Seq(42).toDF("x"), tbl, "app", 7L)
+        .contains(2L), "the competing writer is the winner")
+    }
+    val res = try Manifest.commitOnce(Seq(42).toDF("x"), tbl, "app", 7L)
+    finally Manifest.beforePublish = () => ()
+    assert(res.isEmpty, "the losing replay must surrender, not rebase")
+    assert(Manifest.version(tbl) == 2L)
+    assert(Manifest.lastTxn(tbl, "app") == 7L)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      Seq(1, 42), "the batch must be applied exactly once")
+    // the surrendered batch dir was reclaimed: only the two LIVE
+    // versions' batch dirs remain under data/
+    val dirs = {
+      val s = JFiles.list(Paths.get(tbl, "data"))
+      try s.toArray.map(_.toString).length finally s.close()
+    }
+    assert(dirs == 2, s"loser must delete its claimed batch dir ($dirs)")
+    // the surrender is per-stamp, not sticky: the app's NEXT txn lands
+    assert(Manifest.commitOnce(Seq(43).toDF("x"), tbl, "app", 8L)
+      .contains(3L))
+  }
+
+  test("multi-writer stress: 2 threads x 20 racing commutable appends " +
+    "all land as 40 versions whose head file list is the disjoint-" +
+    "complete union of every commit's fresh files") {
+    val tbl = freshTable()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try
+          for (i <- 0 until 20)
+            Manifest.commit(Seq(t * 100 + i).toDF("x").coalesce(1), tbl)
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"racing commutable appends must all rebase and land: ${errs.peek()}")
+    assert(Manifest.version(tbl) == 40L)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq ==
+      ((0 until 20) ++ (100 until 120)).toSeq,
+      "every append applied exactly once")
+    // the version chain is linear: each version's fresh file set is
+    // non-empty and pairwise disjoint, and their union IS the head list
+    val head = Manifest.files(tbl, 40L)
+    assert(head.distinct.size == head.size, "no double-listed file")
+    val fresh = (1L to 40L).map { v =>
+      val prev = if (v == 1L) Set.empty[String]
+        else Manifest.files(tbl, v - 1).toSet
+      Manifest.files(tbl, v).toSet -- prev
+    }
+    assert(fresh.forall(_.nonEmpty), "every commit contributed a file")
+    assert(fresh.map(_.size).sum == head.size &&
+      fresh.reduce(_ ++ _) == head.toSet,
+      "head must be the disjoint-complete union of all fresh sets")
+  }
 }

@@ -1588,4 +1588,67 @@ class StreamingSpec extends SparkSpec {
     assert(ChangeFeed.replicaSourceVersion(rep) == 1L)
     assert(Manifest.read(spark, rep).count() == 1L)
   }
+
+  test("ts schema drift: a genuine TIMESTAMP(NANOS) events generation " +
+    "streams through readEventsStream to the SAME contract (ts BIGINT " +
+    "nanos, ts_utc micros) the batch reader derives — neither reader " +
+    "pins the file's physical type") {
+    import java.nio.file.Files
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.functions._
+    // synthesize the NANOS generation the driver has actually shipped:
+    // int64 annotated TIMESTAMP(isAdjustedToUTC=false, NANOS) — Spark
+    // cannot WRITE this type, so the file is built with parquet-java
+    // directly (the only raw-file write in the suite, and the point:
+    // the READERS must never assume the physical type)
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("props")
+      .named("events")
+    val dir = Files.createTempDirectory("nanos_events")
+    val w = ExampleParquetWriter
+      .builder(new HPath(dir.resolve("events.parquet").toString))
+      .withType(schema).build()
+    val fac = new SimpleGroupFactory(schema)
+    // sub-microsecond tails prove nanos precision survives into `ts`
+    val rows = Seq(
+      (1L, 1700000000123456789L, 10L, "click", 1.5, "{}"),
+      (2L, 1700000060987654321L, 11L, "view", 2.0, "{}"),
+      (3L, 1700003600000000001L, 10L, "click", 0.5, "{}"))
+    rows.foreach { case (id, ns, u, t, v, p) =>
+      val g = fac.newGroup()
+      g.add("event_id", id); g.add("ts", ns); g.add("user_id", u)
+      g.add("event_type", t); g.add("value", v); g.add("props", p)
+      w.write(g)
+    }
+    w.close()
+    val batch = QueryDSL.events(spark, dir.toString)
+      .select(col("event_id"), col("ts"), col("ts_utc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(batch.map(_._2) == rows.map(_._2).toSet,
+      "batch reader must surface raw nanos")
+    val q = Streams.readEventsStream(spark, dir.toString)
+      .select(col("event_id"), col("ts"), col("ts_utc"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nanos_drift_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nanos_drift_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(streamed == batch,
+      s"streaming contract must equal the batch contract: $streamed")
+  }
 }
