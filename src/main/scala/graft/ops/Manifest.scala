@@ -363,6 +363,98 @@ object Manifest {
       excludeConstraint = Some(name))
   }
 
+  /** Batch commit stats (per-file row counts + min/max bounds) read from
+    * the just-written parquet FOOTERS — the ~free path a constraint-less
+    * commit takes instead of launching a Spark job that re-reads the
+    * batch's data. The parquet writer already recorded exactly these
+    * numbers (block row counts, per-chunk column statistics) while the
+    * write job produced the files; harvesting them is driver-side
+    * metadata I/O, a few KB per fresh file, bounded by the BATCH's file
+    * count — never the table's, never its bytes. Commits with CHECK
+    * constraints keep the fused validation pass (they must read the
+    * rows anyway, and stats fall out of the same aggregate).
+    *
+    * Semantics match the data-pass exactly where it matters: row counts
+    * are exact; bounds are the native min/max cast to double and then
+    * ulp-widened (the same long→double rounding, the same widening, so
+    * the published `#filestats.` lines are identical). Conservative
+    * degradations only: a stats column whose SPARK type is not plain
+    * integral/floating (timestamp, decimal, string…) or whose footer
+    * statistics are absent/NaN records NO bound — the file reads as
+    * unprunable, which can never skip a matching file. */
+  /** The stats columns a commit actually records bounds for: plain
+    * integral/floating Spark types only, resolved against the batch's
+    * schema. Shared by BOTH stats paths so they publish identical
+    * lines — and so a string/timestamp/decimal stats column degrades to
+    * "no bound, unprunable" instead of the data pass throwing on an
+    * ANSI string→double cast. */
+  private def numericStatsCols(schema: StructType,
+      statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    statsCols.filter(c =>
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _ => false
+      })
+  }
+
+  private def footerBatchStats(spark: SparkSession, tablePath: String,
+      fresh: Seq[String], statsCols: Seq[String], schema: StructType)
+      : (Map[String, String], Map[String, String]) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val numericCols = numericStatsCols(schema, statsCols)
+    val conf = spark.sessionState.newHadoopConf()
+    def asDouble(v: AnyRef): Option[Double] = v match {
+      case l: java.lang.Long => Some(l.toDouble)
+      case i: java.lang.Integer => Some(i.toDouble)
+      case f: java.lang.Float => Some(f.toDouble)
+      case d: java.lang.Double => Some(d.toDouble)
+      case _ => None
+    }
+    val perFile = fresh.map { rel =>
+      val abs = Paths.get(tablePath).resolve(rel).toString
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs), conf))
+      try {
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val spec = numericCols.flatMap { c =>
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == c))
+          // every block must carry recorded, non-empty statistics for
+          // the column, or the footer cannot BOUND the file — record
+          // nothing (unprunable) rather than guess. Chunks that are
+          // entirely null contribute no bound but don't spoil the rest.
+          if (chunks.exists(_.isEmpty)) None
+          else {
+            val stats = chunks.flatten.map(_.getStatistics)
+            if (stats.exists(s => s == null || s.isEmpty)) None
+            else {
+              val bounds = stats.filter(_.hasNonNullValue).flatMap(s =>
+                for (mn <- asDouble(s.genericGetMin()
+                             .asInstanceOf[AnyRef]);
+                     mx <- asDouble(s.genericGetMax()
+                             .asInstanceOf[AnyRef])) yield (mn, mx))
+              if (bounds.size !=
+                    stats.count(_.hasNonNullValue) ||
+                  bounds.isEmpty ||
+                  bounds.exists(b => b._1.isNaN || b._2.isNaN)) None
+              else Some(s"$c:${Math.nextDown(bounds.map(_._1).min)}:" +
+                s"${Math.nextUp(bounds.map(_._2).max)}")
+            }
+          }
+        }.mkString("|")
+        (rel, rows, spec)
+      } finally rd.close()
+    }
+    (perFile.map(t => s"$FileRowsPrefix${t._1}" -> t._2.toString).toMap,
+     perFile.collect { case (f, _, spec) if spec.nonEmpty =>
+       s"$FileStatsPrefix$f" -> spec }.toMap)
+  }
+
   /** Commit `df` as the next version. Append commits carry the previous
     * version's files plus the new ones; `replace = true` carries only the
     * new ones; `removeFiles` (with `replace = false`) carries the previous
@@ -471,14 +563,20 @@ object Manifest {
     val cNames = constraints.keys.toSeq.sorted
     val (rowsMeta, statsMeta): (Map[String, String], Map[String, String]) =
       if (fresh.isEmpty) (Map.empty, Map.empty)
+      else if (cNames.isEmpty)
+        // no constraints to validate ⇒ nothing forces a data re-read:
+        // harvest counts + bounds from the batch's own footers (~free)
+        footerBatchStats(df.sparkSession, tablePath, fresh, statsCols,
+          df.schema)
       else {
         import org.apache.spark.sql.functions.{col, count, expr, lit,
           sum, when, max => fmax, min => fmin}
+        val numCols = numericStatsCols(df.schema, statsCols)
         val aggs = count(lit(1L)).as("__rows") +:
           (cNames.map(n => sum(when(
              !expr(constraints(n)), lit(1L)).otherwise(lit(0L)))
              .as(s"__viol_$n")) ++
-           statsCols.flatMap(c => Seq(
+           numCols.flatMap(c => Seq(
              fmin(col(c)).cast("double").as(s"__mn_$c"),
              fmax(col(c)).cast("double").as(s"__mx_$c"))))
         val statsBase = 2 + cNames.size
@@ -496,7 +594,7 @@ object Manifest {
             val viols = cNames.zipWithIndex.map { case (n, i) =>
               n -> (if (r.isNullAt(2 + i)) 0L else r.getLong(2 + i))
             }
-            val spec = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val spec = numCols.zipWithIndex.flatMap { case (c, i) =>
               (Option(r.get(statsBase + 2 * i)),
                Option(r.get(statsBase + 1 + 2 * i))) match {
                 case (Some(mn), Some(mx))

@@ -597,6 +597,38 @@ class ManifestSpec extends SparkSpec {
       Set((1L, 10), (3L, 30)))
   }
 
+  test("footer-stats fast path: a constraint-less commit publishes the " +
+    "IDENTICAL #filerows/#filestats values the fused data pass records " +
+    "— including >2^53 longs, doubles, all-null and string columns — " +
+    "without launching a job over the batch") {
+    // same frame committed twice: tbl A has a (vacuous) CHECK constraint
+    // so its commit takes the fused validation pass; tbl B has none and
+    // takes the footer harvest. The published stats must agree exactly.
+    val df = Seq(
+      ((1L << 53) + 1L, 2.5, Option(3L), "x"),
+      ((1L << 53) + 5L, -1.5, None, "y"),
+      (42L, 0.0, Option(9L), "z"))
+      .toDF("big", "d", "maybe", "s").coalesce(1)
+    val cols = Seq("big", "d", "maybe", "s")
+    val tblA = freshTable(); val tblB = freshTable()
+    Manifest.commit(df.limit(0), tblA, meta =
+      Map(s"${Manifest.ConstraintPrefix}t" -> "1 = 1")) // arm the data pass
+    Manifest.commit(df, tblA, statsCols = cols)
+    Manifest.commit(df, tblB, statsCols = cols)
+    def statsOf(t: String) = Manifest.fileStats(t).values.toSeq
+    assert(statsOf(tblA) == statsOf(tblB),
+      s"footer bounds must equal data-pass bounds: " +
+        s"${statsOf(tblA)} vs ${statsOf(tblB)}")
+    // string col records no bound on either path; the others do
+    assert(statsOf(tblB).head.keySet == Set("big", "d", "maybe"))
+    assert(Manifest.rowCount(tblA).contains(3L) &&
+      Manifest.rowCount(tblB).contains(3L))
+    // zero-row batch file: explicit 0 count, no bounds, still countable
+    val tblC = freshTable()
+    Manifest.commit(df.limit(0).coalesce(1), tblC, statsCols = cols)
+    assert(Manifest.rowCount(tblC).contains(0L))
+  }
+
   test("txn conflict check in the rebase loop: two writers replaying " +
     "the same (appId, txn) land it EXACTLY once — the loser surrenders " +
     "as the idempotent None instead of rebasing a double-apply " +
