@@ -691,14 +691,43 @@ object Multimodal {
   /** A sampled frame: payload slice `idx` of the media item. */
   final case class Frame(id: Long, idx: Int, frame: Array[Byte])
 
-  /** STUB decoder context — stands in for a codec/model handle that is
-    * expensive to construct and must be built once per partition, not per
-    * row. The fake "decode" reads dimensions from the first two bytes. */
+  /** Container sniff by MAGIC BYTES — the dispatch every ingest probe
+    * starts with: ISO-BMFF carries `ftyp` at offset 4, Matroska/WebM
+    * opens with the EBML id 0x1A45DFA3. Anything else is "unknown" and
+    * falls to the stub path (a real pipeline would quarantine or
+    * fingerprint it). */
+  def sniffContainer(b: Array[Byte]): String =
+    if (b.length >= 8 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') "mp4"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x1a &&
+        (b(1) & 0xff) == 0x45 && (b(2) & 0xff) == 0xdf &&
+        (b(3) & 0xff) == 0xa3) "mkv"
+    else "unknown"
+
+  /** Decoder context — the codec/model handle that is expensive to
+    * construct and must be built once per partition, not per row.
+    * Payloads whose magic identifies a container this library REALLY
+    * parses (MP4 box walk, MKV EBML walk — the m7/m8 probes) route to
+    * those walkers and report genuine dimensions; only genuinely
+    * unknown formats take the STUB path (dimensions faked from the
+    * first two bytes — the documented m1 placeholder for codecs this
+    * container image lacks). */
   private final class DecoderContext {
-    def decodeMeta(r: MediaRow): MediaMeta = MediaMeta(
-      r.id, r.kind, r.payload.length.toLong,
-      if (r.payload.length > 0) r.payload(0) & 0xff else 0,
-      if (r.payload.length > 1) r.payload(1) & 0xff else 0)
+    def decodeMeta(r: MediaRow): MediaMeta =
+      sniffContainer(r.payload) match {
+        case "mp4" =>
+          val s = parseMp4Sidecar(r.id, r.payload)
+          MediaMeta(r.id, "mp4", r.payload.length.toLong,
+            s.width, s.height)
+        case "mkv" =>
+          val s = parseMkvSidecar(r.id, r.payload)
+          MediaMeta(r.id, "mkv", r.payload.length.toLong,
+            s.width, s.height)
+        case _ => MediaMeta(
+          r.id, r.kind, r.payload.length.toLong,
+          if (r.payload.length > 0) r.payload(0) & 0xff else 0,
+          if (r.payload.length > 1) r.payload(1) & 0xff else 0)
+      }
 
     /** STUB frame sampler: the first `maxFrames` fixed-size slices of the
       * payload (a real one would seek keyframes). */

@@ -123,9 +123,55 @@ object ChangeFeed {
         if (layoutOnly) None // writer-flagged compaction: no changes
         else if (prev.subsetOf(cur.toSet)) { // append: feed = added files
           val added = cur.filterNot(prev.contains)
-          if (added.isEmpty) None
-          else Some(readStep(spark, tablePath, v, added)
-            .withColumn(TypeCol, lit("insert")))
+          val inserts =
+            if (added.isEmpty) None
+            else Some(readStep(spark, tablePath, v, added)
+              .withColumn(TypeCol, lit("insert")))
+          // a merge-on-read DELETE changes no files — its change is the
+          // DV delta: positions this version hides that the previous
+          // one did not are exactly the deleted rows (a new DV always
+          // CONTAINS the old positions, so the delta is a per-file
+          // anti-join of current minus previous)
+          val dvPrev =
+            if (v == 1) Map.empty[String, (String, Long)]
+            else Manifest.deletionVectors(tablePath, v - 1)
+          val dvCur = Manifest.deletionVectors(tablePath, v)
+          val grown = dvCur.filter { case (f, m) =>
+            !dvPrev.get(f).contains(m) }
+          val deletes =
+            if (grown.isEmpty) None
+            else {
+              val newPos = {
+                val cu = Manifest.dvPositions(spark, tablePath, grown)
+                  .select(col("file").as("__dv_f"),
+                    col("pos").as("__dv_p"))
+                val pv = dvPrev.filter { case (f, _) =>
+                  grown.contains(f) }
+                if (pv.isEmpty) cu
+                else cu.join(
+                  Manifest.dvPositions(spark, tablePath, pv)
+                    .select(col("file").as("__dv_f"),
+                      col("pos").as("__dv_p")),
+                  Seq("__dv_f", "__dv_p"), "left_anti")
+              }
+              // this step's delete volume, free from the mappings —
+              // the same size gate as the read-side anti-join
+              val delta = grown.map { case (f, (_, n)) =>
+                n - dvPrev.get(f).map(_._2).getOrElse(0L) }.sum
+              val hinted =
+                if (delta <= Manifest.DvBroadcastLimit)
+                  broadcast(newPos)
+                else newPos
+              Some(Manifest.withPos(
+                  readStep(spark, tablePath, v, grown.keys.toSeq.sorted))
+                .join(hinted, Seq("__dv_f", "__dv_p"), "left_semi")
+                .drop("__dv_f", "__dv_p")
+                .withColumn(TypeCol, lit("delete")))
+            }
+          (inserts, deletes) match {
+            case (Some(i), Some(d)) => Some(i.unionByName(d))
+            case (i, d) => i.orElse(d)
+          }
         } else { // replace: row-level snapshot diff
           require(keyCols.nonEmpty, s"version $v of $tablePath is a " +
             "replace commit — row-level CDC needs keyCols")

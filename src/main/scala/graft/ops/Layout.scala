@@ -98,8 +98,14 @@ object Layout {
       .getOrElse(Manifest.read(spark, tablePath).schema)
     val paths = targets.map(r =>
       java.nio.file.Paths.get(tablePath).resolve(r).toString)
+    // DV-APPLIED rewrite: a targeted file's deletion vector is
+    // materialized away here — the survivors are written WITHOUT the
+    // hidden rows and the commit drops the removed files' mappings, so
+    // maintenance is what retires the merge-on-read read-side tax
+    // (still data_change=false: the hidden rows were already invisible)
     val v = Manifest.commit(
-      spark.read.schema(schema).parquet(paths: _*)
+      Manifest.applyDv(spark, tablePath, Manifest.version(tablePath),
+          spark.read.schema(schema).parquet(paths: _*))
         .repartitionByRange(numFiles, col(column))
         .sortWithinPartitions(col(column)),
       tablePath, removeFiles = targets, statsCols = Seq(column),

@@ -114,6 +114,8 @@ object Manifest {
       .filterNot(_._1.startsWith(TxnPrefix))
       .filterNot(_._1.startsWith(FileStatsPrefix))
       .filterNot(_._1.startsWith(FileRowsPrefix))
+      .filterNot(_._1.startsWith(DvPrefix))
+      .filterNot(_._1 == OpTypeKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -209,12 +211,20 @@ object Manifest {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.getOrElse(read(spark, tablePath, v).schema))
-      else schema match {
+      else applyDv(spark, tablePath, v, schema match {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
-      }
+      })
     (df, kept.size, all.size - kept.size)
   }
+
+  /** Internal metadata key recording a commit's OPERATION when the
+    * file-list diff alone cannot classify it: a copy-on-write rewrite
+    * that touches EVERY live file lists all-new files — exactly a
+    * replace's shape — so [[commit]] stamps removeFiles-bearing commits
+    * `optype=rewrite` and [[history]] prefers the recorded operation
+    * over inference (pre-recording manifests still infer). */
+  val OpTypeKey = "optype"
 
   /** Prefix of metadata keys recording idempotent-writer transactions —
     * the Delta `txn` (appId, version) contract that makes streaming
@@ -278,6 +288,104 @@ object Manifest {
         case _: TxnAlreadyApplied => None
       }
   }
+
+  /** Prefix of metadata keys mapping a live data file to its DELETION
+    * VECTOR (`dv.<fileRel>=<dvDirRel>:<positions>`) — the merge-on-read
+    * DELETE the Delta DV / Iceberg v2 position-delete shape: a row-level
+    * delete publishes positions-to-hide for the files it touches instead
+    * of rewriting them (at 100 TB, GDPR single-key erasure must not pay
+    * a file rewrite). Readers anti-join `(file, row position)` against
+    * the referenced DV parquet; a file without a mapping reads
+    * untouched, so DV-less tables pay nothing. The in-force DV state is
+    * CARRIED IN FULL by every manifest (exactly like the file list):
+    * appends inherit the base's mappings, copy-on-write rewrites drop
+    * the mappings of the files they remove (their rewrite applied the
+    * DV, materializing it away), replaces drop everything, restore
+    * re-lists the target's mappings — so resolving a version's DVs is
+    * one manifest read, vacuum can drop old manifests without
+    * resurrecting deleted rows, and time travel sees each version's
+    * exact DV state. A newer DV for a file always CONTAINS its older
+    * positions (the delete op carries them forward), which keeps stale
+    * rows in shared DV directories harmless. */
+  val DvPrefix = "dv."
+
+  /** Broadcast ceiling for the read-side DV anti-join, in total deleted
+    * positions (known for free from the mapping metadata). Past it the
+    * anti-join falls back to a shuffle join instead of flooding the
+    * driver — the same degrade-don't-crash gate as Merge's key set. */
+  val DvBroadcastLimit: Long = 4L * 1000 * 1000
+
+  /** Deletion vectors in force at version `v` (newest when omitted):
+    * fileRel → (dvDirRel, deleted position count). One manifest read. */
+  def deletionVectors(tablePath: String,
+      v: Long = -1L): Map[String, (String, Long)] = {
+    val vv = if (v >= 0) v else version(tablePath)
+    if (vv <= 0) Map.empty
+    else rawMeta(tablePath, vv).collect {
+      case (k, value) if k.startsWith(DvPrefix) =>
+        val i = value.lastIndexOf(':')
+        k.stripPrefix(DvPrefix) ->
+          (value.substring(0, i), value.substring(i + 1).toLong)
+    }
+  }
+
+  /** The table-relative path of the file a scanned row came from, as a
+    * plain codegen'd expression over `_metadata.file_path` (last three
+    * path segments — the fixed `data/bNNNNNN/<file>` layout): the join
+    * key DV application matches on. */
+  private[ops] def relPathCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3))
+  }
+
+  /** `df` (a direct parquet scan of this table's files) with the DV
+    * join-key columns materialized from the scan's metadata — must run
+    * BEFORE any join, while `_metadata` is unambiguous. */
+  private[ops] def withPos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__dv_f", relPathCol)
+      .withColumn("__dv_p", col("_metadata.row_index"))
+  }
+
+  /** All deleted `(file, pos)` positions of `dvs`, as a distributed
+    * frame: reads the referenced DV directories, restricted to mapped
+    * files (a shared directory may hold stale rows for files whose
+    * mapping moved on — always position-subsets, but files with NO
+    * mapping must contribute nothing). */
+  private[ops] def dvPositions(spark: SparkSession, tablePath: String,
+      dvs: Map[String, (String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dirs = dvs.values.map(_._1).toSeq.distinct.sorted
+      .map(r => Paths.get(tablePath).resolve(r).toString)
+    spark.read.parquet(dirs: _*)
+      .filter(col("file").isInCollection(dvs.keys.toSeq))
+  }
+
+  /** Anti-join a [[withPos]]-prepared frame against the DVs in force at
+    * `v`, keeping the `__dv_f`/`__dv_p` helper columns for callers that
+    * still need them (drop them when done). No-op without DVs. */
+  private[ops] def antiDv(spark: SparkSession, tablePath: String,
+      v: Long, dfWithPos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dvs = deletionVectors(tablePath, v)
+    if (dvs.isEmpty) dfWithPos
+    else {
+      val dv = dvPositions(spark, tablePath, dvs)
+        .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+      val hinted =
+        if (dvs.values.map(_._2).sum <= DvBroadcastLimit) broadcast(dv)
+        else dv
+      dfWithPos.join(hinted, Seq("__dv_f", "__dv_p"), "left_anti")
+    }
+  }
+
+  /** DV-applied view of `base` (a direct scan of version `v`'s files):
+    * hides every deleted position, no-op when the version has no DVs. */
+  private[ops] def applyDv(spark: SparkSession, tablePath: String,
+      v: Long, base: DataFrame): DataFrame =
+    if (deletionVectors(tablePath, v).isEmpty) base
+    else antiDv(spark, tablePath, v, withPos(base))
+      .drop("__dv_f", "__dv_p")
 
   /** Reserved metadata key holding the table schema at a version, as
     * single-line Spark JSON. The schema lives in the LOG, not in file
@@ -626,6 +734,23 @@ object Manifest {
          byRel.collect { case (f, (_, spec)) if spec.nonEmpty =>
            s"$FileStatsPrefix$f" -> spec })
       }
+    // ZERO-ROW batch files drop from the listing (Delta never publishes
+    // an empty add action): a metadata-only commit — ADD CONSTRAINT,
+    // a DV delete, an empty micro-batch — stays truly metadata-only
+    // instead of growing every later scan, prune and merge candidate
+    // set by one stat-less, unprunable empty file per commit. The file
+    // stays on disk unreferenced; vacuum sweeps it. Kept only when
+    // dropping would leave the version with no listed file at all (the
+    // first or replace commit of an empty frame — readers resolve their
+    // empty scan from the file's footer).
+    val freshKept = {
+      val nonEmpty = fresh.filter(f =>
+        rowsMeta.get(s"$FileRowsPrefix$f").forall(_ != "0"))
+      if (nonEmpty.nonEmpty || (!replace && prev0 > 0)) nonEmpty
+      else fresh
+    }
+    val keptKeys = freshKept.map(f => s"$FileRowsPrefix$f").toSet
+    val rowsMetaKept = rowsMeta.filter(kv => keptKeys.contains(kv._1))
     // PUBLISH with optimistic concurrency (the table-format retry):
     // each attempt builds the manifest against the CURRENT head and
     // claims the next version via an atomic-exclusive hard link (link()
@@ -643,8 +768,13 @@ object Manifest {
     // constraint set than they validated against abort loudly instead
     // (their correctness was resolved against a now-stale base).
     Files.createDirectories(manifestDir(tablePath))
+    // a DV-publishing commit resolved its positions (and carried the
+    // base's existing positions forward) against a specific head — it
+    // can never rebase; plain appends CAN, re-inheriting the new head's
+    // DV state below
     val commutable = !replace && removeFiles.isEmpty &&
-      passed.isEmpty && excludeConstraint.isEmpty
+      passed.isEmpty && excludeConstraint.isEmpty &&
+      !meta.keys.exists(_.startsWith(DvPrefix))
     var base = prev0
     var attempts = 0
     while (true) {
@@ -694,14 +824,28 @@ object Manifest {
         else constraintsOf(tablePath, base) -- excludeConstraint.toSeq
       val constraintMeta = (inherited ++ passed)
         .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
+      // DV state carries in full, like the file list: appends inherit
+      // the base's mappings (minus any file this commit removes — its
+      // rewrite applied the DV), replaces reset, and a delete's own
+      // dv.* meta overrides per file
+      val dvMeta: Map[String, String] =
+        (if (replace || base == 0) Map.empty[String, String]
+         else rawMeta(tablePath, base)
+           .filter(_._1.startsWith(DvPrefix))
+           .filterNot { case (k, _) =>
+             removeFiles.contains(k.stripPrefix(DvPrefix)) }) ++
+        meta.filter(_._1.startsWith(DvPrefix))
       val next = base + 1
+      val opMeta =
+        if (removeFiles.nonEmpty) Map(OpTypeKey -> "rewrite")
+        else Map.empty[String, String]
       val lines =
-        (meta ++ constraintMeta ++ rowsMeta ++ statsMeta +
-          (SchemaKey -> schema.json)).toSeq.sorted
+        (meta ++ constraintMeta ++ dvMeta ++ opMeta ++ rowsMetaKept ++
+          statsMeta + (SchemaKey -> schema.json)).toSeq.sorted
           .map { case (k, v) => s"#$k=$v" } ++
         (if (replace || base == 0) Seq.empty
          else listed(tablePath, base).filterNot(removeFiles.toSet)) ++
-        fresh
+        freshKept
       // writer-unique tmp (createTempFile): concurrent publishers of
       // the same version must not overwrite each other's staging file
       val tmp = Files.createTempFile(manifestDir(tablePath),
@@ -779,7 +923,11 @@ object Manifest {
       rawMeta(tablePath, toVersion).get(SchemaKey)
         .map(SchemaKey -> _).toMap ++
       constraintsOf(tablePath, toVersion)
-        .map { case (n, e) => s"$ConstraintPrefix$n" -> e }
+        .map { case (n, e) => s"$ConstraintPrefix$n" -> e } ++
+      // the target's DV state returns with its files (a DV added after
+      // the target must NOT survive the rollback; one the target had
+      // must) — full-carry makes this a straight copy
+      rawMeta(tablePath, toVersion).filter(_._1.startsWith(DvPrefix))
     val next = head + 1
     val lines =
       (meta ++ restoredMeta + ("restore.of" -> toVersion.toString))
@@ -890,6 +1038,26 @@ object Manifest {
         catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }
+    // DV sweep, same shape as the data sweep: a deletion-vector
+    // directory survives iff some RETAINED manifest still references it
+    // (full-carry means each retained manifest names everything its
+    // version needs); orphans — from dropped history, materialized-away
+    // DVs, or a crashed delete that never published — reclaim here
+    val dvKeep = all.takeRight(retainLast).flatMap(v =>
+      rawMeta(tablePath, v).collect {
+        case (k, value) if k.startsWith(DvPrefix) =>
+          value.substring(0, value.lastIndexOf(':'))
+      }).toSet
+    val dvRoot = Paths.get(tablePath, "dv")
+    if (Files.isDirectory(dvRoot))
+      ls(dvRoot).map(Paths.get(_)).filter(Files.isDirectory(_)).foreach {
+        d =>
+          val rel = Paths.get(tablePath).relativize(d).toString
+          if (!dvKeep.contains(rel)) {
+            try rmTree(d)
+            catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+          }
+      }
     (dropped, gone.result().sorted)
   }
 
@@ -959,10 +1127,10 @@ object Manifest {
         // then emits no group — record it explicitly
         uncovered.foreach(f => fileRows.getOrElseUpdate(f, 0L))
       }
-      val changeType =
+      val changeType = rawMeta(tablePath, v).getOrElse(OpTypeKey,
         if (removed.isEmpty) "append"
         else if (cur.forall(!prev.contains(_))) "replace"
-        else "rewrite"
+        else "rewrite")
       CommitInfo(v, changeType, added.size.toLong, removed.size.toLong,
         added.map(fileRows.getOrElse(_, 0L)).sum,
         removed.toSeq.map(fileRows.getOrElse(_, 0L)).sum,
@@ -983,9 +1151,12 @@ object Manifest {
     require(v > 0, s"no committed version at $tablePath")
     val files = listed(tablePath, v)
       .map(rel => Paths.get(tablePath).resolve(rel).toString)
-    schemaOf(tablePath, v) match {
+    val base = schemaOf(tablePath, v) match {
       case Some(s) => spark.read.schema(s).parquet(files: _*)
       case None => spark.read.parquet(files: _*)
     }
+    // merge-on-read: hide positions deleted by the version's deletion
+    // vectors (no-op — same plan as before — when the version has none)
+    applyDv(spark, tablePath, v, base)
   }
 }

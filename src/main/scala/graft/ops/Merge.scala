@@ -193,6 +193,97 @@ object Merge {
       // survivors keep their range column's stats prunable
       statsCols = pruneRange.map(_._1).toSeq)
 
+  /** Accounting of one merge-on-read DELETE: no data file is read-
+    * modified-written — the commit publishes ONLY deletion vectors.
+    * `filesBefore` data files, `filesWithDv` now carrying a (possibly
+    * grown) DV, `positionsAdded` newly-hidden rows, `filesCandidates`
+    * the files the match scan actually read (stats-pruned like the COW
+    * paths). */
+  case class DvStats(version: Long, filesBefore: Int, filesWithDv: Int,
+      positionsAdded: Long, filesCandidates: Int)
+
+  /** DELETE FROM ... WHERE `pred` as MERGE-ON-READ (the Delta deletion-
+    * vector / Iceberg v2 position-delete shape): instead of rewriting
+    * every file that contains a matching row ([[deleteWhere]], the
+    * copy-on-write path), publish a DELETION VECTOR — the matching
+    * rows' positions per file — and let readers hide them. Write cost
+    * is ∝ MATCHED ROWS, not touched-file bytes: the single-key GDPR
+    * erasure on a 100 TB table publishes a few positions and zero data
+    * files. Reads of DV'd files pay a (broadcast, size-gated) anti-join
+    * until maintenance ([[deleteWhere]]-style rewrites,
+    * [[Layout.optimizeWhere]], compaction) materializes the DV away —
+    * exactly the COW/MoR trade every lakehouse exposes. Deletes stack:
+    * a new DV carries the file's existing positions forward, and
+    * already-hidden rows can never re-match (the match scan reads the
+    * DV-applied view). Time travel sees each version's exact DV state;
+    * [[ChangeFeed.changes]] emits the hidden rows as delete images.
+    * `pruneRange` bounds the match scan from file stats exactly like
+    * [[deleteWhere]]. A predicate matching nothing publishes nothing. */
+  def deleteWhereDv(spark: SparkSession, tablePath: String, pred: Column,
+      meta: Map[String, String] = Map.empty,
+      pruneRange: Option[(String, Double, Double)] = None): DvStats = {
+    import java.nio.file.Files
+    val headV = Manifest.version(tablePath)
+    val before = Manifest.files(tablePath)
+    val dvs = Manifest.deletionVectors(tablePath, headV)
+    val noop = DvStats(headV, before.size, dvs.size, 0L, 0)
+    val cand = candidateFiles(tablePath,
+      pruneRange.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)
+    if (cand.isEmpty) return noop
+    val schema = Manifest.schemaOf(tablePath)
+      .getOrElse(Manifest.read(spark, tablePath).schema)
+    // match against the LIVE view (positions already hidden by an
+    // in-force DV are excluded — idempotent re-deletes add nothing),
+    // with the scan built from candidate paths (structural stats prune)
+    val scan = Manifest.withPos(spark.read.schema(schema).parquet(
+      cand.map(r => Paths.get(tablePath).resolve(r).toString): _*))
+    val matched = Manifest.antiDv(spark, tablePath, headV, scan)
+      .filter(pred)
+      .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+    // per-file match counts: the commit-coordinator metadata action,
+    // bounded by the candidate FILE count (rows stay executor-side)
+    val perFile = matched.groupBy(col("file"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return noop
+    // claim a fresh DV directory atomically (the batch-dir discipline:
+    // a crashed delete's orphan dir is unreferenced debris vacuum
+    // sweeps, never a correctness hazard)
+    val dvRoot = Paths.get(tablePath, "dv")
+    Files.createDirectories(dvRoot)
+    var claim = headV + 1
+    var dvDir: java.nio.file.Path = null
+    while (dvDir == null) {
+      val c = dvRoot.resolve(f"d$claim%06d")
+      try { Files.createDirectory(c); dvDir = c }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => claim += 1
+      }
+    }
+    // the new DV for each touched file = its fresh matches plus its
+    // existing positions carried forward (supersede-by-containment:
+    // stale rows in older shared dirs stay harmless subsets)
+    val carried = dvs.filter { case (f, _) => perFile.contains(f) }
+    val allPos =
+      if (carried.isEmpty) matched
+      else matched.unionByName(
+        Manifest.dvPositions(spark, tablePath, carried))
+    allPos.coalesce(1).write.mode("append").parquet(dvDir.toString)
+    val dvRel = Paths.get(tablePath).relativize(dvDir).toString
+    val dvLines = perFile.map { case (f, n) =>
+      s"${Manifest.DvPrefix}$f" ->
+        s"$dvRel:${n + dvs.get(f).map(_._2).getOrElse(0L)}"
+    }
+    // metadata-only publish: ZERO data files — the earned MoR flag
+    val v = Manifest.commit(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      tablePath, meta = meta ++ dvLines)
+    DvStats(v, before.size,
+      (dvs.keySet ++ perFile.keySet).size,
+      perFile.values.sum, cand.size)
+  }
+
   /** The shared copy-on-write skeleton: locate the files `touches` hits
     * (scanning only `candidates` when stats bounded the search),
     * re-emit them through `rewrite`, publish with `removeFiles`. */
@@ -202,25 +293,33 @@ object Merge {
       skipWhenUntouched: Boolean = false,
       candidates: Option[Seq[String]] = None,
       statsCols: Seq[String] = Seq.empty): CowStats = {
+    val headV = Manifest.version(tablePath)
     val before = Manifest.files(tablePath)
-    val base = Manifest.read(spark, tablePath) // one manifest resolve
-    val schema = base.schema
+    val schema = Manifest.schemaOf(tablePath, headV)
+      .getOrElse(Manifest.read(spark, tablePath).schema)
     val cand = candidates.getOrElse(before)
     // The touch scan reads ONLY the candidate files — built from their
     // explicit paths, so the stats prune is structural (a skipped
     // file's bytes cannot be read), not a filter Spark may or may not
     // push. A file outside the candidate set provably holds no match.
+    // Every frame is the DV-APPLIED view: a position a deletion vector
+    // hides can neither count as a match nor survive into a rewrite
+    // (the rewrite MATERIALIZES the DV away — commit drops the removed
+    // files' mappings).
     val scanned =
-      if (candidates.isEmpty || cand.size == before.size) base
-      else if (cand.isEmpty) null // no candidate can match: no touches
-      else spark.read.schema(schema).parquet(
-        cand.map(r => Paths.get(tablePath).resolve(r).toString): _*)
+      if (cand.isEmpty) null // no candidate can match: no touches
+      else Manifest.antiDv(spark, tablePath, headV,
+        Manifest.withPos(
+          spark.read.schema(schema).parquet(
+            cand.map(r => Paths.get(tablePath).resolve(r).toString): _*)
+          .withColumn("__f", col("_metadata.file_path"))))
+        .drop("__dv_f", "__dv_p")
     // Driver-side FILE-PATH listing — the commit coordinator's matched-
     // file metadata action (bounded by the table's file count, no data
     // rows cross the driver); the data itself moves executor-side below.
     val touchedAbs =
       if (scanned == null) Seq.empty[String]
-      else touches(scanned.withColumn("__f", col("_metadata.file_path")))
+      else touches(scanned)
         .select(col("__f")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
     if (touchedAbs.isEmpty && skipWhenUntouched)
@@ -237,7 +336,12 @@ object Merge {
       if (touchedAbs.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(touchedAbs: _*)
+      else
+        // DV-applied: a hidden position must not survive the rewrite
+        // (the commit drops the rewritten files' DV mappings — this
+        // read is what makes that sound)
+        Manifest.applyDv(spark, tablePath, headV,
+          spark.read.schema(schema).parquet(touchedAbs: _*))
     val v = Manifest.commit(rewrite(touchedRows), tablePath, meta = meta,
       removeFiles = touchedRel, statsCols = statsCols)
     CowStats(v, before.size, touchedRel.size,

@@ -1126,6 +1126,86 @@ object SourceQueries {
              TRUE AS flagged_layout
            FROM orders""")),
 
+    // S33: MERGE-ON-READ DELETE VIA DELETION VECTORS — the write-path
+    // counterpart COW deletes can't give: at 100 TB, a single-key GDPR
+    // erasure must not pay a file rewrite, so the delete publishes ONLY
+    // a position bitmap sidecar (Delta DV / Iceberg v2 position-delete
+    // shape) and readers hide the positions with a size-gated broadcast
+    // anti-join. The lifecycle exercises every contract edge: the match
+    // scan is stats-pruned to one candidate file (structural, like
+    // s29), the commit changes ZERO data files (dv_only_commit — files
+    // before == after), the MoR read equals the logical delete,
+    // time travel still sees the pre-delete rows, the change feed emits
+    // exactly the hidden rows as delete images, and OPTIMIZE WHERE
+    // absorbs the DV (materializes it away, retiring the read-side
+    // anti-join — the COW/MoR maintenance trade every lakehouse runs).
+    // Values (post-delete count/mass, deleted-row count) replay in the
+    // oracle; a resurrected row, lost position, or wrong delete image
+    // flips a value or a flag.
+    "s33_delete_dv" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Layout, Manifest, Merge}
+        val tbl = scratch("s33_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        // driver-side scalar bound (the s11 paged-fetch precedent)
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val filesBefore = Manifest.files(tbl)
+        val st = Merge.deleteWhereDv(s, tbl,
+          col("o_orderkey") >= q && col("o_orderkey") < 2 * q &&
+            col("o_orderstatus") === "F",
+          pruneRange = Some(("o_orderkey", q.toDouble,
+            (2 * q - 1).toDouble)))
+        val dvOnly = Manifest.files(tbl) == filesBefore &&
+          st.version == 5L
+        val morCount = Manifest.read(s, tbl, st.version).count()
+        val preCount = Manifest.read(s, tbl, st.version - 1).count()
+        val cdcDeletes = ChangeFeed.changes(s, tbl, st.version - 1,
+            st.version)
+          .filter(col(ChangeFeed.TypeCol) === "delete").count()
+        // maintenance absorbs the DV: the targeted rewrite materializes
+        // the hidden positions away and drops the mapping
+        Layout.optimizeWhere(s, tbl, "o_orderkey", q.toDouble,
+          (2 * q - 1).toDouble)
+        val absorbed = Manifest.deletionVectors(tbl).isEmpty
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double").as("price_mass"))
+          .select(col("n_rows"),
+            lit(st.positionsAdded).as("positions_deleted"),
+            col("price_mass"),
+            lit(dvOnly).as("dv_only_commit"),
+            lit(st.filesCandidates == 1).as("stats_pruned_match"),
+            lit(morCount == preCount - st.positionsAdded)
+              .as("mor_read_hides"),
+            lit(cdcDeletes == st.positionsAdded).as("cdc_delete_images"),
+            lit(absorbed).as("dv_absorbed"))
+      },
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders),
+             k AS (SELECT o_totalprice,
+               o_orderkey >= (SELECT q FROM b) AND
+               o_orderkey < 2 * (SELECT q FROM b) AND
+               o_orderstatus = 'F' AS del FROM orders)
+           SELECT CAST(count(CASE WHEN NOT del THEN 1 END) AS BIGINT)
+               AS n_rows,
+             CAST(count(CASE WHEN del THEN 1 END) AS BIGINT)
+               AS positions_deleted,
+             CAST(sum(CASE WHEN NOT del
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS price_mass,
+             TRUE AS dv_only_commit, TRUE AS stats_pruned_match,
+             TRUE AS mor_read_hides, TRUE AS cdc_delete_images,
+             TRUE AS dv_absorbed
+           FROM k""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

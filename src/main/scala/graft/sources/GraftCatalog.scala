@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, Table,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Manifest
+
+/** SQL surface for [[graft.ops.Manifest]] tables — the way every
+  * lakehouse exposes time travel: a DataSource V2 `TableCatalog` that
+  * resolves `graft.<name>` to a manifest table under the catalog root
+  * and serves `SELECT ... FROM graft.t VERSION AS OF 3` through Spark's
+  * native time-travel syntax (the SQL twin of `Manifest.read(path, v)`).
+  *
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/warehouse")
+  *   spark.sql("SELECT * FROM graft.events_t VERSION AS OF 3")
+  *
+  * Identifier → path: namespace segments are subdirectories
+  * (`graft.a.b.t` → `<root>/a/b/t`); a backtick-quoted absolute path
+  * works without a root (`` graft.`/tmp/tbl` `` — the `delta.`/path``
+  * convention). Each load resolves the version's EXACT file list and
+  * recorded schema from the manifest (one driver-side metadata read)
+  * and hands them to Spark's own parquet v2 table, so pushdown, column
+  * pruning and vectorized reads are exactly the native scan's — the
+  * catalog adds resolution, not a read path. The resolved table is
+  * PINNED like `Manifest.read`: later commits cannot change what a
+  * resolved query reads.
+  *
+  * Read-only by design: writes go through `Manifest.commit`'s
+  * optimistic-concurrency protocol, which SQL `INSERT` cannot express —
+  * `createTable`/`dropTable`/`alterTable` fail loudly rather than
+  * bypass it. Versions carrying DELETION VECTORS also fail loudly for
+  * now: the scan cannot apply the position anti-join, and silently
+  * resurrecting deleted rows is the one unacceptable behavior — read
+  * DV'd versions through `Manifest.read` until maintenance absorbs the
+  * DV. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String = {
+    val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")
+    if (joined.startsWith("/")) joined
+    else root.map(r => s"$r/$joined").getOrElse(throw new
+      IllegalArgumentException(s"catalog '$catalogName' has no root " +
+        s"(set spark.sql.catalog.$catalogName.root) and " +
+        s"'$joined' is not an absolute path"))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, -1L)
+
+  /** Spark's `VERSION AS OF <v>` time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF expects a numeric graft version, got '$version'")
+    })
+
+  private def load(ident: Identifier, asOf: Long): Table = {
+    val path = tablePath(ident)
+    val v = if (asOf >= 0) asOf else Manifest.version(path)
+    require(v > 0, s"no committed version at $path")
+    require(Manifest.deletionVectors(path, v).isEmpty,
+      s"version $v of $path carries deletion vectors; the SQL scan " +
+        "cannot apply the position anti-join — read it via " +
+        "Manifest.read, or absorb the DV with OPTIMIZE/compaction")
+    val spark = SparkSession.active
+    val files = Manifest.files(path, v).map(rel =>
+      java.nio.file.Paths.get(path).resolve(rel).toString)
+    ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
+      CaseInsensitiveStringMap.empty(), files.toIndexedSeq,
+      Manifest.schemaOf(path, v), classOf[ParquetFileFormat])
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Manifest.version(tablePath(ident)) > 0
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = root.map(r =>
+        java.nio.file.Paths.get((r +: namespace.toSeq).mkString("/")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '$catalogName' has no root to list"))
+    if (!java.nio.file.Files.isDirectory(base)) Array.empty
+    else {
+      val s = java.nio.file.Files.list(base)
+      try s.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(
+          p.resolve("_manifests")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog is read-only ($op): write through " +
+        "Manifest.commit / Merge, whose optimistic-concurrency and " +
+        "constraint contracts SQL DDL/DML cannot express")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}

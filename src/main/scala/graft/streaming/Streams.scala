@@ -45,8 +45,15 @@ object Streams {
     // TIMESTAMP(NANOS) surfaces as LongType only under this conf; the
     // batch reader sets it identically, so the two probes agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.option("pathGlobFilter", glob)
-      .parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.option("pathGlobFilter", glob)
+        .parquet(dir).schema("ts").dataType
+      catch {
+        // no matching file yet (the legitimate empty-drain case): pin
+        // the MICROS default the old reader always assumed — there is
+        // nothing to derive from, and an empty drain reads nothing
+        case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+      }
     val schema = StructType(eventSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val r = spark.readStream.schema(schema)

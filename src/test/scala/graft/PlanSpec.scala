@@ -573,4 +573,32 @@ class PlanSpec extends SparkSpec {
     // its content is answered entirely from the persisted index tables
     assert(!p.contains("documents.parquet"), p)
   }
+
+  test("DV read plans: a version WITHOUT deletion vectors reads with " +
+    "the plain scan (no join added), a DV'd version applies a " +
+    "BROADCAST anti-join (never a shuffle at bounded delete volume), " +
+    "and data predicates still push into the scan under the DV") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val tbl = Files.createTempDirectory("dv_plan").toString
+    Manifest.commit((0L until 100L).map(i => (i, i % 7))
+      .toDF("id", "g").coalesce(2), tbl, statsCols = Seq("id"))
+    val clean = Manifest.read(spark, tbl)
+      .filter(col("id") < 50L)
+    clean.collect()
+    val p0 = clean.queryExecution.executedPlan.toString
+    assert(!p0.contains("Join"), s"DV-less read must not add a join: $p0")
+    assert(p0.contains("PushedFilters: [IsNotNull(id), LessThan(id,50)"), p0)
+    Merge.deleteWhereDv(spark, tbl, col("id") === 3L)
+    val dv = Manifest.read(spark, tbl).filter(col("id") < 50L)
+    dv.collect()
+    val p1 = dv.queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+      s"DV application must be a broadcast anti-join: $p1")
+    assert(!p1.contains("SortMergeJoin"), p1)
+    assert(p1.contains("PushedFilters: [IsNotNull(id), LessThan(id,50)"),
+      s"data predicate must still push under the DV: $p1")
+  }
 }

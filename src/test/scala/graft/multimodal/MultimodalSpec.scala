@@ -29,6 +29,30 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count(_._1 == 3L) == 0) // empty payload -> no frames
   }
 
+  test("decodeMeta routes by container MAGIC: ftyp payloads take the " +
+    "real MP4 box walk, EBML payloads the real MKV walk (genuine " +
+    "dimensions, detected kind), and only unknown formats fall to the " +
+    "stub") {
+    import spark.implicits._
+    val mp4 = Multimodal.synthMp4(timescale = 1000, durationUnits = 5000,
+      width = 640, height = 480, mdatBytes = 32)
+    val mkv = Multimodal.synthMkv(timestampScale = 1000000L,
+      durationTicks = 2500.0, width = 1280, height = 720,
+      blockBytes = 32)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "bin", mp4),
+      Multimodal.MediaRow(2L, "bin", mkv),
+      Multimodal.MediaRow(3L, "bin", Array[Byte](9, 7, 1))).toDS()
+    val metas = Multimodal.decodeMeta(rows).collect()
+      .map(m => m.id -> ((m.kind, m.width, m.height))).toMap
+    assert(metas(1L) == (("mp4", 640, 480)), "real box-walk dims")
+    assert(metas(2L) == (("mkv", 1280, 720)), "real EBML-walk dims")
+    assert(metas(3L) == (("bin", 9, 7)), "unknown magic keeps the stub")
+    assert(Multimodal.sniffContainer(mp4) == "mp4" &&
+      Multimodal.sniffContainer(mkv) == "mkv" &&
+      Multimodal.sniffContainer(Array.emptyByteArray) == "unknown")
+  }
+
   test("media rows keep explicit schema through the typed pipeline") {
     val df = Multimodal.decodeMeta(media).toDF()
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==

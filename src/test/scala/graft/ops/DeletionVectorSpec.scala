@@ -1,0 +1,186 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Merge-on-read DELETE contracts: a deletion vector hides positions
+  * without touching data files, stacks, time-travels, feeds CDC, and is
+  * materialized away by every rewrite path (COW merge, OPTIMIZE WHERE,
+  * compaction). */
+class DeletionVectorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("dv_tbl").toString
+
+  /** 4 single-file commits of (id, grp, v): ids 0..19 per file offset. */
+  private def seed(tbl: String): Unit =
+    for (i <- 0 until 4)
+      Manifest.commit(
+        (0 until 20).map(j => (i * 20L + j, j % 2, i * 20 + j))
+          .toDF("id", "grp", "v").coalesce(1),
+        tbl, statsCols = Seq("id"))
+
+  test("deleteWhereDv publishes ONLY a DV: zero data files added or " +
+    "removed, the read hides exactly the matched positions, stats " +
+    "prune the match scan, and a re-delete of the same predicate is a " +
+    "no-op (already-hidden rows cannot re-match)") {
+    val tbl = freshTable()
+    seed(tbl)
+    val before = Manifest.files(tbl)
+    val st = Merge.deleteWhereDv(spark, tbl,
+      col("id") >= 20L && col("id") < 40L && col("grp") === 0,
+      pruneRange = Some(("id", 20.0, 39.0)))
+    assert(st.positionsAdded == 10L && st.filesCandidates == 1 &&
+      st.filesWithDv == 1, st.toString)
+    assert(Manifest.files(tbl) == before, "a MoR delete moves no files")
+    assert(Manifest.version(tbl) == 5L)
+    val got = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (0L until 80L).filterNot(i =>
+      i >= 20 && i < 40 && i % 2 == 0))
+    // the DV mapping is internal bookkeeping, not user metadata
+    assert(Manifest.meta(tbl).isEmpty)
+    // idempotent: the hidden rows cannot match again — nothing publishes
+    val again = Merge.deleteWhereDv(spark, tbl,
+      col("id") >= 20L && col("id") < 40L && col("grp") === 0)
+    assert(again.positionsAdded == 0L && Manifest.version(tbl) == 5L)
+    // count via the applied read (metadata rowCount is file-level and
+    // correctly reports the PHYSICAL count — DV'd tables answer counts
+    // through the read until maintenance absorbs)
+    assert(Manifest.read(spark, tbl).count() == 70L)
+  }
+
+  test("DVs stack (a later delete carries the file's positions " +
+    "forward), time travel sees each version's exact DV state, and " +
+    "restore returns the target's DV state — earlier OR later") {
+    val tbl = freshTable()
+    seed(tbl)
+    val s1 = Merge.deleteWhereDv(spark, tbl, col("id") === 21L) // v5
+    val s2 = Merge.deleteWhereDv(spark, tbl, col("id") === 22L) // v6
+    assert(s1.positionsAdded == 1L && s2.positionsAdded == 1L)
+    assert(Manifest.deletionVectors(tbl).values.map(_._2).sum == 2L,
+      "the second DV must carry the first's position forward")
+    assert(Manifest.read(spark, tbl).count() == 78L)
+    assert(Manifest.read(spark, tbl, 5L).count() == 79L)
+    assert(Manifest.read(spark, tbl, 4L).count() == 80L)
+    // restore to the pre-delete state: the DVs must NOT survive
+    val rv = Manifest.restore(tbl, 4L) // v7
+    assert(Manifest.deletionVectors(tbl).isEmpty)
+    assert(Manifest.read(spark, tbl).count() == 80L)
+    // restore forward to the one-delete state: exactly v5's DV returns
+    Manifest.restore(tbl, 5L) // v8
+    assert(Manifest.deletionVectors(tbl).values.map(_._2).sum == 1L)
+    assert(Manifest.read(spark, tbl).count() == 79L)
+    assert(rv == 7L)
+  }
+
+  test("the change feed emits a MoR delete as exactly the hidden rows " +
+    "(delete images), and appends after the DV inherit it untouched") {
+    val tbl = freshTable()
+    seed(tbl)
+    val st = Merge.deleteWhereDv(spark, tbl,
+      col("id") >= 60L && col("grp") === 1)
+    val feed = ChangeFeed.changes(spark, tbl, st.version - 1, st.version)
+    val dels = feed.filter(col(ChangeFeed.TypeCol) === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(dels == (60L until 80L).filter(_ % 2 == 1))
+    assert(feed.filter(col(ChangeFeed.TypeCol) =!= "delete").count() == 0)
+    // a later plain append carries the DV and feeds ONLY its inserts
+    Manifest.commit(Seq((100L, 0, 100)).toDF("id", "grp", "v"), tbl)
+    val feed2 = ChangeFeed.changes(spark, tbl, st.version)
+    assert(feed2.filter(col(ChangeFeed.TypeCol) === "insert").count == 1L)
+    assert(feed2.filter(col(ChangeFeed.TypeCol) === "delete").count == 0L)
+    assert(Manifest.read(spark, tbl).count() == 71L)
+  }
+
+  test("every rewrite path materializes the DV away: a COW upsert " +
+    "touching the DV'd file neither resurrects hidden rows nor keeps " +
+    "the mapping; OPTIMIZE WHERE absorbs the DV in range; readPruned " +
+    "applies it") {
+    val tbl = freshTable()
+    seed(tbl)
+    Merge.deleteWhereDv(spark, tbl, col("id") === 5L || col("id") === 25L)
+    assert(Manifest.deletionVectors(tbl).size == 2)
+    // readPruned: the stats-kept file's DV still applies
+    val (pruned, kept, _) = Manifest.readPruned(spark, tbl, "id", 0, 19)
+    assert(kept == 1 &&
+      pruned.select("id").as[Long].collect().sorted.toSeq ==
+        (0L until 20L).filterNot(_ == 5L))
+    // COW upsert touching file 2 (ids 20..39): id 25 must stay deleted
+    // even though the file is rewritten, and its mapping must drop
+    val stats = Merge.upsert(spark, tbl,
+      Seq((21L, 9, 999)).toDF("id", "grp", "v"), Seq("id"))
+    assert(stats.filesRewritten == 1)
+    val dvAfter = Manifest.deletionVectors(tbl)
+    assert(dvAfter.size == 1 && dvAfter.keySet.forall(f =>
+      Manifest.files(tbl).contains(f)),
+      s"rewritten file's mapping must drop: $dvAfter")
+    val ids = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(!ids.contains(25L) && !ids.contains(5L) && ids.contains(21L))
+    assert(Manifest.read(spark, tbl)
+      .filter(col("id") === 21L).select("v").as[Int].head() == 999)
+    // OPTIMIZE WHERE over file 1's range absorbs the remaining DV
+    Layout.optimizeWhere(spark, tbl, "id", 0.0, 19.0)
+    assert(Manifest.deletionVectors(tbl).isEmpty)
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq == ids)
+    // pre-optimize versions still time-travel with their DV state
+    assert(!Manifest.read(spark, tbl, 5L).select("id").as[Long]
+      .collect().contains(5L))
+  }
+
+  test("a DV commit never rebases (loud conflict), while a plain " +
+    "append racing PAST a DV commit inherits the new head's DV state") {
+    val tbl = freshTable()
+    seed(tbl)
+    // the seam lands a competing DV delete between the loser's resolve
+    // and publish: the DV-bearing loser must abort
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Merge.deleteWhereDv(spark, tbl, col("id") === 1L)
+    }
+    val e = try intercept[IllegalStateException](
+      Merge.deleteWhereDv(spark, tbl, col("id") === 2L))
+    finally Manifest.beforePublish = () => ()
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(Manifest.read(spark, tbl).count() == 79L)
+    // a plain append losing to a DV delete rebases and CARRIES the DV
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Merge.deleteWhereDv(spark, tbl, col("id") === 3L)
+    }
+    try Manifest.commit(Seq((200L, 0, 200)).toDF("id", "grp", "v"), tbl)
+    finally Manifest.beforePublish = () => ()
+    assert(Manifest.deletionVectors(tbl).values.map(_._2).sum == 2L)
+    assert(Manifest.read(spark, tbl).count() == 79L) // -1 -3 +200
+  }
+
+  test("vacuum keeps DV dirs referenced by retained manifests and " +
+    "sweeps orphans (crashed deletes, dropped history, absorbed DVs)") {
+    val tbl = freshTable()
+    seed(tbl)
+    Merge.deleteWhereDv(spark, tbl, col("id") === 7L)  // v5, dv dir 1
+    Merge.deleteWhereDv(spark, tbl, col("id") === 8L)  // v6, dv dir 2
+    // orphan debris: a claimed-but-never-published dv dir
+    val orphan = Paths.get(tbl, "dv", "d999999")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](1))
+    Manifest.vacuum(tbl, retainLast = 1)
+    val dirs = {
+      val s = Files.list(Paths.get(tbl, "dv"))
+      try s.toArray.map(_.toString).toSeq.sorted finally s.close()
+    }
+    // only the newest manifest's referenced dir survives (v6's DV
+    // carries v5's position, so dir 1 is unreferenced once v5 drops)
+    assert(!Files.exists(orphan), "orphan dv dir must sweep")
+    assert(dirs.size == 1, s"expected one retained dv dir, got $dirs")
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      (0L until 80L).filterNot(i => i == 7L || i == 8L))
+  }
+}
