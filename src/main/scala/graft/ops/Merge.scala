@@ -221,14 +221,60 @@ object Merge {
     * [[deleteWhere]]. A predicate matching nothing publishes nothing. */
   def deleteWhereDv(spark: SparkSession, tablePath: String, pred: Column,
       meta: Map[String, String] = Map.empty,
-      pruneRange: Option[(String, Double, Double)] = None): DvStats = {
+      pruneRange: Option[(String, Double, Double)] = None): DvStats =
+    deleteDv(spark, tablePath, _.filter(pred), meta,
+      pruneRange.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)
+
+  /** Keyed MERGE-ON-READ DELETE — the literal GDPR erasure shape:
+    * every row whose `keyCol` appears in `keys` (a DataFrame — the
+    * erasure-request set, never collected to the driver) hides behind
+    * a deletion vector. One bounded aggregate over the request set
+    * yields the distinct-key count (the broadcast gate — past
+    * `broadcastKeyLimit` the membership semi-join degrades to shuffle
+    * instead of flooding the driver, [[DefaultBroadcastKeyLimit]]) and
+    * the key bounds (stats-pruning the match scan to candidate files,
+    * like [[upsert]]). Idempotent by MoR construction: a replayed
+    * request set finds its rows already hidden, matches nothing, and
+    * publishes nothing — which is what makes the streaming erasure
+    * sink exactly-once without a txn stamp. */
+  def deleteKeysDv(spark: SparkSession, tablePath: String,
+      keys: DataFrame, keyCol: String,
+      meta: Map[String, String] = Map.empty,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DvStats = {
+    val g = keys.agg(
+      count_distinct(col(keyCol)).as("__k"),
+      min(col(keyCol)).cast("double").as("__mn"),
+      max(col(keyCol)).cast("double").as("__mx")).head()
+    val bounds: Map[String, (Double, Double)] =
+      if (g.getLong(0) == 0L || g.isNullAt(1) || g.isNullAt(2) ||
+          g.getDouble(1).isNaN || g.getDouble(2).isNaN) Map.empty
+      else Map(keyCol -> (Math.nextDown(g.getDouble(1)),
+        Math.nextUp(g.getDouble(2))))
+    if (g.getLong(0) == 0L) {
+      val headV = Manifest.version(tablePath)
+      return DvStats(headV, Manifest.files(tablePath).size,
+        Manifest.deletionVectors(tablePath, headV).size, 0L, 0)
+    }
+    val keySet = keys.select(col(keyCol)).distinct()
+    val hinted =
+      if (g.getLong(0) <= broadcastKeyLimit) broadcast(keySet)
+      else keySet
+    deleteDv(spark, tablePath,
+      _.join(hinted, Seq(keyCol), "left_semi"), meta, bounds)
+  }
+
+  /** Shared MoR-delete skeleton: `matches` names the doomed rows over
+    * the DV-applied candidate scan; the publish is a metadata-only
+    * commit of the per-file position vectors. */
+  private def deleteDv(spark: SparkSession, tablePath: String,
+      matches: DataFrame => DataFrame, meta: Map[String, String],
+      bounds: Map[String, (Double, Double)]): DvStats = {
     import java.nio.file.Files
     val headV = Manifest.version(tablePath)
     val before = Manifest.files(tablePath)
     val dvs = Manifest.deletionVectors(tablePath, headV)
     val noop = DvStats(headV, before.size, dvs.size, 0L, 0)
-    val cand = candidateFiles(tablePath,
-      pruneRange.map { case (c, lo, hi) => c -> (lo, hi) }.toMap)
+    val cand = candidateFiles(tablePath, bounds)
     if (cand.isEmpty) return noop
     val schema = Manifest.schemaOf(tablePath)
       .getOrElse(Manifest.read(spark, tablePath).schema)
@@ -237,8 +283,7 @@ object Merge {
     // with the scan built from candidate paths (structural stats prune)
     val scan = Manifest.withPos(spark.read.schema(schema).parquet(
       cand.map(r => Paths.get(tablePath).resolve(r).toString): _*))
-    val matched = Manifest.antiDv(spark, tablePath, headV, scan)
-      .filter(pred)
+    val matched = matches(Manifest.antiDv(spark, tablePath, headV, scan))
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
     // per-file match counts: the commit-coordinator metadata action,
     // bounded by the candidate FILE count (rows stay executor-side)

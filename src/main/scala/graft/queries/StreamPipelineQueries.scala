@@ -395,6 +395,64 @@ object StreamPipelineQueries {
       },
       Some(WindowAggQueries.sqlEwma)),
 
+    // st32: STREAMING GDPR ERASURE — deletion vectors (s33) driven by a
+    // request stream: the table pre-exists (four user_id-range commits
+    // with stats, the 100 TB "table you must erase from" shape), the
+    // stream carries tombstone requests (error events from users with
+    // user_id % 10 = 3 — the planted request topic, deterministic at
+    // every SF), and each micro-batch hides its
+    // requested users' rows behind a DV via Merge.deleteKeysDv — a
+    // metadata + position-sidecar commit, ZERO data files rewritten
+    // across the whole drain (zero_rewrites is the earned flag: the
+    // file list is byte-identical to the seed's). Exactly-once WITHOUT
+    // a txn stamp: a replayed batch's keys are already hidden, match
+    // nothing, publish nothing (StreamingSpec replays a batch and
+    // asserts no new version) — idempotence from the MoR read itself.
+    // Erasure is against current state, so the result is chunk-order
+    // independent and the oracle replays it as one set subtraction;
+    // rows_erased cross-checks the DV position totals against the
+    // oracle's count of the erased users' rows.
+    "st32_stream_erasure" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("st32_table", dir)
+        wipe(tbl); wipe(s"$tbl-ckpt")
+        val ev = events(s, dir).select(col("user_id"),
+          col("event_type"), col("value"))
+        val maxu = ev.agg(max(col("user_id"))).head().getLong(0)
+        val q = maxu / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            ev.filter(col("user_id") >= i * q &&
+              col("user_id") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("user_id"))
+        val seedFiles = Manifest.files(tbl)
+        val erased = Streams.erasureStreaming(s, dir, tbl,
+          name = s"graft_st32_${dirTag(dir)}")
+        val zeroRewrites = Manifest.files(tbl) == seedFiles
+        val dvTotal = Manifest.deletionVectors(tbl).values.map(_._2).sum
+        erased.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .select(col("event_type"), col("cnt"), col("sum_value"),
+            lit(dvTotal).as("rows_erased"),
+            lit(zeroRewrites).as("zero_rewrites"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH erased AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'error' AND user_id % 10 = 3),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS rows_erased
+             FROM events WHERE user_id IN (SELECT user_id FROM erased))
+           SELECT event_type, count(*) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value,
+             (SELECT rows_erased FROM n) AS rows_erased,
+             TRUE AS zero_rewrites
+           FROM events
+           WHERE user_id NOT IN (SELECT user_id FROM erased)
+           GROUP BY event_type ORDER BY event_type""")),
+
     // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
     // continuous query: each micro-batch merges into the persisted
     // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,

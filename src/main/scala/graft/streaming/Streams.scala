@@ -1284,6 +1284,58 @@ object Streams {
     * commit-log write) is recognized and dropped instead of appending
     * the batch twice (StreamingSpec replay case). Returns the final
     * table read on the caller's session. */
+  /** STREAMING GDPR ERASURE over an EXISTING [[graft.ops.Manifest]]
+    * table — the right-to-be-forgotten pipeline at 100 TB: erasure
+    * requests arrive continuously (here: `error` events from users with
+    * `user_id % 10 = 3` are the planted tombstones — deterministic at
+    * every scale factor; production substitutes its request topic), and
+    * each micro-batch's requested keys hide
+    * behind a DELETION VECTOR ([[graft.ops.Merge.deleteKeysDv]]) — a
+    * metadata + position-sidecar commit, zero data files rewritten,
+    * per-request cost ∝ the requester's rows. EXACTLY-ONCE BY
+    * CONSTRUCTION without a txn stamp: a replayed batch's keys find
+    * their rows already hidden behind the DV, match nothing, and
+    * publish nothing (StreamingSpec replays a batch and asserts the
+    * version is unchanged) — idempotence comes from the MoR read, not
+    * from bookkeeping. Erasure is against the table's CURRENT state, so
+    * the result is chunk-order-independent (the batch twin the oracle
+    * replays: table minus all requested users' rows). Maintenance
+    * (compaction / OPTIMIZE) later materializes the DVs away on the
+    * normal cadence — physical erasure is the vacuum after it. */
+  def erasureStreaming(spark: SparkSession, dir: String,
+      tablePath: String, glob: String = "events.parquet",
+      maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st32"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", s"$tablePath-ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyErasureBatch(batch, batchId, tablePath)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
+  /** [[erasureStreaming]]'s per-batch body: extract the batch's erasure
+    * requests, hide the requested keys' rows behind a deletion vector.
+    * A batch with no requests — or a REPLAYED batch, whose keys are
+    * already hidden — publishes nothing. */
+  private[graft] def applyErasureBatch(batch: DataFrame, batchId: Long,
+      tablePath: String): Unit = {
+    val requests = batch
+      .filter(col("event_type") === "error" &&
+        pmod(col("user_id"), lit(10)) === 3)
+      .select(col("user_id"))
+    graft.ops.Merge.deleteKeysDv(batch.sparkSession, tablePath,
+      requests, "user_id")
+    ()
+  }
+
   def commitStreaming(spark: SparkSession, dir: String, tablePath: String,
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st_commit"): DataFrame = {

@@ -134,6 +134,36 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().contains(5L))
   }
 
+  test("deleteKeysDv (keyed GDPR erasure): every requested key's rows " +
+    "hide, key bounds prune the match scan, the past-the-gate shuffle " +
+    "path matches the broadcast path, duplicates in the request set " +
+    "are harmless, and an empty request set publishes nothing") {
+    val tbl = freshTable()
+    seed(tbl)
+    // keys 21 and 25 live in file 2 only — bounds must prune to 1 file
+    val st = Merge.deleteKeysDv(spark, tbl,
+      Seq(21L, 25L, 21L).toDF("id"), "id")
+    assert(st.positionsAdded == 2L && st.filesCandidates == 1,
+      st.toString)
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      (0L until 80L).filterNot(i => i == 21L || i == 25L))
+    // an empty request set is a no-op (the idle streaming batch)
+    val empty = Merge.deleteKeysDv(spark, tbl,
+      Seq.empty[Long].toDF("id"), "id")
+    assert(empty.positionsAdded == 0L && Manifest.version(tbl) == 5L)
+    // past the broadcast gate: identical result through the shuffle
+    // semi-join (the unbounded-request degrade path)
+    val tbl2 = freshTable()
+    seed(tbl2)
+    Merge.deleteKeysDv(spark, tbl2, Seq(21L, 25L).toDF("id"), "id",
+      broadcastKeyLimit = 1L)
+    assert(Manifest.read(spark, tbl2).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      Manifest.read(spark, tbl).select("id").as[Long]
+        .collect().sorted.toSeq)
+  }
+
   test("a DV commit never rebases (loud conflict), while a plain " +
     "append racing PAST a DV commit inherits the new head's DV state") {
     val tbl = freshTable()

@@ -1651,4 +1651,78 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"streaming contract must equal the batch contract: $streamed")
   }
+
+  test("st32 streaming erasure: a 4-batch drain equals the one-shot " +
+    "keyed DV delete (order-independent), zero data files move, and a " +
+    "REPLAYED batch publishes no new version (exactly-once by MoR " +
+    "construction, no txn stamp)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    def seed(): String = {
+      val tbl = Files.createTempDirectory("st32_tbl").toString
+      val maxu = ev.agg(max(col("user_id"))).head().getLong(0)
+      val q = maxu / 4 + 1
+      for (i <- 0 until 4)
+        Manifest.commit(ev.filter(col("user_id") >= i * q &&
+          col("user_id") < (i + 1) * q).coalesce(1),
+          tbl, statsCols = Seq("user_id"))
+      tbl
+    }
+    // 4 event chunk files in the MICROS shape the streaming reader
+    // probes (reconstructed via the library reader — never a raw read;
+    // memory: events-ts-schema-drift)
+    val srcDir = Files.createTempDirectory("st32_src")
+    val micros = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    for (i <- 0 until 4) {
+      val chunkDir = Files.createTempDirectory(s"st32_chunk$i")
+      micros.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val tblStream = seed()
+    val seedFiles = Manifest.files(tblStream)
+    val streamed = Streams.erasureStreaming(spark, srcDir.toString,
+        tblStream, glob = "events_*.parquet", maxFilesPerTrigger = 1,
+        name = "st32_spec_sink")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(Manifest.files(tblStream) == seedFiles,
+      "erasure must move zero data files")
+    assert(Manifest.version(tblStream) > 4L, "some batch must erase")
+    // one-shot twin: all requests at once against a fresh seed
+    val tblOnce = seed()
+    Merge.deleteKeysDv(spark, tblOnce,
+      ev.filter(col("event_type") === "error" &&
+          pmod(col("user_id"), lit(10)) === 3)
+        .select(col("user_id")), "user_id")
+    val oneShot = Manifest.read(spark, tblOnce)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot, "chunked drain must equal one-shot")
+    assert(streamed.nonEmpty && streamed.size <
+      ev.count(), "erasure must actually remove rows")
+    // REPLAY: the same batch body twice on a fresh seed — the first
+    // application erases (one DV commit), the second finds every key's
+    // rows already hidden and publishes NOTHING
+    val tblReplay = seed()
+    Streams.applyErasureBatch(ev, 0L, tblReplay)
+    val v1 = Manifest.version(tblReplay)
+    assert(v1 == 5L, "first application must publish exactly one DV commit")
+    Streams.applyErasureBatch(ev, 0L, tblReplay)
+    assert(Manifest.version(tblReplay) == v1,
+      "a replayed erasure batch must publish nothing")
+    assert(Manifest.read(spark, tblReplay)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      oneShot)
+  }
 }
