@@ -134,12 +134,16 @@ object Manifest {
     * committed by pre-stats writers fall back to one read. */
   val FileRowsPrefix = "filerows."
 
-  /** Exact row count of version `v` (newest when omitted) from COMMIT
-    * METADATA alone — the metadata-only `SELECT count(*)` every table
-    * format serves: sum the [[FileRowsPrefix]] counts of the live
-    * files, each recorded by the version that added the file. None if
-    * any live file predates row-count recording (the caller falls back
-    * to a data read); zero data or footer I/O otherwise. */
+  /** Exact LOGICAL row count of version `v` (newest when omitted) from
+    * COMMIT METADATA alone — the metadata-only `SELECT count(*)` every
+    * table format serves: sum the [[FileRowsPrefix]] counts of the live
+    * files, each recorded by the version that added the file, MINUS the
+    * positions hidden by the version's deletion vectors (each `dv.*`
+    * line carries its position count, so a merge-on-read DELETE keeps
+    * this exact with zero extra I/O — the count always equals what
+    * [[read]] at `v` returns). None if any live file predates row-count
+    * recording (the caller falls back to a data read); zero data or
+    * footer I/O otherwise. */
   def rowCount(tablePath: String, v: Long = -1L): Option[Long] = {
     val live = files(tablePath, v).toSet
     val upTo = if (v >= 0) v else version(tablePath)
@@ -151,7 +155,10 @@ object Manifest {
             k.stripPrefix(FileRowsPrefix) -> n.toLong
         }
       }.toMap
-    if (counts.keySet == live) Some(counts.values.sum) else None
+    if (counts.keySet == live)
+      Some(counts.values.sum -
+        deletionVectors(tablePath, upTo).values.map(_._2).sum)
+    else None
   }
 
   /** Per-file numeric (min, max) stats for the files of version `v`
@@ -1064,10 +1071,15 @@ object Manifest {
   /** Per-version commit info for [[history]]. `change_type`: `append`
     * (previous files all carried), `replace` (nothing carried — the
     * compaction/OPTIMIZE shape), `rewrite` (the copy-on-write
-    * [[Merge]] shape: some carried, some removed). `data_change` is
-    * false only for commits flagged with the writer's
-    * `data_change=false` metadata (OPTIMIZE traffic CDC consumers
-    * skip). */
+    * [[Merge]] shape: some carried, some removed), `delete` (a
+    * merge-on-read DV commit — recorded by the writer, since its file
+    * diff is indistinguishable from an empty append). `rows_removed`
+    * counts removed files' rows PLUS the positions newly hidden by
+    * deletion-vector growth on surviving files, so a GDPR erasure
+    * commit reads as the deletion event it is — the audit surface a
+    * compliance reviewer needs. `data_change` is false only for
+    * commits flagged with the writer's `data_change=false` metadata
+    * (OPTIMIZE traffic CDC consumers skip). */
   case class CommitInfo(version: Long, change_type: String,
       files_added: Long, files_removed: Long, rows_added: Long,
       rows_removed: Long, data_change: Boolean)
@@ -1131,9 +1143,17 @@ object Manifest {
         if (removed.isEmpty) "append"
         else if (cur.forall(!prev.contains(_))) "replace"
         else "rewrite")
+      // merge-on-read deletes change no files — their row effect is the
+      // DV GROWTH on surviving files (a new DV always contains the old
+      // positions, so the per-file count delta IS the rows hidden this
+      // version); still pure manifest metadata, zero data I/O
+      val dvPrev = prevV.map(deletionVectors(tablePath, _))
+        .getOrElse(Map.empty[String, (String, Long)])
+      val dvGrowth = deletionVectors(tablePath, v).map { case (f, (_, n)) =>
+        (n - dvPrev.get(f).map(_._2).getOrElse(0L)).max(0L) }.sum
       CommitInfo(v, changeType, added.size.toLong, removed.size.toLong,
         added.map(fileRows.getOrElse(_, 0L)).sum,
-        removed.toSeq.map(fileRows.getOrElse(_, 0L)).sum,
+        removed.toSeq.map(fileRows.getOrElse(_, 0L)).sum + dvGrowth,
         rawMeta(tablePath, v).get(ChangeFeed.DataChangeKey)
           .forall(_ != "false"))
     }

@@ -90,7 +90,12 @@ object Merge {
     // guards: per-key row counts roll up to (distinct keys, max rows
     // per key, per-key-column min/max) — the duplicate-key precondition
     // check, the broadcast gate, and the file-skipping bounds below.
-    val boundAggs = keyCols.flatMap(c => Seq(
+    // Bounds only for NUMERIC key columns: under ANSI mode (the Spark 4
+    // default) a string key's double cast would THROW, not null out —
+    // non-numeric keys just don't prune, like the recorded file stats.
+    val numKeyCols = keyCols.filter(c => src.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val boundAggs = numKeyCols.flatMap(c => Seq(
       min(col(c)).cast("double").as(s"__mn_$c"),
       max(col(c)).cast("double").as(s"__mx_$c")))
     val guard = src.groupBy(keyCols.map(col): _*)
@@ -106,10 +111,9 @@ object Merge {
     // Source key bounds (ulp-widened, like the recorded file stats) —
     // a file whose recorded range is disjoint from the source's on ANY
     // key column cannot contain a matched key, so the touch-detection
-    // scan skips it from pure manifest metadata. Non-numeric key
-    // columns cast to null and simply don't prune.
+    // scan skips it from pure manifest metadata.
     val srcBounds: Map[String, (Double, Double)] =
-      keyCols.zipWithIndex.flatMap { case (c, i) =>
+      numKeyCols.zipWithIndex.flatMap { case (c, i) =>
         (Option(guard.get(2 + 2 * i)), Option(guard.get(3 + 2 * i))) match {
           case (Some(mn), Some(mx))
               if !mn.asInstanceOf[Double].isNaN &&
@@ -241,13 +245,24 @@ object Merge {
       keys: DataFrame, keyCol: String,
       meta: Map[String, String] = Map.empty,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DvStats = {
-    val g = keys.agg(
-      count_distinct(col(keyCol)).as("__k"),
-      min(col(keyCol)).cast("double").as("__mn"),
-      max(col(keyCol)).cast("double").as("__mx")).head()
+    // Key bounds only for NUMERIC key types: under ANSI mode (the
+    // Spark 4 default) a string/UUID user id — the common GDPR key
+    // shape — would make the double cast THROW instead of yielding
+    // null, failing the whole erasure; a non-numeric key simply does
+    // not prune (bounds-less but correct), exactly like the recorded
+    // file stats, which exist only for numeric columns.
+    val numericKey = keys.schema(keyCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val boundAggs =
+      if (numericKey) Seq(min(col(keyCol)).cast("double").as("__mn"),
+        max(col(keyCol)).cast("double").as("__mx"))
+      else Seq.empty
+    val g = keys.agg(count_distinct(col(keyCol)).as("__k"),
+      boundAggs: _*).head()
     val bounds: Map[String, (Double, Double)] =
-      if (g.getLong(0) == 0L || g.isNullAt(1) || g.isNullAt(2) ||
-          g.getDouble(1).isNaN || g.getDouble(2).isNaN) Map.empty
+      if (!numericKey || g.getLong(0) == 0L || g.isNullAt(1) ||
+          g.isNullAt(2) || g.getDouble(1).isNaN || g.getDouble(2).isNaN)
+        Map.empty
       else Map(keyCol -> (Math.nextDown(g.getDouble(1)),
         Math.nextUp(g.getDouble(2))))
     if (g.getLong(0) == 0L) {
@@ -319,11 +334,17 @@ object Merge {
       s"${Manifest.DvPrefix}$f" ->
         s"$dvRel:${n + dvs.get(f).map(_._2).getOrElse(0L)}"
     }
-    // metadata-only publish: ZERO data files — the earned MoR flag
+    // metadata-only publish: ZERO data files — the earned MoR flag.
+    // optype=delete makes the audit surface truthful: a DV commit's
+    // file diff is indistinguishable from an empty append, so without
+    // the stamp [[Manifest.history]] would read a GDPR erasure as
+    // "append, +0 files" — the one thing a compliance review must not
+    // see.
     val v = Manifest.commit(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      tablePath, meta = meta ++ dvLines)
+      tablePath,
+      meta = meta ++ dvLines + (Manifest.OpTypeKey -> "delete"))
     DvStats(v, before.size,
       (dvs.keySet ++ perFile.keySet).size,
       perFile.values.sum, cand.size)

@@ -48,10 +48,47 @@ class DeletionVectorSpec extends SparkSpec {
     val again = Merge.deleteWhereDv(spark, tbl,
       col("id") >= 20L && col("id") < 40L && col("grp") === 0)
     assert(again.positionsAdded == 0L && Manifest.version(tbl) == 5L)
-    // count via the applied read (metadata rowCount is file-level and
-    // correctly reports the PHYSICAL count — DV'd tables answer counts
-    // through the read until maintenance absorbs)
+    // metadata rowCount stays the LOGICAL count under the DV (the
+    // dv.* lines carry position counts, so the metadata-only answer
+    // subtracts them — still zero data I/O)
     assert(Manifest.read(spark, tbl).count() == 70L)
+    assert(Manifest.rowCount(tbl).contains(70L))
+  }
+
+  test("rowCount is DV-correct at head AND on time-traveled versions " +
+    "(equals read().count() everywhere), and history reads a DV " +
+    "commit as the deletion event it is: optype=delete, rows_removed " +
+    "= the positions newly hidden, zero files moved") {
+    val tbl = freshTable()
+    seed(tbl)
+    Merge.deleteWhereDv(spark, tbl, col("id") < 5L)              // v5
+    Merge.deleteWhereDv(spark, tbl, col("id") < 8L)              // v6
+    for (v <- 1L to 6L)
+      assert(Manifest.rowCount(tbl, v)
+          .contains(Manifest.read(spark, tbl, v).count()),
+        s"rowCount at v$v must equal the DV-applied read")
+    val h = Manifest.history(spark, tbl)
+    val d1 = h.find(_.version == 5L).get
+    val d2 = h.find(_.version == 6L).get
+    assert(d1.change_type == "delete" && d2.change_type == "delete")
+    assert(d1.files_added == 0L && d1.files_removed == 0L &&
+      d1.rows_added == 0L, d1.toString)
+    assert(d1.rows_removed == 5L, "v5 hides ids 0..4")
+    assert(d2.rows_removed == 3L,
+      "v6's growth over v5's carried positions is ids 5..7 only")
+    // appends before the deletes stay appends with zero rows_removed
+    assert(h.filter(_.version <= 4L).forall(c =>
+      c.change_type == "append" && c.rows_removed == 0L))
+    // a rewrite that ABSORBS the DV keeps physical accounting: the
+    // mapping drops with the rewritten file, no double-counted growth
+    val cow = Merge.deleteWhere(spark, tbl, col("id") === 10L)
+    val r = Manifest.history(spark, tbl).find(_.version == cow.version).get
+    assert(r.change_type == "rewrite")
+    assert(r.rows_removed == 20L && r.rows_added == 11L,
+      "the touched file's 20 physical rows out, its 11 survivors in " +
+        s"(8 DV'd + 1 deleted): $r")
+    assert(Manifest.rowCount(tbl)
+      .contains(Manifest.read(spark, tbl).count()))
   }
 
   test("DVs stack (a later delete carries the file's positions " +
@@ -162,6 +199,31 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().sorted.toSeq ==
       Manifest.read(spark, tbl).select("id").as[Long]
         .collect().sorted.toSeq)
+  }
+
+  test("deleteKeysDv with a STRING key — the UUID-ish GDPR id shape — " +
+    "works under ANSI mode (no double-cast of the key): bounds simply " +
+    "don't prune (every file is a candidate), the requested keys' rows " +
+    "hide") {
+    val tbl = freshTable()
+    for (i <- 0 until 2)
+      Manifest.commit(
+        (0 until 10).map(j => (s"user-${i * 10 + j}", i * 10 + j))
+          .toDF("uid", "v").coalesce(1),
+        tbl, statsCols = Seq("v"))
+    val st = Merge.deleteKeysDv(spark, tbl,
+      Seq("user-3", "user-15").toDF("uid"), "uid")
+    assert(st.positionsAdded == 2L, st.toString)
+    assert(st.filesCandidates == 2, "a non-numeric key cannot prune")
+    assert(Manifest.files(tbl).size == 2, "still zero data files moved")
+    val got = Manifest.read(spark, tbl).select("uid").as[String]
+      .collect().toSet
+    assert(!got.contains("user-3") && !got.contains("user-15") &&
+      got.size == 18)
+    // empty string-keyed request set: still a no-op, still no cast
+    val noop = Merge.deleteKeysDv(spark, tbl,
+      Seq.empty[String].toDF("uid"), "uid")
+    assert(noop.positionsAdded == 0L)
   }
 
   test("a DV commit never rebases (loud conflict), while a plain " +

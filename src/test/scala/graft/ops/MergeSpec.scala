@@ -94,6 +94,21 @@ class MergeSpec extends SparkSpec {
     assert(asMap(Manifest.read(spark, tbl)).size == 12)
   }
 
+  test("upsert on a STRING key works under ANSI mode (the key bounds " +
+    "aggregate must not double-cast a non-numeric key): matched keys " +
+    "update, unmatched insert, no stats prune") {
+    val tbl = freshTable()
+    Manifest.commit(Seq(("u-1", 10), ("u-2", 20)).toDF("k", "v")
+      .coalesce(1), tbl)
+    val st = Merge.upsert(spark, tbl,
+      Seq(("u-2", 22), ("u-3", 30)).toDF("k", "v"), Seq("k"))
+    assert(st.filesRewritten == 1 &&
+      st.filesCandidates == st.filesBefore,
+      s"string keys can't prune: $st")
+    assert(Manifest.read(spark, tbl).as[(String, Int)].collect()
+      .sorted.toSeq == Seq(("u-1", 10), ("u-2", 22), ("u-3", 30)))
+  }
+
   test("a source past the broadcast key gate degrades to a shuffle " +
     "semi-join with IDENTICAL results (file accounting included); a " +
     "duplicate-key source fails loudly before anything is written") {
