@@ -127,47 +127,7 @@ object ChangeFeed {
             if (added.isEmpty) None
             else Some(readStep(spark, tablePath, v, added)
               .withColumn(TypeCol, lit("insert")))
-          // a merge-on-read DELETE changes no files — its change is the
-          // DV delta: positions this version hides that the previous
-          // one did not are exactly the deleted rows (a new DV always
-          // CONTAINS the old positions, so the delta is a per-file
-          // anti-join of current minus previous)
-          val dvPrev =
-            if (v == 1) Map.empty[String, (String, Long)]
-            else Manifest.deletionVectors(tablePath, v - 1)
-          val dvCur = Manifest.deletionVectors(tablePath, v)
-          val grown = dvCur.filter { case (f, m) =>
-            !dvPrev.get(f).contains(m) }
-          val deletes =
-            if (grown.isEmpty) None
-            else {
-              val newPos = {
-                val cu = Manifest.dvPositions(spark, tablePath, grown)
-                  .select(col("file").as("__dv_f"),
-                    col("pos").as("__dv_p"))
-                val pv = dvPrev.filter { case (f, _) =>
-                  grown.contains(f) }
-                if (pv.isEmpty) cu
-                else cu.join(
-                  Manifest.dvPositions(spark, tablePath, pv)
-                    .select(col("file").as("__dv_f"),
-                      col("pos").as("__dv_p")),
-                  Seq("__dv_f", "__dv_p"), "left_anti")
-              }
-              // this step's delete volume, free from the mappings —
-              // the same size gate as the read-side anti-join
-              val delta = grown.map { case (f, (_, n)) =>
-                n - dvPrev.get(f).map(_._2).getOrElse(0L) }.sum
-              val hinted =
-                if (delta <= Manifest.DvBroadcastLimit)
-                  broadcast(newPos)
-                else newPos
-              Some(Manifest.withPos(
-                  readStep(spark, tablePath, v, grown.keys.toSeq.sorted))
-                .join(hinted, Seq("__dv_f", "__dv_p"), "left_semi")
-                .drop("__dv_f", "__dv_p")
-                .withColumn(TypeCol, lit("delete")))
-            }
+          val deletes = dvDeltaImages(spark, tablePath, v)
           (inserts, deletes) match {
             case (Some(i), Some(d)) => Some(i.unionByName(d))
             case (i, d) => i.orElse(d)
@@ -191,6 +151,51 @@ object ChangeFeed {
           .withColumn(VersionCol, lit(v1)))
     f.select((col(VersionCol) +: col(TypeCol) +:
       f.columns.filterNot(Set(VersionCol, TypeCol)).map(col).toSeq): _*)
+  }
+
+  /** Rows version `v` hid behind DELETION-VECTOR growth over `v - 1`,
+    * tagged [[TypeCol]] = `delete` — a merge-on-read DELETE changes no
+    * files, so its change IS the DV delta: positions this version hides
+    * that the previous one did not are exactly the deleted rows (a new
+    * DV always CONTAINS the old positions, so the delta is a per-file
+    * anti-join of current minus previous). None when no DV grew — the
+    * overwhelmingly common case, decided from manifest metadata alone.
+    * Shared by [[changes]] and [[syncReplica]], so every feed consumer
+    * sees MoR deletes (the r13 gap: syncReplica's append branch used to
+    * drop them silently — permanent replica divergence for exactly the
+    * GDPR-erasure commits that must propagate). */
+  private def dvDeltaImages(spark: SparkSession, tablePath: String,
+      v: Long): Option[DataFrame] = {
+    val dvPrev =
+      if (v == 1) Map.empty[String, (String, Long)]
+      else Manifest.deletionVectors(tablePath, v - 1)
+    val dvCur = Manifest.deletionVectors(tablePath, v)
+    val grown = dvCur.filter { case (f, m) => !dvPrev.get(f).contains(m) }
+    if (grown.isEmpty) None
+    else {
+      val newPos = {
+        val cu = Manifest.dvPositions(spark, tablePath, grown)
+          .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+        val pv = dvPrev.filter { case (f, _) => grown.contains(f) }
+        if (pv.isEmpty) cu
+        else cu.join(
+          Manifest.dvPositions(spark, tablePath, pv)
+            .select(col("file").as("__dv_f"), col("pos").as("__dv_p")),
+          Seq("__dv_f", "__dv_p"), "left_anti")
+      }
+      // this step's delete volume, free from the mappings — the same
+      // size gate as the read-side anti-join
+      val delta = grown.map { case (f, (_, n)) =>
+        n - dvPrev.get(f).map(_._2).getOrElse(0L) }.sum
+      val hinted =
+        if (delta <= Manifest.DvBroadcastLimit) broadcast(newPos)
+        else newPos
+      Some(Manifest.withPos(
+          readStep(spark, tablePath, v, grown.keys.toSeq.sorted))
+        .join(hinted, Seq("__dv_f", "__dv_p"), "left_semi")
+        .drop("__dv_f", "__dv_p")
+        .withColumn(TypeCol, lit("delete")))
+    }
   }
 
   /** Read an append step's added files under the schema version `v`
@@ -218,7 +223,10 @@ object ChangeFeed {
     * table by applying its change feed — the production shape for
     * "maintain `clicks_only` next to `events` at 100 TB": each source
     * append applies as an append of `transform`(added rows) (scan ∝
-    * arrivals, no join); a source replace applies as one key-based
+    * arrivals, no join); a source step that grew DELETION VECTORS (a
+    * merge-on-read DELETE — file list unchanged) applies its delete
+    * images as a keyed anti-join replace, so GDPR erasures propagate
+    * to replicas; a source replace applies as one key-based
     * merge (anti-join out deleted/updated keys, union in transformed
     * inserts/postimages) — unless the replace diffs to an EMPTY feed
     * (a pure compaction), which advances the watermark with a
@@ -263,7 +271,29 @@ object ChangeFeed {
           if (added.isEmpty) transform(
             Manifest.read(spark, sourcePath, v).limit(0))
           else transform(readStep(spark, sourcePath, v, added))
-        Manifest.commit(ins, replicaPath, meta = meta)
+        dvDeltaImages(spark, sourcePath, v) match {
+          case None => Manifest.commit(ins, replicaPath, meta = meta)
+          case Some(images) =>
+            // a merge-on-read DELETE hid rows without changing any file
+            // (the GDPR-erasure commit shape) — the step is a keyed
+            // delete, applied exactly like a replace step's delete
+            // images: anti-join the deleted keys out of the replica,
+            // union in whatever the step also appended. Dropping it
+            // (the pre-r14 behavior) diverged the replica FOREVER: the
+            // eventual DV-absorbing rewrite diffs two already-applied
+            // snapshots to an empty feed, so the erased rows would
+            // never leave. keyCols are required here for the same
+            // reason a replace step requires them.
+            require(keyCols.nonEmpty, s"version $v of $sourcePath grew " +
+              "deletion vectors (a merge-on-read DELETE) — applying it " +
+              "to the replica needs keyCols")
+            val delKeys = images.select(keyCols.map(col): _*).distinct()
+            val kept = Manifest.read(spark, replicaPath)
+              .join(delKeys, keyCols, "left_anti")
+            Manifest.commit(
+              kept.unionByName(ins, allowMissingColumns = true),
+              replicaPath, replace = true, meta = meta)
+        }
       } else {
         val feed = snapshotDiff(
           Manifest.read(spark, sourcePath, v - 1),

@@ -40,7 +40,13 @@ object Materialize {
     * Fails loudly if the lineage was severed — a replace commit
     * (compaction) rewrote files `v0` listed, so folding "new" files
     * would double-count rewritten rows; the caller must recompute from
-    * scratch instead. */
+    * scratch instead. Also fails loudly if the DELETION-VECTOR state
+    * changed across the range: a merge-on-read DELETE changes no files,
+    * so the file diff alone would read as "nothing new" and the
+    * aggregate would keep the erased rows' contribution FOREVER (the
+    * silent-divergence failure a GDPR erasure must not have) —
+    * subtracting partials is not possible under the merge law, so the
+    * caller must recompute. */
   def filesAdded(sourcePath: String, v0: Long, v1: Long): Seq[String] = {
     require(v0 <= v1, s"watermark v$v0 is ahead of source v$v1")
     val after = Manifest.files(sourcePath, v1)
@@ -52,6 +58,12 @@ object Materialize {
         s"append lineage severed between v$v0 and v$v1 at $sourcePath " +
           "(a replace commit rewrote files) — incremental refresh would " +
           "double-count; recompute the aggregate from scratch")
+      require(Manifest.deletionVectors(sourcePath, v0) ==
+          Manifest.deletionVectors(sourcePath, v1),
+        s"deletion vectors changed between v$v0 and v$v1 at " +
+          s"$sourcePath (a merge-on-read DELETE hid rows already " +
+          "folded into the aggregate) — incremental refresh cannot " +
+          "subtract them; recompute the aggregate from scratch")
       val beforeSet = before.toSet
       after.filterNot(beforeSet.contains)
     }
@@ -72,8 +84,15 @@ object Materialize {
     require(v1 > 0, s"no committed version at $sourcePath")
     if (v1 == v0) return (Manifest.version(aggPath), 0)
     val delta = filesAdded(sourcePath, v0, v1)
-    val deltaRows = spark.read.parquet(delta.map(rel =>
-      Paths.get(sourcePath).resolve(rel).toString): _*)
+    // the from-scratch fold (v0 == 0) reads the WHOLE snapshot, so it
+    // must be the DV-applied view — a source carrying deletion vectors
+    // would otherwise fold erased rows into the fresh aggregate. The
+    // incremental path needs no DV handling: filesAdded proved the DV
+    // state unchanged, so added files provably carry no DV.
+    val deltaRows =
+      if (v0 == 0) Manifest.read(spark, sourcePath, v1)
+      else spark.read.parquet(delta.map(rel =>
+        Paths.get(sourcePath).resolve(rel).toString): _*)
     val deltaPartial = partial(deltaRows)
     val folded =
       if (Manifest.version(aggPath) == 0) merge(deltaPartial)

@@ -137,6 +137,48 @@ class ChangeFeedSpec extends SparkSpec {
       .toSeq == oneShot)
   }
 
+  test("syncReplica applies a merge-on-read DELETE step (DV growth, no " +
+    "file change): the erased keys leave the replica, the replica then " +
+    "equals transform(snapshot), the later DV-absorbing rewrite diffs " +
+    "to an empty feed (files carried), and a keyless sync of a DV step " +
+    "fails loudly instead of silently dropping the deletion") {
+    val src = freshTable()
+    val rep = freshTable() + "/replica"
+    def sync() = ChangeFeed.syncReplica(spark, src, rep,
+      keyCols = Seq("id"))
+    Manifest.commit(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "v")
+      .coalesce(1), src)                                           // v1
+    Manifest.commit(Seq((4L, 40), (5L, 50)).toDF("id", "v")
+      .coalesce(1), src)                                           // v2
+    assert(sync() == (2L, 2))
+    // a keyless replica synced through the appends — fine so far
+    val rep2 = freshTable() + "/replica2"
+    ChangeFeed.syncReplica(spark, src, rep2, keyCols = Seq.empty)
+    // GDPR erasure: ids 2 and 4 hide behind a DV — zero files move
+    val filesBefore = Manifest.files(src)
+    Merge.deleteKeysDv(spark, src, Seq(2L, 4L).toDF("id"), "id")   // v3
+    assert(Manifest.files(src) == filesBefore)
+    assert(sync() == (3L, 1))
+    def repRows() = Manifest.read(spark, rep).as[(Long, Int)]
+      .collect().sorted.toSeq
+    assert(repRows() == Seq((1L, 10), (3L, 30), (5L, 50)),
+      "the erased keys must leave the replica")
+    // the silent-divergence trap: dropping the DV step would surface
+    // here — the absorbing rewrite diffs two DV-applied snapshots to
+    // an EMPTY feed, so the erased rows could never leave later
+    Manifest.commit(Manifest.read(spark, src).repartition(1), src,
+      replace = true)                                              // v4
+    val repFiles = Manifest.files(rep).toSet
+    assert(sync() == (4L, 1))
+    assert(repFiles.subsetOf(Manifest.files(rep).toSet),
+      "the absorption rewrite must sync as a watermark-only append")
+    assert(repRows() == Seq((1L, 10), (3L, 30), (5L, 50)))
+    // keyless sync cannot apply a DV step: loud, not silent
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.syncReplica(spark, src, rep2, keyCols = Seq.empty))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("schema evolution across the feed: a range spanning an s23-style " +
     "column-add emits null-padded change rows in the final column set, " +
     "each step read under ITS version's recorded schema; syncReplica " +

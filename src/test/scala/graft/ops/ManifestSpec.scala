@@ -311,6 +311,40 @@ class ManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("severed"))
   }
 
+  test("Materialize.refresh refuses a merge-on-read DELETE step (the " +
+    "hidden rows are already folded; the file diff alone reads as " +
+    "'nothing new'), and a from-scratch refresh over a DV-carrying " +
+    "source folds the DV-APPLIED view") {
+    val src = freshTable()
+    val agg = freshTable() + "_agg"
+    val partial = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val merge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
+    Manifest.commit(Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+      .coalesce(1), src)
+    Materialize.refresh(spark, src, agg, partial, merge)
+    // GDPR erasure on the source: no files change, so without the DV
+    // guard the next refresh would commit a zero-delta watermark
+    // advance and keep g=a's erased row in the aggregate FOREVER
+    Merge.deleteWhereDv(spark, src, col("v") === 2)
+    val e = intercept[IllegalArgumentException](
+      Materialize.refresh(spark, src, agg, partial, merge))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // the recompute path: a fresh aggregate folds the DV-applied view
+    val agg2 = freshTable() + "_agg2"
+    Materialize.refresh(spark, src, agg2, partial, merge)
+    assert(Manifest.read(spark, agg2).as[(String, Long)].collect()
+      .sorted.toSeq == Seq(("a", 1L), ("b", 1L)))
+    // after maintenance absorbs the DV, the severed-lineage guard takes
+    // over for the stale aggregate (same loud recompute contract)
+    Manifest.commit(Manifest.read(spark, src).coalesce(1), src,
+      replace = true)
+    assert(intercept[IllegalArgumentException](
+      Materialize.refresh(spark, src, agg, partial, merge))
+      .getMessage.contains("severed"))
+  }
+
   test("history: change types classify (append / replace / rewrite), " +
     "row deltas count each file once, metadata-only commits read as " +
     "zero-row appends, and the data_change flag surfaces") {
