@@ -12,15 +12,20 @@ import graft.functions.{BpePairArray, BpeRewrite, DeflateLen, DotProduct, Md5Lon
   * same as the Column API. Install at session construction with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
   * `.withExtensions(new GraftExtensions)`), or into an already-running
-  * session with `GraftExtensions.install(spark)`.
+  * session with `GraftExtensions.install(spark)` (functions only — the
+  * analyzer rule below needs construction-time install).
   *
-  * Only expression-level extensions are needed: the engine's operators are
-  * all expressible as Catalyst logical plans through the DataFrame API, so
-  * there is deliberately no custom Rule/Strategy to register (SURVEY §4).
+  * The engine's operators are all expressible as Catalyst logical plans
+  * through the DataFrame API (SURVEY §4), so the ONE plan-level extension
+  * is [[graft.plans.DvReadRewrite]]: the analysis-time rewrite serving SQL
+  * reads of deletion-vector-carrying [[graft.sources.GraftCatalog]]
+  * versions (the Delta pattern — catalog resolves, extension rewrites).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectResolutionRule(graft.plans.DvReadRewrite(_))
+  }
 }
 
 object GraftExtensions {

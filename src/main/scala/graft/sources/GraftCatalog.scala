@@ -40,11 +40,22 @@ import graft.ops.Manifest
   * Read-only by design: writes go through `Manifest.commit`'s
   * optimistic-concurrency protocol, which SQL `INSERT` cannot express —
   * `createTable`/`dropTable`/`alterTable` fail loudly rather than
-  * bypass it. Versions carrying DELETION VECTORS also fail loudly for
-  * now: the scan cannot apply the position anti-join, and silently
-  * resurrecting deleted rows is the one unacceptable behavior — read
-  * DV'd versions through `Manifest.read` until maintenance absorbs the
-  * DV. */
+  * bypass it.
+  *
+  * Versions carrying DELETION VECTORS resolve to a [[DvMarkedTable]]
+  * that [[graft.plans.DvReadRewrite]] (injected by
+  * `graft.GraftExtensions`) rewrites into the DV-applied read during
+  * analysis — so SQL over an erasure-workload table (st32's steady
+  * state) just works, with the same size-gated position anti-join and
+  * pushdown as `Manifest.read`. Without the extension installed the
+  * marked table REFUSES its scan loudly: silently resurrecting deleted
+  * rows is the one unacceptable behavior. DV-less versions keep the
+  * join-free native plan (ExtensionsSpec pins both).
+  *
+  * `graft.<t>.history` serves DESCRIBE HISTORY as a metadata table
+  * (the Delta/Iceberg convention): one row per committed version from
+  * [[graft.ops.Manifest.history]] — pure manifest metadata, matching
+  * the API rows exactly, merge-on-read deletes included. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -79,18 +90,58 @@ class GraftCatalog extends TableCatalog {
 
   private def load(ident: Identifier, asOf: Long): Table = {
     val path = tablePath(ident)
+    val spark = SparkSession.active
+    if (Manifest.version(path) == 0L && asOf < 0 &&
+        ident.name().equalsIgnoreCase("history") &&
+        ident.namespace().nonEmpty) {
+      // graft.<t>.history — the metadata-table convention: the name
+      // resolves only when <t> IS a manifest table and no real table
+      // shadows it (checked above), so a data table named "history"
+      // always wins
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val parentPath = tablePath(parent)
+      if (Manifest.version(parentPath) > 0L)
+        return historyTable(spark, s"$catalogName.${ident.toString}",
+          parentPath)
+    }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
     require(v > 0, s"no committed version at $path")
-    require(Manifest.deletionVectors(path, v).isEmpty,
-      s"version $v of $path carries deletion vectors; the SQL scan " +
-        "cannot apply the position anti-join — read it via " +
-        "Manifest.read, or absorb the DV with OPTIMIZE/compaction")
-    val spark = SparkSession.active
     val files = Manifest.files(path, v).map(rel =>
       java.nio.file.Paths.get(path).resolve(rel).toString)
-    ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
+    val table = ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
       CaseInsensitiveStringMap.empty(), files.toIndexedSeq,
       Manifest.schemaOf(path, v), classOf[ParquetFileFormat])
+    // a DV-carrying version cannot be served by the raw scan (it would
+    // resurrect deleted rows): mark it for the analysis-time rewrite
+    // (graft.plans.DvReadRewrite applies the position anti-join); the
+    // marker's scan refusal catches any path the rewrite missed
+    if (Manifest.deletionVectors(path, v).isEmpty) table
+    else new DvMarkedTable(table.name, path, v, table.schema)
+  }
+
+  /** DESCRIBE HISTORY rows as a tiny DSv2 metadata table — identical
+    * to [[Manifest.history]] (same driver-side metadata walk). */
+  private def historyTable(spark: SparkSession, name: String,
+      path: String): Table = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("change_type", StringType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("rows_added", LongType, nullable = false),
+      StructField("rows_removed", LongType, nullable = false),
+      StructField("data_change", BooleanType, nullable = false)))
+    val rows = Manifest.history(spark, path).map { c =>
+      new GenericInternalRow(Array[Any](c.version,
+        UTF8String.fromString(c.change_type), c.files_added,
+        c.files_removed, c.rows_added, c.rows_removed,
+        c.data_change)): org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+    new MetadataRowsTable(name, schema, rows)
   }
 
   override def tableExists(ident: Identifier): Boolean =

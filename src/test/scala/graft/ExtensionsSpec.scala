@@ -32,8 +32,9 @@ class ExtensionsSpec extends SparkSpec {
 
   test("graft catalog: SQL VERSION AS OF reads equal Manifest.read at " +
     "the same version — head, history, and a restored table — the " +
-    "catalog is read-only, and a DV'd version fails loudly instead of " +
-    "resurrecting deleted rows") {
+    "catalog is read-only, and a DV'd version serves the DV-APPLIED " +
+    "read through the analysis rewrite (plans pinned: DV-less = " +
+    "join-free native scan, DV'd = anti-join with pushdown intact)") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
     import graft.ops.{Manifest, Merge}
@@ -67,20 +68,77 @@ class ExtensionsSpec extends SparkSpec {
     // absolute-path identifier (the delta.`/path` convention)
     assert(sqlRead(s"SELECT * FROM graft.`$tbl` VERSION AS OF 2") ==
       apiRead(2L))
-    // a DV'd version refuses the SQL scan (silent resurrection is the
-    // one unacceptable behavior)
+    // a DV-less read stays the join-free native v2 scan (the rewrite
+    // must cost nothing when no DV is in force)
+    assert(!spark.sql("SELECT * FROM graft.t1").queryExecution
+      .executedPlan.toString.contains("Join"))
+    // a DV'd version serves the DV-APPLIED read: the analysis rewrite
+    // replaces the marked relation with Manifest.read's plan
     Manifest.commit(Seq((4L, "d")).toDF("id", "s"), tbl)           // v4
     Merge.deleteWhereDv(spark, tbl, col("id") === 1L)              // v5
-    val e = intercept[Exception](
-      spark.sql("SELECT * FROM graft.t1").collect())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    // pre-DV versions still serve
+    assert(sqlRead("SELECT * FROM graft.t1") ==
+      Set((2L, "b"), (4L, "d")), "SQL must hide the DV'd position")
+    assert(sqlRead("SELECT * FROM graft.t1") == apiRead(5L))
+    // the DV'd plan carries the position anti-join, and predicates
+    // still push into the inner parquet scan
+    val dvPlan = spark.sql("SELECT * FROM graft.t1 WHERE id = 4")
+      .queryExecution.executedPlan.toString
+    assert(dvPlan.contains("Join") && dvPlan.contains("LeftAnti"), dvPlan)
+    assert(dvPlan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,4)]"),
+      dvPlan)
+    // pre-DV versions still serve join-free
     assert(sqlRead("SELECT * FROM graft.t1 VERSION AS OF 4") ==
       apiRead(4L))
+    // the rewrite reaches DV'd tables inside SUBQUERIES too (an
+    // escaped path would fail loudly at the marker's scan refusal —
+    // never resurrect — but it must not escape)
+    assert(spark.sql("SELECT count(*) AS n FROM range(10) WHERE id IN " +
+      "(SELECT id FROM graft.t1)").collect().head.getLong(0) == 2L)
     // read-only: DDL/DML refuse
     intercept[Exception](spark.sql("DROP TABLE graft.t1"))
     assert(spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getString(1)).contains("t1"))
+  }
+
+  test("graft catalog: SELECT * FROM graft.<t>.history equals " +
+    "Manifest.history — merge-on-read deletes read as optype=delete " +
+    "with their DV row deltas — and a real table named 'history' " +
+    "would win over the metadata table") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    // the catalog instance is CACHED per session once resolved, so a
+    // later conf change can't re-root it: reuse the active root (or
+    // register it if this test runs first)
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+    val root = scala.util.Try(
+      spark.conf.get("spark.sql.catalog.graft.root")).getOrElse {
+      val r = Files.createTempDirectory("graft_cat_h").toString
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
+    val tbl = s"$root/t2"
+    Manifest.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl) // v1
+    Manifest.commit(Seq((3L, "c")).toDF("id", "s"), tbl)           // v2
+    Merge.deleteWhereDv(spark, tbl, col("id") === 2L)              // v3
+    val api = Manifest.history(spark, tbl).map(c => (c.version,
+      c.change_type, c.files_added, c.files_removed, c.rows_added,
+      c.rows_removed, c.data_change))
+    val viaSql = spark.sql(
+      "SELECT * FROM graft.t2.history ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toSeq
+    assert(viaSql == api, s"sql=$viaSql api=$api")
+    assert(viaSql.exists(r => r._2 == "delete" && r._6 == 1L),
+      "the erasure must read as a delete with its DV row delta")
+    // a REAL manifest table named history shadows the metadata table
+    val shadow = s"$root/t3/history"
+    Manifest.commit(Seq((9L, "z")).toDF("id", "s"), shadow)
+    assert(spark.sql("SELECT * FROM graft.t3.history").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
