@@ -713,20 +713,38 @@ object Multimodal {
     * first two bytes — the documented m1 placeholder for codecs this
     * container image lacks). */
   private final class DecoderContext {
+    /** Byte-slice stub dims — the m1 placeholder for formats this
+      * container image cannot really decode, and the QUARANTINE
+      * fallback for corrupt containers. */
+    private def stub(r: MediaRow, kind: String): MediaMeta = MediaMeta(
+      r.id, kind, r.payload.length.toLong,
+      if (r.payload.length > 0) r.payload(0) & 0xff else 0,
+      if (r.payload.length > 1) r.payload(1) & 0xff else 0)
+
     def decodeMeta(r: MediaRow): MediaMeta =
       sniffContainer(r.payload) match {
         case "mp4" =>
-          val s = parseMp4Sidecar(r.id, r.payload)
-          MediaMeta(r.id, "mp4", r.payload.length.toLong,
-            s.width, s.height)
+          // quarantine, don't crash: ONE truncated/corrupt container
+          // (or a stray payload with 'ftyp' at offset 4) must not fail
+          // the whole partition — the box walk's structural checks
+          // throw, and the row degrades to an explicitly-tagged stub
+          // a downstream filter can route to a dead-letter table
+          try {
+            val s = parseMp4Sidecar(r.id, r.payload)
+            MediaMeta(r.id, "mp4", r.payload.length.toLong,
+              s.width, s.height)
+          } catch { case scala.util.control.NonFatal(_) =>
+            stub(r, "quarantined")
+          }
         case "mkv" =>
-          val s = parseMkvSidecar(r.id, r.payload)
-          MediaMeta(r.id, "mkv", r.payload.length.toLong,
-            s.width, s.height)
-        case _ => MediaMeta(
-          r.id, r.kind, r.payload.length.toLong,
-          if (r.payload.length > 0) r.payload(0) & 0xff else 0,
-          if (r.payload.length > 1) r.payload(1) & 0xff else 0)
+          try {
+            val s = parseMkvSidecar(r.id, r.payload)
+            MediaMeta(r.id, "mkv", r.payload.length.toLong,
+              s.width, s.height)
+          } catch { case scala.util.control.NonFatal(_) =>
+            stub(r, "quarantined")
+          }
+        case _ => stub(r, r.kind)
       }
 
     /** STUB frame sampler: the first `maxFrames` fixed-size slices of the

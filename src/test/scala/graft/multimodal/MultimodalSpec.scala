@@ -53,6 +53,32 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.sniffContainer(Array.emptyByteArray) == "unknown")
   }
 
+  test("decodeMeta QUARANTINES corrupt containers instead of failing " +
+    "the partition: a truncated mp4 / stray-ftyp payload and a " +
+    "truncated EBML payload degrade to an explicitly-tagged stub row, " +
+    "and healthy rows in the same partition still decode") {
+    import spark.implicits._
+    val mp4 = Multimodal.synthMp4(timescale = 1000, durationUnits = 5000,
+      width = 640, height = 480, mdatBytes = 32)
+    // 'ftyp' at offset 4 but nothing else — sniffs mp4, walk must throw
+    val strayFtyp = Array[Byte](0, 0, 0, 16, 'f', 't', 'y', 'p')
+    val truncatedMp4 = mp4.take(mp4.length / 2)
+    val truncatedMkv = Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte,
+      0xa3.toByte, 0x01)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "bin", strayFtyp),
+      Multimodal.MediaRow(2L, "bin", truncatedMp4),
+      Multimodal.MediaRow(3L, "bin", truncatedMkv),
+      Multimodal.MediaRow(4L, "bin", mp4)).toDS().coalesce(1)
+    val metas = Multimodal.decodeMeta(rows).collect()
+      .map(m => m.id -> ((m.kind, m.width, m.height))).toMap
+    assert(metas(1L)._1 == "quarantined", metas(1L).toString)
+    assert(metas(2L)._1 == "quarantined", metas(2L).toString)
+    assert(metas(3L)._1 == "quarantined", metas(3L).toString)
+    assert(metas(4L) == (("mp4", 640, 480)),
+      "a healthy row sharing the partition must still really decode")
+  }
+
   test("media rows keep explicit schema through the typed pipeline") {
     val df = Multimodal.decodeMeta(media).toDF()
     assert(df.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
