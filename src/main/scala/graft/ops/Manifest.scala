@@ -280,13 +280,15 @@ object Manifest {
     * when the commit happened. */
   def commitOnce(df: DataFrame, tablePath: String, appId: String,
       txnVersion: Long, replace: Boolean = false,
-      meta: Map[String, String] = Map.empty): Option[Long] = {
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
     require(appId.nonEmpty && !appId.contains("=") && !appId.contains("\n"),
       s"invalid txn appId '$appId'")
     if (lastTxn(tablePath, appId) >= txnVersion) None
     else
       try Some(commit(df, tablePath, replace,
-        meta + (s"$TxnPrefix$appId" -> txnVersion.toString)))
+        meta + (s"$TxnPrefix$appId" -> txnVersion.toString),
+        statsCols = statsCols))
       catch {
         // lost the publish race to a concurrent writer that landed this
         // very transaction (the commit retry loop's txn conflict

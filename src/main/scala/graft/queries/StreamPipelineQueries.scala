@@ -453,6 +453,68 @@ object StreamPipelineQueries {
            WHERE user_id NOT IN (SELECT user_id FROM erased)
            GROUP BY event_type ORDER BY event_type""")),
 
+    // st33: TOMBSTONE-GATED INGEST — closes the loop st32 leaves open
+    // (st32 erases CURRENT state; a post-erasure batch carrying an
+    // erased user's rows would re-admit them): the request set
+    // PERSISTS as a Manifest tombstone table (the compliance
+    // forget-list), every batch gates against the full accumulated set
+    // (rows of forgotten users drop at the door — broadcast anti-join
+    // sized from the tombstone table's METADATA row count, zero I/O),
+    // and each batch's NEW tombstones DV-erase the users' previously
+    // admitted rows. Final state is chunk-order independent (main =
+    // events of never-forgotten users — the oracle's one set
+    // subtraction); WHERE a suppressed row was stopped (gated vs DV'd)
+    // is arrival-order dependent, so only the union is contractual and
+    // StreamingSpec pins both routes with ordered chunks.
+    // rows_suppressed cross-checks total − admitted-logical against
+    // the oracle's erased-row count; no_erased_in_main is the
+    // compliance statement itself; append_only_plus_dv pins that no
+    // data file was ever rewritten (history: appends + deletes only).
+    "st33_tombstone_gated_ingest" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val work = scratch("st33", dir)
+        wipe(work)
+        val main = s"$work/main"
+        val tombs = s"$work/tombs"
+        val res = Streams.tombstoneIngestStreaming(s, dir, main, tombs,
+          name = s"graft_st33_${dirTag(dir)}")
+        val tombKeys = Manifest.read(s, tombs)
+          .select(col("user_id")).distinct()
+        val nTomb = tombKeys.count()
+        val suppressed = events(s, dir).count() - res.count()
+        val noErased = res.join(tombKeys, Seq("user_id"), "left_semi")
+          .isEmpty
+        val appendPlusDv = Manifest.history(s, main)
+          .map(_.change_type).toSet.subsetOf(Set("append", "delete"))
+        res.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("value"))).cast("double").as("sum_value"))
+          .select(col("event_type"), col("cnt"), col("sum_value"),
+            lit(nTomb).as("n_tombstones"),
+            lit(suppressed).as("rows_suppressed"),
+            lit(noErased).as("no_erased_in_main"),
+            lit(appendPlusDv).as("append_only_plus_dv"))
+          .orderBy(col("event_type"))
+      },
+      Some(
+        """WITH erased AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'error' AND user_id % 10 = 3),
+           agg AS (SELECT event_type, count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+             FROM events
+             WHERE user_id NOT IN (SELECT user_id FROM erased)
+             GROUP BY event_type)
+           SELECT event_type, cnt, sum_value,
+             (SELECT CAST(count(*) AS BIGINT) FROM erased)
+               AS n_tombstones,
+             (SELECT CAST(count(*) AS BIGINT) FROM events
+               WHERE user_id IN (SELECT user_id FROM erased))
+               AS rows_suppressed,
+             TRUE AS no_erased_in_main, TRUE AS append_only_plus_dv
+           FROM agg ORDER BY event_type""")),
+
     // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
     // continuous query: each micro-batch merges into the persisted
     // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,

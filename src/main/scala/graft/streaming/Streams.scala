@@ -41,7 +41,8 @@ object Streams {
     * no session-timezone dependence. */
   def readEventsStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      emptyOk: Boolean = false): DataFrame = {
     // TIMESTAMP(NANOS) surfaces as LongType only under this conf; the
     // batch reader sets it identically, so the two probes agree.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -49,10 +50,24 @@ object Streams {
       try spark.read.option("pathGlobFilter", glob)
         .parquet(dir).schema("ts").dataType
       catch {
-        // no matching file yet (the legitimate empty-drain case): pin
-        // the MICROS default the old reader always assumed — there is
-        // nothing to derive from, and an empty drain reads nothing
-        case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+        // No matching file at start: FAIL LOUDLY instead of guessing. A
+        // streaming source pins its schema for the query's lifetime, so
+        // silently defaulting (the pre-r14 behavior pinned MICROS)
+        // would make a long-lived stream started against an empty
+        // directory mis-read a nanos-generation file arriving later — a
+        // wrong answer with no error. `emptyOk = true` is the opt-out
+        // for BOUNDED drains (start → processAllAvailable → stop, e.g.
+        // st15's legitimate empty-drain contract): nothing can arrive
+        // during the drain, so the pinned type is never exercised.
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (emptyOk) TimestampNTZType
+          else throw new IllegalStateException(
+            s"no file matching '$glob' under $dir at stream start — " +
+              "the ts physical type (NANOS vs MICROS generations) is " +
+              "derived from the files and would be pinned wrong for " +
+              "files arriving later; start the stream after the first " +
+              "file exists (or pass emptyOk=true for a bounded drain)",
+            e)
       }
     val schema = StructType(eventSchema.fields.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
@@ -983,7 +998,11 @@ object Streams {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           dimSchema)
         .write.mode("overwrite").parquet(s"$workDir/dim_seed")
-    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+    // emptyOk: st15's documented contract — a drain whose glob matches
+    // nothing returns the empty seed dimension (bounded drain: nothing
+    // can arrive while it runs, so the fallback ts type is inert)
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger,
+        emptyOk = true)
       .filter(where)
       .select(col(keyCol), col(attrCol), col("ts"), col("event_id"))
       .writeStream
@@ -1319,6 +1338,98 @@ object Streams {
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     Manifest.read(spark, tablePath)
+  }
+
+  /** ERASURE-AWARE STREAMING INGEST — the piece [[erasureStreaming]]
+    * (st32) deliberately leaves open: st32 erases CURRENT state, so a
+    * post-erasure batch carrying an erased user's rows would re-admit
+    * them. Production closes the loop by PERSISTING the request set as
+    * a tombstone table and gating ingest against it — the forget-list
+    * every compliant ingest pipeline keeps. Per micro-batch, in order:
+    *
+    *  1. the batch's tombstone requests (the planted topic: `error`
+    *     events of users with `user_id % 10 = 3`) append to the
+    *     tombstone table — exactly-once via the txn stamp;
+    *  2. the batch GATES against the FULL persisted tombstone set
+    *     (this batch's requests included): rows of forgotten users are
+    *     dropped at the door (a left-anti join, broadcast while the
+    *     tombstone table's METADATA row count — zero I/O — is under
+    *     the key gate, shuffle past it) and survivors append to the
+    *     main table, exactly-once via the txn stamp;
+    *  3. the batch's NEW tombstone keys erase the users' PREVIOUSLY
+    *     ADMITTED rows behind a deletion vector
+    *     ([[graft.ops.Merge.deleteKeysDv]]) — bounded by this batch's
+    *     request set, idempotent by MoR construction (a replay matches
+    *     nothing), zero data files rewritten.
+    *
+    * Any crash/replay interleaving converges: steps 1 and 2 are
+    * txn-stamped (replays commit nothing), step 3 re-runs harmlessly.
+    * The final state is chunk-order independent — main = every event
+    * whose user never requested erasure — which is exactly the one-shot
+    * set subtraction the oracle replays; WHERE a given suppressed row
+    * was stopped (gated at ingest vs DV'd after admission) depends on
+    * arrival order, so only the union is part of the contract
+    * (StreamingSpec pins both routes with ordered chunks). Main-table
+    * commits record `user_id` stats so the erase step's match scan
+    * stays stats-prunable. Returns the final main-table read on the
+    * caller's session. */
+  def tombstoneIngestStreaming(spark: SparkSession, dir: String,
+      tablePath: String, tombstonePath: String,
+      glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
+      name: String = "graft_st33"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", s"$tablePath-ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTombstoneIngestBatch(batch, batchId, tablePath,
+          tombstonePath)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, tablePath)
+  }
+
+  /** [[tombstoneIngestStreaming]]'s per-batch body (see the three-step
+    * contract there). Skip-empty on both tables; the gate's broadcast
+    * decision reads the tombstone table's metadata row count — no job. */
+  private[graft] def applyTombstoneIngestBatch(batch: DataFrame,
+      batchId: Long, tablePath: String, tombstonePath: String): Unit = {
+    import graft.ops.{Manifest, Merge}
+    val requests = batch
+      .filter(col("event_type") === "error" &&
+        pmod(col("user_id"), lit(10)) === 3)
+      .select(col("user_id")).distinct()
+    if (!requests.isEmpty)
+      Manifest.commitOnce(requests, tombstonePath, "st33_tombs", batchId,
+        statsCols = Seq("user_id"))
+    // gate against the FULL forget-list (this batch's requests included
+    // — committed above, and a replay sees them committed already)
+    val admitted =
+      if (Manifest.version(tombstonePath) == 0L) batch
+      else {
+        val tombs = Manifest.read(batch.sparkSession, tombstonePath)
+          .select(col("user_id")).distinct()
+        val hinted = // metadata-only size gate: zero I/O to decide
+          if (Manifest.rowCount(tombstonePath)
+              .exists(_ <= Merge.DefaultBroadcastKeyLimit))
+            broadcast(tombs)
+          else tombs
+        batch.join(hinted, Seq("user_id"), "left_anti")
+      }
+    if (!admitted.isEmpty)
+      Manifest.commitOnce(admitted, tablePath, "st33_main", batchId,
+        statsCols = Seq("user_id"))
+    // erase the batch's NEW tombstone users' previously-admitted rows;
+    // bounded by the request set, idempotent by MoR (replays match
+    // nothing), no-op when the main table doesn't exist yet
+    if (Manifest.version(tablePath) > 0L && !requests.isEmpty)
+      Merge.deleteKeysDv(batch.sparkSession, tablePath, requests,
+        "user_id")
+    ()
   }
 
   /** [[erasureStreaming]]'s per-batch body: extract the batch's erasure

@@ -1652,6 +1652,15 @@ class StreamingSpec extends SparkSpec {
       s"streaming contract must equal the batch contract: $streamed")
   }
 
+  test("readEventsStream FAILS LOUDLY when no matching file exists at " +
+    "stream start: the pinned ts type cannot be derived, and silently " +
+    "defaulting would mis-read a nanos-generation file arriving later") {
+    val dir = java.nio.file.Files.createTempDirectory("empty_events")
+    val e = intercept[IllegalStateException](
+      Streams.readEventsStream(spark, dir.toString))
+    assert(e.getMessage.contains("no file matching"), e.getMessage)
+  }
+
   test("st32 streaming erasure: a 4-batch drain equals the one-shot " +
     "keyed DV delete (order-independent), zero data files move, and a " +
     "REPLAYED batch publishes no new version (exactly-once by MoR " +
@@ -1724,5 +1733,155 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "event_type", "value").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
       oneShot)
+    // st32's DOCUMENTED gap (closed by st33's tombstones): erasure acts
+    // on current state only, so rows of an ALREADY-ERASED user arriving
+    // in a later append are re-admitted — pin the contract so the
+    // boundary between st32 and st33 stays explicit
+    val erasedUid = ev.filter(col("event_type") === "error" &&
+        pmod(col("user_id"), lit(10)) === 3)
+      .agg(min(col("user_id"))).head().getLong(0)
+    import spark.implicits._
+    Manifest.commit(Seq((erasedUid, "late", 1.0))
+      .toDF("user_id", "event_type", "value"), tblReplay)
+    assert(Manifest.read(spark, tblReplay)
+      .filter(col("user_id") === erasedUid).count() == 1L,
+      "st32 contract: a post-erasure append re-admits (no forget-list)")
+    // and a LATER request batch naming only OTHER users leaves the
+    // re-admitted rows untouched (erasure is per-request, not a
+    // standing rule — the exact gap st33's persisted tombstones close)
+    val otherUid = erasedUid + 10L // also % 10 == 3
+    Streams.applyErasureBatch(
+      Seq((otherUid, "error", 0.0)).toDF("user_id", "event_type", "value"),
+      1L, tblReplay)
+    assert(Manifest.read(spark, tblReplay)
+      .filter(col("user_id") === erasedUid).count() == 1L,
+      "a mid-drain append survives request batches for other users")
+  }
+
+  test("st33 tombstone-gated ingest: a chunked drain equals the " +
+    "one-shot set subtraction with BOTH suppression routes exercised " +
+    "(gated at ingest AND DV-erased after admission), zero rewrites, " +
+    "and a replayed batch publishes nothing on either table") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    val ev = QueryDSL.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    // 3 DELIBERATELY-ORDERED chunk files (library-reader reconstruction,
+    // never a raw events read): half the non-error traffic first, THEN
+    // every error event (all tombstone requests land here), then the
+    // other non-error half — so erased users provably have rows
+    // admitted BEFORE their request (the DV route) and rows arriving
+    // AFTER it (the gate route). The st32-style event_id%4 split is
+    // NOT enough: error events are common, so every erased user's
+    // first request lands in batch 0 and the DV route never fires.
+    val srcDir = Files.createTempDirectory("st33_src")
+    val micros = QueryDSL.events(spark, sf)
+      .select(col("event_id"), col("ts_utc").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val chunks = Seq(
+      micros.filter(col("event_type") =!= "error" &&
+        col("event_id") % 2 === 0),
+      micros.filter(col("event_type") === "error"),
+      micros.filter(col("event_type") =!= "error" &&
+        col("event_id") % 2 === 1))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val chunkDir = Files.createTempDirectory(s"st33_chunk$i")
+      c.coalesce(1).write.mode("overwrite").parquet(chunkDir.toString)
+      val part = chunkDir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = srcDir.resolve(s"events_$i.parquet")
+      Files.copy(part.toPath, dst)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+    val work = Files.createTempDirectory("st33_tbl").toString
+    val main = s"$work/main"
+    val tombs = s"$work/tombs"
+    val streamed = Streams.tombstoneIngestStreaming(spark,
+        srcDir.toString, main, tombs, glob = "events_*.parquet",
+        maxFilesPerTrigger = 1, name = "st33_spec_sink")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // one-shot subtraction twin
+    val erased = ev.filter(col("event_type") === "error" &&
+      pmod(col("user_id"), lit(10)) === 3).select(col("user_id"))
+    val oneShot = ev.join(erased, Seq("user_id"), "left_anti")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed == oneShot,
+      "chunked gated ingest must equal the one-shot subtraction")
+    // both routes fired, with EXACT deterministic accounting: the DV'd
+    // mass is precisely the erased users' batch-0 rows (non-error,
+    // even event_id — admitted before their request existed); the rest
+    // of the suppression was gated (their error rows and batch-2 rows)
+    val suppressed = ev.count() - streamed.size
+    val dvTotal = Manifest.deletionVectors(main).values.map(_._2).sum
+    val expectedDv = QueryDSL.events(spark, sf)
+      .filter(col("event_type") =!= "error" && col("event_id") % 2 === 0)
+      .join(erased.distinct(), Seq("user_id"), "left_semi").count()
+    assert(dvTotal == expectedDv,
+      s"DV mass must be exactly the pre-request admissions: $dvTotal " +
+        s"vs $expectedDv")
+    assert(dvTotal > 0L && dvTotal < suppressed,
+      s"both routes must fire ($dvTotal DV'd of $suppressed suppressed)")
+    // audit: main never rewrote a data file (appends + DV deletes only)
+    assert(Manifest.history(spark, main).map(_.change_type).toSet
+      .subsetOf(Set("append", "delete")))
+    // REPLAY: the same batch body twice — txn stamps drop the re-commit
+    // on both tables, the DV step matches nothing
+    val work2 = Files.createTempDirectory("st33_replay").toString
+    Streams.applyTombstoneIngestBatch(ev, 0L, s"$work2/m", s"$work2/t")
+    val vm = Manifest.version(s"$work2/m")
+    val vt = Manifest.version(s"$work2/t")
+    Streams.applyTombstoneIngestBatch(ev, 0L, s"$work2/m", s"$work2/t")
+    assert(Manifest.version(s"$work2/m") == vm &&
+      Manifest.version(s"$work2/t") == vt,
+      "a replayed batch must publish nothing on either table")
+  }
+
+  test("st33 ordered-chunk routes: rows admitted BEFORE their user's " +
+    "tombstone are DV-erased; rows arriving AFTER it are gated (never " +
+    "written — the post-erasure re-admission st32 cannot prevent); a " +
+    "fully-gated batch publishes no main version") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("st33_ordered").toString
+    val main = s"$work/m"
+    val tombs = s"$work/t"
+    def batch(rows: (Long, String, Double)*) =
+      rows.toDF("user_id", "event_type", "value")
+    // batch 0: user 13 (uid%10=3) and user 20 ingest cleanly
+    Streams.applyTombstoneIngestBatch(
+      batch((13L, "click", 1.0), (13L, "view", 2.0), (20L, "click", 3.0)),
+      0L, main, tombs)
+    assert(Manifest.read(spark, main).count() == 3L)
+    // batch 1: user 13's erasure request (an error event) — the request
+    // row itself is gated (a forgotten user's row never lands), and the
+    // two previously-admitted rows hide behind a DV
+    Streams.applyTombstoneIngestBatch(
+      batch((13L, "error", 0.0)), 1L, main, tombs)
+    assert(Manifest.read(spark, main).collect()
+      .map(_.getLong(0)).toSeq == Seq(20L),
+      "previously-admitted rows of the requester must be DV-erased")
+    assert(Manifest.deletionVectors(main).values.map(_._2).sum == 2L)
+    val vAfterErase = Manifest.version(main)
+    // batch 2: user 13 re-appears with fresh rows — GATED at the door:
+    // no main commit at all (skip-empty), no DV growth, nothing to read
+    Streams.applyTombstoneIngestBatch(
+      batch((13L, "click", 9.0), (13L, "view", 8.0)), 2L, main, tombs)
+    assert(Manifest.version(main) == vAfterErase,
+      "a fully-gated batch must publish no main version")
+    assert(Manifest.read(spark, main).collect()
+      .map(_.getLong(0)).toSeq == Seq(20L))
+    // batch 3: mixed — the forgotten user's rows drop, others land
+    Streams.applyTombstoneIngestBatch(
+      batch((13L, "click", 7.0), (21L, "view", 4.0)), 3L, main, tombs)
+    assert(Manifest.read(spark, main).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(20L, 21L))
+    // the tombstone table is the persisted forget-list: exactly user 13
+    assert(Manifest.read(spark, tombs).collect()
+      .map(_.getLong(0)).toSeq == Seq(13L))
   }
 }
