@@ -1206,6 +1206,82 @@ object SourceQueries {
              TRUE AS dv_absorbed
            FROM k""")),
 
+    // S34: ERASURE-COMPLIANCE AUDIT — the full right-to-be-forgotten
+    // chain s33's single delete only starts: DV delete (logical, zero
+    // rewrites) → compaction absorbs the DV (survivors rewritten,
+    // hidden rows not copied) → staged VACUUM proves the retention
+    // story end-to-end. After the first vacuum (retain the DV'd
+    // version + head) EVERY retained version reads zero erased-key
+    // rows — the DV'd version via the position anti-join, the
+    // compacted head physically — while the dropped pre-delete
+    // versions fail LOUDLY (a fenced time-travel read, never a silent
+    // resurrection). The final vacuum (retain head only) completes
+    // PHYSICAL erasure: the pre-compaction files that still held the
+    // hidden bytes are deleted from disk, the DV sidecar sweeps with
+    // them, and the DV'd version's manifest is gone. Values replay in
+    // the oracle; each stage's proof is an earned flag.
+    "s34_erasure_compliance" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        import java.nio.file.{Files => JFiles, Paths => JPaths}
+        val tbl = scratch("s34_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val erasedPred = pmod(col("o_custkey"), lit(10)) === 3
+        val st = Merge.deleteWhereDv(s, tbl, erasedPred)        // v5
+        // maintenance absorbs the DV: compaction reads the DV-applied
+        // view, so hidden rows are never copied into the new layout
+        Manifest.commit(Manifest.read(s, tbl).repartition(1), tbl,
+          replace = true)                                       // v6
+        val origFiles = Manifest.files(tbl, 5L)
+        // stage 1: drop pre-delete history, KEEP the DV'd version —
+        // the steady state where time travel must stay compliant
+        val (dropped1, _) = Manifest.vacuum(tbl, retainLast = 2)
+        val retainedClean = Seq(5L, 6L).forall(v =>
+          Manifest.read(s, tbl, v).filter(erasedPred).isEmpty)
+        val droppedLoud = dropped1 == Seq(1L, 2L, 3L, 4L) &&
+          (1L to 4L).forall(v =>
+            scala.util.Try(Manifest.read(s, tbl, v).count()).isFailure)
+        // stage 2: physical erasure — the bytes leave the disk
+        Manifest.vacuum(tbl, retainLast = 1)
+        val physical =
+          origFiles.forall(f => !JFiles.exists(
+            JPaths.get(tbl).resolve(f))) &&
+          Manifest.deletionVectors(tbl).isEmpty &&
+          scala.util.Try(Manifest.read(s, tbl, 5L).count()).isFailure
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double")
+              .as("price_mass"))
+          .select(col("n_rows"),
+            lit(st.positionsAdded).as("rows_erased"),
+            col("price_mass"),
+            lit(retainedClean).as("retained_clean"),
+            lit(droppedLoud).as("dropped_loud"),
+            lit(physical).as("physically_erased"))
+      },
+      Some(
+        """WITH k AS (SELECT o_totalprice, o_custkey % 10 = 3 AS del
+             FROM orders)
+           SELECT CAST(count(CASE WHEN NOT del THEN 1 END) AS BIGINT)
+               AS n_rows,
+             CAST(count(CASE WHEN del THEN 1 END) AS BIGINT)
+               AS rows_erased,
+             CAST(sum(CASE WHEN NOT del
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS price_mass,
+             TRUE AS retained_clean, TRUE AS dropped_loud,
+             TRUE AS physically_erased
+           FROM k""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.
