@@ -116,6 +116,7 @@ object Manifest {
       .filterNot(_._1.startsWith(FileRowsPrefix))
       .filterNot(_._1.startsWith(DvPrefix))
       .filterNot(_._1 == OpTypeKey)
+      .filterNot(_._1 == CommitTsKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -159,6 +160,36 @@ object Manifest {
       Some(counts.values.sum -
         deletionVectors(tablePath, upTo).values.map(_._2).sum)
     else None
+  }
+
+  /** Per-file inventory of version `v` (newest when omitted) — the
+    * `graft.<t>.files` metadata-table surface (Iceberg's `.files`
+    * convention): (relpath, version that added the file, recorded row
+    * count if the adding commit recorded one, positions hidden by the
+    * version's deletion vector for the file). Pure driver-side
+    * manifest metadata — zero data or footer I/O at any table size. */
+  def fileInventory(tablePath: String, v: Long = -1L)
+      : Seq[(String, Long, Option[Long], Long)] = {
+    val upTo = if (v >= 0) v else version(tablePath)
+    val live = files(tablePath, upTo)
+    val liveSet = live.toSet
+    val vs = committedVersions(tablePath).filter(_ <= upTo)
+    val added = scala.collection.mutable.Map.empty[String, Long]
+    val rows = scala.collection.mutable.Map.empty[String, Long]
+    vs.foreach { cv =>
+      listed(tablePath, cv).foreach { f =>
+        if (liveSet.contains(f)) added.getOrElseUpdate(f, cv)
+      }
+      rawMeta(tablePath, cv).foreach { case (k, n) =>
+        if (k.startsWith(FileRowsPrefix)) {
+          val f = k.stripPrefix(FileRowsPrefix)
+          if (liveSet.contains(f)) rows.getOrElseUpdate(f, n.toLong)
+        }
+      }
+    }
+    val dvs = deletionVectors(tablePath, upTo)
+    live.map(f => (f, added(f), rows.get(f),
+      dvs.get(f).map(_._2).getOrElse(0L)))
   }
 
   /** Per-file numeric (min, max) stats for the files of version `v`
@@ -223,6 +254,48 @@ object Manifest {
         case None => spark.read.parquet(paths: _*)
       })
     (df, kept.size, all.size - kept.size)
+  }
+
+  /** Reserved metadata key recording the commit's wall-clock publish
+    * time (epoch millis) — what `TIMESTAMP AS OF` resolves against
+    * (the Delta/Iceberg convention: every commit carries its time).
+    * Written fresh by every [[commit]]/[[restore]] publish attempt, so
+    * a rebase re-stamps. Clock skew between writers is tolerated the
+    * way Delta tolerates it: [[versionAsOf]] resolves on the RUNNING
+    * MAX of the per-version stamps, so the version order always wins
+    * over a regressing clock. Pre-stamp manifests fall back to the
+    * manifest file's mtime. */
+  val CommitTsKey = "committs"
+
+  /** Publish time of version `v` (newest when omitted), epoch millis:
+    * the recorded [[CommitTsKey]] stamp, or the manifest file's mtime
+    * for pre-stamp manifests. Driver-side metadata. */
+  def commitTime(tablePath: String, v: Long = -1L): Long = {
+    val vv = if (v >= 0) v else version(tablePath)
+    rawMeta(tablePath, vv).get(CommitTsKey).map(_.toLong).getOrElse(
+      Files.getLastModifiedTime(manifestFile(tablePath, vv)).toMillis)
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest version whose
+    * monotonically-ADJUSTED commit time is <= `tsMillis` (each
+    * version's effective time is the max of its own stamp and every
+    * predecessor's — the Delta adjustment that keeps time travel
+    * well-defined under writer clock skew). Fails loudly for a
+    * timestamp before the first retained commit — never silently
+    * serves a different state than asked for. */
+  def versionAsOf(tablePath: String, tsMillis: Long): Long = {
+    val vs = committedVersions(tablePath)
+    require(vs.nonEmpty, s"no committed version at $tablePath")
+    var running = Long.MinValue
+    var hit = -1L
+    vs.foreach { v =>
+      running = math.max(running, commitTime(tablePath, v))
+      if (running <= tsMillis) hit = v
+    }
+    require(hit > 0,
+      s"no version of $tablePath at or before timestamp $tsMillis " +
+        s"(first retained commit is at ${commitTime(tablePath, vs.head)})")
+    hit
   }
 
   /** Internal metadata key recording a commit's OPERATION when the
@@ -606,6 +679,7 @@ object Manifest {
     statsCols.foreach(c => require(!c.contains(":") && !c.contains("|"),
       s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
+    require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
@@ -850,7 +924,9 @@ object Manifest {
         else Map.empty[String, String]
       val lines =
         (meta ++ constraintMeta ++ dvMeta ++ opMeta ++ rowsMetaKept ++
-          statsMeta + (SchemaKey -> schema.json)).toSeq.sorted
+          statsMeta + (SchemaKey -> schema.json) +
+          (CommitTsKey -> System.currentTimeMillis.toString))
+          .toSeq.sorted
           .map { case (k, v) => s"#$k=$v" } ++
         (if (replace || base == 0) Seq.empty
          else listed(tablePath, base).filterNot(removeFiles.toSet)) ++
@@ -923,6 +999,7 @@ object Manifest {
     require(toVersion >= 1 && toVersion <= head,
       s"cannot restore $tablePath to $toVersion (head is $head)")
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
+    require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
@@ -939,7 +1016,8 @@ object Manifest {
       rawMeta(tablePath, toVersion).filter(_._1.startsWith(DvPrefix))
     val next = head + 1
     val lines =
-      (meta ++ restoredMeta + ("restore.of" -> toVersion.toString))
+      (meta ++ restoredMeta + ("restore.of" -> toVersion.toString) +
+        (CommitTsKey -> System.currentTimeMillis.toString))
         .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fs
     Files.createDirectories(manifestDir(tablePath))
     val tmp = Files.createTempFile(manifestDir(tablePath),

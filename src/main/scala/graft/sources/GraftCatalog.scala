@@ -88,22 +88,35 @@ class GraftCatalog extends TableCatalog {
         s"VERSION AS OF expects a numeric graft version, got '$version'")
     })
 
+  /** Spark's `TIMESTAMP AS OF <ts>` time-travel hook (micros since
+    * epoch): resolves the newest version committed at or before the
+    * timestamp via the manifests' recorded commit times
+    * ([[Manifest.versionAsOf]] — running-max adjusted, loud before the
+    * first retained commit), then serves it exactly like VERSION AS
+    * OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident,
+      Manifest.versionAsOf(tablePath(ident), timestamp / 1000L))
+
   private def load(ident: Identifier, asOf: Long): Table = {
     val path = tablePath(ident)
     val spark = SparkSession.active
     if (Manifest.version(path) == 0L && asOf < 0 &&
-        ident.name().equalsIgnoreCase("history") &&
+        (ident.name().equalsIgnoreCase("history") ||
+          ident.name().equalsIgnoreCase("files")) &&
         ident.namespace().nonEmpty) {
-      // graft.<t>.history — the metadata-table convention: the name
-      // resolves only when <t> IS a manifest table and no real table
-      // shadows it (checked above), so a data table named "history"
-      // always wins
+      // graft.<t>.history / graft.<t>.files — the metadata-table
+      // convention: the name resolves only when <t> IS a manifest
+      // table and no real table shadows it (checked above), so a data
+      // table named "history"/"files" always wins
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
       val parentPath = tablePath(parent)
       if (Manifest.version(parentPath) > 0L)
-        return historyTable(spark, s"$catalogName.${ident.toString}",
-          parentPath)
+        return (if (ident.name().equalsIgnoreCase("history"))
+          historyTable(spark, s"$catalogName.${ident.toString}",
+            parentPath)
+        else filesTable(s"$catalogName.${ident.toString}", parentPath))
     }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
     require(v > 0, s"no committed version at $path")
@@ -118,6 +131,28 @@ class GraftCatalog extends TableCatalog {
     // marker's scan refusal catches any path the rewrite missed
     if (Manifest.deletionVectors(path, v).isEmpty) table
     else new DvMarkedTable(table.name, path, v, table.schema)
+  }
+
+  /** `graft.<t>.files` rows — [[Manifest.fileInventory]] rendered as a
+    * DSv2 metadata table (the Iceberg `.files` convention): one row per
+    * LIVE file of the head version with its adding version, recorded
+    * row count (null for pre-stats writers) and DV'd position count.
+    * Pure manifest metadata — zero data/footer I/O. */
+  private def filesTable(name: String, path: String): Table = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("added_version", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("dv_positions", LongType, nullable = false)))
+    val rows = Manifest.fileInventory(path).map { case (f, av, n, dv) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(f), av,
+        n.map(Long.box).orNull, dv))
+        : org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+    new MetadataRowsTable(name, schema, rows)
   }
 
   /** DESCRIBE HISTORY rows as a tiny DSv2 metadata table — identical

@@ -141,6 +141,70 @@ class ExtensionsSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("graft catalog: SELECT * FROM graft.<t>.files is the live-file " +
+    "inventory (adding version, recorded rows, DV'd positions) and " +
+    "reconciles with the metadata rowCount") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+    val root = scala.util.Try(
+      spark.conf.get("spark.sql.catalog.graft.root")).getOrElse {
+      val r = Files.createTempDirectory("graft_cat_f").toString
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
+    val tbl = s"$root/t5"
+    Manifest.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1), tbl)                                           // v1
+    Manifest.commit(Seq((3L, "c")).toDF("id", "s").coalesce(1), tbl) // v2
+    Merge.deleteWhereDv(spark, tbl, col("id") === 1L)              // v3
+    val viaSql = spark.sql(
+      "SELECT * FROM graft.t5.files ORDER BY file").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .toSeq
+    assert(viaSql == Manifest.fileInventory(tbl).sortBy(_._1))
+    assert(viaSql.map(_._2).toSet == Set(1L, 2L),
+      "adding versions: one file from each append")
+    assert(viaSql.map(_._4).sum == 1L, "one DV'd position")
+    val logical = viaSql.flatMap(_._3).sum - viaSql.map(_._4).sum
+    assert(Manifest.rowCount(tbl).contains(logical) &&
+      Manifest.read(spark, tbl).count() == logical)
+  }
+
+  test("graft catalog: TIMESTAMP AS OF serves the newest version " +
+    "committed at or before the timestamp, and a pre-table timestamp " +
+    "fails loudly") {
+    import java.nio.file.Files
+    import graft.ops.Manifest
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+    val root = scala.util.Try(
+      spark.conf.get("spark.sql.catalog.graft.root")).getOrElse {
+      val r = Files.createTempDirectory("graft_cat_t").toString
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
+    val tbl = s"$root/t4"
+    val t0 = System.currentTimeMillis() - 1
+    Manifest.commit(Seq((1L, "a")).toDF("id", "s"), tbl)        // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    Manifest.commit(Seq((2L, "b")).toDF("id", "s"), tbl)        // v2
+    def ids(q: String) = spark.sql(q).collect().map(_.getLong(0)).toSet
+    assert(ids(s"SELECT id FROM graft.t4 TIMESTAMP AS OF " +
+      s"timestamp_millis(${t1}L)") == Set(1L))
+    assert(ids("SELECT id FROM graft.t4 TIMESTAMP AS OF " +
+      "current_timestamp()") == Set(1L, 2L))
+    val e = intercept[Exception](ids(s"SELECT id FROM graft.t4 " +
+      s"TIMESTAMP AS OF timestamp_millis(${t0}L)"))
+    assert(e.getMessage.contains("no version"), e.getMessage)
+  }
+
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
     GraftExtensions.install(spark)
     val row = spark.sql(

@@ -345,6 +345,51 @@ class ManifestSpec extends SparkSpec {
       .getMessage.contains("severed"))
   }
 
+  test("commit timestamps + versionAsOf: every commit records its " +
+    "publish time (reserved, hidden from meta), TIMESTAMP AS OF " +
+    "resolution is running-max adjusted against clock skew, pre-stamp " +
+    "manifests fall back to file mtime, and a too-early timestamp " +
+    "fails loudly") {
+    val tbl = freshTable()
+    val t0 = System.currentTimeMillis() - 1
+    Manifest.commit(Seq((1L, "a")).toDF("id", "s"), tbl)         // v1
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(25)
+    Manifest.commit(Seq((2L, "b")).toDF("id", "s"), tbl)         // v2
+    val t2 = System.currentTimeMillis()
+    assert(Manifest.commitTime(tbl, 1L) <= Manifest.commitTime(tbl, 2L))
+    assert(Manifest.versionAsOf(tbl, t1) == 1L)
+    assert(Manifest.versionAsOf(tbl, t2) == 2L)
+    assert(Manifest.versionAsOf(tbl, System.currentTimeMillis()) == 2L)
+    val e = intercept[IllegalArgumentException](
+      Manifest.versionAsOf(tbl, t0))
+    assert(e.getMessage.contains("no version"), e.getMessage)
+    // the stamp is reserved: hidden from meta(), refused as user meta
+    assert(!Manifest.meta(tbl).contains(Manifest.CommitTsKey))
+    intercept[IllegalArgumentException](
+      Manifest.commit(Seq((3L, "c")).toDF("id", "s"), tbl,
+        meta = Map(Manifest.CommitTsKey -> "0")))
+    // clock-skew adjustment: doctor v1's stamp FORWARD past v2's (the
+    // regressing-clock shape) — resolution must follow version order,
+    // never serve v2 for a timestamp that already covers a later stamp
+    val mf = java.nio.file.Paths.get(tbl, "_manifests", "v000001.txt")
+    val doctored = new String(java.nio.file.Files.readAllBytes(mf))
+      .linesIterator.map { l =>
+        if (l.startsWith("#committs=")) s"#committs=${t2 + 60000}" else l
+      }.mkString("\n")
+    java.nio.file.Files.write(mf, doctored.getBytes)
+    assert(Manifest.versionAsOf(tbl, t2 + 60000) == 2L,
+      "running-max adjustment: v2's effective time is max(v1, v2)")
+    intercept[IllegalArgumentException](
+      Manifest.versionAsOf(tbl, t2)) // both versions now after t2
+    // pre-stamp manifests (no #committs line): mtime fallback resolves
+    val legacy = new String(java.nio.file.Files.readAllBytes(mf))
+      .linesIterator.filterNot(_.startsWith("#committs=")).mkString("\n")
+    java.nio.file.Files.write(mf, legacy.getBytes)
+    assert(Manifest.commitTime(tbl, 1L) ==
+      java.nio.file.Files.getLastModifiedTime(mf).toMillis)
+  }
+
   test("history: change types classify (append / replace / rewrite), " +
     "row deltas count each file once, metadata-only commits read as " +
     "zero-row appends, and the data_change flag surfaces") {
