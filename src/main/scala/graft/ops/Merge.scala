@@ -278,12 +278,18 @@ object Merge {
       _.join(hinted, Seq(keyCol), "left_semi"), meta, bounds)
   }
 
-  /** Shared MoR-delete skeleton: `matches` names the doomed rows over
-    * the DV-applied candidate scan; the publish is a metadata-only
-    * commit of the per-file position vectors. */
+  /** Shared MERGE-ON-READ write skeleton: `matches` names the affected
+    * rows over the DV-applied candidate scan; their positions publish
+    * as per-file deletion vectors, and `mkImages` (None for DELETE,
+    * the updated-row builder for UPDATE) supplies replacement rows that
+    * commit ATOMICALLY with the DV lines — one version hides the old
+    * positions and adds the new images, so a reader can never observe
+    * the update half-applied. */
   private def deleteDv(spark: SparkSession, tablePath: String,
       matches: DataFrame => DataFrame, meta: Map[String, String],
-      bounds: Map[String, (Double, Double)]): DvStats = {
+      bounds: Map[String, (Double, Double)],
+      mkImages: Option[DataFrame => DataFrame] = None,
+      statsCols: Seq[String] = Seq.empty): DvStats = {
     import java.nio.file.Files
     val headV = Manifest.version(tablePath)
     val before = Manifest.files(tablePath)
@@ -298,7 +304,9 @@ object Merge {
     // with the scan built from candidate paths (structural stats prune)
     val scan = Manifest.withPos(spark.read.schema(schema).parquet(
       cand.map(r => Paths.get(tablePath).resolve(r).toString): _*))
-    val matched = matches(Manifest.antiDv(spark, tablePath, headV, scan))
+    val matchedRows =
+      matches(Manifest.antiDv(spark, tablePath, headV, scan))
+    val matched = matchedRows
       .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
     // per-file match counts: the commit-coordinator metadata action,
     // bounded by the candidate FILE count (rows stay executor-side)
@@ -334,20 +342,64 @@ object Merge {
       s"${Manifest.DvPrefix}$f" ->
         s"$dvRel:${n + dvs.get(f).map(_._2).getOrElse(0L)}"
     }
-    // metadata-only publish: ZERO data files — the earned MoR flag.
-    // optype=delete makes the audit surface truthful: a DV commit's
-    // file diff is indistinguishable from an empty append, so without
-    // the stamp [[Manifest.history]] would read a GDPR erasure as
-    // "append, +0 files" — the one thing a compliance review must not
-    // see.
-    val v = Manifest.commit(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
-      tablePath,
-      meta = meta ++ dvLines + (Manifest.OpTypeKey -> "delete"))
+    // The publish: DELETE commits an empty payload (metadata-only —
+    // the earned MoR flag); UPDATE commits the updated images, atomic
+    // with the DV lines. The optype stamp keeps the audit surface
+    // truthful: a DV commit's file diff is indistinguishable from a
+    // (possibly empty) append, so without it [[Manifest.history]]
+    // would read a GDPR erasure as "append, +0 files" — the one thing
+    // a compliance review must not see.
+    val payload = mkImages match {
+      case Some(images) => images(matchedRows)
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val op = if (mkImages.isDefined) "update" else "delete"
+    val v = Manifest.commit(payload, tablePath,
+      meta = meta ++ dvLines + (Manifest.OpTypeKey -> op),
+      statsCols = statsCols)
     DvStats(v, before.size,
       (dvs.keySet ++ perFile.keySet).size,
       perFile.values.sum, cand.size)
+  }
+
+  /** UPDATE ... SET as MERGE-ON-READ (the Delta DV-update shape):
+    * matched rows' positions hide behind a deletion vector while their
+    * UPDATED images append as fresh files — ONE atomic commit, so a
+    * reader sees either the old rows or the new ones, never both and
+    * never neither. Write cost ∝ MATCHED ROWS (old files are neither
+    * read-modified-written nor rewritten — the copy-on-write
+    * alternative pays whole-file rewrites for a one-column touch-up).
+    * `sets` are (column → new-value expression) pairs evaluated over
+    * the matched rows; every other column carries its value. The
+    * updated images pass the table's CHECK constraints like any commit
+    * (a violating update aborts with nothing published), re-record
+    * `statsCols` stats so they stay prunable, and read back through
+    * the normal MoR read. In the change feed the step emits the old
+    * rows as `delete` images (the DV delta) and the new rows as
+    * `insert`s — the net row-level truth of an update without
+    * write-time change recording. `pruneRange` bounds the match scan
+    * exactly like [[deleteWhere]]. A predicate matching nothing
+    * publishes nothing. */
+  def updateWhereDv(spark: SparkSession, tablePath: String, pred: Column,
+      sets: Seq[(String, Column)],
+      meta: Map[String, String] = Map.empty,
+      pruneRange: Option[(String, Double, Double)] = None,
+      statsCols: Seq[String] = Seq.empty): DvStats = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET column")
+    val cols = Manifest.schemaOf(tablePath)
+      .map(_.fieldNames.toSeq)
+      .getOrElse(Manifest.read(spark, tablePath).columns.toSeq)
+    sets.foreach { case (c, _) => require(cols.contains(c),
+      s"SET column '$c' is not a table column (${cols.mkString(", ")})") }
+    deleteDv(spark, tablePath, _.filter(pred), meta,
+      pruneRange.map { case (c, lo, hi) => c -> (lo, hi) }.toMap,
+      mkImages = Some { matched =>
+        val updated = sets.foldLeft(matched) { case (df, (c, e)) =>
+          df.withColumn(c, e) }
+        updated.select(cols.map(col): _*) // helper cols off, order kept
+      },
+      statsCols = statsCols)
   }
 
   /** The shared copy-on-write skeleton: locate the files `touches` hits

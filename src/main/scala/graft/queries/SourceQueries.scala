@@ -1282,6 +1282,92 @@ object SourceQueries {
              TRUE AS physically_erased
            FROM k""")),
 
+    // S35: MERGE-ON-READ UPDATE — the DV completion s33's delete
+    // starts: UPDATE ... SET hides the matched positions behind a DV
+    // and appends the updated images in ONE atomic commit (the Delta
+    // DV-update shape), so write cost is ∝ matched rows — the COW
+    // alternative rewrites whole files for a one-column touch-up. The
+    // lifecycle pins the contract edges: the match scan is
+    // stats-pruned to one candidate file, NO existing file is
+    // rewritten (images only append — no_rewrites), time travel sees
+    // the pre-update values (pre_update_clean: zero 'X' rows at v4),
+    // the audit log reads optype=update with symmetric row deltas, and
+    // the change feed emits the old rows as deletes + new as inserts.
+    // Values (per-status counts/mass, positions updated) replay in the
+    // oracle — a lost update, double image, or resurrected original
+    // flips a value.
+    "s35_update_dv" -> Q(
+      (s, dir) => {
+        import graft.ops.{ChangeFeed, Manifest, Merge}
+        val tbl = scratch("s35_table", dir)
+        wipe(tbl)
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))
+        val filesBefore = Manifest.files(tbl)
+        val st = Merge.updateWhereDv(s, tbl,
+          col("o_orderkey") >= q && col("o_orderkey") < 2 * q &&
+            col("o_orderstatus") === "F",
+          Seq("o_orderstatus" -> lit("X")),
+          pruneRange = Some(("o_orderkey", q.toDouble,
+            (2 * q - 1).toDouble)),
+          statsCols = Seq("o_orderkey"))
+        val noRewrites =
+          filesBefore.toSet.subsetOf(Manifest.files(tbl).toSet) &&
+          st.version == 5L
+        val preClean = Manifest.read(s, tbl, 4L)
+          .filter(col("o_orderstatus") === "X").isEmpty
+        val h = Manifest.history(s, tbl).find(_.version == 5L).get
+        val audit = h.change_type == "update" &&
+          h.rows_added == st.positionsAdded &&
+          h.rows_removed == st.positionsAdded
+        val feed = ChangeFeed.changes(s, tbl, 4L, 5L)
+          .groupBy(col(ChangeFeed.TypeCol)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val cdcSymmetric =
+          feed.get("delete").contains(st.positionsAdded) &&
+          feed.get("insert").contains(st.positionsAdded)
+        Manifest.read(s, tbl)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(dec(col("o_totalprice"))).cast("double")
+              .as("price_mass"))
+          .select(col("o_orderstatus"), col("cnt"), col("price_mass"),
+            lit(st.positionsAdded).as("positions_updated"),
+            lit(st.filesCandidates == 1).as("stats_pruned_match"),
+            lit(noRewrites).as("no_rewrites"),
+            lit(preClean).as("pre_update_clean"),
+            lit(audit).as("audit_update"),
+            lit(cdcSymmetric).as("cdc_symmetric"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(
+        """WITH b AS (SELECT max(o_orderkey) // 4 + 1 AS q FROM orders),
+             k AS (SELECT o_totalprice,
+               CASE WHEN o_orderkey >= (SELECT q FROM b) AND
+                 o_orderkey < 2 * (SELECT q FROM b) AND
+                 o_orderstatus = 'F' THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey >= (SELECT q FROM b) AND
+                 o_orderkey < 2 * (SELECT q FROM b) AND
+                 o_orderstatus = 'F' THEN 1 ELSE 0 END AS upd
+             FROM orders)
+           SELECT o_orderstatus, count(*) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             (SELECT CAST(sum(upd) AS BIGINT) FROM k)
+               AS positions_updated,
+             TRUE AS stats_pruned_match, TRUE AS no_rewrites,
+             TRUE AS pre_update_clean, TRUE AS audit_update,
+             TRUE AS cdc_symmetric
+           FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -201,6 +201,62 @@ class DeletionVectorSpec extends SparkSpec {
         .collect().sorted.toSeq)
   }
 
+  test("updateWhereDv: matched rows update in ONE atomic commit (DV + " +
+    "updated images), zero files rewritten, time travel sees the " +
+    "pre-update values, history reads optype=update with symmetric " +
+    "row deltas, CDC emits delete+insert images, updates stack, and a " +
+    "no-match predicate publishes nothing") {
+    val tbl = freshTable()
+    seed(tbl) // 4 files, ids 0..79, v == id
+    val before = Manifest.files(tbl)
+    val st = Merge.updateWhereDv(spark, tbl,
+      col("id") >= 20L && col("id") < 25L,
+      Seq("v" -> (col("v") + 1000)),
+      pruneRange = Some(("id", 20.0, 24.0)), statsCols = Seq("id"))
+    assert(st.positionsAdded == 5L && st.filesCandidates == 1,
+      st.toString)
+    assert(before.toSet.subsetOf(Manifest.files(tbl).toSet),
+      "MoR update rewrites NO existing file — images only append")
+    assert(Manifest.version(tbl) == 5L)
+    val got = Manifest.read(spark, tbl).select("id", "v")
+      .as[(Long, Int)].collect().toMap
+    assert(got.size == 80 && (0 until 80).forall(i =>
+      got(i.toLong) == (if (i >= 20 && i < 25) i + 1000 else i)),
+      "exactly the matched rows carry updated values")
+    // time travel: the pre-update version still shows the old values
+    assert(Manifest.read(spark, tbl, 4L).filter(col("id") === 22L)
+      .select("v").as[Int].head() == 22)
+    // metadata surfaces: logical count unchanged, audit reads update
+    assert(Manifest.rowCount(tbl).contains(80L))
+    val h = Manifest.history(spark, tbl).find(_.version == 5L).get
+    assert(h.change_type == "update" &&
+      h.rows_added == 5L && h.rows_removed == 5L, h.toString)
+    // CDC: the step is 5 delete images (old values) + 5 inserts (new)
+    val feed = ChangeFeed.changes(spark, tbl, 4L, 5L)
+      .select(col(ChangeFeed.TypeCol), col("id"), col("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(feed == (20 until 25).flatMap(i => Seq(
+      ("delete", i.toLong, i), ("insert", i.toLong, i + 1000))).toSet)
+    // stacking: a second update matches the UPDATED image, not the
+    // hidden original
+    Merge.updateWhereDv(spark, tbl, col("id") === 20L,
+      Seq("v" -> (col("v") + 1)))
+    assert(Manifest.read(spark, tbl).filter(col("id") === 20L)
+      .select("v").as[Int].head() == 1021)
+    // no-match: nothing publishes
+    val v = Manifest.version(tbl)
+    val noop = Merge.updateWhereDv(spark, tbl, col("id") === 9999L,
+      Seq("v" -> lit(0)))
+    assert(noop.positionsAdded == 0L && Manifest.version(tbl) == v)
+    // constraints gate the images: a violating update aborts whole
+    Manifest.addConstraint(spark, tbl, "vmax", "v <= 2000")
+    intercept[Exception](Merge.updateWhereDv(spark, tbl,
+      col("id") === 21L, Seq("v" -> lit(9000))))
+    assert(Manifest.read(spark, tbl).filter(col("id") === 21L)
+      .select("v").as[Int].head() == 1021,
+      "aborted update must leave the old image visible")
+  }
+
   test("deleteKeysDv with a STRING key — the UUID-ish GDPR id shape — " +
     "works under ANSI mode (no double-cast of the key): bounds simply " +
     "don't prune (every file is a candidate), the requested keys' rows " +
