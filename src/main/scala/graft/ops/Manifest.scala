@@ -1162,7 +1162,8 @@ object Manifest {
     * (OPTIMIZE traffic CDC consumers skip). */
   case class CommitInfo(version: Long, change_type: String,
       files_added: Long, files_removed: Long, rows_added: Long,
-      rows_removed: Long, data_change: Boolean)
+      rows_removed: Long, data_change: Boolean,
+      commit_ts: Long = 0L)
 
   /** DESCRIBE HISTORY — one row per committed version, answered from
     * COMMIT METADATA ALONE on stats-bearing tables: every commit records
@@ -1235,7 +1236,8 @@ object Manifest {
         added.map(fileRows.getOrElse(_, 0L)).sum,
         removed.toSeq.map(fileRows.getOrElse(_, 0L)).sum + dvGrowth,
         rawMeta(tablePath, v).get(ChangeFeed.DataChangeKey)
-          .forall(_ != "false"))
+          .forall(_ != "false"),
+        commitTime(tablePath, v))
     }
   }
 

@@ -169,12 +169,14 @@ class GraftCatalog extends TableCatalog {
       StructField("files_removed", LongType, nullable = false),
       StructField("rows_added", LongType, nullable = false),
       StructField("rows_removed", LongType, nullable = false),
-      StructField("data_change", BooleanType, nullable = false)))
+      StructField("data_change", BooleanType, nullable = false),
+      StructField("commit_ts", TimestampType, nullable = false)))
     val rows = Manifest.history(spark, path).map { c =>
       new GenericInternalRow(Array[Any](c.version,
         UTF8String.fromString(c.change_type), c.files_added,
         c.files_removed, c.rows_added, c.rows_removed,
-        c.data_change)): org.apache.spark.sql.catalyst.InternalRow
+        c.data_change, c.commit_ts * 1000L /* millis -> micros */))
+        : org.apache.spark.sql.catalyst.InternalRow
     }.toArray
     new MetadataRowsTable(name, schema, rows)
   }

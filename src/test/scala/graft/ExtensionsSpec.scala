@@ -125,13 +125,16 @@ class ExtensionsSpec extends SparkSpec {
     Merge.deleteWhereDv(spark, tbl, col("id") === 2L)              // v3
     val api = Manifest.history(spark, tbl).map(c => (c.version,
       c.change_type, c.files_added, c.files_removed, c.rows_added,
-      c.rows_removed, c.data_change))
+      c.rows_removed, c.data_change, c.commit_ts))
     val viaSql = spark.sql(
       "SELECT * FROM graft.t2.history ORDER BY version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getTimestamp(7).getTime))
       .toSeq
     assert(viaSql == api, s"sql=$viaSql api=$api")
+    assert(api.map(_._8).sorted == api.map(_._8),
+      "commit timestamps are monotone along the version chain here")
     assert(viaSql.exists(r => r._2 == "delete" && r._6 == 1L),
       "the erasure must read as a delete with its DV row delta")
     // a REAL manifest table named history shadows the metadata table
