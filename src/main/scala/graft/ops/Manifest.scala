@@ -667,9 +667,12 @@ object Manifest {
     * table-format optimistic retry — a pure append losing the version
     * race rebases onto the new head (disjoint files, schema and
     * constraints re-resolved; aborts loudly if the head's constraint
-    * set changed after validation); replace / copy-on-write /
-    * constraint-changing commits abort loudly on any conflict. Returns
-    * the committed version number. */
+    * set changed after validation); a deletion-vector or copy-on-write
+    * commit rebases iff its read-set anchor — the files it removes or
+    * DVs — survived the window with unchanged DV mappings (erasure-
+    * and compaction-under-ingest liveness — see the retry loop);
+    * replace and constraint-changing commits abort loudly on any
+    * conflict. Returns the committed version number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
@@ -840,36 +843,75 @@ object Manifest {
     // appears fully-formed or not at all, and — unlike POSIX rename() —
     // fails with EEXIST if the target landed in the meantime, so a
     // racing writer can never silently replace the winner). Losing the
-    // race is terminal only for non-commutable commits: a PURE APPEND
-    // (no replace, no removeFiles, no constraint or txn-independent
-    // metadata change) rebases onto the new head — its fresh files are
-    // disjoint by the batch-dir claim, the new head's file list is
-    // re-carried, schema evolution and inherited constraints are
-    // re-resolved against the head — and re-publishes, exactly the
-    // Delta/Iceberg commit-retry loop. Replace/copy-on-write commits,
-    // constraint changes, and appends whose head grew a DIFFERENT
-    // constraint set than they validated against abort loudly instead
-    // (their correctness was resolved against a now-stale base).
+    // race is terminal only when rebasing is unsound: a PURE APPEND
+    // always rebases onto the new head (fresh files disjoint by the
+    // batch-dir claim, head's file list re-carried, schema and
+    // constraints re-resolved), and a DV or copy-on-write commit
+    // rebases when its read-set anchor survived (see `rebasable` /
+    // `anchorFiles` below) — exactly the Delta/Iceberg commit-retry
+    // loop. Replaces, constraint changes, anchor conflicts, and
+    // appends whose head grew a DIFFERENT constraint set than they
+    // validated against abort loudly instead (their correctness was
+    // resolved against a now-stale base).
     Files.createDirectories(manifestDir(tablePath))
-    // a DV-publishing commit resolved its positions (and carried the
-    // base's existing positions forward) against a specific head — it
-    // can never rebase; plain appends CAN, re-inheriting the new head's
-    // DV state below
-    val commutable = !replace && removeFiles.isEmpty &&
-      passed.isEmpty && excludeConstraint.isEmpty &&
-      !meta.keys.exists(_.startsWith(DvPrefix))
+    // REBASE ELIGIBILITY (the liveness half of optimistic concurrency;
+    // the loop below enforces the safety half per attempt). A commit's
+    // correctness was resolved against `prev0` through its READ-SET
+    // ANCHOR — the files it rewrites away (`removeFiles`) plus the
+    // files it publishes deletion vectors for (their positions, and
+    // the carried-forward old positions, bind to those exact files).
+    // Everything ELSE re-resolves against the rebased head each
+    // attempt: fresh files are disjoint by the batch-dir claim, the
+    // head's file list re-carries, schema re-evolves, untouched DV
+    // mappings re-inherit. So ANY non-replace, non-constraint commit
+    // may rebase — a pure append always (empty anchor), a merge-on-
+    // read DELETE/UPDATE or a copy-on-write rewrite/compaction exactly
+    // when its anchor survived the window untouched. This is what
+    // keeps continuous erasure and routine compaction from STARVING
+    // behind continuous ingest at scale (every append winning the
+    // publish race would otherwise abort them); genuine conflicts —
+    // an anchor file rewritten away (positions/rewrite now bind to a
+    // dead file) or re-DV'd mid-window (this commit would resurrect
+    // the winner's deletes) — still abort loudly. Replaces resolve
+    // the WHOLE table state and constraint changes alter the write
+    // gate itself: never rebased.
+    val rebasable = !replace && passed.isEmpty && excludeConstraint.isEmpty
+    val anchorFiles = meta.keys.filter(_.startsWith(DvPrefix))
+      .map(_.stripPrefix(DvPrefix)).toSet ++ removeFiles
+    val anchorDvAtPrev0: Map[String, String] =
+      if (prev0 == 0 || anchorFiles.isEmpty) Map.empty
+      else rawMeta(tablePath, prev0).filter { case (k, _) =>
+        k.startsWith(DvPrefix) &&
+          anchorFiles.contains(k.stripPrefix(DvPrefix)) }
     var base = prev0
     var attempts = 0
     while (true) {
       if (base != prev0) {
-        if (!commutable) {
+        if (!rebasable) {
           rmTree(batchDir)
           throw new IllegalStateException(
             s"concurrent commit detected at $tablePath: version " +
               s"${base} was published by another writer after this " +
               "commit resolved its base, and a " +
-              "replace/rewrite/constraint commit cannot rebase — " +
+              "replace/constraint commit cannot rebase — " +
               "retry on the new head")
+        }
+        if (anchorFiles.nonEmpty) {
+          val headFiles = listed(tablePath, base).toSet
+          val gone = anchorFiles.filterNot(headFiles.contains)
+          val anchorDvAtHead = rawMeta(tablePath, base)
+            .filter { case (k, _) => k.startsWith(DvPrefix) &&
+              anchorFiles.contains(k.stripPrefix(DvPrefix)) }
+          if (gone.nonEmpty || anchorDvAtHead != anchorDvAtPrev0) {
+            rmTree(batchDir)
+            throw new IllegalStateException(
+              s"concurrent commit detected at $tablePath: a file this " +
+                "commit rewrites or deletes from was " +
+                (if (gone.nonEmpty) s"rewritten away (${gone.mkString(", ")})"
+                 else "deleted-from by another deletion-vector writer") +
+                " after this commit resolved against it — retry on " +
+                "the new head")
+          }
         }
         if (constraintsOf(tablePath, base) != inherited0) {
           rmTree(batchDir)

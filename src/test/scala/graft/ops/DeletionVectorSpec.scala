@@ -282,12 +282,16 @@ class DeletionVectorSpec extends SparkSpec {
     assert(noop.positionsAdded == 0L)
   }
 
-  test("a DV commit never rebases (loud conflict), while a plain " +
+  test("DV commit concurrency matrix (erasure-under-ingest liveness): " +
+    "rebases over a pure append, a disjoint-file DV writer, and a " +
+    "rewrite of an untouched file; aborts loudly on a same-file DV " +
+    "race and on its touched file being rewritten away; a plain " +
     "append racing PAST a DV commit inherits the new head's DV state") {
     val tbl = freshTable()
     seed(tbl)
-    // the seam lands a competing DV delete between the loser's resolve
-    // and publish: the DV-bearing loser must abort
+    // same-file DV race: both writers delete from file 1 (ids 0..19);
+    // the loser's carried positions would resurrect the winner's
+    // delete — loud abort, winner's delete in force
     Manifest.beforePublish = () => {
       Manifest.beforePublish = () => ()
       Merge.deleteWhereDv(spark, tbl, col("id") === 1L)
@@ -296,16 +300,89 @@ class DeletionVectorSpec extends SparkSpec {
       Merge.deleteWhereDv(spark, tbl, col("id") === 2L))
     finally Manifest.beforePublish = () => ()
     assert(e.getMessage.contains("concurrent commit"))
-    assert(Manifest.read(spark, tbl).count() == 79L)
+    assert(Manifest.read(spark, tbl).count() == 79L) // -1
+    // …and the aborted delete simply retries clean on the new head
+    assert(Merge.deleteWhereDv(spark, tbl, col("id") === 2L)
+      .positionsAdded == 1L)
+    assert(Manifest.read(spark, tbl).count() == 78L) // -1 -2
+    // REBASE over a pure append (the streaming-erasure × streaming-
+    // ingest race): both writers land, erased row hidden, appended
+    // row visible
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(Seq((200L, 0, 200)).toDF("id", "grp", "v"), tbl)
+    }
+    val st = try Merge.deleteWhereDv(spark, tbl, col("id") === 4L)
+    finally Manifest.beforePublish = () => ()
+    assert(st.positionsAdded == 1L)
+    val ids1 = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids1.contains(200L) && !ids1.contains(4L) &&
+      ids1.size == 78) // -1 -2 -4 +200
+    // REBASE over a DISJOINT-file DV writer: loser deletes from file 1
+    // (id 5), the interim winner from file 2 (id 25) — both deletes
+    // stick (untouched mappings re-carry from the rebased head)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Merge.deleteWhereDv(spark, tbl, col("id") === 25L)
+    }
+    try Merge.deleteWhereDv(spark, tbl, col("id") === 5L)
+    finally Manifest.beforePublish = () => ()
+    val ids2 = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(!ids2.contains(5L) && !ids2.contains(25L) &&
+      ids2.size == 76)
+    // REBASE over a rewrite of an UNTOUCHED file: the interim winner
+    // compacts file 4 (ids 60..79, DV-free) away; the loser deletes
+    // from file 1 — both land
+    val f4 = Manifest.fileStats(tbl).collect {
+      case (f, s) if s("id")._1 >= 59.0 => f
+    }.toSeq
+    assert(f4.size == 1)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(
+        Manifest.read(spark, tbl)
+          .filter(col("id") >= 60L && col("id") <= 79L).coalesce(1),
+        tbl, removeFiles = f4, statsCols = Seq("id"))
+    }
+    try Merge.deleteWhereDv(spark, tbl, col("id") === 6L)
+    finally Manifest.beforePublish = () => ()
+    val ids3 = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(!ids3.contains(6L) && ids3.count(_ >= 60L) == 21 &&
+      ids3.size == 75, s"got ${ids3.size}")
+    // ABORT when the TOUCHED file is rewritten away mid-window (its
+    // positions would bind to a dead file): winner compacts file 2,
+    // loser deletes from it
+    val f2 = Manifest.fileStats(tbl).collect {
+      case (f, s) if s("id")._1 >= 19.0 && s("id")._2 <= 40.0 => f
+    }.toSeq
+    assert(f2.size == 1, s"expected file 2, got $f2")
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(
+        Manifest.read(spark, tbl)
+          .filter(col("id") >= 20L && col("id") < 40L).coalesce(1),
+        tbl, removeFiles = f2, statsCols = Seq("id"))
+    }
+    val e2 = try intercept[IllegalStateException](
+      Merge.deleteWhereDv(spark, tbl, col("id") === 26L))
+    finally Manifest.beforePublish = () => ()
+    assert(e2.getMessage.contains("rewritten away"))
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq == ids3, "winner intact, loser no-op")
     // a plain append losing to a DV delete rebases and CARRIES the DV
     Manifest.beforePublish = () => {
       Manifest.beforePublish = () => ()
       Merge.deleteWhereDv(spark, tbl, col("id") === 3L)
     }
-    try Manifest.commit(Seq((200L, 0, 200)).toDF("id", "grp", "v"), tbl)
+    try Manifest.commit(Seq((201L, 0, 201)).toDF("id", "grp", "v"), tbl)
     finally Manifest.beforePublish = () => ()
-    assert(Manifest.deletionVectors(tbl).values.map(_._2).sum == 2L)
-    assert(Manifest.read(spark, tbl).count() == 79L) // -1 -3 +200
+    val ids4 = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(!ids4.contains(3L) && ids4.contains(201L) &&
+      ids4.size == ids3.size, "append carries the interim DV")
   }
 
   test("vacuum keeps DV dirs referenced by retained manifests and " +

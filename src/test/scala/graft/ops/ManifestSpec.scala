@@ -604,6 +604,82 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
+  test("copy-on-write rebase (compaction-under-ingest liveness): a " +
+    "rewrite losing the race to a pure append REBASES (no lost or " +
+    "duplicated rows); overlapping rewrites and a DV landing on a " +
+    "removed file abort loudly; the aborted compaction retries clean") {
+    val tbl = freshTable()
+    for (i <- 0 until 4)
+      Manifest.commit(
+        (i * 10 until i * 10 + 10).map(_.toLong).toDF("id").coalesce(1),
+        tbl, statsCols = Seq("id"))
+    def fileOf(lo: Double, hi: Double): Seq[String] =
+      Manifest.fileStats(tbl).collect {
+        case (f, s) if s("id")._1 >= lo - 1 && s("id")._2 <= hi + 1 => f
+      }.toSeq
+    def ids(): Seq[Long] =
+      Manifest.read(spark, tbl).select("id").as[Long].collect()
+        .sorted.toSeq
+    // 1) compaction of files A+B races a pure append: the rewrite
+    // rebases — removed files untouched by the window, fresh files
+    // disjoint, the appended file re-carries
+    val ab = fileOf(0, 19)
+    assert(ab.size == 2)
+    val compacted = Manifest.read(spark, tbl)
+      .filter(col("id") < 20L).coalesce(1)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(Seq(100L).toDF("id"), tbl)
+    }
+    try Manifest.commit(compacted, tbl, removeFiles = ab,
+      statsCols = Seq("id"))
+    finally Manifest.beforePublish = () => ()
+    assert(ids() == ((0L until 40L) :+ 100L).sorted,
+      "rebased compaction must lose nothing and duplicate nothing")
+    assert(fileOf(0, 19).size == 1, "A+B really compacted")
+    // 2) OVERLAPPING rewrites: both remove file C — the loser's
+    // rewrite binds to a now-dead file and must abort
+    val fC = fileOf(20, 29)
+    assert(fC.size == 1)
+    val rewriteC = () => Manifest.read(spark, tbl)
+      .filter(col("id") >= 20L && col("id") < 30L).coalesce(1)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Manifest.commit(rewriteC(), tbl, removeFiles = fC,
+        statsCols = Seq("id"))
+    }
+    val e = try intercept[IllegalStateException](
+      Manifest.commit(rewriteC(), tbl, removeFiles = fC,
+        statsCols = Seq("id")))
+    finally Manifest.beforePublish = () => ()
+    assert(e.getMessage.contains("rewritten away"))
+    assert(ids() == ((0L until 40L) :+ 100L).sorted, "winner intact")
+    // 3) a DV landing mid-window on a file the compaction removes:
+    // the compaction read the pre-DV rows and would resurrect the
+    // winner's delete — loud abort
+    val fD = fileOf(30, 39)
+    assert(fD.size == 1)
+    val rewriteD = () => Manifest.read(spark, tbl)
+      .filter(col("id") >= 30L && col("id") < 40L).coalesce(1)
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      Merge.deleteWhereDv(spark, tbl, col("id") === 35L)
+    }
+    val e2 = try intercept[IllegalStateException](
+      Manifest.commit(rewriteD(), tbl, removeFiles = fD,
+        statsCols = Seq("id")))
+    finally Manifest.beforePublish = () => ()
+    assert(e2.getMessage.contains("deletion-vector writer"))
+    assert(!ids().contains(35L), "the DV delete is in force")
+    // …and the retried compaction (now reading the DV-applied view)
+    // succeeds, absorbing the DV
+    Manifest.commit(rewriteD(), tbl, removeFiles = fD,
+      statsCols = Seq("id"))
+    assert(Manifest.deletionVectors(tbl).isEmpty)
+    assert(ids() ==
+      ((0L until 40L).filterNot(_ == 35L) :+ 100L).sorted)
+  }
+
   test("commitOnce (the Delta txn recipe): a replayed (appId, txn) " +
     "commits NOTHING, apps track independently, stamps hide from meta() " +
     "and survive interleaved plain commits") {
