@@ -515,6 +515,115 @@ object StreamPipelineQueries {
              TRUE AS no_erased_in_main, TRUE AS append_only_plus_dv
            FROM agg ORDER BY event_type""")),
 
+    // st34: TABLE-AS-STREAM-SOURCE — a Manifest table's commit log IS
+    // the streaming source (graft.sources.TableStreamProvider, the
+    // Delta streaming-source shape): offsets are table versions, batch
+    // 1 is the snapshot at stream start, every later batch is exactly
+    // the rows the new versions appended, and the per-trigger discovery
+    // cost is ONE manifest-head read — never a table listing or scan.
+    // Here the upstream table grows by three deterministic document
+    // chunks (doc_id mod 3) and the tail replicates it into a second
+    // Manifest table exactly-once (commitOnce per micro-batch; replay
+    // publishes nothing — the source side of the contract is that an
+    // offset range re-reads the same immutable manifests).
+    // versions_tailed pins that the upstream really was three separate
+    // commits (not one batch write); in_sync is the replication
+    // statement itself (downstream ≡ upstream as a multiset).
+    // TableStreamSpec covers what the oracle can't: checkpoint-restart
+    // exactly-once, the loud non-append refusal, skipChangeCommits, and
+    // the DV-applied initial snapshot.
+    "st34_table_tail" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val work = scratch("st34", dir)
+        wipe(work)
+        val up = s"$work/up"
+        val down = s"$work/down"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val chunk = (i: Int) =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        Manifest.commit(chunk(0), up)
+        val res = Streams.tableTailStreaming(s, up, down,
+          Seq(chunk(1), chunk(2)), checkpoint = s"$work/ckpt",
+          name = s"graft_st34_${dirTag(dir)}")
+        val inSync = res.exceptAll(Manifest.read(s, up)).isEmpty &&
+          Manifest.read(s, up).exceptAll(res).isEmpty
+        res.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(Manifest.version(up)).as("versions_tailed"),
+            lit(inSync).as("in_sync"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(3 AS BIGINT) AS versions_tailed, TRUE AS in_sync
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // st35: CDC TAIL (streaming change-data-capture replication) — the
+    // mode that serves what st34's plain tail refuses: the same
+    // commit-log source with readChangeFeed=true streams CHANGE IMAGES
+    // (snapshot-as-inserts, then per-version inserts, DV-delta deletes,
+    // update images — the Delta CDF streaming shape with the
+    // _commit_version/_change_type column convention), and the replica
+    // applier folds each batch by latest-change-per-key: deletes apply
+    // merge-on-read (idempotent — a replayed batch's keys are already
+    // hidden), upserts through the txn-stamped COW merge (a replayed
+    // batch merges nothing), so either-half-then-crash CONVERGES
+    // without a cross-table transaction. The upstream exercises the
+    // full write surface mid-stream — an append, then a DV delete AND
+    // a MoR update landing in ONE drain (a multi-version batch whose
+    // per-key reduction must order delete vs update images correctly) —
+    // and in_sync states the result: replica ≡ upstream head as a
+    // multiset, THROUGH the deletes and updates. Oracle replays the
+    // lifecycle as one expression (delete = WHERE doc_id%5<>0, update =
+    // CASE doc_id%7=0 → n_chars+1000 on survivors).
+    "st35_stream_cdc_tail" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge}
+        val work = scratch("st35", dir)
+        wipe(work)
+        val up = s"$work/up"
+        val rep = s"$work/rep"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Manifest.commit(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0).coalesce(1),
+          up, statsCols = Seq("doc_id"))
+        val res = Streams.cdcTailStreaming(s, up, rep, "doc_id",
+          actions = Seq(
+            () => { Manifest.commit(
+              docs.filter(pmod(col("doc_id"), lit(2)) === 1).coalesce(1),
+              up, statsCols = Seq("doc_id")); () },
+            () => {
+              Merge.deleteWhereDv(s, up,
+                pmod(col("doc_id"), lit(5)) === 0)
+              Merge.updateWhereDv(s, up,
+                pmod(col("doc_id"), lit(7)) === 0,
+                sets = Seq("n_chars" -> (col("n_chars") + 1000L)))
+              ()
+            }),
+          checkpoint = s"$work/ckpt", name = s"graft_st35_${dirTag(dir)}")
+        val head = Manifest.read(s, up)
+        val inSync = res.exceptAll(head).isEmpty &&
+          head.exceptAll(res).isEmpty
+        res.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(Manifest.version(up)).as("versions_tailed"),
+            lit(inSync).as("in_sync"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+              ELSE n_chars END) AS BIGINT) AS sum_chars,
+            CAST(4 AS BIGINT) AS versions_tailed, TRUE AS in_sync
+          FROM documents WHERE doc_id % 5 <> 0
+          GROUP BY lang ORDER BY lang""")),
+
     // st15: STREAMING SCD2 ingest — the warehouse fold-in as a
     // continuous query: each micro-batch merges into the persisted
     // type-2 dimension (Scd.applyChanges; versioned parquet snapshots,

@@ -1943,6 +1943,133 @@ object Streams {
     * don't straddle batches out of order (guaranteed here by the single-file
     * source; a production topology would use event-time watermarks +
     * flatMapGroupsWithState with timeout-based emission). */
+  /** `readStream` a [[graft.ops.Manifest]] table — the table's commit
+    * log as the streaming source ([[graft.sources.TableStreamProvider]]):
+    * batch 1 is the snapshot at stream start, every later batch is the
+    * rows appended by new versions. Non-append commits fail the stream
+    * loudly unless `skipChangeCommits`. */
+  def readTableStream(spark: SparkSession, tablePath: String,
+      skipChangeCommits: Boolean = false): DataFrame =
+    spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("skipChangeCommits", skipChangeCommits.toString)
+      .load(tablePath)
+
+  /** TABLE-TO-TABLE streaming replication through the commit-log source
+    * (st34): tail `upstream`, commit each micro-batch to `downstream`
+    * exactly-once ([[graft.ops.Manifest.commitOnce]] — a replayed batch
+    * after a checkpoint recovery publishes nothing). The drive commits
+    * `laterChunks` to the upstream between drains, so the tail serves
+    * its initial snapshot plus one-or-more append batches; the final
+    * downstream CONTENT is drain-boundary independent (which rows share
+    * a downstream version is not contractual). Returns the downstream
+    * read. */
+  def tableTailStreaming(spark: SparkSession, upstream: String,
+      downstream: String, laterChunks: Seq[DataFrame],
+      checkpoint: String, name: String = "graft_st34"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readTableStream(s, upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTableTailBatch(batch, batchId, downstream)
+      }
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      laterChunks.foreach { c =>
+        Manifest.commit(c, upstream)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    Manifest.read(spark, downstream)
+  }
+
+  /** [[tableTailStreaming]]'s per-batch body (skip-empty contract, see
+    * [[applyCommitBatch]]). */
+  private[graft] def applyTableTailBatch(batch: DataFrame, batchId: Long,
+      downstream: String): Unit = {
+    if (!batch.isEmpty)
+      graft.ops.Manifest.commitOnce(batch, downstream, "st_tail", batchId)
+    ()
+  }
+
+  /** CDC REPLICATION through the commit-log source (st35) — what the
+    * plain tail refuses, served and applied: `readChangeFeed=true`
+    * streams the upstream's CHANGE IMAGES (snapshot-as-inserts, then
+    * per-version inserts / deletes / update images), and each
+    * micro-batch folds into the replica by latest-change-per-key. The
+    * replica tracks the upstream EXACTLY through deletion-vector
+    * deletes, merge-on-read updates and copy-on-write merges — the
+    * full lakehouse write surface — while the per-batch work stays
+    * bounded by the batch's change set (the replica-side upsert is the
+    * stats-pruned COW merge, the delete is merge-on-read). `actions`
+    * mutate the upstream between drains, so one run exercises
+    * multi-version batches. Returns the replica read. */
+  def cdcTailStreaming(spark: SparkSession, upstream: String,
+      replica: String, keyCol: String, actions: Seq[() => Unit],
+      checkpoint: String, name: String = "graft_st35"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = s.readStream.format("graft.sources.TableStreamProvider")
+      .option("readChangeFeed", "true").option("keyCols", keyCol)
+      .load(upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcTailBatch(batch, batchId, replica, keyCol)
+      }
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      actions.foreach { a => a(); q.processAllAvailable() }
+    } finally q.stop()
+    Manifest.read(spark, replica)
+  }
+
+  /** [[cdcTailStreaming]]'s per-batch body: reduce the batch's change
+    * images to the LATEST state per key (postimages/inserts outrank the
+    * delete/preimage halves of the same version — a merge-on-read
+    * UPDATE arrives as delete+insert at one version), then apply
+    * deletes as a merge-on-read key delete (idempotent by MoR: a
+    * replayed batch's keys are already hidden and match nothing) and
+    * upserts through the txn-stamped COW merge (a replayed batch merges
+    * nothing). Either half may land before a crash; the replay
+    * CONVERGES — re-deleting hidden keys is a no-op, the stamp gates
+    * the merge — so the replica is exactly-once per batch without a
+    * cross-table transaction. */
+  private[graft] def applyCdcTailBatch(batch: DataFrame, batchId: Long,
+      replica: String, keyCol: String): Unit = {
+    import graft.ops.{ChangeFeed, Manifest, Merge}
+    if (batch.isEmpty) return
+    val sp = batch.sparkSession
+    val vc = ChangeFeed.VersionCol
+    val tc = ChangeFeed.TypeCol
+    val cols = batch.columns.filterNot(c => c == vc || c == tc).toSeq
+    val pri = when(col(tc).isin("insert", "update_postimage"), 1)
+      .otherwise(0)
+    // one bounded reduction over the batch; localCheckpoint because
+    // both halves consume it (and the upsert half must not re-plan a
+    // frame whose input the delete half just versioned)
+    val latest = batch
+      .groupBy(col(keyCol).as("__k"))
+      .agg(max_by(
+        struct(col(tc).as("t"), struct(cols.map(col): _*).as("r")),
+        struct(col(vc), pri.as("p"))).as("m"))
+      .select(col("m.t").as("__t"), col("m.r.*"))
+      .localCheckpoint(true)
+    val dels = latest.filter(col("__t") === "delete").select(col(keyCol))
+    val ups = latest.filter(col("__t") =!= "delete").drop("__t")
+    if (Manifest.version(replica) > 0 && !dels.isEmpty)
+      Merge.deleteKeysDv(sp, replica, dels, keyCol)
+    if (!ups.isEmpty)
+      Merge.upsertOnce(sp, replica, ups, Seq(keyCol), "st_cdc_tail",
+        batchId)
+    ()
+  }
+
   def sessionizeStreaming(spark: SparkSession, dir: String,
       gapNs: Long = SessionGapNs, name: String = "graft_st2"): DataFrame = {
     import spark.implicits._

@@ -22,4 +22,46 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** A STREAMING-tagged parquet scan over explicit files, for a v1
+    * streaming `Source.getBatch`: the plan is the same `LogicalRelation`
+    * a batch `spark.read.parquet` produces — so column pruning and
+    * filter pushdown from the surrounding streaming query reach the
+    * parquet reader — but carries `isStreaming = true`, which
+    * `MicroBatchExecution` asserts on every v1 batch. This is exactly
+    * how Spark's own `FileStreamSource` (and Delta's streaming source)
+    * builds its batches. Empty file list ⇒ an empty streaming frame of
+    * the same schema. */
+  def streamingParquetScan(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (paths.isEmpty)
+      cs.internalCreateDataFrame(
+        cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+    else {
+      val rel = org.apache.spark.sql.execution.datasources.DataSource(
+        sparkSession = cs,
+        className = "parquet",
+        paths = paths,
+        userSpecifiedSchema = Some(schema))
+        .resolveRelation(checkFilesExist = false)
+      org.apache.spark.sql.classic.Dataset.ofRows(cs,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          rel, isStreaming = true))
+    }
+  }
+
+  /** Wrap an arbitrary BATCH frame as a streaming-tagged one (RDD
+    * boundary — the surrounding query can no longer push into it; used
+    * only where the batch plan is already join-shaped, e.g. a
+    * deletion-vector-applied snapshot). */
+  def streamingWrap(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = batch.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
+      isStreaming = true)
+  }
 }
