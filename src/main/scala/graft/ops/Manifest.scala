@@ -298,6 +298,76 @@ object Manifest {
     hit
   }
 
+  /** TAGS — immutable NAMED REFS to table versions (the Iceberg tag /
+    * Delta named-snapshot shape): `tag("audit-2026Q3", v)` pins version
+    * `v` under a name that [[resolveRef]] (and SQL
+    * `VERSION AS OF 'audit-2026Q3'` through the catalog) serves, and
+    * that [[vacuum]] RETAINS — a tagged version's manifest, data files
+    * and DV state survive any retention window until the tag is
+    * deleted. Refs are driver-side metadata (one tiny file per tag
+    * under `_refs/`, atomic-exclusive publish like manifests), so
+    * pinning a compliance audit point on a 100 TB table costs bytes.
+    * Tags are IMMUTABLE: re-tagging an existing name fails loudly
+    * (delete first) — a name that silently moved between audits is the
+    * failure mode refs exist to prevent. */
+  private def refsDir(tablePath: String): Path =
+    Paths.get(tablePath, "_refs")
+
+  private def validRefName(name: String): Boolean =
+    name.nonEmpty && name.length <= 255 &&
+      name.head.isLetterOrDigit &&
+      name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+        c == '-')
+
+  /** Pin `v` (the head when omitted) under `name`. Returns the tagged
+    * version. Fails loudly on an invalid name, an uncommitted (or
+    * vacuumed) version, or an existing tag. */
+  def tag(tablePath: String, name: String, v: Long = -1L): Long = {
+    require(validRefName(name),
+      s"invalid tag name '$name' (letters/digits/._- only, must start " +
+        "alphanumeric)")
+    val vv = if (v >= 0) v else version(tablePath)
+    require(vv > 0 && Files.exists(manifestFile(tablePath, vv)),
+      s"version $vv is not committed at $tablePath")
+    Files.createDirectories(refsDir(tablePath))
+    val f = refsDir(tablePath).resolve(name)
+    val tmp = Files.createTempFile(refsDir(tablePath), s".$name-", ".tmp")
+    Files.write(tmp, vv.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(f, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists at $tablePath (version " +
+            s"${resolveRef(tablePath, name)}) — tags are immutable; " +
+            "deleteTag first")
+    } finally Files.deleteIfExists(tmp)
+    vv
+  }
+
+  /** Drop tag `name`; false if it did not exist. The versions it
+    * pinned become reclaimable by the NEXT vacuum. */
+  def deleteTag(tablePath: String, name: String): Boolean =
+    Files.deleteIfExists(refsDir(tablePath).resolve(name))
+
+  /** All tags of the table: name → pinned version. */
+  def tags(tablePath: String): Map[String, Long] = {
+    val d = refsDir(tablePath)
+    if (!Files.isDirectory(d)) Map.empty
+    else ls(d).map(Paths.get(_))
+      .filter(p => Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => p.getFileName.toString ->
+        new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8).trim.toLong)
+      .toMap
+  }
+
+  /** Resolve tag `name` to its version; loud when absent. */
+  def resolveRef(tablePath: String, name: String): Long =
+    tags(tablePath).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' at $tablePath (tags: " +
+        s"${tags(tablePath).keys.toSeq.sorted.mkString(", ")})"))
+
   /** Internal metadata key recording a commit's OPERATION when the
     * file-list diff alone cannot classify it: a copy-on-write rewrite
     * that touches EVERY live file lists all-new files — exactly a
@@ -1098,8 +1168,9 @@ object Manifest {
     * deliberately omits (every table format separates them: commits only
     * ever add, retention only ever removes, so a commit bug can never eat
     * data and a vacuum bug can never corrupt a retained version). Keeps
-    * the newest `retainLast` committed versions readable and reclaims
-    * everything else: older manifests are dropped, then data files that NO
+    * the newest `retainLast` committed versions — plus every TAGGED
+    * version ([[tag]]) — readable and reclaims everything else: older
+    * manifests are dropped, then data files that NO
     * retained manifest references are deleted. A file shared between a
     * dropped and a retained version survives — append commits carry their
     * ancestors' files forward, so vacuuming history under an append chain
@@ -1134,8 +1205,14 @@ object Manifest {
     val all = committedVersions(tablePath)
     if (all.isEmpty) return (Seq.empty, Seq.empty)
     val newest = all.max
-    val dropped = all.dropRight(retainLast)
-    val keep = all.takeRight(retainLast)
+    // TAGGED versions are pinned OUTSIDE the retention window ([[tag]]):
+    // their manifests, data files and DV dirs all survive until the tag
+    // is deleted — the audit-point contract
+    val pinned = tags(tablePath).values.toSet
+    val retained = (all.takeRight(retainLast) ++
+      all.filter(pinned.contains)).distinct.sorted
+    val dropped = all.filterNot(retained.toSet)
+    val keep = retained
       .flatMap(listed(tablePath, _)).toSet
     dropped.foreach(v => Files.delete(manifestFile(tablePath, v)))
     val dataDir = Paths.get(tablePath, "data")
@@ -1172,7 +1249,7 @@ object Manifest {
     // (full-carry means each retained manifest names everything its
     // version needs); orphans — from dropped history, materialized-away
     // DVs, or a crashed delete that never published — reclaim here
-    val dvKeep = all.takeRight(retainLast).flatMap(v =>
+    val dvKeep = retained.flatMap(v =>
       rawMeta(tablePath, v).collect {
         case (k, value) if k.startsWith(DvPrefix) =>
           value.substring(0, value.lastIndexOf(':'))

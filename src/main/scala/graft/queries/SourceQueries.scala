@@ -1368,6 +1368,68 @@ object SourceQueries {
              TRUE AS cdc_symmetric
            FROM k GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // s36: TABLE REFS (tags) — named version pins, the Iceberg tag /
+    // audit-point shape: a tag is driver-side metadata (one tiny
+    // `_refs/<name>` file, atomic-exclusive publish) that (1) VACUUM
+    // RETAINS — the pinned version's manifest, data files and DV state
+    // survive ANY retention window until the tag is deleted — and (2)
+    // SQL serves via `VERSION AS OF 'name'` (ExtensionsSpec pins
+    // SQL ≡ API). The lifecycle here proves all three contract halves
+    // with earned flags: four quarter commits, tag v2, vacuum
+    // retainLast=1 → pinned_readable (the tagged snapshot reads
+    // EXACTLY its commit-time content, replayed by the oracle as the
+    // first two chunks) and dropped_loud (untagged v1/v3 are fenced,
+    // never silently redirected); then deleteTag + re-vacuum →
+    // tag_retired (the pin, and only the pin, was keeping v2 alive).
+    // At 100 TB this is the difference between "keep 30 days of
+    // everything" and "pin the three versions audits actually need":
+    // retention cost tracks the pins, not the window.
+    "s36_table_refs" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        import scala.util.Try
+        val tbl = scratch("s36_table", dir)
+        wipe(tbl)
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        for (i <- 0 until 4)
+          Manifest.commit(
+            docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1),
+            tbl, statsCols = Seq("doc_id"))
+        Manifest.tag(tbl, "audit-q2", 2L)
+        val (dropped1, _) = Manifest.vacuum(tbl, retainLast = 1)
+        val tagged = Manifest.read(s, tbl,
+          Manifest.resolveRef(tbl, "audit-q2"))
+        val expectTag = docs.filter(pmod(col("doc_id"), lit(4)) <= 1)
+        val pinnedReadable = dropped1 == Seq(1L, 3L) &&
+          tagged.exceptAll(expectTag).isEmpty &&
+          expectTag.exceptAll(tagged).isEmpty
+        val droppedLoud = Seq(1L, 3L).forall(v =>
+          Try(Manifest.read(s, tbl, v).count()).isFailure)
+        Manifest.deleteTag(tbl, "audit-q2")
+        val (dropped2, _) = Manifest.vacuum(tbl, retainLast = 1)
+        val tagRetired = dropped2 == Seq(2L) &&
+          Try(Manifest.read(s, tbl, 2L).count()).isFailure &&
+          Try(Manifest.resolveRef(tbl, "audit-q2")).isFailure
+        // the aggregate replays the TAGGED snapshot's content from the
+        // source table (the tagged read itself was consumed eagerly by
+        // the pinned_readable equality above, before the re-vacuum)
+        expectTag.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(pinnedReadable).as("pinned_readable"),
+            lit(droppedLoud).as("dropped_loud"),
+            lit(tagRetired).as("tag_retired"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            TRUE AS pinned_readable, TRUE AS dropped_loud,
+            TRUE AS tag_retired
+          FROM documents WHERE doc_id % 4 <= 1
+          GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -55,7 +55,10 @@ import graft.ops.Manifest
   * `graft.<t>.history` serves DESCRIBE HISTORY as a metadata table
   * (the Delta/Iceberg convention): one row per committed version from
   * [[graft.ops.Manifest.history]] — pure manifest metadata, matching
-  * the API rows exactly, merge-on-read deletes included. */
+  * the API rows exactly, merge-on-read deletes included.
+  * `graft.<t>.tags` lists the table's named refs, and
+  * `VERSION AS OF '<tag>'` (a non-numeric version string) resolves
+  * through them — the Iceberg ref convention. */
 class GraftCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -81,11 +84,14 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     load(ident, -1L)
 
-  /** Spark's `VERSION AS OF <v>` time-travel hook. */
+  /** Spark's `VERSION AS OF <v>` time-travel hook. A non-numeric
+    * version string resolves as a TAG name ([[Manifest.resolveRef]] —
+    * `VERSION AS OF 'audit-2026Q3'`, the Iceberg ref convention), loud
+    * when no such tag exists. */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF expects a numeric graft version, got '$version'")
+      case _: NumberFormatException =>
+        Manifest.resolveRef(tablePath(ident), version)
     })
 
   /** Spark's `TIMESTAMP AS OF <ts>` time-travel hook (micros since
@@ -103,12 +109,13 @@ class GraftCatalog extends TableCatalog {
     val spark = SparkSession.active
     if (Manifest.version(path) == 0L && asOf < 0 &&
         (ident.name().equalsIgnoreCase("history") ||
-          ident.name().equalsIgnoreCase("files")) &&
+          ident.name().equalsIgnoreCase("files") ||
+          ident.name().equalsIgnoreCase("tags")) &&
         ident.namespace().nonEmpty) {
-      // graft.<t>.history / graft.<t>.files — the metadata-table
-      // convention: the name resolves only when <t> IS a manifest
-      // table and no real table shadows it (checked above), so a data
-      // table named "history"/"files" always wins
+      // graft.<t>.history / graft.<t>.files / graft.<t>.tags — the
+      // metadata-table convention: the name resolves only when <t> IS
+      // a manifest table and no real table shadows it (checked above),
+      // so a data table named "history"/"files"/"tags" always wins
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
       val parentPath = tablePath(parent)
@@ -116,6 +123,8 @@ class GraftCatalog extends TableCatalog {
         return (if (ident.name().equalsIgnoreCase("history"))
           historyTable(spark, s"$catalogName.${ident.toString}",
             parentPath)
+        else if (ident.name().equalsIgnoreCase("tags"))
+          tagsTable(s"$catalogName.${ident.toString}", parentPath)
         else filesTable(s"$catalogName.${ident.toString}", parentPath))
     }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
@@ -150,6 +159,22 @@ class GraftCatalog extends TableCatalog {
     val rows = Manifest.fileInventory(path).map { case (f, av, n, dv) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(f), av,
         n.map(Long.box).orNull, dv))
+        : org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+    new MetadataRowsTable(name, schema, rows)
+  }
+
+  /** `graft.<t>.tags` rows — the table's named refs ([[Manifest.tags]])
+    * as a metadata table: one (tag, version) row per pinned ref. */
+  private def tagsTable(name: String, path: String): Table = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    val rows = Manifest.tags(path).toSeq.sortBy(_._1).map { case (t, v) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), v))
         : org.apache.spark.sql.catalyst.InternalRow
     }.toArray
     new MetadataRowsTable(name, schema, rows)

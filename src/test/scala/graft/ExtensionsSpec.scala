@@ -208,6 +208,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("no version"), e.getMessage)
   }
 
+  test("graft catalog: VERSION AS OF '<tag>' resolves named refs to " +
+    "their pinned version (≡ the numeric read), graft.<t>.tags lists " +
+    "them, and an absent tag fails loudly") {
+    import java.nio.file.Files
+    import graft.ops.Manifest
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.GraftCatalog")
+    val root = scala.util.Try(
+      spark.conf.get("spark.sql.catalog.graft.root")).getOrElse {
+      val r = Files.createTempDirectory("graft_cat_tags").toString
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
+    val tbl = s"$root/t_tags"
+    Manifest.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl) // v1
+    Manifest.commit(Seq((3L, "c")).toDF("id", "s"), tbl)           // v2
+    Manifest.tag(tbl, "audit-1", 1L)
+    val byTag = spark.sql(
+      "SELECT id FROM graft.t_tags VERSION AS OF 'audit-1' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byTag == Seq(1L, 2L))
+    assert(byTag == spark.sql(
+      "SELECT id FROM graft.t_tags VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq)
+    assert(spark.sql("SELECT * FROM graft.t_tags.tags").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("audit-1", 1L)))
+    val e = intercept[Exception](spark.sql(
+      "SELECT id FROM graft.t_tags VERSION AS OF 'nope'").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no tag")), msgs(e))
+  }
+
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
     GraftExtensions.install(spark)
     val row = spark.sql(

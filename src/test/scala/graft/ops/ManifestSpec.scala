@@ -604,6 +604,54 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
+  test("tags (named refs): immutable pins that vacuum retains — " +
+    "manifest, data files AND DV state — until deleted; invalid names " +
+    "and uncommitted versions fail loudly; resolveRef round-trips") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshTable()
+    // v1 = a REPLACE-able base, v2 = its replacement: replace severs
+    // the file lineage, so v1's files are reclaimable — exactly what a
+    // tag must prevent
+    Manifest.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl)
+    Merge.deleteWhereDv(spark, tbl, col("id") === 2L)        // v2 + DV
+    Manifest.commit(Seq((9L, "z")).toDF("id", "s"), tbl,
+      replace = true)                                        // v3
+    assert(Manifest.tag(tbl, "audit.point-1", 2L) == 2L)
+    assert(Manifest.tags(tbl) == Map("audit.point-1" -> 2L))
+    assert(Manifest.resolveRef(tbl, "audit.point-1") == 2L)
+    // immutable: re-tagging fails loudly; bad names and bad versions too
+    intercept[IllegalArgumentException](
+      Manifest.tag(tbl, "audit.point-1", 3L))
+    intercept[IllegalArgumentException](Manifest.tag(tbl, "-bad", 3L))
+    intercept[IllegalArgumentException](Manifest.tag(tbl, "a/b", 3L))
+    intercept[IllegalArgumentException](Manifest.tag(tbl, "nope", 7L))
+    intercept[IllegalArgumentException](
+      Manifest.resolveRef(tbl, "absent"))
+    // vacuum keeps the pinned version through a lineage-severing
+    // replace: its manifest, its data files, and its DV dir all survive
+    val (dropped, _) = Manifest.vacuum(tbl, retainLast = 1)
+    assert(dropped == Seq(1L))
+    assert(Manifest.read(spark, tbl, 2L).select("id")
+      .as[Long].collect().toSeq == Seq(1L), "DV state survives the pin")
+    intercept[IllegalArgumentException](Manifest.read(spark, tbl, 1L))
+    // untag → the NEXT vacuum reclaims version, files and DV dir
+    assert(Manifest.deleteTag(tbl, "audit.point-1"))
+    assert(!Manifest.deleteTag(tbl, "audit.point-1"))
+    val (dropped2, goneFiles) = Manifest.vacuum(tbl, retainLast = 1)
+    assert(dropped2 == Seq(2L) && goneFiles.nonEmpty)
+    intercept[IllegalArgumentException](Manifest.read(spark, tbl, 2L))
+    val dvRoot = java.nio.file.Paths.get(tbl, "dv")
+    assert(!java.nio.file.Files.isDirectory(dvRoot) ||
+      ls(dvRoot).isEmpty, "the pinned DV dir reclaims once untagged")
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().toSeq == Seq(9L))
+  }
+
+  private def ls(p: java.nio.file.Path): Seq[String] = {
+    val s = java.nio.file.Files.list(p)
+    try s.toArray.map(_.toString).toSeq finally s.close()
+  }
+
   test("copy-on-write rebase (compaction-under-ingest liveness): a " +
     "rewrite losing the race to a pure append REBASES (no lost or " +
     "duplicated rows); overlapping rewrites and a DV landing on a " +
