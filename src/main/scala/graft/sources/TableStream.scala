@@ -3,11 +3,12 @@ package graft.sources
 import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.ops.{ChangeFeed, Manifest}
@@ -42,9 +43,36 @@ import graft.ops.{ChangeFeed, Manifest}
   * exactly like the batch reader.
   */
 class TableStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** The SINK half — `writeStream.format("graft.sources.
+    * TableStreamProvider").start(<tablePath>)`: every micro-batch
+    * appends to the Manifest table EXACTLY-ONCE via the (appId,
+    * batchId) txn stamp ([[Manifest.commitOnce]] — a replayed batch
+    * after checkpoint recovery publishes nothing), with the skip-empty
+    * contract (an empty batch publishes no version). Paired with the
+    * source half, `readStream(up) → writeStream(down)` is end-to-end
+    * exactly-once table replication with no user code. Append-only by
+    * design: aggregation output modes need a merge, which is
+    * `foreachBatch` + `Merge.upsertOnce` territory. Options:
+    * `txnAppId` (namespace the stamp when several queries feed one
+    * table), `statsCols` (record per-file min/max for data skipping). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink takes no partition columns — the manifest (and " +
+        "its per-file stats) is the layout")
+    require(outputMode == OutputMode.Append(),
+      s"graft-table sink is append-only, got $outputMode — " +
+        "aggregation modes need foreachBatch + Merge")
+    new TableStreamSink(pathOf(parameters),
+      parameters.getOrElse("txnAppId", "graft_table_sink"),
+      parameters.get("statsCols").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
@@ -87,6 +115,23 @@ class TableStreamProvider extends StreamSourceProvider
       keyCols = parameters.get("keyCols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
   }
+}
+
+/** See [[TableStreamProvider.createSink]]. */
+class TableStreamSink(tablePath: String, appId: String,
+    statsCols: Seq[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the handed frame wraps the micro-batch's incremental execution —
+    // re-wrap as a plain batch frame before the batch write path
+    val batch = Bridge.batchWrap(data)
+    if (!batch.isEmpty)
+      Manifest.commitOnce(batch, tablePath, appId, batchId,
+        statsCols = statsCols)
+    ()
+  }
+
+  override def toString: String = s"TableStreamSink[$tablePath]"
 }
 
 object TableStreamSource {

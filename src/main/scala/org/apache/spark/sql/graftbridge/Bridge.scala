@@ -64,4 +64,18 @@ object Bridge {
     cs.internalCreateDataFrame(batch.queryExecution.toRdd, batch.schema,
       isStreaming = true)
   }
+
+  /** The inverse of [[streamingWrap]], for a v1 `Sink.addBatch`: the
+    * frame Spark hands a sink wraps the micro-batch's ALREADY-PLANNED
+    * incremental execution (and may still carry streaming-tagged
+    * leaves) — re-wrap its RDD as a plain batch frame before handing it
+    * to batch writers, exactly how Spark's own `ForeachBatchSink`
+    * prepares the user-visible frame. */
+  def batchWrap(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = data.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+      isStreaming = false)
+  }
 }

@@ -217,6 +217,50 @@ class TableStreamSpec extends SparkSpec {
       "replayed batch must change nothing")
   }
 
+  test("native sink: readStream(up) → writeStream(down) replicates a " +
+    "table with NO user code, exactly-once across restart (idle " +
+    "restart and replayed batch publish nothing); append-only and " +
+    "no-partitioning contracts refuse loudly") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val up = fresh("sink_up"); val down = fresh("sink_down")
+    val ckpt = fresh("sink_ckpt")
+    Manifest.commit((0L until 10L).toDF("id"), up)
+    def run(during: org.apache.spark.sql.streaming.StreamingQuery
+        => Unit = _ => ()): Unit = {
+      val q = Streams.readTableStream(spark, up)
+        .writeStream.format("graft.sources.TableStreamProvider")
+        .option("checkpointLocation", ckpt)
+        .queryName("native_sink_spec").start(down)
+      try { q.processAllAvailable(); during(q) } finally q.stop()
+    }
+    run()
+    assert(rows(Manifest.read(spark, down)) == (0L until 10L))
+    run { q =>
+      Manifest.commit((10L until 15L).toDF("id"), up)
+      q.processAllAvailable()
+    }
+    assert(rows(Manifest.read(spark, down)) == (0L until 15L))
+    assert(Manifest.version(down) == 2L,
+      "snapshot batch + one append batch; idle restart published nothing")
+    // a replayed batch id publishes nothing (the txn stamp)
+    val sink = new TableStreamProvider().createSink(spark.sqlContext,
+      Map("path" -> down), Seq.empty, OutputMode.Append())
+    sink.addBatch(0L, (100L until 103L).toDF("id"))
+    assert(Manifest.version(down) == 2L &&
+      rows(Manifest.read(spark, down)) == (0L until 15L))
+    // ...and a genuinely NEW batch id lands (the sink really is live)
+    sink.addBatch(2L, (100L until 103L).toDF("id"))
+    assert(rows(Manifest.read(spark, down)) ==
+      ((0L until 15L) ++ (100L until 103L)))
+    // contract refusals
+    intercept[IllegalArgumentException](
+      new TableStreamProvider().createSink(spark.sqlContext,
+        Map("path" -> down), Seq.empty, OutputMode.Complete()))
+    intercept[IllegalArgumentException](
+      new TableStreamProvider().createSink(spark.sqlContext,
+        Map("path" -> down), Seq("id"), OutputMode.Append()))
+  }
+
   test("the stream refuses to start on a table with no committed " +
     "version (pinned schema and initial snapshot both need a head)") {
     val up = fresh("ts_empty")
