@@ -368,6 +368,229 @@ object Manifest {
       s"no tag '$name' at $tablePath (tags: " +
         s"${tags(tablePath).keys.toSeq.sorted.mkString(", ")})"))
 
+  // ——— WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern): stage a commit
+  // OFF the version chain, audit the would-be table, then publish as a
+  // METADATA-ONLY fast-forward or drop it. The staged batch's data
+  // files land in a normally-claimed batch dir, but the manifest goes
+  // to `wap-<id>.txt` — invisible to every reader, version() unmoved.
+  // Publish re-carries the PUBLISH-TIME head (staged commits are
+  // append-shaped, so interim appends rebase for free), validates the
+  // staged files against the head's CHECK constraints (the declared
+  // gate holds even if the audit was lax), and links the next version
+  // without touching a data file. Drop deletes the staged manifest and
+  // reclaims the claimed batch dir immediately (its files are
+  // unreferenced by construction). At 100 TB this is how risky ingest
+  // ships: the expensive write happens once, quarantined; the
+  // promote/abandon decision costs metadata. ———
+
+  private def wapFile(tablePath: String, id: String): Path =
+    manifestDir(tablePath).resolve(s"wap-$id.txt")
+
+  /** Stage `df` as WAP id `id`: files are written (and their stats
+    * harvested) exactly like a commit's, but NO version publishes —
+    * readers cannot see staged rows, and [[vacuum]] protects the
+    * staged files until the stage is published or dropped. Constraint
+    * validation is DEFERRED to [[publishStaged]] (auditing the staged
+    * state is the point of the pattern). Loud on a duplicate id. */
+  def stageCommit(df: DataFrame, tablePath: String, id: String,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    require(validRefName(id), s"invalid WAP id '$id'")
+    require(!Files.exists(wapFile(tablePath, id)),
+      s"WAP id '$id' is already staged at $tablePath")
+    meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"invalid meta key '$k'"))
+    Files.createDirectories(manifestDir(tablePath))
+    val dataDir = Paths.get(tablePath, "data")
+    Files.createDirectories(dataDir)
+    var claim = version(tablePath) + 1
+    var batchDir: Path = null
+    while (batchDir == null) {
+      val cand = dataDir.resolve(f"b$claim%06d")
+      try { Files.createDirectory(cand); batchDir = cand }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => claim += 1
+      }
+    }
+    df.write.mode("append").parquet(batchDir.toString)
+    val fresh = ls(batchDir)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
+    val (rowsMeta, statsMeta) = footerBatchStats(df.sparkSession,
+      tablePath, fresh, statsCols, df.schema)
+    val lines =
+      (meta ++ rowsMeta ++ statsMeta + (SchemaKey -> df.schema.json))
+        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fresh
+    val tmp = Files.createTempFile(manifestDir(tablePath),
+      s".wap-$id-", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(wapFile(tablePath, id), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        rmTree(batchDir)
+        throw new IllegalArgumentException(
+          s"WAP id '$id' is already staged at $tablePath")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Staged WAP ids, oldest-named first. */
+  def stagedIds(tablePath: String): Seq[String] = {
+    val dir = manifestDir(tablePath)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else ls(dir).map(p => Paths.get(p).getFileName.toString)
+      .collect { case s if s.startsWith("wap-") && s.endsWith(".txt") =>
+        s.stripPrefix("wap-").stripSuffix(".txt") }
+      .sorted
+  }
+
+  private def stagedLines(tablePath: String, id: String): Seq[String] = {
+    val f = wapFile(tablePath, id)
+    require(Files.exists(f), s"no staged WAP id '$id' at $tablePath " +
+      s"(staged: ${stagedIds(tablePath).mkString(", ")})")
+    Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
+  }
+
+  /** The AUDIT view: the table as it WOULD read after publishing `id` —
+    * the current head's live rows (deletion vectors applied) plus the
+    * staged files, under the head schema evolved by the staged one.
+    * This is a plain read; audits run whatever checks they want on it
+    * (row counts, invariants, model-side evals) before deciding. */
+  def readStaged(spark: SparkSession, tablePath: String,
+      id: String): DataFrame = {
+    val staged = stagedLines(tablePath, id)
+    val stagedFiles = staged.filterNot(_.startsWith("#"))
+      .map(rel => Paths.get(tablePath).resolve(rel).toString)
+    val stagedSchema = staged.find(_.startsWith(s"#$SchemaKey="))
+      .map(l => DataType.fromJson(l.substring(SchemaKey.length + 2))
+        .asInstanceOf[StructType])
+    val headV = version(tablePath)
+    if (headV == 0)
+      return spark.read.schema(stagedSchema.get)
+        .parquet(stagedFiles: _*)
+    val headFiles = listed(tablePath, headV)
+      .map(rel => Paths.get(tablePath).resolve(rel).toString)
+    val schema = (schemaOf(tablePath, headV), stagedSchema) match {
+      case (Some(h), Some(st)) => evolve(h, st)
+      case (h, st) => h.orElse(st).get
+    }
+    applyDv(spark, tablePath, headV,
+      spark.read.schema(schema).parquet(headFiles ++ stagedFiles: _*))
+  }
+
+  /** PUBLISH staged `id` as the next version — metadata-only: no data
+    * file moves. The staged batch is append-shaped, so it fast-forwards
+    * onto the PUBLISH-TIME head (interim appends rebase for free, via
+    * the same optimistic link-retry as [[commit]]); the head's CHECK
+    * constraints are validated over ONLY the staged files first (one
+    * bounded read — the declared gate holds even when the audit was
+    * lax), and a violation aborts with the stage INTACT (drop it or fix
+    * the table's constraints and retry). Returns the published
+    * version. */
+  def publishStaged(spark: SparkSession, tablePath: String,
+      id: String): Long = {
+    val staged = stagedLines(tablePath, id)
+    val freshKept = staged.filterNot(_.startsWith("#"))
+    val stagedMeta = staged.filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    val stagedSchema = stagedMeta.get(SchemaKey)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    var base = version(tablePath)
+    // validate the head's constraints over ONLY the staged files; the
+    // retry loop re-validates if the head's constraint set changes
+    var validatedAgainst: Option[Map[String, String]] = None
+    var attempts = 0
+    while (true) {
+      val constraints =
+        if (base == 0) Map.empty[String, String]
+        else constraintsOf(tablePath, base)
+      if (!validatedAgainst.contains(constraints) &&
+          constraints.nonEmpty && freshKept.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, lit, sum, when}
+        val paths = freshKept.map(rel =>
+          Paths.get(tablePath).resolve(rel).toString)
+        val reader = stagedSchema match {
+          case Some(s) => spark.read.schema(s)
+          case None => spark.read
+        }
+        val cNames = constraints.keys.toSeq.sorted
+        val viols = reader.parquet(paths: _*).agg(
+          sum(when(!expr(constraints(cNames.head)), lit(1L))
+            .otherwise(lit(0L))).as("c0"),
+          cNames.tail.zipWithIndex.map { case (n, i) =>
+            sum(when(!expr(constraints(n)), lit(1L)).otherwise(lit(0L)))
+              .as(s"c${i + 1}") }: _*).head()
+        val bad = cNames.zipWithIndex
+          .map { case (n, i) =>
+            n -> (if (viols.isNullAt(i)) 0L else viols.getLong(i)) }
+          .filter(_._2 > 0)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          "requirement failed: staged WAP id '" + id + "' violates " +
+            "CHECK constraint(s) " +
+            bad.map { case (n, c) =>
+              s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
+            " — nothing was published (the stage is intact)")
+      }
+      validatedAgainst = Some(constraints)
+      val schema = (if (base == 0) None else schemaOf(tablePath, base),
+          stagedSchema) match {
+        case (Some(h), Some(st)) => evolve(h, st)
+        case (h, st) => h.orElse(st).getOrElse(
+          throw new IllegalStateException("no schema to publish"))
+      }
+      val constraintMeta = constraints
+        .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
+      val dvMeta: Map[String, String] =
+        if (base == 0) Map.empty
+        else rawMeta(tablePath, base).filter(_._1.startsWith(DvPrefix))
+      val next = base + 1
+      val lines =
+        ((stagedMeta - SchemaKey) ++ constraintMeta ++ dvMeta +
+          (SchemaKey -> schema.json) +
+          (CommitTsKey -> System.currentTimeMillis.toString))
+          .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+        (if (base == 0) Seq.empty else listed(tablePath, base)) ++
+        freshKept
+      val tmp = Files.createTempFile(manifestDir(tablePath),
+        s".v$next-", ".tmp")
+      Files.write(tmp,
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      beforePublish()
+      try {
+        Files.createLink(manifestFile(tablePath, next), tmp)
+        Files.deleteIfExists(tmp)
+        Files.deleteIfExists(wapFile(tablePath, id))
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempts += 1
+          if (attempts > 20) throw new IllegalStateException(
+            s"WAP publish of '$id' at $tablePath: still losing the " +
+              s"publish race after $attempts rebases — giving up " +
+              "(the stage is intact)")
+          base = version(tablePath)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Abandon staged `id`: the staged manifest is deleted, then the
+    * claimed batch dir — its files are unreferenced by construction
+    * (no version ever listed them), so the reclaim is immediate.
+    * False when no such stage exists. */
+  def dropStaged(tablePath: String, id: String): Boolean = {
+    val f = wapFile(tablePath, id)
+    if (!Files.exists(f)) return false
+    val dirs = Files.readAllLines(f).toArray.map(_.toString)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(rel => Paths.get(tablePath).resolve(rel).getParent)
+      .distinct
+    Files.delete(f)
+    dirs.foreach(rmTree)
+    true
+  }
+
   /** Internal metadata key recording a commit's OPERATION when the
     * file-list diff alone cannot classify it: a copy-on-write rewrite
     * that touches EVERY live file lists all-new files — exactly a
@@ -1212,8 +1435,14 @@ object Manifest {
     val retained = (all.takeRight(retainLast) ++
       all.filter(pinned.contains)).distinct.sorted
     val dropped = all.filterNot(retained.toSet)
-    val keep = retained
-      .flatMap(listed(tablePath, _)).toSet
+    // staged-but-undecided WAP batches ([[stageCommit]]) are referenced
+    // by their wap manifest, not by any version — protect them like
+    // retained versions' files until publish/drop decides
+    val stagedKeep = stagedIds(tablePath)
+      .flatMap(id => stagedLines(tablePath, id))
+      .filterNot(_.startsWith("#"))
+    val keep = (retained
+      .flatMap(listed(tablePath, _)) ++ stagedKeep).toSet
     dropped.foreach(v => Files.delete(manifestFile(tablePath, v)))
     val dataDir = Paths.get(tablePath, "data")
     val sweepDirs =

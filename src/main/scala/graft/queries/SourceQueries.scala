@@ -1430,6 +1430,99 @@ object SourceQueries {
           FROM documents WHERE doc_id % 4 <= 1
           GROUP BY lang ORDER BY lang""")),
 
+    // s37: WRITE-AUDIT-PUBLISH — the Iceberg WAP pattern, how risky
+    // ingest ships at 100 TB: the expensive write happens ONCE into a
+    // staged batch that no reader can see (the manifest goes to
+    // `wap-<id>`, version() unmoved, vacuum protects the files), the
+    // audit reads the WOULD-BE table (head ⊎ staged, DV-applied) and
+    // decides, and the decision costs metadata — publish fast-forwards
+    // the staged files as the next version (zero data moved; the head's
+    // CHECK constraints re-validate over only the staged files as the
+    // declared backstop even when the audit was lax), drop deletes the
+    // stage and reclaims its batch dir immediately. Lifecycle here: two
+    // seed chunks + an n_chars>=0 CHECK; a BAD third chunk (docs with
+    // doc_id ≡ 2 mod 7 get n_chars negated) stages, the audit catches it
+    // (audit_caught), belt-and-braces publish refuses it too
+    // (gate_held), it drops with immediate reclaim (dropped_reclaimed);
+    // the clean third chunk stages and publishes (publish_zero_copy:
+    // the staged files are referenced VERBATIM by the new version).
+    // staged_invisible pins that the head never moved while stages
+    // existed. Content oracle: all three chunks = the full table.
+    "s37_write_audit_publish" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s37_table", dir)
+        wipe(tbl)
+        def parquetCount(t: String): Long = {
+          val d = java.nio.file.Paths.get(t, "data")
+          if (!java.nio.file.Files.isDirectory(d)) 0L
+          else {
+            val w = java.nio.file.Files.walk(d)
+            try w.filter(_.toString.endsWith(".parquet")).count()
+            finally w.close()
+          }
+        }
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val chunk = (i: Int) =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        Manifest.commit(chunk(0), tbl, statsCols = Seq("doc_id"))
+        Manifest.commit(chunk(1), tbl, statsCols = Seq("doc_id"))
+        Manifest.addConstraint(s, tbl, "chars_nonneg", "n_chars >= 0")
+        val headBefore = Manifest.version(tbl) // 3
+        // stage the BAD chunk: docs with doc_id ≡ 2 (mod 7) corrupted
+        // negative (a subset that intersects the mod-3 chunk)
+        val bad = chunk(2).withColumn("n_chars",
+          when(pmod(col("doc_id"), lit(7)) === 2, -col("n_chars"))
+            .otherwise(col("n_chars")))
+        Manifest.stageCommit(bad, tbl, "ingest-bad",
+          statsCols = Seq("doc_id"))
+        val auditViolations = Manifest.readStaged(s, tbl, "ingest-bad")
+          .filter(col("n_chars") < 0).count()
+        val gateHeld = scala.util.Try(
+          Manifest.publishStaged(s, tbl, "ingest-bad")).isFailure
+        val stagedInvisible = Manifest.version(tbl) == headBefore &&
+          Manifest.read(s, tbl).filter(col("n_chars") < 0).isEmpty
+        val filesBefore = parquetCount(tbl)
+        Manifest.dropStaged(tbl, "ingest-bad")
+        val droppedReclaimed = parquetCount(tbl) < filesBefore &&
+          Manifest.stagedIds(tbl).isEmpty
+        // stage the CLEAN chunk, audit passes, publish fast-forwards
+        Manifest.stageCommit(chunk(2), tbl, "ingest-clean",
+          statsCols = Seq("doc_id"))
+        val auditClean = Manifest.readStaged(s, tbl, "ingest-clean")
+          .filter(col("n_chars") < 0).isEmpty
+        val headFiles = Manifest.files(tbl).toSet
+        val diskBefore = parquetCount(tbl)
+        val v = Manifest.publishStaged(s, tbl, "ingest-clean")
+        // zero-copy: the new version carries the head verbatim, and
+        // publish wrote or moved NO data file (the staged file already
+        // on disk is simply referenced)
+        val publishZeroCopy = v == headBefore + 1 &&
+          headFiles.subsetOf(Manifest.files(tbl).toSet) &&
+          Manifest.files(tbl).size > headFiles.size &&
+          parquetCount(tbl) == diskBefore
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(auditViolations).as("audit_caught"),
+            lit(gateHeld).as("gate_held"),
+            lit(stagedInvisible).as("staged_invisible"),
+            lit(droppedReclaimed).as("dropped_reclaimed"),
+            lit(auditClean && publishZeroCopy).as("publish_zero_copy"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            (SELECT CAST(count(*) AS BIGINT) FROM documents
+              WHERE doc_id % 3 = 2 AND doc_id % 7 = 2 AND n_chars > 0)
+              AS audit_caught,
+            TRUE AS gate_held, TRUE AS staged_invisible,
+            TRUE AS dropped_reclaimed, TRUE AS publish_zero_copy
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

@@ -604,6 +604,61 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
+  test("write-audit-publish: a staged commit is invisible and vacuum-" +
+    "protected; the audit reads head ⊎ staged (DV-applied); publish " +
+    "fast-forwards over interim appends with the constraint gate held; " +
+    "drop reclaims immediately; duplicate ids fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 5), (2L, 7)).toDF("id", "n"), tbl) // v1
+    Merge.deleteWhereDv(spark, tbl, col("id") === 2L)           // v2+DV
+    Manifest.addConstraint(spark, tbl, "n_pos", "n > 0")        // v3
+    Manifest.stageCommit(Seq((3L, 9)).toDF("id", "n"), tbl, "w1")
+    intercept[IllegalArgumentException](
+      Manifest.stageCommit(Seq((9L, 9)).toDF("id", "n"), tbl, "w1"))
+    assert(Manifest.stagedIds(tbl) == Seq("w1"))
+    // invisible: version unmoved, head read unchanged
+    assert(Manifest.version(tbl) == 3L)
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L))
+    // the audit view is head (DV applied: id 2 hidden) ⊎ staged
+    assert(Manifest.readStaged(spark, tbl, "w1").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    // an interim append lands (its claim passes the staged dir's
+    // number), then a deep vacuum: the staged batch is now at-or-below
+    // the head — only the wap manifest's reference protects it
+    Manifest.commit(Seq((4L, 1)).toDF("id", "n"), tbl)          // v4
+    Manifest.vacuum(tbl, retainLast = 1)
+    assert(Manifest.readStaged(spark, tbl, "w1").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L),
+      "vacuum must not reclaim an undecided stage")
+    // publish fast-forwards over the interim append
+    assert(Manifest.publishStaged(spark, tbl, "w1") == 5L)
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    assert(Manifest.stagedIds(tbl).isEmpty)
+    // publish validated and inherited the constraint; a violating
+    // stage is refused with the stage INTACT, then drops with
+    // immediate batch-dir reclaim
+    Manifest.stageCommit(Seq((5L, -1)).toDF("id", "n"), tbl, "w2")
+    val e = intercept[IllegalArgumentException](
+      Manifest.publishStaged(spark, tbl, "w2"))
+    assert(e.getMessage.contains("n_pos"))
+    assert(Manifest.stagedIds(tbl) == Seq("w2"), "stage intact")
+    def parquets(): Long = {
+      val w = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(tbl, "data"))
+      try w.filter(_.toString.endsWith(".parquet")).count()
+      finally w.close()
+    }
+    val before = parquets()
+    assert(Manifest.dropStaged(tbl, "w2"))
+    assert(!Manifest.dropStaged(tbl, "w2"))
+    assert(parquets() < before, "drop reclaims the staged batch dir")
+    assert(Manifest.version(tbl) == 5L &&
+      Manifest.read(spark, tbl).count() == 3L, "table untouched")
+  }
+
   test("tags (named refs): immutable pins that vacuum retains — " +
     "manifest, data files AND DV state — until deleted; invalid names " +
     "and uncommitted versions fail loudly; resolveRef round-trips") {
