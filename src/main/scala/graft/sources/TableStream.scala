@@ -109,11 +109,22 @@ class TableStreamProvider extends StreamSourceProvider
     // re-derives the tagged one itself
     val base = if (cdc(parameters)) pinnedSchema(path)
       else schema.getOrElse(pinnedSchema(path))
+    // startingVersion (the Delta option): serve only commits AFTER this
+    // version — no initial snapshot. 'latest' = the head at stream
+    // creation, i.e. "only data from now on".
+    val startAfter = parameters.get("startingVersion").map(_.trim).map {
+      case s if s.equalsIgnoreCase("latest") => Manifest.version(path)
+      case s => try s.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a version number or 'latest', got '$s'")
+      }
+    }
     new TableStreamSource(sqlContext, path, base,
       parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
       readChangeFeed = cdc(parameters),
       keyCols = parameters.get("keyCols").toSeq
-        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+      startAfter = startAfter)
   }
 }
 
@@ -157,7 +168,8 @@ object TableStreamSource {
   * maintains an exact replica THROUGH deletes and updates. */
 class TableStreamSource(sqlContext: SQLContext, tablePath: String,
     baseSchema: StructType, skipChangeCommits: Boolean,
-    readChangeFeed: Boolean = false, keyCols: Seq[String] = Seq.empty)
+    readChangeFeed: Boolean = false, keyCols: Seq[String] = Seq.empty,
+    startAfter: Option[Long] = None)
     extends Source {
 
   override val schema: StructType =
@@ -182,8 +194,11 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = ver(end)
-    if (readChangeFeed) getCdcBatch(start.map(ver), endV)
-    else start match {
+    // startingVersion turns the would-be snapshot batch into a plain
+    // version walk from that point (no snapshot is ever served)
+    val effStart = start.map(ver).orElse(startAfter)
+    if (readChangeFeed) getCdcBatch(effStart, endV)
+    else effStart match {
       case None =>
         // initial batch = the snapshot as of endV. A version with
         // deletion vectors in force snapshots through the DV-applied
@@ -197,9 +212,8 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
           Bridge.streamingWrap(
             Manifest.read(spark, tablePath, endV)
               .select(baseSchema.fieldNames.map(col).toSeq: _*))
-      case Some(s) =>
-        val startV = ver(s)
-        val added = (startV + 1 to endV).flatMap { v =>
+      case Some(startV) =>
+        val added = (math.max(startV, 0L) + 1 to endV).flatMap { v =>
           val prev =
             if (v == 1) Set.empty[String]
             else Manifest.files(tablePath, v - 1).toSet

@@ -217,6 +217,50 @@ class TableStreamSpec extends SparkSpec {
       "replayed batch must change nothing")
   }
 
+  test("startingVersion: the tail serves only commits AFTER the given " +
+    "version — no snapshot batch — and 'latest' means only data " +
+    "committed from now on") {
+    val up = fresh("sv_up")
+    Manifest.commit((0L until 5L).toDF("id"), up)   // v1
+    Manifest.commit((5L until 10L).toDF("id"), up)  // v2
+    def tail(out: String, ckpt: String, sv: String)(
+        during: org.apache.spark.sql.streaming.StreamingQuery
+          => Unit = _ => ()): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.TableStreamProvider")
+        .option("startingVersion", sv).load(up)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Streams.applyTableTailBatch(b, id, out)
+        }
+        .queryName("tablestream_sv").start()
+      try { q.processAllAvailable(); during(q) } finally q.stop()
+    }
+    val out1 = fresh("sv_out1")
+    tail(out1, fresh("sv_ckpt1"), "1")()
+    assert(rows(Manifest.read(spark, out1)) == (5L until 10L),
+      "startingVersion=1 serves exactly v2, never the v1 snapshot")
+    val out2 = fresh("sv_out2")
+    tail(out2, fresh("sv_ckpt2"), "latest") { q =>
+      assert(Manifest.version(out2) == 0L,
+        "'latest' serves nothing that predates the stream")
+      Manifest.commit((10L until 12L).toDF("id"), up) // v3
+      q.processAllAvailable()
+    }
+    assert(rows(Manifest.read(spark, out2)) == (10L until 12L))
+    val bad = spark.readStream
+      .format("graft.sources.TableStreamProvider")
+      .option("startingVersion", "banana").load(up)
+      .writeStream.option("checkpointLocation", fresh("sv_ckpt3"))
+      .format("noop").start()
+    val e = intercept[Exception](
+      try bad.processAllAvailable() finally bad.stop())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("startingVersion")), msgs(e))
+  }
+
   test("native sink: readStream(up) → writeStream(down) replicates a " +
     "table with NO user code, exactly-once across restart (idle " +
     "restart and replayed batch publish nothing); append-only and " +
