@@ -826,6 +826,88 @@ object DedupQueries {
            ORDER BY i.a, i.b"""
       }),
 
+    // e13: DECONTAMINATION AS THE WAP AUDIT — the two governance layers
+    // composed the way a production pretrain pipeline actually runs
+    // them: a corpus increment is STAGED (s37's write-audit-publish —
+    // invisible, vacuum-protected, zero readers exposed), the AUDIT is
+    // e2's cross-corpus near-dup screen of the staged view against the
+    // benchmark set (MinHash-LSH banded cross-join, exact-Jaccard
+    // verified at 0.9 — never |inc|·|eval| pairs), and the DECISION
+    // re-stages the screened increment and publishes it metadata-only.
+    // Contaminated rows are never part of ANY published version — not
+    // filtered after the fact, never visible (the
+    // contaminated_never_published flag is the compliance statement);
+    // n_contaminated cross-checks the audit against the oracle's replay
+    // of the same banded screen. At 100 TB the economics are s37's: the
+    // increment writes once, the screen is bounded by band buckets, and
+    // a contaminated batch costs a metadata drop, not an un-publish.
+    "e13_wap_decontaminate" -> Q(
+      (s, dir) => {
+        import graft.ops.{Dedup, Manifest}
+        val tbl = scratch("e13_table", dir)
+        wipe(tbl)
+        val d = T(s, dir, "documents")
+        val coin = hashing.h64(col("doc_id").cast("string")) % 10000
+        val cols = Seq("doc_id", "text", "lang", "n_chars").map(col)
+        val evalSet = d.filter(coin >= 5000).select(cols: _*)
+        val base = d.filter(coin < 2500).select(cols: _*)
+        val inc = d.filter(coin >= 2500 && coin < 5000).select(cols: _*)
+        Manifest.commit(base.coalesce(1), tbl)
+        Manifest.stageCommit(inc.coalesce(1), tbl, "ingest")
+        // the audit screens the STAGED INCREMENT (audit view minus the
+        // head) against the benchmark set
+        val stagedInc = Manifest.readStaged(s, tbl, "ingest")
+          .join(Manifest.read(s, tbl), Seq("doc_id"), "left_anti")
+        val contaminated = Dedup.crossCorpusNearDups(stagedInc, evalSet,
+            "doc_id", "text", k = 3, threshold = 0.9,
+            maxBucketSize = ProductionBucketCap)
+          .select(col("a").as("doc_id")).distinct()
+        val nContam = contaminated.count()
+        Manifest.dropStaged(tbl, "ingest")
+        Manifest.stageCommit(
+          inc.join(contaminated, Seq("doc_id"), "left_anti").coalesce(1),
+          tbl, "ingest-screened")
+        Manifest.publishStaged(s, tbl, "ingest-screened")
+        val res = Manifest.read(s, tbl)
+        val neverPublished = res
+          .join(contaminated, Seq("doc_id"), "left_semi").isEmpty
+        res.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(nContam).as("n_contaminated"),
+            lit(neverPublished).as("contaminated_never_published"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        s"""WITH ${sqlLshSide("l", s"$sqlCoin >= 2500 AND $sqlCoin < 5000")},
+           ${sqlLshSide("r", s"$sqlCoin >= 5000")},
+           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM lbandsc x JOIN rbandsc y
+               ON x.band = y.band AND x.key = y.key),
+           inter AS (SELECT c.a, c.b, count(*) AS i FROM cand c
+             JOIN lset sa ON sa.doc_id = c.a
+             JOIN rset sb ON sb.doc_id = c.b AND sb.h = sa.h
+             GROUP BY c.a, c.b),
+           contaminated AS (SELECT DISTINCT i.a AS doc_id
+             FROM inter i JOIN lsizes sa ON sa.doc_id = i.a
+               JOIN rsizes sb ON sb.doc_id = i.b
+             WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4)
+               >= 0.9),
+           fin AS (
+             SELECT lang, n_chars FROM documents WHERE $sqlCoin < 2500
+             UNION ALL
+             SELECT lang, n_chars FROM documents
+             WHERE $sqlCoin >= 2500 AND $sqlCoin < 5000
+               AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+           SELECT lang, count(*) AS cnt,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             (SELECT CAST(count(*) AS BIGINT) FROM contaminated)
+               AS n_contaminated,
+             TRUE AS contaminated_never_published
+           FROM fin GROUP BY lang ORDER BY lang"""
+      }),
+
     // d4: exact all-pairs n-gram Jaccard (inverted-index join, no LSH).
     "d4_ngram_jaccard" -> Q(
       (s, dir) => Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id",
@@ -1188,6 +1270,66 @@ object DedupQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(sqlIvfAnn)),
+
+    // x19: ERASURE-MASKED ANN SERVING — GDPR erasure meets the vector
+    // store: the corpus is a governed Manifest table, the persisted IVF
+    // index (x9's FAISS-on-disk shape) was built BEFORE the erasure,
+    // and rebuilding a trillion-vector index per forget-request is not
+    // a thing — so the STALE index keeps the erased vectors in its
+    // postings and the serving layer must mask them. The erasure is
+    // st33's shape (requests persist as a tombstone table, the store
+    // hides rows behind a DV — zero data files rewritten, zero index
+    // rebuild), and the mask is applied AT THE POSTINGS SCAN: the
+    // broadcast forget-list anti-joins the inverted lists BEFORE
+    // scoring, so there is no over-fetch heuristic, no rank gap, and
+    // the probe's cost shape is x9's unchanged (probes broadcast,
+    // postings never shuffle). The oracle replays full-corpus k-means
+    // (the index really is stale) with erased vectors excluded from
+    // the ASSIGNED side only — exactly the masked scan. Index
+    // maintenance retires the mask the usual way (rebuild folds only
+    // live rows — the spec pins it); until then correctness is the
+    // serving layer's, which is the production contract.
+    "x19_erasure_masked_ann" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, Merge, Similarity}
+        val e = T(s, dir, "embeddings")
+        val work = scratch("x19", dir)
+        wipe(work)
+        val store = s"$work/store"
+        val tombs = s"$work/tombs"
+        Manifest.commit(e.select(col("vec_id"), col("embedding"),
+          col("label")).coalesce(1), store, statsCols = Seq("vec_id"))
+        val prefix = s"graft_x19_${dirTag(dir)}"
+        Similarity.buildIvfIndex(s, Manifest.read(s, store), "vec_id",
+          "embedding", k = 12, iters = 2, path = s"$work/ivf",
+          prefix = prefix)
+        // the forget-list persists; the store erases merge-on-read
+        Manifest.commit(e.filter(col("vec_id") % 10 === 7)
+          .select(col("vec_id")).coalesce(1), tombs)
+        val filesBefore = Manifest.files(store)
+        Merge.deleteKeysDv(s, store, Manifest.read(s, tombs), "vec_id")
+        val zeroRewrites = Manifest.files(store) == filesBefore
+        // masked serve: broadcast forget-list anti-joins the postings
+        // BEFORE scoring — no over-fetch, no rank gap, x9's plan shape
+        val cents = broadcast(s.table(s"${prefix}_cents"))
+        val probes = Similarity.probeCentroids(
+          e.filter(col("vec_id") < 10), cents, "vec_id", "embedding",
+          nProbe = 2)
+        val postings = s.table(s"${prefix}_ivf").join(
+          broadcast(Manifest.read(s, tombs).select(col("vec_id")
+            .as("nid"))), Seq("nid"), "left_anti")
+        Similarity.ivfScoreTail(probes, postings, k = 3)
+          .select(col("qid"), col("rank"), col("nid"), col("cos"),
+            lit(zeroRewrites).as("zero_rewrites"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some {
+        s"""WITH $sqlKmeansCents,
+           ${sqlIvfProbeCtes("q.vec_id < 10", 2, 3,
+            "(SELECT * FROM embeddings WHERE vec_id % 10 <> 7)")}
+           SELECT qid, rank, nid, cos, TRUE AS zero_rewrites
+           FROM ivftop ORDER BY qid, rank"""
+      }),
 
     // st14: STREAMING IVF INGEST — the vector twin of st11's fold-in,
     // closing the index-lifecycle symmetry from the write side: the

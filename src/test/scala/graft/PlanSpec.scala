@@ -601,4 +601,16 @@ class PlanSpec extends SparkSpec {
     assert(p1.contains("PushedFilters: [IsNotNull(id), LessThan(id,50)"),
       s"data predicate must still push under the DV: $p1")
   }
+
+  test("x19: the erasure mask is a BROADCAST anti-join on the postings " +
+    "scan (the forget-list is the broadcast side; the postings never " +
+    "shuffle for the mask), applied BEFORE scoring — and the probe " +
+    "side stays the broadcast x9 shape") {
+    val p = plan("x19_erasure_masked_ann")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the mask must be a broadcast anti-join: $p")
+    // the postings side must not be exchanged to meet the mask: the
+    // only sort-merge machinery allowed is none at all
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -93,6 +93,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("erasure-masked serve (x19's mechanism): a forget-list anti-join " +
+    "on the postings excludes every erased vector with NO rank gap " +
+    "(masked probe ≡ probe over an index of only live rows), and an " +
+    "index REBUILD over the live store retires the mask") {
+    import graft.queries.QueryDSL
+    val work = java.nio.file.Files.createTempDirectory("x19spec").toString
+    val store = s"$work/store"
+    Manifest.commit(emb.select(col("vec_id"), col("embedding"),
+      col("label")).coalesce(1), store, statsCols = Seq("vec_id"))
+    val px = "graft_x19spec"
+    Similarity.buildIvfIndex(spark, Manifest.read(spark, store),
+      "vec_id", "embedding", k = 12, iters = 2,
+      path = s"$work/ivf", prefix = px)
+    val forget = emb.filter(col("vec_id") % 10 === 7).select("vec_id")
+    Merge.deleteKeysDv(spark, store, forget, "vec_id")
+    val cents = broadcast(spark.table(s"${px}_cents"))
+    val probes = Similarity.probeCentroids(queries, cents, "vec_id",
+      "embedding", nProbe = 2)
+    val masked = rows(Similarity.ivfScoreTail(probes,
+      spark.table(s"${px}_ivf").join(
+        broadcast(forget.withColumnRenamed("vec_id", "nid")),
+        Seq("nid"), "left_anti"), k = 3))
+    assert(masked.forall(_._3 % 10 != 7), "no erased id may serve")
+    // ≡ a probe against an index holding only live rows (same stale
+    // centroids — assignment is per-vector, so masking the postings IS
+    // removing the rows)
+    val px2 = "graft_x19spec_live"
+    val cents2 = spark.table(s"${px}_cents")
+    val liveAssigned = Similarity.assignToCentroids(
+      Manifest.read(spark, store), broadcast(cents2), "vec_id",
+      "embedding")
+    val liveProbe = rows(Similarity.ivfScoreTail(probes, liveAssigned,
+      k = 3))
+    assert(masked === liveProbe, "mask ≡ live-only index, rank-exact")
+    // the UNMASKED stale index really would leak (the mask is
+    // load-bearing on this corpus)
+    val stale = rows(Similarity.ivfScoreTail(probes,
+      spark.table(s"${px}_ivf"), k = 3))
+    assert(stale.exists(_._3 % 10 == 7), "test corpus must exercise the leak")
+    // maintenance retires the mask: rebuild over the live store
+    Similarity.buildIvfIndex(spark, Manifest.read(spark, store),
+      "vec_id", "embedding", k = 12, iters = 2,
+      path = s"$work/ivf2", prefix = px2)
+    val rebuilt = spark.table(s"${px2}_ivf")
+    assert(rebuilt.filter(col("nid") % 10 === 7).isEmpty,
+      "a rebuild folds only live rows — the mask retires")
+  }
+
   test("probe plan: corpus enters ONLY via the bucketed assignment table") {
     built
     val df = Similarity.ivfProbePersisted(spark, queries, "vec_id",
