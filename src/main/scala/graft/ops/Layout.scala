@@ -84,7 +84,8 @@ object Layout {
   def optimizeWhere(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, column: String, lo: Double, hi: Double,
       numFiles: Int = 1): (Long, Int, Int) = {
-    val all = Manifest.files(tablePath)
+    val headV = Manifest.version(tablePath)
+    val all = Manifest.files(tablePath, headV)
     val stats = Manifest.fileStats(tablePath)
     val targets = all.filter { f =>
       stats.get(f).flatMap(_.get(column)) match {
@@ -104,12 +105,15 @@ object Layout {
     // maintenance is what retires the merge-on-read read-side tax
     // (still data_change=false: the hidden rows were already invisible)
     val v = Manifest.commit(
-      Manifest.applyDv(spark, tablePath, Manifest.version(tablePath),
+      Manifest.applyDv(spark, tablePath, headV,
           spark.read.schema(schema).parquet(paths: _*))
         .repartitionByRange(numFiles, col(column))
         .sortWithinPartitions(col(column)),
       tablePath, removeFiles = targets, statsCols = Seq(column),
-      meta = Map(ChangeFeed.DataChangeKey -> "false"))
+      meta = Map(ChangeFeed.DataChangeKey -> "false"),
+      // targets and rewrite content resolved at headV: a racing DV on a
+      // target must conflict, not be silently absorbed-away stale
+      readVersion = headV)
     (v, targets.size, all.size - targets.size)
   }
 

@@ -965,13 +965,18 @@ object Manifest {
     * DVs — survived the window with unchanged DV mappings (erasure-
     * and compaction-under-ingest liveness — see the retry loop);
     * replace and constraint-changing commits abort loudly on any
-    * conflict. Returns the committed version number. */
+    * conflict. Callers that RESOLVE work against a snapshot before
+    * committing (matched files, DV positions, rewrite content) pass
+    * that snapshot as `readVersion` so commits landing between their
+    * resolve and this call are conflict-checked too — the Delta
+    * transaction read-version. Returns the committed version number. */
   def commit(df: DataFrame, tablePath: String,
       replace: Boolean = false,
       meta: Map[String, String] = Map.empty,
       excludeConstraint: Option[String] = None,
       removeFiles: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      readVersion: Long = -1L): Long = {
     statsCols.foreach(c => require(!c.contains(":") && !c.contains("|"),
       s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
@@ -982,7 +987,24 @@ object Manifest {
       s"meta value may not span lines: '$v'"))
     require(removeFiles.isEmpty || !replace,
       "removeFiles is meaningless with replace (replace drops everything)")
-    val prev0 = version(tablePath)
+    // `readVersion` is the Delta transaction read-version: the version
+    // the CALLER resolved its work against (matched files, DV
+    // positions, rewrite content). Without it, a conflicting commit
+    // landing between the caller's resolve and this entry would be
+    // invisible to the retry loop's anchor checks (the loop compares
+    // against the version IT saw first) — a compaction in that window
+    // could silently strand a racing DV delete's positions on a dead
+    // file. With it, `base` starts at the CURRENT head and the very
+    // first iteration runs the full conflict/rebase analysis against
+    // the caller's true baseline.
+    val prev0 =
+      if (readVersion < 0) version(tablePath)
+      else {
+        require(readVersion == 0 ||
+          Files.exists(manifestFile(tablePath, readVersion)),
+          s"readVersion $readVersion is not committed at $tablePath")
+        readVersion
+      }
     // the COPY-ON-WRITE commit shape (Delta remove/add actions): the new
     // manifest carries the previous file list MINUS `removeFiles` plus
     // this commit's files — the surgical rewrite MERGE/DELETE publish.
@@ -1176,7 +1198,7 @@ object Manifest {
       else rawMeta(tablePath, prev0).filter { case (k, _) =>
         k.startsWith(DvPrefix) &&
           anchorFiles.contains(k.stripPrefix(DvPrefix)) }
-    var base = prev0
+    var base = math.max(prev0, version(tablePath))
     var attempts = 0
     while (true) {
       if (base != prev0) {

@@ -357,7 +357,11 @@ object Merge {
     val op = if (mkImages.isDefined) "update" else "delete"
     val v = Manifest.commit(payload, tablePath,
       meta = meta ++ dvLines + (Manifest.OpTypeKey -> op),
-      statsCols = statsCols)
+      statsCols = statsCols,
+      // positions were resolved against headV: a rewrite of a touched
+      // file landing before this publish must conflict, not strand the
+      // positions on a dead file
+      readVersion = headV)
     DvStats(v, before.size,
       (dvs.keySet ++ perFile.keySet).size,
       perFile.values.sum, cand.size)
@@ -461,7 +465,11 @@ object Merge {
         Manifest.applyDv(spark, tablePath, headV,
           spark.read.schema(schema).parquet(touchedAbs: _*))
     val v = Manifest.commit(rewrite(touchedRows), tablePath, meta = meta,
-      removeFiles = touchedRel, statsCols = statsCols)
+      removeFiles = touchedRel, statsCols = statsCols,
+      // the touch scan and the rewrite content resolved against headV:
+      // a DV or rewrite landing on a touched file before this publish
+      // must conflict (the rewrite would resurrect/lose its rows)
+      readVersion = headV)
     CowStats(v, before.size, touchedRel.size,
       before.size - touchedRel.size, cand.size)
   }

@@ -604,6 +604,109 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
+  test("transaction read-version: a conflicting commit landing BETWEEN " +
+    "an op's resolve and its commit() call is conflict-checked — a " +
+    "stale rewrite cannot silently resurrect a racing DV delete") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshTable()
+    Manifest.commit((0L until 10L).toDF("id").coalesce(1), tbl,
+      statsCols = Seq("id"))
+    // an operator resolves a compaction: targets + content AT rv
+    val rv = Manifest.version(tbl)
+    val targets = Manifest.files(tbl, rv)
+    val content = Manifest.read(spark, tbl, rv).coalesce(1)
+    // ... and BEFORE it commits, a DV delete lands on the target file
+    Merge.deleteWhereDv(spark, tbl, col("id") === 3L)
+    // without the read-version the stale content (still holding id 3)
+    // would publish as a clean rewrite; with it, the very first loop
+    // iteration sees the DV anchor moved since rv and aborts loudly
+    val e = intercept[IllegalStateException](
+      Manifest.commit(content, tbl, removeFiles = targets,
+        statsCols = Seq("id"), readVersion = rv))
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(!Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().contains(3L), "the delete stays in force")
+    // the retried op resolves fresh (DV-applied) and absorbs the DV
+    val rv2 = Manifest.version(tbl)
+    Manifest.commit(Manifest.read(spark, tbl, rv2).coalesce(1), tbl,
+      removeFiles = Manifest.files(tbl, rv2), statsCols = Seq("id"),
+      readVersion = rv2)
+    assert(Manifest.deletionVectors(tbl).isEmpty)
+    assert(Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 10L).filterNot(_ == 3L))
+    // a bogus read-version fails before any write
+    intercept[IllegalArgumentException](
+      Manifest.commit((0L until 3L).toDF("id"), tbl, readVersion = 99L))
+  }
+
+  test("mixed-writer stress across the FULL rebase matrix: concurrent " +
+    "appends, keyed DV deletes and range compactions (production " +
+    "retry-on-conflict) all land exactly once — final content is the " +
+    "interleave-invariant fixed point, nothing lost, nothing doubled") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshTable()
+    for (i <- 0 until 8)
+      Manifest.commit(
+        (i * 100 until i * 100 + 100).map(_.toLong).toDF("id")
+          .coalesce(1), tbl, statsCols = Seq("id"))
+    def retrying(op: () => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { op(); done = true }
+        catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent commit") &&
+                attempts < 50 => attempts += 1
+        }
+      }
+    }
+    val appender = new Thread(() => {
+      for (k <- 0 until 15)
+        retrying(() => { Manifest.commit(
+          Seq(10000L + k).toDF("id"), tbl); () })
+    })
+    val eraser = new Thread(() => {
+      for (i <- 0 until 8)
+        retrying(() => { Merge.deleteWhereDv(spark, tbl,
+          col("id") === (i * 100L + 1L)); () })
+    })
+    val compactor = new Thread(() => {
+      for (i <- (0 until 8).reverse) // opposite order: force collisions
+        retrying(() => {
+          // resolve-then-commit with the transaction read-version: the
+          // eraser's DV can land between this resolve and the publish,
+          // and MUST conflict (this content was read pre-DV)
+          val rv = Manifest.version(tbl)
+          val lo = i * 100.0; val hi = lo + 99.0
+          val targets = Manifest.fileStats(tbl, rv).collect {
+            case (f, st) if st.get("id").exists { case (mn, mx) =>
+              mn >= lo - 1 && mx <= hi + 1 } => f
+          }.toSeq
+          if (targets.nonEmpty) {
+            Manifest.commit(
+              Manifest.read(spark, tbl, rv)
+                .filter(col("id") >= lo && col("id") <= hi).coalesce(1),
+              tbl, removeFiles = targets, statsCols = Seq("id"),
+              readVersion = rv)
+          }
+          ()
+        })
+    })
+    Seq(appender, eraser, compactor).foreach(_.start())
+    Seq(appender, eraser, compactor).foreach(_.join(300000))
+    val got = Manifest.read(spark, tbl).select("id").as[Long]
+      .collect().sorted.toSeq
+    val want = ((0L until 800L).filterNot(i => i % 100 == 1 && i < 800) ++
+      (0 until 15).map(10000L + _)).sorted
+    assert(got == want,
+      s"lost=${(want.toSet -- got).size} doubled=${got.size - got.distinct.size} " +
+        s"extra=${(got.toSet -- want).size}")
+    // every writer's op landed exactly once: 8 seeds + 15 appends +
+    // 8 deletes + the compactions that found a target
+    assert(Manifest.version(tbl) >= 8L + 15L + 8L)
+  }
+
   test("write-audit-publish: a staged commit is invisible and vacuum-" +
     "protected; the audit reads head ⊎ staged (DV-applied); publish " +
     "fast-forwards over interim appends with the constraint gate held; " +
