@@ -573,6 +573,43 @@ object TextQueries {
       },
       Some(sqlBm25TopK)),
 
+    // st36: the BM25 fold driven by the COMMIT-LOG SOURCE — st21 with a
+    // GOVERNED TABLE as the upstream instead of a file glob: documents
+    // land in a Manifest table chunk by chunk, the graft-table stream
+    // tails its commit log (snapshot, then exactly the appended rows,
+    // one manifest-head read per trigger), each batch folds via the
+    // same commit-atomic staging as st21, and the post-drain probe must
+    // equal t11's inline answer over everything committed — st36, st21,
+    // t32 and t11 share ONE oracle SQL string. What the table source
+    // adds over the file glob: ingest is transactional (a half-written
+    // upstream batch is never folded — only committed versions serve),
+    // and a non-append upstream commit fails the fold LOUDLY, which is
+    // the correct index semantics (a fold cannot un-fold; rewrites and
+    // deletes upstream require an index rebuild — the tail says so
+    // instead of serving silently-stale postings).
+    "st36_table_index_ingest" -> Q(
+      (s, dir) => {
+        import graft.ops.{Manifest, TextIndex}
+        import graft.streaming.Streams
+        val prefix = s"graft_st36_${dirTag(dir)}"
+        val work = scratch("st36", dir)
+        wipe(work)
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+        val chunk = (i: Int) =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        Manifest.commit(chunk(0), s"$work/up")
+        Streams.tableIndexIngestStreaming(s, s"$work/up",
+          indexPath = s"$work/idx", prefix = prefix,
+          laterChunks = Seq(chunk(1), chunk(2)),
+          checkpoint = s"$work/ckpt", name = s"${prefix}_sink")
+        TextIndex.refresh(s, prefix)
+        TextIndex.bm25Probe(s, prefix, "doc_id",
+            terms = Seq("dup", "vector", "query"), k = 10)
+          .select(col("doc_id"), col("lang"), col("score"))
+      },
+      Some(sqlBm25TopK)),
+
     // t12: sequence packing — per-source concat-and-chunk into 2048-token
     // training sequences in deterministic hash order; integer-only window
     // arithmetic, so the bin layout is exactly reproducible anywhere.

@@ -850,6 +850,49 @@ object Streams {
     * and frozen first, then published through idempotent tagged file
     * ops, so a replay at any point neither double-counts term
     * statistics nor loses a half-applied fold. */
+  /** st36: the st21 BM25 fold driven by the COMMIT-LOG SOURCE instead
+    * of a file glob — the index follows a GOVERNED TABLE: batch 1 folds
+    * the upstream's snapshot, every later batch folds exactly the rows
+    * its new versions appended (one manifest-head read per trigger —
+    * never a table listing), and a non-append upstream commit fails the
+    * stream loudly through the tail contract, which is the CORRECT
+    * index semantics too: a fold cannot un-fold, so upstream rewrites
+    * and deletes require an index rebuild — the failure says so instead
+    * of serving silently-stale postings. Exactly-once end to end: the
+    * source side re-reads immutable manifests, the fold side is the
+    * commit-atomic [[Txn.foldOnce]] staging protocol per batchId. */
+  def tableIndexIngestStreaming(spark: SparkSession, upstream: String,
+      indexPath: String, prefix: String, laterChunks: Seq[DataFrame],
+      checkpoint: String, name: String = "graft_st36",
+      seed: Boolean = true): Unit = {
+    import graft.ops.{Manifest, TextIndex}
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    if (seed) {
+      // fresh start; a RESTART passes seed=false (re-seeding would
+      // erase everything folded so far — st21's resume contract) and
+      // the checkpointed offsets decide which versions are new
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
+        "doc_id", "text", path = indexPath, prefix = prefix)
+    }
+    val q = readTableStream(s, upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTextIndexBatch(batch, batchId, indexPath, prefix)
+      }
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      laterChunks.foreach { c =>
+        Manifest.commit(c, upstream)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   private[graft] def applyTextIndexBatch(batch: DataFrame, batchId: Long,
       indexPath: String, prefix: String): Unit = {
     import graft.ops.TextIndex

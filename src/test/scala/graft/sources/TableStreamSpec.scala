@@ -305,6 +305,40 @@ class TableStreamSpec extends SparkSpec {
         Map("path" -> down), Seq("id"), OutputMode.Append()))
   }
 
+  test("tail-driven index fold (st36's shape): the post-drain probe " +
+    "equals a one-shot index over the table head, and a RESTART " +
+    "(seed=false, same checkpoint) folds only newly-committed versions") {
+    import graft.ops.{Manifest, TextIndex}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val work = fresh("ts_fold")
+    val up = s"$work/up"; val ckpt = s"$work/ckpt"
+    Manifest.commit(docs.filter(col("doc_id") % 2 === 0).coalesce(1), up)
+    Streams.tableIndexIngestStreaming(spark, up, s"$work/idx",
+      "graft_ts_fold", laterChunks = Seq(
+        docs.filter(col("doc_id") % 4 === 1).coalesce(1)),
+      checkpoint = ckpt, name = "ts_fold_spec")
+    // restart: one more chunk commits while the stream is DOWN; the
+    // resumed drain must fold exactly that chunk (no re-fold, no loss)
+    Manifest.commit(docs.filter(col("doc_id") % 4 === 3).coalesce(1), up)
+    Streams.tableIndexIngestStreaming(spark, up, s"$work/idx",
+      "graft_ts_fold", laterChunks = Seq.empty,
+      checkpoint = ckpt, name = "ts_fold_spec2", seed = false)
+    TextIndex.refresh(spark, "graft_ts_fold")
+    val folded = TextIndex.bm25Probe(spark, "graft_ts_fold", "doc_id",
+        terms = Seq("dup", "vector"), k = 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // one-shot truth over the full table head
+    TextIndex.buildIndex(spark, Manifest.read(spark, up), "doc_id",
+      "text", path = s"$work/idx1s", prefix = "graft_ts_fold_1s")
+    val oneShot = TextIndex.bm25Probe(spark, "graft_ts_fold_1s",
+        "doc_id", terms = Seq("dup", "vector"), k = 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(folded == oneShot, "fold-through-the-tail ≡ one-shot build")
+  }
+
   test("the stream refuses to start on a table with no committed " +
     "version (pinned schema and initial snapshot both need a head)") {
     val up = fresh("ts_empty")
