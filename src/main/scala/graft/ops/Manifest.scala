@@ -484,10 +484,28 @@ object Manifest {
     * constraints are validated over ONLY the staged files first (one
     * bounded read — the declared gate holds even when the audit was
     * lax), and a violation aborts with the stage INTACT (drop it or fix
-    * the table's constraints and retry). Returns the published
-    * version. */
+    * the table's constraints and retry). IDEMPOTENT: the published
+    * manifest carries a `txn.wap-<id>` stamp, so a replay after the
+    * link-then-cleanup crash window (or the loser of two concurrent
+    * publishers of the same stage) returns the already-published
+    * version instead of listing the staged files twice. Returns the
+    * published version. */
   def publishStaged(spark: SparkSession, tablePath: String,
       id: String): Long = {
+    // IDEMPOTENT publish: the published manifest carries a txn stamp
+    // for this WAP id, so a replay after a crash in the window between
+    // the manifest link and the wap-file cleanup — or the loser of two
+    // concurrent publishers of the SAME stage — finds the stamp,
+    // finishes the cleanup, and returns the already-published version
+    // instead of listing the staged files twice.
+    val txnKey = s"${TxnPrefix}wap-$id"
+    def alreadyPublished: Option[Long] =
+      committedVersions(tablePath).reverse.find(v =>
+        rawMeta(tablePath, v).contains(txnKey))
+    alreadyPublished match {
+      case Some(v) => Files.deleteIfExists(wapFile(tablePath, id)); return v
+      case None => ()
+    }
     val staged = stagedLines(tablePath, id)
     val freshKept = staged.filterNot(_.startsWith("#"))
     val stagedMeta = staged.filter(_.startsWith("#"))
@@ -546,6 +564,7 @@ object Manifest {
       val next = base + 1
       val lines =
         ((stagedMeta - SchemaKey) ++ constraintMeta ++ dvMeta +
+          (txnKey -> "0") +
           (SchemaKey -> schema.json) +
           (CommitTsKey -> System.currentTimeMillis.toString))
           .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
@@ -564,6 +583,14 @@ object Manifest {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
+          // the winner may have been ANOTHER publisher of this very
+          // stage: surrender to its version instead of double-listing
+          alreadyPublished match {
+            case Some(v) =>
+              Files.deleteIfExists(wapFile(tablePath, id))
+              return v
+            case None => ()
+          }
           attempts += 1
           if (attempts > 20) throw new IllegalStateException(
             s"WAP publish of '$id' at $tablePath: still losing the " +

@@ -604,6 +604,39 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(Seq(-1).toDF("x"), tbl))
   }
 
+  test("publishStaged is IDEMPOTENT: a replay after the link-then-" +
+    "cleanup crash window returns the already-published version (no " +
+    "double rows), and the loser of two same-stage publishers " +
+    "surrenders to the winner") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 1)).toDF("id", "n"), tbl)
+    Manifest.stageCommit(Seq((2L, 2)).toDF("id", "n"), tbl, "w")
+    val wapF = JPaths.get(tbl, "_manifests", "wap-w.txt")
+    val wapBytes = JFiles.readAllBytes(wapF)
+    val v = Manifest.publishStaged(spark, tbl, "w")
+    assert(v == 2L && Manifest.read(spark, tbl).count() == 2L)
+    // crash-window replay: the wap file "survived" the publish
+    JFiles.write(wapF, wapBytes)
+    assert(Manifest.publishStaged(spark, tbl, "w") == v)
+    assert(!JFiles.exists(wapF), "the replay finishes the cleanup")
+    assert(Manifest.read(spark, tbl).count() == 2L, "no double publish")
+    // concurrent publishers of the SAME stage: the seam completes a
+    // competing publish first; the loser must surrender to its version
+    Manifest.stageCommit(Seq((3L, 3)).toDF("id", "n"), tbl, "w2")
+    var winnerV = -1L
+    Manifest.beforePublish = () => {
+      Manifest.beforePublish = () => ()
+      winnerV = Manifest.publishStaged(spark, tbl, "w2")
+    }
+    val loserV = try Manifest.publishStaged(spark, tbl, "w2")
+    finally Manifest.beforePublish = () => ()
+    assert(loserV == winnerV && winnerV == 3L)
+    assert(Manifest.read(spark, tbl).count() == 3L,
+      "the stage landed exactly once")
+    assert(Manifest.stagedIds(tbl).isEmpty)
+  }
+
   test("transaction read-version: a conflicting commit landing BETWEEN " +
     "an op's resolve and its commit() call is conflict-checked — a " +
     "stale rewrite cannot silently resurrect a racing DV delete") {
