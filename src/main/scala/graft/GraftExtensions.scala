@@ -16,14 +16,19 @@ import graft.functions.{BpePairArray, BpeRewrite, DeflateLen, DotProduct, Md5Lon
   * analyzer rule below needs construction-time install).
   *
   * The engine's operators are all expressible as Catalyst logical plans
-  * through the DataFrame API (SURVEY §4), so the ONE plan-level extension
-  * is [[graft.plans.DvReadRewrite]]: the analysis-time rewrite serving SQL
-  * reads of deletion-vector-carrying [[graft.sources.GraftCatalog]]
-  * versions (the Delta pattern — catalog resolves, extension rewrites).
+  * through the DataFrame API (SURVEY §4), so the plan-level extensions
+  * are exactly the two the Delta pattern needs (catalog resolves,
+  * extension rewrites): [[graft.plans.DvReadRewrite]] serving SQL reads
+  * of deletion-vector-carrying [[graft.sources.GraftCatalog]] versions,
+  * and [[graft.plans.GraftSqlDml]] routing SQL DELETE/UPDATE through the
+  * merge-on-read engine's commit protocol.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // DML first: a DELETE/UPDATE target must be intercepted before the
+    // DV read-rewrite dissolves its relation into a read plan
+    ext.injectResolutionRule(graft.plans.GraftSqlDml(_))
     ext.injectResolutionRule(graft.plans.DvReadRewrite(_))
   }
 }

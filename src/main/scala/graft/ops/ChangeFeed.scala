@@ -112,25 +112,32 @@ object ChangeFeed {
     val v1 = if (toVersion >= 0) toVersion else Manifest.version(tablePath)
     require(sinceVersion >= 0 && sinceVersion < v1,
       s"need 0 <= since < to; got since=$sinceVersion to=$v1 at $tablePath")
+    // INCREMENTAL WALK over the delta log: ONE snapshot resolution at
+    // the range start, then one small delta manifest per version —
+    // metadata cost ∝ changes, never ∝ versions × table file count
+    var running =
+      if (sinceVersion == 0) Manifest.emptySnap
+      else Manifest.snapshot(tablePath, sinceVersion)
     val steps = ((sinceVersion + 1) to v1).flatMap { v =>
-      val prev =
-        if (v == 1) Set.empty[String]
-        else Manifest.files(tablePath, v - 1).toSet
-      val cur = Manifest.files(tablePath, v)
-      val layoutOnly = Manifest.meta(tablePath, v)
-        .get(DataChangeKey).contains("false")
+      val d = Manifest.delta(tablePath, v)
+      val prevSnap = running
+      running = Manifest.applySnapDelta(prevSnap, d)
+      val prev = prevSnap.files.toSet
+      val layoutOnly = d.meta.get(DataChangeKey).contains("false")
       val feed =
         if (layoutOnly) None // writer-flagged compaction: no changes
-        else if (prev.subsetOf(cur.toSet)) { // append: feed = added files
-          val added = cur.filterNot(prev.contains)
+        else if (prev.subsetOf(running.files.toSet)) {
+          // append: feed = added files
+          val added = running.files.filterNot(prev.contains)
           val inserts =
             if (added.isEmpty) None
             else Some(readStep(spark, tablePath, v, added)
               .withColumn(TypeCol, lit("insert")))
-          val deletes = dvDeltaImages(spark, tablePath, v)
+          val deletes =
+            dvDeltaImages(spark, tablePath, v, prevSnap.dv, running.dv)
           (inserts, deletes) match {
-            case (Some(i), Some(d)) => Some(i.unionByName(d))
-            case (i, d) => i.orElse(d)
+            case (Some(i), Some(de)) => Some(i.unionByName(de))
+            case (i, de) => i.orElse(de)
           }
         } else { // replace: row-level snapshot diff
           require(keyCols.nonEmpty, s"version $v of $tablePath is a " +
@@ -165,11 +172,8 @@ object ChangeFeed {
     * drop them silently — permanent replica divergence for exactly the
     * GDPR-erasure commits that must propagate). */
   private def dvDeltaImages(spark: SparkSession, tablePath: String,
-      v: Long): Option[DataFrame] = {
-    val dvPrev =
-      if (v == 1) Map.empty[String, (String, Long)]
-      else Manifest.deletionVectors(tablePath, v - 1)
-    val dvCur = Manifest.deletionVectors(tablePath, v)
+      v: Long, dvPrev: Map[String, (String, Long)],
+      dvCur: Map[String, (String, Long)]): Option[DataFrame] = {
     val grown = dvCur.filter { case (f, m) => !dvPrev.get(f).contains(m) }
     if (grown.isEmpty) None
     else {
@@ -246,14 +250,19 @@ object ChangeFeed {
     val v1 = Manifest.version(sourcePath)
     require(v1 > 0, s"no committed version at $sourcePath")
     var applied = 0
+    // same incremental delta walk as [[changes]]: one snapshot at the
+    // watermark, one small manifest read per source version
+    var running =
+      if (v0 == 0) Manifest.emptySnap
+      else Manifest.snapshot(sourcePath, v0)
     for (v <- (v0 + 1) to v1) {
-      val prev =
-        if (v == 1) Set.empty[String]
-        else Manifest.files(sourcePath, v - 1).toSet
-      val cur = Manifest.files(sourcePath, v)
+      val d = Manifest.delta(sourcePath, v)
+      val prevSnap = running
+      running = Manifest.applySnapDelta(prevSnap, d)
+      val prev = prevSnap.files.toSet
+      val cur = running.files
       val meta = Map("source_version" -> v.toString)
-      val layoutOnly = Manifest.meta(sourcePath, v)
-        .get(DataChangeKey).contains("false")
+      val layoutOnly = d.meta.get(DataChangeKey).contains("false")
       if (layoutOnly) {
         // writer-flagged compaction: trust the flag — advance the
         // watermark with a zero-row append; no diff, no row data read
@@ -271,7 +280,8 @@ object ChangeFeed {
           if (added.isEmpty) transform(
             Manifest.read(spark, sourcePath, v).limit(0))
           else transform(readStep(spark, sourcePath, v, added))
-        dvDeltaImages(spark, sourcePath, v) match {
+        dvDeltaImages(spark, sourcePath, v, prevSnap.dv,
+            running.dv) match {
           case None => Manifest.commit(ins, replicaPath, meta = meta)
           case Some(images) =>
             // a merge-on-read DELETE hid rows without changing any file

@@ -10,8 +10,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Delta/Iceberg shape) that belongs under every incremental structure this
   * library maintains (the d12 dedup index, the x9 IVF index, the j8
   * dimension): data files are immutable parquet, a tiny per-version
-  * manifest lists exactly the files that ARE the table at that version,
-  * and the newest manifest is the current table.
+  * manifest records the DELTA ACTIONS of its commit (files added, files
+  * removed, deletion-vector mappings set — the Delta-log shape), a
+  * periodic checkpoint pins the resolved state so reads stay bounded,
+  * and the newest version's resolved state is the current table. A pure
+  * append's commit metadata is O(files added) at ANY table size — the
+  * property that keeps per-micro-batch streaming commits viable on a
+  * 10⁶-file table.
   *
   * The isolation argument is structural, not locked: a commit first writes
   * its data files into a freshly CLAIMED subdirectory nobody references
@@ -65,7 +70,7 @@ object Manifest {
     * optimistic-rebase path deterministically). No-op in production. */
   private[ops] var beforePublish: () => Unit = () => ()
 
-  private def committedVersions(tablePath: String): Seq[Long] = {
+  private[graft] def committedVersions(tablePath: String): Seq[Long] = {
     val dir = manifestDir(tablePath)
     if (!Files.isDirectory(dir)) Seq.empty
     else ls(dir)
@@ -87,8 +92,160 @@ object Manifest {
     Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
   }
 
+  // ——— DELTA-ACTION LOG (the Delta-log shape). Each version's manifest
+  // records only what the commit CHANGED: `#key=value` meta lines (the
+  // version's own metadata, plus the always-small carried state — schema
+  // and constraints), `-relpath` lines for files the commit removed, and
+  // plain lines for files it added. `#replace=true` marks a commit that
+  // drops all prior state (replace/restore). The version's FULL state —
+  // file list and deletion-vector mappings — is RESOLVED: start from the
+  // nearest checkpoint at or below the version (or from empty at version
+  // 1 / a replace commit, which is its own full state) and apply deltas
+  // forward. Every [[CheckpointInterval]]-th commit writes a sidecar
+  // checkpoint (`vNNNNNN.ckpt`: resolved `#dv.*` lines + file list), so
+  // resolution reads a BOUNDED number of small files no matter how long
+  // the history — and a pure append's commit metadata is O(files added),
+  // not O(table file count): at 10⁶-file scale a streaming micro-batch
+  // commit writes bytes, not the hundreds of MB a full re-listing
+  // costs. ———
+
+  /** Reserved meta key marking a commit that drops all prior state
+    * (replace / restore): its own added files and `dv.*` lines ARE the
+    * version's full state. */
+  val ReplaceKey = "replace"
+
+  /** Versions between full checkpoints: state resolution reads at most
+    * this many delta manifests past a checkpoint. Small enough that a
+    * read is a handful of driver-side KB-reads; large enough that
+    * checkpoint writes (O(table files) text) stay rare. */
+  private[ops] val CheckpointInterval = 10
+
+  private def ckptFile(tablePath: String, v: Long): Path =
+    manifestDir(tablePath).resolve(f"v$v%06d.ckpt")
+
+  private def parseDv(value: String): (String, Long) = {
+    val i = value.lastIndexOf(':')
+    (value.substring(0, i), value.substring(i + 1).toLong)
+  }
+
+  /** One version's recorded delta actions — a single small manifest
+    * read, the unit incremental consumers ([[ChangeFeed]], the
+    * commit-log stream source, [[history]]) walk instead of re-resolving
+    * full snapshots per version. */
+  private[graft] case class CommitDelta(version: Long,
+      added: Seq[String], removed: Seq[String], replace: Boolean,
+      dvSet: Map[String, (String, Long)], meta: Map[String, String]) {
+    /** Did this commit change the table's DV state over `prevDv`? */
+    def dvChanges(prevDv: Map[String, (String, Long)]): Boolean =
+      (replace && prevDv.nonEmpty) ||
+        removed.exists(prevDv.contains) ||
+        dvSet.exists { case (f, m) => !prevDv.get(f).contains(m) }
+  }
+
+  /** Parse version `v`'s delta manifest (one read; loud if vacuumed). */
+  private[graft] def delta(tablePath: String, v: Long): CommitDelta = {
+    val ls = lines(tablePath, v)
+    val meta = ls.filter(_.startsWith("#"))
+      .map(_.stripPrefix("#").split("=", 2))
+      .collect { case Array(k, value) => k -> value }.toMap
+    CommitDelta(v,
+      added = ls.filterNot(l => l.startsWith("#") || l.startsWith("-")),
+      removed = ls.filter(_.startsWith("-")).map(_.stripPrefix("-")),
+      replace = meta.get(ReplaceKey).contains("true"),
+      dvSet = meta.collect { case (k, value) if k.startsWith(DvPrefix) =>
+        k.stripPrefix(DvPrefix) -> parseDv(value) },
+      meta = meta)
+  }
+
+  /** A version's resolved state: live files (in commit order) and the
+    * deletion-vector mappings in force. */
+  private[graft] case class Snap(files: Vector[String],
+      dv: Map[String, (String, Long)])
+
+  private[graft] val emptySnap = Snap(Vector.empty, Map.empty)
+
+  /** Apply one commit's delta actions to the predecessor state. */
+  private[graft] def applySnapDelta(s: Snap, d: CommitDelta): Snap = {
+    val base =
+      if (d.replace) emptySnap
+      else if (d.removed.isEmpty) s
+      else {
+        val rm = d.removed.toSet
+        Snap(s.files.filterNot(rm), s.dv -- rm)
+      }
+    Snap(base.files ++ d.added, base.dv ++ d.dvSet)
+  }
+
+  private def readCkpt(tablePath: String, v: Long): Snap = {
+    val ls = Files.readAllLines(ckptFile(tablePath, v)).toArray
+      .map(_.toString).toSeq.filter(_.nonEmpty)
+    Snap(ls.filterNot(_.startsWith("#")).toVector,
+      ls.filter(_.startsWith(s"#$DvPrefix"))
+        .map(_.stripPrefix(s"#$DvPrefix").split("=", 2))
+        .collect { case Array(f, value) => f -> parseDv(value) }.toMap)
+  }
+
+  /** Resolve version `v`'s full state: nearest checkpoint / replace
+    * commit / version 1 at or below it, plus the delta chain up to `v` —
+    * at most [[CheckpointInterval]] + 1 small driver-side metadata
+    * reads, at any table size or history length. Deliberately
+    * UNCACHED: a (path, version) cache would serve stale state when a
+    * table path is dropped and re-created (version numbers repeat with
+    * new content — the scratch-table pattern every test and many batch
+    * jobs have); the bounded read is cheap enough that correctness
+    * wins. Loud when `v` itself was vacuumed; names the broken link
+    * when an INTERMEDIATE manifest is gone without a covering
+    * checkpoint. */
+  private[graft] def snapshot(tablePath: String, v: Long): Snap = {
+    require(v > 0 && Files.exists(manifestFile(tablePath, v)),
+      s"version $v is not committed at $tablePath")
+    var w = v
+    var acc = List.empty[CommitDelta]
+    var base: Snap = null
+    while (base == null) {
+      if (Files.exists(ckptFile(tablePath, w))) base = readCkpt(tablePath, w)
+      else if (!Files.exists(manifestFile(tablePath, w)))
+        throw new IllegalStateException(
+          s"cannot resolve version $v of $tablePath: version $w's " +
+            "manifest was vacuumed without a covering checkpoint — " +
+            "the delta chain is broken")
+      else {
+        val d = delta(tablePath, w)
+        acc = d :: acc
+        if (d.replace || w == 1) base = emptySnap else w -= 1
+      }
+    }
+    acc.foldLeft(base)(applySnapDelta)
+  }
+
+  /** Write the resolved-state checkpoint for `v` (idempotent; racing
+    * writers tolerate each other — content is deterministic). Called by
+    * every publish path on [[CheckpointInterval]] boundaries and by
+    * [[vacuum]] before it breaks a delta chain. */
+  private[ops] def writeCheckpoint(tablePath: String, v: Long): Unit = {
+    if (Files.exists(ckptFile(tablePath, v))) return
+    val snap = snapshot(tablePath, v)
+    val body = (snap.dv.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
+      s"#$DvPrefix$f=$d:$n" } ++ snap.files)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val tmp = Files.createTempFile(manifestDir(tablePath),
+      f".c$v%06d-", ".tmp")
+    Files.write(tmp, body)
+    try Files.createLink(ckptFile(tablePath, v), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: UnsupportedOperationException =>
+        if (!Files.exists(ckptFile(tablePath, v)))
+          Files.move(tmp, ckptFile(tablePath, v),
+            StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  private def maybeCheckpoint(tablePath: String, v: Long): Unit =
+    if (v % CheckpointInterval == 0) writeCheckpoint(tablePath, v)
+
   private def listed(tablePath: String, v: Long): Seq[String] =
-    lines(tablePath, v).filterNot(_.startsWith("#"))
+    snapshot(tablePath, v).files
 
   /** Table-relative parquet paths that ARE version `v` (newest version
     * when omitted) — the file-level diff surface incremental readers
@@ -117,6 +274,7 @@ object Manifest {
       .filterNot(_._1.startsWith(DvPrefix))
       .filterNot(_._1 == OpTypeKey)
       .filterNot(_._1 == CommitTsKey)
+      .filterNot(_._1 == ReplaceKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -176,8 +334,16 @@ object Manifest {
     val vs = committedVersions(tablePath).filter(_ <= upTo)
     val added = scala.collection.mutable.Map.empty[String, Long]
     val rows = scala.collection.mutable.Map.empty[String, Long]
+    var prevV = -1L
     vs.foreach { cv =>
-      listed(tablePath, cv).foreach { f =>
+      // contiguous walk: one delta read per version; after a vacuum gap
+      // the first surviving version attributes its whole resolved file
+      // set (its adding manifests are gone — same rule as [[history]])
+      val seen =
+        if (prevV == cv - 1) delta(tablePath, cv).added
+        else listed(tablePath, cv)
+      prevV = cv
+      seen.foreach { f =>
         if (liveSet.contains(f)) added.getOrElseUpdate(f, cv)
       }
       rawMeta(tablePath, cv).foreach { case (k, n) =>
@@ -317,7 +483,12 @@ object Manifest {
     name.nonEmpty && name.length <= 255 &&
       name.head.isLetterOrDigit &&
       name.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
-        c == '-')
+        c == '-') &&
+      // all-digit names are reserved for VERSION numbers (the Iceberg
+      // convention): SQL `VERSION AS OF '2026'` resolves numerically
+      // first, so a tag named '2026' could silently shadow — or be
+      // shadowed by — a real version
+      !name.forall(_.isDigit)
 
   /** Pin `v` (the head when omitted) under `name`. Returns the tagged
     * version. Fails loudly on an invalid name, an uncommitted (or
@@ -398,8 +569,17 @@ object Manifest {
     require(validRefName(id), s"invalid WAP id '$id'")
     require(!Files.exists(wapFile(tablePath, id)),
       s"WAP id '$id' is already staged at $tablePath")
+    require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
+    require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
+    require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
+    // values get the same line-injection guard as [[commit]]: a '\n' in
+    // a value would inject arbitrary manifest lines (forged txn./dv./
+    // constraint entries, bogus file paths) that publishStaged then
+    // carries verbatim into a published version
+    meta.values.foreach(v => require(!v.contains("\n"),
+      s"meta value may not span lines: '$v'"))
     Files.createDirectories(manifestDir(tablePath))
     val dataDir = Paths.get(tablePath, "data")
     Files.createDirectories(dataDir)
@@ -558,17 +738,16 @@ object Manifest {
       }
       val constraintMeta = constraints
         .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
-      val dvMeta: Map[String, String] =
-        if (base == 0) Map.empty
-        else rawMeta(tablePath, base).filter(_._1.startsWith(DvPrefix))
       val next = base + 1
+      // delta manifest: the staged files publish as this version's adds;
+      // the head's file list and DV state are inherited by resolution —
+      // the publish is metadata-only AND O(staged), never O(table)
       val lines =
-        ((stagedMeta - SchemaKey) ++ constraintMeta ++ dvMeta +
+        ((stagedMeta - SchemaKey) ++ constraintMeta +
           (txnKey -> "0") +
           (SchemaKey -> schema.json) +
           (CommitTsKey -> System.currentTimeMillis.toString))
           .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
-        (if (base == 0) Seq.empty else listed(tablePath, base)) ++
         freshKept
       val tmp = Files.createTempFile(manifestDir(tablePath),
         s".v$next-", ".tmp")
@@ -579,6 +758,7 @@ object Manifest {
         Files.createLink(manifestFile(tablePath, next), tmp)
         Files.deleteIfExists(tmp)
         Files.deleteIfExists(wapFile(tablePath, id))
+        maybeCheckpoint(tablePath, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -603,12 +783,20 @@ object Manifest {
   }
 
   /** Abandon staged `id`: the staged manifest is deleted, then the
-    * claimed batch dir — its files are unreferenced by construction
-    * (no version ever listed them), so the reclaim is immediate.
-    * False when no such stage exists. */
+    * claimed batch dir. The batch files are unreferenced by
+    * construction (no version ever listed them) — EXCEPT in
+    * [[publishStaged]]'s link-then-cleanup crash window, where the wap
+    * file still exists but the staged files ARE the just-published
+    * head: the same `txn.wap-<id>` probe publishStaged replays on runs
+    * first, and a published stage drops only the wap file, leaving the
+    * live data files alone. False when no such stage exists. */
   def dropStaged(tablePath: String, id: String): Boolean = {
     val f = wapFile(tablePath, id)
     if (!Files.exists(f)) return false
+    val txnKey = s"${TxnPrefix}wap-$id"
+    val published = committedVersions(tablePath).reverse.exists(v =>
+      rawMeta(tablePath, v).contains(txnKey))
+    if (published) { Files.delete(f); return true }
     val dirs = Files.readAllLines(f).toArray.map(_.toString)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map(rel => Paths.get(tablePath).resolve(rel).getParent)
@@ -698,15 +886,17 @@ object Manifest {
     * of rewriting them (at 100 TB, GDPR single-key erasure must not pay
     * a file rewrite). Readers anti-join `(file, row position)` against
     * the referenced DV parquet; a file without a mapping reads
-    * untouched, so DV-less tables pay nothing. The in-force DV state is
-    * CARRIED IN FULL by every manifest (exactly like the file list):
-    * appends inherit the base's mappings, copy-on-write rewrites drop
-    * the mappings of the files they remove (their rewrite applied the
-    * DV, materializing it away), replaces drop everything, restore
-    * re-lists the target's mappings — so resolving a version's DVs is
-    * one manifest read, vacuum can drop old manifests without
-    * resurrecting deleted rows, and time travel sees each version's
-    * exact DV state. A newer DV for a file always CONTAINS its older
+    * untouched, so DV-less tables pay nothing. The in-force DV state
+    * RESOLVES from the delta log exactly like the file list: a commit
+    * records only the mappings it SET, appends inherit the base's,
+    * copy-on-write rewrites drop the mappings of the files they remove
+    * (their rewrite applied the DV, materializing it away), replaces
+    * drop everything, restore re-lists the target's resolved mappings
+    * under its replace flag — so resolving a version's DVs is a bounded
+    * checkpoint+delta read, vacuum checkpoints before dropping old
+    * manifests so it never resurrects deleted rows, and time travel
+    * sees each version's exact DV state. A newer DV for a file always
+    * CONTAINS its older
     * positions (the delete op carries them forward), which keeps stale
     * rows in shared DV directories harmless. */
   val DvPrefix = "dv."
@@ -718,17 +908,15 @@ object Manifest {
   val DvBroadcastLimit: Long = 4L * 1000 * 1000
 
   /** Deletion vectors in force at version `v` (newest when omitted):
-    * fileRel → (dvDirRel, deleted position count). One manifest read. */
+    * fileRel → (dvDirRel, deleted position count). Resolved from the
+    * delta log (checkpoint + bounded chain): a delete commit records
+    * only the mappings it SET; removed files drop theirs, replaces drop
+    * everything. */
   def deletionVectors(tablePath: String,
       v: Long = -1L): Map[String, (String, Long)] = {
     val vv = if (v >= 0) v else version(tablePath)
     if (vv <= 0) Map.empty
-    else rawMeta(tablePath, vv).collect {
-      case (k, value) if k.startsWith(DvPrefix) =>
-        val i = value.lastIndexOf(':')
-        k.stripPrefix(DvPrefix) ->
-          (value.substring(0, i), value.substring(i + 1).toLong)
-    }
+    else snapshot(tablePath, vv).dv
   }
 
   /** The table-relative path of the file a scanned row came from, as a
@@ -1008,6 +1196,7 @@ object Manifest {
       s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
+    require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
@@ -1220,11 +1409,10 @@ object Manifest {
     val rebasable = !replace && passed.isEmpty && excludeConstraint.isEmpty
     val anchorFiles = meta.keys.filter(_.startsWith(DvPrefix))
       .map(_.stripPrefix(DvPrefix)).toSet ++ removeFiles
-    val anchorDvAtPrev0: Map[String, String] =
+    val anchorDvAtPrev0: Map[String, (String, Long)] =
       if (prev0 == 0 || anchorFiles.isEmpty) Map.empty
-      else rawMeta(tablePath, prev0).filter { case (k, _) =>
-        k.startsWith(DvPrefix) &&
-          anchorFiles.contains(k.stripPrefix(DvPrefix)) }
+      else snapshot(tablePath, prev0).dv
+        .filter { case (f, _) => anchorFiles.contains(f) }
     var base = math.max(prev0, version(tablePath))
     var attempts = 0
     while (true) {
@@ -1239,11 +1427,11 @@ object Manifest {
               "retry on the new head")
         }
         if (anchorFiles.nonEmpty) {
-          val headFiles = listed(tablePath, base).toSet
+          val headSnap = snapshot(tablePath, base)
+          val headFiles = headSnap.files.toSet
           val gone = anchorFiles.filterNot(headFiles.contains)
-          val anchorDvAtHead = rawMeta(tablePath, base)
-            .filter { case (k, _) => k.startsWith(DvPrefix) &&
-              anchorFiles.contains(k.stripPrefix(DvPrefix)) }
+          val anchorDvAtHead = headSnap.dv
+            .filter { case (f, _) => anchorFiles.contains(f) }
           if (gone.nonEmpty || anchorDvAtHead != anchorDvAtPrev0) {
             rmTree(batchDir)
             throw new IllegalStateException(
@@ -1291,29 +1479,25 @@ object Manifest {
         else constraintsOf(tablePath, base) -- excludeConstraint.toSeq
       val constraintMeta = (inherited ++ passed)
         .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
-      // DV state carries in full, like the file list: appends inherit
-      // the base's mappings (minus any file this commit removes — its
-      // rewrite applied the DV), replaces reset, and a delete's own
-      // dv.* meta overrides per file
-      val dvMeta: Map[String, String] =
-        (if (replace || base == 0) Map.empty[String, String]
-         else rawMeta(tablePath, base)
-           .filter(_._1.startsWith(DvPrefix))
-           .filterNot { case (k, _) =>
-             removeFiles.contains(k.stripPrefix(DvPrefix)) }) ++
-        meta.filter(_._1.startsWith(DvPrefix))
       val next = base + 1
       val opMeta =
         if (removeFiles.nonEmpty) Map(OpTypeKey -> "rewrite")
         else Map.empty[String, String]
+      // DELTA manifest: this commit's own meta (incl. its own dv.*
+      // overrides — the base's untouched DV mappings and file list are
+      // NOT re-listed; resolution inherits them), `-` lines for the
+      // copy-on-write removals, plain lines for the fresh files. A pure
+      // append's manifest is O(files added) bytes at any table size.
+      val replaceMeta =
+        if (replace) Map(ReplaceKey -> "true")
+        else Map.empty[String, String]
       val lines =
-        (meta ++ constraintMeta ++ dvMeta ++ opMeta ++ rowsMetaKept ++
-          statsMeta + (SchemaKey -> schema.json) +
+        (meta ++ constraintMeta ++ opMeta ++ replaceMeta ++
+          rowsMetaKept ++ statsMeta + (SchemaKey -> schema.json) +
           (CommitTsKey -> System.currentTimeMillis.toString))
           .toSeq.sorted
           .map { case (k, v) => s"#$k=$v" } ++
-        (if (replace || base == 0) Seq.empty
-         else listed(tablePath, base).filterNot(removeFiles.toSet)) ++
+        removeFiles.map("-" + _) ++
         freshKept
       // writer-unique tmp (createTempFile): concurrent publishers of
       // the same version must not overwrite each other's staging file
@@ -1325,6 +1509,7 @@ object Manifest {
       try {
         Files.createLink(manifestFile(tablePath, next), tmp)
         Files.deleteIfExists(tmp)
+        maybeCheckpoint(tablePath, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1359,6 +1544,7 @@ object Manifest {
           }
           Files.move(tmp, manifestFile(tablePath, next),
             StandardCopyOption.ATOMIC_MOVE)
+          maybeCheckpoint(tablePath, next)
           return next
       }
     }
@@ -1384,25 +1570,28 @@ object Manifest {
       s"cannot restore $tablePath to $toVersion (head is $head)")
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
+    require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
-    val fs = listed(tablePath, toVersion) // throws if vacuumed
+    val snap = snapshot(tablePath, toVersion) // throws if vacuumed
     val restoredMeta =
       rawMeta(tablePath, toVersion).get(SchemaKey)
         .map(SchemaKey -> _).toMap ++
       constraintsOf(tablePath, toVersion)
         .map { case (n, e) => s"$ConstraintPrefix$n" -> e } ++
-      // the target's DV state returns with its files (a DV added after
-      // the target must NOT survive the rollback; one the target had
-      // must) — full-carry makes this a straight copy
-      rawMeta(tablePath, toVersion).filter(_._1.startsWith(DvPrefix))
+      // the target's RESOLVED DV state returns with its files (a DV
+      // added after the target must NOT survive the rollback; one the
+      // target had must); the restore is a replace-flagged full-state
+      // delta, so later resolution never looks past it
+      snap.dv.map { case (f, (d, n)) => s"$DvPrefix$f" -> s"$d:$n" } +
+      (ReplaceKey -> "true")
     val next = head + 1
     val lines =
       (meta ++ restoredMeta + ("restore.of" -> toVersion.toString) +
         (CommitTsKey -> System.currentTimeMillis.toString))
-        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fs
+        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ snap.files
     Files.createDirectories(manifestDir(tablePath))
     val tmp = Files.createTempFile(manifestDir(tablePath),
       s".v$next-", ".tmp")
@@ -1411,6 +1600,7 @@ object Manifest {
     try {
       Files.createLink(manifestFile(tablePath, next), tmp)
       Files.deleteIfExists(tmp)
+      maybeCheckpoint(tablePath, next)
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1432,6 +1622,7 @@ object Manifest {
         }
         Files.move(tmp, manifestFile(tablePath, next),
           StandardCopyOption.ATOMIC_MOVE)
+        maybeCheckpoint(tablePath, next)
         next
     }
   }
@@ -1483,16 +1674,44 @@ object Manifest {
     val pinned = tags(tablePath).values.toSet
     val retained = (all.takeRight(retainLast) ++
       all.filter(pinned.contains)).distinct.sorted
-    val dropped = all.filterNot(retained.toSet)
+    val droppedSet = all.toSet -- retained
+    val dropped = all.filter(droppedSet.contains)
     // staged-but-undecided WAP batches ([[stageCommit]]) are referenced
     // by their wap manifest, not by any version — protect them like
     // retained versions' files until publish/drop decides
     val stagedKeep = stagedIds(tablePath)
       .flatMap(id => stagedLines(tablePath, id))
       .filterNot(_.startsWith("#"))
-    val keep = (retained
-      .flatMap(listed(tablePath, _)) ++ stagedKeep).toSet
-    dropped.foreach(v => Files.delete(manifestFile(tablePath, v)))
+    // resolve retained state BEFORE any deletion (also warms the work
+    // below), and MATERIALIZE A CHECKPOINT at every retained version
+    // whose delta chain would cross a dropped manifest — dropping the
+    // manifests first would leave a readable version unresolvable.
+    // Checkpoints go first, manifests second, data last: an interrupted
+    // vacuum can strand extra checkpoints or data files, never break a
+    // retained version.
+    val snaps = retained.map(v => v -> snapshot(tablePath, v)).toMap
+    val willCkpt = scala.collection.mutable.Set.empty[Long]
+    retained.foreach { r =>
+      var w = r
+      var resolved = false
+      while (!resolved) {
+        if (willCkpt.contains(w) || Files.exists(ckptFile(tablePath, w)))
+          resolved = true
+        else {
+          val d = delta(tablePath, w)
+          if (d.replace || w == 1) resolved = true
+          else if (droppedSet.contains(w - 1)) {
+            willCkpt += r; resolved = true
+          } else w -= 1
+        }
+      }
+    }
+    willCkpt.toSeq.sorted.foreach(writeCheckpoint(tablePath, _))
+    dropped.foreach { v =>
+      Files.delete(manifestFile(tablePath, v))
+      Files.deleteIfExists(ckptFile(tablePath, v))
+    }
+    val keep = (retained.flatMap(v => snaps(v).files) ++ stagedKeep).toSet
     val dataDir = Paths.get(tablePath, "data")
     val sweepDirs =
       if (!Files.isDirectory(dataDir)) Seq.empty[Path]
@@ -1523,15 +1742,12 @@ object Manifest {
       }
     }
     // DV sweep, same shape as the data sweep: a deletion-vector
-    // directory survives iff some RETAINED manifest still references it
-    // (full-carry means each retained manifest names everything its
-    // version needs); orphans — from dropped history, materialized-away
-    // DVs, or a crashed delete that never published — reclaim here
+    // directory survives iff some RETAINED version's resolved state
+    // still references it; orphans — from dropped history,
+    // materialized-away DVs, or a crashed delete that never published —
+    // reclaim here
     val dvKeep = retained.flatMap(v =>
-      rawMeta(tablePath, v).collect {
-        case (k, value) if k.startsWith(DvPrefix) =>
-          value.substring(0, value.lastIndexOf(':'))
-      }).toSet
+      snaps(v).dv.values.map(_._1)).toSet
     val dvRoot = Paths.get(tablePath, "dv")
     if (Files.isDirectory(dvRoot))
       ls(dvRoot).map(Paths.get(_)).filter(Files.isDirectory(_)).foreach {
@@ -1576,14 +1792,23 @@ object Manifest {
   def history(spark: SparkSession, tablePath: String): Seq[CommitInfo] = {
     val vs = committedVersions(tablePath)
     val fileRows = scala.collection.mutable.Map.empty[String, Long]
-    // pair each version with its PREDECESSOR IN THE SURVIVING CHAIN (a
-    // vacuumed table has gaps; the oldest retained version reads as the
-    // append that created its whole file set — its carried files' counts
-    // come from the fallback read, since their adding manifests are gone)
+    // INCREMENTAL WALK over the delta log: each contiguous step applies
+    // ONE small delta manifest to the running snapshot — O(changes)
+    // total metadata I/O, never O(versions × table files). Versions are
+    // paired with their PREDECESSOR IN THE SURVIVING CHAIN (a vacuumed
+    // table has gaps; the oldest retained version reads as the append
+    // that created its whole file set — its carried files' counts come
+    // from the fallback read, since their adding manifests are gone);
+    // a step after a gap re-resolves from its checkpoint.
+    var running: Snap = emptySnap
     vs.zip(None +: vs.init.map(Some(_))).map { case (v, prevV) =>
-      val prev: Set[String] =
-        prevV.map(listed(tablePath, _).toSet).getOrElse(Set.empty)
-      val cur = listed(tablePath, v)
+      val prevSnap = if (prevV.isEmpty) emptySnap else running
+      val prev: Set[String] = prevSnap.files.toSet
+      val curSnap =
+        if (prevV.contains(v - 1)) applySnapDelta(running, delta(tablePath, v))
+        else snapshot(tablePath, v)
+      running = curSnap
+      val cur = curSnap.files
       val added = cur.filterNot(prev.contains)
       val removed = prev -- cur
       // commit-stats first: the version's own #filerows. lines
@@ -1625,9 +1850,8 @@ object Manifest {
       // DV GROWTH on surviving files (a new DV always contains the old
       // positions, so the per-file count delta IS the rows hidden this
       // version); still pure manifest metadata, zero data I/O
-      val dvPrev = prevV.map(deletionVectors(tablePath, _))
-        .getOrElse(Map.empty[String, (String, Long)])
-      val dvGrowth = deletionVectors(tablePath, v).map { case (f, (_, n)) =>
+      val dvPrev = prevSnap.dv
+      val dvGrowth = curSnap.dv.map { case (f, (_, n)) =>
         (n - dvPrev.get(f).map(_._2).getOrElse(0L)).max(0L) }.sum
       CommitInfo(v, changeType, added.size.toLong, removed.size.toLong,
         added.map(fileRows.getOrElse(_, 0L)).sum,

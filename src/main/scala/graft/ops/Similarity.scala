@@ -365,6 +365,22 @@ object Similarity {
       .option("path", s"$path/ivf").saveAsTable(s"${prefix}_ivf")
   }
 
+  /** REBUILD a persisted IVF index from a governed vector store's HEAD
+    * — x19's mask-retirement step: the store's resolved read applies
+    * its deletion vectors, so erased vectors drop out of the retrained
+    * centroids AND the postings, and the serve-time forget-list mask
+    * becomes unnecessary (probe ≡ a live-only fresh build; IvfIndexSpec
+    * pins it). Returns the store version captured, the watermark any
+    * index-following tail should resume after. */
+  def rebuildIvfFromTable(spark: SparkSession, storePath: String,
+      idCol: String, vecCol: String, k: Int, iters: Int = 2,
+      path: String, prefix: String, buckets: Int = 8): Long = {
+    val v = Manifest.version(storePath)
+    buildIvfIndex(spark, Manifest.read(spark, storePath, v), idCol,
+      vecCol, k, iters, path, prefix, buckets)
+    v
+  }
+
   /** Fold a new vector batch into a persisted IVF index: assign the batch
     * to the EXISTING centroids — no retraining, the standard IVF add
     * contract (FAISS `add` does the same; rebuild via [[buildIvfIndex]]

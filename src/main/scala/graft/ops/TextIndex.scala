@@ -160,6 +160,30 @@ object TextIndex {
     refresh(spark, prefix)
   }
 
+  /** REBUILD the index from a governed upstream table's HEAD — the
+    * recovery the commit-log tail's loud non-append refusal names
+    * (st36): a fold cannot un-fold, so an upstream rewrite / delete /
+    * restore invalidates folded postings; this re-derives the whole
+    * index in place from the head's RESOLVED state (`Manifest.read` —
+    * deletion vectors applied, so erased documents drop out of the
+    * rebuilt postings) and voids the old fold generation's txn markers
+    * (a stale batchId marker must not suppress the first post-rebuild
+    * fold). Returns the upstream version the rebuild captured: resume
+    * the tail with a FRESH checkpoint, `seed = false`, and
+    * `startAfterVersion = <returned version>` — the resumed stream
+    * folds only commits AFTER the rebuild, never re-folding the
+    * captured state and never gapping
+    * ([[graft.streaming.Streams.tableIndexIngestStreaming]]). */
+  def rebuildFromTable(spark: SparkSession, upstreamPath: String,
+      idCol: String, textCol: String, indexPath: String, prefix: String,
+      buckets: Int = 8): Long = {
+    val v = Manifest.version(upstreamPath)
+    buildIndex(spark, Manifest.read(spark, upstreamPath, v), idCol,
+      textCol, indexPath, prefix, buckets)
+    graft.streaming.Streams.Txn.clear(indexPath)
+    v
+  }
+
   /** STAGE an [[appendDocs]] fold into `stagingDir` without touching the
     * live tables — phase 1 of the commit-atomic streaming fold (st21;
     * [[graft.streaming.Streams]] Txn.foldOnce): the batch's posting

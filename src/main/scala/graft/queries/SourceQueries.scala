@@ -1523,6 +1523,72 @@ object SourceQueries {
             TRUE AS dropped_reclaimed, TRUE AS publish_zero_copy
           FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // s38: SQL DML over a governed table — the WRITE half of the SQL
+    // surface (reads: s16 VERSION AS OF, s27 .history, s36 tags): plain
+    // `DELETE FROM graft.t WHERE …` / `UPDATE graft.t SET … WHERE …`
+    // route through the SAME merge-on-read engine as the Scala API
+    // (Merge.deleteWhereDv / updateWhereDv via the GraftSqlDml analyzer
+    // rule — the Delta pattern: catalog resolves, extension rewrites to
+    // the table-format write path). Earned: zero_rewrites (both DMLs
+    // publish deletion vectors + update images, no data file moves —
+    // the file list is byte-identical across them), mor_history (the
+    // commits read back as optype delete/update), and the per-verb
+    // num_affected_rows cross-checked against the oracle's own counts.
+    // Content oracle replays the delete + update in SQL. GDPR shape:
+    // single-key SQL erasure on a 100 TB table = a few KB of positions.
+    "s38_sql_dml" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s38_table", dir)
+        wipe(tbl)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        Manifest.commit(
+          T(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .coalesce(2), tbl, statsCols = Seq("doc_id"))
+        val filesBefore = Manifest.files(tbl)
+        val deleted = s.sql(
+          s"DELETE FROM graft.`$tbl` WHERE doc_id % 11 = 3")
+          .collect().head.getLong(0)
+        val deleteZeroCopy = Manifest.files(tbl) == filesBefore
+        val updated = s.sql(
+          s"UPDATE graft.`$tbl` SET n_chars = n_chars + 1000 " +
+            "WHERE doc_id % 13 = 4")
+          .collect().head.getLong(0)
+        // DELETE moves no file at all; UPDATE adds only its image
+        // files — every pre-DML file is still listed verbatim (no
+        // copy-on-write rewrite happened) and the DVs carry the hides
+        val zeroRewrites = deleteZeroCopy &&
+          filesBefore.toSet.subsetOf(Manifest.files(tbl).toSet) &&
+          Manifest.deletionVectors(tbl).nonEmpty
+        val hist = Manifest.history(s, tbl).takeRight(2)
+          .map(_.change_type)
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(deleted).as("deleted_rows"),
+            lit(updated).as("updated_rows"),
+            lit(zeroRewrites).as("zero_rewrites"),
+            lit(hist == Seq("delete", "update")).as("mor_history"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH surv AS (
+            SELECT lang,
+              CASE WHEN doc_id % 13 = 4 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars,
+              doc_id
+            FROM documents WHERE doc_id % 11 <> 3)
+          SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            (SELECT count(*) FROM documents WHERE doc_id % 11 = 3)
+              AS deleted_rows,
+            (SELECT count(*) FROM surv WHERE doc_id % 13 = 4)
+              AS updated_rows,
+            TRUE AS zero_rewrites, TRUE AS mor_history
+          FROM surv GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

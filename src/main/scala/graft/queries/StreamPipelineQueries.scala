@@ -532,6 +532,48 @@ object StreamPipelineQueries {
     // TableStreamSpec covers what the oracle can't: checkpoint-restart
     // exactly-once, the loud non-append refusal, skipChangeCommits, and
     // the DV-applied initial snapshot.
+    // st37: BOUNDED CATCH-UP on the commit-log tail — the admission-
+    // control half of the streaming-source contract (the Delta
+    // maxFilesPerTrigger option): a 5-version backlog ALL predating the
+    // stream (startingVersion=0, so nothing collapses into a snapshot
+    // batch) drains under maxFilesPerTrigger=1 as five bounded batches,
+    // each committed downstream exactly-once — so the downstream
+    // version count IS the earned proof the backlog arrived bounded
+    // (one unbounded batch would publish a single version). At scale
+    // this is the recovery cliff removed: a tail restarted N versions
+    // behind catches up in O(backlog/cap) right-sized batches instead
+    // of one OOM-sized one. Content oracle: the replica equals the
+    // source (exactly-once through the capped drain); TableStreamSpec
+    // covers the offset-clamp mechanics and mid-catchup restart.
+    "st37_bounded_catchup" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val work = scratch("st37", dir)
+        wipe(work)
+        val up = s"$work/up"
+        val down = s"$work/down"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 to 4).foreach(i => Manifest.commit(
+          docs.filter(pmod(col("doc_id"), lit(5)) === i).coalesce(1), up))
+        val res = Streams.tableTailCatchupStreaming(s, up, down,
+          checkpoint = s"$work/ckpt", maxFilesPerTrigger = 1,
+          name = s"graft_st37_${dirTag(dir)}")
+        val inSync = res.exceptAll(Manifest.read(s, up)).isEmpty &&
+          Manifest.read(s, up).exceptAll(res).isEmpty
+        res.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(Manifest.version(down)).as("bounded_batches"),
+            lit(inSync).as("in_sync"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(5 AS BIGINT) AS bounded_batches, TRUE AS in_sync
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
     "st34_table_tail" -> Q(
       (s, dir) => {
         import graft.ops.Manifest

@@ -37,10 +37,13 @@ import graft.ops.Manifest
   * PINNED like `Manifest.read`: later commits cannot change what a
   * resolved query reads.
   *
-  * Read-only by design: writes go through `Manifest.commit`'s
-  * optimistic-concurrency protocol, which SQL `INSERT` cannot express —
-  * `createTable`/`dropTable`/`alterTable` fail loudly rather than
-  * bypass it.
+  * Writes: SQL `DELETE FROM graft.t WHERE …` and `UPDATE graft.t SET …`
+  * route through the merge-on-read engine (deletion vectors + update
+  * images, the full commit protocol) via the
+  * [[graft.plans.GraftSqlDml]] extension rule. Everything else stays
+  * read-only by design: `INSERT`/`CREATE`/`DROP`/`ALTER` fail loudly
+  * rather than bypass `Manifest.commit`'s optimistic-concurrency and
+  * constraint contracts.
   *
   * Versions carrying DELETION VECTORS resolve to a [[DvMarkedTable]]
   * that [[graft.plans.DvReadRewrite]] (injected by
@@ -71,6 +74,10 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  /** Identifier → table path (the DML rule [[graft.plans.GraftSqlDml]]
+    * resolves its write target through the same mapping reads use). */
+  def pathOf(ident: Identifier): String = tablePath(ident)
 
   private def tablePath(ident: Identifier): String = {
     val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")

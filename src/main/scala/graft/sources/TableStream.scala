@@ -40,7 +40,17 @@ import graft.ops.{ChangeFeed, Manifest}
   *
   * The schema is pinned per run at source creation (the head's recorded
   * schema); older files missing later-added columns read as nulls,
-  * exactly like the batch reader.
+  * exactly like the batch reader. A mid-stream schema commit that ADDS
+  * columns fails the stream loudly (restart to pin the evolved schema;
+  * `ignoreAddedColumns=true` accepts the documented drop instead).
+  *
+  * ADMISSION CONTROL: `maxFilesPerTrigger=N` bounds each catch-up
+  * trigger to whole versions totaling ≤ N added files (≥ 1 version per
+  * trigger so an oversized commit still drains) — a stream restarted
+  * far behind catches up in bounded batches instead of one
+  * backlog-sized batch. A tail that fell behind VACUUM retention fails
+  * with the recovery contract spelled out (fresh-checkpoint snapshot, or
+  * startingVersion at a retained version).
   */
 class TableStreamProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -119,12 +129,27 @@ class TableStreamProvider extends StreamSourceProvider
           s"startingVersion must be a version number or 'latest', got '$s'")
       }
     }
+    // maxFilesPerTrigger (the Delta option): ADMISSION CONTROL for the
+    // tail — a stream restarted N versions behind catches up in bounded
+    // batches (whole versions, cumulative added-file count per trigger)
+    // instead of serving the entire backlog as one OOM-sized batch
+    val maxFiles = parameters.get("maxFilesPerTrigger").map { s =>
+      val n = try s.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be a positive integer, got '$s'")
+      }
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     new TableStreamSource(sqlContext, path, base,
       parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
       readChangeFeed = cdc(parameters),
       keyCols = parameters.get("keyCols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-      startAfter = startAfter)
+      startAfter = startAfter,
+      maxFilesPerTrigger = maxFiles,
+      ignoreAddedColumns =
+        parameters.get("ignoreAddedColumns").exists(_.trim.toBoolean))
   }
 }
 
@@ -169,7 +194,9 @@ object TableStreamSource {
 class TableStreamSource(sqlContext: SQLContext, tablePath: String,
     baseSchema: StructType, skipChangeCommits: Boolean,
     readChangeFeed: Boolean = false, keyCols: Seq[String] = Seq.empty,
-    startAfter: Option[Long] = None)
+    startAfter: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreAddedColumns: Boolean = false)
     extends Source {
 
   override val schema: StructType =
@@ -187,13 +214,94 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
   private def abs(rel: String): String =
     Paths.get(tablePath).resolve(rel).toString
 
+  // Highest version this run has served or offered — the admission
+  // baseline. Recovered from the checkpointed offsets via getBatch /
+  // commit after a restart (both fire before the next fresh trigger
+  // whenever an uncommitted batch exists, which is the recovery case
+  // admission control is for).
+  private var lastOffered: Long = -1L
+
+  /** Translate a vacuumed-version failure anywhere in batch
+    * construction into the recovery contract (a tail that fell behind
+    * the table's retention cannot resume in place). */
+  private def vacuumGuard[T](body: => T): T =
+    try body
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("not committed") =>
+        val oldest = Manifest.committedVersions(tablePath)
+          .headOption.getOrElse(0L)
+        throw new IllegalStateException(
+          s"graft-table stream on $tablePath: a version this stream's " +
+            "position needs was VACUUMED — the tail cannot resume in " +
+            "place. Recover by (a) restarting with a FRESH checkpoint " +
+            "(the first batch re-serves the current snapshot), or (b) " +
+            "setting startingVersion to a retained version (oldest " +
+            s"retained: $oldest) on a fresh checkpoint, accepting the " +
+            "gap.", e)
+    }
+
+  private def deltaAt(v: Long): Manifest.CommitDelta =
+    vacuumGuard(Manifest.delta(tablePath, v))
+
+  /** Fail loudly when version `v` recorded a schema that ADDS columns
+    * over the pinned run schema — served batches would silently DROP
+    * the new columns until a restart (the Delta contract is to stop and
+    * ask for one). `ignoreAddedColumns=true` documents the drop
+    * instead. */
+  private def checkSchema(v: Long, d: Manifest.CommitDelta): Unit =
+    if (!ignoreAddedColumns)
+      d.meta.get(Manifest.SchemaKey).foreach { json =>
+        val names = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType].fieldNames
+        val added = names.filterNot(baseSchema.fieldNames.contains)
+        if (added.nonEmpty) throw new IllegalStateException(
+          s"graft-table stream on $tablePath: version $v evolved the " +
+            s"table schema (added column(s) ${added.mkString(", ")}), " +
+            "but this stream's schema was pinned at start — serving on " +
+            "would silently drop the new column(s) from every batch. " +
+            "RESTART the stream to pin the evolved schema (the " +
+            "checkpoint keeps its position), or set " +
+            "ignoreAddedColumns=true to accept the documented drop.")
+      }
+
   override def getOffset: Option[Offset] = {
     val head = Manifest.version(tablePath)
-    if (head <= 0) None else Some(LongOffset(head))
+    if (head <= 0) return None
+    val limited = maxFilesPerTrigger match {
+      case None => head
+      case Some(cap) =>
+        val base = if (lastOffered >= 0) lastOffered
+          else startAfter.getOrElse(-1L)
+        if (base < 0 || base >= head) head
+        else {
+          // admit whole versions until the cumulative added-file count
+          // passes the cap — always at least one version, so a single
+          // oversized commit still drains (Delta's semantics)
+          var v = base
+          var files = 0L
+          var stop = false
+          while (!stop && v < head) {
+            files += deltaAt(v + 1).added.size
+            if (files > cap && v > base) stop = true
+            else v += 1
+          }
+          v
+        }
+    }
+    lastOffered = math.max(lastOffered, limited)
+    Some(LongOffset(limited))
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+  override def commit(end: Offset): Unit = {
+    lastOffered = math.max(lastOffered, ver(end))
+  }
+
+  override def getBatch(start: Option[Offset],
+      end: Offset): DataFrame = vacuumGuard {
     val endV = ver(end)
+    lastOffered = math.max(lastOffered, endV)
     // startingVersion turns the would-be snapshot batch into a plain
     // version walk from that point (no snapshot is ever served)
     val effStart = start.map(ver).orElse(startAfter)
@@ -204,7 +312,9 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
         // deletion vectors in force snapshots through the DV-applied
         // read (join-shaped, so it rides the streaming tag as an RDD
         // boundary); the common DV-less case stays a pure pushdown-
-        // capable parquet relation.
+        // capable parquet relation. Unbounded by maxFilesPerTrigger by
+        // design (one snapshot = one batch; use startingVersion to
+        // skip it).
         if (Manifest.deletionVectors(tablePath, endV).isEmpty)
           Bridge.streamingParquetScan(spark, baseSchema,
             Manifest.files(tablePath, endV).map(abs))
@@ -213,20 +323,21 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
             Manifest.read(spark, tablePath, endV)
               .select(baseSchema.fieldNames.map(col).toSeq: _*))
       case Some(startV) =>
+        // incremental DELTA WALK: one small manifest read per version —
+        // never a snapshot re-resolution per version served
         val added = (math.max(startV, 0L) + 1 to endV).flatMap { v =>
-          val prev =
-            if (v == 1) Set.empty[String]
-            else Manifest.files(tablePath, v - 1).toSet
-          val cur = Manifest.files(tablePath, v)
-          val removed = prev -- cur
-          val dvChanged = Manifest.deletionVectors(tablePath, v) !=
-            Manifest.deletionVectors(tablePath, v - 1)
-          if (removed.isEmpty && !dvChanged) cur.filterNot(prev)
+          val d = deltaAt(v)
+          checkSchema(v, d)
+          val pureAppend = !d.replace && d.removed.isEmpty &&
+            d.dvSet.isEmpty
+          if (pureAppend) d.added
           else if (skipChangeCommits) Seq.empty
           else throw new IllegalStateException(
             s"graft-table stream on $tablePath: version $v is not a " +
               "pure append (" +
-              (if (removed.nonEmpty) s"${removed.size} file(s) removed"
+              (if (d.replace) "replace/restore commit"
+               else if (d.removed.nonEmpty)
+                 s"${d.removed.size} file(s) removed"
                else "deletion-vector state changed") +
               ") — a tail cannot represent rows changing after they " +
               "were served; set skipChangeCommits=true to skip such " +
@@ -243,6 +354,14 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
     * [[TableStreamSource.cdcSchema]]. */
   private def getCdcBatch(startV: Option[Long], endV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    // pre-walk the range's deltas (small reads): surface the vacuumed-
+    // version recovery contract and the pinned-schema drop LOUDLY here,
+    // before ChangeFeed silently pads the batch to the pinned columns
+    startV.foreach { s =>
+      (math.max(s, 0L) + 1 to endV).foreach { v =>
+        checkSchema(v, deltaAt(v))
+      }
+    }
     val ordered = (df: DataFrame) => df.select(
       (col(ChangeFeed.VersionCol).cast("long") +:
         col(ChangeFeed.TypeCol) +:

@@ -864,20 +864,26 @@ object Streams {
   def tableIndexIngestStreaming(spark: SparkSession, upstream: String,
       indexPath: String, prefix: String, laterChunks: Seq[DataFrame],
       checkpoint: String, name: String = "graft_st36",
-      seed: Boolean = true): Unit = {
+      seed: Boolean = true,
+      startAfterVersion: Option[Long] = None): Unit = {
     import graft.ops.{Manifest, TextIndex}
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
     if (seed) {
       // fresh start; a RESTART passes seed=false (re-seeding would
       // erase everything folded so far — st21's resume contract) and
-      // the checkpointed offsets decide which versions are new
+      // the checkpointed offsets decide which versions are new.
+      // startAfterVersion is the REBUILD-resume contract
+      // ([[graft.ops.TextIndex.rebuildFromTable]]): the index already
+      // holds the head as of that version, so the resumed tail (fresh
+      // checkpoint, seed = false) must fold only later commits.
       val empty = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
       TextIndex.buildIndex(s, empty.select("doc_id", "lang", "text"),
         "doc_id", "text", path = indexPath, prefix = prefix)
     }
-    val q = readTableStream(s, upstream)
+    val q = readTableStream(s, upstream,
+        startAfterVersion = startAfterVersion)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1992,10 +1998,13 @@ object Streams {
     * rows appended by new versions. Non-append commits fail the stream
     * loudly unless `skipChangeCommits`. */
   def readTableStream(spark: SparkSession, tablePath: String,
-      skipChangeCommits: Boolean = false): DataFrame =
-    spark.readStream.format("graft.sources.TableStreamProvider")
+      skipChangeCommits: Boolean = false,
+      startAfterVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft.sources.TableStreamProvider")
       .option("skipChangeCommits", skipChangeCommits.toString)
-      .load(tablePath)
+    startAfterVersion.fold(r)(v =>
+      r.option("startingVersion", v.toString)).load(tablePath)
+  }
 
   /** TABLE-TO-TABLE streaming replication through the commit-log source
     * (st34): tail `upstream`, commit each micro-batch to `downstream`
@@ -2006,6 +2015,35 @@ object Streams {
     * downstream CONTENT is drain-boundary independent (which rows share
     * a downstream version is not contractual). Returns the downstream
     * read. */
+  /** BOUNDED CATCH-UP through the commit-log source (st37): tail an
+    * upstream whose BACKLOG predates the stream (`startingVersion=0`,
+    * so every version serves as tail batches, never one snapshot) under
+    * `maxFilesPerTrigger` admission control — the recovery shape at
+    * scale: a stream restarted N versions behind drains in batches of
+    * bounded file count instead of one OOM-sized backlog batch. Each
+    * micro-batch commits downstream exactly-once (commitOnce), so the
+    * downstream VERSION COUNT is the observable batch count. Returns
+    * the downstream read. */
+  def tableTailCatchupStreaming(spark: SparkSession, upstream: String,
+      downstream: String, checkpoint: String, maxFilesPerTrigger: Int,
+      name: String = "graft_st37"): DataFrame = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = s.readStream.format("graft.sources.TableStreamProvider")
+      .option("startingVersion", "0")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyTableTailBatch(batch, batchId, downstream)
+      }
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    Manifest.read(spark, downstream)
+  }
+
   def tableTailStreaming(spark: SparkSession, upstream: String,
       downstream: String, laterChunks: Seq[DataFrame],
       checkpoint: String, name: String = "graft_st34"): DataFrame = {

@@ -244,6 +244,75 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("no tag")), msgs(e))
   }
 
+  test("SQL DML over governed tables: DELETE/UPDATE ≡ the Scala API " +
+    "(same survivors, deletion-vector commit shape earned — zero file " +
+    "rewrites, MoR history), num_affected_rows returned, subqueries " +
+    "and the remaining verbs still refuse loudly") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_dml").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // absolute-path identifiers (the delta.`/path` convention): the
+    // session's cached catalog instance may carry another test's root
+    def seed(name: String): String = {
+      val p = s"$root/$name"
+      Manifest.commit((0L until 20L).map(i => (i, i * 10))
+        .toDF("id", "v").coalesce(2), p, statsCols = Seq("id"))
+      p
+    }
+    def pairs(p: String) = Manifest.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // DELETE: SQL vs API twins on identical tables
+    val sqlT = seed("sql_t"); val apiT = seed("api_t")
+    val del = spark.sql(
+      s"DELETE FROM graft.`$sqlT` WHERE id % 7 = 3 OR id = 19")
+    assert(del.columns.toSeq == Seq("num_affected_rows") &&
+      del.collect().head.getLong(0) == 4L) // ids 3, 10, 17, 19
+    Merge.deleteWhereDv(spark, apiT,
+      col("id") % 7 === 3L || col("id") === 19L)
+    assert(pairs(sqlT) == pairs(apiT), "SQL DELETE ≡ API DELETE")
+    // the commit shape is merge-on-read: no data file moved, DV lines
+    // published, history reads as a delete
+    assert(Manifest.files(sqlT) == Manifest.files(sqlT, 1L),
+      "zero rewrites — the DELETE must publish only deletion vectors")
+    assert(Manifest.deletionVectors(sqlT).nonEmpty)
+    assert(Manifest.history(spark, sqlT).last.change_type == "delete")
+    assert(Manifest.history(spark, sqlT).last.rows_removed == 4L)
+    // UPDATE: SQL vs API, with an int literal cast onto the bigint
+    // column (the alignment a raw parsed assignment lacks)
+    spark.sql(s"UPDATE graft.`$sqlT` SET v = v + 5, id = 1000 WHERE id = 4")
+    Merge.updateWhereDv(spark, apiT, col("id") === 4L,
+      sets = Seq("v" -> (col("v") + 5L), "id" -> lit(1000L)))
+    assert(pairs(sqlT) == pairs(apiT), "SQL UPDATE ≡ API UPDATE")
+    assert(pairs(sqlT).contains((1000L, 45L)))
+    // SQL reads over the DML'd table serve the DV-applied view
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$sqlT`")
+      .collect().head.getLong(0) == 16L)
+    // subqueries refuse loudly, naming the Scala API
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$sqlT` WHERE id IN (SELECT id FROM graft.`$apiT`)"))
+    assert(msgs(e).exists(_.contains("deleteKeysDv")), msgs(e))
+    // the read-only rule retires ONLY for DELETE/UPDATE
+    val e2 = intercept[Exception](spark.sql(
+      s"DROP TABLE graft.`$sqlT`"))
+    assert(msgs(e2).exists(_.contains("read-only")), msgs(e2))
+    val e3 = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$sqlT` VALUES (1, 2)"))
+    assert(e3 != null)
+    // DML on a table under CHECK constraints still validates: the
+    // update images go through the same gated commit
+    Manifest.addConstraint(spark, sqlT, "v_nonneg", "v >= 0")
+    val e4 = intercept[Exception](spark.sql(
+      s"UPDATE graft.`$sqlT` SET v = -1 WHERE id = 5"))
+    assert(msgs(e4).exists(_.contains("v_nonneg")), msgs(e4))
+    assert(pairs(sqlT).contains((5L, 50L)), "failed UPDATE changed nothing")
+  }
+
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
     GraftExtensions.install(spark)
     val row = spark.sql(

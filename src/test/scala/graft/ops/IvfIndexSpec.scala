@@ -132,13 +132,29 @@ class IvfIndexSpec extends SparkSpec {
     val stale = rows(Similarity.ivfScoreTail(probes,
       spark.table(s"${px}_ivf"), k = 3))
     assert(stale.exists(_._3 % 10 == 7), "test corpus must exercise the leak")
-    // maintenance retires the mask: rebuild over the live store
-    Similarity.buildIvfIndex(spark, Manifest.read(spark, store),
+    // maintenance retires the mask: rebuildIvfFromTable re-derives the
+    // index from the store's RESOLVED head (DVs applied) and returns
+    // the captured version — the tail-resume watermark
+    val capturedV = Similarity.rebuildIvfFromTable(spark, store,
       "vec_id", "embedding", k = 12, iters = 2,
       path = s"$work/ivf2", prefix = px2)
+    assert(capturedV == Manifest.version(store))
     val rebuilt = spark.table(s"${px2}_ivf")
     assert(rebuilt.filter(col("nid") % 10 === 7).isEmpty,
       "a rebuild folds only live rows — the mask retires")
+    // the rebuilt index retrains on the live distribution (fresh
+    // centroids), so serve-equality is vs ITS own live truth: an
+    // unmasked probe of the rebuilt index ≡ inline over the live store
+    // with the rebuilt centroids
+    val rebuiltProbes = Similarity.probeCentroids(queries,
+      broadcast(spark.table(s"${px2}_cents")), "vec_id", "embedding",
+      nProbe = 2)
+    assert(rows(Similarity.ivfScoreTail(rebuiltProbes, rebuilt, k = 3))
+      === rows(Similarity.ivfScoreTail(rebuiltProbes,
+        Similarity.assignToCentroids(Manifest.read(spark, store),
+          broadcast(spark.table(s"${px2}_cents")), "vec_id",
+          "embedding"), k = 3)),
+      "post-rebuild probe needs no mask: index ≡ live store")
   }
 
   test("probe plan: corpus enters ONLY via the bucketed assignment table") {

@@ -1094,4 +1094,116 @@ class ManifestSpec extends SparkSpec {
       fresh.reduce(_ ++ _) == head.toSet,
       "head must be the disjoint-complete union of all fresh sets")
   }
+
+  test("DELTA LOG: a pure append's manifest is O(files added), not " +
+    "O(table file count) — the 30th append lists exactly its own file; " +
+    "checkpoints appear on the interval and resolution matches the " +
+    "running truth at every version") {
+    import java.nio.file.Paths
+    val tbl = freshTable()
+    (1 to 30).foreach(i =>
+      Manifest.commit(Seq(i).toDF("x").coalesce(1), tbl,
+        statsCols = Seq("x")))
+    // the head manifest carries ONE plain file line no matter how many
+    // live files the table has (30 here; at 10⁶ the property is the
+    // point) — commit metadata bytes ∝ the batch, never the table
+    val mf30 = Paths.get(tbl, "_manifests", "v000030.txt")
+    val lines30 = Files.readAllLines(mf30).toArray.map(_.toString)
+      .filter(_.nonEmpty)
+    assert(lines30.count(l => !l.startsWith("#") && !l.startsWith("-"))
+      == 1, s"delta manifest must list only its own add:\n$lines30")
+    assert(Manifest.files(tbl).size == 30,
+      "resolution still sees every live file")
+    // checkpoints pin the resolved state every CheckpointInterval
+    assert(Files.exists(Paths.get(tbl, "_manifests", "v000010.ckpt")) &&
+      Files.exists(Paths.get(tbl, "_manifests", "v000020.ckpt")) &&
+      Files.exists(Paths.get(tbl, "_manifests", "v000030.ckpt")))
+    // every version resolves to exactly its prefix (across checkpoint
+    // boundaries and between them)
+    Seq(1, 9, 10, 11, 19, 25, 30).foreach { v =>
+      assert(Manifest.read(spark, tbl, v.toLong).as[Int]
+        .collect().sorted.toSeq == (1 to v),
+        s"version $v must resolve through the delta chain")
+      assert(Manifest.files(tbl, v.toLong).size == v)
+    }
+    // data-skipping stats survive the delta encoding
+    val (_, kept, skipped) = Manifest.readPruned(spark, tbl, "x",
+      5.0, 7.0)
+    assert(kept == 3 && skipped == 27,
+      "per-file min/max pruning over the delta log")
+    // metadata-only rowCount too
+    assert(Manifest.rowCount(tbl).contains(30L))
+  }
+
+  test("vacuum CHECKPOINTS before it breaks the delta chain: retained " +
+    "and tagged versions stay readable after their ancestors' " +
+    "manifests drop, and reading a dropped version is loud") {
+    import java.nio.file.Paths
+    val tbl = freshTable()
+    (1 to 7).foreach(i =>
+      Manifest.commit(Seq(i).toDF("x").coalesce(1), tbl)) // v1..v7
+    Manifest.tag(tbl, "pin-v3", 3L)
+    val (dropped, _) = Manifest.vacuum(tbl, retainLast = 2)
+    assert(dropped == Seq(1L, 2L, 4L, 5L),
+      "v3 is tag-pinned, v6/v7 retained")
+    // v6's chain to v1 is gone — vacuum must have materialized its
+    // state; same for the pinned v3
+    assert(Manifest.read(spark, tbl, 6L).as[Int].collect().sorted.toSeq
+      == (1 to 6))
+    assert(Manifest.read(spark, tbl, 7L).as[Int].collect().sorted.toSeq
+      == (1 to 7))
+    assert(Manifest.read(spark, tbl, 3L).as[Int].collect().sorted.toSeq
+      == (1 to 3), "the tagged version reads via its vacuum checkpoint")
+    assert(Files.exists(Paths.get(tbl, "_manifests", "v000003.ckpt")) &&
+      Files.exists(Paths.get(tbl, "_manifests", "v000006.ckpt")))
+    intercept[IllegalArgumentException](Manifest.read(spark, tbl, 4L))
+    // history over the gapped chain still answers (the first surviving
+    // version reads as the append that created its state)
+    val hist = Manifest.history(spark, tbl)
+    assert(hist.map(_.version) == Seq(3L, 6L, 7L))
+    // and a follow-up append + vacuum keeps working on the gapped log
+    Manifest.commit(Seq(8).toDF("x"), tbl)
+    assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq
+      == (1 to 8))
+  }
+
+  test("dropStaged in publishStaged's crash window (wap file survived " +
+    "the publish) deletes only the wap file — never the now-live data " +
+    "files") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 1)).toDF("id", "n"), tbl)
+    Manifest.stageCommit(Seq((2L, 2)).toDF("id", "n"), tbl, "w")
+    val wapF = JPaths.get(tbl, "_manifests", "wap-w.txt")
+    val wapBytes = JFiles.readAllBytes(wapF)
+    val v = Manifest.publishStaged(spark, tbl, "w")
+    // crash window: the wap file "survived" the publish; the natural
+    // operator recovery for an apparent orphan stage is dropStaged —
+    // it must NOT rmTree the staged batch dirs (they are the head)
+    JFiles.write(wapF, wapBytes)
+    assert(Manifest.dropStaged(tbl, "w"))
+    assert(!JFiles.exists(wapF))
+    assert(Manifest.read(spark, tbl, v).count() == 2L,
+      "the published head must stay readable after the recovery drop")
+    // a genuinely unpublished stage still reclaims its files
+    Manifest.stageCommit(Seq((3L, 3)).toDF("id", "n"), tbl, "w2")
+    assert(Manifest.dropStaged(tbl, "w2"))
+    assert(Manifest.read(spark, tbl).count() == 2L)
+  }
+
+  test("stageCommit rejects meta VALUES spanning lines (the manifest-" +
+    "injection guard commit() has) and reserved keys; tag names cannot " +
+    "be all digits (version-number shadowing)") {
+    val tbl = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl)
+    intercept[IllegalArgumentException](
+      Manifest.stageCommit(Seq(2).toDF("x"), tbl, "bad",
+        meta = Map("note" -> "a\ndata/forged.parquet")))
+    intercept[IllegalArgumentException](
+      Manifest.stageCommit(Seq(2).toDF("x"), tbl, "bad2",
+        meta = Map(Manifest.SchemaKey -> "{}")))
+    intercept[IllegalArgumentException](Manifest.tag(tbl, "2026"))
+    Manifest.tag(tbl, "audit-2026") // letters allowed, of course
+    assert(Manifest.tags(tbl) == Map("audit-2026" -> 1L))
+  }
 }

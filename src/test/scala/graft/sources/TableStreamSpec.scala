@@ -339,6 +339,241 @@ class TableStreamSpec extends SparkSpec {
     assert(folded == oneShot, "fold-through-the-tail ≡ one-shot build")
   }
 
+  test("maxFilesPerTrigger: a 4-version backlog drains in bounded " +
+    "batches (≥ 2), exactly-once across a MID-CATCHUP restart, and the " +
+    "direct source clamps offsets to whole versions under the cap") {
+    val up = fresh("adm_up")
+    Manifest.commit((0L until 5L).toDF("id").coalesce(1), up)  // v1
+    (1 to 4).foreach { i => // v2..v5: one file each — the backlog
+      Manifest.commit((i * 100L until i * 100L + 3L).toDF("id")
+        .coalesce(1), up)
+    }
+    // direct source: base=1 (startingVersion), cap=2 files → the first
+    // offer stops at v3 (2 files), the next at v5
+    val src = new TableStreamProvider()
+      .createSource(spark.sqlContext, "", None, "",
+        Map("path" -> up, "startingVersion" -> "1",
+          "maxFilesPerTrigger" -> "2"))
+    assert(src.getOffset.contains(LongOffset(3L)),
+      "first admitted offset must clamp at 2 added files (v2+v3)")
+    src.getBatch(Some(LongOffset(1L)), LongOffset(3L))
+    assert(src.getOffset.contains(LongOffset(5L)),
+      "second offer admits the rest of the backlog")
+    // a RESTARTED source (fresh instance, same checkpoint story):
+    // recovery getBatch for the logged range re-establishes the
+    // baseline, so the next offer admits (3,5], never re-offering v2/v3
+    val src2 = new TableStreamProvider()
+      .createSource(spark.sqlContext, "", None, "",
+        Map("path" -> up, "startingVersion" -> "1",
+          "maxFilesPerTrigger" -> "2"))
+    src2.getBatch(Some(LongOffset(1L)), LongOffset(3L)) // recovery replay
+    assert(src2.getOffset.contains(LongOffset(5L)))
+    // end-to-end: a mid-catchup restart (Trigger.Once drains exactly one
+    // capped batch, then a full drain finishes) lands every row exactly
+    // once, in ≥ 2 downstream versions
+    val down = fresh("adm_down"); val ckpt = fresh("adm_ckpt")
+    def run(once: Boolean): Unit = {
+      val w = spark.readStream
+        .format("graft.sources.TableStreamProvider")
+        .option("startingVersion", "1")
+        .option("maxFilesPerTrigger", "2").load(up)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Streams.applyTableTailBatch(b, id, down)
+        }
+        .queryName("adm_spec")
+      val q =
+        if (once) w.trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        else w.start()
+      try {
+        if (once) q.awaitTermination() else q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(once = true) // capped catch-up, stops mid-backlog or at its end
+    run(once = false) // restart finishes the drain
+    assert(rows(Manifest.read(spark, down)) ==
+      ((1 to 4).flatMap(i => i * 100L until i * 100L + 3L)).sorted,
+      "exactly-once across the mid-catchup restart")
+    assert(Manifest.version(down) >= 2L,
+      "the backlog must arrive in at least two bounded batches")
+    // contract refusals
+    intercept[Exception] {
+      new TableStreamProvider().createSource(spark.sqlContext, "", None,
+        "", Map("path" -> up, "maxFilesPerTrigger" -> "0"))
+    }
+  }
+
+  test("a mid-stream schema commit that ADDS a column fails the tail " +
+    "loudly (naming the restart contract), ignoreAddedColumns=true " +
+    "accepts the documented drop, and the CDC tail fails the same way") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val up = fresh("sch_up"); val down = fresh("sch_down")
+    val ckpt = fresh("sch_ckpt")
+    Manifest.commit((0L until 5L).toDF("id"), up) // v1
+    // the schema pins at stream START — an evolution commit arriving
+    // MID-RUN would silently drop its new column from every served
+    // batch; the stream must stop instead
+    val e = intercept[Exception] {
+      drainTo(up, down, ckpt) { q =>
+        Manifest.commit((5L until 8L).map(i => (i, s"x$i"))
+          .toDF("id", "extra"), up) // v2 adds 'extra'
+        q.processAllAvailable()
+      }
+    }
+    assert(msgs(e).exists(m => m.contains("extra") &&
+      m.contains("RESTART") && m.contains("ignoreAddedColumns")), msgs(e))
+    assert(rows(Manifest.read(spark, down)) == (0L until 5L),
+      "the failed drain must publish nothing beyond the snapshot")
+    // the RESTART contract: a fresh source on the SAME checkpoint pins
+    // the evolved schema and serves the held-back version
+    drainTo(up, down, ckpt)()
+    assert(rows(Manifest.read(spark, down)) == (0L until 8L))
+    assert(Manifest.read(spark, down).columns.contains("extra"),
+      "the restarted stream replicates the evolved column")
+    // the documented drop: ignoreAddedColumns=true keeps a pinned run
+    // flowing THROUGH a mid-run evolution, minus the new column
+    val up2 = fresh("schi_up"); val down2 = fresh("schi_down")
+    Manifest.commit((0L until 5L).toDF("id"), up2)
+    val qi = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("ignoreAddedColumns", "true").load(up2)
+      .writeStream.option("checkpointLocation", fresh("schi_ckpt"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Streams.applyTableTailBatch(b, id, down2)
+      }
+      .queryName("sch_ignore").start()
+    try {
+      qi.processAllAvailable()
+      Manifest.commit((5L until 8L).map(i => (i, s"x$i"))
+        .toDF("id", "extra"), up2)
+      qi.processAllAvailable()
+    } finally qi.stop()
+    assert(rows(Manifest.read(spark, down2)) == (0L until 8L))
+    assert(!Manifest.read(spark, down2).columns.contains("extra"),
+      "the drop is opted into, never silent")
+    // CDC mode: the same mid-run evolution fails the same way
+    val up3 = fresh("schc_up"); val rep = fresh("schc_rep")
+    Manifest.commit((0L until 5L).map(i => (i, i)).toDF("id", "v"), up3)
+    val cdcq = spark.readStream
+      .format("graft.sources.TableStreamProvider")
+      .option("readChangeFeed", "true").option("keyCols", "id")
+      .load(up3)
+      .writeStream.option("checkpointLocation", fresh("schc_ckpt"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Streams.applyCdcTailBatch(b, id, rep, "id")
+      }
+      .queryName("sch_cdc").start()
+    val e2 = intercept[Exception] {
+      try {
+        cdcq.processAllAvailable()
+        Manifest.commit((5L until 8L).map(i => (i, i, s"x$i"))
+          .toDF("id", "v", "extra"), up3)
+        cdcq.processAllAvailable()
+      } finally cdcq.stop()
+    }
+    assert(msgs(e2).exists(_.contains("ignoreAddedColumns")), msgs(e2))
+  }
+
+  test("CDC startingVersion: no snapshot batch — the first batch is " +
+    "exactly the change images AFTER the given version") {
+    val up = fresh("cdcsv_up"); val rep = fresh("cdcsv_rep")
+    Manifest.commit((0L until 10L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), up) // v1: must NOT be served
+    Manifest.commit((10L until 13L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), up) // v2
+    Merge.deleteWhereDv(spark, up, col("id") === 11L) // v3: a delete image
+    val q = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("readChangeFeed", "true").option("keyCols", "id")
+      .option("startingVersion", "1").load(up)
+      .writeStream.option("checkpointLocation", fresh("cdcsv_ckpt"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Streams.applyCdcTailBatch(b, id, rep, "id")
+      }
+      .queryName("cdcsv_spec").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(Manifest.read(spark, rep).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(10L, 12L),
+      "only post-startingVersion change images: v2's inserts minus " +
+        "v3's delete — never v1's snapshot")
+  }
+
+  test("a tail resuming PAST vacuumed versions fails with the recovery " +
+    "contract: the error names both the fresh-checkpoint snapshot and " +
+    "startingVersion remedies") {
+    val up = fresh("vac_up"); val down = fresh("vac_down")
+    val ckpt = fresh("vac_ckpt")
+    Manifest.commit((0L until 5L).toDF("id"), up) // v1
+    drainTo(up, down, ckpt)() // checkpoint pins position at v1
+    (1 to 3).foreach(i =>
+      Manifest.commit((i * 10L until i * 10L + 2L).toDF("id"), up))
+    Manifest.vacuum(up, retainLast = 1) // v1..v3 manifests gone
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception](drainTo(up, down, ckpt)())
+    assert(msgs(e).exists(m => m.contains("VACUUMED") &&
+      m.contains("FRESH checkpoint") && m.contains("startingVersion") &&
+      m.contains("oldest retained: 4")), msgs(e))
+    assert(rows(Manifest.read(spark, down)) == (0L until 5L),
+      "the failed drain must publish nothing")
+  }
+
+  test("index REBUILD recovery (st36's loud-failure remedy): an " +
+    "upstream rewrite fails the tail, rebuildFromTable re-derives the " +
+    "index from the head, and the resumed tail (fresh checkpoint, " +
+    "startAfterVersion) folds only later commits — probe ≡ one-shot " +
+    "over the final head") {
+    import graft.ops.{Manifest, TextIndex}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val work = fresh("ts_rebuild")
+    val up = s"$work/up"; val ckpt1 = s"$work/ckpt1"
+    Manifest.commit(docs.filter(col("doc_id") % 3 === 0).coalesce(1), up)
+    Streams.tableIndexIngestStreaming(spark, up, s"$work/idx",
+      "graft_ts_rb", laterChunks = Seq(
+        docs.filter(col("doc_id") % 3 === 1).coalesce(1)),
+      checkpoint = ckpt1, name = "ts_rb_1")
+    // the upstream REWRITES (drops some folded docs): the resumed tail
+    // must fail loudly — a fold cannot un-fold
+    Manifest.commit(
+      Manifest.read(spark, up).filter(col("doc_id") % 5 =!= 2)
+        .coalesce(1), up, replace = true)
+    val e = intercept[Exception] {
+      Streams.tableIndexIngestStreaming(spark, up, s"$work/idx",
+        "graft_ts_rb", laterChunks = Seq.empty,
+        checkpoint = ckpt1, name = "ts_rb_2", seed = false)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not a pure append")), msgs(e))
+    // RECOVERY: rebuild from the head, resume after the captured
+    // version on a FRESH checkpoint; one more chunk then folds normally
+    val capturedV = TextIndex.rebuildFromTable(spark, up, "doc_id",
+      "text", s"$work/idx", "graft_ts_rb")
+    assert(capturedV == Manifest.version(up))
+    Streams.tableIndexIngestStreaming(spark, up, s"$work/idx",
+      "graft_ts_rb", laterChunks = Seq(
+        docs.filter(col("doc_id") % 3 === 2).coalesce(1)),
+      checkpoint = s"$work/ckpt2", name = "ts_rb_3", seed = false,
+      startAfterVersion = Some(capturedV))
+    TextIndex.refresh(spark, "graft_ts_rb")
+    val resumed = TextIndex.bm25Probe(spark, "graft_ts_rb", "doc_id",
+        terms = Seq("dup", "vector"), k = 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    TextIndex.buildIndex(spark, Manifest.read(spark, up), "doc_id",
+      "text", path = s"$work/idx1s", prefix = "graft_ts_rb_1s")
+    val oneShot = TextIndex.bm25Probe(spark, "graft_ts_rb_1s", "doc_id",
+        terms = Seq("dup", "vector"), k = 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(resumed == oneShot,
+      "rebuild + resumed tail ≡ one-shot over the final head")
+  }
+
   test("the stream refuses to start on a table with no committed " +
     "version (pinned schema and initial snapshot both need a head)") {
     val up = fresh("ts_empty")
