@@ -157,12 +157,20 @@ object Manifest {
       meta = meta)
   }
 
-  /** A version's resolved state: live files (in commit order) and the
-    * deletion-vector mappings in force. */
+  /** A version's resolved state: live files (in commit order), the
+    * deletion-vector mappings in force, and the live files' recorded
+    * per-file row counts and min/max stats (each written once by the
+    * file's adding commit, carried here while the file lives — so
+    * [[rowCount]]/[[fileStats]]/[[readPruned]] resolve from the SAME
+    * bounded checkpoint+delta read as the file list, and survive
+    * vacuum through the checkpoints). */
   private[graft] case class Snap(files: Vector[String],
-      dv: Map[String, (String, Long)])
+      dv: Map[String, (String, Long)],
+      rows: Map[String, Long] = Map.empty,
+      stats: Map[String, String] = Map.empty)
 
-  private[graft] val emptySnap = Snap(Vector.empty, Map.empty)
+  private[graft] val emptySnap =
+    Snap(Vector.empty, Map.empty, Map.empty, Map.empty)
 
   /** Apply one commit's delta actions to the predecessor state. */
   private[graft] def applySnapDelta(s: Snap, d: CommitDelta): Snap = {
@@ -171,18 +179,29 @@ object Manifest {
       else if (d.removed.isEmpty) s
       else {
         val rm = d.removed.toSet
-        Snap(s.files.filterNot(rm), s.dv -- rm)
+        Snap(s.files.filterNot(rm), s.dv -- rm, s.rows -- rm,
+          s.stats -- rm)
       }
-    Snap(base.files ++ d.added, base.dv ++ d.dvSet)
+    Snap(base.files ++ d.added, base.dv ++ d.dvSet,
+      base.rows ++ d.meta.collect {
+        case (k, n) if k.startsWith(FileRowsPrefix) =>
+          k.stripPrefix(FileRowsPrefix) -> n.toLong },
+      base.stats ++ d.meta.collect {
+        case (k, spec) if k.startsWith(FileStatsPrefix) =>
+          k.stripPrefix(FileStatsPrefix) -> spec })
   }
 
   private def readCkpt(tablePath: String, v: Long): Snap = {
     val ls = Files.readAllLines(ckptFile(tablePath, v)).toArray
       .map(_.toString).toSeq.filter(_.nonEmpty)
+    def tagged(prefix: String): Map[String, String] =
+      ls.filter(_.startsWith(s"#$prefix"))
+        .map(_.stripPrefix(s"#$prefix").split("=", 2))
+        .collect { case Array(f, value) => f -> value }.toMap
     Snap(ls.filterNot(_.startsWith("#")).toVector,
-      ls.filter(_.startsWith(s"#$DvPrefix"))
-        .map(_.stripPrefix(s"#$DvPrefix").split("=", 2))
-        .collect { case Array(f, value) => f -> parseDv(value) }.toMap)
+      tagged(DvPrefix).map { case (f, value) => f -> parseDv(value) },
+      tagged(FileRowsPrefix).map { case (f, n) => f -> n.toLong },
+      tagged(FileStatsPrefix))
   }
 
   /** Resolve version `v`'s full state: nearest checkpoint / replace
@@ -226,7 +245,12 @@ object Manifest {
     if (Files.exists(ckptFile(tablePath, v))) return
     val snap = snapshot(tablePath, v)
     val body = (snap.dv.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
-      s"#$DvPrefix$f=$d:$n" } ++ snap.files)
+      s"#$DvPrefix$f=$d:$n" } ++
+      snap.rows.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"#$FileRowsPrefix$f=$n" } ++
+      snap.stats.toSeq.sortBy(_._1).map { case (f, spec) =>
+        s"#$FileStatsPrefix$f=$spec" } ++
+      snap.files)
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     val tmp = Files.createTempFile(manifestDir(tablePath),
       f".c$v%06d-", ".tmp")
@@ -302,21 +326,16 @@ object Manifest {
     * this exact with zero extra I/O — the count always equals what
     * [[read]] at `v` returns). None if any live file predates row-count
     * recording (the caller falls back to a data read); zero data or
-    * footer I/O otherwise. */
+    * footer I/O otherwise. Resolution is the SAME bounded
+    * checkpoint+delta read as the file list (counts ride the [[Snap]]
+    * fold and the checkpoints), so the answer survives vacuum and
+    * never walks the whole history. */
   def rowCount(tablePath: String, v: Long = -1L): Option[Long] = {
-    val live = files(tablePath, v).toSet
     val upTo = if (v >= 0) v else version(tablePath)
-    val counts = committedVersions(tablePath).filter(_ <= upTo)
-      .flatMap { cv =>
-        rawMeta(tablePath, cv).collect {
-          case (k, n) if k.startsWith(FileRowsPrefix) &&
-              live.contains(k.stripPrefix(FileRowsPrefix)) =>
-            k.stripPrefix(FileRowsPrefix) -> n.toLong
-        }
-      }.toMap
-    if (counts.keySet == live)
-      Some(counts.values.sum -
-        deletionVectors(tablePath, upTo).values.map(_._2).sum)
+    if (upTo <= 0) return None
+    val snap = snapshot(tablePath, upTo)
+    if (snap.rows.keySet == snap.files.toSet)
+      Some(snap.rows.values.sum - snap.dv.values.map(_._2).sum)
     else None
   }
 
@@ -329,11 +348,10 @@ object Manifest {
   def fileInventory(tablePath: String, v: Long = -1L)
       : Seq[(String, Long, Option[Long], Long)] = {
     val upTo = if (v >= 0) v else version(tablePath)
-    val live = files(tablePath, upTo)
-    val liveSet = live.toSet
+    val snap = snapshot(tablePath, upTo)
+    val liveSet = snap.files.toSet
     val vs = committedVersions(tablePath).filter(_ <= upTo)
     val added = scala.collection.mutable.Map.empty[String, Long]
-    val rows = scala.collection.mutable.Map.empty[String, Long]
     var prevV = -1L
     vs.foreach { cv =>
       // contiguous walk: one delta read per version; after a vacuum gap
@@ -346,16 +364,9 @@ object Manifest {
       seen.foreach { f =>
         if (liveSet.contains(f)) added.getOrElseUpdate(f, cv)
       }
-      rawMeta(tablePath, cv).foreach { case (k, n) =>
-        if (k.startsWith(FileRowsPrefix)) {
-          val f = k.stripPrefix(FileRowsPrefix)
-          if (liveSet.contains(f)) rows.getOrElseUpdate(f, n.toLong)
-        }
-      }
     }
-    val dvs = deletionVectors(tablePath, upTo)
-    live.map(f => (f, added(f), rows.get(f),
-      dvs.get(f).map(_._2).getOrElse(0L)))
+    snap.files.map(f => (f, added(f), snap.rows.get(f),
+      snap.dv.get(f).map(_._2).getOrElse(0L)))
   }
 
   /** Per-file numeric (min, max) stats for the files of version `v`
@@ -365,23 +376,17 @@ object Manifest {
     * above 2^53 whose double image rounds — a file can never be
     * falsely pruned by cast rounding. Files committed without stats
     * are simply absent — readers must treat them as unprunable.
-    * Driver-side metadata walk over the versions that added the live
-    * files. */
+    * Bounded checkpoint+delta resolution, like [[rowCount]]. */
   def fileStats(tablePath: String,
       v: Long = -1L): Map[String, Map[String, (Double, Double)]] = {
-    val live = files(tablePath, v).toSet
     val upTo = if (v >= 0) v else version(tablePath)
-    committedVersions(tablePath).filter(_ <= upTo).flatMap { cv =>
-      rawMeta(tablePath, cv).collect {
-        case (k, spec) if k.startsWith(FileStatsPrefix) &&
-            live.contains(k.stripPrefix(FileStatsPrefix)) =>
-          k.stripPrefix(FileStatsPrefix) ->
-            spec.split('|').map { part =>
-              val Array(c, lo, hi) = part.split(':')
-              c -> (lo.toDouble, hi.toDouble)
-            }.toMap
-      }
-    }.toMap
+    if (upTo <= 0) return Map.empty
+    snapshot(tablePath, upTo).stats.map { case (f, spec) =>
+      f -> spec.split('|').map { part =>
+        val Array(c, lo, hi) = part.split(':')
+        c -> (lo.toDouble, hi.toDouble)
+      }.toMap
+    }
   }
 
   /** MIN/MAX FILE SKIPPING — read only the files whose recorded
@@ -1584,8 +1589,12 @@ object Manifest {
       // the target's RESOLVED DV state returns with its files (a DV
       // added after the target must NOT survive the rollback; one the
       // target had must); the restore is a replace-flagged full-state
-      // delta, so later resolution never looks past it
-      snap.dv.map { case (f, (d, n)) => s"$DvPrefix$f" -> s"$d:$n" } +
+      // delta, so later resolution never looks past it — which is why
+      // it also re-carries the live files' row counts and stats (their
+      // adding manifests are behind the replace wall)
+      snap.dv.map { case (f, (d, n)) => s"$DvPrefix$f" -> s"$d:$n" } ++
+      snap.rows.map { case (f, n) => s"$FileRowsPrefix$f" -> n.toString } ++
+      snap.stats.map { case (f, spec) => s"$FileStatsPrefix$f" -> spec } +
       (ReplaceKey -> "true")
     val next = head + 1
     val lines =

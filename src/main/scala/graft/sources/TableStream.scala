@@ -221,6 +221,11 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
   // admission control is for).
   private var lastOffered: Long = -1L
 
+  // per-run memo of each version's added-file count for the admission
+  // walk (versions are immutable for the lifetime of a source instance)
+  private val addedCounts =
+    scala.collection.mutable.Map.empty[Long, Int]
+
   /** Translate a vacuumed-version failure anywhere in batch
     * construction into the recovery contract (a tail that fell behind
     * the table's retention cannot resume in place). */
@@ -278,12 +283,16 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
         else {
           // admit whole versions until the cumulative added-file count
           // passes the cap — always at least one version, so a single
-          // oversized commit still drains (Delta's semantics)
+          // oversized commit still drains (Delta's semantics). Counts
+          // memoize per run (committed versions are immutable), so a
+          // long catch-up reads each backlog manifest once, not once
+          // per trigger.
           var v = base
           var files = 0L
           var stop = false
           while (!stop && v < head) {
-            files += deltaAt(v + 1).added.size
+            files += addedCounts.getOrElseUpdate(v + 1,
+              deltaAt(v + 1).added.size)
             if (files > cap && v > base) stop = true
             else v += 1
           }

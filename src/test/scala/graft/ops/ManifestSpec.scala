@@ -1161,10 +1161,30 @@ class ManifestSpec extends SparkSpec {
     // version reads as the append that created its state)
     val hist = Manifest.history(spark, tbl)
     assert(hist.map(_.version) == Seq(3L, 6L, 7L))
+    // per-file row counts ride the checkpoints: the metadata-only
+    // COUNT(*) still answers AFTER the adding manifests were vacuumed
+    // (pre-r15 this degraded to a data read)
+    assert(Manifest.rowCount(tbl).contains(7L))
+    assert(Manifest.rowCount(tbl, 3L).contains(3L))
     // and a follow-up append + vacuum keeps working on the gapped log
     Manifest.commit(Seq(8).toDF("x"), tbl)
     assert(Manifest.read(spark, tbl).as[Int].collect().sorted.toSeq
       == (1 to 8))
+    assert(Manifest.rowCount(tbl).contains(8L))
+  }
+
+  test("restore carries the target's row counts and stats across its " +
+    "replace wall: metadata-only COUNT(*) and file pruning still " +
+    "answer on and after the rollback") {
+    val tbl = freshTable()
+    (1 to 3).foreach(i => Manifest.commit(
+      Seq(i * 10).toDF("x").coalesce(1), tbl, statsCols = Seq("x")))
+    Manifest.restore(tbl, 2L) // v4 = v2's state behind a replace flag
+    assert(Manifest.rowCount(tbl).contains(2L))
+    val (_, kept, skipped) = Manifest.readPruned(spark, tbl, "x",
+      9.0, 11.0)
+    assert(kept == 1 && skipped == 1,
+      "stats must survive the restore for pruning")
   }
 
   test("dropStaged in publishStaged's crash window (wap file survived " +
