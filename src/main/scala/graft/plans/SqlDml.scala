@@ -2,10 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute,
-  AttributeReference, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, LogicalPlan, SubqueryAlias, UpdateTable}
+  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -22,8 +23,10 @@ import graft.sources.GraftCatalog
   *
   *   DELETE FROM graft.t WHERE id = 3
   *   UPDATE graft.t SET v = v + 100 WHERE id = 5
+  *   MERGE INTO graft.t USING src ON t.id = src.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
   *
-  * Both route through the SAME merge-on-read engine as the Scala API
+  * All route through the SAME merge engine as the Scala API
   * ([[Merge.deleteWhereDv]] / [[Merge.updateWhereDv]]): the commit
   * publishes DELETION VECTORS (plus update images for UPDATE) under the
   * full optimistic-concurrency protocol — positions ∝ matched rows,
@@ -91,7 +94,67 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
             }, cond)
           case None => u
         }
+      case m: MergeIntoTable if m.resolved =>
+        graftTarget(m.targetTable) match {
+          case Some(path) =>
+            GraftMergeCommand(path, m.sourceTable,
+              mergeKeys(m), m.targetTable.output.map(_.name))
+          case None => m
+        }
     }
+
+  /** The supported MERGE shape is the upsert-by-key Delta idiom:
+    *
+    *   MERGE INTO graft.t USING src ON t.k = src.k
+    *   WHEN MATCHED THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *
+    *
+    * (the star actions arrive here pre-expanded by the analyzer into
+    * straight by-name assignments). Anything else — conditional
+    * actions, partial SET lists, DELETE clauses, NOT MATCHED BY
+    * SOURCE — refuses loudly naming the Scala API, whose explicit
+    * forms cover them. Returns the equi-join key column names. */
+  private def mergeKeys(m: MergeIntoTable): Seq[String] = {
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft SQL MERGE supports exactly 'WHEN MATCHED THEN UPDATE " +
+          "SET *' + 'WHEN NOT MATCHED THEN INSERT *' on a conjunction " +
+          s"of same-name key equalities; got $what. Use the Scala API " +
+          "(Merge.upsert / deleteWhereDv / updateWhereDv) for other " +
+          "shapes.")
+    val tgtCols = m.targetTable.output.map(_.name)
+    def identityAssignments(as: Seq[Assignment]): Boolean =
+      as.length == tgtCols.length && as.forall { a =>
+        (a.key, a.value) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name.equalsIgnoreCase(v.name)
+          case _ => false
+        }
+      }
+    m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) if identityAssignments(as) => ()
+      case other => refuse(s"matched actions $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertAction(None, as)) if identityAssignments(as) => ()
+      case other => refuse(s"not-matched actions $other")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      refuse("NOT MATCHED BY SOURCE actions")
+    val tgtSet = m.targetTable.outputSet
+    val srcSet = m.sourceTable.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(m.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name.equalsIgnoreCase(b.name) &&
+            ((tgtSet.contains(a) && srcSet.contains(b)) ||
+              (tgtSet.contains(b) && srcSet.contains(a))) => a.name
+      case other => refuse(s"merge condition conjunct '$other'")
+    }
+  }
 }
 
 object GraftSqlDml {
@@ -118,6 +181,28 @@ case class GraftDeleteCommand(tablePath: String, cond: Expression)
     val stats = Merge.deleteWhereDv(session, tablePath,
       GraftSqlDml.rebind(cond))
     Seq(Row(stats.positionsAdded))
+  }
+}
+
+/** `MERGE INTO graft.t USING src ON <keys> WHEN MATCHED THEN UPDATE
+  * SET * WHEN NOT MATCHED THEN INSERT *` → [[Merge.upsert]]: the
+  * copy-on-write keyed merge (only files containing a matched key
+  * rewrite; insert-only degenerates to a pure append), duplicate-key
+  * sources refused before anything writes, broadcast-vs-shuffle key
+  * probing size-gated. The source plan re-executes inside the command
+  * (it was analyzed with the statement). Returns
+  * (num_affected_rows = source rows merged). */
+case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
+    keyCols: Seq[String], targetCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val src = Bridge.ofRows(session, source)
+      .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
+    val n = src.count()
+    Merge.upsert(session, tablePath, src, keyCols)
+    Seq(Row(n))
   }
 }
 

@@ -1563,6 +1563,22 @@ object SourceQueries {
           Manifest.deletionVectors(tbl).nonEmpty
         val hist = Manifest.history(s, tbl).takeRight(2)
           .map(_.change_type)
+        // MERGE INTO (the upsert-by-key Delta idiom → Merge.upsert's
+        // COW keyed merge): every doc_id ≡ 5 (mod 17) takes the source
+        // row — matched keys update in place, keys the DELETE removed
+        // re-insert
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(17)) === 5)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 7).as("n_chars"))
+          .createOrReplaceTempView(s"s38_src_${dirTag(dir)}")
+        val merged = s.sql(
+          s"MERGE INTO graft.`$tbl` AS t " +
+            s"USING s38_src_${dirTag(dir)} AS src " +
+            "ON t.doc_id = src.doc_id " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          .collect().head.getLong(0)
         Manifest.read(s, tbl)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("cnt"),
@@ -1570,6 +1586,7 @@ object SourceQueries {
           .select(col("lang"), col("cnt"), col("sum_chars"),
             lit(deleted).as("deleted_rows"),
             lit(updated).as("updated_rows"),
+            lit(merged).as("merged_rows"),
             lit(zeroRewrites).as("zero_rewrites"),
             lit(hist == Seq("delete", "update")).as("mor_history"))
           .orderBy(col("lang"))
@@ -1579,15 +1596,23 @@ object SourceQueries {
               CASE WHEN doc_id % 13 = 4 THEN n_chars + 1000
                 ELSE n_chars END AS n_chars,
               doc_id
-            FROM documents WHERE doc_id % 11 <> 3)
+            FROM documents WHERE doc_id % 11 <> 3),
+          final AS (
+            SELECT doc_id, lang, n_chars + 7 AS n_chars
+            FROM documents WHERE doc_id % 17 = 5
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM surv
+            WHERE doc_id % 17 <> 5)
           SELECT lang, count(*) AS cnt,
             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
             (SELECT count(*) FROM documents WHERE doc_id % 11 = 3)
               AS deleted_rows,
             (SELECT count(*) FROM surv WHERE doc_id % 13 = 4)
               AS updated_rows,
+            (SELECT count(*) FROM documents WHERE doc_id % 17 = 5)
+              AS merged_rows,
             TRUE AS zero_rewrites, TRUE AS mor_history
-          FROM surv GROUP BY lang ORDER BY lang""")),
+          FROM final GROUP BY lang ORDER BY lang""")),
 
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),

@@ -44,13 +44,14 @@ import graft.ops.{ChangeFeed, Manifest}
   * columns fails the stream loudly (restart to pin the evolved schema;
   * `ignoreAddedColumns=true` accepts the documented drop instead).
   *
-  * ADMISSION CONTROL: `maxFilesPerTrigger=N` bounds each catch-up
-  * trigger to whole versions totaling ≤ N added files (≥ 1 version per
-  * trigger so an oversized commit still drains) — a stream restarted
-  * far behind catches up in bounded batches instead of one
-  * backlog-sized batch. A tail that fell behind VACUUM retention fails
-  * with the recovery contract spelled out (fresh-checkpoint snapshot, or
-  * startingVersion at a retained version).
+  * ADMISSION CONTROL: `maxFilesPerTrigger=N` (and its bytes twin
+  * `maxBytesPerTrigger`) bound each catch-up trigger to whole versions
+  * totaling ≤ N added files / bytes (≥ 1 version per trigger so an
+  * oversized commit still drains) — a stream restarted far behind
+  * catches up in bounded batches instead of one backlog-sized batch.
+  * A tail that fell behind VACUUM retention fails with the recovery
+  * contract spelled out (fresh-checkpoint snapshot, or startingVersion
+  * at a retained version).
   */
 class TableStreamProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -133,21 +134,24 @@ class TableStreamProvider extends StreamSourceProvider
     // tail — a stream restarted N versions behind catches up in bounded
     // batches (whole versions, cumulative added-file count per trigger)
     // instead of serving the entire backlog as one OOM-sized batch
-    val maxFiles = parameters.get("maxFilesPerTrigger").map { s =>
-      val n = try s.trim.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"maxFilesPerTrigger must be a positive integer, got '$s'")
+    def positive(opt: String): Option[Long] =
+      parameters.get(opt).map { s =>
+        val n = try s.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$opt must be a positive integer, got '$s'")
+        }
+        require(n > 0, s"$opt must be positive, got $n")
+        n
       }
-      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
-      n
-    }
     new TableStreamSource(sqlContext, path, base,
       parameters.get("skipChangeCommits").exists(_.trim.toBoolean),
       readChangeFeed = cdc(parameters),
       keyCols = parameters.get("keyCols").toSeq
         .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
       startAfter = startAfter,
-      maxFilesPerTrigger = maxFiles,
+      maxFilesPerTrigger = positive("maxFilesPerTrigger"),
+      maxBytesPerTrigger = positive("maxBytesPerTrigger"),
       ignoreAddedColumns =
         parameters.get("ignoreAddedColumns").exists(_.trim.toBoolean))
   }
@@ -195,7 +199,8 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
     baseSchema: StructType, skipChangeCommits: Boolean,
     readChangeFeed: Boolean = false, keyCols: Seq[String] = Seq.empty,
     startAfter: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None,
     ignoreAddedColumns: Boolean = false)
     extends Source {
 
@@ -221,10 +226,24 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
   // admission control is for).
   private var lastOffered: Long = -1L
 
-  // per-run memo of each version's added-file count for the admission
-  // walk (versions are immutable for the lifetime of a source instance)
-  private val addedCounts =
-    scala.collection.mutable.Map.empty[Long, Int]
+  // per-run memo of each version's (added-file count, added bytes) for
+  // the admission walk (versions are immutable for the lifetime of a
+  // source instance); bytes come from one driver-side stat per added
+  // file, once per run
+  private val addedSizes =
+    scala.collection.mutable.Map.empty[Long, (Long, Long)]
+
+  private def addedSizeOf(v: Long): (Long, Long) =
+    addedSizes.getOrElseUpdate(v, {
+      val d = deltaAt(v)
+      val bytes =
+        if (maxBytesPerTrigger.isEmpty) 0L
+        else d.added.map(rel =>
+          try java.nio.file.Files.size(
+            Paths.get(tablePath).resolve(rel))
+          catch { case _: java.io.IOException => 0L }).sum
+      (d.added.size.toLong, bytes)
+    })
 
   /** Translate a vacuumed-version failure anywhere in batch
     * construction into the recovery contract (a tail that fell behind
@@ -274,31 +293,34 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
   override def getOffset: Option[Offset] = {
     val head = Manifest.version(tablePath)
     if (head <= 0) return None
-    val limited = maxFilesPerTrigger match {
-      case None => head
-      case Some(cap) =>
+    val limited =
+      if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) head
+      else {
         val base = if (lastOffered >= 0) lastOffered
           else startAfter.getOrElse(-1L)
         if (base < 0 || base >= head) head
         else {
           // admit whole versions until the cumulative added-file count
-          // passes the cap — always at least one version, so a single
-          // oversized commit still drains (Delta's semantics). Counts
-          // memoize per run (committed versions are immutable), so a
-          // long catch-up reads each backlog manifest once, not once
-          // per trigger.
+          // or byte size passes its cap — always at least one version,
+          // so a single oversized commit still drains (Delta's
+          // semantics). Sizes memoize per run (committed versions are
+          // immutable), so a long catch-up reads each backlog manifest
+          // (and stats its files) once, not once per trigger.
           var v = base
           var files = 0L
+          var bytes = 0L
           var stop = false
           while (!stop && v < head) {
-            files += addedCounts.getOrElseUpdate(v + 1,
-              deltaAt(v + 1).added.size)
-            if (files > cap && v > base) stop = true
+            val (f, b) = addedSizeOf(v + 1)
+            files += f; bytes += b
+            val over = maxFilesPerTrigger.exists(files > _) ||
+              maxBytesPerTrigger.exists(bytes > _)
+            if (over && v > base) stop = true
             else v += 1
           }
           v
         }
-    }
+      }
     lastOffered = math.max(lastOffered, limited)
     Some(LongOffset(limited))
   }

@@ -311,6 +311,25 @@ class ExtensionsSpec extends SparkSpec {
       s"UPDATE graft.`$sqlT` SET v = -1 WHERE id = 5"))
     assert(msgs(e4).exists(_.contains("v_nonneg")), msgs(e4))
     assert(pairs(sqlT).contains((5L, 50L)), "failed UPDATE changed nothing")
+    // MERGE INTO (upsert-by-key): SQL ≡ the Merge.upsert API — updates
+    // replace matched keys, unmatched keys insert
+    (0L until 6L).map(i => (i * 2, i * 2 * 10 + 7))
+      .toDF("id", "v").createOrReplaceTempView("s38_src")
+    val mrg = spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING s38_src AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(mrg.collect().head.getLong(0) == 6L)
+    Merge.upsert(spark, apiT,
+      (0L until 6L).map(i => (i * 2, i * 2 * 10 + 7)).toDF("id", "v"),
+      Seq("id"))
+    assert(pairs(sqlT) == pairs(apiT), "SQL MERGE ≡ API upsert")
+    assert(pairs(sqlT).contains((0L, 7L)) && pairs(sqlT).contains((8L, 87L)))
+    // unsupported merge shapes refuse loudly naming the Scala API
+    val e5 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING s38_src AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE"))
+    assert(msgs(e5).exists(_.contains("Merge.upsert")), msgs(e5))
   }
 
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {

@@ -397,10 +397,23 @@ class TableStreamSpec extends SparkSpec {
       "exactly-once across the mid-catchup restart")
     assert(Manifest.version(down) >= 2L,
       "the backlog must arrive in at least two bounded batches")
+    // the BYTES twin: a 1-byte cap admits exactly one version per
+    // trigger (every version's files exceed it — the ≥1 floor drains)
+    val srcB = new TableStreamProvider()
+      .createSource(spark.sqlContext, "", None, "",
+        Map("path" -> up, "startingVersion" -> "1",
+          "maxBytesPerTrigger" -> "1"))
+    assert(srcB.getOffset.contains(LongOffset(2L)))
+    srcB.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(srcB.getOffset.contains(LongOffset(3L)))
     // contract refusals
     intercept[Exception] {
       new TableStreamProvider().createSource(spark.sqlContext, "", None,
         "", Map("path" -> up, "maxFilesPerTrigger" -> "0"))
+    }
+    intercept[Exception] {
+      new TableStreamProvider().createSource(spark.sqlContext, "", None,
+        "", Map("path" -> up, "maxBytesPerTrigger" -> "-3"))
     }
   }
 
