@@ -117,12 +117,13 @@ class GraftCatalog extends TableCatalog {
     if (Manifest.version(path) == 0L && asOf < 0 &&
         (ident.name().equalsIgnoreCase("history") ||
           ident.name().equalsIgnoreCase("files") ||
-          ident.name().equalsIgnoreCase("tags")) &&
+          ident.name().equalsIgnoreCase("tags") ||
+          ident.name().equalsIgnoreCase("detail")) &&
         ident.namespace().nonEmpty) {
-      // graft.<t>.history / graft.<t>.files / graft.<t>.tags — the
+      // graft.<t>.history / .files / .tags / .detail — the
       // metadata-table convention: the name resolves only when <t> IS
       // a manifest table and no real table shadows it (checked above),
-      // so a data table named "history"/"files"/"tags" always wins
+      // so a data table named "history"/"files"/"tags"/"detail" wins
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
       val parentPath = tablePath(parent)
@@ -132,6 +133,8 @@ class GraftCatalog extends TableCatalog {
             parentPath)
         else if (ident.name().equalsIgnoreCase("tags"))
           tagsTable(s"$catalogName.${ident.toString}", parentPath)
+        else if (ident.name().equalsIgnoreCase("detail"))
+          detailTable(s"$catalogName.${ident.toString}", parentPath)
         else filesTable(s"$catalogName.${ident.toString}", parentPath))
     }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
@@ -168,6 +171,34 @@ class GraftCatalog extends TableCatalog {
         n.map(Long.box).orNull, dv))
         : org.apache.spark.sql.catalyst.InternalRow
     }.toArray
+    new MetadataRowsTable(name, schema, rows)
+  }
+
+  /** `graft.<t>.detail` — the DESCRIBE DETAIL convention: ONE row of
+    * table-level facts, every one answered from commit metadata alone
+    * (version, live file count, metadata-only row count — null for
+    * pre-stats writers, positions hidden by deletion vectors, tag
+    * count, CHECK-constraint count). Zero data/footer I/O at any
+    * table size. */
+  private def detailTable(name: String, path: String): Table = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types._
+    val v = Manifest.version(path)
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = true),
+      StructField("dv_positions", LongType, nullable = false),
+      StructField("num_tags", LongType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false)))
+    val rows = Array(new GenericInternalRow(Array[Any](
+      v,
+      Manifest.files(path, v).size.toLong,
+      Manifest.rowCount(path, v).map(Long.box).orNull,
+      Manifest.deletionVectors(path, v).values.map(_._2).sum,
+      Manifest.tags(path).size.toLong,
+      Manifest.constraintsOf(path, v).size.toLong))
+      : org.apache.spark.sql.catalyst.InternalRow)
     new MetadataRowsTable(name, schema, rows)
   }
 

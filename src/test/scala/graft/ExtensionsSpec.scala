@@ -311,6 +311,17 @@ class ExtensionsSpec extends SparkSpec {
       s"UPDATE graft.`$sqlT` SET v = -1 WHERE id = 5"))
     assert(msgs(e4).exists(_.contains("v_nonneg")), msgs(e4))
     assert(pairs(sqlT).contains((5L, 50L)), "failed UPDATE changed nothing")
+    // DESCRIBE DETAIL convention: graft.<t>.detail is one metadata-only
+    // row of table facts, consistent with the API answers
+    val detail = spark.sql(s"SELECT * FROM graft.`$sqlT`.detail")
+      .collect().head
+    assert(detail.getLong(0) == Manifest.version(sqlT))
+    assert(detail.getLong(1) == Manifest.files(sqlT).size.toLong)
+    assert(detail.getLong(2) ==
+      Manifest.read(spark, sqlT).count(), "metadata rows ≡ real count")
+    assert(detail.getLong(3) ==
+      Manifest.deletionVectors(sqlT).values.map(_._2).sum)
+    assert(detail.getLong(5) == 1L, "the v_nonneg constraint counts")
     // MERGE INTO (upsert-by-key): SQL ≡ the Merge.upsert API — updates
     // replace matched keys, unmatched keys insert
     (0L until 6L).map(i => (i * 2, i * 2 * 10 + 7))
