@@ -33,10 +33,27 @@ import graft.sources.DvMarkedTable
   * optimizer still pushes filters/pruning into its inner parquet scan
   * (ExtensionsSpec pins PushedFilters under the DV). */
 case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // never dissolve a relation that is a DML TARGET: GraftSqlDml owns
+    // those (it may still be waiting for its condition to resolve in a
+    // later fixed-point iteration, and rewriting the target into a read
+    // plan here would strand the statement). A DV'd graft table in a
+    // MERGE SOURCE (or any read position) still rewrites normally.
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+      MergeIntoTable, UpdateTable}
+    val dmlTargets =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case d: DeleteFromTable => d.table.foreach(dmlTargets.add)
+      case u: UpdateTable => u.table.foreach(dmlTargets.add)
+      case m: MergeIntoTable => m.targetTable.foreach(dmlTargets.add)
+      case _ => ()
+    }
     plan.resolveOperatorsUpWithSubqueriesAndPruning(_ => true) {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[DvMarkedTable] =>
+          if r.table.isInstanceOf[DvMarkedTable] &&
+            !dmlTargets.contains(r) =>
         val t = r.table.asInstanceOf[DvMarkedTable]
         // nested analysis of the DV-applied frame (view-resolution
         // shape: AnalysisContext brackets restore the outer context)
@@ -47,4 +64,5 @@ case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           Alias(byName(a.name), a.name)(exprId = a.exprId)
         }, applied)
     }
+  }
 }
