@@ -86,9 +86,16 @@ object Manifest {
     if (vs.isEmpty) 0L else vs.max
   }
 
+  /** Test seam: invoked with the path of every manifest/checkpoint file
+    * read (ManifestSpec counts reads to PROVE metadata resolution is
+    * bounded — the O(checkpoint + ≤interval deltas) contract). No-op in
+    * production. */
+  private[ops] var onMetaRead: Path => Unit = _ => ()
+
   private def lines(tablePath: String, v: Long): Seq[String] = {
     val f = manifestFile(tablePath, v)
     require(Files.exists(f), s"version $v is not committed at $tablePath")
+    onMetaRead(f)
     Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
   }
 
@@ -114,6 +121,17 @@ object Manifest {
     * version's full state. */
   val ReplaceKey = "replace"
 
+  /** Reserved meta key stamping every manifest with its LOG FORMAT
+    * (`#log=delta`). [[delta]] REQUIRES it: a pre-delta-log manifest
+    * (the full-carry format, which re-listed every live file each
+    * version) would otherwise parse as a delta whose `added` is the
+    * whole table — resolution would silently duplicate files across
+    * versions and double-read rows. Loud refusal over silent
+    * double-counting. */
+  val LogFormatKey = "log"
+  private val LogFormatValue = "delta"
+  private[ops] val formatMeta = Map(LogFormatKey -> LogFormatValue)
+
   /** Versions between full checkpoints: state resolution reads at most
     * this many delta manifests past a checkpoint. Small enough that a
     * read is a handful of driver-side KB-reads; large enough that
@@ -134,20 +152,23 @@ object Manifest {
     * full snapshots per version. */
   private[graft] case class CommitDelta(version: Long,
       added: Seq[String], removed: Seq[String], replace: Boolean,
-      dvSet: Map[String, (String, Long)], meta: Map[String, String]) {
-    /** Did this commit change the table's DV state over `prevDv`? */
-    def dvChanges(prevDv: Map[String, (String, Long)]): Boolean =
-      (replace && prevDv.nonEmpty) ||
-        removed.exists(prevDv.contains) ||
-        dvSet.exists { case (f, m) => !prevDv.get(f).contains(m) }
-  }
+      dvSet: Map[String, (String, Long)], meta: Map[String, String])
 
-  /** Parse version `v`'s delta manifest (one read; loud if vacuumed). */
+  /** Parse version `v`'s delta manifest (one read; loud if vacuumed or
+    * written by a pre-delta-log library version — see
+    * [[LogFormatKey]]). */
   private[graft] def delta(tablePath: String, v: Long): CommitDelta = {
     val ls = lines(tablePath, v)
     val meta = ls.filter(_.startsWith("#"))
       .map(_.stripPrefix("#").split("=", 2))
       .collect { case Array(k, value) => k -> value }.toMap
+    if (!meta.get(LogFormatKey).contains(LogFormatValue))
+      throw new IllegalStateException(
+        s"manifest v$v at $tablePath carries no '#$LogFormatKey=" +
+          s"$LogFormatValue' marker — it was written by a pre-delta-log " +
+          "library version (full-carry format), whose file list this " +
+          "reader would silently double-count as delta adds. Re-create " +
+          "the table (or re-commit its content) with the current library.")
     CommitDelta(v,
       added = ls.filterNot(l => l.startsWith("#") || l.startsWith("-")),
       removed = ls.filter(_.startsWith("-")).map(_.stripPrefix("-")),
@@ -158,42 +179,71 @@ object Manifest {
   }
 
   /** A version's resolved state: live files (in commit order), the
-    * deletion-vector mappings in force, and the live files' recorded
-    * per-file row counts and min/max stats (each written once by the
-    * file's adding commit, carried here while the file lives — so
-    * [[rowCount]]/[[fileStats]]/[[readPruned]] resolve from the SAME
-    * bounded checkpoint+delta read as the file list, and survive
-    * vacuum through the checkpoints). */
+    * deletion-vector mappings in force, the live files' recorded
+    * per-file row counts / min-max stats / byte sizes / adding version
+    * (each written once by the file's adding commit, carried here while
+    * the file lives), and the per-appId TRANSACTION state (appId →
+    * (txnVersion, table version that recorded it) — overwrite-on-commit,
+    * surviving replace/restore like Delta's SetTransaction actions).
+    * Everything resolves from the SAME bounded checkpoint+delta read as
+    * the file list — so [[rowCount]]/[[fileStats]]/[[readPruned]]/
+    * [[fileInventory]]/[[lastTxn]]/[[dropStaged]] are all O(interval)
+    * metadata reads at any history length, and all survive vacuum
+    * through the checkpoints (in particular: a txn stamp or a WAP
+    * publish marker can never be silently lost to retention). */
   private[graft] case class Snap(files: Vector[String],
       dv: Map[String, (String, Long)],
       rows: Map[String, Long] = Map.empty,
-      stats: Map[String, String] = Map.empty)
+      stats: Map[String, String] = Map.empty,
+      bytes: Map[String, Long] = Map.empty,
+      addedIn: Map[String, Long] = Map.empty,
+      txns: Map[String, (Long, Long)] = Map.empty)
 
-  private[graft] val emptySnap =
-    Snap(Vector.empty, Map.empty, Map.empty, Map.empty)
+  private[graft] val emptySnap = Snap(Vector.empty, Map.empty)
 
   /** Apply one commit's delta actions to the predecessor state. */
   private[graft] def applySnapDelta(s: Snap, d: CommitDelta): Snap = {
     val base =
-      if (d.replace) emptySnap
+      if (d.replace) emptySnap.copy(txns = s.txns)
       else if (d.removed.isEmpty) s
       else {
         val rm = d.removed.toSet
-        Snap(s.files.filterNot(rm), s.dv -- rm, s.rows -- rm,
-          s.stats -- rm)
+        s.copy(files = s.files.filterNot(rm), dv = s.dv -- rm,
+          rows = s.rows -- rm, stats = s.stats -- rm,
+          bytes = s.bytes -- rm, addedIn = s.addedIn -- rm)
       }
+    def tagged(prefix: String): Map[String, String] = d.meta.collect {
+      case (k, value) if k.startsWith(prefix) =>
+        k.stripPrefix(prefix) -> value }
     Snap(base.files ++ d.added, base.dv ++ d.dvSet,
-      base.rows ++ d.meta.collect {
-        case (k, n) if k.startsWith(FileRowsPrefix) =>
-          k.stripPrefix(FileRowsPrefix) -> n.toLong },
-      base.stats ++ d.meta.collect {
-        case (k, spec) if k.startsWith(FileStatsPrefix) =>
-          k.stripPrefix(FileStatsPrefix) -> spec })
+      base.rows ++ tagged(FileRowsPrefix).map { case (f, n) =>
+        f -> n.toLong },
+      base.stats ++ tagged(FileStatsPrefix),
+      base.bytes ++ tagged(FileBytesPrefix).map { case (f, n) =>
+        f -> n.toLong },
+      base.addedIn ++ d.added.map(_ -> d.version),
+      base.txns ++ tagged(TxnPrefix).map { case (app, n) =>
+        app -> (n.toLong, d.version) })
   }
 
+  /** Checkpoint format marker. v2 checkpoints carry the FULL [[Snap]]
+    * (txn state, adding versions, byte sizes); a v1 checkpoint lacks
+    * them, so resolving from it would silently forget txn stamps —
+    * refuse loudly instead (same posture as [[delta]]'s log marker). */
+  private val CkptVerLine = "#ckptver=2"
+  private val TxnStatePrefix = "txnstate."
+  private val AddedInPrefix = "addedin."
+
   private def readCkpt(tablePath: String, v: Long): Snap = {
+    onMetaRead(ckptFile(tablePath, v))
     val ls = Files.readAllLines(ckptFile(tablePath, v)).toArray
       .map(_.toString).toSeq.filter(_.nonEmpty)
+    if (!ls.contains(CkptVerLine))
+      throw new IllegalStateException(
+        s"checkpoint v$v at $tablePath predates the v2 checkpoint " +
+          "format (no '" + CkptVerLine + "' line) — it carries no txn " +
+          "state, so resolving from it would silently forget recorded " +
+          "transactions. Re-create the table with the current library.")
     def tagged(prefix: String): Map[String, String] =
       ls.filter(_.startsWith(s"#$prefix"))
         .map(_.stripPrefix(s"#$prefix").split("=", 2))
@@ -201,7 +251,13 @@ object Manifest {
     Snap(ls.filterNot(_.startsWith("#")).toVector,
       tagged(DvPrefix).map { case (f, value) => f -> parseDv(value) },
       tagged(FileRowsPrefix).map { case (f, n) => f -> n.toLong },
-      tagged(FileStatsPrefix))
+      tagged(FileStatsPrefix),
+      tagged(FileBytesPrefix).map { case (f, n) => f -> n.toLong },
+      tagged(AddedInPrefix).map { case (f, n) => f -> n.toLong },
+      tagged(TxnStatePrefix).map { case (app, value) =>
+        val i = value.lastIndexOf(':')
+        app -> (value.substring(0, i).toLong,
+          value.substring(i + 1).toLong) })
   }
 
   /** Resolve version `v`'s full state: nearest checkpoint / replace
@@ -231,7 +287,11 @@ object Manifest {
       else {
         val d = delta(tablePath, w)
         acc = d :: acc
-        if (d.replace || w == 1) base = emptySnap else w -= 1
+        // a REPLACE is its own full FILE state, but the chain continues
+        // below it: txn stamps survive replace/restore walls (the Delta
+        // SetTransaction contract), so resolution must reach the nearest
+        // checkpoint (or v1) to carry them — still <= interval reads
+        if (w == 1) base = emptySnap else w -= 1
       }
     }
     acc.foldLeft(base)(applySnapDelta)
@@ -244,13 +304,20 @@ object Manifest {
   private[ops] def writeCheckpoint(tablePath: String, v: Long): Unit = {
     if (Files.exists(ckptFile(tablePath, v))) return
     val snap = snapshot(tablePath, v)
-    val body = (snap.dv.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
-      s"#$DvPrefix$f=$d:$n" } ++
+    val body = (CkptVerLine +:
+      (snap.dv.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
+        s"#$DvPrefix$f=$d:$n" } ++
       snap.rows.toSeq.sortBy(_._1).map { case (f, n) =>
         s"#$FileRowsPrefix$f=$n" } ++
       snap.stats.toSeq.sortBy(_._1).map { case (f, spec) =>
         s"#$FileStatsPrefix$f=$spec" } ++
-      snap.files)
+      snap.bytes.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"#$FileBytesPrefix$f=$n" } ++
+      snap.addedIn.toSeq.sortBy(_._1).map { case (f, n) =>
+        s"#$AddedInPrefix$f=$n" } ++
+      snap.txns.toSeq.sortBy(_._1).map { case (app, (tv, av)) =>
+        s"#$TxnStatePrefix$app=$tv:$av" } ++
+      snap.files))
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     val tmp = Files.createTempFile(manifestDir(tablePath),
       f".c$v%06d-", ".tmp")
@@ -295,10 +362,12 @@ object Manifest {
       .filterNot(_._1.startsWith(TxnPrefix))
       .filterNot(_._1.startsWith(FileStatsPrefix))
       .filterNot(_._1.startsWith(FileRowsPrefix))
+      .filterNot(_._1.startsWith(FileBytesPrefix))
       .filterNot(_._1.startsWith(DvPrefix))
       .filterNot(_._1 == OpTypeKey)
       .filterNot(_._1 == CommitTsKey)
       .filterNot(_._1 == ReplaceKey)
+      .filterNot(_._1 == LogFormatKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -316,6 +385,16 @@ object Manifest {
     * formats keep exactly these counts as commit stats); files
     * committed by pre-stats writers fall back to one read. */
   val FileRowsPrefix = "filerows."
+
+  /** Prefix of metadata keys recording per-file BYTE SIZES
+    * (`filebytes.<relpath>=n`) — recorded by every commit for its own
+    * fresh files (one driver-side stat per just-written file, bounded
+    * by the batch). The commit-log stream source serves
+    * `maxBytesPerTrigger` admission from these instead of stat-ing
+    * each backlog file (on an object store that walk is one HEAD
+    * request per file); files committed by pre-recording writers fall
+    * back to the stat. */
+  val FileBytesPrefix = "filebytes."
 
   /** Exact LOGICAL row count of version `v` (newest when omitted) from
     * COMMIT METADATA alone — the metadata-only `SELECT count(*)` every
@@ -343,30 +422,28 @@ object Manifest {
     * `graft.<t>.files` metadata-table surface (Iceberg's `.files`
     * convention): (relpath, version that added the file, recorded row
     * count if the adding commit recorded one, positions hidden by the
-    * version's deletion vector for the file). Pure driver-side
-    * manifest metadata — zero data or footer I/O at any table size. */
+    * version's deletion vector for the file). Adding versions ride the
+    * [[Snap]] fold, so this is the SAME bounded checkpoint+delta read
+    * as the file list — O(interval) metadata I/O at any history
+    * length, exact even after vacuum (attribution survives through the
+    * checkpoints; a replace/restore attributes its re-listed files to
+    * itself, since it is their full state). Zero data or footer I/O. */
   def fileInventory(tablePath: String, v: Long = -1L)
       : Seq[(String, Long, Option[Long], Long)] = {
     val upTo = if (v >= 0) v else version(tablePath)
     val snap = snapshot(tablePath, upTo)
-    val liveSet = snap.files.toSet
-    val vs = committedVersions(tablePath).filter(_ <= upTo)
-    val added = scala.collection.mutable.Map.empty[String, Long]
-    var prevV = -1L
-    vs.foreach { cv =>
-      // contiguous walk: one delta read per version; after a vacuum gap
-      // the first surviving version attributes its whole resolved file
-      // set (its adding manifests are gone — same rule as [[history]])
-      val seen =
-        if (prevV == cv - 1) delta(tablePath, cv).added
-        else listed(tablePath, cv)
-      prevV = cv
-      seen.foreach { f =>
-        if (liveSet.contains(f)) added.getOrElseUpdate(f, cv)
-      }
-    }
-    snap.files.map(f => (f, added(f), snap.rows.get(f),
+    snap.files.map(f => (f, snap.addedIn(f), snap.rows.get(f),
       snap.dv.get(f).map(_._2).getOrElse(0L)))
+  }
+
+  /** Recorded per-file byte sizes of version `v`'s live files (newest
+    * when omitted): relpath → bytes, absent for files committed by
+    * pre-recording writers. Bounded checkpoint+delta resolution, like
+    * [[rowCount]]. */
+  def fileBytes(tablePath: String,
+      v: Long = -1L): Map[String, Long] = {
+    val upTo = if (v >= 0) v else version(tablePath)
+    if (upTo <= 0) Map.empty else snapshot(tablePath, upTo).bytes
   }
 
   /** Per-file numeric (min, max) stats for the files of version `v`
@@ -577,6 +654,7 @@ object Manifest {
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
+    require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     // values get the same line-injection guard as [[commit]]: a '\n' in
@@ -604,7 +682,8 @@ object Manifest {
     val (rowsMeta, statsMeta) = footerBatchStats(df.sparkSession,
       tablePath, fresh, statsCols, df.schema)
     val lines =
-      (meta ++ rowsMeta ++ statsMeta + (SchemaKey -> df.schema.json))
+      (meta ++ rowsMeta ++ statsMeta ++ freshBytesMeta(tablePath, fresh) +
+        (SchemaKey -> df.schema.json))
         .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fresh
     val tmp = Files.createTempFile(manifestDir(tablePath),
       s".wap-$id-", ".tmp")
@@ -684,9 +763,11 @@ object Manifest {
     // finishes the cleanup, and returns the already-published version
     // instead of listing the staged files twice.
     val txnKey = s"${TxnPrefix}wap-$id"
+    // bounded probe (head stamp or checkpoint fold — never an
+    // O(history) walk), and vacuum-proof: the stamp rides the
+    // checkpoints even after the publishing version's manifest is gone
     def alreadyPublished: Option[Long] =
-      committedVersions(tablePath).reverse.find(v =>
-        rawMeta(tablePath, v).contains(txnKey))
+      txnState(tablePath, s"wap-$id").map(_._2)
     alreadyPublished match {
       case Some(v) => Files.deleteIfExists(wapFile(tablePath, id)); return v
       case None => ()
@@ -748,7 +829,7 @@ object Manifest {
       // the head's file list and DV state are inherited by resolution —
       // the publish is metadata-only AND O(staged), never O(table)
       val lines =
-        ((stagedMeta - SchemaKey) ++ constraintMeta +
+        ((stagedMeta - SchemaKey) ++ constraintMeta ++ formatMeta +
           (txnKey -> "0") +
           (SchemaKey -> schema.json) +
           (CommitTsKey -> System.currentTimeMillis.toString))
@@ -798,9 +879,12 @@ object Manifest {
   def dropStaged(tablePath: String, id: String): Boolean = {
     val f = wapFile(tablePath, id)
     if (!Files.exists(f)) return false
-    val txnKey = s"${TxnPrefix}wap-$id"
-    val published = committedVersions(tablePath).reverse.exists(v =>
-      rawMeta(tablePath, v).contains(txnKey))
+    // publish probe via the checkpoint-folded txn state: bounded, and
+    // VACUUM-SAFE — even when retention dropped the publishing
+    // version's manifest (while the crash-window wap file survived),
+    // the stamp persists in the checkpoints, so the staged files —
+    // live in retained snapshots — are never rmTree'd as unpublished
+    val published = txnState(tablePath, s"wap-$id").isDefined
     if (published) { Files.delete(f); return true }
     val dirs = Files.readAllLines(f).toArray.map(_.toString)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -843,17 +927,29 @@ object Manifest {
         "by a concurrent writer while this commit was rebasing — " +
         "dropping the replay instead of double-applying it")
 
+  /** `appId`'s recorded transaction state at the head: (txnVersion,
+    * table version that recorded it), None when the app never wrote.
+    * Resolution is BOUNDED at any history length: the head manifest's
+    * own stamp answers directly when present (the steady streaming
+    * writer, whose stamp is on every commit — one read), else the
+    * checkpoint+delta [[Snap]] fold (≤ [[CheckpointInterval]]+1 reads;
+    * txn state rides the checkpoints, so a stamp survives vacuum and
+    * replace/restore — the Delta SetTransaction contract). */
+  private[graft] def txnState(tablePath: String,
+      appId: String): Option[(Long, Long)] = {
+    val head = version(tablePath)
+    if (head <= 0) None
+    else rawMeta(tablePath, head).get(s"$TxnPrefix$appId") match {
+      case Some(n) => Some((n.toLong, head))
+      case None => snapshot(tablePath, head).txns.get(appId)
+    }
+  }
+
   /** Highest transaction version `appId` has committed to `tablePath`
-    * (scanning versions newest-first; -1 when the app never wrote).
-    * Driver-side metadata walk, newest-first with early exit — commits
-    * from one streaming app stamp every batch, so the hit is almost
-    * always the newest version. */
+    * (-1 when the app never wrote). Bounded driver-side metadata
+    * resolution — see [[txnState]]. */
   def lastTxn(tablePath: String, appId: String): Long =
-    committedVersions(tablePath).sorted(Ordering[Long].reverse)
-      .iterator
-      .flatMap(v => rawMeta(tablePath, v).get(s"$TxnPrefix$appId"))
-      .map(_.toLong)
-      .nextOption().getOrElse(-1L)
+    txnState(tablePath, appId).map(_._1).getOrElse(-1L)
 
   /** Idempotent commit — the exactly-once primitive for replayable
     * writers (Structured Streaming `foreachBatch` is documented
@@ -1102,6 +1198,15 @@ object Manifest {
       })
   }
 
+  /** `#filebytes.` metadata for a commit's own just-written files: one
+    * driver-side stat per fresh file, bounded by the BATCH — recorded
+    * once here so later consumers (streaming bytes admission) never
+    * stat storage again. */
+  private def freshBytesMeta(tablePath: String,
+      fresh: Seq[String]): Map[String, String] =
+    fresh.map(f => s"$FileBytesPrefix$f" ->
+      Files.size(Paths.get(tablePath).resolve(f)).toString).toMap
+
   private def footerBatchStats(spark: SparkSession, tablePath: String,
       fresh: Seq[String], statsCols: Seq[String], schema: StructType)
       : (Map[String, String], Map[String, String]) = {
@@ -1204,6 +1309,7 @@ object Manifest {
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
+    require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
     require(removeFiles.isEmpty || !replace,
@@ -1373,6 +1479,7 @@ object Manifest {
     }
     val keptKeys = freshKept.map(f => s"$FileRowsPrefix$f").toSet
     val rowsMetaKept = rowsMeta.filter(kv => keptKeys.contains(kv._1))
+    val bytesMetaKept = freshBytesMeta(tablePath, freshKept)
     // PUBLISH with optimistic concurrency (the table-format retry):
     // each attempt builds the manifest against the CURRENT head and
     // claims the next version via an atomic-exclusive hard link (link()
@@ -1498,7 +1605,8 @@ object Manifest {
         else Map.empty[String, String]
       val lines =
         (meta ++ constraintMeta ++ opMeta ++ replaceMeta ++
-          rowsMetaKept ++ statsMeta + (SchemaKey -> schema.json) +
+          rowsMetaKept ++ statsMeta ++ bytesMetaKept ++ formatMeta +
+          (SchemaKey -> schema.json) +
           (CommitTsKey -> System.currentTimeMillis.toString))
           .toSeq.sorted
           .map { case (k, v) => s"#$k=$v" } ++
@@ -1576,6 +1684,7 @@ object Manifest {
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
+    require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
@@ -1594,7 +1703,10 @@ object Manifest {
       // adding manifests are behind the replace wall)
       snap.dv.map { case (f, (d, n)) => s"$DvPrefix$f" -> s"$d:$n" } ++
       snap.rows.map { case (f, n) => s"$FileRowsPrefix$f" -> n.toString } ++
-      snap.stats.map { case (f, spec) => s"$FileStatsPrefix$f" -> spec } +
+      snap.stats.map { case (f, spec) => s"$FileStatsPrefix$f" -> spec } ++
+      snap.bytes.map { case (f, n) =>
+        s"$FileBytesPrefix$f" -> n.toString } ++
+      formatMeta +
       (ReplaceKey -> "true")
     val next = head + 1
     val lines =
@@ -1704,15 +1816,15 @@ object Manifest {
       var w = r
       var resolved = false
       while (!resolved) {
+        // mirrors [[snapshot]]'s stopping rule EXACTLY: resolution
+        // continues below replace walls (txn state lives across them),
+        // so a replace does not terminate the chain here either
         if (willCkpt.contains(w) || Files.exists(ckptFile(tablePath, w)))
           resolved = true
-        else {
-          val d = delta(tablePath, w)
-          if (d.replace || w == 1) resolved = true
-          else if (droppedSet.contains(w - 1)) {
-            willCkpt += r; resolved = true
-          } else w -= 1
-        }
+        else if (w == 1) resolved = true
+        else if (droppedSet.contains(w - 1)) {
+          willCkpt += r; resolved = true
+        } else w -= 1
       }
     }
     willCkpt.toSeq.sorted.foreach(writeCheckpoint(tablePath, _))

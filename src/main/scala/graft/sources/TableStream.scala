@@ -228,8 +228,11 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
 
   // per-run memo of each version's (added-file count, added bytes) for
   // the admission walk (versions are immutable for the lifetime of a
-  // source instance); bytes come from one driver-side stat per added
-  // file, once per run
+  // source instance). Bytes come from the manifest's own `#filebytes.`
+  // lines — the commit recorded them while the files were written, so
+  // a long catch-up admission walk is PURE metadata I/O (zero storage
+  // HEAD requests); files from pre-recording writers fall back to one
+  // driver-side stat each, once per run.
   private val addedSizes =
     scala.collection.mutable.Map.empty[Long, (Long, Long)]
 
@@ -238,10 +241,14 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
       val d = deltaAt(v)
       val bytes =
         if (maxBytesPerTrigger.isEmpty) 0L
-        else d.added.map(rel =>
-          try java.nio.file.Files.size(
-            Paths.get(tablePath).resolve(rel))
-          catch { case _: java.io.IOException => 0L }).sum
+        else d.added.map { rel =>
+          d.meta.get(s"${Manifest.FileBytesPrefix}$rel")
+            .map(_.toLong).getOrElse {
+              try java.nio.file.Files.size(
+                Paths.get(tablePath).resolve(rel))
+              catch { case _: java.io.IOException => 0L }
+            }
+        }.sum
       (d.added.size.toLong, bytes)
     })
 

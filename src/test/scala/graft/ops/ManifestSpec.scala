@@ -132,8 +132,11 @@ class ManifestSpec extends SparkSpec {
     // retaining at least as many versions as exist drops nothing and —
     // with no strays yet — deletes nothing
     assert(Manifest.vacuum(tbl, retainLast = 5) == (Seq.empty, Seq.empty))
-    // simulate a vacuum that died between its two phases: v1's manifest
-    // already deleted, v1's data files still on disk
+    // simulate a vacuum that died between its two phases: the covering
+    // checkpoint written (checkpoints go FIRST — the crash-safety
+    // order), v1's manifest already deleted, v1's data files still on
+    // disk
+    Manifest.writeCheckpoint(tbl, 2L)
     Files.delete(java.nio.file.Paths.get(tbl, "_manifests", "v000001.txt"))
     val strays = tableParquets(tbl).filter(_.contains("b000001"))
     assert(strays.nonEmpty)
@@ -1225,5 +1228,143 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException](Manifest.tag(tbl, "2026"))
     Manifest.tag(tbl, "audit-2026") // letters allowed, of course
     assert(Manifest.tags(tbl) == Map("audit-2026" -> 1L))
+  }
+
+  /** Count manifest/checkpoint file reads during `body` via the
+    * [[Manifest.onMetaRead]] seam. */
+  private def countingReads[T](body: => T): (T, Int) = {
+    var n = 0
+    Manifest.onMetaRead = _ => n += 1
+    try { val r = body; (r, n) }
+    finally Manifest.onMetaRead = _ => ()
+  }
+
+  test("txn state rides the checkpoint fold: cold-appId lastTxn on a " +
+    "50-version table is a BOUNDED metadata read (<= interval + 2), " +
+    "and a stamp survives vacuum dropping its recording manifest") {
+    val tbl = freshTable()
+    // v1 carries the only stamp for 'cold'; v2..v50 are plain appends
+    // stamped by 'hot' (the steady streaming writer)
+    assert(Manifest.commitOnce(Seq(0).toDF("x"), tbl, "cold", 7L)
+      .contains(1L))
+    (2 to 50).foreach(i =>
+      Manifest.commitOnce(Seq(i).toDF("x"), tbl, "hot", i.toLong))
+    val (hot, hotReads) = countingReads(Manifest.lastTxn(tbl, "hot"))
+    assert(hot == 50L)
+    assert(hotReads <= 2,
+      s"steady-writer lastTxn must answer from the head manifest, read " +
+        s"$hotReads")
+    val (cold, coldReads) = countingReads(Manifest.lastTxn(tbl, "cold"))
+    assert(cold == 7L)
+    assert(coldReads <= Manifest.CheckpointInterval + 2,
+      s"cold-appId lastTxn must resolve from checkpoint + <= interval " +
+        s"deltas, read $coldReads manifests on a 50-version table")
+    val (none, noneReads) = countingReads(Manifest.lastTxn(tbl, "nobody"))
+    assert(none == -1L && noneReads <= Manifest.CheckpointInterval + 2)
+    // vacuum drops v1..v48 — 'cold's recording manifest is GONE, but
+    // the stamp persists through the checkpoints: replaying txn 7 still
+    // commits nothing (the exactly-once contract survives retention)
+    val (dropped, _) = Manifest.vacuum(tbl, retainLast = 2)
+    assert(dropped.contains(1L))
+    assert(Manifest.lastTxn(tbl, "cold") == 7L)
+    assert(Manifest.commitOnce(Seq(99).toDF("x"), tbl, "cold", 7L).isEmpty)
+    assert(Manifest.lastTxn(tbl, "hot") == 50L)
+    // and a replace wall does not forget txn state (SetTransaction
+    // semantics): stamps survive a compaction
+    Manifest.commit(Manifest.read(spark, tbl).repartition(1), tbl,
+      replace = true)
+    assert(Manifest.lastTxn(tbl, "cold") == 7L)
+    assert(Manifest.commitOnce(Seq(99).toDF("x"), tbl, "cold", 7L).isEmpty)
+  }
+
+  test("fileInventory resolves adding versions from the Snap fold: " +
+    "bounded reads, exact attribution even after vacuum dropped the " +
+    "adding manifests, replace/restore attribute to themselves") {
+    val tbl = freshTable()
+    (1 to 25).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    val (inv, reads) = countingReads(Manifest.fileInventory(tbl))
+    assert(inv.size == 25)
+    assert(reads <= Manifest.CheckpointInterval + 2,
+      s"fileInventory must be checkpoint-bounded, read $reads")
+    // exact attribution: each file belongs to the version that added it
+    assert(inv.map(_._2).sorted == (1L to 25L))
+    // vacuum v1..v23: attribution survives through the checkpoints
+    Manifest.vacuum(tbl, retainLast = 2)
+    assert(Manifest.fileInventory(tbl).map(_._2).sorted == (1L to 25L))
+    // restore is a replace-flagged full state: files re-attribute to it
+    val rv = Manifest.restore(tbl, 24L)
+    assert(Manifest.fileInventory(tbl).map(_._2).distinct == Seq(rv))
+  }
+
+  test("legacy formats refuse loudly: a manifest without #log=delta " +
+    "(pre-delta-log full carry) and a checkpoint without #ckptver=2 " +
+    "(no txn state) both name the remedy instead of mis-resolving") {
+    val tbl = freshTable()
+    (1 to 12).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    val mf = java.nio.file.Paths.get(tbl, "_manifests", "v000012.txt")
+    val body = new String(Files.readAllBytes(mf), "UTF-8")
+    Files.write(mf, body.linesIterator
+      .filterNot(_.startsWith(s"#${Manifest.LogFormatKey}="))
+      .mkString("\n").getBytes("UTF-8"))
+    val e1 = intercept[IllegalStateException](Manifest.files(tbl))
+    assert(e1.getMessage.contains("pre-delta-log"))
+    Files.write(mf, body.getBytes("UTF-8")) // repair
+    assert(Manifest.files(tbl).size == 12)
+    val ck = java.nio.file.Paths.get(tbl, "_manifests", "v000010.ckpt")
+    val ckBody = new String(Files.readAllBytes(ck), "UTF-8")
+    Files.write(ck, ckBody.linesIterator
+      .filterNot(_ == "#ckptver=2").mkString("\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalStateException](Manifest.files(tbl, 10L))
+    assert(e2.getMessage.contains("ckptver"))
+  }
+
+  test("per-file byte sizes ride commits, checkpoints and restore: " +
+    "fileBytes matches the on-disk truth with zero storage I/O after " +
+    "the commit") {
+    val tbl = freshTable()
+    Manifest.commit((1 to 100).toDF("x"), tbl)
+    (2 to 11).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    val bytes = Manifest.fileBytes(tbl)
+    val files = Manifest.files(tbl)
+    assert(bytes.keySet == files.toSet, "every live file has a size")
+    files.foreach { rel =>
+      assert(bytes(rel) ==
+        Files.size(java.nio.file.Paths.get(tbl).resolve(rel)))
+    }
+    // restore re-carries sizes across its replace wall
+    val rv = Manifest.restore(tbl, 5L)
+    val restored = Manifest.fileBytes(tbl, rv)
+    assert(restored.keySet == Manifest.files(tbl, rv).toSet)
+    // vacuum everything below the restore: sizes still answer (fold
+    // state, not manifest walks)
+    Manifest.vacuum(tbl, retainLast = 1)
+    assert(Manifest.fileBytes(tbl).keySet == Manifest.files(tbl).toSet)
+  }
+
+  test("ADVICE r15: dropStaged after vacuum dropped the PUBLISHING " +
+    "version's manifest (crash-window wap file survived) still treats " +
+    "the stage as published — live data files are never reclaimed") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 1)).toDF("id", "n"), tbl)
+    Manifest.stageCommit(Seq((2L, 2)).toDF("id", "n"), tbl, "w")
+    val wapF = JPaths.get(tbl, "_manifests", "wap-w.txt")
+    val wapBytes = JFiles.readAllBytes(wapF)
+    val pubV = Manifest.publishStaged(spark, tbl, "w")
+    // crash window: wap file resurrects after the publish...
+    JFiles.write(wapF, wapBytes)
+    // ...then ENOUGH history lands for vacuum to drop the publishing
+    // version's manifest (its txn stamp now lives only in checkpoints)
+    (1 to 12).foreach(i => Manifest.commit(Seq((10L + i, i)).toDF("id", "n"),
+      tbl))
+    val (dropped, _) = Manifest.vacuum(tbl, retainLast = 2)
+    assert(dropped.contains(pubV),
+      "precondition: the publishing version's manifest must be gone")
+    assert(Manifest.dropStaged(tbl, "w"))
+    assert(!JFiles.exists(wapF))
+    // the staged rows are live in the retained head — still readable
+    assert(Manifest.read(spark, tbl)
+      .filter(col("id") === 2L).count() == 1L,
+      "published-then-vacuumed stage's files must survive dropStaged")
   }
 }
