@@ -39,9 +39,13 @@ object Merge {
     * keys (or the delete's `pruneRange` column), files whose recorded
     * range cannot intersect the source's are excluded from the scan
     * before any byte is read — the Delta data-skipping-in-MERGE shape
-    * (equals `filesBefore` when no stats prune). */
+    * (equals `filesBefore` when no stats prune). `sourceRows` is the
+    * MERGE source's row count (the SQL `num_affected_rows`), taken from
+    * the same snapshot the merge actually applied — never a second
+    * source execution; -1 for operations without a row-counted source
+    * (the plain COW delete path). */
   case class CowStats(version: Long, filesBefore: Int, filesRewritten: Int,
-      filesCarried: Int, filesCandidates: Int)
+      filesCarried: Int, filesCandidates: Int, sourceRows: Long = -1L)
 
   /** Above this many distinct source keys the key set is NOT broadcast-
     * hinted: a hint overrides Spark's size threshold, so an unbounded
@@ -72,11 +76,15 @@ object Merge {
     require(keyCols.nonEmpty, "merge needs key columns")
     // MERGE into a not-yet-existing table creates it (the CREATE OR
     // MERGE shape streaming sinks need for their first micro-batch)
-    if (Manifest.version(tablePath) == 0L)
-      return CowStats(Manifest.commit(source, tablePath, meta = meta,
+    if (Manifest.version(tablePath) == 0L) {
+      val v = Manifest.commit(source, tablePath, meta = meta,
         statsCols = keyCols.filterNot(c =>
-          c.contains(":") || c.contains("|"))),
-        0, 0, 0, 0)
+          c.contains(":") || c.contains("|")))
+      // the creating commit recorded its files' row counts — the source
+      // row count is their sum, pure metadata (no second source pass)
+      return CowStats(v, 0, 0, 0, 0,
+        sourceRows = Manifest.rowCount(tablePath, v).getOrElse(-1L))
+    }
     // SNAPSHOT the source before anything reads it: the guard below, the
     // key set, and the rewrite union must all see the SAME rows, or a
     // non-deterministic / concurrently-changing source could pass the
@@ -137,6 +145,9 @@ object Merge {
       // non-numeric key column yields all-null bounds and is dropped)
       statsCols = keyCols.filterNot(c =>
         c.contains(":") || c.contains("|")))
+      // duplicate-key guard passed ⇒ every key has exactly one source
+      // row, so the guard's distinct-key count IS the source row count
+      .copy(sourceRows = keyCount)
   }
 
   /** Files of the current version whose recorded

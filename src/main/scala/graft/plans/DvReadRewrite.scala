@@ -39,8 +39,8 @@ case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // later fixed-point iteration, and rewriting the target into a read
     // plan here would strand the statement). A DV'd graft table in a
     // MERGE SOURCE (or any read position) still rewrites normally.
-    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-      MergeIntoTable, UpdateTable}
+    import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
+      DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
     val dmlTargets =
       java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
@@ -48,6 +48,8 @@ case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => d.table.foreach(dmlTargets.add)
       case u: UpdateTable => u.table.foreach(dmlTargets.add)
       case m: MergeIntoTable => m.targetTable.foreach(dmlTargets.add)
+      case i: InsertIntoStatement => i.table.foreach(dmlTargets.add)
+      case a: AppendData => a.table.foreach(dmlTargets.add)
       case _ => ()
     }
     plan.resolveOperatorsUpWithSubqueriesAndPruning(_ => true) {

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
+  Assignment, DeleteAction, DeleteFromTable, InsertAction,
+  InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias,
+  UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -57,6 +58,39 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
             if (Manifest.version(path) > 0) Some(path) else None
           case _ => None
         }
+      // INSERT targets arrive as a V1 relation: the catalog's table is
+      // a FileTable, so Spark's FallBackFileSourceV2 dissolves the DSv2
+      // relation (catalog identity and all) into a LogicalRelation over
+      // the version's exact file list BEFORE extension rules run. The
+      // table path is recovered from the fixed <table>/data/bNNNNNN/
+      // layout and VALIDATED: every relation path must be a live file
+      // of the recovered table's head — a plain parquet-directory
+      // insert can never satisfy that shape.
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            val roots = h.location.rootPaths.map(_.toUri.getPath)
+            if (roots.isEmpty || roots.exists(_ == null)) None
+            else {
+              val p = java.nio.file.Paths.get(roots.head)
+              if (p.getNameCount < 4) None
+              else {
+                val tbl = "/" + p.subpath(0, p.getNameCount - 3).toString
+                if (Manifest.version(tbl) == 0) None
+                else {
+                  val live = Manifest.files(tbl).map(rel =>
+                    java.nio.file.Paths.get(tbl).resolve(rel)
+                      .toAbsolutePath.normalize.toString).toSet
+                  if (roots.forall(r => live.contains(
+                    java.nio.file.Paths.get(r).toAbsolutePath
+                      .normalize.toString))) Some(tbl)
+                  else None
+                }
+              }
+            }
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -96,10 +130,35 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
+          case Some(path) if isMergeDelete(m) =>
+            GraftMergeDeleteCommand(path, m.sourceTable,
+              mergeConditionKeys(m))
           case Some(path) =>
             GraftMergeCommand(path, m.sourceTable,
               mergeKeys(m), m.targetTable.output.map(_.name))
           case None => m
+        }
+      // SQL INSERT INTO / INSERT OVERWRITE — intercepted at the
+      // statement when our rule wins the fixed-point race, and at the
+      // already-converted AppendData otherwise (whichever arrives, the
+      // command is the same append/replace through Manifest.commit)
+      case i: InsertIntoStatement
+          if i.table.resolved && i.query.resolved &&
+            graftTarget(i.table).isDefined =>
+        val path = graftTarget(i.table).get
+        if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+          throw new UnsupportedOperationException(
+            "graft SQL INSERT takes no PARTITION clause — the manifest " +
+              "(and its per-file stats) is the layout")
+        GraftInsertCommand(path, i.query, i.userSpecifiedCols,
+          overwrite = i.overwrite, byName = i.byName)
+      case a @ AppendData(r: DataSourceV2Relation, query, _, isByName, _, _)
+          if query.resolved =>
+        graftTarget(r) match {
+          case Some(path) =>
+            GraftInsertCommand(path, query, Nil,
+              overwrite = false, byName = isByName)
+          case None => a
         }
     }
 
@@ -141,6 +200,33 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("NOT MATCHED BY SOURCE actions")
+    mergeConditionKeys(m)
+  }
+
+  /** The GDPR-adjacent MERGE-DELETE Delta idiom:
+    *
+    *   MERGE INTO graft.t USING erasure_requests src ON t.k = src.k
+    *   WHEN MATCHED THEN DELETE
+    *
+    * (no other actions, no DELETE condition) — routed to the
+    * merge-on-read keyed erasure [[Merge.deleteKeysDv]]. */
+  private def isMergeDelete(m: MergeIntoTable): Boolean =
+    m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty &&
+      (m.matchedActions match {
+        case Seq(DeleteAction(None)) => true
+        case _ => false
+      })
+
+  /** Equi-join key column names from the merge condition: a conjunction
+    * of same-name target-to-source equalities; anything else refuses
+    * loudly naming the Scala API. */
+  private def mergeConditionKeys(m: MergeIntoTable): Seq[String] = {
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        "graft SQL MERGE needs a conjunction of same-name key " +
+          s"equalities in its ON clause; got $what. Use the Scala API " +
+          "(Merge.upsert / deleteKeysDv / deleteWhereDv / " +
+          "updateWhereDv) for other shapes.")
     val tgtSet = m.targetTable.outputSet
     val srcSet = m.sourceTable.outputSet
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -189,9 +275,10 @@ case class GraftDeleteCommand(tablePath: String, cond: Expression)
   * copy-on-write keyed merge (only files containing a matched key
   * rewrite; insert-only degenerates to a pure append), duplicate-key
   * sources refused before anything writes, broadcast-vs-shuffle key
-  * probing size-gated. The source plan re-executes inside the command
-  * (it was analyzed with the statement). Returns
-  * (num_affected_rows = source rows merged). */
+  * probing size-gated. The source executes ONCE inside the merge
+  * engine (its localCheckpointed snapshot), which also reports
+  * num_affected_rows = source rows merged — a non-deterministic source
+  * can never report a count inconsistent with what actually merged. */
 case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
     keyCols: Seq[String], targetCols: Seq[String])
     extends LeafRunnableCommand {
@@ -200,8 +287,103 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
   override def run(session: SparkSession): Seq[Row] = {
     val src = Bridge.ofRows(session, source)
       .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
-    val n = src.count()
-    Merge.upsert(session, tablePath, src, keyCols)
+    val stats = Merge.upsert(session, tablePath, src, keyCols)
+    Seq(Row(stats.sourceRows))
+  }
+}
+
+/** `MERGE INTO graft.t USING src ON t.k = src.k WHEN MATCHED THEN
+  * DELETE` → [[Merge.deleteKeysDv]]: the merge-on-read keyed erasure —
+  * matched rows hide behind deletion vectors (positions ∝ matched rows,
+  * zero data files rewritten), idempotent by MoR construction. Single
+  * key column only (the GDPR request-set shape); composite keys refuse
+  * loudly naming the Scala API. Returns num_affected_rows = positions
+  * newly hidden. */
+case class GraftMergeDeleteCommand(tablePath: String,
+    source: LogicalPlan, keyCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val keyCol = keyCols match {
+      case Seq(one) => one
+      case more => throw new UnsupportedOperationException(
+        "graft SQL MERGE ... WHEN MATCHED THEN DELETE supports a " +
+          s"single key column, got (${more.mkString(", ")}) — use the " +
+          "Scala API (Merge.deleteWhereDv with a composite predicate, " +
+          "or concatenate a surrogate key)")
+    }
+    val keys = Bridge.ofRows(session, source)
+      .select(org.apache.spark.sql.functions.col(keyCol))
+    val stats = Merge.deleteKeysDv(session, tablePath, keys, keyCol)
+    Seq(Row(stats.positionsAdded))
+  }
+}
+
+/** `INSERT INTO graft.t [(cols…)] SELECT …` / `INSERT OVERWRITE` →
+  * [[Manifest.commit]]'s governed append (replace for OVERWRITE): the
+  * full commit protocol — optimistic concurrency, CHECK-constraint
+  * validation over the WRITTEN batch, append-compatible schema
+  * evolution, per-file stats harvest. Column alignment:
+  *
+  *   - plain `INSERT INTO t SELECT …` with matching arity: by POSITION
+  *     (standard SQL), values cast onto the table's recorded types;
+  *   - an explicit column list (`INSERT INTO t (a, c) …`) or `BY NAME`:
+  *     named columns land by name, unnamed table columns read as null
+  *     (the append-compatible diagonal), and names NOT in the table
+  *     schema append as NEW columns — the schema-evolving insert;
+  *   - anything else (arity mismatch without names) refuses loudly.
+  *
+  * Returns num_affected_rows = the committed batch's recorded row count
+  * (pure manifest metadata — no second scan of the source). */
+case class GraftInsertCommand(tablePath: String, source: LogicalPlan,
+    userCols: Seq[String], overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val df0 = Bridge.ofRows(session, source)
+    val schema = Manifest.schemaOf(tablePath).getOrElse(
+      Manifest.read(session, tablePath).schema)
+    val tcols = schema.fieldNames.toSeq
+    val named =
+      if (userCols.nonEmpty) {
+        require(userCols.size == df0.columns.length,
+          s"INSERT column list names ${userCols.size} column(s) but the " +
+            s"query produces ${df0.columns.length}")
+        df0.toDF(userCols: _*)
+      } else if (byName || df0.columns.length != tcols.length) {
+        // BY NAME, or an arity mismatch: only sound when every query
+        // column name is usable as-is — table columns match by name,
+        // genuinely new names evolve the schema
+        val known = tcols.map(_.toLowerCase).toSet
+        val matched = df0.columns.count(c => known.contains(c.toLowerCase))
+        if (!byName && matched != tcols.size)
+          throw new UnsupportedOperationException(
+            s"graft SQL INSERT: the query produces ${df0.columns.length} " +
+              s"column(s) for a ${tcols.length}-column table and its " +
+              "output names do not cover the table's columns — use an " +
+              "explicit column list (INSERT INTO t (a, b, …)), BY NAME, " +
+              "or match the table's arity by position")
+        df0
+      } else df0.toDF(tcols: _*) // standard SQL: by position
+    // cast columns that exist in the table onto their RECORDED types
+    // (an int literal must not fail a bigint column's evolve check);
+    // new columns keep the query's types and evolve the schema
+    val byLower = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    val aligned = named.select(named.columns.toSeq.map { c =>
+      byLower.get(c.toLowerCase) match {
+        case Some(f) => col(c).cast(f.dataType).as(f.name)
+        case None => col(c)
+      }
+    }: _*)
+    val v = Manifest.commit(aligned, tablePath, replace = overwrite)
+    // the commit recorded its own fresh files' row counts — the
+    // inserted-row count is their sum, pure driver-side metadata
+    val n = Manifest.delta(tablePath, v).meta.collect {
+      case (k, rows) if k.startsWith(Manifest.FileRowsPrefix) =>
+        rows.toLong }.sum
     Seq(Row(n))
   }
 }

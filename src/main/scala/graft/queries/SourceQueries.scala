@@ -1614,6 +1614,95 @@ object SourceQueries {
             TRUE AS zero_rewrites, TRUE AS mor_history
           FROM final GROUP BY lang ORDER BY lang""")),
 
+    // s39: SQL INSERT over a governed table — the verb that completes
+    // the DML surface (s38 covers DELETE/UPDATE/MERGE-upsert): plain
+    // `INSERT INTO graft.t SELECT …` routes through Manifest.commit's
+    // governed append (optimistic concurrency, constraint gate, per-file
+    // stats) via the GraftSqlDml analyzer rule; a column-list INSERT
+    // naming a column the table lacks performs the append-compatible
+    // SCHEMA EVOLUTION; and `MERGE INTO … WHEN MATCHED THEN DELETE`
+    // (the GDPR request-set idiom) routes to Merge.deleteKeysDv's
+    // merge-on-read erasure. Earned: pure_append (the INSERT carries
+    // every pre-insert file by reference — no rewrite), dv_erasure (the
+    // merge-delete publishes only deletion vectors — file list
+    // unchanged), schema_evolved (every pre-evolution row reads the new
+    // column as null). Each verb's num_affected_rows is cross-checked
+    // against the oracle's own counts. At 100 TB: INSERT cost ∝ the
+    // batch, erasure cost ∝ matched positions — never table size.
+    "s39_sql_insert" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s39_table", dir)
+        wipe(tbl)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        // seed with three quarters of the corpus; INSERT the rest back
+        Manifest.commit(
+          T(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(4)) =!= 1)
+            .select(col("doc_id"), col("lang"), col("n_chars"))
+            .coalesce(2), tbl, statsCols = Seq("doc_id"))
+        val filesBefore = Manifest.files(tbl)
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(4)) === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .createOrReplaceTempView(s"s39_ins_${dirTag(dir)}")
+        val inserted = s.sql(
+          s"INSERT INTO graft.`$tbl` SELECT * FROM s39_ins_${dirTag(dir)}")
+          .collect().head.getLong(0)
+        val pureAppend =
+          filesBefore.toSet.subsetOf(Manifest.files(tbl).toSet) &&
+            Manifest.history(s, tbl).last.change_type == "append"
+        // schema-evolving INSERT: 'src' is a NEW column — the commit
+        // evolves the schema; every earlier row reads it as null
+        val evolved = s.sql(
+          s"INSERT INTO graft.`$tbl` (doc_id, lang, n_chars, src) " +
+            "VALUES (-1, 'xx', 0, 'manual')")
+          .collect().head.getLong(0)
+        val schemaEvolved =
+          Manifest.read(s, tbl).columns.contains("src")
+        // GDPR request-set erasure via SQL MERGE-DELETE
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(9)) === 2)
+          .select(col("doc_id"))
+          .createOrReplaceTempView(s"s39_req_${dirTag(dir)}")
+        val preErase = Manifest.files(tbl)
+        val erased = s.sql(
+          s"MERGE INTO graft.`$tbl` AS t " +
+            s"USING s39_req_${dirTag(dir)} AS r ON t.doc_id = r.doc_id " +
+            "WHEN MATCHED THEN DELETE")
+          .collect().head.getLong(0)
+        val dvErasure = Manifest.files(tbl) == preErase &&
+          Manifest.deletionVectors(tbl).nonEmpty &&
+          Manifest.history(s, tbl).last.change_type == "delete"
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(inserted).as("inserted_rows"),
+            lit(evolved).as("evolved_rows"),
+            lit(erased).as("erased_rows"),
+            lit(pureAppend).as("pure_append"),
+            lit(dvErasure).as("dv_erasure"),
+            lit(schemaEvolved).as("schema_evolved"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH base AS (
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            UNION ALL SELECT -1, 'xx', 0),
+          live AS (SELECT * FROM base WHERE doc_id % 9 <> 2)
+          SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            (SELECT count(*) FROM documents WHERE doc_id % 4 = 1)
+              AS inserted_rows,
+            CAST(1 AS BIGINT) AS evolved_rows,
+            (SELECT count(*) FROM base WHERE doc_id % 9 = 2)
+              AS erased_rows,
+            TRUE AS pure_append, TRUE AS dv_erasure,
+            TRUE AS schema_evolved
+          FROM live GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

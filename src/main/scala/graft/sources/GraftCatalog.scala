@@ -114,7 +114,7 @@ class GraftCatalog extends TableCatalog {
   private def load(ident: Identifier, asOf: Long): Table = {
     val path = tablePath(ident)
     val spark = SparkSession.active
-    if (Manifest.version(path) == 0L && asOf < 0 &&
+    if (Manifest.version(path) == 0L &&
         (ident.name().equalsIgnoreCase("history") ||
           ident.name().equalsIgnoreCase("files") ||
           ident.name().equalsIgnoreCase("tags") ||
@@ -123,19 +123,29 @@ class GraftCatalog extends TableCatalog {
       // graft.<t>.history / .files / .tags / .detail — the
       // metadata-table convention: the name resolves only when <t> IS
       // a manifest table and no real table shadows it (checked above),
-      // so a data table named "history"/"files"/"tags"/"detail" wins
+      // so a data table named "history"/"files"/"tags"/"detail" wins.
+      // `.files`/`.detail` also serve VERSION AS OF (the Iceberg
+      // per-snapshot metadata convention — the manifest resolves any
+      // version); history and tags are whole-table surfaces.
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
       val parentPath = tablePath(parent)
-      if (Manifest.version(parentPath) > 0L)
+      if (Manifest.version(parentPath) > 0L) {
+        if (ident.name().equalsIgnoreCase("files"))
+          return filesTable(s"$catalogName.${ident.toString}",
+            parentPath, asOf)
+        if (ident.name().equalsIgnoreCase("detail"))
+          return detailTable(s"$catalogName.${ident.toString}",
+            parentPath, asOf)
+        if (asOf >= 0)
+          throw new UnsupportedOperationException(
+            s"graft.<t>.${ident.name().toLowerCase} does not support " +
+              "AS OF — history and tags already describe every version")
         return (if (ident.name().equalsIgnoreCase("history"))
           historyTable(spark, s"$catalogName.${ident.toString}",
             parentPath)
-        else if (ident.name().equalsIgnoreCase("tags"))
-          tagsTable(s"$catalogName.${ident.toString}", parentPath)
-        else if (ident.name().equalsIgnoreCase("detail"))
-          detailTable(s"$catalogName.${ident.toString}", parentPath)
-        else filesTable(s"$catalogName.${ident.toString}", parentPath))
+        else tagsTable(s"$catalogName.${ident.toString}", parentPath))
+      }
     }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
     require(v > 0, s"no committed version at $path")
@@ -152,12 +162,14 @@ class GraftCatalog extends TableCatalog {
     else new DvMarkedTable(table.name, path, v, table.schema)
   }
 
-  /** `graft.<t>.files` rows — [[Manifest.fileInventory]] rendered as a
-    * DSv2 metadata table (the Iceberg `.files` convention): one row per
-    * LIVE file of the head version with its adding version, recorded
-    * row count (null for pre-stats writers) and DV'd position count.
-    * Pure manifest metadata — zero data/footer I/O. */
-  private def filesTable(name: String, path: String): Table = {
+  /** `graft.<t>.files [VERSION AS OF v]` rows — [[Manifest
+    * .fileInventory]] rendered as a DSv2 metadata table (the Iceberg
+    * `.files` convention, per snapshot): one row per LIVE file of the
+    * requested version (head when unversioned) with its adding version,
+    * recorded row count (null for pre-stats writers) and DV'd position
+    * count. Pure manifest metadata — zero data/footer I/O. */
+  private def filesTable(name: String, path: String,
+      asOf: Long = -1L): Table = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
@@ -166,24 +178,27 @@ class GraftCatalog extends TableCatalog {
       StructField("added_version", LongType, nullable = false),
       StructField("rows", LongType, nullable = true),
       StructField("dv_positions", LongType, nullable = false)))
-    val rows = Manifest.fileInventory(path).map { case (f, av, n, dv) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(f), av,
-        n.map(Long.box).orNull, dv))
-        : org.apache.spark.sql.catalyst.InternalRow
-    }.toArray
+    val rows = Manifest.fileInventory(path, asOf)
+      .map { case (f, av, n, dv) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(f), av,
+          n.map(Long.box).orNull, dv))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
     new MetadataRowsTable(name, schema, rows)
   }
 
-  /** `graft.<t>.detail` — the DESCRIBE DETAIL convention: ONE row of
-    * table-level facts, every one answered from commit metadata alone
-    * (version, live file count, metadata-only row count — null for
-    * pre-stats writers, positions hidden by deletion vectors, tag
+  /** `graft.<t>.detail [VERSION AS OF v]` — the DESCRIBE DETAIL
+    * convention: ONE row of table-level facts at the requested version
+    * (head when unversioned), every one answered from commit metadata
+    * alone (version, live file count, metadata-only row count — null
+    * for pre-stats writers, positions hidden by deletion vectors, tag
     * count, CHECK-constraint count). Zero data/footer I/O at any
     * table size. */
-  private def detailTable(name: String, path: String): Table = {
+  private def detailTable(name: String, path: String,
+      asOf: Long = -1L): Table = {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.types._
-    val v = Manifest.version(path)
+    val v = if (asOf >= 0) asOf else Manifest.version(path)
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("num_files", LongType, nullable = false),

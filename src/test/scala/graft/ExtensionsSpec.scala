@@ -176,6 +176,30 @@ class ExtensionsSpec extends SparkSpec {
     val logical = viaSql.flatMap(_._3).sum - viaSql.map(_._4).sum
     assert(Manifest.rowCount(tbl).contains(logical) &&
       Manifest.read(spark, tbl).count() == logical)
+    // metadata tables serve VERSION AS OF (the Iceberg per-snapshot
+    // convention): .files at v1 shows only v1's file with no DV, and
+    // .detail at v1 reports v1's facts — both ≡ the API at that version
+    def filesAsOf(v: Long) = spark.sql(
+      s"SELECT * FROM graft.t5.files VERSION AS OF $v ORDER BY file")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      .toSeq
+    assert(filesAsOf(1L) == Manifest.fileInventory(tbl, 1L).sortBy(_._1))
+    assert(filesAsOf(1L).size == 1 && filesAsOf(1L).head._4 == 0L,
+      "v1: one file, no DV yet")
+    assert(filesAsOf(2L) == Manifest.fileInventory(tbl, 2L).sortBy(_._1))
+    val d1 = spark.sql(
+      "SELECT * FROM graft.t5.detail VERSION AS OF 1").collect().head
+    assert(d1.getLong(0) == 1L && d1.getLong(1) == 1L &&
+      d1.getLong(2) == 2L && d1.getLong(3) == 0L)
+    // history/tags are whole-table surfaces: AS OF refuses loudly
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val eH = intercept[Exception](spark.sql(
+      "SELECT * FROM graft.t5.history VERSION AS OF 1").collect())
+    assert(msgs(eH).exists(_.contains("does not support AS OF")), msgs(eH))
   }
 
   test("graft catalog: TIMESTAMP AS OF serves the newest version " +
@@ -297,13 +321,11 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       s"DELETE FROM graft.`$sqlT` WHERE id IN (SELECT id FROM graft.`$apiT`)"))
     assert(msgs(e).exists(_.contains("deleteKeysDv")), msgs(e))
-    // the read-only rule retires ONLY for DELETE/UPDATE
+    // the read-only rule still holds for DDL (DML verbs route through
+    // the governed commit protocol — INSERT has its own spec)
     val e2 = intercept[Exception](spark.sql(
       s"DROP TABLE graft.`$sqlT`"))
     assert(msgs(e2).exists(_.contains("read-only")), msgs(e2))
-    val e3 = intercept[Exception](spark.sql(
-      s"INSERT INTO graft.`$sqlT` VALUES (1, 2)"))
-    assert(e3 != null)
     // DML on a table under CHECK constraints still validates: the
     // update images go through the same gated commit
     Manifest.addConstraint(spark, sqlT, "v_nonneg", "v >= 0")
@@ -337,10 +359,114 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs(sqlT) == pairs(apiT), "SQL MERGE ≡ API upsert")
     assert(pairs(sqlT).contains((0L, 7L)) && pairs(sqlT).contains((8L, 87L)))
     // unsupported merge shapes refuse loudly naming the Scala API
+    // (a CONDITIONAL delete — the unconditional merge-delete is a
+    // supported verb with its own spec)
     val e5 = intercept[Exception](spark.sql(
       s"MERGE INTO graft.`$sqlT` AS t USING s38_src AS s ON t.id = s.id " +
-        "WHEN MATCHED THEN DELETE"))
+        "WHEN MATCHED AND s.v > 0 THEN DELETE"))
     assert(msgs(e5).exists(_.contains("Merge.upsert")), msgs(e5))
+  }
+
+  test("SQL INSERT INTO / OVERWRITE ≡ the API append/replace (commit " +
+    "shape earned, schema evolution included, constraint violations " +
+    "abort loudly) and MERGE-DELETE ≡ Merge.deleteKeysDv — both with " +
+    "exact num_affected_rows from metadata alone") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ins").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def seed(name: String): String = {
+      val p = s"$root/$name"
+      Manifest.commit((0L until 20L).map(i => (i, i * 10))
+        .toDF("id", "v").coalesce(2), p, statsCols = Seq("id"))
+      p
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val sqlT = seed("ins_sql"); val apiT = seed("ins_api")
+    def rows(p: String) = Manifest.read(spark, p).select("id", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toSet
+    // plain by-position INSERT (int literals cast onto bigint columns)
+    val ins = spark.sql(
+      s"INSERT INTO graft.`$sqlT` VALUES (100, 1), (101, 2)")
+    assert(ins.columns.toSeq == Seq("num_affected_rows") &&
+      ins.collect().head.getLong(0) == 2L)
+    Manifest.commit(Seq((100L, 1L), (101L, 2L)).toDF("id", "v"), apiT)
+    assert(rows(sqlT) == rows(apiT), "SQL INSERT ≡ API append")
+    // commit shape: a PURE APPEND — v1's files all carried, history says
+    // append, and the pre-insert version still time-travels
+    assert(Manifest.files(sqlT).toSet
+      .intersect(Manifest.files(sqlT, 1L).toSet) ==
+      Manifest.files(sqlT, 1L).toSet)
+    assert(Manifest.history(spark, sqlT).last.change_type == "append")
+    assert(Manifest.read(spark, sqlT, 1L).count() == 20L)
+    // explicit column list: reorder + fill unnamed columns with null
+    spark.sql(s"INSERT INTO graft.`$sqlT` (v, id) VALUES (3, 102)")
+    assert(rows(sqlT).contains((102L, 3L)))
+    spark.sql(s"INSERT INTO graft.`$sqlT` (id) VALUES (103)")
+    assert(Manifest.read(spark, sqlT)
+      .filter(col("id") === 103L && col("v").isNull).count() == 1L)
+    // SCHEMA-EVOLVING insert: a column-list name the table lacks
+    // appends as a new column; every earlier row reads it as null
+    val ev = spark.sql(
+      s"INSERT INTO graft.`$sqlT` (id, v, tag) VALUES (300, 4, 'fresh')")
+    assert(ev.collect().head.getLong(0) == 1L)
+    val evolved = Manifest.read(spark, sqlT)
+    assert(evolved.columns.toSeq == Seq("id", "v", "tag"))
+    assert(evolved.filter(col("tag") === "fresh").count() == 1L)
+    assert(evolved.filter(col("tag").isNull).count() ==
+      evolved.count() - 1L)
+    // arity mismatch without usable names refuses loudly with remedies
+    val eAr = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$sqlT` VALUES (1, 2)"))
+    assert(msgs(eAr).exists(m => m.contains("BY NAME") ||
+      m.contains("column list") || m.contains("data columns")), msgs(eAr))
+    // CHECK constraints gate SQL INSERT like any commit
+    Manifest.addConstraint(spark, sqlT, "v_nonneg", "v >= 0 OR v IS NULL")
+    val before = rows(sqlT)
+    val eC = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$sqlT` (id, v) VALUES (400, -5)"))
+    assert(msgs(eC).exists(_.contains("v_nonneg")), msgs(eC))
+    assert(rows(sqlT) == before, "failed INSERT published nothing")
+    // INSERT OVERWRITE = the replace commit: content swaps, history keeps
+    val headBefore = Manifest.version(sqlT)
+    val ow = spark.sql(
+      s"INSERT OVERWRITE graft.`$sqlT` (id, v, tag) " +
+        "VALUES (1, 10, 'a'), (2, 20, 'b')")
+    assert(ow.collect().head.getLong(0) == 2L)
+    assert(Manifest.read(spark, sqlT).count() == 2L)
+    assert(Manifest.history(spark, sqlT).last.change_type == "replace")
+    assert(Manifest.read(spark, sqlT, headBefore).count() ==
+      before.size.toLong, "pre-overwrite version still time-travels")
+    // MERGE-DELETE (the GDPR request-set verb): SQL ≡ deleteKeysDv,
+    // merge-on-read shape earned (zero rewrites, DV lines, MoR history)
+    val mdSql = seed("md_sql"); val mdApi = seed("md_api")
+    Seq(3L, 7L, 11L, 99L).toDF("id").createOrReplaceTempView("md_req")
+    val md = spark.sql(
+      s"MERGE INTO graft.`$mdSql` AS t USING md_req AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    assert(md.collect().head.getLong(0) == 3L, "99 matches nothing")
+    Merge.deleteKeysDv(spark, mdApi, Seq(3L, 7L, 11L, 99L).toDF("id"),
+      "id")
+    assert(rows(mdSql) == rows(mdApi), "SQL MERGE-DELETE ≡ API erasure")
+    assert(Manifest.files(mdSql) == Manifest.files(mdSql, 1L),
+      "zero rewrites — deletion vectors only")
+    assert(Manifest.deletionVectors(mdSql).nonEmpty)
+    assert(Manifest.history(spark, mdSql).last.change_type == "delete")
+    // a replayed request set matches nothing: idempotent by construction
+    assert(spark.sql(
+      s"MERGE INTO graft.`$mdSql` AS t USING md_req AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE").collect().head.getLong(0) == 0L)
+    // composite-key merge-delete refuses loudly naming the Scala API
+    Seq((3L, 30L)).toDF("id", "v").createOrReplaceTempView("md_req2")
+    val eK = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$mdSql` AS t USING md_req2 AS s " +
+        "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE"))
+    assert(msgs(eK).exists(_.contains("single key column")), msgs(eK))
   }
 
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {

@@ -38,7 +38,7 @@ class MergeSpec extends SparkSpec {
     val src = Seq((0L, "UP", 9), (23L, "UP2", 9), (99L, "NEW", 9))
       .toDF("id", "s", "g")
     val st = Merge.upsert(spark, tbl, src, Seq("id"))
-    assert(st == Merge.CowStats(4L, 3, 2, 1, 3),
+    assert(st == Merge.CowStats(4L, 3, 2, 1, 3, 3L),
       s"expected files 1 and 3 rewritten, file 2 carried: $st")
     val now = asMap(Manifest.read(spark, tbl))
     assert(now.size == 13) // 12 seeded + 1 insert
@@ -149,7 +149,7 @@ class MergeSpec extends SparkSpec {
     val st = Merge.upsert(spark, tbl,
       Seq((10L, "UP", 9), (12L, "UP2", 9)).toDF("id", "s", "g"),
       Seq("id"))
-    assert(st == Merge.CowStats(5L, 4, 1, 3, 1),
+    assert(st == Merge.CowStats(5L, 4, 1, 3, 1, 2L),
       s"expected a 1-of-4 candidate prune: $st")
     val now = asMap(Manifest.read(spark, tbl))
     assert(now.size == 16 && now(10L) == ("UP", 9) &&
@@ -182,5 +182,29 @@ class MergeSpec extends SparkSpec {
       (4L, "update_preimage", 0L, "v00"),
       (4L, "update_postimage", 0L, "UP"),
       (4L, "insert", 99L, "NEW")))
+  }
+
+  test("upsert reports sourceRows from its ONE source execution (the " +
+    "localCheckpointed snapshot) — no second scan: an execution-counting " +
+    "source evaluates each row exactly once, and the count is exact on " +
+    "both the merge and the create-table path") {
+    val tbl = freshTable(); seed(tbl)
+    val acc = spark.sparkContext.longAccumulator("src_row_evals")
+    val counting = udf((id: Long) => { acc.add(1L); id })
+      .asNondeterministic()
+    val src = Seq((0L, "UP", 9), (23L, "UP2", 9), (99L, "NEW", 9))
+      .toDF("id", "s", "g")
+      .withColumn("id", counting(col("id")))
+    val st = Merge.upsert(spark, tbl, src, Seq("id"))
+    assert(st.sourceRows == 3L, "num_affected_rows contract")
+    assert(acc.value == 3L,
+      s"the merge source must execute exactly once, saw ${acc.value} " +
+        "row evaluations")
+    // the CREATE-OR-MERGE path (empty table) reports the count too —
+    // from the creating commit's own recorded file stats
+    val fresh = freshTable()
+    val st2 = Merge.upsert(spark, fresh,
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "s", "g"), Seq("id"))
+    assert(st2.sourceRows == 2L)
   }
 }
