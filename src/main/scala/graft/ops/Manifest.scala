@@ -1093,25 +1093,66 @@ object Manifest {
     rawMeta(tablePath, v).get(SchemaKey)
       .map(DataType.fromJson(_).asInstanceOf[StructType])
 
+  /** The widening-promotion lattice the parquet readers serve natively
+    * (Spark 4's widening type promotions: an INT32 file column reads
+    * correctly under a LongType read schema, FLOAT under DOUBLE): the
+    * wider of two types when one safely widens to the other, None
+    * otherwise. Deliberately conservative — only the lossless
+    * integral chain and float→double. */
+  private def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    val intChain: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    val floatChain: Seq[DataType] = Seq(FloatType, DoubleType)
+    def rank(chain: Seq[DataType]): Option[DataType] = {
+      val (ia, ib) = (chain.indexOf(a), chain.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(chain(math.max(ia, ib))) else None
+    }
+    rank(intChain).orElse(rank(floatChain))
+  }
+
   /** Append-compatible evolution of `prev` by `next`: columns shared by
     * both must keep their exact type; columns only in `next` append to
     * the end (new files carry them, old files read as null); columns
     * only in `prev` are retained (the new files read as null — the
     * diagonal-union semantics). Incompatible type changes fail loudly —
-    * rewrite via `replace = true` instead. */
-  private def evolve(prev: StructType, next: StructType): StructType = {
+    * rewrite via `replace = true` instead. `widen = true` (the
+    * EXPLICIT opt-in [[commit]]'s `allowTypeWidening` passes — the
+    * Delta declared-upcast shape) additionally accepts LOSSLESS
+    * widenings ([[widerOf]]): the merged column takes the wider type,
+    * and every file generation reads correctly under it via the
+    * parquet readers' native widening promotion — no file is ever
+    * rewritten for a type migration. Anything outside the lattice
+    * (string→int, long→int, …) still refuses loudly. */
+  private def evolve(prev: StructType, next: StructType,
+      widen: Boolean = false): StructType = {
     val prevTypes = prev.fields.map(f => f.name -> f.dataType).toMap
-    next.fields.foreach { f =>
-      prevTypes.get(f.name).foreach(t => require(t == f.dataType,
-        s"schema evolution cannot change column '${f.name}' from $t to " +
-          s"${f.dataType}; commit with replace = true to rewrite"))
-    }
+    val merged = next.fields.flatMap { f =>
+      prevTypes.get(f.name).map { t =>
+        if (t == f.dataType) f.name -> t
+        else {
+          val w = if (widen) widerOf(t, f.dataType) else None
+          require(w.isDefined,
+            s"schema evolution cannot change column '${f.name}' from $t " +
+              s"to ${f.dataType}; " +
+              (if (!widen && widerOf(t, f.dataType).isDefined)
+                "pass allowTypeWidening = true to accept this lossless " +
+                  "widening, or "
+               else "") +
+              "commit with replace = true to rewrite")
+          f.name -> w.get
+        }
+      }
+    }.toMap
     val nextNames = next.fieldNames.toSet
     // nullability relaxes to the union's (a column absent from any
     // file generation is nullable in the merged view)
     StructType(
-      prev.fields.map(f =>
-        if (nextNames.contains(f.name)) f else f.copy(nullable = true)) ++
+      prev.fields.map { f =>
+        val t = merged.getOrElse(f.name, f.dataType)
+        if (nextNames.contains(f.name)) f.copy(dataType = t)
+        else f.copy(nullable = true)
+      } ++
         next.fields.filterNot(f => prevTypes.contains(f.name))
           .map(_.copy(nullable = true)))
   }
@@ -1301,7 +1342,8 @@ object Manifest {
       excludeConstraint: Option[String] = None,
       removeFiles: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
-      readVersion: Long = -1L): Long = {
+      readVersion: Long = -1L,
+      allowTypeWidening: Boolean = false): Long = {
     statsCols.foreach(c => require(!c.contains(":") && !c.contains("|"),
       s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
@@ -1585,7 +1627,8 @@ object Manifest {
       val schema =
         if (replace || base == 0) df.schema
         else schemaOf(tablePath, base)
-          .map(evolve(_, df.schema)).getOrElse(df.schema)
+          .map(evolve(_, df.schema, widen = allowTypeWidening))
+          .getOrElse(df.schema)
       val inherited =
         if (base == 0) Map.empty[String, String]
         else constraintsOf(tablePath, base) -- excludeConstraint.toSeq

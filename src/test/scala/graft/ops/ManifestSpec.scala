@@ -1341,6 +1341,44 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.fileBytes(tbl).keySet == Manifest.files(tbl).toSet)
   }
 
+  test("type-widening schema evolution is an EXPLICIT opt-in: a long " +
+    "batch into an int column widens the column (old files read " +
+    "correctly, no rewrite), the default still refuses naming the " +
+    "opt-in, and non-lossless changes refuse even with it") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val tbl = freshTable()
+    Manifest.commit(spark.range(5).selectExpr("cast(id as int) as x"),
+      tbl)
+    // default: exact-type rule, and the error NAMES the opt-in since
+    // this change is losslessly widenable
+    val e = intercept[IllegalArgumentException](
+      Manifest.commit(spark.range(5, 8).selectExpr("id as x"), tbl))
+    assert(e.getMessage.contains("allowTypeWidening"))
+    // opt-in: the column widens to long; every generation reads under
+    // the widened schema via the readers' native promotion — no rewrite
+    val filesBefore = Manifest.files(tbl)
+    Manifest.commit(spark.range(5, 8).selectExpr("id as x"), tbl,
+      allowTypeWidening = true)
+    assert(Manifest.schemaOf(tbl).get("x").dataType == LongType)
+    assert(filesBefore.toSet.subsetOf(Manifest.files(tbl).toSet),
+      "widening is metadata-only — no file rewritten")
+    assert(Manifest.read(spark, tbl).selectExpr("sum(x)")
+      .head().getLong(0) == (0L until 8L).sum)
+    // a NARROWER batch into the widened column also lands under the
+    // opt-in (merged type stays long; its int files read as long)
+    Manifest.commit(spark.range(8, 10).selectExpr("cast(id as int) as x"),
+      tbl, allowTypeWidening = true)
+    assert(Manifest.schemaOf(tbl).get("x").dataType == LongType)
+    assert(Manifest.read(spark, tbl).count() == 10L)
+    // time travel sees each version's own schema
+    assert(Manifest.schemaOf(tbl, 1L).get("x").dataType == IntegerType)
+    // non-lossless changes refuse even with the opt-in
+    val e2 = intercept[IllegalArgumentException](
+      Manifest.commit(spark.range(2).selectExpr("cast(id as string) as x"),
+        tbl, allowTypeWidening = true))
+    assert(e2.getMessage.contains("replace = true"))
+  }
+
   test("ADVICE r15: dropStaged after vacuum dropped the PUBLISHING " +
     "version's manifest (crash-window wap file survived) still treats " +
     "the stage as published — live data files are never reclaimed") {

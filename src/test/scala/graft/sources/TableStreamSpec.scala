@@ -417,6 +417,50 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("bytes admission is served from the manifest's #filebytes lines " +
+    "— ZERO storage I/O (the data dir renamed away, offsets still " +
+    "clamp) — and pre-recording manifests fall back to one stat") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val up = fresh("admb_up")
+    Manifest.commit((0L until 5L).toDF("id").coalesce(1), up)  // v1
+    (1 to 3).foreach { i => // v2..v4: one multi-KB file each
+      Manifest.commit((i * 1000L until i * 1000L + 50L).toDF("id")
+        .coalesce(1), up)
+    }
+    // hide the data: every Files.size fallback would now see a missing
+    // file (0 bytes) and admit the WHOLE backlog — so per-version
+    // clamping under a 1-byte cap PROVES the sizes came from metadata
+    val dataDir = Paths.get(up, "data")
+    val hidden = Paths.get(up, "data_hidden")
+    Files.move(dataDir, hidden, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      val src = new TableStreamProvider()
+        .createSource(spark.sqlContext, "", None, "",
+          Map("path" -> up, "startingVersion" -> "1",
+            "maxBytesPerTrigger" -> "1"))
+      assert(src.getOffset.contains(LongOffset(2L)),
+        "1-byte cap must admit exactly one version — from manifest " +
+          "bytes alone (the data dir is gone)")
+    } finally Files.move(hidden, dataDir, StandardCopyOption.ATOMIC_MOVE)
+    // pre-recording writers: strip v2's #filebytes. lines — admission
+    // falls back to one driver-side stat and still clamps per version
+    val mf = Paths.get(up, "_manifests", "v000002.txt")
+    val body = new String(Files.readAllBytes(mf), "UTF-8")
+    val stripped = body.linesIterator
+      .filterNot(_.startsWith(s"#${Manifest.FileBytesPrefix}"))
+      .mkString("\n")
+    assert(stripped != body, "v2 must have carried recorded bytes")
+    Files.write(mf, stripped.getBytes("UTF-8"))
+    val src2 = new TableStreamProvider()
+      .createSource(spark.sqlContext, "", None, "",
+        Map("path" -> up, "startingVersion" -> "1",
+          "maxBytesPerTrigger" -> "1"))
+    assert(src2.getOffset.contains(LongOffset(2L)),
+      "stat fallback must still clamp v2 at one version")
+    src2.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(src2.getOffset.contains(LongOffset(3L)))
+  }
+
   test("a mid-stream schema commit that ADDS a column fails the tail " +
     "loudly (naming the restart contract), ignoreAddedColumns=true " +
     "accepts the documented drop, and the CDC tail fails the same way") {
