@@ -368,6 +368,7 @@ object Manifest {
       .filterNot(_._1 == CommitTsKey)
       .filterNot(_._1 == ReplaceKey)
       .filterNot(_._1 == LogFormatKey)
+      .filterNot(_._1 == MaxTsKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
     * Iceberg/Delta data-skipping stats, in the LOG where a reader finds
@@ -482,10 +483,15 @@ object Manifest {
   def readPruned(spark: SparkSession, tablePath: String, column: String,
       lo: Double, hi: Double): (DataFrame, Int, Int) = {
     val v = version(tablePath)
-    val stats = fileStats(tablePath, v)
-    val all = files(tablePath, v)
+    // one resolution serves the file list, the stats AND the DV state
+    val snap = snapshot(tablePath, v)
+    val all = snap.files
     val kept = all.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
+      snap.stats.get(f).flatMap(_.split('|').collectFirst {
+        case part if part.startsWith(s"$column:") =>
+          val Array(_, lo0, hi0) = part.split(':')
+          (lo0.toDouble, hi0.toDouble)
+      }) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // no stats recorded: cannot prune
       }
@@ -497,7 +503,7 @@ object Manifest {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema.getOrElse(read(spark, tablePath, v).schema))
-      else applyDv(spark, tablePath, v, schema match {
+      else applyDvResolved(spark, tablePath, snap.dv, schema match {
         case Some(s) => spark.read.schema(s).parquet(paths: _*)
         case None => spark.read.parquet(paths: _*)
       })
@@ -524,21 +530,58 @@ object Manifest {
       Files.getLastModifiedTime(manifestFile(tablePath, vv)).toMillis)
   }
 
+  /** Reserved metadata key recording the RUNNING MAX of commit times
+    * (`#maxts=<millis>`, = max(own [[CommitTsKey]], predecessor's
+    * maxts)) — written by every publish path so [[versionAsOf]] can
+    * BINARY-SEARCH the monotone adjusted-time sequence instead of
+    * walking every retained manifest: O(log n) small reads at any
+    * history length, immune to vacuum gaps (each version carries the
+    * whole prefix's max, whether or not the prefix survived). */
+  val MaxTsKey = "maxts"
+
+  /** The `#maxts` line a publish writes: max(now, the base version's
+    * recorded running max). A base without one (pre-recording writer)
+    * degrades to max(now, base's own commit time) — still monotone
+    * over the recorded suffix. */
+  private def maxTsMeta(tablePath: String, base: Long,
+      nowMillis: Long): Map[String, String] = {
+    val prev =
+      if (base <= 0) Long.MinValue
+      else rawMeta(tablePath, base).get(MaxTsKey).map(_.toLong)
+        .getOrElse(commitTime(tablePath, base))
+    Map(MaxTsKey -> math.max(nowMillis, prev).toString)
+  }
+
+  /** Monotonically-ADJUSTED commit time of version `v`: the recorded
+    * running max, or (pre-recording manifests) the max of the raw
+    * stamps up to `v`. */
+  private def adjustedTime(tablePath: String, vs: Seq[Long],
+      i: Int): Long =
+    rawMeta(tablePath, vs(i)).get(MaxTsKey).map(_.toLong).getOrElse(
+      (0 to i).map(j => commitTime(tablePath, vs(j))).max)
+
   /** TIMESTAMP AS OF resolution: the newest version whose
     * monotonically-ADJUSTED commit time is <= `tsMillis` (each
     * version's effective time is the max of its own stamp and every
     * predecessor's — the Delta adjustment that keeps time travel
-    * well-defined under writer clock skew). Fails loudly for a
-    * timestamp before the first retained commit — never silently
-    * serves a different state than asked for. */
+    * well-defined under writer clock skew). The adjusted sequence is
+    * nondecreasing, so resolution BINARY-SEARCHES the recorded
+    * `#maxts` stamps — O(log history) driver-side reads; a version
+    * without a stamp (pre-recording writer) falls back to the prefix
+    * walk for that probe. Fails loudly for a timestamp before the
+    * first retained commit — never silently serves a different state
+    * than asked for. */
   def versionAsOf(tablePath: String, tsMillis: Long): Long = {
     val vs = committedVersions(tablePath)
     require(vs.nonEmpty, s"no committed version at $tablePath")
-    var running = Long.MinValue
+    var lo = 0
+    var hi = vs.size - 1
     var hit = -1L
-    vs.foreach { v =>
-      running = math.max(running, commitTime(tablePath, v))
-      if (running <= tsMillis) hit = v
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (adjustedTime(tablePath, vs, mid) <= tsMillis) {
+        hit = vs(mid); lo = mid + 1
+      } else hi = mid - 1
     }
     require(hit > 0,
       s"no version of $tablePath at or before timestamp $tsMillis " +
@@ -655,6 +698,7 @@ object Manifest {
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     // values get the same line-injection guard as [[commit]]: a '\n' in
@@ -828,11 +872,13 @@ object Manifest {
       // delta manifest: the staged files publish as this version's adds;
       // the head's file list and DV state are inherited by resolution —
       // the publish is metadata-only AND O(staged), never O(table)
+      val now = System.currentTimeMillis
       val lines =
-        ((stagedMeta - SchemaKey) ++ constraintMeta ++ formatMeta +
+        ((stagedMeta - SchemaKey) ++ constraintMeta ++ formatMeta ++
+          maxTsMeta(tablePath, base, now) +
           (txnKey -> "0") +
           (SchemaKey -> schema.json) +
-          (CommitTsKey -> System.currentTimeMillis.toString))
+          (CommitTsKey -> now.toString))
           .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
         freshKept
       val tmp = Files.createTempFile(manifestDir(tablePath),
@@ -1074,9 +1120,28 @@ object Manifest {
     * hides every deleted position, no-op when the version has no DVs. */
   private[ops] def applyDv(spark: SparkSession, tablePath: String,
       v: Long, base: DataFrame): DataFrame =
-    if (deletionVectors(tablePath, v).isEmpty) base
-    else antiDv(spark, tablePath, v, withPos(base))
-      .drop("__dv_f", "__dv_p")
+    applyDvResolved(spark, tablePath, deletionVectors(tablePath, v), base)
+
+  /** [[applyDv]] with the DV mappings ALREADY RESOLVED — the scoped
+    * snapshot-reuse seam: a composite caller that has a version's
+    * [[Snap]] in hand passes its `dv` map through instead of paying a
+    * second checkpoint+delta resolution of the same version
+    * (content-identity-safe, unlike a (path, version) cache: the map
+    * came from the caller's own just-resolved state). */
+  private[ops] def applyDvResolved(spark: SparkSession,
+      tablePath: String, dvs: Map[String, (String, Long)],
+      base: DataFrame): DataFrame =
+    if (dvs.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dv = dvPositions(spark, tablePath, dvs)
+        .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
+      val hinted =
+        if (dvs.values.map(_._2).sum <= DvBroadcastLimit) broadcast(dv)
+        else dv
+      withPos(base).join(hinted, Seq("__dv_f", "__dv_p"), "left_anti")
+        .drop("__dv_f", "__dv_p")
+    }
 
   /** Reserved metadata key holding the table schema at a version, as
     * single-line Spark JSON. The schema lives in the LOG, not in file
@@ -1352,6 +1417,7 @@ object Manifest {
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
     require(removeFiles.isEmpty || !replace,
@@ -1646,11 +1712,13 @@ object Manifest {
       val replaceMeta =
         if (replace) Map(ReplaceKey -> "true")
         else Map.empty[String, String]
+      val now = System.currentTimeMillis
       val lines =
         (meta ++ constraintMeta ++ opMeta ++ replaceMeta ++
-          rowsMetaKept ++ statsMeta ++ bytesMetaKept ++ formatMeta +
+          rowsMetaKept ++ statsMeta ++ bytesMetaKept ++ formatMeta ++
+          maxTsMeta(tablePath, base, now) +
           (SchemaKey -> schema.json) +
-          (CommitTsKey -> System.currentTimeMillis.toString))
+          (CommitTsKey -> now.toString))
           .toSeq.sorted
           .map { case (k, v) => s"#$k=$v" } ++
         removeFiles.map("-" + _) ++
@@ -1728,6 +1796,7 @@ object Manifest {
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     meta.values.foreach(v => require(!v.contains("\n"),
@@ -1752,9 +1821,11 @@ object Manifest {
       formatMeta +
       (ReplaceKey -> "true")
     val next = head + 1
+    val now = System.currentTimeMillis
     val lines =
-      (meta ++ restoredMeta + ("restore.of" -> toVersion.toString) +
-        (CommitTsKey -> System.currentTimeMillis.toString))
+      (meta ++ restoredMeta ++ maxTsMeta(tablePath, head, now) +
+        ("restore.of" -> toVersion.toString) +
+        (CommitTsKey -> now.toString))
         .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ snap.files
     Files.createDirectories(manifestDir(tablePath))
     val tmp = Files.createTempFile(manifestDir(tablePath),
@@ -2036,7 +2107,11 @@ object Manifest {
       asOf: Long = -1L): DataFrame = {
     val v = if (asOf >= 0) asOf else version(tablePath)
     require(v > 0, s"no committed version at $tablePath")
-    val files = listed(tablePath, v)
+    // ONE snapshot resolution serves both the file list and the DV
+    // mappings (composite operators issue many reads of one version —
+    // the resolution is bounded, but it needn't be paid twice per read)
+    val snap = snapshot(tablePath, v)
+    val files = snap.files
       .map(rel => Paths.get(tablePath).resolve(rel).toString)
     val base = schemaOf(tablePath, v) match {
       case Some(s) => spark.read.schema(s).parquet(files: _*)
@@ -2044,6 +2119,6 @@ object Manifest {
     }
     // merge-on-read: hide positions deleted by the version's deletion
     // vectors (no-op — same plan as before — when the version has none)
-    applyDv(spark, tablePath, v, base)
+    applyDvResolved(spark, tablePath, snap.dv, base)
   }
 }

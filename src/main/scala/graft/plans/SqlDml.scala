@@ -5,44 +5,47 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
   AttributeReference, EqualTo, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
-  Assignment, DeleteAction, DeleteFromTable, InsertAction,
-  InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias,
-  UpdateAction, UpdateTable}
+  Assignment, CreateTable, CreateTableAsSelect, DeleteAction,
+  DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan,
+  MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, UpdateAction,
+  UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructType}
 
 import graft.ops.{Manifest, Merge}
 import graft.sources.GraftCatalog
 
-/** SQL DML over governed [[graft.ops.Manifest]] tables — the write half
-  * of the `graft.` catalog surface (reads were done: VERSION/TIMESTAMP
-  * AS OF, `.history`/`.files`/`.tags`):
+/** SQL DML/DDL over governed [[graft.ops.Manifest]] tables — the write
+  * half of the `graft.` catalog surface (reads were done:
+  * VERSION/TIMESTAMP AS OF, `.history`/`.files`/`.tags`/`.detail`):
   *
   *   DELETE FROM graft.t WHERE id = 3
   *   UPDATE graft.t SET v = v + 100 WHERE id = 5
   *   MERGE INTO graft.t USING src ON t.id = src.id
   *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   MERGE INTO graft.t USING req ON t.id = req.id
+  *     WHEN MATCHED THEN DELETE
+  *   INSERT INTO graft.t [(cols…)] SELECT … / INSERT OVERWRITE …
+  *   CREATE [OR REPLACE] TABLE graft.t [(cols…)] [AS SELECT …]
   *
-  * All route through the SAME merge engine as the Scala API
-  * ([[Merge.deleteWhereDv]] / [[Merge.updateWhereDv]]): the commit
-  * publishes DELETION VECTORS (plus update images for UPDATE) under the
-  * full optimistic-concurrency protocol — positions ∝ matched rows,
-  * zero data files rewritten, CDC-visible, time-travel exact. This is
-  * the Delta pattern: the catalog resolves the relation, an analyzer
-  * rule swaps the unsupported-by-DSv2 `DeleteFromTable`/`UpdateTable`
-  * node for a runnable command that drives the table-format write path.
+  * All route through the SAME engine as the Scala API (the merge-on-
+  * read DELETE/UPDATE/erasure, the COW keyed MERGE, `Manifest.commit`'s
+  * governed append/replace) under the full optimistic-concurrency
+  * protocol — CDC-visible, time-travel exact, CHECK-constraint gated.
+  * This is the Delta pattern: the catalog resolves the relation, an
+  * analyzer rule swaps the unsupported-by-DSv2 node for a runnable
+  * command that drives the table-format write path.
   *
   * Scope: conditions and SET values must be plain expressions over the
   * table's columns — a subquery (`WHERE id IN (SELECT …)`) fails loudly
   * naming the Scala API ([[Merge.deleteKeysDv]] is the set-shaped
   * erasure), rather than resolving against a snapshot the commit
-  * protocol can't re-check. Everything else the catalog refuses stays
-  * refused (CREATE/DROP/ALTER/INSERT) — only these two verbs retire
-  * the read-only rule, because only they map onto a governed write. */
+  * protocol can't re-check. Destructive/un-governed DDL (DROP, ALTER,
+  * RENAME) keeps the catalog's loud read-only refusal. */
 case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan): Option[String] = {
@@ -160,7 +163,69 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
               overwrite = false, byName = isByName)
           case None => a
         }
+      // SQL DDL that maps onto the governed commit: CREATE TABLE
+      // (empty schema-bearing v1), CTAS, and [CREATE OR] REPLACE TABLE
+      // AS SELECT (the replace commit). Everything else (DROP, ALTER,
+      // RENAME — destructive or un-governed) keeps the loud refusal.
+      case c: CreateTableAsSelect
+          if c.resolved && graftDdlTarget(c.name).isDefined =>
+        val path = graftDdlTarget(c.name).get
+        refuseDdlExtras("CREATE TABLE ... AS SELECT",
+          c.partitioning, c.tableSpec)
+        GraftCreateTableCommand(path, Some(c.query), None,
+          replace = false, ifNotExists = c.ignoreIfExists,
+          orCreate = true)
+      case r: ReplaceTableAsSelect
+          if r.resolved && graftDdlTarget(r.name).isDefined =>
+        val path = graftDdlTarget(r.name).get
+        refuseDdlExtras("REPLACE TABLE ... AS SELECT",
+          r.partitioning, r.tableSpec)
+        GraftCreateTableCommand(path, Some(r.query), None,
+          replace = true, ifNotExists = false, orCreate = r.orCreate)
+      case ct: CreateTable
+          if ct.name.resolved && graftDdlTarget(ct.name).isDefined =>
+        val path = graftDdlTarget(ct.name).get
+        refuseDdlExtras("CREATE TABLE", ct.partitioning, ct.tableSpec)
+        GraftCreateTableCommand(path, None, Some(ct.tableSchema),
+          replace = false, ifNotExists = ct.ignoreIfExists,
+          orCreate = true)
     }
+
+  /** Resolve a DDL statement's name to a graft table path (None when
+    * the identifier belongs to another catalog). Unlike
+    * [[graftTarget]], the table need not exist yet. */
+  private def graftDdlTarget(name: LogicalPlan): Option[String] =
+    name match {
+      case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+        r.catalog match {
+          case c: GraftCatalog => Some(c.pathOf(r.identifier))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def refuseDdlExtras(verb: String,
+      partitioning: Seq[org.apache.spark.sql.connector.expressions
+        .Transform],
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
+      : Unit = {
+    if (partitioning.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft SQL $verb takes no PARTITIONED BY/CLUSTER BY — the " +
+          "manifest (and its per-file stats) is the layout; cluster " +
+          "with Layout.zOrderWrite / optimizeWhere instead")
+    spec match {
+      case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec =>
+        if (t.properties.nonEmpty || t.options.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft SQL $verb takes no TBLPROPERTIES/OPTIONS — table " +
+              "invariants are CHECK constraints (Manifest.addConstraint)")
+        t.provider.foreach(p =>
+          require(p.equalsIgnoreCase("parquet"),
+            s"graft tables are parquet-backed; got USING $p"))
+      case _ => ()
+    }
+  }
 
   /** The supported MERGE shape is the upsert-by-key Delta idiom:
     *
@@ -385,6 +450,42 @@ case class GraftInsertCommand(tablePath: String, source: LogicalPlan,
       case (k, rows) if k.startsWith(Manifest.FileRowsPrefix) =>
         rows.toLong }.sum
     Seq(Row(n))
+  }
+}
+
+/** `CREATE TABLE graft.t (cols…)` / `CREATE TABLE … AS SELECT` /
+  * `[CREATE OR] REPLACE TABLE … AS SELECT` → [[Manifest.commit]]: the
+  * creating commit is v1 with the declared (or query) schema — an
+  * empty CREATE publishes a schema-bearing empty version that INSERT
+  * and the streaming source can immediately build on; REPLACE is the
+  * replace commit (prior versions keep time-traveling). IF NOT EXISTS
+  * on an existing table is the standard silent no-op; a bare CREATE on
+  * an existing table refuses loudly. */
+case class GraftCreateTableCommand(tablePath: String,
+    query: Option[LogicalPlan], declaredSchema: Option[StructType],
+    replace: Boolean, ifNotExists: Boolean, orCreate: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def innerChildren: Seq[LogicalPlan] = query.toSeq
+  override def run(session: SparkSession): Seq[Row] = {
+    val exists = Manifest.version(tablePath) > 0
+    if (!replace && exists) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"table already exists at $tablePath — use CREATE OR REPLACE " +
+          "to rewrite it, or INSERT INTO to append")
+    }
+    if (replace && !exists && !orCreate)
+      throw new IllegalArgumentException(
+        s"REPLACE TABLE: no committed table at $tablePath — use " +
+          "CREATE OR REPLACE")
+    val df = query match {
+      case Some(q) => Bridge.ofRows(session, q)
+      case None => session.createDataFrame(
+        session.sparkContext.emptyRDD[Row], declaredSchema.get)
+    }
+    Manifest.commit(df, tablePath, replace = replace && exists)
+    Seq.empty
   }
 }
 

@@ -1614,15 +1614,17 @@ object SourceQueries {
             TRUE AS zero_rewrites, TRUE AS mor_history
           FROM final GROUP BY lang ORDER BY lang""")),
 
-    // s39: SQL INSERT over a governed table — the verb that completes
-    // the DML surface (s38 covers DELETE/UPDATE/MERGE-upsert): plain
-    // `INSERT INTO graft.t SELECT …` routes through Manifest.commit's
-    // governed append (optimistic concurrency, constraint gate, per-file
-    // stats) via the GraftSqlDml analyzer rule; a column-list INSERT
-    // naming a column the table lacks performs the append-compatible
-    // SCHEMA EVOLUTION; and `MERGE INTO … WHEN MATCHED THEN DELETE`
-    // (the GDPR request-set idiom) routes to Merge.deleteKeysDv's
-    // merge-on-read erasure. Earned: pure_append (the INSERT carries
+    // s39: SQL INSERT + DDL over a governed table — the verbs that
+    // complete the SQL surface (s38 covers DELETE/UPDATE/MERGE-upsert):
+    // the table is CREATED by `CREATE TABLE … AS SELECT` (the governed
+    // creating commit), then plain `INSERT INTO graft.t SELECT …`
+    // routes through Manifest.commit's governed append (optimistic
+    // concurrency, constraint gate, per-file stats) via the GraftSqlDml
+    // analyzer rule; a column-list INSERT naming a column the table
+    // lacks performs the append-compatible SCHEMA EVOLUTION; and
+    // `MERGE INTO … WHEN MATCHED THEN DELETE` (the GDPR request-set
+    // idiom) routes to Merge.deleteKeysDv's merge-on-read erasure.
+    // Earned: pure_append (the INSERT carries
     // every pre-insert file by reference — no rewrite), dv_erasure (the
     // merge-delete publishes only deletion vectors — file list
     // unchanged), schema_evolved (every pre-evolution row reads the new
@@ -1635,12 +1637,16 @@ object SourceQueries {
         val tbl = scratch("s39_table", dir)
         wipe(tbl)
         s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-        // seed with three quarters of the corpus; INSERT the rest back
-        Manifest.commit(
-          T(s, dir, "documents")
-            .filter(pmod(col("doc_id"), lit(4)) =!= 1)
-            .select(col("doc_id"), col("lang"), col("n_chars"))
-            .coalesce(2), tbl, statsCols = Seq("doc_id"))
+        // seed three quarters of the corpus via SQL CTAS (the DDL verb
+        // exercised on the oracle path — CREATE TABLE AS SELECT is
+        // Manifest.commit's creating version); INSERT the rest back
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(4)) =!= 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .coalesce(2)
+          .createOrReplaceTempView(s"s39_seed_${dirTag(dir)}")
+        s.sql(s"CREATE TABLE graft.`$tbl` AS " +
+          s"SELECT * FROM s39_seed_${dirTag(dir)}")
         val filesBefore = Manifest.files(tbl)
         T(s, dir, "documents")
           .filter(pmod(col("doc_id"), lit(4)) === 1)

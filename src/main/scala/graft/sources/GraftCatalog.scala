@@ -149,7 +149,9 @@ class GraftCatalog extends TableCatalog {
     }
     val v = if (asOf >= 0) asOf else Manifest.version(path)
     require(v > 0, s"no committed version at $path")
-    val files = Manifest.files(path, v).map(rel =>
+    // ONE snapshot resolution serves the file list and the DV check
+    val snap = Manifest.snapshot(path, v)
+    val files = snap.files.map(rel =>
       java.nio.file.Paths.get(path).resolve(rel).toString)
     val table = ParquetTable(s"$catalogName.${ident.toString}@v$v", spark,
       CaseInsensitiveStringMap.empty(), files.toIndexedSeq,
@@ -158,7 +160,7 @@ class GraftCatalog extends TableCatalog {
     // resurrect deleted rows): mark it for the analysis-time rewrite
     // (graft.plans.DvReadRewrite applies the position anti-join); the
     // marker's scan refusal catches any path the rewrite missed
-    if (Manifest.deletionVectors(path, v).isEmpty) table
+    if (snap.dv.isEmpty) table
     else new DvMarkedTable(table.name, path, v, table.schema)
   }
 

@@ -469,6 +469,60 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(eK).exists(_.contains("single key column")), msgs(eK))
   }
 
+  test("SQL CREATE TABLE / CTAS / CREATE OR REPLACE ≡ Manifest.commit: " +
+    "an empty CREATE publishes a schema-bearing v1 that INSERT builds " +
+    "on, CTAS commits the query, REPLACE keeps history, IF NOT EXISTS " +
+    "no-ops, and partitioning/properties/DROP refuse loudly") {
+    import java.nio.file.Files
+    import graft.ops.Manifest
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_ddl").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // empty CREATE: v1 with the declared schema, zero rows — then
+    // INSERT appends into it (the create-then-load flow)
+    val t1 = s"$root/ddl_t1"
+    spark.sql(s"CREATE TABLE graft.`$t1` (id BIGINT, v STRING)")
+    assert(Manifest.version(t1) == 1L)
+    assert(Manifest.schemaOf(t1).get.fieldNames.toSeq == Seq("id", "v"))
+    assert(Manifest.read(spark, t1).count() == 0L)
+    spark.sql(s"INSERT INTO graft.`$t1` VALUES (1, 'a'), (2, 'b')")
+    assert(Manifest.read(spark, t1).count() == 2L)
+    // bare CREATE on an existing table refuses; IF NOT EXISTS no-ops
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$t1` (id BIGINT)"))
+    assert(msgs(e1).exists(_.contains("already exists")), msgs(e1))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$t1` (id BIGINT)")
+    assert(Manifest.read(spark, t1).count() == 2L, "no-op kept the rows")
+    // CTAS ≡ commit(query result)
+    val t2 = s"$root/ddl_t2"
+    spark.sql(s"CREATE TABLE graft.`$t2` AS " +
+      s"SELECT id, v FROM graft.`$t1` WHERE id = 1")
+    assert(Manifest.read(spark, t2).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+    // CREATE OR REPLACE: the replace commit — content swaps, v1 still
+    // time-travels
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$t2` AS " +
+      s"SELECT id * 10 AS id, v FROM graft.`$t1`")
+    assert(Manifest.read(spark, t2).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(10L, 20L))
+    assert(Manifest.read(spark, t2, 1L).count() == 1L,
+      "pre-replace version keeps time-traveling")
+    assert(Manifest.history(spark, t2).last.change_type == "replace")
+    // refusals: partitioning, properties, DROP
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$root/ddl_t3` (id BIGINT) PARTITIONED BY (id)"))
+    assert(msgs(e2).exists(_.contains("Layout.zOrderWrite")), msgs(e2))
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`$root/ddl_t4` (id BIGINT) " +
+        "TBLPROPERTIES ('k'='v')"))
+    assert(msgs(e3).exists(_.contains("CHECK constraints")), msgs(e3))
+    val e4 = intercept[Exception](spark.sql(s"DROP TABLE graft.`$t2`"))
+    assert(msgs(e4).exists(_.contains("read-only")), msgs(e4))
+  }
+
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
     GraftExtensions.install(spark)
     val row = spark.sql(

@@ -372,13 +372,17 @@ class ManifestSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Manifest.commit(Seq((3L, "c")).toDF("id", "s"), tbl,
         meta = Map(Manifest.CommitTsKey -> "0")))
-    // clock-skew adjustment: doctor v1's stamp FORWARD past v2's (the
-    // regressing-clock shape) — resolution must follow version order,
-    // never serve v2 for a timestamp that already covers a later stamp
+    // clock-skew adjustment: doctor v1's stamp (and its recorded
+    // running max — the write-time adjustment a real fast-clock writer
+    // would have produced) FORWARD past v2's. Resolution must follow
+    // version order, never serve v2 for a timestamp that already
+    // covers a later stamp.
     val mf = java.nio.file.Paths.get(tbl, "_manifests", "v000001.txt")
     val doctored = new String(java.nio.file.Files.readAllBytes(mf))
       .linesIterator.map { l =>
-        if (l.startsWith("#committs=")) s"#committs=${t2 + 60000}" else l
+        if (l.startsWith("#committs=")) s"#committs=${t2 + 60000}"
+        else if (l.startsWith("#maxts=")) s"#maxts=${t2 + 60000}"
+        else l
       }.mkString("\n")
     java.nio.file.Files.write(mf, doctored.getBytes)
     assert(Manifest.versionAsOf(tbl, t2 + 60000) == 2L,
@@ -1377,6 +1381,33 @@ class ManifestSpec extends SparkSpec {
       Manifest.commit(spark.range(2).selectExpr("cast(id as string) as x"),
         tbl, allowTypeWidening = true))
     assert(e2.getMessage.contains("replace = true"))
+  }
+
+  test("versionAsOf binary-searches the recorded running-max stamps: " +
+    "O(log n) metadata reads on a 60-version table, exact resolution " +
+    "(boundaries included), still exact after vacuum gaps") {
+    val tbl = freshTable()
+    (1 to 60).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    val t30 = Manifest.commitTime(tbl, 30L)
+    val t31 = Manifest.commitTime(tbl, 31L)
+    val (hit, reads) = countingReads(Manifest.versionAsOf(tbl, t30))
+    // adjusted times are nondecreasing; same-millisecond neighbors all
+    // resolve to the newest version at that stamp
+    assert(hit >= 30L && Manifest.commitTime(tbl, hit) <= t31)
+    assert(reads <= 16,
+      s"versionAsOf must be O(log n) reads on 60 versions, read $reads")
+    assert(Manifest.versionAsOf(tbl, System.currentTimeMillis + 10000)
+      == 60L)
+    intercept[IllegalArgumentException](
+      Manifest.versionAsOf(tbl, Manifest.commitTime(tbl, 1L) - 10))
+    // vacuum gaps don't break the search: each version carries the
+    // whole prefix's running max itself
+    Manifest.vacuum(tbl, retainLast = 20)
+    assert(Manifest.versionAsOf(tbl,
+      System.currentTimeMillis + 10000) == 60L)
+    val tMid = Manifest.commitTime(tbl, 50L)
+    val hit2 = Manifest.versionAsOf(tbl, tMid)
+    assert(hit2 >= 50L && hit2 <= 60L)
   }
 
   test("ADVICE r15: dropStaged after vacuum dropped the PUBLISHING " +
