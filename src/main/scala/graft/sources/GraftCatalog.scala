@@ -283,17 +283,61 @@ class GraftCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft catalog is read-only ($op): write through " +
-        "Manifest.commit / Merge, whose optimistic-concurrency and " +
-        "constraint contracts SQL DDL/DML cannot express")
+      s"graft catalog is read-only for $op: supported SQL writes " +
+        "(INSERT/CTAS/DELETE/UPDATE/MERGE, ALTER TABLE ADD COLUMNS) " +
+        "route through the graft.GraftExtensions rules and this " +
+        "catalog's governed commit protocol; everything else is " +
+        "destructive or un-governed — use Manifest.commit / Merge / " +
+        "vacuum from the Scala API")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table =
     readOnly("CREATE TABLE")
 
+  /** `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` — the one ALTER
+    * that maps onto the governed contract: a METADATA-ONLY evolving
+    * commit (zero data files; old rows read the new columns as null —
+    * the same append-compatible evolve every commit runs). Added
+    * columns must be top-level, nullable (old files cannot backfill a
+    * NOT NULL), and default-positioned; every other TableChange keeps
+    * the loud refusal. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val path = tablePath(ident)
+    require(Manifest.version(path) > 0, s"no committed version at $path")
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          readOnly(s"ALTER TABLE ADD nested column " +
+            a.fieldNames.mkString("."))
+        if (a.position != null)
+          readOnly("ALTER TABLE ADD COLUMN with FIRST/AFTER " +
+            "(columns append at the end)")
+        if (!a.isNullable)
+          throw new IllegalArgumentException(
+            "ALTER TABLE ADD COLUMN: new columns must be nullable — " +
+              "existing files cannot backfill a NOT NULL column; add " +
+              "it nullable and enforce with a CHECK constraint on " +
+              "future writes if needed")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => readOnly(s"ALTER TABLE ($other)")
+    }
+    val spark = SparkSession.active
+    val schema = Manifest.schemaOf(path).getOrElse(
+      Manifest.read(spark, path).schema)
+    adds.foreach(f => require(
+      !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+      s"column '${f.name}' already exists"))
+    // a metadata-only evolving commit: zero rows, zero data files —
+    // the appended columns ride the recorded schema like any evolution
+    Manifest.commit(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[
+        org.apache.spark.sql.Row], StructType(schema.fields ++ adds)),
+      path)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readOnly("DROP TABLE")

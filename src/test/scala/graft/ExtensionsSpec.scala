@@ -521,6 +521,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(e3).exists(_.contains("CHECK constraints")), msgs(e3))
     val e4 = intercept[Exception](spark.sql(s"DROP TABLE graft.`$t2`"))
     assert(msgs(e4).exists(_.contains("read-only")), msgs(e4))
+    // ALTER TABLE ADD COLUMNS: a metadata-only evolving commit — old
+    // rows read the new column as null, INSERT can fill it, and the
+    // pre-ALTER version still time-travels with its own schema
+    val vBefore = Manifest.version(t1)
+    spark.sql(s"ALTER TABLE graft.`$t1` ADD COLUMNS (tag STRING)")
+    assert(Manifest.schemaOf(t1).get.fieldNames.toSeq ==
+      Seq("id", "v", "tag"))
+    assert(Manifest.version(t1) == vBefore + 1)
+    assert(spark.sql(s"SELECT * FROM graft.`$t1` WHERE tag IS NULL")
+      .count() == 2L)
+    spark.sql(s"INSERT INTO graft.`$t1` VALUES (3, 'c', 'fresh')")
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$t1` WHERE tag = 'fresh'").count() == 1L)
+    assert(Manifest.schemaOf(t1, vBefore).get.fieldNames.length == 2,
+      "time travel keeps the pre-ALTER schema")
+    // refusals: NOT NULL add, DROP COLUMN, duplicate add
+    val e5 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` ADD COLUMNS (n INT NOT NULL)"))
+    assert(msgs(e5).exists(_.contains("nullable")), msgs(e5))
+    val e6 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` DROP COLUMN v"))
+    assert(msgs(e6).exists(_.contains("read-only")), msgs(e6))
+    val e7 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` ADD COLUMNS (tag STRING)"))
+    assert(msgs(e7).exists(_.contains("already exists")), msgs(e7))
   }
 
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {
