@@ -1709,6 +1709,67 @@ object SourceQueries {
             TRUE AS schema_evolved
           FROM live GROUP BY lang ORDER BY lang""")),
 
+    // s40: the SQL DDL LIFECYCLE a table actually lives — CREATE TABLE
+    // with declared columns (a schema-bearing EMPTY v1), INSERT to fill
+    // it, ALTER TABLE ADD COLUMNS (a metadata-only evolving commit),
+    // then INSERT into the evolved schema. Earned: created_empty (v1
+    // reads zero rows under the declared schema), alter_zero_files (the
+    // ALTER version lists exactly the files the INSERT published —
+    // nothing new, nothing rewritten), old_rows_null (every pre-ALTER
+    // row reads the added column as null). At 100 TB: both DDL verbs
+    // cost one KB-sized manifest write; no data file is ever touched.
+    "s40_sql_ddl_lifecycle" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s40_table", dir)
+        wipe(tbl)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        s.sql(s"CREATE TABLE graft.`$tbl` (doc_id BIGINT, lang STRING)")
+        val createdEmpty = Manifest.version(tbl) == 1L &&
+          Manifest.read(s, tbl).count() == 0L
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"))
+          .createOrReplaceTempView(s"s40_base_${dirTag(dir)}")
+        s.sql(s"INSERT INTO graft.`$tbl` " +
+          s"SELECT * FROM s40_base_${dirTag(dir)}")
+        val filesAfterInsert = Manifest.files(tbl)
+        s.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (n_chars BIGINT)")
+        val alterZeroFiles = Manifest.files(tbl) == filesAfterInsert &&
+          Manifest.schemaOf(tbl).get.fieldNames.toSeq ==
+            Seq("doc_id", "lang", "n_chars")
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("n_chars").cast("long").as("n_chars"))
+          .createOrReplaceTempView(s"s40_evo_${dirTag(dir)}")
+        s.sql(s"INSERT INTO graft.`$tbl` (doc_id, lang, n_chars) " +
+          s"SELECT * FROM s40_evo_${dirTag(dir)}")
+        val evolved = Manifest.read(s, tbl)
+        val oldRowsNull = evolved
+          .filter(col("doc_id") < 1000000L && col("n_chars").isNotNull)
+          .isEmpty
+        evolved.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            count(col("n_chars")).as("n_filled"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("n_filled"),
+            col("sum_chars"),
+            lit(createdEmpty).as("created_empty"),
+            lit(alterZeroFiles).as("alter_zero_files"),
+            lit(oldRowsNull).as("old_rows_null"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH final AS (
+            SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, lang, CAST(n_chars AS BIGINT)
+            FROM documents WHERE doc_id % 5 = 0)
+          SELECT lang, count(*) AS cnt, count(n_chars) AS n_filled,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            TRUE AS created_empty, TRUE AS alter_zero_files,
+            TRUE AS old_rows_null
+          FROM final GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.
