@@ -40,7 +40,8 @@ case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     // plan here would strand the statement). A DV'd graft table in a
     // MERGE SOURCE (or any read position) still rewrites normally.
     import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
-      DeleteFromTable, InsertIntoStatement, MergeIntoTable, UpdateTable}
+      DeleteFromTable, InsertIntoStatement, MergeIntoTable,
+      OverwriteByExpression, UpdateTable}
     val dmlTargets =
       java.util.Collections.newSetFromMap(
         new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
@@ -50,6 +51,7 @@ case class DvReadRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable => m.targetTable.foreach(dmlTargets.add)
       case i: InsertIntoStatement => i.table.foreach(dmlTargets.add)
       case a: AppendData => a.table.foreach(dmlTargets.add)
+      case o: OverwriteByExpression => o.table.foreach(dmlTargets.add)
       case _ => ()
     }
     plan.resolveOperatorsUpWithSubqueriesAndPruning(_ => true) {

@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
   Assignment, CreateTable, CreateTableAsSelect, DeleteAction,
   DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan,
-  MergeIntoTable, ReplaceTableAsSelect, SubqueryAlias, UpdateAction,
-  UpdateTable}
+  MergeIntoTable, OverwriteByExpression, ReplaceTableAsSelect,
+  SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -162,6 +162,27 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
             GraftInsertCommand(path, query, Nil,
               overwrite = false, byName = isByName)
           case None => a
+        }
+      // the DSv2 overwrite twin (a DV-marked target is not a FileTable,
+      // so its INSERT OVERWRITE converts here instead of falling back):
+      // only the whole-table TRUE delete expression maps onto the
+      // replace commit
+      case o @ OverwriteByExpression(r: DataSourceV2Relation, deleteExpr,
+          query, _, isByName, _, _) if query.resolved =>
+        graftTarget(r) match {
+          case Some(path) =>
+            deleteExpr match {
+              case org.apache.spark.sql.catalyst.expressions
+                  .Literal(true, _) => ()
+              case other => throw new UnsupportedOperationException(
+                "graft SQL INSERT OVERWRITE replaces the WHOLE table " +
+                  s"(got overwrite condition '$other') — use SQL " +
+                  "DELETE + INSERT, or Merge/Layout for partial " +
+                  "rewrites")
+            }
+            GraftInsertCommand(path, query, Nil,
+              overwrite = true, byName = isByName)
+          case None => o
         }
       // SQL DDL that maps onto the governed commit: CREATE TABLE
       // (empty schema-bearing v1), CTAS, and [CREATE OR] REPLACE TABLE

@@ -467,6 +467,25 @@ class ExtensionsSpec extends SparkSpec {
       s"MERGE INTO graft.`$mdSql` AS t USING md_req2 AS s " +
         "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE"))
     assert(msgs(eK).exists(_.contains("single key column")), msgs(eK))
+    // INSERT into a DV-CARRYING table (the DSv2 AppendData path — a
+    // DV-marked target never falls back to V1): appends land, deleted
+    // rows stay hidden
+    assert(Manifest.deletionVectors(mdSql).nonEmpty, "precondition")
+    val insDv = spark.sql(
+      s"INSERT INTO graft.`$mdSql` VALUES (500, 5000)")
+    assert(insDv.collect().head.getLong(0) == 1L)
+    assert(rows(mdSql).contains((500L, 5000L)))
+    assert(!rows(mdSql).exists(_._1 == 3L), "DV'd rows stay hidden")
+    assert(Manifest.deletionVectors(mdSql).nonEmpty,
+      "append inherits the DV state")
+    // INSERT OVERWRITE on the DV table = the replace commit (whole
+    // state swaps; a partial overwrite condition would refuse)
+    val owDv = spark.sql(
+      s"INSERT OVERWRITE graft.`$mdSql` VALUES (1, 10), (2, 20)")
+    assert(owDv.collect().head.getLong(0) == 2L)
+    assert(rows(mdSql) == Set((1L, 10L), (2L, 20L)))
+    assert(Manifest.deletionVectors(mdSql).isEmpty,
+      "replace drops the DV state with the files")
   }
 
   test("SQL CREATE TABLE / CTAS / CREATE OR REPLACE ≡ Manifest.commit: " +
