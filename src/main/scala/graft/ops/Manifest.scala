@@ -1690,14 +1690,25 @@ object Manifest {
           }
         }
       }
+      // ONE read of the base's manifest serves the whole attempt:
+      // schema evolution, inherited constraints, and the running-max
+      // stamp all derive from it (on an object store each separate
+      // read is a round trip — the commit path pays exactly one)
+      val baseMeta =
+        if (base == 0) Map.empty[String, String]
+        else rawMeta(tablePath, base)
       val schema =
         if (replace || base == 0) df.schema
-        else schemaOf(tablePath, base)
+        else baseMeta.get(SchemaKey)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
           .map(evolve(_, df.schema, widen = allowTypeWidening))
           .getOrElse(df.schema)
       val inherited =
         if (base == 0) Map.empty[String, String]
-        else constraintsOf(tablePath, base) -- excludeConstraint.toSeq
+        else baseMeta.collect {
+          case (k, ex) if k.startsWith(ConstraintPrefix) =>
+            k.stripPrefix(ConstraintPrefix) -> ex
+        } -- excludeConstraint.toSeq
       val constraintMeta = (inherited ++ passed)
         .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
       val next = base + 1
@@ -1713,10 +1724,15 @@ object Manifest {
         if (replace) Map(ReplaceKey -> "true")
         else Map.empty[String, String]
       val now = System.currentTimeMillis
+      val prevMax =
+        if (base == 0) Long.MinValue
+        else baseMeta.get(MaxTsKey).map(_.toLong)
+          .orElse(baseMeta.get(CommitTsKey).map(_.toLong))
+          .getOrElse(commitTime(tablePath, base))
       val lines =
         (meta ++ constraintMeta ++ opMeta ++ replaceMeta ++
-          rowsMetaKept ++ statsMeta ++ bytesMetaKept ++ formatMeta ++
-          maxTsMeta(tablePath, base, now) +
+          rowsMetaKept ++ statsMeta ++ bytesMetaKept ++ formatMeta +
+          (MaxTsKey -> math.max(now, prevMax).toString) +
           (SchemaKey -> schema.json) +
           (CommitTsKey -> now.toString))
           .toSeq.sorted
