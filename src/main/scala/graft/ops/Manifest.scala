@@ -92,6 +92,45 @@ object Manifest {
     * production. */
   private[ops] var onMetaRead: Path => Unit = _ => ()
 
+  /** STRUCTURED meta prefixes must parse, or they must not publish:
+    * the [[Snap]] fold runs `toLong`/spec parsing on every resolution,
+    * so one commit carrying a malformed `txn.*`/`filerows.*`/
+    * `filebytes.*`/`dv.*`/`filestats.*` value would brick every later
+    * read of the table. Validated at the write gates ([[commit]],
+    * [[stageCommit]]) — loud before anything publishes. */
+  private def validateStructuredMeta(meta: Map[String, String]): Unit =
+    meta.foreach { case (k, v) =>
+      def num(what: String): Unit = require(v.forall(_.isDigit) &&
+        v.nonEmpty && v.length <= 19,
+        s"'$k' must carry a non-negative integer $what, got '$v' — a " +
+          "malformed structured value would break every later " +
+          "snapshot resolution")
+      if (k.startsWith(TxnPrefix)) require(
+        scala.util.Try(v.toLong).isSuccess,
+        s"'$k' must carry an integer transaction version, got '$v'")
+      else if (k.startsWith(FileRowsPrefix)) num("row count")
+      else if (k.startsWith(FileBytesPrefix)) num("byte size")
+      else if (k.startsWith(DvPrefix)) {
+        val i = v.lastIndexOf(':')
+        require(i > 0 && i < v.length - 1 &&
+          scala.util.Try(v.substring(i + 1).toLong).isSuccess,
+          s"'$k' must carry '<dvDirRel>:<positions>', got '$v'")
+      }
+      else if (k.startsWith(FileStatsPrefix))
+        require(scala.util.Try(parseStatsSpec(v)).isSuccess,
+          s"'$k' must carry 'col:min:max|…', got '$v'")
+    }
+
+  /** Parse one recorded `col:min:max|…` per-file stats spec — the ONE
+    * owner of the format ([[fileStats]] and [[readPruned]] both
+    * consume it). */
+  private def parseStatsSpec(spec: String)
+      : Map[String, (Double, Double)] =
+    spec.split('|').map { part =>
+      val Array(c, lo, hi) = part.split(':')
+      c -> (lo.toDouble, hi.toDouble)
+    }.toMap
+
   private def lines(tablePath: String, v: Long): Seq[String] = {
     val f = manifestFile(tablePath, v)
     require(Files.exists(f), s"version $v is not committed at $tablePath")
@@ -460,10 +499,7 @@ object Manifest {
     val upTo = if (v >= 0) v else version(tablePath)
     if (upTo <= 0) return Map.empty
     snapshot(tablePath, upTo).stats.map { case (f, spec) =>
-      f -> spec.split('|').map { part =>
-        val Array(c, lo, hi) = part.split(':')
-        c -> (lo.toDouble, hi.toDouble)
-      }.toMap
+      f -> parseStatsSpec(spec)
     }
   }
 
@@ -487,11 +523,7 @@ object Manifest {
     val snap = snapshot(tablePath, v)
     val all = snap.files
     val kept = all.filter { f =>
-      snap.stats.get(f).flatMap(_.split('|').collectFirst {
-        case part if part.startsWith(s"$column:") =>
-          val Array(_, lo0, hi0) = part.split(':')
-          (lo0.toDouble, hi0.toDouble)
-      }) match {
+      snap.stats.get(f).flatMap(parseStatsSpec(_).get(column)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // no stats recorded: cannot prune
       }
@@ -554,7 +586,12 @@ object Manifest {
 
   /** Monotonically-ADJUSTED commit time of version `v`: the recorded
     * running max, or (pre-recording manifests) the max of the raw
-    * stamps up to `v`. */
+    * stamps up to `v`. The binary search over these values assumes
+    * every recorded `#maxts` genuinely covers its whole prefix — true
+    * for any table written by this library (every publish path seeds
+    * from the base's stamp, and PRE-recording tables refuse wholesale
+    * at [[delta]]'s format marker before a mixed history could
+    * exist). */
   private def adjustedTime(tablePath: String, vs: Seq[Long],
       i: Int): Long =
     rawMeta(tablePath, vs(i)).get(MaxTsKey).map(_.toLong).getOrElse(
@@ -707,6 +744,7 @@ object Manifest {
     // carries verbatim into a published version
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
+    validateStructuredMeta(meta)
     Files.createDirectories(manifestDir(tablePath))
     val dataDir = Paths.get(tablePath, "data")
     Files.createDirectories(dataDir)
@@ -1102,9 +1140,16 @@ object Manifest {
     * `v`, keeping the `__dv_f`/`__dv_p` helper columns for callers that
     * still need them (drop them when done). No-op without DVs. */
   private[ops] def antiDv(spark: SparkSession, tablePath: String,
-      v: Long, dfWithPos: DataFrame): DataFrame = {
+      v: Long, dfWithPos: DataFrame): DataFrame =
+    dvJoin(spark, tablePath, deletionVectors(tablePath, v), dfWithPos)
+
+  /** The ONE owner of the DV anti-join construction: the positions
+    * scan, the size-gated broadcast hint, and the (file, pos) anti-join
+    * over a [[withPos]]-prepared frame. Helper columns kept. */
+  private def dvJoin(spark: SparkSession, tablePath: String,
+      dvs: Map[String, (String, Long)],
+      dfWithPos: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val dvs = deletionVectors(tablePath, v)
     if (dvs.isEmpty) dfWithPos
     else {
       val dv = dvPositions(spark, tablePath, dvs)
@@ -1132,16 +1177,8 @@ object Manifest {
       tablePath: String, dvs: Map[String, (String, Long)],
       base: DataFrame): DataFrame =
     if (dvs.isEmpty) base
-    else {
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val dv = dvPositions(spark, tablePath, dvs)
-        .select(col("file").as("__dv_f"), col("pos").as("__dv_p"))
-      val hinted =
-        if (dvs.values.map(_._2).sum <= DvBroadcastLimit) broadcast(dv)
-        else dv
-      withPos(base).join(hinted, Seq("__dv_f", "__dv_p"), "left_anti")
-        .drop("__dv_f", "__dv_p")
-    }
+    else dvJoin(spark, tablePath, dvs, withPos(base))
+      .drop("__dv_f", "__dv_p")
 
   /** Reserved metadata key holding the table schema at a version, as
     * single-line Spark JSON. The schema lives in the LOG, not in file
@@ -1420,6 +1457,7 @@ object Manifest {
     require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
+    validateStructuredMeta(meta)
     require(removeFiles.isEmpty || !replace,
       "removeFiles is meaningless with replace (replace drops everything)")
     // `readVersion` is the Delta transaction read-version: the version

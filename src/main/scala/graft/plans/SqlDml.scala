@@ -146,15 +146,17 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
       // already-converted AppendData otherwise (whichever arrives, the
       // command is the same append/replace through Manifest.commit)
       case i: InsertIntoStatement
-          if i.table.resolved && i.query.resolved &&
-            graftTarget(i.table).isDefined =>
-        val path = graftTarget(i.table).get
-        if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
-          throw new UnsupportedOperationException(
-            "graft SQL INSERT takes no PARTITION clause — the manifest " +
-              "(and its per-file stats) is the layout")
-        GraftInsertCommand(path, i.query, i.userSpecifiedCols,
-          overwrite = i.overwrite, byName = i.byName)
+          if i.table.resolved && i.query.resolved =>
+        graftTarget(i.table) match {
+          case Some(path) =>
+            if (i.partitionSpec.nonEmpty || i.ifPartitionNotExists)
+              throw new UnsupportedOperationException(
+                "graft SQL INSERT takes no PARTITION clause — the " +
+                  "manifest (and its per-file stats) is the layout")
+            GraftInsertCommand(path, i.query, i.userSpecifiedCols,
+              overwrite = i.overwrite, byName = i.byName)
+          case None => i
+        }
       case a @ AppendData(r: DataSourceV2Relation, query, _, isByName, _, _)
           if query.resolved =>
         graftTarget(r) match {
@@ -244,6 +246,19 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
         t.provider.foreach(p =>
           require(p.equalsIgnoreCase("parquet"),
             s"graft tables are parquet-backed; got USING $p"))
+        // anything the manifest would silently DROP refuses instead:
+        // a user who declared it must not believe it took effect
+        if (t.location.isDefined || t.external)
+          throw new UnsupportedOperationException(
+            s"graft SQL $verb takes no LOCATION/EXTERNAL — the " +
+              "identifier IS the location (graft.`/abs/path` or a " +
+              "name under the catalog root)")
+        if (t.comment.isDefined || t.collation.isDefined ||
+            t.serde.isDefined || t.constraints.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"graft SQL $verb cannot record COMMENT/COLLATION/SERDE/" +
+              "inline constraints — declare CHECK constraints with " +
+              "Manifest.addConstraint after creation")
       case _ => ()
     }
   }
@@ -439,21 +454,22 @@ case class GraftInsertCommand(tablePath: String, source: LogicalPlan,
           s"INSERT column list names ${userCols.size} column(s) but the " +
             s"query produces ${df0.columns.length}")
         df0.toDF(userCols: _*)
-      } else if (byName || df0.columns.length != tcols.length) {
-        // BY NAME, or an arity mismatch: only sound when every query
-        // column name is usable as-is — table columns match by name,
-        // genuinely new names evolve the schema
-        val known = tcols.map(_.toLowerCase).toSet
-        val matched = df0.columns.count(c => known.contains(c.toLowerCase))
-        if (!byName && matched != tcols.size)
-          throw new UnsupportedOperationException(
-            s"graft SQL INSERT: the query produces ${df0.columns.length} " +
-              s"column(s) for a ${tcols.length}-column table and its " +
-              "output names do not cover the table's columns — use an " +
-              "explicit column list (INSERT INTO t (a, b, …)), BY NAME, " +
-              "or match the table's arity by position")
+      } else if (byName) {
+        // BY NAME: table columns land by name, genuinely new names
+        // evolve the schema, unnamed table columns read as null
         df0
-      } else df0.toDF(tcols: _*) // standard SQL: by position
+      } else if (df0.columns.length == tcols.length) {
+        df0.toDF(tcols: _*) // standard SQL: by position
+      } else
+        // plain INSERT never evolves or drops columns implicitly: an
+        // arity mismatch is an error, exactly as in standard SQL —
+        // schema changes need the EXPLICIT opt-ins
+        throw new UnsupportedOperationException(
+          s"graft SQL INSERT: the query produces ${df0.columns.length} " +
+            s"column(s) for a ${tcols.length}-column table — match the " +
+            "arity by position, or opt in by naming columns (INSERT " +
+            "INTO t (a, b, …) — unknown names evolve the schema) or " +
+            "BY NAME")
     // cast columns that exist in the table onto their RECORDED types
     // (an int literal must not fail a bigint column's evolve check);
     // new columns keep the query's types and evolve the schema
@@ -505,7 +521,21 @@ case class GraftCreateTableCommand(tablePath: String,
       case None => session.createDataFrame(
         session.sparkContext.emptyRDD[Row], declaredSchema.get)
     }
-    Manifest.commit(df, tablePath, replace = replace && exists)
+    // the creating/replacing commit carries the replace flag, which
+    // NEVER rebases: the loser of two racing CREATEs aborts loudly
+    // (Delta's create protocol) instead of silently appending its rows
+    // onto the winner's table through the optimistic append-rebase
+    try Manifest.commit(df, tablePath, replace = true)
+    catch {
+      case e: IllegalStateException
+          if !replace && e.getMessage != null &&
+            e.getMessage.contains("concurrent commit") =>
+        if (ifNotExists) return Seq.empty
+        throw new IllegalArgumentException(
+          s"table already exists at $tablePath (a concurrent CREATE " +
+            "won the race) — use CREATE OR REPLACE to rewrite it, or " +
+            "INSERT INTO to append", e)
+    }
     Seq.empty
   }
 }

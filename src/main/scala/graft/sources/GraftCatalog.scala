@@ -37,13 +37,17 @@ import graft.ops.Manifest
   * PINNED like `Manifest.read`: later commits cannot change what a
   * resolved query reads.
   *
-  * Writes: SQL `DELETE FROM graft.t WHERE …` and `UPDATE graft.t SET …`
-  * route through the merge-on-read engine (deletion vectors + update
-  * images, the full commit protocol) via the
-  * [[graft.plans.GraftSqlDml]] extension rule. Everything else stays
-  * read-only by design: `INSERT`/`CREATE`/`DROP`/`ALTER` fail loudly
-  * rather than bypass `Manifest.commit`'s optimistic-concurrency and
-  * constraint contracts.
+  * Writes: the [[graft.plans.GraftSqlDml]] extension rule routes the
+  * full verb set through the governed engines — DELETE/UPDATE
+  * (merge-on-read deletion vectors + update images), MERGE upsert and
+  * MERGE-DELETE (COW keyed merge / keyed erasure), INSERT INTO /
+  * OVERWRITE (governed append/replace with append-compatible schema
+  * evolution), CREATE TABLE / CTAS / CREATE OR REPLACE (the creating
+  * commit; races abort loudly). This catalog itself additionally
+  * serves `ALTER TABLE ADD COLUMNS` as a metadata-only evolving
+  * commit. Destructive or un-governed DDL (`DROP`, `RENAME`, every
+  * other ALTER) fails loudly rather than bypass `Manifest.commit`'s
+  * optimistic-concurrency and constraint contracts.
   *
   * Versions carrying DELETION VECTORS resolve to a [[DvMarkedTable]]
   * that [[graft.plans.DvReadRewrite]] (injected by

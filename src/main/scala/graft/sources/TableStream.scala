@@ -280,13 +280,31 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
     * over the pinned run schema — served batches would silently DROP
     * the new columns until a restart (the Delta contract is to stop and
     * ask for one). `ignoreAddedColumns=true` documents the drop
-    * instead. */
+    * instead. A TYPE change of a pinned column (the opt-in widening
+    * evolution) always fails loudly — the new files cannot be read
+    * under the pinned narrower type at all, so there is nothing to
+    * opt into except a restart. */
   private def checkSchema(v: Long, d: Manifest.CommitDelta): Unit =
-    if (!ignoreAddedColumns)
-      d.meta.get(Manifest.SchemaKey).foreach { json =>
-        val names = org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[StructType].fieldNames
-        val added = names.filterNot(baseSchema.fieldNames.contains)
+    d.meta.get(Manifest.SchemaKey).foreach { json =>
+      val recorded = org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]
+      val pinnedTypes = baseSchema.fields
+        .map(f => f.name -> f.dataType).toMap
+      val retyped = recorded.fields.filter(f =>
+        pinnedTypes.get(f.name).exists(_ != f.dataType))
+      if (retyped.nonEmpty) throw new IllegalStateException(
+        s"graft-table stream on $tablePath: version $v changed the " +
+          "TYPE of pinned column(s) " +
+          retyped.map(f =>
+            s"${f.name} (${pinnedTypes(f.name)} -> ${f.dataType})")
+            .mkString(", ") +
+          " (type-widening evolution) — files written under the new " +
+          "type cannot be served under this stream's pinned schema. " +
+          "RESTART the stream to pin the widened schema (the " +
+          "checkpoint keeps its position).")
+      if (!ignoreAddedColumns) {
+        val added = recorded.fieldNames
+          .filterNot(baseSchema.fieldNames.contains)
         if (added.nonEmpty) throw new IllegalStateException(
           s"graft-table stream on $tablePath: version $v evolved the " +
             s"table schema (added column(s) ${added.mkString(", ")}), " +
@@ -296,6 +314,7 @@ class TableStreamSource(sqlContext: SQLContext, tablePath: String,
             "checkpoint keeps its position), or set " +
             "ignoreAddedColumns=true to accept the documented drop.")
       }
+    }
 
   override def getOffset: Option[Offset] = {
     val head = Manifest.version(tablePath)

@@ -420,11 +420,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(evolved.filter(col("tag") === "fresh").count() == 1L)
     assert(evolved.filter(col("tag").isNull).count() ==
       evolved.count() - 1L)
-    // arity mismatch without usable names refuses loudly with remedies
+    // arity mismatch refuses loudly with remedies — EVEN when the
+    // query's names happen to cover the table's columns (a plain
+    // INSERT must never evolve the schema without the explicit
+    // column-list / BY NAME opt-in)
     val eAr = intercept[Exception](spark.sql(
       s"INSERT INTO graft.`$sqlT` VALUES (1, 2)"))
     assert(msgs(eAr).exists(m => m.contains("BY NAME") ||
       m.contains("column list") || m.contains("data columns")), msgs(eAr))
+    val eEv = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$sqlT` SELECT 1L AS id, 2L AS v, " +
+        "'x' AS tag, 9 AS sneaky"))
+    assert(msgs(eEv).exists(_.contains("BY NAME")), msgs(eEv))
+    assert(!Manifest.read(spark, sqlT).columns.contains("sneaky"),
+      "plain INSERT must not silently evolve the schema")
     // CHECK constraints gate SQL INSERT like any commit
     Manifest.addConstraint(spark, sqlT, "v_nonneg", "v >= 0 OR v IS NULL")
     val before = rows(sqlT)
@@ -515,6 +524,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(msgs(e1).exists(_.contains("already exists")), msgs(e1))
     spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$t1` (id BIGINT)")
     assert(Manifest.read(spark, t1).count() == 2L, "no-op kept the rows")
+    // the creating commit is REPLACE-flagged: a concurrent CREATE
+    // losing the publish race aborts loudly through the
+    // never-rebases-a-replace rule instead of appending its rows onto
+    // the winner (ManifestSpec pins the abort; this pins the flag)
+    assert(graft.ops.Manifest.delta(t1, 1L).replace,
+      "CREATE must publish through the non-rebasable replace path")
     // CTAS ≡ commit(query result)
     val t2 = s"$root/ddl_t2"
     spark.sql(s"CREATE TABLE graft.`$t2` AS " +

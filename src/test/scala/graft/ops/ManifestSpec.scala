@@ -1383,6 +1383,31 @@ class ManifestSpec extends SparkSpec {
     assert(e2.getMessage.contains("replace = true"))
   }
 
+  test("structured meta values are validated at the write gate: a " +
+    "malformed txn./filerows./filebytes./dv./filestats. value refuses " +
+    "BEFORE publishing (one bad commit would brick every later " +
+    "snapshot resolution of the table)") {
+    val tbl = freshTable()
+    Manifest.commit(Seq(1).toDF("x"), tbl)
+    def refused(kv: (String, String)): Unit = {
+      intercept[IllegalArgumentException](
+        Manifest.commit(Seq(2).toDF("x"), tbl, meta = Map(kv)))
+      intercept[IllegalArgumentException](
+        Manifest.stageCommit(Seq(2).toDF("x"), tbl, "w_" +
+          math.abs(kv._1.hashCode).toString, meta = Map(kv)))
+    }
+    refused(s"${Manifest.TxnPrefix}note" -> "hello")
+    refused(s"${Manifest.FileRowsPrefix}f.parquet" -> "-3")
+    refused(s"${Manifest.FileBytesPrefix}f.parquet" -> "12x")
+    refused(s"${Manifest.DvPrefix}f.parquet" -> "no-colon")
+    refused(s"${Manifest.FileStatsPrefix}f.parquet" -> "col:1:2:3|")
+    // nothing published, table still healthy, valid stamps still land
+    assert(Manifest.version(tbl) == 1L)
+    assert(Manifest.commitOnce(Seq(2).toDF("x"), tbl, "app", 5L)
+      .contains(2L))
+    assert(Manifest.read(spark, tbl).count() == 2L)
+  }
+
   test("versionAsOf binary-searches the recorded running-max stamps: " +
     "O(log n) metadata reads on a 60-version table, exact resolution " +
     "(boundaries included), still exact after vacuum gaps") {

@@ -461,6 +461,24 @@ class TableStreamSpec extends SparkSpec {
     assert(src2.getOffset.contains(LongOffset(3L)))
   }
 
+  test("a mid-stream TYPE-WIDENING commit fails the tail loudly naming " +
+    "the restart (the widened files cannot be served under the pinned " +
+    "narrower schema; ignoreAddedColumns cannot accept it)") {
+    val up = fresh("widen_up")
+    Manifest.commit(spark.range(3).selectExpr("cast(id as int) as x"),
+      up)
+    val src = new TableStreamProvider()
+      .createSource(spark.sqlContext, "", None, "",
+        Map("path" -> up, "startingVersion" -> "1",
+          "ignoreAddedColumns" -> "true"))
+    Manifest.commit(spark.range(3, 6).selectExpr("id as x"), up,
+      allowTypeWidening = true) // v2: x INT -> BIGINT
+    val e = intercept[IllegalStateException](
+      src.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+    assert(e.getMessage.contains("TYPE") &&
+      e.getMessage.contains("RESTART"), e.getMessage)
+  }
+
   test("a mid-stream schema commit that ADDS a column fails the tail " +
     "loudly (naming the restart contract), ignoreAddedColumns=true " +
     "accepts the documented drop, and the CDC tail fails the same way") {
