@@ -100,14 +100,21 @@ object Manifest {
     * [[stageCommit]]) — loud before anything publishes. */
   private def validateStructuredMeta(meta: Map[String, String]): Unit =
     meta.foreach { case (k, v) =>
-      def num(what: String): Unit = require(v.forall(_.isDigit) &&
-        v.nonEmpty && v.length <= 19,
-        s"'$k' must carry a non-negative integer $what, got '$v' — a " +
-          "malformed structured value would break every later " +
-          "snapshot resolution")
-      if (k.startsWith(TxnPrefix)) require(
-        scala.util.Try(v.toLong).isSuccess,
-        s"'$k' must carry an integer transaction version, got '$v'")
+      // validate by ACTUAL parse: a digit/length scan admits 19-digit
+      // values above Long.MaxValue ('9999999999999999999'), which pass
+      // the gate yet make every later Snap-fold `toLong` throw — the
+      // exact bricked resolution this gate exists to prevent. Digits-only
+      // additionally rejects sign forms ('+5', '-1'): txn versions share
+      // the policy because lastTxn's never-wrote sentinel is -1, so a
+      // recorded negative stamp would be indistinguishable from "never
+      // wrote" (and '+n' would parse but re-serialize differently).
+      def num(what: String): Unit = require(
+        v.nonEmpty && v.forall(_.isDigit) &&
+          scala.util.Try(v.toLong).isSuccess,
+        s"'$k' must carry a non-negative integer $what within Long " +
+          s"range, got '$v' — a malformed structured value would break " +
+          "every later snapshot resolution")
+      if (k.startsWith(TxnPrefix)) num("transaction version")
       else if (k.startsWith(FileRowsPrefix)) num("row count")
       else if (k.startsWith(FileBytesPrefix)) num("byte size")
       else if (k.startsWith(DvPrefix)) {

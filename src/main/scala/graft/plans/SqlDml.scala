@@ -75,23 +75,7 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
               .HadoopFsRelation =>
             val roots = h.location.rootPaths.map(_.toUri.getPath)
             if (roots.isEmpty || roots.exists(_ == null)) None
-            else {
-              val p = java.nio.file.Paths.get(roots.head)
-              if (p.getNameCount < 4) None
-              else {
-                val tbl = "/" + p.subpath(0, p.getNameCount - 3).toString
-                if (Manifest.version(tbl) == 0) None
-                else {
-                  val live = Manifest.files(tbl).map(rel =>
-                    java.nio.file.Paths.get(tbl).resolve(rel)
-                      .toAbsolutePath.normalize.toString).toSet
-                  if (roots.forall(r => live.contains(
-                    java.nio.file.Paths.get(r).toAbsolutePath
-                      .normalize.toString))) Some(tbl)
-                  else None
-                }
-              }
-            }
+            else GraftSqlDml.recoverInsertTarget(roots)
           case _ => None
         }
       case _ => None
@@ -345,6 +329,50 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object GraftSqlDml {
+
+  /** Recover a governed table path from a V1 relation's root paths (the
+    * INSERT-target shape after FallBackFileSourceV2 — see the rule's
+    * LogicalRelation case). The first root must have the fixed
+    * `<tbl>/data/bNNNNNN/<file>` layout; then either EVERY root is a
+    * live file of the recovered table's head (→ the governed target),
+    * or — when a committed manifest exists at the recovered path but the
+    * live-set check fails — the relation was pinned against a version a
+    * concurrent replace/rewrite has since retired: REFUSE loudly rather
+    * than return None, because None falls through to Spark's ungoverned
+    * raw-path parquet insert, which would land files no manifest ever
+    * lists (today that path only fails by accident — a multi-path
+    * relation hits Spark's single-path error, a single-file root
+    * collides with an existing file). None only for shapes that are
+    * genuinely not a graft table (no manifest at the recovered path, or
+    * not the batch-dir layout at all). */
+  private[plans] def recoverInsertTarget(
+      roots: Seq[String]): Option[String] = {
+    val p = java.nio.file.Paths.get(roots.head)
+    if (p.getNameCount < 4) return None
+    val batch = p.getName(p.getNameCount - 2).toString
+    val dataSeg = p.getName(p.getNameCount - 3).toString
+    val shaped = dataSeg == "data" && batch.length > 1 &&
+      batch.head == 'b' && batch.tail.forall(_.isDigit)
+    if (!shaped) return None
+    val tbl = "/" + p.subpath(0, p.getNameCount - 3).toString
+    if (Manifest.version(tbl) == 0) None
+    else {
+      val live = Manifest.files(tbl).map(rel =>
+        java.nio.file.Paths.get(tbl).resolve(rel)
+          .toAbsolutePath.normalize.toString).toSet
+      val stale = roots.filterNot(r => live.contains(
+        java.nio.file.Paths.get(r).toAbsolutePath.normalize.toString))
+      if (stale.isEmpty) Some(tbl)
+      else throw new IllegalStateException(
+        s"stale relation over governed table $tbl: the INSERT target " +
+          "was resolved against a version whose file(s) " +
+          s"${stale.mkString(", ")} a concurrent replace/rewrite has " +
+          "since retired — re-run the statement so it re-resolves " +
+          "against the new head (refusing the ungoverned raw-path " +
+          "insert this would otherwise fall through to)")
+    }
+  }
+
   /** Rebind a condition/value expression parsed against the CATALOG
     * relation's attributes onto the fresh frame the merge engine scans:
     * resolved attribute references become by-name lookups (the

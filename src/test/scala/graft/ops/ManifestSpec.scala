@@ -1399,6 +1399,16 @@ class ManifestSpec extends SparkSpec {
     refused(s"${Manifest.TxnPrefix}note" -> "hello")
     refused(s"${Manifest.FileRowsPrefix}f.parquet" -> "-3")
     refused(s"${Manifest.FileBytesPrefix}f.parquet" -> "12x")
+    // ADVICE r16: validation is by ACTUAL parse — a 19-digit value above
+    // Long.MaxValue passes a digit/length scan yet bricks the Snap fold
+    refused(s"${Manifest.FileRowsPrefix}f.parquet" -> "9999999999999999999")
+    refused(s"${Manifest.FileBytesPrefix}f.parquet" -> "9999999999999999999")
+    // ...and txn.* shares the non-negative digit-only policy (a recorded
+    // '-1' would collide with lastTxn's never-wrote sentinel; '+n' would
+    // parse but re-serialize differently)
+    refused(s"${Manifest.TxnPrefix}app" -> "-1")
+    refused(s"${Manifest.TxnPrefix}app" -> "+5")
+    refused(s"${Manifest.TxnPrefix}app" -> "9999999999999999999")
     refused(s"${Manifest.DvPrefix}f.parquet" -> "no-colon")
     refused(s"${Manifest.FileStatsPrefix}f.parquet" -> "col:1:2:3|")
     // nothing published, table still healthy, valid stamps still land
