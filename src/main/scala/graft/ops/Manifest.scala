@@ -70,21 +70,106 @@ object Manifest {
     * optimistic-rebase path deterministically). No-op in production. */
   private[ops] var beforePublish: () => Unit = () => ()
 
+  /** Test seam: invoked with the manifest directory whenever head/
+    * version resolution falls back to LISTING it (ManifestSpec asserts
+    * the hinted steady state never lists — at 100 TB with long
+    * retention, the listing is the dominant metadata term). No-op in
+    * production. */
+  private[ops] var onDirList: Path => Unit = _ => ()
+
   private[graft] def committedVersions(tablePath: String): Seq[Long] = {
     val dir = manifestDir(tablePath)
     if (!Files.isDirectory(dir)) Seq.empty
-    else ls(dir)
-      .map(p => Paths.get(p).getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-        s.stripPrefix("v").stripSuffix(".txt").toLong }
-      .sorted
+    else {
+      onDirList(dir)
+      ls(dir)
+        .map(p => Paths.get(p).getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+          s.stripPrefix("v").stripSuffix(".txt").toLong }
+        .sorted
+    }
   }
 
-  /** Newest committed version, 0 when the table does not exist yet. */
-  def version(tablePath: String): Long = {
-    val vs = committedVersions(tablePath)
-    if (vs.isEmpty) 0L else vs.max
+  // ——— HEAD HINT (the Delta `_last_checkpoint` idea, applied to head
+  // discovery): every publish best-effort records its version in
+  // `_manifests/_head`, so the steady-state `version()` is O(1) tiny
+  // reads + a short forward existence-probe instead of LISTING the
+  // manifest directory (O(retained history) names — at long retention
+  // the dominant planning term). SOUNDNESS: versions are allocated
+  // contiguously upward (every publish claims head+1), so existence
+  // above any version is contiguous UNLESS vacuum dropped versions —
+  // and vacuum records `_gapceil` (= the newest version at vacuum
+  // start, strictly above every version it drops) BEFORE dropping
+  // anything. A hint at or above the gap ceiling therefore has no
+  // vacuum gap above it, and the forward probe provably finds the true
+  // head; a hint below it (a crashed/slow writer's stale value) falls
+  // back to the listing. Both files are advisory accelerators: garbage,
+  // absence, or a failed write only cost the fallback listing, never
+  // correctness. Concurrent VACUUMS are outside the contract (vacuum
+  // already documents single-maintenance operation) — two racing
+  // gap-ceiling writers could regress the ceiling. ———
+
+  private def headHintFile(tablePath: String): Path =
+    manifestDir(tablePath).resolve("_head")
+
+  private def gapCeilFile(tablePath: String): Path =
+    manifestDir(tablePath).resolve("_gapceil")
+
+  private def readLongFile(p: Path): Option[Long] =
+    if (!Files.exists(p)) None
+    else scala.util.Try(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim.toLong).toOption
+
+  private def writeLongFile(p: Path, v: Long): Unit = {
+    val tmp = Files.createTempFile(p.getParent,
+      s".${p.getFileName}-", ".tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    finally Files.deleteIfExists(tmp)
   }
+
+  /** Best-effort monotone-max write of a tiny advisory long file
+    * (atomic replace; failures are swallowed — the value is an
+    * accelerator, the listing fallback owns correctness). */
+  private def advisoryMax(p: Path, v: Long): Unit = scala.util.Try {
+    if (readLongFile(p).forall(_ < v)) writeLongFile(p, v)
+  }
+
+  private[ops] def writeHeadHint(tablePath: String, v: Long): Unit =
+    advisoryMax(headHintFile(tablePath), v)
+
+  /** Head via the hint when sound (see the block comment above):
+    * hint exists, its manifest exists, and it sits at or above the
+    * vacuum gap ceiling — then forward-probe to the true head. None
+    * means "fall back to the listing". */
+  private def headByHint(tablePath: String): Option[Long] =
+    readLongFile(headHintFile(tablePath)).flatMap { h =>
+      if (h < readLongFile(gapCeilFile(tablePath)).getOrElse(0L)) None
+      else if (!Files.exists(manifestFile(tablePath, h))) None
+      else {
+        var v = h
+        while (Files.exists(manifestFile(tablePath, v + 1))) v += 1
+        Some(v)
+      }
+    }
+
+  /** Newest committed version, 0 when the table does not exist yet.
+    * Steady state is hint-served — O(1) metadata I/O with NO directory
+    * listing; tables without a (sound) hint pay one listing and then
+    * SELF-HEAL: the fallback force-repairs the hint to the listed head
+    * (monotone-max can't — a too-large garbage value wins every max),
+    * so a corrupted hint costs exactly one listing, not one per read.
+    * A publish racing the repair can only make the repaired value LAG
+    * the true head, which the forward probe absorbs. */
+  def version(tablePath: String): Long =
+    headByHint(tablePath).getOrElse {
+      val vs = committedVersions(tablePath)
+      val head = if (vs.isEmpty) 0L else vs.max
+      if (head > 0L)
+        scala.util.Try(writeLongFile(headHintFile(tablePath), head))
+      head
+    }
 
   /** Test seam: invoked with the path of every manifest/checkpoint file
     * read (ManifestSpec counts reads to PROVE metadata resolution is
@@ -593,43 +678,54 @@ object Manifest {
 
   /** Monotonically-ADJUSTED commit time of version `v`: the recorded
     * running max, or (pre-recording manifests) the max of the raw
-    * stamps up to `v`. The binary search over these values assumes
-    * every recorded `#maxts` genuinely covers its whole prefix — true
-    * for any table written by this library (every publish path seeds
-    * from the base's stamp, and PRE-recording tables refuse wholesale
-    * at [[delta]]'s format marker before a mixed history could
-    * exist). */
-  private def adjustedTime(tablePath: String, vs: Seq[Long],
-      i: Int): Long =
-    rawMeta(tablePath, vs(i)).get(MaxTsKey).map(_.toLong).getOrElse(
-      (0 to i).map(j => commitTime(tablePath, vs(j))).max)
+    * stamps over the retained prefix. The binary search over these
+    * values assumes every recorded `#maxts` genuinely covers its whole
+    * prefix — true for any table written by this library (every publish
+    * path seeds from the base's stamp, and PRE-recording tables refuse
+    * wholesale at [[delta]]'s format marker before a mixed history
+    * could exist). */
+  private def adjustedTimeAt(tablePath: String, v: Long): Long =
+    rawMeta(tablePath, v).get(MaxTsKey).map(_.toLong).getOrElse(
+      (1L to v).filter(w => Files.exists(manifestFile(tablePath, w)))
+        .map(commitTime(tablePath, _)).max)
 
   /** TIMESTAMP AS OF resolution: the newest version whose
     * monotonically-ADJUSTED commit time is <= `tsMillis` (each
     * version's effective time is the max of its own stamp and every
     * predecessor's — the Delta adjustment that keeps time travel
     * well-defined under writer clock skew). The adjusted sequence is
-    * nondecreasing, so resolution BINARY-SEARCHES the recorded
-    * `#maxts` stamps — O(log history) driver-side reads; a version
-    * without a stamp (pre-recording writer) falls back to the prefix
-    * walk for that probe. Fails loudly for a timestamp before the
-    * first retained commit — never silently serves a different state
-    * than asked for. */
+    * nondecreasing over version NUMBERS, so resolution binary-searches
+    * number space [1, head] directly — O(log history) small manifest
+    * reads, NO listing of the manifest directory (head comes from the
+    * hint; a vacuumed probe slides down to the nearest retained
+    * manifest with pure existence checks). Fails loudly for a
+    * timestamp before the first retained commit — never silently
+    * serves a different state than asked for. */
   def versionAsOf(tablePath: String, tsMillis: Long): Long = {
-    val vs = committedVersions(tablePath)
-    require(vs.nonEmpty, s"no committed version at $tablePath")
-    var lo = 0
-    var hi = vs.size - 1
+    val head = version(tablePath)
+    require(head > 0, s"no committed version at $tablePath")
+    def existingAtOrBelow(v0: Long, floor: Long): Long = {
+      var v = v0
+      while (v >= floor && !Files.exists(manifestFile(tablePath, v)))
+        v -= 1
+      if (v >= floor) v else -1L
+    }
+    var lo = 1L
+    var hi = head
     var hit = -1L
     while (lo <= hi) {
-      val mid = (lo + hi) >>> 1
-      if (adjustedTime(tablePath, vs, mid) <= tsMillis) {
-        hit = vs(mid); lo = mid + 1
-      } else hi = mid - 1
+      val mid = lo + ((hi - lo) >>> 1)
+      existingAtOrBelow(mid, lo) match {
+        case -1L => lo = mid + 1 // [lo, mid] entirely vacuumed
+        case m =>
+          if (adjustedTimeAt(tablePath, m) <= tsMillis) {
+            hit = m; lo = mid + 1
+          } else hi = m - 1
+      }
     }
     require(hit > 0,
       s"no version of $tablePath at or before timestamp $tsMillis " +
-        s"(first retained commit is at ${commitTime(tablePath, vs.head)})")
+        "(every retained commit is newer)")
     hit
   }
 
@@ -936,6 +1032,7 @@ object Manifest {
         Files.deleteIfExists(tmp)
         Files.deleteIfExists(wapFile(tablePath, id))
         maybeCheckpoint(tablePath, next)
+        writeHeadHint(tablePath, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1795,6 +1892,7 @@ object Manifest {
         Files.createLink(manifestFile(tablePath, next), tmp)
         Files.deleteIfExists(tmp)
         maybeCheckpoint(tablePath, next)
+        writeHeadHint(tablePath, next)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -1830,6 +1928,7 @@ object Manifest {
           Files.move(tmp, manifestFile(tablePath, next),
             StandardCopyOption.ATOMIC_MOVE)
           maybeCheckpoint(tablePath, next)
+          writeHeadHint(tablePath, next)
           return next
       }
     }
@@ -1897,6 +1996,7 @@ object Manifest {
       Files.createLink(manifestFile(tablePath, next), tmp)
       Files.deleteIfExists(tmp)
       maybeCheckpoint(tablePath, next)
+      writeHeadHint(tablePath, next)
       next
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -1919,6 +2019,7 @@ object Manifest {
         Files.move(tmp, manifestFile(tablePath, next),
           StandardCopyOption.ATOMIC_MOVE)
         maybeCheckpoint(tablePath, next)
+        writeHeadHint(tablePath, next)
         next
     }
   }
@@ -1951,7 +2052,9 @@ object Manifest {
     * its manifest publishes) and are never touched; do NOT run vacuum
     * concurrently with in-flight commits on a multi-writer table — an
     * unpublished claimed batch numbered at-or-below the head is
-    * indistinguishable from debris. Reading a vacuumed version fails
+    * indistinguishable from debris — nor concurrently with another
+    * vacuum (two racing gap-ceiling writers could regress the head
+    * hint's soundness bound; maintenance is single-operator). Reading a vacuumed version fails
     * loudly ("version v is not committed") — exactly [[read]]'s existing
     * missing-manifest check.
     *
@@ -2003,6 +2106,19 @@ object Manifest {
       }
     }
     willCkpt.toSeq.sorted.foreach(writeCheckpoint(tablePath, _))
+    // record the GAP CEILING before dropping anything (crash-ordered:
+    // an interrupted vacuum leaves the ceiling written and some drops
+    // undone — the ceiling is then conservative, which only costs hint
+    // fallback listings, never correctness). Every dropped version is
+    // strictly below `newest`, so a head hint at or above the ceiling
+    // provably has no vacuum gap above it — the invariant
+    // [[headByHint]]'s forward probe rides. The hint itself advances to
+    // `newest` too, so the steady state right after a vacuum is
+    // hint-served.
+    if (dropped.nonEmpty) {
+      advisoryMax(gapCeilFile(tablePath), newest)
+      writeHeadHint(tablePath, newest)
+    }
     dropped.foreach { v =>
       Files.delete(manifestFile(tablePath, v))
       Files.deleteIfExists(ckptFile(tablePath, v))

@@ -1243,6 +1243,13 @@ class ManifestSpec extends SparkSpec {
     finally Manifest.onMetaRead = _ => ()
   }
 
+  private def countingLists[T](body: => T): (T, Int) = {
+    var n = 0
+    Manifest.onDirList = _ => n += 1
+    try { val r = body; (r, n) }
+    finally Manifest.onDirList = _ => ()
+  }
+
   test("txn state rides the checkpoint fold: cold-appId lastTxn on a " +
     "50-version table is a BOUNDED metadata read (<= interval + 2), " +
     "and a stamp survives vacuum dropping its recording manifest") {
@@ -1443,6 +1450,67 @@ class ManifestSpec extends SparkSpec {
     val tMid = Manifest.commitTime(tbl, 50L)
     val hit2 = Manifest.versionAsOf(tbl, tMid)
     assert(hit2 >= 50L && hit2 <= 60L)
+  }
+
+  test("head hint kills the directory listing: steady-state version() " +
+    "and versionAsOf are hint-served (zero manifest-dir lists, O(log) " +
+    "reads); stale/garbage hints fall back safely; vacuum's gap " +
+    "ceiling keeps the forward probe sound under a tagged-survivor gap") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val tbl = freshTable()
+    (1 to 25).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    val hintF = JPaths.get(tbl, "_manifests", "_head")
+    assert(JFiles.exists(hintF), "every publish must record the hint")
+    // steady state: no listing for head discovery or time travel
+    val (v0, lists0) = countingLists(Manifest.version(tbl))
+    assert(v0 == 25L && lists0 == 0,
+      s"hinted version() must not list the manifest dir (listed $lists0)")
+    val ((hit, reads), listsT) = countingLists(
+      countingReads(Manifest.versionAsOf(tbl,
+        Manifest.commitTime(tbl, 12L))))
+    assert(hit >= 12L && listsT == 0 && reads <= 16,
+      s"versionAsOf must be list-free and O(log n) (lists=$listsT, " +
+        s"reads=$reads)")
+    // a LAGGING hint (crashed writer) forward-probes to the true head
+    // with no listing — versions above any hint are contiguous
+    JFiles.write(hintF, "3".getBytes)
+    val (v1, lists1) = countingLists(Manifest.version(tbl))
+    assert(v1 == 25L && lists1 == 0)
+    // garbage hints are advisory: fall back to the listing, stay exact,
+    // and SELF-HEAL — the fallback repairs the hint so the listing is
+    // paid once, not on every subsequent read
+    JFiles.write(hintF, "not-a-number".getBytes)
+    val (v2, lists2) = countingLists(Manifest.version(tbl))
+    assert(v2 == 25L && lists2 == 1)
+    val (v2b, lists2b) = countingLists(Manifest.version(tbl))
+    assert(v2b == 25L && lists2b == 0,
+      "fallback must repair the hint (healed read lists again)")
+    JFiles.write(hintF, "999".getBytes) // beyond head: manifest missing
+    assert(Manifest.version(tbl) == 25L)
+    assert(new String(JFiles.readAllBytes(hintF)).trim == "25",
+      "a beyond-head garbage hint heals to the true head")
+    // the soundness case the gap ceiling exists for: a TAGGED version
+    // survives vacuum BELOW a gap; a stale hint pointing at it must
+    // not forward-probe into the gap and report an ancient head
+    Manifest.tag(tbl, "audit", 3L)
+    Manifest.vacuum(tbl, retainLast = 5)
+    assert(Manifest.files(tbl, 3L).nonEmpty, "tagged v3 retained")
+    val (v3, lists3) = countingLists(Manifest.version(tbl))
+    assert(v3 == 25L && lists3 == 0, "post-vacuum head is hint-served")
+    JFiles.write(hintF, "3".getBytes) // stale hint at the tagged island
+    val (v4, lists4) = countingLists(Manifest.version(tbl))
+    assert(v4 == 25L,
+      "a hint below the gap ceiling must never under-report the head")
+    assert(lists4 == 1, "below-ceiling hint pays exactly one listing")
+    // time travel across the vacuum gap stays exact and list-free once
+    // the hint is healthy again (the next publish heals it)
+    Manifest.commit(Seq(26).toDF("x"), tbl)
+    val (v5, lists5) = countingLists(
+      Manifest.versionAsOf(tbl, System.currentTimeMillis + 10000))
+    assert(v5 == 26L && lists5 == 0)
+    val mid = Manifest.commitTime(tbl, 23L)
+    val h2 = Manifest.versionAsOf(tbl, mid)
+    assert(h2 >= 23L && h2 <= 26L)
   }
 
   test("ADVICE r15: dropStaged after vacuum dropped the PUBLISHING " +
