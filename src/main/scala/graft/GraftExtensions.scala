@@ -17,11 +17,13 @@ import graft.functions.{BpePairArray, BpeRewrite, DeflateLen, DotProduct, Md5Lon
   *
   * The engine's operators are all expressible as Catalyst logical plans
   * through the DataFrame API (SURVEY §4), so the plan-level extensions
-  * are exactly the two the Delta pattern needs (catalog resolves,
+  * are exactly what the Delta pattern needs (catalog resolves,
   * extension rewrites): [[graft.plans.DvReadRewrite]] serving SQL reads
   * of deletion-vector-carrying [[graft.sources.GraftCatalog]] versions,
-  * and [[graft.plans.GraftSqlDml]] routing SQL DELETE/UPDATE through the
-  * merge-on-read engine's commit protocol.
+  * [[graft.plans.GraftSqlDml]] routing SQL DML/DDL through the
+  * merge-on-read engine's commit protocol, and
+  * [[graft.plans.GraftSqlParser]] adding the maintenance verbs
+  * (OPTIMIZE/VACUUM/RESTORE) Spark's grammar lacks.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -30,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DV read-rewrite dissolves its relation into a read plan
     ext.injectResolutionRule(graft.plans.GraftSqlDml(_))
     ext.injectResolutionRule(graft.plans.DvReadRewrite(_))
+    // the maintenance verbs (OPTIMIZE/VACUUM/RESTORE) are not in
+    // Spark's grammar — a delegating parser intercepts exactly those
+    // statement shapes (the Delta pattern)
+    ext.injectParser((_, parser) =>
+      new graft.plans.GraftSqlParser(parser))
   }
 }
 

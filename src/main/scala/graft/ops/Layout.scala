@@ -117,6 +117,40 @@ object Layout {
     (v, targets.size, all.size - targets.size)
   }
 
+  /** OPTIMIZE (bare) — whole-table BIN-PACK compaction of a
+    * [[Manifest]] table: every live file rewrites into `numFiles`
+    * coalesced files (no shuffle — coalesce merges input splits), with
+    * deletion vectors materialized away (the read-side MoR tax
+    * retires) and every PREVIOUSLY stats-bearing column's bounds
+    * re-harvested, so the compacted files keep pruning where the
+    * fragmented ones did. Publishes ONE `data_change=false` layout
+    * commit (CDC consumers skip it; content provably unchanged).
+    * Returns (version, filesRewritten, filesCarried=0); an empty table
+    * publishes nothing. For a targeted slice use [[optimizeWhere]] —
+    * whole-table compaction cost is ∝ the table, which is exactly why
+    * the SQL verb takes a WHERE. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, numFiles: Int = 1): (Long, Int, Int) = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val headV = Manifest.version(tablePath)
+    val all = Manifest.files(tablePath, headV)
+    if (all.isEmpty) return (headV, 0, 0)
+    val schema = Manifest.schemaOf(tablePath)
+      .getOrElse(Manifest.read(spark, tablePath).schema)
+    val paths = all.map(r =>
+      java.nio.file.Paths.get(tablePath).resolve(r).toString)
+    val statsCols = Manifest.fileStats(tablePath).values
+      .flatMap(_.keys).toSeq.distinct.sorted
+    val v = Manifest.commit(
+      Manifest.applyDv(spark, tablePath, headV,
+          spark.read.schema(schema).parquet(paths: _*))
+        .coalesce(numFiles),
+      tablePath, removeFiles = all, statsCols = statsCols,
+      meta = Map(ChangeFeed.DataChangeKey -> "false"),
+      readVersion = headV)
+    (v, all.size, 0)
+  }
+
   /** Data files per partition directory (spec/observability helper). */
   def filesPerPartition(path: String,
       partitionCol: String): Map[String, Int] = {

@@ -261,7 +261,40 @@ object Manifest {
     * double-counting. */
   val LogFormatKey = "log"
   private val LogFormatValue = "delta"
-  private[ops] val formatMeta = Map(LogFormatKey -> LogFormatValue)
+
+  /** Reserved meta key listing the LOG FEATURES a manifest's writer
+    * used (`#features=a,b,…`) — the Delta reader/writer protocol
+    * contract, generalized: a reader REFUSES any manifest or
+    * checkpoint carrying a feature token it does not implement,
+    * NAMING the feature. The point is the NEXT format evolution: the
+    * r15 delta-log and r16 marker migrations were each a bespoke hard
+    * wall; with this gate a future writer adds its token to the list
+    * and every older reader degrades to one loud, self-describing
+    * "reader lacks feature X" instead of a silent misread or a
+    * per-change refusal. An ABSENT features line = the baseline set
+    * (everything written before this key existed is exactly
+    * baseline). */
+  val FeaturesKey = "features"
+
+  /** Every log feature THIS reader implements. A table stamped with a
+    * strict subset reads fine; any token outside this set refuses. */
+  private[ops] val SupportedFeatures: Set[String] =
+    Set("delta-log", "ckpt-v2", "dv", "txn-fold", "branch-refs")
+  private val FeaturesValue = SupportedFeatures.toSeq.sorted.mkString(",")
+
+  private def checkFeatures(what: String, recorded: Option[String]): Unit =
+    recorded.foreach { fs =>
+      val unknown = fs.split(',').map(_.trim).filter(_.nonEmpty)
+        .filterNot(SupportedFeatures.contains)
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"$what requires log feature(s) ${unknown.mkString(", ")} this " +
+          "reader does not implement (supported: " +
+          s"${SupportedFeatures.toSeq.sorted.mkString(", ")}) — " +
+          "upgrade the library to read this table")
+    }
+
+  private[ops] val formatMeta = Map(LogFormatKey -> LogFormatValue,
+    FeaturesKey -> FeaturesValue)
 
   /** Versions between full checkpoints: state resolution reads at most
     * this many delta manifests past a checkpoint. Small enough that a
@@ -300,6 +333,7 @@ object Manifest {
           "library version (full-carry format), whose file list this " +
           "reader would silently double-count as delta adds. Re-create " +
           "the table (or re-commit its content) with the current library.")
+    checkFeatures(s"manifest v$v at $tablePath", meta.get(FeaturesKey))
     CommitDelta(v,
       added = ls.filterNot(l => l.startsWith("#") || l.startsWith("-")),
       removed = ls.filter(_.startsWith("-")).map(_.stripPrefix("-")),
@@ -375,6 +409,9 @@ object Manifest {
           "format (no '" + CkptVerLine + "' line) — it carries no txn " +
           "state, so resolving from it would silently forget recorded " +
           "transactions. Re-create the table with the current library.")
+    checkFeatures(s"checkpoint v$v at $tablePath",
+      ls.find(_.startsWith(s"#$FeaturesKey="))
+        .map(_.stripPrefix(s"#$FeaturesKey=")))
     def tagged(prefix: String): Map[String, String] =
       ls.filter(_.startsWith(s"#$prefix"))
         .map(_.stripPrefix(s"#$prefix").split("=", 2))
@@ -435,7 +472,7 @@ object Manifest {
   private[ops] def writeCheckpoint(tablePath: String, v: Long): Unit = {
     if (Files.exists(ckptFile(tablePath, v))) return
     val snap = snapshot(tablePath, v)
-    val body = (CkptVerLine +:
+    val body = (Seq(CkptVerLine, s"#$FeaturesKey=$FeaturesValue") ++
       (snap.dv.toSeq.sortBy(_._1).map { case (f, (d, n)) =>
         s"#$DvPrefix$f=$d:$n" } ++
       snap.rows.toSeq.sortBy(_._1).map { case (f, n) =>
@@ -499,6 +536,7 @@ object Manifest {
       .filterNot(_._1 == CommitTsKey)
       .filterNot(_._1 == ReplaceKey)
       .filterNot(_._1 == LogFormatKey)
+      .filterNot(_._1 == FeaturesKey)
       .filterNot(_._1 == MaxTsKey)
 
   /** Prefix of metadata keys recording per-file column min/max — the
@@ -838,6 +876,7 @@ object Manifest {
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(FeaturesKey), s"'$FeaturesKey' is reserved")
     require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
@@ -1080,6 +1119,329 @@ object Manifest {
       .distinct
     Files.delete(f)
     dirs.foreach(rmTree)
+    true
+  }
+
+  // ——— WRITABLE BRANCH REFS (the Iceberg branch shape, generalizing
+  // WAP from one staged commit to a CHAIN of them): [[branch]] forks
+  // the commit chain at a base version; [[commitBranch]] lands
+  // append-shaped commits on the branch under the same optimistic
+  // link-retry and CHECK-constraint gate as [[commit]] — each branch
+  // commit is a stage-format manifest `branch-<name>-cNNNNNN.txt`,
+  // invisible to every main-chain reader, schema evolving
+  // append-compatibly along the branch; [[readBranch]] serves the
+  // branch view (BASE state + branch commits — pinned at the fork, the
+  // isolation contract); [[fastForward]] publishes the branch's net
+  // state back as ONE metadata-only main commit iff main has not moved
+  // off the base (divergence REFUSES loudly — re-branch and replay),
+  // idempotent through a `txn.branch-<name>` stamp exactly like WAP
+  // publish; [[dropBranch]] abandons. [[vacuum]] pins every branch's
+  // base version and protects branch data files until
+  // publish/drop decides. The WAP stage is the one-commit special
+  // case of this shape. At 100 TB this is how a multi-batch risky
+  // ingest ships: N expensive writes land quarantined on the branch,
+  // audited as a unit, and the promote decision costs one manifest
+  // write. ———
+
+  private def branchRefFile(tablePath: String, name: String): Path =
+    manifestDir(tablePath).resolve(s"branch-$name.txt")
+
+  private def branchCommitFile(tablePath: String, name: String,
+      c: Long): Path =
+    manifestDir(tablePath).resolve(f"branch-$name-c$c%06d.txt")
+
+  /** Fork a branch named `name` at `from` (the head when omitted).
+    * Loud on an invalid name, an uncommitted base, or an existing
+    * branch. Returns the base version the branch builds on. */
+  def branch(tablePath: String, name: String, from: Long = -1L): Long = {
+    require(validRefName(name),
+      s"invalid branch name '$name' (letters/digits/._- only, must " +
+        "start alphanumeric)")
+    // a name shaped like a branch COMMIT file suffix would make
+    // branch-<name>.txt ambiguous with another branch's commit
+    require(!name.matches(".*-c\\d{6}"),
+      s"invalid branch name '$name' (the '-cNNNNNN' suffix is " +
+        "reserved for branch commit numbering)")
+    val base = if (from >= 0) from else version(tablePath)
+    require(base > 0 && Files.exists(manifestFile(tablePath, base)),
+      s"version $base is not committed at $tablePath")
+    val tmp = Files.createTempFile(manifestDir(tablePath),
+      s".branch-$name-", ".tmp")
+    Files.write(tmp, s"#base=$base".getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(branchRefFile(tablePath, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"branch '$name' already exists at $tablePath — " +
+            "fastForward or dropBranch first")
+    } finally Files.deleteIfExists(tmp)
+    base
+  }
+
+  /** Live branches: name → (base version, branch commit count). */
+  def branches(tablePath: String): Map[String, (Long, Long)] = {
+    val dir = manifestDir(tablePath)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val names = ls(dir).map(p => Paths.get(p).getFileName.toString)
+      .collect { case s if s.startsWith("branch-") && s.endsWith(".txt")
+          && !s.stripPrefix("branch-").stripSuffix(".txt")
+            .matches(".*-c\\d{6}") =>
+        s.stripPrefix("branch-").stripSuffix(".txt") }
+    names.map(n => n -> (branchBase(tablePath, n),
+      branchCommits(tablePath, n).size.toLong)).toMap
+  }
+
+  private def branchBase(tablePath: String, name: String): Long = {
+    val f = branchRefFile(tablePath, name)
+    require(Files.exists(f), s"no branch '$name' at $tablePath")
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8).trim
+      .stripPrefix("#base=").toLong
+  }
+
+  private def branchCommits(tablePath: String, name: String): Seq[Long] = {
+    val dir = manifestDir(tablePath)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else ls(dir).map(p => Paths.get(p).getFileName.toString)
+      .collect {
+        case s if s.startsWith(s"branch-$name-c") && s.endsWith(".txt") =>
+          s.stripPrefix(s"branch-$name-c").stripSuffix(".txt").toLong
+      }.sorted
+  }
+
+  private def branchLines(tablePath: String, name: String,
+      c: Long): Seq[String] = {
+    val f = branchCommitFile(tablePath, name, c)
+    require(Files.exists(f),
+      s"branch '$name' commit $c is missing at $tablePath")
+    Files.readAllLines(f).toArray.map(_.toString).toSeq.filter(_.nonEmpty)
+  }
+
+  /** The branch's resolved (schema, constraint set, all added files,
+    * merged structured meta): base state folded through the branch
+    * commits in order. Constraints are the BASE's — frozen at fork
+    * (constraint changes refuse on branches). */
+  private def branchState(tablePath: String, name: String)
+      : (Long, StructType, Map[String, String], Seq[String],
+        Map[String, String]) = {
+    val base = branchBase(tablePath, name)
+    val cs = branchCommits(tablePath, name)
+    var schema = schemaOf(tablePath, base).getOrElse(
+      throw new IllegalStateException(
+        s"base version $base of $tablePath records no schema"))
+    val files = Seq.newBuilder[String]
+    var meta = Map.empty[String, String]
+    cs.foreach { c =>
+      val lines = branchLines(tablePath, name, c)
+      val m = lines.filter(_.startsWith("#"))
+        .map(_.stripPrefix("#").split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      m.get(SchemaKey).foreach(j => schema = evolve(schema,
+        DataType.fromJson(j).asInstanceOf[StructType]))
+      files ++= lines.filterNot(_.startsWith("#"))
+      meta ++= (m - SchemaKey - CommitTsKey)
+    }
+    (base, schema, constraintsOf(tablePath, base), files.result(), meta)
+  }
+
+  /** Commit `df` onto branch `name` — the append-shaped branch commit:
+    * data files land in a normally-claimed batch dir (stats/bytes
+    * harvested from footers like any commit), the batch validates
+    * against the branch's CHECK constraints NOW (the fork-frozen set —
+    * a violating branch commit aborts with nothing staged), the schema
+    * evolves append-compatibly from the branch head, and the branch
+    * manifest publishes under the same atomic link-retry as [[commit]]
+    * (two branch writers race the commit number; the loser re-resolves
+    * and relinks — appends are disjoint by the batch-dir claim). NO
+    * main-chain version moves. Returns the branch commit number. */
+  def commitBranch(df: DataFrame, tablePath: String, name: String,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
+    require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
+    require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
+    meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
+      s"invalid meta key '$k'"))
+    meta.values.foreach(v => require(!v.contains("\n"),
+      s"meta value may not span lines: '$v'"))
+    validateStructuredMeta(meta)
+    val (_, headSchema, constraints, _, _) = branchState(tablePath, name)
+    // append-compatible evolution gate BEFORE writing (loud on type
+    // changes; new columns ride)
+    val evolved = evolve(headSchema, df.schema)
+    val dataDir = Paths.get(tablePath, "data")
+    Files.createDirectories(dataDir)
+    var claim = version(tablePath) + 1
+    var batchDir: Path = null
+    while (batchDir == null) {
+      val cand = dataDir.resolve(f"b$claim%06d")
+      try { Files.createDirectory(cand); batchDir = cand }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => claim += 1
+      }
+    }
+    df.write.mode("append").parquet(batchDir.toString)
+    val fresh = ls(batchDir)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(p => Paths.get(tablePath).relativize(Paths.get(p)).toString)
+    // the fork-frozen constraint gate, over the WRITTEN rows (one
+    // bounded aggregate — what was written is what was checked)
+    if (constraints.nonEmpty && fresh.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, lit, sum, when}
+      val cNames = constraints.keys.toSeq.sorted
+      val viols = df.sparkSession.read.schema(df.schema)
+        .parquet(batchDir.toString).agg(
+          sum(when(!expr(constraints(cNames.head)), lit(1L))
+            .otherwise(lit(0L))).as("c0"),
+          cNames.tail.zipWithIndex.map { case (n, i) =>
+            sum(when(!expr(constraints(n)), lit(1L)).otherwise(lit(0L)))
+              .as(s"c${i + 1}") }: _*).head()
+      val bad = cNames.zipWithIndex
+        .map { case (n, i) =>
+          n -> (if (viols.isNullAt(i)) 0L else viols.getLong(i)) }
+        .filter(_._2 > 0)
+      if (bad.nonEmpty) {
+        rmTree(batchDir)
+        throw new IllegalArgumentException(
+          s"requirement failed: branch '$name' commit violates CHECK " +
+            "constraint(s) " + bad.map { case (n, c) =>
+              s"'$n' ($c rows: ${constraints(n)})" }.mkString(", ") +
+            " — nothing landed on the branch")
+      }
+    }
+    val (rowsMeta, statsMeta) = footerBatchStats(df.sparkSession,
+      tablePath, fresh, statsCols, df.schema)
+    val lines =
+      (meta ++ rowsMeta ++ statsMeta ++
+        freshBytesMeta(tablePath, fresh) +
+        (SchemaKey -> evolved.json) +
+        (CommitTsKey -> System.currentTimeMillis.toString))
+        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fresh
+    // optimistic link-retry on the branch commit number
+    var next = branchCommits(tablePath, name).lastOption
+      .getOrElse(0L) + 1
+    while (true) {
+      val tmp = Files.createTempFile(manifestDir(tablePath),
+        s".branch-$name-c$next-", ".tmp")
+      Files.write(tmp,
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(branchCommitFile(tablePath, name, next), tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => next += 1
+      } finally Files.deleteIfExists(tmp)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The branch view: the BASE version's state (deletion vectors
+    * applied) plus every branch commit's files, under the branch's
+    * evolved schema. Pinned at the FORK — main-chain commits after the
+    * fork are invisible here, exactly as branch commits are invisible
+    * to main readers (the isolation contract both directions). */
+  def readBranch(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val (base, schema, _, branchFiles, _) = branchState(tablePath, name)
+    val baseFiles = listed(tablePath, base)
+    val paths = (baseFiles ++ branchFiles)
+      .map(rel => Paths.get(tablePath).resolve(rel).toString)
+    applyDv(spark, tablePath, base,
+      spark.read.schema(schema).parquet(paths: _*))
+  }
+
+  /** Publish branch `name` back onto the main chain as ONE
+    * metadata-only commit (the squash fast-forward): all branch files
+    * become the next version's adds, the base's DV/file state is
+    * inherited by delta resolution, the branch's evolved schema and
+    * the fork-frozen constraints record, and the branch refs delete.
+    * REFUSES on divergence — any main commit since the fork means the
+    * branch's constraint validation and isolation story no longer
+    * describe the published chain; re-branch from the new head and
+    * replay instead (the atomic-exclusive link makes the check
+    * race-free: a main commit sneaking in between the head check and
+    * the link turns the link into a loud EEXIST, nothing published).
+    * IDEMPOTENT through the `txn.branch-<name>` stamp: a replay after
+    * the link-then-cleanup crash window returns the already-published
+    * version. Returns the published main version. */
+  def fastForward(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val txnApp = s"branch-$name"
+    txnState(tablePath, txnApp) match {
+      case Some((_, v)) =>
+        // already published (crash-window replay): finish the cleanup
+        branchCommits(tablePath, name).foreach(c =>
+          Files.deleteIfExists(branchCommitFile(tablePath, name, c)))
+        Files.deleteIfExists(branchRefFile(tablePath, name))
+        return v
+      case None => ()
+    }
+    val (base, schema, constraints, branchFiles, meta) =
+      branchState(tablePath, name)
+    val head = version(tablePath)
+    if (head != base)
+      throw new IllegalStateException(
+        s"cannot fast-forward branch '$name' at $tablePath: main is at " +
+          s"version $head but the branch forked at $base — the chains " +
+          "have diverged. Re-branch from the head and replay the " +
+          "branch's commits (append-shaped work is re-commitable), or " +
+          "drop the branch")
+    val next = base + 1
+    val now = System.currentTimeMillis
+    val constraintMeta = constraints
+      .map { case (n, ex) => s"$ConstraintPrefix$n" -> ex }
+    val lines =
+      (meta ++ constraintMeta ++ formatMeta ++
+        maxTsMeta(tablePath, base, now) +
+        (s"$TxnPrefix$txnApp" -> "0") +
+        (SchemaKey -> schema.json) +
+        (CommitTsKey -> now.toString))
+        .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ branchFiles
+    val tmp = Files.createTempFile(manifestDir(tablePath),
+      s".v$next-", ".tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    beforePublish()
+    try {
+      Files.createLink(manifestFile(tablePath, next), tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"cannot fast-forward branch '$name' at $tablePath: a main " +
+            s"commit won the race for version $next — the chains have " +
+            "diverged. Re-branch from the new head and replay")
+    }
+    Files.deleteIfExists(tmp)
+    maybeCheckpoint(tablePath, next)
+    writeHeadHint(tablePath, next)
+    branchCommits(tablePath, name).foreach(c =>
+      Files.deleteIfExists(branchCommitFile(tablePath, name, c)))
+    Files.deleteIfExists(branchRefFile(tablePath, name))
+    next
+  }
+
+  /** Abandon branch `name`: its manifests delete, and its data files —
+    * unreferenced by construction unless the branch was already
+    * published (then only the refs clean up, exactly like
+    * [[dropStaged]]'s crash-window case) — reclaim immediately.
+    * Returns false if the branch did not exist. */
+  def dropBranch(tablePath: String, name: String): Boolean = {
+    if (!Files.exists(branchRefFile(tablePath, name))) return false
+    val published = txnState(tablePath, s"branch-$name").isDefined
+    val cs = branchCommits(tablePath, name)
+    if (!published) {
+      val dirs = cs.flatMap(c =>
+        branchLines(tablePath, name, c).filterNot(_.startsWith("#"))
+          .map(rel => Paths.get(tablePath).resolve(rel).getParent))
+        .distinct
+      cs.foreach(c =>
+        Files.deleteIfExists(branchCommitFile(tablePath, name, c)))
+      Files.deleteIfExists(branchRefFile(tablePath, name))
+      dirs.foreach(rmTree)
+    } else {
+      cs.foreach(c =>
+        Files.deleteIfExists(branchCommitFile(tablePath, name, c)))
+      Files.deleteIfExists(branchRefFile(tablePath, name))
+    }
     true
   }
 
@@ -1549,7 +1911,18 @@ object Manifest {
       removeFiles: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
       readVersion: Long = -1L,
-      allowTypeWidening: Boolean = false): Long = {
+      allowTypeWidening: Boolean = false,
+      inheritConstraints: Boolean = true): Long = {
+    // `inheritConstraints = false` is the SQL REPLACE TABLE semantic —
+    // a table REDEFINITION starts from a fresh constraint slate (the
+    // Delta contract), unlike the API's content-preserving replace (the
+    // OPTIMIZE/restore shape), which keeps inheriting. Only a replace
+    // can redefine; an append dropping its constraints silently would
+    // be an un-audited enforcement hole.
+    require(inheritConstraints || replace,
+      "inheritConstraints = false requires replace = true (only a " +
+        "table REDEFINITION starts from a fresh constraint slate; use " +
+        "dropConstraint to remove one from a live table)")
     statsCols.foreach(c => require(!c.contains(":") && !c.contains("|"),
       s"invalid stats column name '$c'"))
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
@@ -1558,6 +1931,7 @@ object Manifest {
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(FeaturesKey), s"'$FeaturesKey' is reserved")
     require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.values.foreach(v => require(!v.contains("\n"),
       s"meta value may not span lines: '$v'"))
@@ -1594,9 +1968,10 @@ object Manifest {
         s"removeFiles not in version $prev0: ${dead.mkString(", ")}")
     }
     // constraints in force = inherited (minus `excludeConstraint`, the
-    // [[dropConstraint]] carve-out) plus any recorded by this commit
+    // [[dropConstraint]] carve-out; none at all for a fresh-slate SQL
+    // REPLACE) plus any recorded by this commit
     val inherited0 =
-      if (prev0 == 0) Map.empty[String, String]
+      if (prev0 == 0 || !inheritConstraints) Map.empty[String, String]
       else constraintsOf(tablePath, prev0) -- excludeConstraint.toSeq
     val passed = meta.collect {
       case (k, ex) if k.startsWith(ConstraintPrefix) =>
@@ -1846,7 +2221,7 @@ object Manifest {
           .map(evolve(_, df.schema, widen = allowTypeWidening))
           .getOrElse(df.schema)
       val inherited =
-        if (base == 0) Map.empty[String, String]
+        if (base == 0 || !inheritConstraints) Map.empty[String, String]
         else baseMeta.collect {
           case (k, ex) if k.startsWith(ConstraintPrefix) =>
             k.stripPrefix(ConstraintPrefix) -> ex
@@ -1956,6 +2331,7 @@ object Manifest {
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
     require(!meta.contains(LogFormatKey), s"'$LogFormatKey' is reserved")
+    require(!meta.contains(FeaturesKey), s"'$FeaturesKey' is reserved")
     require(!meta.contains(MaxTsKey), s"'$MaxTsKey' is reserved")
     meta.keys.foreach(k => require(!k.contains("=") && !k.contains("\n"),
       s"invalid meta key '$k'"))
@@ -2067,20 +2443,28 @@ object Manifest {
     val all = committedVersions(tablePath)
     if (all.isEmpty) return (Seq.empty, Seq.empty)
     val newest = all.max
-    // TAGGED versions are pinned OUTSIDE the retention window ([[tag]]):
-    // their manifests, data files and DV dirs all survive until the tag
-    // is deleted — the audit-point contract
-    val pinned = tags(tablePath).values.toSet
+    // TAGGED versions are pinned OUTSIDE the retention window ([[tag]]),
+    // and so is every live BRANCH's base version ([[branch]] — the fork
+    // point must stay resolvable for the branch view and a future
+    // fast-forward): their manifests, data files and DV dirs all
+    // survive until the tag/branch is deleted — the audit-point
+    // contract
+    val liveBranches = branches(tablePath).keys.toSeq.sorted
+    val pinned = tags(tablePath).values.toSet ++
+      liveBranches.map(branchBase(tablePath, _))
     val retained = (all.takeRight(retainLast) ++
       all.filter(pinned.contains)).distinct.sorted
     val droppedSet = all.toSet -- retained
     val dropped = all.filter(droppedSet.contains)
-    // staged-but-undecided WAP batches ([[stageCommit]]) are referenced
-    // by their wap manifest, not by any version — protect them like
-    // retained versions' files until publish/drop decides
+    // staged-but-undecided WAP batches ([[stageCommit]]) and live
+    // branches' commits are referenced by their stage/branch manifests,
+    // not by any version — protect their files like retained versions'
+    // until publish/drop decides
     val stagedKeep = stagedIds(tablePath)
       .flatMap(id => stagedLines(tablePath, id))
-      .filterNot(_.startsWith("#"))
+      .filterNot(_.startsWith("#")) ++
+      liveBranches.flatMap(n => branchCommits(tablePath, n).flatMap(c =>
+        branchLines(tablePath, n, c).filterNot(_.startsWith("#"))))
     // resolve retained state BEFORE any deletion (also warms the work
     // below), and MATERIALIZE A CHECKPOINT at every retained version
     // whose delta chain would cross a dropped manifest — dropping the

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
-  AttributeReference, EqualTo, Expression, SubqueryExpression}
+  AttributeReference, EqualTo, Expression, InSubquery, ListQuery,
+  SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{AppendData,
   Assignment, CreateTable, CreateTableAsSelect, DeleteAction,
   DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan,
@@ -41,11 +42,15 @@ import graft.sources.GraftCatalog
   * command that drives the table-format write path.
   *
   * Scope: conditions and SET values must be plain expressions over the
-  * table's columns — a subquery (`WHERE id IN (SELECT …)`) fails loudly
-  * naming the Scala API ([[Merge.deleteKeysDv]] is the set-shaped
-  * erasure), rather than resolving against a snapshot the commit
-  * protocol can't re-check. Destructive/un-governed DDL (DROP, ALTER,
-  * RENAME) keeps the catalog's loud read-only refusal. */
+  * table's columns, with ONE subquery carve-out — `DELETE FROM t WHERE
+  * k IN (SELECT …)` with an uncorrelated deterministic subquery lowers
+  * to [[Merge.deleteKeysDv]] (the key set materializes once, so the
+  * commit protocol's read-set re-validation holds). Every other
+  * subquery shape (correlated, non-deterministic, UPDATE/MERGE
+  * conditions, NOT IN) fails loudly naming the Scala API rather than
+  * resolving against a snapshot the commit protocol can't re-check.
+  * Destructive/un-governed DDL (DROP, RENAME, ALTER beyond ADD
+  * COLUMNS) keeps the catalog's loud read-only refusal. */
 case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan): Option[String] = {
@@ -82,22 +87,47 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Every expression anywhere in the subquery plan is deterministic —
+    * a rand()-bearing key set would erase a different population than
+    * any later audit of the same statement reproduces, so it keeps the
+    * loud refusal. */
+  private def deterministicPlan(p: LogicalPlan): Boolean =
+    p.collect { case n => n }.forall(_.expressions.forall(
+      _.deterministic))
+
   private def noSubquery(verb: String, es: Seq[Expression]): Unit =
     if (es.exists(_.exists(_.isInstanceOf[SubqueryExpression])))
       throw new UnsupportedOperationException(
-        s"graft SQL $verb does not support subqueries in the condition " +
-          "or SET values — the commit protocol re-validates its " +
-          "read-set on rebase, which an embedded query result defeats. " +
-          "Use the Scala API instead (Merge.deleteKeysDv for " +
-          "set-shaped erasure, Merge.upsert for merges).")
+        s"graft SQL $verb does not support this subquery shape — the " +
+          "commit protocol re-validates its read-set on rebase, which " +
+          "an embedded query result defeats. Supported: DELETE FROM t " +
+          "WHERE k IN (SELECT …) with an uncorrelated deterministic " +
+          "subquery over a plain key column. Otherwise use the Scala " +
+          "API (Merge.deleteKeysDv for set-shaped erasure, " +
+          "Merge.upsert for merges).")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case d @ DeleteFromTable(target, cond) if d.resolved =>
         graftTarget(target) match {
           case Some(path) =>
-            noSubquery("DELETE", Seq(cond))
-            GraftDeleteCommand(path, cond)
+            cond match {
+              // `DELETE FROM t WHERE k IN (SELECT …)` — the GDPR verb
+              // users actually type — lowers to the merge-on-read keyed
+              // erasure when the subquery is the WHOLE condition, names
+              // a plain table column, and is uncorrelated +
+              // deterministic (the command materializes its result ONCE
+              // via localCheckpoint, so the commit protocol's read-set
+              // re-validation holds — re-executing a changed subquery on
+              // rebase would validate a different key set than the one
+              // the DVs were computed from)
+              case InSubquery(Seq(a: AttributeReference), l: ListQuery)
+                  if l.outerAttrs.isEmpty && deterministicPlan(l.plan) =>
+                GraftDeleteKeysCommand(path, a.name, l.plan)
+              case _ =>
+                noSubquery("DELETE", Seq(cond))
+                GraftDeleteCommand(path, cond)
+            }
           case None => d
         }
       case u @ UpdateTable(target, assignments, cond) if u.resolved =>
@@ -399,6 +429,27 @@ case class GraftDeleteCommand(tablePath: String, cond: Expression)
   }
 }
 
+/** `DELETE FROM graft.t WHERE k IN (SELECT …)` → [[Merge.deleteKeysDv]]:
+  * the set-shaped merge-on-read erasure. The subquery result
+  * materializes exactly ONCE (an eager localCheckpoint) before the
+  * erasure runs — deleteKeysDv consumes the key frame more than once
+  * (bounds aggregate, then the DV probe), and the commit protocol may
+  * re-validate on rebase; both must see the SAME key set the first
+  * execution produced. Returns num_affected_rows = positions newly
+  * hidden (idempotent by MoR construction: a replay hides nothing
+  * new). */
+case class GraftDeleteKeysCommand(tablePath: String, keyCol: String,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val keys = Bridge.ofRows(session, source)
+      .toDF(keyCol).localCheckpoint()
+    val stats = Merge.deleteKeysDv(session, tablePath, keys, keyCol)
+    Seq(Row(stats.positionsAdded))
+  }
+}
+
 /** `MERGE INTO graft.t USING src ON <keys> WHEN MATCHED THEN UPDATE
   * SET * WHEN NOT MATCHED THEN INSERT *` → [[Merge.upsert]]: the
   * copy-on-write keyed merge (only files containing a matched key
@@ -523,9 +574,12 @@ case class GraftInsertCommand(tablePath: String, source: LogicalPlan,
   * creating commit is v1 with the declared (or query) schema — an
   * empty CREATE publishes a schema-bearing empty version that INSERT
   * and the streaming source can immediately build on; REPLACE is the
-  * replace commit (prior versions keep time-traveling). IF NOT EXISTS
-  * on an existing table is the standard silent no-op; a bare CREATE on
-  * an existing table refuses loudly. */
+  * replace commit (prior versions keep time-traveling) and a table
+  * REDEFINITION: the replaced table's CHECK constraints do NOT carry
+  * into the new definition (fresh slate — the Delta REPLACE contract;
+  * the API's content-preserving replace keeps inheriting). IF NOT
+  * EXISTS on an existing table is the standard silent no-op; a bare
+  * CREATE on an existing table refuses loudly. */
 case class GraftCreateTableCommand(tablePath: String,
     query: Option[LogicalPlan], declaredSchema: Option[StructType],
     replace: Boolean, ifNotExists: Boolean, orCreate: Boolean)
@@ -552,8 +606,16 @@ case class GraftCreateTableCommand(tablePath: String,
     // the creating/replacing commit carries the replace flag, which
     // NEVER rebases: the loser of two racing CREATEs aborts loudly
     // (Delta's create protocol) instead of silently appending its rows
-    // onto the winner's table through the optimistic append-rebase
-    try Manifest.commit(df, tablePath, replace = true)
+    // onto the winner's table through the optimistic append-rebase.
+    // SQL [CREATE OR] REPLACE is a table REDEFINITION, so it starts
+    // from a FRESH constraint slate (the Delta contract) — unlike the
+    // API's content-preserving replace (OPTIMIZE/restore), which
+    // inherits; a dropped-column redefinition would otherwise abort on
+    // the old constraint's unresolved column, and a compatible-schema
+    // one would keep gating inserts with constraints the user believes
+    // gone
+    try Manifest.commit(df, tablePath, replace = true,
+      inheritConstraints = false)
     catch {
       case e: IllegalStateException
           if !replace && e.getMessage != null &&

@@ -1579,6 +1579,21 @@ object SourceQueries {
             "WHEN MATCHED THEN UPDATE SET * " +
             "WHEN NOT MATCHED THEN INSERT *")
           .collect().head.getLong(0)
+        // DELETE … WHERE k IN (SELECT …): the set-shaped GDPR verb —
+        // the uncorrelated deterministic subquery lowers to
+        // Merge.deleteKeysDv (its key set materialized once), hiding
+        // matched rows behind deletion vectors; replaying the same
+        // statement hides nothing new (MoR idempotence, asserted)
+        T(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(19)) === 7)
+          .select(col("doc_id"))
+          .createOrReplaceTempView(s"s38_erase_${dirTag(dir)}")
+        val inDeleteSql =
+          s"DELETE FROM graft.`$tbl` WHERE doc_id IN " +
+            s"(SELECT doc_id FROM s38_erase_${dirTag(dir)})"
+        val inDeleted = s.sql(inDeleteSql).collect().head.getLong(0)
+        val inReplayIdempotent =
+          s.sql(inDeleteSql).collect().head.getLong(0) == 0L
         Manifest.read(s, tbl)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("cnt"),
@@ -1587,8 +1602,10 @@ object SourceQueries {
             lit(deleted).as("deleted_rows"),
             lit(updated).as("updated_rows"),
             lit(merged).as("merged_rows"),
+            lit(inDeleted).as("in_deleted_rows"),
             lit(zeroRewrites).as("zero_rewrites"),
-            lit(hist == Seq("delete", "update")).as("mor_history"))
+            lit(hist == Seq("delete", "update")).as("mor_history"),
+            lit(inReplayIdempotent).as("in_replay_idempotent"))
           .orderBy(col("lang"))
       },
       Some("""WITH surv AS (
@@ -1602,7 +1619,9 @@ object SourceQueries {
             FROM documents WHERE doc_id % 17 = 5
             UNION ALL
             SELECT doc_id, lang, n_chars FROM surv
-            WHERE doc_id % 17 <> 5)
+            WHERE doc_id % 17 <> 5),
+          final2 AS (
+            SELECT * FROM final WHERE doc_id % 19 <> 7)
           SELECT lang, count(*) AS cnt,
             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
             (SELECT count(*) FROM documents WHERE doc_id % 11 = 3)
@@ -1611,8 +1630,11 @@ object SourceQueries {
               AS updated_rows,
             (SELECT count(*) FROM documents WHERE doc_id % 17 = 5)
               AS merged_rows,
-            TRUE AS zero_rewrites, TRUE AS mor_history
-          FROM final GROUP BY lang ORDER BY lang""")),
+            (SELECT count(*) FROM final WHERE doc_id % 19 = 7)
+              AS in_deleted_rows,
+            TRUE AS zero_rewrites, TRUE AS mor_history,
+            TRUE AS in_replay_idempotent
+          FROM final2 GROUP BY lang ORDER BY lang""")),
 
     // s39: SQL INSERT + DDL over a governed table — the verbs that
     // complete the SQL surface (s38 covers DELETE/UPDATE/MERGE-upsert):
@@ -1769,6 +1791,152 @@ object SourceQueries {
             TRUE AS created_empty, TRUE AS alter_zero_files,
             TRUE AS old_rows_null
           FROM final GROUP BY lang ORDER BY lang""")),
+
+    // S41: SQL MAINTENANCE LIFECYCLE — the operational verbs every
+    // lakehouse exposes, driven end-to-end from SQL through the
+    // GraftSqlParser extension (they are not in Spark's grammar):
+    // a MoR DELETE leaves deletion vectors; OPTIMIZE bin-packs the
+    // 4-file table into one (DVs materialized away, previously
+    // stats-bearing columns re-harvested, data_change=false so CDC
+    // consumers skip it); a junk append then a RESTORE TO VERSION AS
+    // OF rolls back METADATA-ONLY (zero parquet files written — the
+    // rollback cost at 100 TB is a manifest write); VACUUM RETAIN n
+    // VERSIONS sweeps the pre-optimize history and the original
+    // fragments off disk while the head keeps reading exactly. The
+    // content is the oracle-replayed side; every step's contract is an
+    // earned flag.
+    "s41_sql_maintenance" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s41_table", dir)
+        wipe(tbl)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val o = T(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        val maxk = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val q = maxk / 4 + 1
+        for (i <- 0 until 4)
+          Manifest.commit(
+            o.filter(col("o_orderkey") >= i * q &&
+              col("o_orderkey") < (i + 1) * q).coalesce(1),
+            tbl, statsCols = Seq("o_orderkey"))            // v1..v4
+        // the MoR erasure OPTIMIZE must absorb
+        s.sql(s"DELETE FROM graft.`$tbl` WHERE o_orderkey % 10 = 3")
+        val opt = s.sql(s"OPTIMIZE graft.`$tbl`").collect().head // v6
+        val optV = opt.getLong(0)
+        val optimized = opt.getLong(1) == 4L &&
+          Manifest.files(tbl).size == 1 &&
+          Manifest.deletionVectors(tbl).isEmpty &&
+          Manifest.fileStats(tbl).values.exists(_.contains("o_orderkey"))
+        val flaggedLayout = Manifest.history(s, tbl)
+          .find(_.version == optV).exists(!_.data_change)
+        // the "bad" write RESTORE must undo
+        Manifest.commit(o.limit(100)
+          .withColumn("o_totalprice", col("o_totalprice") * 1000), tbl)
+        def dataFiles(): Long = {
+          val st = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(tbl, "data"))
+          try st.filter(_.toString.endsWith(".parquet")).count
+          finally st.close()
+        }
+        val before = dataFiles()
+        val res = s.sql(
+          s"RESTORE TABLE graft.`$tbl` TO VERSION AS OF $optV")
+          .collect().head                                   // v8
+        val restoredMetaOnly = res.getLong(1) == optV &&
+          dataFiles() == before &&
+          Manifest.files(tbl) == Manifest.files(tbl, optV)
+        val vac = s.sql(s"VACUUM graft.`$tbl` RETAIN 3 VERSIONS")
+          .collect().head
+        val vacuumed = vac.getLong(0) > 0L && vac.getLong(1) > 0L &&
+          dataFiles() < before
+        Manifest.read(s, tbl)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(dec(col("o_totalprice"))).cast("double")
+              .as("price_mass"))
+          .select(col("n_rows"), col("price_mass"),
+            lit(optimized).as("optimized"),
+            lit(flaggedLayout).as("flagged_layout"),
+            lit(restoredMetaOnly).as("restore_metadata_only"),
+            lit(vacuumed).as("vacuum_swept"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price_mass,
+             TRUE AS optimized, TRUE AS flagged_layout,
+             TRUE AS restore_metadata_only, TRUE AS vacuum_swept
+           FROM orders WHERE o_orderkey % 10 <> 3""")),
+
+    // S42: WRITABLE BRANCH REFS — the Iceberg branch shape
+    // generalizing WAP (s37) from one staged commit to a CHAIN: a
+    // multi-batch risky ingest forks a branch off the published
+    // corpus, lands TWO append commits on it (invisible to every main
+    // reader — isolation is an earned flag comparing main's count to
+    // the branch view's), audits the branch view as a unit, and
+    // fast-forwards: the net state publishes as ONE metadata-only
+    // main commit (zero parquet writes across the publish — the
+    // 100 TB promote decision costs a manifest write). A branch whose
+    // fork point the main chain moved past REFUSES to publish
+    // (divergence — the earned refusal flag) and drops cleanly. The
+    // final corpus content is the oracle-replayed side.
+    "s42_branch_publish" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s42_table", dir)
+        wipe(tbl)
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Manifest.commit(
+          d.filter(pmod(col("doc_id"), lit(3)) === 0).coalesce(1), tbl)
+        Manifest.branch(tbl, "ingest")
+        Manifest.commitBranch(
+          d.filter(pmod(col("doc_id"), lit(3)) === 1).coalesce(1),
+          tbl, "ingest")
+        Manifest.commitBranch(
+          d.filter(pmod(col("doc_id"), lit(3)) === 2).coalesce(1),
+          tbl, "ingest")
+        // isolation both ways: main serves only the base corpus while
+        // the branch view already serves everything
+        val isolated = Manifest.version(tbl) == 1L &&
+          Manifest.read(s, tbl).count() ==
+            d.filter(pmod(col("doc_id"), lit(3)) === 0).count() &&
+          Manifest.readBranch(s, tbl, "ingest").count() == d.count()
+        def dataFiles(): Long = {
+          val st = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(tbl, "data"))
+          try st.filter(_.toString.endsWith(".parquet")).count
+          finally st.close()
+        }
+        val before = dataFiles()
+        val v = Manifest.fastForward(s, tbl, "ingest")
+        val oneCommitPublish = v == 2L &&
+          Manifest.read(s, tbl).count() == d.count()
+        val metadataOnlyPublish = dataFiles() == before
+        // a diverged branch refuses to publish and drops cleanly (the
+        // diverging main commit is an EMPTY append — content unmoved)
+        Manifest.branch(tbl, "late")
+        Manifest.commitBranch(d.limit(5), tbl, "late")
+        Manifest.commit(d.limit(0), tbl)
+        val divergenceRefused =
+          try { Manifest.fastForward(s, tbl, "late"); false }
+          catch { case _: IllegalStateException => true }
+        Manifest.dropBranch(tbl, "late")
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(isolated).as("isolated"),
+            lit(oneCommitPublish).as("one_commit_publish"),
+            lit(metadataOnlyPublish).as("metadata_only_publish"),
+            lit(divergenceRefused).as("divergence_refused"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             TRUE AS isolated, TRUE AS one_commit_publish,
+             TRUE AS metadata_only_publish, TRUE AS divergence_refused
+           FROM documents GROUP BY lang ORDER BY lang""")),
 
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),

@@ -44,9 +44,11 @@ import graft.ops.Manifest
   * OVERWRITE (governed append/replace with append-compatible schema
   * evolution), CREATE TABLE / CTAS / CREATE OR REPLACE (the creating
   * commit; races abort loudly). This catalog itself additionally
-  * serves `ALTER TABLE ADD COLUMNS` as a metadata-only evolving
-  * commit. Destructive or un-governed DDL (`DROP`, `RENAME`, every
-  * other ALTER) fails loudly rather than bypass `Manifest.commit`'s
+  * serves the governable ALTERs as metadata-only commits: `ADD
+  * COLUMNS` (evolving), `ALTER COLUMN … TYPE` (lossless widening),
+  * `ADD CONSTRAINT … CHECK` / `DROP CONSTRAINT` (the commit gate).
+  * Destructive or un-governed DDL (`DROP`, `RENAME`, every other
+  * ALTER) fails loudly rather than bypass `Manifest.commit`'s
   * optimistic-concurrency and constraint contracts.
   *
   * Versions carrying DELETION VECTORS resolve to a [[DvMarkedTable]]
@@ -299,47 +301,129 @@ class GraftCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table =
     readOnly("CREATE TABLE")
 
-  /** `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` — the one ALTER
-    * that maps onto the governed contract: a METADATA-ONLY evolving
-    * commit (zero data files; old rows read the new columns as null —
-    * the same append-compatible evolve every commit runs). Added
-    * columns must be top-level, nullable (old files cannot backfill a
-    * NOT NULL), and default-positioned; every other TableChange keeps
-    * the loud refusal. */
+  /** Declares [[TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT]] so
+    * Spark's native `ALTER TABLE ADD/DROP CONSTRAINT` analysis routes
+    * here instead of refusing upstream. */
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** The ALTERs that map onto the governed contract — each one a
+    * METADATA-ONLY commit under the full optimistic protocol;
+    * everything else keeps the loud refusal:
+    *
+    *   - `ADD COLUMNS (c TYPE, …)` — evolving commit (zero data files;
+    *     old rows read the new columns as null — the same
+    *     append-compatible evolve every commit runs). Columns must be
+    *     top-level, nullable (old files cannot backfill a NOT NULL),
+    *     default-positioned.
+    *   - `ALTER COLUMN c TYPE t` — WIDENING commit riding the
+    *     `allowTypeWidening` opt-in: lossless promotions only
+    *     (int→bigint, float→double, int→double); anything lossy
+    *     refuses loudly from the evolve gate, old files read through
+    *     the widened schema with no rewrite.
+    *   - `ADD CONSTRAINT n CHECK (expr)` → [[Manifest.addConstraint]]:
+    *     existing rows validate first (Spark's own AddCheckConstraint
+    *     scan already did exactly that when `validatedTableVersion` is
+    *     stamped — then the gate records without a second scan), and
+    *     every later commit is gated. Only ENFORCED CHECK constraints:
+    *     PK/FK/UNIQUE or NOT ENFORCED would record a promise nothing
+    *     enforces.
+    *   - `DROP CONSTRAINT [IF EXISTS] n [RESTRICT]` →
+    *     [[Manifest.dropConstraint]] (CASCADE refuses — nothing
+    *     depends on a CHECK constraint, so accepting it would imply a
+    *     dependency graph this catalog does not keep). */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val path = tablePath(ident)
     require(Manifest.version(path) > 0, s"no committed version at $path")
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        if (a.fieldNames.length != 1)
-          readOnly(s"ALTER TABLE ADD nested column " +
-            a.fieldNames.mkString("."))
-        if (a.position != null)
-          readOnly("ALTER TABLE ADD COLUMN with FIRST/AFTER " +
-            "(columns append at the end)")
-        if (!a.isNullable)
-          throw new IllegalArgumentException(
-            "ALTER TABLE ADD COLUMN: new columns must be nullable — " +
-              "existing files cannot backfill a NOT NULL column; add " +
-              "it nullable and enforce with a CHECK constraint on " +
-              "future writes if needed")
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
-      case other => readOnly(s"ALTER TABLE ($other)")
-    }
     val spark = SparkSession.active
-    val schema = Manifest.schemaOf(path).getOrElse(
+    def schema = Manifest.schemaOf(path).getOrElse(
       Manifest.read(spark, path).schema)
-    adds.foreach(f => require(
-      !schema.fieldNames.exists(_.equalsIgnoreCase(f.name)),
-      s"column '${f.name}' already exists"))
-    // a metadata-only evolving commit: zero rows, zero data files —
-    // the appended columns ride the recorded schema like any evolution
-    Manifest.commit(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[
-        org.apache.spark.sql.Row], StructType(schema.fields ++ adds)),
-      path)
+    def emptyOf(s: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    changes.toList match {
+      case List(ac: TableChange.AddConstraint) =>
+        ac.constraint match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            if (!c.enforced)
+              throw new IllegalArgumentException(
+                "graft CHECK constraints are always ENFORCED (every " +
+                  "commit validates against them) — NOT ENFORCED " +
+                  "would record a promise nothing keeps")
+            if (ac.validatedTableVersion != null)
+              // Spark's AddCheckConstraint plan already scanned the
+              // existing rows; record the gate metadata-only
+              Manifest.commit(emptyOf(schema), path, meta = Map(
+                s"${Manifest.ConstraintPrefix}${c.name}" ->
+                  c.predicateSql))
+            else
+              Manifest.addConstraint(spark, path, c.name, c.predicateSql)
+          case other => readOnly(
+            s"ALTER TABLE ADD ${other.getClass.getSimpleName} — only " +
+              "ENFORCED CHECK constraints are enforceable by the " +
+              "commit gate")
+        }
+      case List(dc: TableChange.DropConstraint) =>
+        if (dc.mode == TableChange.DropConstraint.Mode.CASCADE)
+          readOnly("DROP CONSTRAINT CASCADE (no dependency graph to " +
+            "cascade through — use plain DROP CONSTRAINT)")
+        if (Manifest.constraintsOf(path).contains(dc.name))
+          Manifest.dropConstraint(spark, path, dc.name)
+        else if (!dc.ifExists)
+          throw new IllegalArgumentException(
+            s"no constraint '${dc.name}' at $path")
+      case cs if cs.nonEmpty &&
+          cs.forall(_.isInstanceOf[TableChange.UpdateColumnType]) =>
+        val s0 = schema
+        val widened = cs.map(_.asInstanceOf[TableChange.UpdateColumnType])
+          .foldLeft(s0) { (acc, u) =>
+            if (u.fieldNames.length != 1)
+              readOnly(s"ALTER nested column " +
+                u.fieldNames.mkString("."))
+            val name = u.fieldNames.head
+            require(acc.fieldNames.exists(_.equalsIgnoreCase(name)),
+              s"no column '$name' at $path")
+            StructType(acc.fields.map(f =>
+              if (f.name.equalsIgnoreCase(name))
+                f.copy(dataType = u.newDataType) else f))
+          }
+        // the evolve gate decides losslessness: a non-widening change
+        // refuses loudly from inside the commit, nothing published
+        Manifest.commit(emptyOf(widened), path,
+          allowTypeWidening = true)
+      case cs if cs.nonEmpty &&
+          cs.forall(_.isInstanceOf[TableChange.AddColumn]) =>
+        val adds = cs.map {
+          case a: TableChange.AddColumn =>
+            if (a.fieldNames.length != 1)
+              readOnly(s"ALTER TABLE ADD nested column " +
+                a.fieldNames.mkString("."))
+            if (a.position != null)
+              readOnly("ALTER TABLE ADD COLUMN with FIRST/AFTER " +
+                "(columns append at the end)")
+            if (!a.isNullable)
+              throw new IllegalArgumentException(
+                "ALTER TABLE ADD COLUMN: new columns must be " +
+                  "nullable — existing files cannot backfill a NOT " +
+                  "NULL column; add it nullable and enforce with a " +
+                  "CHECK constraint on future writes if needed")
+            StructField(a.fieldNames.head, a.dataType, nullable = true)
+        }
+        val s0 = schema
+        adds.foreach(f => require(
+          !s0.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+          s"column '${f.name}' already exists"))
+        // a metadata-only evolving commit: zero rows, zero data
+        // files — the appended columns ride the recorded schema like
+        // any evolution
+        Manifest.commit(emptyOf(StructType(s0.fields ++ adds)), path)
+      case other => readOnly(s"ALTER TABLE (${other.mkString(", ")})")
+    }
     loadTable(ident)
   }
 

@@ -31,6 +31,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
 
+  /** Resolve a registered catalog plugin by name (the SQL maintenance
+    * commands resolve their graft catalog at run time — the parser
+    * that produced them cannot see catalogs). */
+  def catalog(spark: org.apache.spark.sql.SparkSession, name: String)
+      : org.apache.spark.sql.connector.catalog.CatalogPlugin =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalogManager.catalog(name)
+
   /** A STREAMING-tagged parquet scan over explicit files, for a v1
     * streaming `Source.getBatch`: the plan is the same `LogicalRelation`
     * a batch `spark.read.parquet` produces — so column pruning and

@@ -314,12 +314,14 @@ class ExtensionsSpec extends SparkSpec {
     // SQL reads over the DML'd table serve the DV-applied view
     assert(spark.sql(s"SELECT count(*) FROM graft.`$sqlT`")
       .collect().head.getLong(0) == 16L)
-    // subqueries refuse loudly, naming the Scala API
+    // subqueries outside the DELETE-IN carve-out refuse loudly,
+    // naming the Scala API (the carve-out has its own spec below)
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     val e = intercept[Exception](spark.sql(
-      s"DELETE FROM graft.`$sqlT` WHERE id IN (SELECT id FROM graft.`$apiT`)"))
+      s"UPDATE graft.`$sqlT` SET v = " +
+        s"(SELECT max(id) FROM graft.`$apiT`) WHERE id = 1"))
     assert(msgs(e).exists(_.contains("deleteKeysDv")), msgs(e))
     // the read-only rule still holds for DDL (DML verbs route through
     // the governed commit protocol — INSERT has its own spec)
@@ -365,6 +367,67 @@ class ExtensionsSpec extends SparkSpec {
       s"MERGE INTO graft.`$sqlT` AS t USING s38_src AS s ON t.id = s.id " +
         "WHEN MATCHED AND s.v > 0 THEN DELETE"))
     assert(msgs(e5).exists(_.contains("Merge.upsert")), msgs(e5))
+  }
+
+  test("SQL DELETE … WHERE k IN (SELECT …) ≡ Merge.deleteKeysDv: the " +
+    "set-shaped GDPR verb lowers to the MoR keyed erasure (zero file " +
+    "rewrites, DV commit shape), replays idempotently, and the " +
+    "correlated / non-deterministic / NOT IN shapes keep the loud " +
+    "refusal") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_delin").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def seed(name: String): String = {
+      val p = s"$root/$name"
+      Manifest.commit((0L until 30L).map(i => (i, i * 10))
+        .toDF("id", "v").coalesce(2), p, statsCols = Seq("id"))
+      p
+    }
+    def pairs(p: String) = Manifest.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqlT = seed("sql_t"); val apiT = seed("api_t")
+    Seq(3L, 7L, 11L, 999L).toDF("id")
+      .createOrReplaceTempView("delin_req")
+    val stmt = s"DELETE FROM graft.`$sqlT` WHERE id IN " +
+      "(SELECT id FROM delin_req WHERE id < 100)"
+    val del = spark.sql(stmt)
+    assert(del.columns.toSeq == Seq("num_affected_rows"))
+    assert(del.collect().head.getLong(0) == 3L) // 999 matches nothing
+    Merge.deleteKeysDv(spark, apiT,
+      Seq(3L, 7L, 11L).toDF("id"), "id")
+    assert(pairs(sqlT) == pairs(apiT), "SQL DELETE-IN ≡ API deleteKeysDv")
+    // MoR commit shape earned: no data file moved, DVs published
+    assert(Manifest.files(sqlT) == Manifest.files(sqlT, 1L),
+      "zero rewrites — only deletion vectors publish")
+    assert(Manifest.deletionVectors(sqlT).nonEmpty)
+    assert(Manifest.history(spark, sqlT).last.change_type == "delete")
+    // idempotent replay: the same statement hides nothing new
+    assert(spark.sql(stmt).collect().head.getLong(0) == 0L)
+    assert(pairs(sqlT) == pairs(apiT))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a correlated subquery cannot materialize once — refuse
+    val e1 = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$sqlT` t WHERE id IN " +
+        "(SELECT id FROM delin_req r WHERE r.id = t.v)"))
+    assert(msgs(e1).exists(m => m.contains("deleteKeysDv") ||
+      m.contains("correlated")), msgs(e1))
+    // a non-deterministic key set erases an unauditable population —
+    // refuse
+    val e2 = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$sqlT` WHERE id IN " +
+        "(SELECT CAST(rand() * 30 AS BIGINT) FROM delin_req)"))
+    assert(msgs(e2).exists(_.contains("deleteKeysDv")), msgs(e2))
+    // NOT IN is not the erasure verb (keep the loud refusal: its
+    // semantics over nulls diverge from an anti-join erasure)
+    val e3 = intercept[Exception](spark.sql(
+      s"DELETE FROM graft.`$sqlT` WHERE id NOT IN " +
+        "(SELECT id FROM delin_req)"))
+    assert(msgs(e3).exists(_.contains("deleteKeysDv")), msgs(e3))
   }
 
   test("SQL INSERT INTO / OVERWRITE ≡ the API append/replace (commit " +
@@ -580,6 +643,186 @@ class ExtensionsSpec extends SparkSpec {
     val e7 = intercept[Exception](spark.sql(
       s"ALTER TABLE graft.`$t1` ADD COLUMNS (tag STRING)"))
     assert(msgs(e7).exists(_.contains("already exists")), msgs(e7))
+  }
+
+  test("SQL constraint DDL ≡ the API: ADD CONSTRAINT validates existing " +
+    "rows then gates every later commit, DROP CONSTRAINT re-opens " +
+    "(IF EXISTS no-ops, missing refuses, CASCADE refuses), ALTER " +
+    "COLUMN TYPE widens losslessly (narrowing refuses), and SQL " +
+    "REPLACE TABLE starts a FRESH constraint slate while the API " +
+    "replace keeps inheriting") {
+    import java.nio.file.Files
+    import graft.ops.Manifest
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cddl").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val t1 = s"$root/c_t1"
+    Manifest.commit((0L until 10L).map(i => (i, i * 10L))
+      .toDF("id", "v").coalesce(1), t1)
+    // a constraint the table already breaks refuses — and records
+    // nothing
+    val e0 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` ADD CONSTRAINT v_big CHECK (v >= 100)"))
+    assert(msgs(e0).nonEmpty)
+    assert(Manifest.constraintsOf(t1).isEmpty,
+      "a failed ADD CONSTRAINT must record nothing")
+    // a holding constraint records, and gates every later commit —
+    // SQL INSERT and API commit alike
+    spark.sql(s"ALTER TABLE graft.`$t1` ADD CONSTRAINT v_nonneg " +
+      "CHECK (v >= 0)")
+    assert(Manifest.constraintsOf(t1) == Map("v_nonneg" -> "v >= 0"))
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO graft.`$t1` VALUES (100, -5)"))
+    assert(msgs(e1).exists(_.contains("v_nonneg")), msgs(e1))
+    val e2 = intercept[Exception](Manifest.commit(
+      Seq((101L, -1L)).toDF("id", "v"), t1))
+    assert(msgs(e2).exists(_.contains("v_nonneg")), msgs(e2))
+    assert(Manifest.read(spark, t1).count() == 10L,
+      "failed inserts changed nothing")
+    // DROP CONSTRAINT re-opens; IF EXISTS no-ops; missing refuses;
+    // CASCADE refuses (no dependency graph to cascade through)
+    spark.sql(s"ALTER TABLE graft.`$t1` DROP CONSTRAINT v_nonneg")
+    assert(Manifest.constraintsOf(t1).isEmpty)
+    spark.sql(s"INSERT INTO graft.`$t1` VALUES (100, -5)")
+    assert(Manifest.read(spark, t1).count() == 11L)
+    spark.sql(s"ALTER TABLE graft.`$t1` DROP CONSTRAINT IF EXISTS nope")
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` DROP CONSTRAINT nope"))
+    assert(msgs(e3).exists(_.contains("nope")), msgs(e3))
+    val e3c = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t1` ADD CONSTRAINT v2 CHECK (v >= -5) " +
+        "NOT ENFORCED"))
+    assert(msgs(e3c).exists(_.contains("ENFORCED")), msgs(e3c))
+    // ALTER COLUMN TYPE: the lossless widening rides the
+    // allowTypeWidening opt-in as a metadata-only commit — old files
+    // read through the widened schema, no rewrite
+    val t2 = s"$root/c_t2"
+    Manifest.commit(Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f")
+      .coalesce(1), t2)
+    val filesBefore = Manifest.files(t2)
+    spark.sql(s"ALTER TABLE graft.`$t2` ALTER COLUMN i TYPE BIGINT")
+    assert(Manifest.schemaOf(t2).get("i").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Manifest.files(t2) == filesBefore,
+      "widening is metadata-only — zero data files moved")
+    assert(Manifest.read(spark, t2).select("i").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "old files read through the widened schema")
+    // narrowing / lossy changes refuse loudly — Spark's own canUpCast
+    // gate fires first (NOT_SUPPORTED_CHANGE_COLUMN); the commit's
+    // evolve gate stays behind it as defense in depth
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$t2` ALTER COLUMN f TYPE INT"))
+    assert(msgs(e4).exists(m => m.contains("NOT_SUPPORTED_CHANGE_COLUMN")
+      || m.contains("lossless") || m.contains("widen")), msgs(e4))
+    assert(Manifest.schemaOf(t2).get("f").dataType ==
+      org.apache.spark.sql.types.FloatType, "nothing published")
+    // SQL REPLACE TABLE is a REDEFINITION: the replaced table's
+    // constraints do NOT carry over (pre-fix this aborted on the
+    // dropped column's unresolved constraint)
+    val t3 = s"$root/c_t3"
+    spark.sql(s"CREATE TABLE graft.`$t3` AS SELECT 1L AS id, 5L AS v")
+    Manifest.addConstraint(spark, t3, "v_pos", "v > 0")
+    spark.sql(s"CREATE OR REPLACE TABLE graft.`$t3` AS SELECT 2L AS id")
+    assert(Manifest.constraintsOf(t3).isEmpty,
+      "SQL REPLACE starts a fresh constraint slate")
+    assert(Manifest.read(spark, t3).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    // …while the API's content-preserving replace (the
+    // OPTIMIZE/restore shape) keeps inheriting — the s24 contract
+    Manifest.addConstraint(spark, t3, "id_pos", "id > 0")
+    Manifest.commit(Seq(3L).toDF("id"), t3, replace = true)
+    assert(Manifest.constraintsOf(t3) == Map("id_pos" -> "id > 0"),
+      "the API replace keeps the constraint set")
+  }
+
+  test("SQL maintenance verbs ≡ the API: OPTIMIZE [WHERE] routes to " +
+    "Layout.compact/optimizeWhere (data_change=false, DVs absorbed, " +
+    "stats re-harvested), VACUUM RETAIN n VERSIONS to Manifest.vacuum " +
+    "(tags retained; bare VACUUM refuses), RESTORE TO VERSION/" +
+    "TIMESTAMP AS OF to Manifest.restore (metadata-only) — and a " +
+    "non-graft identifier refuses loudly") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_maint").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val t1 = s"$root/m_t1"
+    for (i <- 0 until 4)
+      Manifest.commit((i * 10 until (i + 1) * 10)
+        .map(j => (j.toLong, j * 2L)).toDF("id", "v").coalesce(1),
+        t1, statsCols = Seq("id"))
+    Merge.deleteWhereDv(spark, t1, col("id") % 7 === 0)
+    assert(Manifest.deletionVectors(t1).nonEmpty)
+    // OPTIMIZE (bare): whole-table bin-pack into one file, DV
+    // materialized away, stats re-harvested, flagged data_change=false
+    val opt = spark.sql(s"OPTIMIZE graft.`$t1`").collect().head
+    assert(opt.getLong(1) == 4L && opt.getLong(2) == 0L)
+    assert(Manifest.files(t1).size == 1)
+    assert(Manifest.deletionVectors(t1).isEmpty, "OPTIMIZE absorbs DVs")
+    assert(Manifest.fileStats(t1).values.exists(_.contains("id")),
+      "previously stats-bearing columns re-harvest")
+    assert(Manifest.history(spark, t1)
+      .find(_.version == opt.getLong(0)).exists(!_.data_change))
+    assert(Manifest.read(spark, t1).count() == 34L,
+      "compaction preserved the MoR-visible content")
+    // OPTIMIZE WHERE ≡ Layout.optimizeWhere on a fragmented twin
+    val t2 = s"$root/m_t2"
+    for (i <- 0 until 4)
+      Manifest.commit((i * 10 until (i + 1) * 10)
+        .map(j => (j.toLong, j * 2L)).toDF("id", "v").coalesce(1),
+        t2, statsCols = Seq("id"))
+    val ow = spark.sql(
+      s"OPTIMIZE graft.`$t2` WHERE id BETWEEN 0 AND 19 INTO 1 FILES")
+      .collect().head
+    assert(ow.getLong(1) == 2L && ow.getLong(2) == 2L,
+      "only the stats-intersecting files rewrite")
+    assert(Manifest.files(t2).size == 3)
+    // RESTORE TO VERSION AS OF: metadata-only rollback after a junk
+    // append — no data file written, state equals the target's
+    val junkV = Manifest.commit(Seq((999L, 999L)).toDF("id", "v"), t2)
+    def dataFiles(p: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p, "data"))
+      try s.filter(_.toString.endsWith(".parquet")).count
+      finally s.close()
+    }
+    val before = dataFiles(t2)
+    val res = spark.sql(
+      s"RESTORE TABLE graft.`$t2` TO VERSION AS OF ${junkV - 1}")
+      .collect().head
+    assert(res.getLong(1) == junkV - 1)
+    assert(dataFiles(t2) == before, "restore is metadata-only")
+    assert(Manifest.files(t2) == Manifest.files(t2, junkV - 1))
+    assert(Manifest.read(spark, t2).filter(col("id") === 999L).count()
+      == 0L)
+    // RESTORE TO TIMESTAMP AS OF resolves through the adjusted stamps
+    val ts = new java.sql.Timestamp(
+      Manifest.commitTime(t2, junkV - 1)).toString
+    val res2 = spark.sql(
+      s"RESTORE graft.`$t2` TO TIMESTAMP AS OF '$ts'").collect().head
+    assert(res2.getLong(1) >= junkV - 1)
+    // VACUUM RETAIN: drops history beyond the horizon, keeps tagged
+    // versions' files; bare VACUUM refuses naming the clause
+    Manifest.tag(t2, "keep", 2L)
+    val eBare = intercept[Exception](spark.sql(s"VACUUM graft.`$t2`"))
+    assert(msgs(eBare).exists(_.contains("RETAIN")), msgs(eBare))
+    val vac = spark.sql(s"VACUUM graft.`$t2` RETAIN 2 VERSIONS")
+      .collect().head
+    assert(vac.getLong(0) > 0L, "versions beyond the horizon dropped")
+    assert(Manifest.files(t2, 2L).nonEmpty, "tagged version retained")
+    assert(Manifest.read(spark, t2).count() == 40L,
+      "head reads exactly after the sweep")
+    // a non-graft catalog refuses loudly at run time
+    val eCat = intercept[Exception](spark.sql(
+      "OPTIMIZE spark_catalog.default.nope"))
+    assert(msgs(eCat).exists(_.contains("GraftCatalog")), msgs(eCat))
   }
 
   test("round-6 kernel SQL functions: minhash signature and BPE pair ops") {

@@ -1513,6 +1513,139 @@ class ManifestSpec extends SparkSpec {
     assert(h2 >= 23L && h2 <= 26L)
   }
 
+  test("log feature gating: every publish stamps the baseline " +
+    "#features= set (manifests AND checkpoints), and a manifest or " +
+    "checkpoint carrying an unknown feature refuses loudly NAMING the " +
+    "feature — the next format evolution degrades to a self-describing " +
+    "refusal instead of a bespoke wall") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    import scala.jdk.CollectionConverters._
+    val tbl = freshTable()
+    (1 to 11).foreach(i => Manifest.commit(Seq(i).toDF("x"), tbl))
+    // every manifest and the v10 checkpoint carry the baseline set
+    val feats = Manifest.delta(tbl, 1L).meta(Manifest.FeaturesKey)
+    assert(feats.split(',').toSet == Manifest.SupportedFeatures)
+    val ckpt = JPaths.get(tbl, "_manifests", "v000010.ckpt")
+    assert(JFiles.exists(ckpt), "interval checkpoint expected at v10")
+    val featLine = s"#${Manifest.FeaturesKey}=$feats"
+    assert(JFiles.readAllLines(ckpt).contains(featLine))
+    // the internal key stays out of the user-meta surface
+    assert(!Manifest.meta(tbl).contains(Manifest.FeaturesKey))
+    // an unknown manifest feature refuses naming it
+    val m11 = JPaths.get(tbl, "_manifests", "v000011.txt")
+    val orig = JFiles.readAllLines(m11).asScala.toSeq
+    JFiles.write(m11, orig.map(l =>
+      if (l.startsWith(featLine)) l + ",frobnicate" else l)
+      .mkString("\n").getBytes)
+    val e1 = intercept[IllegalStateException](
+      Manifest.read(spark, tbl).count())
+    assert(e1.getMessage.contains("frobnicate") &&
+      e1.getMessage.contains("upgrade"), e1.getMessage)
+    JFiles.write(m11, orig.mkString("\n").getBytes)
+    assert(Manifest.read(spark, tbl).count() == 11L, "restored reads")
+    // an unknown checkpoint feature refuses the same way (head
+    // resolution rides the v10 checkpoint)
+    val origC = JFiles.readAllLines(ckpt).asScala.toSeq
+    JFiles.write(ckpt, origC.map(l =>
+      if (l.startsWith(featLine)) l + ",frobnicate" else l)
+      .mkString("\n").getBytes)
+    val e2 = intercept[IllegalStateException](
+      Manifest.read(spark, tbl).count())
+    assert(e2.getMessage.contains("frobnicate"), e2.getMessage)
+    JFiles.write(ckpt, origC.mkString("\n").getBytes)
+    assert(Manifest.read(spark, tbl).count() == 11L)
+  }
+
+  test("writable branch refs: fork → append commits land on the branch " +
+    "only (isolation both directions), the constraint gate is " +
+    "fork-frozen, fastForward publishes the net state as ONE " +
+    "metadata-only commit (idempotent replay returns it), divergence " +
+    "refuses loudly, vacuum pins the base and protects branch files, " +
+    "drop reclaims, and the schema evolves along the branch") {
+    import org.apache.spark.sql.functions.col
+    val tbl = freshTable()
+    Manifest.commit(Seq((1L, 10L)).toDF("id", "v"), tbl)       // v1
+    Manifest.addConstraint(spark, tbl, "v_nonneg", "v >= 0")   // v2
+    val base = Manifest.branch(tbl, "ingest")
+    assert(base == 2L)
+    Manifest.commitBranch(Seq((2L, 20L)).toDF("id", "v"), tbl, "ingest")
+    Manifest.commitBranch(Seq((3L, 30L)).toDF("id", "v"), tbl, "ingest")
+    // isolation both directions: main readers see nothing of the
+    // branch; the branch view = fork state + branch commits
+    assert(Manifest.version(tbl) == 2L, "no main version moved")
+    assert(Manifest.read(spark, tbl).count() == 1L)
+    assert(Manifest.readBranch(spark, tbl, "ingest").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Manifest.branches(tbl) == Map("ingest" -> ((2L, 2L))))
+    // the fork-frozen CHECK gate fires AT the branch commit — nothing
+    // lands
+    val e = intercept[Exception](Manifest.commitBranch(
+      Seq((9L, -1L)).toDF("id", "v"), tbl, "ingest"))
+    assert(e.getMessage.contains("v_nonneg"), e.getMessage)
+    assert(Manifest.readBranch(spark, tbl, "ingest").count() == 3L)
+    // fast-forward: ONE metadata-only main commit carrying the net
+    // branch state — no data file moves (the published adds ARE the
+    // branch's batch-dir files), constraints carry, branch retires
+    val dataBefore = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(tbl, "data"))
+      try st.filter(_.toString.endsWith(".parquet")).count
+      finally st.close()
+    }
+    val v3 = Manifest.fastForward(spark, tbl, "ingest")
+    assert(v3 == 3L)
+    val dataAfter = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(tbl, "data"))
+      try st.filter(_.toString.endsWith(".parquet")).count
+      finally st.close()
+    }
+    assert(dataAfter == dataBefore, "fast-forward is metadata-only")
+    assert(Manifest.read(spark, tbl).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Manifest.branches(tbl).isEmpty, "published branch retired")
+    assert(Manifest.constraintsOf(tbl).contains("v_nonneg"))
+    assert(Manifest.history(spark, tbl).last.change_type == "append")
+    // idempotent replay (the link-then-cleanup crash window): a second
+    // fastForward of the same name returns the published version
+    assert(Manifest.fastForward(spark, tbl, "ingest") == v3)
+    // divergence: a main commit after the fork makes fastForward refuse
+    // loudly; vacuum meanwhile pins the branch base OUTSIDE the
+    // retention window and protects the branch's data files
+    Manifest.branch(tbl, "late")                               // base 3
+    Manifest.commitBranch(Seq((4L, 40L)).toDF("id", "v"), tbl, "late")
+    Manifest.commit(Seq((5L, 50L)).toDF("id", "v"), tbl)       // v4
+    Manifest.vacuum(tbl, retainLast = 1)
+    assert(Manifest.files(tbl, 3L).nonEmpty,
+      "the branch base version survives vacuum outside the window")
+    assert(Manifest.readBranch(spark, tbl, "late").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L),
+      "branch files survive vacuum")
+    val e2 = intercept[IllegalStateException](
+      Manifest.fastForward(spark, tbl, "late"))
+    assert(e2.getMessage.contains("diverged"), e2.getMessage)
+    assert(Manifest.dropBranch(tbl, "late"))
+    assert(Manifest.branches(tbl).isEmpty)
+    assert(!Manifest.dropBranch(tbl, "late"), "second drop is false")
+    // append-compatible schema evolution along the branch rides the
+    // publish; old rows read the new column as null
+    Manifest.branch(tbl, "evo")                                // base 4
+    Manifest.commitBranch(Seq((6L, 60L, "x")).toDF("id", "v", "tag"),
+      tbl, "evo")
+    Manifest.fastForward(spark, tbl, "evo")
+    assert(Manifest.schemaOf(tbl).get.fieldNames.toSeq ==
+      Seq("id", "v", "tag"))
+    assert(Manifest.read(spark, tbl).filter(col("tag").isNull)
+      .count() == 4L, "pre-evolution rows read null")
+    // duplicate branch names refuse; reserved commit-suffix names
+    // refuse
+    Manifest.branch(tbl, "dup")
+    intercept[IllegalArgumentException](Manifest.branch(tbl, "dup"))
+    intercept[IllegalArgumentException](
+      Manifest.branch(tbl, "bad-c000001"))
+    Manifest.dropBranch(tbl, "dup")
+  }
+
   test("ADVICE r15: dropStaged after vacuum dropped the PUBLISHING " +
     "version's manifest (crash-window wap file survived) still treats " +
     "the stage as published — live data files are never reclaimed") {

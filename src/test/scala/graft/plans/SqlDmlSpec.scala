@@ -74,4 +74,29 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM graft.`$tbl`")
       .head().getLong(0) == 2L)
   }
+
+  test("GraftInsertCommand num_affected_rows on a MULTI-FILE insert is " +
+    "the exact inserted-row count from commit metadata alone (sum of " +
+    "the fresh files' recorded #filerows — no second scan)") {
+    val tbl = freshTable()
+    Files.delete(Paths.get(tbl))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql(s"CREATE TABLE graft.`$tbl` (id BIGINT, v BIGINT)")
+    (0L until 100L).map(i => (i, i * 3L)).toDF("id", "v")
+      .repartition(4).createOrReplaceTempView("sqldml_multi_src")
+    val n = spark.sql(
+      s"INSERT INTO graft.`$tbl` SELECT id, v FROM sqldml_multi_src")
+      .head().getLong(0)
+    assert(n == 100L, s"num_affected_rows must be exact, got $n")
+    val v = Manifest.version(tbl)
+    val freshFiles = Manifest.delta(tbl, v).added
+    assert(freshFiles.size == 4,
+      s"the insert must land multiple files, got ${freshFiles.size}")
+    assert(Manifest.read(spark, tbl).count() == 100L)
+    // the count came from the commit's own recorded per-file rows
+    val recorded = Manifest.delta(tbl, v).meta.collect {
+      case (k, rows) if k.startsWith(Manifest.FileRowsPrefix) =>
+        rows.toLong }.sum
+    assert(recorded == 100L)
+  }
 }
