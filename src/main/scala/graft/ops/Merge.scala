@@ -255,38 +255,60 @@ object Merge {
   def deleteKeysDv(spark: SparkSession, tablePath: String,
       keys: DataFrame, keyCol: String,
       meta: Map[String, String] = Map.empty,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DvStats =
+    deleteKeysDvCols(spark, tablePath, keys, Seq(keyCol), meta,
+      broadcastKeyLimit)
+
+  /** COMPOSITE-key twin of [[deleteKeysDv]]: matched rows are those
+    * whose whole key TUPLE appears in `keys` (the multi-column GDPR
+    * request shape — e.g. (tenant_id, user_id)). Same MoR semantics:
+    * positions hide behind deletion vectors, zero files rewritten,
+    * idempotent replay. Every NUMERIC key column contributes a
+    * min/max range to the structural file pruning (the match scan
+    * reads only files whose recorded stats intersect ALL bounds);
+    * non-numeric columns simply do not prune. The key-set probe is a
+    * left-semi join, broadcast when the distinct tuple count fits
+    * `broadcastKeyLimit`. */
+  def deleteKeysDvCols(spark: SparkSession, tablePath: String,
+      keys: DataFrame, keyCols: Seq[String],
+      meta: Map[String, String] = Map.empty,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DvStats = {
+    require(keyCols.nonEmpty, "at least one key column")
     // Key bounds only for NUMERIC key types: under ANSI mode (the
     // Spark 4 default) a string/UUID user id — the common GDPR key
     // shape — would make the double cast THROW instead of yielding
     // null, failing the whole erasure; a non-numeric key simply does
     // not prune (bounds-less but correct), exactly like the recorded
     // file stats, which exist only for numeric columns.
-    val numericKey = keys.schema(keyCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val boundAggs =
-      if (numericKey) Seq(min(col(keyCol)).cast("double").as("__mn"),
-        max(col(keyCol)).cast("double").as("__mx"))
-      else Seq.empty
-    val g = keys.agg(count_distinct(col(keyCol)).as("__k"),
+    val numCols = keyCols.filter(c => keys.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val boundAggs = numCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val g = keys.agg(
+      count_distinct(col(keyCols.head), keyCols.tail.map(col): _*)
+        .as("__k"),
       boundAggs: _*).head()
     val bounds: Map[String, (Double, Double)] =
-      if (!numericKey || g.getLong(0) == 0L || g.isNullAt(1) ||
-          g.isNullAt(2) || g.getDouble(1).isNaN || g.getDouble(2).isNaN)
-        Map.empty
-      else Map(keyCol -> (Math.nextDown(g.getDouble(1)),
-        Math.nextUp(g.getDouble(2))))
+      if (g.getLong(0) == 0L) Map.empty
+      else numCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        if (g.isNullAt(mnI) || g.isNullAt(mxI) ||
+            g.getDouble(mnI).isNaN || g.getDouble(mxI).isNaN) None
+        else Some(c -> (Math.nextDown(g.getDouble(mnI)),
+          Math.nextUp(g.getDouble(mxI))))
+      }.toMap
     if (g.getLong(0) == 0L) {
       val headV = Manifest.version(tablePath)
       return DvStats(headV, Manifest.files(tablePath).size,
         Manifest.deletionVectors(tablePath, headV).size, 0L, 0)
     }
-    val keySet = keys.select(col(keyCol)).distinct()
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
     val hinted =
       if (g.getLong(0) <= broadcastKeyLimit) broadcast(keySet)
       else keySet
     deleteDv(spark, tablePath,
-      _.join(hinted, Seq(keyCol), "left_semi"), meta, bounds)
+      _.join(hinted, keyCols, "left_semi"), meta, bounds)
   }
 
   /** Shared MERGE-ON-READ write skeleton: `matches` names the affected

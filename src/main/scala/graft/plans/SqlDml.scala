@@ -472,30 +472,24 @@ case class GraftMergeCommand(tablePath: String, source: LogicalPlan,
   }
 }
 
-/** `MERGE INTO graft.t USING src ON t.k = src.k WHEN MATCHED THEN
-  * DELETE` → [[Merge.deleteKeysDv]]: the merge-on-read keyed erasure —
-  * matched rows hide behind deletion vectors (positions ∝ matched rows,
-  * zero data files rewritten), idempotent by MoR construction. Single
-  * key column only (the GDPR request-set shape); composite keys refuse
-  * loudly naming the Scala API. Returns num_affected_rows = positions
-  * newly hidden. */
+/** `MERGE INTO graft.t USING src ON t.k = src.k [AND t.k2 = src.k2 …]
+  * WHEN MATCHED THEN DELETE` → [[Merge.deleteKeysDvCols]]: the
+  * merge-on-read keyed erasure — rows whose whole key tuple appears in
+  * the source hide behind deletion vectors (positions ∝ matched rows,
+  * zero data files rewritten), idempotent by MoR construction.
+  * Composite keys are the multi-tenant GDPR request shape
+  * ((tenant_id, user_id)); every numeric key column contributes a
+  * range to the structural file pruning. Returns num_affected_rows =
+  * positions newly hidden. */
 case class GraftMergeDeleteCommand(tablePath: String,
     source: LogicalPlan, keyCols: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlDml.output
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
-    val keyCol = keyCols match {
-      case Seq(one) => one
-      case more => throw new UnsupportedOperationException(
-        "graft SQL MERGE ... WHEN MATCHED THEN DELETE supports a " +
-          s"single key column, got (${more.mkString(", ")}) — use the " +
-          "Scala API (Merge.deleteWhereDv with a composite predicate, " +
-          "or concatenate a surrogate key)")
-    }
     val keys = Bridge.ofRows(session, source)
-      .select(org.apache.spark.sql.functions.col(keyCol))
-    val stats = Merge.deleteKeysDv(session, tablePath, keys, keyCol)
+      .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    val stats = Merge.deleteKeysDvCols(session, tablePath, keys, keyCols)
     Seq(Row(stats.positionsAdded))
   }
 }

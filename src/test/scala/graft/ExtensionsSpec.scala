@@ -533,12 +533,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       s"MERGE INTO graft.`$mdSql` AS t USING md_req AS s ON t.id = s.id " +
         "WHEN MATCHED THEN DELETE").collect().head.getLong(0) == 0L)
-    // composite-key merge-delete refuses loudly naming the Scala API
-    Seq((3L, 30L)).toDF("id", "v").createOrReplaceTempView("md_req2")
-    val eK = intercept[Exception](spark.sql(
+    // composite-key MERGE-DELETE (the multi-tenant request shape):
+    // only the WHOLE key tuple matches — a half-matching tuple
+    // deletes nothing — and SQL ≡ Merge.deleteKeysDvCols
+    Seq((5L, 50L), (6L, 999L)).toDF("id", "v")
+      .createOrReplaceTempView("md_req2")
+    val mdc = spark.sql(
       s"MERGE INTO graft.`$mdSql` AS t USING md_req2 AS s " +
-        "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE"))
-    assert(msgs(eK).exists(_.contains("single key column")), msgs(eK))
+        "ON t.id = s.id AND t.v = s.v WHEN MATCHED THEN DELETE")
+    assert(mdc.collect().head.getLong(0) == 1L,
+      "only the full tuple (5, 50) matches")
+    assert(!rows(mdSql).exists(_._1 == 5L) &&
+      rows(mdSql).exists(_._1 == 6L))
+    Merge.deleteKeysDvCols(spark, mdApi,
+      Seq((5L, 50L), (6L, 999L)).toDF("id", "v"), Seq("id", "v"))
+    assert(rows(mdSql) == rows(mdApi),
+      "SQL composite MERGE-DELETE ≡ API deleteKeysDvCols")
     // INSERT into a DV-CARRYING table (the DSv2 AppendData path — a
     // DV-marked target never falls back to V1): appends land, deleted
     // rows stay hidden

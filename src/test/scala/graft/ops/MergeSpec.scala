@@ -168,6 +168,45 @@ class MergeSpec extends SparkSpec {
     assert(asMap(Manifest.read(spark, tbl))(900L) == ("NEW", 9))
   }
 
+  test("deleteKeysDvCols (composite key): only full key TUPLES match " +
+    "(half-matches delete nothing), every numeric key column's range " +
+    "prunes the match scan structurally, replay is idempotent, and " +
+    "the single-key path is the one-column special case") {
+    val tbl = freshTable()
+    // 4 stats-bearing single-file commits over disjoint id ranges;
+    // key = (id, g) — the multi-tenant composite shape
+    for (i <- 0 until 4)
+      Manifest.commit(
+        Seq.tabulate(4)(j => (i * 10L + j, s"v$i$j", i.toLong))
+          .toDF("id", "s", "g").coalesce(1), tbl,
+        statsCols = Seq("id", "g"))
+    val filesBefore = Manifest.files(tbl)
+    // requests: (10, 1) matches a live row; (11, 3) half-matches (id
+    // exists, wrong g) — must delete nothing
+    val st = Merge.deleteKeysDvCols(spark, tbl,
+      Seq((10L, 1L), (11L, 3L)).toDF("id", "g"), Seq("id", "g"))
+    assert(st.positionsAdded == 1L,
+      s"only the full tuple (10, 1) matches: $st")
+    // both numeric key columns bound the candidate scan: ids 10..11 ∩
+    // g 1..3 → only the second file (ids 10..13, g=1) intersects both
+    assert(st.filesCandidates == 1,
+      s"composite bounds must prune to 1 of 4 files: $st")
+    val now = Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(!now.contains((10L, 1L)) && now.contains((11L, 1L)))
+    assert(Manifest.files(tbl) == filesBefore, "MoR: zero rewrites")
+    // idempotent replay: the tuple is already hidden
+    val st2 = Merge.deleteKeysDvCols(spark, tbl,
+      Seq((10L, 1L)).toDF("id", "g"), Seq("id", "g"))
+    assert(st2.positionsAdded == 0L)
+    // single-key path ≡ one-column composite
+    val st3 = Merge.deleteKeysDvCols(spark, tbl,
+      Seq(Tuple1(20L)).toDF("id"), Seq("id"))
+    assert(st3.positionsAdded == 1L)
+    assert(!Manifest.read(spark, tbl).collect()
+      .map(_.getLong(0)).contains(20L))
+  }
+
   test("the merge commit reads as a ROW-LEVEL diff in the change feed: " +
     "update images for updated keys, insert for new keys, nothing for " +
     "carried rows") {
