@@ -141,14 +141,44 @@ object Layout {
       java.nio.file.Paths.get(tablePath).resolve(r).toString)
     val statsCols = Manifest.fileStats(tablePath).values
       .flatMap(_.keys).toSeq.distinct.sorted
-    val v = Manifest.commit(
-      Manifest.applyDv(spark, tablePath, headV,
-          spark.read.schema(schema).parquet(paths: _*))
-        .coalesce(numFiles),
+    val applied = Manifest.applyDv(spark, tablePath, headV,
+      spark.read.schema(schema).parquet(paths: _*))
+    // shrinking merges input splits shuffle-free (coalesce); GROWING
+    // the file count — re-splitting oversized files — cannot (coalesce
+    // only reduces), so it pays the one round-robin shuffle
+    val sized =
+      if (numFiles <= all.size) applied.coalesce(numFiles)
+      else applied.repartition(numFiles)
+    val v = Manifest.commit(sized,
       tablePath, removeFiles = all, statsCols = statsCols,
       meta = Map(ChangeFeed.DataChangeKey -> "false"),
       readVersion = headV)
     (v, all.size, 0)
+  }
+
+  /** Size-targeted [[compact]] (the Delta OPTIMIZE sizing contract):
+    * the output file count comes from the table's RECORDED byte
+    * inventory — ceil(live bytes / `targetFileBytes`) — so the
+    * maintenance pass bin-packs toward a stable file size instead of
+    * a caller-guessed count. Pure metadata planning: the
+    * `#filebytes.` lines answer from the bounded checkpoint+delta
+    * resolution, no filesystem stat per file (at 10⁶-file scale the
+    * stat storm IS the planning cost). Files written by pre-recording
+    * writers count as `targetFileBytes` each (conservative: never
+    * under-provisions the output count). Default 128 MiB — the
+    * parquet split size readers plan around. */
+  def compactAuto(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val live = Manifest.files(tablePath)
+    if (live.isEmpty) return (Manifest.version(tablePath), 0, 0)
+    val recorded = Manifest.fileBytes(tablePath)
+    val bytes = live.map(f =>
+      recorded.getOrElse(f, targetFileBytes)).sum
+    val n = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes)
+    compact(spark, tablePath, math.min(n, Int.MaxValue.toLong).toInt)
   }
 
   /** Data files per partition directory (spec/observability helper). */

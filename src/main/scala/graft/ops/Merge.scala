@@ -311,6 +311,100 @@ object Merge {
       _.join(hinted, keyCols, "left_semi"), meta, bounds)
   }
 
+  /** A SOURCE column as seen inside [[mergeMatchedDv]]'s set/condition
+    * expressions: the matched frame joins the source with its columns
+    * renamed `__src_<name>` (keys stay bare for the join), so
+    * `srcCol("v")` is "the source's v" and plain `col("v")` is the
+    * target row's v — unambiguous even when both sides share names. */
+  def srcCol(name: String): Column = col(s"__src_$name")
+
+  /** MERGE … WHEN MATCHED [AND cond] THEN UPDATE SET <partial> /
+    * DELETE — the conditional/partial matched-action merge as ONE
+    * merge-on-read commit: target rows whose key tuple appears in
+    * `source` (and that pass `cond`) hide behind deletion vectors;
+    * with `sets` nonempty their updated images (named columns replaced,
+    * everything else carried) commit atomically with the DV lines —
+    * [[updateWhereDv]]'s shape driven by a KEYED source instead of a
+    * predicate. `sets` values and `cond` are expressions over the
+    * MATCHED frame: target columns by name, source columns via
+    * [[srcCol]]. Empty `sets` = conditional keyed DELETE. The source
+    * executes ONCE (eager localCheckpoint) and must be key-unique —
+    * duplicate key tuples are an ambiguous per-row update and refuse
+    * before anything writes. Numeric key columns bound the structural
+    * file pruning exactly like [[deleteKeysDvCols]]. Idempotent for
+    * DELETE by MoR construction; an UPDATE replay re-matches the
+    * updated images only if they still satisfy `cond` (standard MERGE
+    * semantics). */
+  def mergeMatchedDv(spark: SparkSession, tablePath: String,
+      source: DataFrame, keyCols: Seq[String],
+      sets: Seq[(String, Column)] = Seq.empty,
+      cond: Option[Column] = None,
+      meta: Map[String, String] = Map.empty,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DvStats = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val cols = Manifest.schemaOf(tablePath)
+      .map(_.fieldNames.toSeq)
+      .getOrElse(Manifest.read(spark, tablePath).columns.toSeq)
+    sets.foreach { case (c, _) =>
+      require(cols.contains(c),
+        s"SET column '$c' is not a table column (${cols.mkString(", ")})")
+      require(!keyCols.contains(c),
+        s"SET column '$c' is a merge key — updating the match identity " +
+          "is not a keyed update; use updateWhereDv")
+    }
+    // ONE source execution: the matched set, the images, and any
+    // commit-protocol retry all see the same rows
+    val src0 = source.localCheckpoint()
+    keyCols.foreach(k => require(src0.columns.contains(k),
+      s"source has no key column '$k'"))
+    val dup = src0.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+      .limit(1).count()
+    require(dup == 0L,
+      "merge source has duplicate key tuples — an ambiguous per-row " +
+        "update; de-duplicate the source first")
+    val numCols = keyCols.filter(c => src0.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val boundAggs = numCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val g = src0.agg(count(lit(1)).as("__k"), boundAggs: _*).head()
+    if (g.getLong(0) == 0L) {
+      val headV = Manifest.version(tablePath)
+      return DvStats(headV, Manifest.files(tablePath).size,
+        Manifest.deletionVectors(tablePath, headV).size, 0L, 0)
+    }
+    val bounds: Map[String, (Double, Double)] =
+      numCols.zipWithIndex.flatMap { case (c, i) =>
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        if (g.isNullAt(mnI) || g.isNullAt(mxI) ||
+            g.getDouble(mnI).isNaN || g.getDouble(mxI).isNaN) None
+        else Some(c -> (Math.nextDown(g.getDouble(mnI)),
+          Math.nextUp(g.getDouble(mxI))))
+      }.toMap
+    // keys stay bare (the join columns); EVERY source column also
+    // rides prefixed, so set/cond expressions can name source keys too
+    val renamed = src0.select(
+      keyCols.map(col) ++
+        src0.columns.toSeq.map(c => col(c).as(s"__src_$c")): _*)
+    val hinted =
+      if (g.getLong(0) <= broadcastKeyLimit) broadcast(renamed)
+      else renamed
+    deleteDv(spark, tablePath,
+      m => {
+        val joined = m.join(hinted, keyCols)
+        cond.map(joined.filter).getOrElse(joined)
+      },
+      meta, bounds,
+      mkImages =
+        if (sets.isEmpty) None
+        else Some { matched =>
+          sets.foldLeft(matched) { case (df, (c, e)) =>
+            df.withColumn(c, e) }
+            .select(cols.map(col): _*)
+        })
+  }
+
   /** Shared MERGE-ON-READ write skeleton: `matches` names the affected
     * rows over the DV-applied candidate scan; their positions publish
     * as per-file deletion vectors, and `mkImages` (None for DELETE,

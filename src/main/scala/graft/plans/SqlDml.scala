@@ -147,12 +147,21 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case m: MergeIntoTable if m.resolved =>
         graftTarget(m.targetTable) match {
-          case Some(path) if isMergeDelete(m) =>
-            GraftMergeDeleteCommand(path, m.sourceTable,
-              mergeConditionKeys(m))
           case Some(path) =>
-            GraftMergeCommand(path, m.sourceTable,
-              mergeKeys(m), m.targetTable.output.map(_.name))
+            matchedOnlyForm(m) match {
+              case Some((None, Seq())) =>
+                // the unconditional keyed DELETE keeps its dedicated
+                // command (semi-join probe, no source columns needed)
+                GraftMergeDeleteCommand(path, m.sourceTable,
+                  mergeConditionKeys(m))
+              case Some((condOpt, sets)) =>
+                noSubquery("MERGE", condOpt.toSeq ++ sets.map(_._2))
+                GraftMergeMatchedCommand(path, m.sourceTable,
+                  mergeConditionKeys(m), sets, condOpt)
+              case None =>
+                GraftMergeCommand(path, m.sourceTable,
+                  mergeKeys(m), m.targetTable.output.map(_.name))
+            }
           case None => m
         }
       // SQL INSERT INTO / INSERT OVERWRITE — intercepted at the
@@ -284,10 +293,13 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
     *   WHEN NOT MATCHED THEN INSERT *
     *
     * (the star actions arrive here pre-expanded by the analyzer into
-    * straight by-name assignments). Anything else — conditional
-    * actions, partial SET lists, DELETE clauses, NOT MATCHED BY
-    * SOURCE — refuses loudly naming the Scala API, whose explicit
-    * forms cover them. Returns the equi-join key column names. */
+    * straight by-name assignments). Matched-ONLY forms — conditional
+    * or partial UPDATE/DELETE actions — route through
+    * [[matchedOnlyForm]] before this check; what remains here must be
+    * the exact upsert idiom, and anything else (a partial or
+    * conditional action COMBINED with INSERT, NOT MATCHED BY SOURCE)
+    * refuses loudly naming the Scala API, whose explicit forms cover
+    * them. Returns the equi-join key column names. */
   private def mergeKeys(m: MergeIntoTable): Seq[String] = {
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
@@ -318,19 +330,53 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
     mergeConditionKeys(m)
   }
 
-  /** The GDPR-adjacent MERGE-DELETE Delta idiom:
+  /** Classify a MATCHED-ONLY merge (no NOT MATCHED / BY SOURCE
+    * clauses): Some((condition, partial SET list)) for
     *
-    *   MERGE INTO graft.t USING erasure_requests src ON t.k = src.k
-    *   WHEN MATCHED THEN DELETE
+    *   WHEN MATCHED [AND cond] THEN DELETE          → (cond, Nil)
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET …    → (cond, sets)
     *
-    * (no other actions, no DELETE condition) — routed to the
-    * merge-on-read keyed erasure [[Merge.deleteKeysDv]]. */
-  private def isMergeDelete(m: MergeIntoTable): Boolean =
-    m.notMatchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty &&
-      (m.matchedActions match {
-        case Seq(DeleteAction(None)) => true
-        case _ => false
-      })
+    * — both route to the merge-on-read matched-action engine
+    * ([[Merge.deleteKeysDvCols]] for the bare DELETE,
+    * [[Merge.mergeMatchedDv]] otherwise). A SET on a merge-key column
+    * refuses (updating the match identity is not a keyed update) —
+    * except the identity no-op `k = src.k` the analyzer's `SET *`
+    * expansion produces, which drops out. None = not matched-only
+    * (the upsert form, or an unsupported shape [[mergeKeys]] names
+    * loudly). */
+  private def matchedOnlyForm(m: MergeIntoTable)
+      : Option[(Option[Expression], Seq[(String, Expression)])] = {
+    if (m.notMatchedActions.nonEmpty ||
+        m.notMatchedBySourceActions.nonEmpty) return None
+    val keys = mergeConditionKeys(m).map(_.toLowerCase).toSet
+    val srcSet = m.sourceTable.outputSet
+    m.matchedActions match {
+      case Seq(DeleteAction(cond)) => Some((cond, Seq.empty))
+      case Seq(UpdateAction(cond, as, _)) =>
+        val sets = as.flatMap { a =>
+          val name = a.key match {
+            case attr: AttributeReference => attr.name
+            case other => throw new UnsupportedOperationException(
+              s"graft SQL MERGE: unsupported SET target '$other' " +
+                "(only plain table columns)")
+          }
+          (a.value, keys.contains(name.toLowerCase)) match {
+            // `SET k = src.k` on a merge key: the join makes it a
+            // no-op — drop it (the SET * expansion emits these)
+            case (v: AttributeReference, true)
+                if v.name.equalsIgnoreCase(name) &&
+                  srcSet.contains(v) => None
+            case (_, true) => throw new UnsupportedOperationException(
+              s"graft SQL MERGE: SET on merge-key column '$name' — " +
+                "updating the match identity is not a keyed update; " +
+                "use UPDATE/Merge.updateWhereDv")
+            case (v, false) => Some(name -> v)
+          }
+        }
+        Some((cond, sets))
+      case _ => None
+    }
+  }
 
   /** Equi-join key column names from the merge condition: a conjunction
     * of same-name target-to-source equalities; anything else refuses
@@ -490,6 +536,43 @@ case class GraftMergeDeleteCommand(tablePath: String,
     val keys = Bridge.ofRows(session, source)
       .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     val stats = Merge.deleteKeysDvCols(session, tablePath, keys, keyCols)
+    Seq(Row(stats.positionsAdded))
+  }
+}
+
+/** `MERGE INTO graft.t USING src ON <keys> WHEN MATCHED [AND cond]
+  * THEN UPDATE SET <partial> | DELETE` (matched-only, no INSERT
+  * clause) → [[Merge.mergeMatchedDv]]: ONE merge-on-read commit —
+  * matched rows (key tuple in source, condition satisfied) hide
+  * behind deletion vectors; a partial UPDATE's images (named columns
+  * replaced from the rebound expressions, the rest carried) commit
+  * atomically with the DV lines. Set values and the condition may
+  * reference both sides: target columns rebind by name, source
+  * columns to their `__src_`-prefixed twins on the matched frame
+  * (unambiguous under name collisions), values cast onto the
+  * column's recorded type. The source executes once and must be
+  * key-unique. Returns num_affected_rows = positions newly hidden
+  * (= rows updated/deleted). */
+case class GraftMergeMatchedCommand(tablePath: String,
+    source: LogicalPlan, keyCols: Seq[String],
+    sets: Seq[(String, Expression)], cond: Option[Expression])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val srcAttrs = source.outputSet
+    def rb(e: Expression): Column = Bridge.column(e.transform {
+      case a: AttributeReference if srcAttrs.contains(a) =>
+        UnresolvedAttribute.quoted(s"__src_${a.name}")
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    val schema = Manifest.schemaOf(tablePath).getOrElse(
+      Manifest.read(session, tablePath).schema)
+    val setCols = sets.map { case (c, e) =>
+      c -> rb(e).cast(schema(c).dataType) }
+    val src = Bridge.ofRows(session, source)
+    val stats = Merge.mergeMatchedDv(session, tablePath, src, keyCols,
+      setCols, cond.map(rb))
     Seq(Row(stats.positionsAdded))
   }
 }

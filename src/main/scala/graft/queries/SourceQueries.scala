@@ -1938,6 +1938,75 @@ object SourceQueries {
              TRUE AS metadata_only_publish, TRUE AS divergence_refused
            FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // S43: CONDITIONAL / PARTIAL MERGE ACTIONS — the matched-only
+    // MERGE forms (Delta's conditional clauses) over a governed
+    // corpus, both as ONE merge-on-read commit each: a partial
+    // conditional UPDATE (only matched rows passing the target-side
+    // condition take the source value — value mixes both sides via
+    // the __src_ rebinding) and a conditional DELETE on a SOURCE-side
+    // flag (the triage shape: one request table, only flagged rows
+    // erase). Zero file rewrites for either (earned flag); the
+    // per-verb affected counts land in the output row where the
+    // oracle's replay cross-checks them exactly.
+    "s43_sql_merge_matched" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val tbl = scratch("s43_table", dir)
+        wipe(tbl)
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        Manifest.commit(d.coalesce(2), tbl, statsCols = Seq("doc_id"))
+        val filesBefore = Manifest.files(tbl)
+        d.filter(pmod(col("doc_id"), lit(7)) === 2)
+          .select(col("doc_id"), (col("n_chars") + 100).as("nc"))
+          .createOrReplaceTempView(s"s43_upd_${dirTag(dir)}")
+        val updated = s.sql(
+          s"MERGE INTO graft.`$tbl` AS t " +
+            s"USING s43_upd_${dirTag(dir)} AS s ON t.doc_id = s.doc_id " +
+            "WHEN MATCHED AND t.n_chars >= 500 " +
+            "THEN UPDATE SET n_chars = s.nc")
+          .collect().head.getLong(0)
+        d.filter(pmod(col("doc_id"), lit(13)) === 1)
+          .select(col("doc_id"),
+            pmod(col("doc_id"), lit(2)).as("flag"))
+          .createOrReplaceTempView(s"s43_req_${dirTag(dir)}")
+        val deleted = s.sql(
+          s"MERGE INTO graft.`$tbl` AS t " +
+            s"USING s43_req_${dirTag(dir)} AS s ON t.doc_id = s.doc_id " +
+            "WHEN MATCHED AND s.flag = 1 THEN DELETE")
+          .collect().head.getLong(0)
+        // both verbs are MoR: every original file still carries
+        val zeroRewrites =
+          filesBefore.toSet.subsetOf(Manifest.files(tbl).toSet) &&
+            Manifest.deletionVectors(tbl).nonEmpty
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(updated).as("updated_rows"),
+            lit(deleted).as("deleted_rows"),
+            lit(zeroRewrites).as("zero_rewrites"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH upd AS (
+            SELECT doc_id, lang,
+              CASE WHEN doc_id % 7 = 2 AND n_chars >= 500
+                THEN n_chars + 100 ELSE n_chars END AS n_chars
+            FROM documents),
+          fin AS (
+            SELECT * FROM upd
+            WHERE NOT (doc_id % 13 = 1 AND doc_id % 2 = 1))
+          SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            (SELECT count(*) FROM documents
+              WHERE doc_id % 7 = 2 AND n_chars >= 500) AS updated_rows,
+            (SELECT count(*) FROM documents
+              WHERE doc_id % 13 = 1 AND doc_id % 2 = 1) AS deleted_rows,
+            TRUE AS zero_rewrites
+          FROM fin GROUP BY lang ORDER BY lang""")),
+
     // S11: paged fetch — page count derived from a first-page total (the
     // only driver-side scalar, mirroring `perustats/MTC/homologacion.py:38-95`),
     // then per-page slices unioned back.

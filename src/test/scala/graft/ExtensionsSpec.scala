@@ -361,11 +361,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs(sqlT) == pairs(apiT), "SQL MERGE ≡ API upsert")
     assert(pairs(sqlT).contains((0L, 7L)) && pairs(sqlT).contains((8L, 87L)))
     // unsupported merge shapes refuse loudly naming the Scala API
-    // (a CONDITIONAL delete — the unconditional merge-delete is a
-    // supported verb with its own spec)
+    // (NOT MATCHED BY SOURCE — conditional/partial MATCHED-ONLY forms
+    // are supported since r17 with their own spec)
     val e5 = intercept[Exception](spark.sql(
       s"MERGE INTO graft.`$sqlT` AS t USING s38_src AS s ON t.id = s.id " +
-        "WHEN MATCHED AND s.v > 0 THEN DELETE"))
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
     assert(msgs(e5).exists(_.contains("Merge.upsert")), msgs(e5))
   }
 
@@ -568,6 +570,96 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(mdSql) == Set((1L, 10L), (2L, 20L)))
     assert(Manifest.deletionVectors(mdSql).isEmpty,
       "replace drops the DV state with the files")
+  }
+
+  test("SQL MERGE matched-only forms ≡ Merge.mergeMatchedDv: " +
+    "WHEN MATCHED AND cond THEN UPDATE SET <partial> updates exactly " +
+    "the matched-and-passing rows in ONE MoR commit (zero rewrites), " +
+    "conditional DELETE erases on source-side flags, SET * " +
+    "matched-only works (key no-op drops out), a non-identity SET on " +
+    "a merge key refuses, duplicate-key sources refuse, and partial " +
+    "SET combined with INSERT keeps the loud refusal") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Manifest, Merge}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_mm").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def seed(name: String): String = {
+      val p = s"$root/$name"
+      Manifest.commit((0L until 20L).map(i => (i, i * 10))
+        .toDF("id", "v").coalesce(2), p, statsCols = Seq("id"))
+      p
+    }
+    def pairs(p: String) = Manifest.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqlT = seed("mm_sql"); val apiT = seed("mm_api")
+    // conditional PARTIAL update: of the matched ids {4, 6, 8}, only
+    // rows passing t.v >= 60 update; the value mixes both sides
+    Seq((4L, 4000L), (6L, 6000L), (8L, 8000L)).toDF("id", "nv")
+      .createOrReplaceTempView("mm_src")
+    val up = spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_src AS s ON t.id = s.id " +
+        "WHEN MATCHED AND t.v >= 60 THEN UPDATE SET v = s.nv + t.id")
+    assert(up.collect().head.getLong(0) == 2L,
+      "id 4 fails the condition — 2 rows update")
+    assert(pairs(sqlT).contains((4L, 40L)) &&
+      pairs(sqlT).contains((6L, 6006L)) &&
+      pairs(sqlT).contains((8L, 8008L)))
+    Merge.mergeMatchedDv(spark, apiT,
+      Seq((4L, 4000L), (6L, 6000L), (8L, 8000L)).toDF("id", "nv"),
+      Seq("id"), Seq("v" -> (Merge.srcCol("nv") + col("id"))),
+      Some(col("v") >= 60L))
+    assert(pairs(sqlT) == pairs(apiT),
+      "SQL conditional partial MERGE-UPDATE ≡ API mergeMatchedDv")
+    assert(Manifest.files(sqlT).filter(_.contains("b000001")) ==
+      Manifest.files(sqlT, 1L).filter(_.contains("b000001")),
+      "MoR: the original files carry, only update images add")
+    assert(Manifest.deletionVectors(sqlT).nonEmpty)
+    // conditional DELETE on a source-side flag
+    Seq((2L, 1L), (3L, 0L), (9L, 1L)).toDF("id", "flag")
+      .createOrReplaceTempView("mm_req")
+    val del = spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_req AS s ON t.id = s.id " +
+        "WHEN MATCHED AND s.flag = 1 THEN DELETE")
+    assert(del.collect().head.getLong(0) == 2L, "flag=0 row survives")
+    assert(!pairs(sqlT).exists(_._1 == 2L) &&
+      pairs(sqlT).exists(_._1 == 3L) && !pairs(sqlT).exists(_._1 == 9L))
+    Merge.mergeMatchedDv(spark, apiT,
+      Seq((2L, 1L), (3L, 0L), (9L, 1L)).toDF("id", "flag"),
+      Seq("id"), cond = Some(Merge.srcCol("flag") === 1L))
+    assert(pairs(sqlT) == pairs(apiT),
+      "SQL conditional MERGE-DELETE ≡ API")
+    // SET * matched-only: full update of matched keys, no INSERT
+    // clause — the analyzer's key no-op assignment drops out
+    Seq((5L, 555L), (99L, 999L)).toDF("id", "v")
+      .createOrReplaceTempView("mm_full")
+    val fu = spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_full AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    assert(fu.collect().head.getLong(0) == 1L, "99 matches nothing")
+    assert(pairs(sqlT).contains((5L, 555L)) &&
+      !pairs(sqlT).exists(_._1 == 99L))
+    // refusals: non-identity SET on a merge key; duplicate-key source;
+    // partial SET combined with INSERT
+    val e1 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_src AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET id = s.nv"))
+    assert(msgs(e1).exists(_.contains("match identity")), msgs(e1))
+    Seq((5L, 1L), (5L, 2L)).toDF("id", "nv")
+      .createOrReplaceTempView("mm_dup")
+    val e2 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_dup AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv"))
+    assert(msgs(e2).exists(_.contains("duplicate key")), msgs(e2))
+    val e3 = intercept[Exception](spark.sql(
+      s"MERGE INTO graft.`$sqlT` AS t USING mm_full AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(msgs(e3).exists(_.contains("Merge.upsert")), msgs(e3))
   }
 
   test("SQL CREATE TABLE / CTAS / CREATE OR REPLACE ≡ Manifest.commit: " +

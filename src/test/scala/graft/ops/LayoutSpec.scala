@@ -100,6 +100,46 @@ class LayoutSpec extends SparkSpec {
     assert(v2 == v && r2 == 0)
   }
 
+  test("compact bin-packs the whole table (content preserved, DVs " +
+    "materialized away, stats re-harvested) and compactAuto sizes the " +
+    "output from the RECORDED byte inventory — no filesystem stat per " +
+    "file") {
+    import graft.ops.{Manifest, Merge}
+    val tbl = java.nio.file.Files
+      .createTempDirectory("layout_compact").toString
+    for (i <- 0 until 4)
+      Manifest.commit(
+        Seq.tabulate(50)(j => (i * 50L + j, s"v$i$j"))
+          .toDF("id", "s").coalesce(1), tbl, statsCols = Seq("id"))
+    Merge.deleteWhereDv(spark, tbl, col("id") % 10 === 3L)
+    assert(Manifest.deletionVectors(tbl).nonEmpty)
+    val beforeRows = Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val (v, rewrote, carried) = Layout.compact(spark, tbl, 2)
+    assert(rewrote == 4 && carried == 0)
+    assert(Manifest.files(tbl, v).size == 2)
+    assert(Manifest.deletionVectors(tbl).isEmpty, "DVs absorbed")
+    assert(Manifest.fileStats(tbl).values.exists(_.contains("id")),
+      "stats re-harvested for the previously stats-bearing column")
+    assert(Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == beforeRows,
+      "compaction is content-neutral over the MoR view")
+    assert(Manifest.history(spark, tbl)
+      .find(_.version == v).exists(!_.data_change))
+    // compactAuto: target = total recorded bytes / 3 → 3-4 files,
+    // planned purely from #filebytes metadata
+    val total = Manifest.fileBytes(tbl).values.sum
+    assert(total > 0L, "the compacted files recorded their bytes")
+    val (v2, rewrote2, _) = Layout.compactAuto(spark, tbl,
+      targetFileBytes = total / 3)
+    assert(rewrote2 == 2)
+    val nOut = Manifest.files(tbl, v2).size
+    assert(nOut >= 3 && nOut <= 4,
+      s"auto sizing must plan ~ceil(bytes/target) files, got $nOut")
+    assert(Manifest.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == beforeRows)
+  }
+
   test("bloom sidecar skipping: a sparse key's lookup scans only its " +
     "bloom-passing partitions via dynamic partition pruning, exactly") {
     import graft.functions.hashing
