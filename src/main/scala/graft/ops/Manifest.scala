@@ -1255,7 +1255,51 @@ object Manifest {
     * main-chain version moves. Returns the branch commit number. */
   def commitBranch(df: DataFrame, tablePath: String, name: String,
       meta: Map[String, String] = Map.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty): Long =
+    commitBranchImpl(df, tablePath, name, meta, statsCols, None)
+
+  /** `appId`'s newest transaction version recorded ON the branch
+    * (None when it never wrote there) — bounded by the branch's own
+    * commit count, which is short by construction. After a
+    * fast-forward the stamps ride the published manifest into the
+    * MAIN txn fold (newest branch stamp wins — the SetTransaction
+    * overwrite), so [[lastTxn]] keeps answering downstream. */
+  def branchTxn(tablePath: String, name: String,
+      appId: String): Option[Long] = {
+    val key = s"$TxnPrefix$appId"
+    val vs = branchCommits(tablePath, name).flatMap { c =>
+      branchLines(tablePath, name, c).find(_.startsWith(s"#$key="))
+        .map(_.stripPrefix(s"#$key=").toLong)
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Idempotent [[commitBranch]] for replayable writers — the
+    * [[commitOnce]] contract applied to a BRANCH: the (appId,
+    * txnVersion) stamp publishes atomically with the branch commit
+    * manifest, a replayed txnVersion commits NOTHING (None), and the
+    * link-retry loop re-probes the stamp so two writers replaying the
+    * same micro-batch cannot both land it (the zombie-driver race).
+    * This is what makes a streaming `foreachBatch` sink onto a branch
+    * exactly-once — the quarantined-ingest stream. */
+  def commitBranchOnce(df: DataFrame, tablePath: String, name: String,
+      appId: String, txnVersion: Long,
+      meta: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    require(!meta.keys.exists(_.startsWith(TxnPrefix)),
+      s"'$TxnPrefix*' meta is reserved for the txn stamp")
+    if (branchTxn(tablePath, name, appId).exists(_ >= txnVersion))
+      return None
+    try Some(commitBranchImpl(df, tablePath, name,
+      meta + (s"$TxnPrefix$appId" -> txnVersion.toString), statsCols,
+      Some((appId, txnVersion))))
+    catch { case _: TxnAlreadyApplied => None }
+  }
+
+  private def commitBranchImpl(df: DataFrame, tablePath: String,
+      name: String, meta: Map[String, String],
+      statsCols: Seq[String],
+      txnGate: Option[(String, Long)]): Long = {
     require(!meta.contains(SchemaKey), s"'$SchemaKey' is reserved")
     require(!meta.contains(CommitTsKey), s"'$CommitTsKey' is reserved")
     require(!meta.contains(ReplaceKey), s"'$ReplaceKey' is reserved")
@@ -1316,7 +1360,10 @@ object Manifest {
         (SchemaKey -> evolved.json) +
         (CommitTsKey -> System.currentTimeMillis.toString))
         .toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ fresh
-    // optimistic link-retry on the branch commit number
+    // optimistic link-retry on the branch commit number; a txn-gated
+    // commit RE-PROBES its stamp after every lost race — the loser of
+    // two writers replaying the same micro-batch surrenders instead
+    // of landing the batch twice (commit's TxnAlreadyApplied contract)
     var next = branchCommits(tablePath, name).lastOption
       .getOrElse(0L) + 1
     while (true) {
@@ -1328,7 +1375,14 @@ object Manifest {
         Files.createLink(branchCommitFile(tablePath, name, next), tmp)
         return next
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => next += 1
+        case _: java.nio.file.FileAlreadyExistsException =>
+          txnGate.foreach { case (app, tv) =>
+            if (branchTxn(tablePath, name, app).exists(_ >= tv)) {
+              rmTree(batchDir)
+              throw new TxnAlreadyApplied(tablePath, app, tv)
+            }
+          }
+          next += 1
       } finally Files.deleteIfExists(tmp)
     }
     throw new IllegalStateException("unreachable")

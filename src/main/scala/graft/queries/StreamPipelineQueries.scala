@@ -545,6 +545,66 @@ object StreamPipelineQueries {
     // of one OOM-sized one. Content oracle: the replica equals the
     // source (exactly-once through the capped drain); TableStreamSpec
     // covers the offset-clamp mechanics and mid-catchup restart.
+    // st38: STREAMING QUARANTINED INGEST — the WAP pattern at stream
+    // scale, onto a writable BRANCH (s42's shape driven by a stream):
+    // micro-batches tail the upstream commit log and land as
+    // exactly-once BRANCH commits (batchId-stamped branch txns) on the
+    // target — the MAIN chain never moves and no reader sees a
+    // streamed row while the stream runs (isolated flag, checked
+    // post-drain); the audit then reads the WHOLE quarantined view as
+    // one unit, and the promote decision is a single metadata-only
+    // fastForward (published_once: one new main version for three
+    // streamed batches; zero parquet writes across the publish). The
+    // final corpus content is the oracle-replayed side.
+    "st38_stream_branch_ingest" -> Q(
+      (s, dir) => {
+        import graft.ops.Manifest
+        val work = scratch("st38", dir)
+        wipe(work)
+        val up = s"$work/up"
+        val tbl = s"$work/t"
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val chunk = (i: Int) =>
+          docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+        Manifest.commit(chunk(3), tbl) // the published base corpus
+        Manifest.branch(tbl, "ingest")
+        Manifest.commit(chunk(0), up)  // upstream feed, chunk by chunk
+        Streams.branchIngestStreaming(s, up, tbl, "ingest",
+          laterChunks = Seq(chunk(1), chunk(2)),
+          checkpoint = s"$work/ckpt",
+          name = s"graft_st38_${dirTag(dir)}")
+        // isolation held through the whole drain: main is still the
+        // base corpus, the branch quarantines everything streamed
+        val isolated = Manifest.version(tbl) == 1L &&
+          Manifest.read(s, tbl).count() == chunk(3).count()
+        // the audit reads the quarantined view as ONE unit
+        val audited =
+          Manifest.readBranch(s, tbl, "ingest").count() == docs.count()
+        def dataFiles(): Long = {
+          val st = java.nio.file.Files.walk(
+            java.nio.file.Paths.get(tbl, "data"))
+          try st.filter(_.toString.endsWith(".parquet")).count
+          finally st.close()
+        }
+        val before = dataFiles()
+        val v = Manifest.fastForward(s, tbl, "ingest")
+        val publishedOnce = v == 2L && dataFiles() == before
+        Manifest.read(s, tbl)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(col("lang"), col("cnt"), col("sum_chars"),
+            lit(isolated).as("isolated"),
+            lit(audited).as("audited"),
+            lit(publishedOnce).as("published_once"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            TRUE AS isolated, TRUE AS audited, TRUE AS published_once
+          FROM documents GROUP BY lang ORDER BY lang""")),
+
     "st37_bounded_catchup" -> Q(
       (s, dir) => {
         import graft.ops.Manifest

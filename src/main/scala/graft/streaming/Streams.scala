@@ -1997,6 +1997,52 @@ object Streams {
     * batch 1 is the snapshot at stream start, every later batch is the
     * rows appended by new versions. Non-append commits fail the stream
     * loudly unless `skipChangeCommits`. */
+  /** STREAMING QUARANTINED INGEST — the WAP pattern at stream scale,
+    * onto a writable BRANCH: micro-batches tail the upstream table's
+    * commit log and land as BRANCH commits on `tablePath` — the main
+    * chain never moves, no reader sees a streamed row, and the
+    * fork-frozen CHECK constraints gate every batch — until the caller
+    * audits the branch view ([[graft.ops.Manifest.readBranch]]) and
+    * promotes it with ONE metadata-only
+    * [[graft.ops.Manifest.fastForward]] (or abandons with dropBranch).
+    * EXACTLY-ONCE by construction: each batch commits through
+    * [[graft.ops.Manifest.commitBranchOnce]] (the batchId-stamped
+    * branch txn), so a replayed batch lands nothing. The branch must
+    * exist; `laterChunks` append to the upstream between drains (the
+    * st36 test-drive shape). */
+  def branchIngestStreaming(spark: SparkSession, upstream: String,
+      tablePath: String, branch: String, laterChunks: Seq[DataFrame],
+      checkpoint: String, name: String = "graft_st38"): Unit = {
+    import graft.ops.Manifest
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val q = readTableStream(s, upstream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBranchBatch(batch, batchId, tablePath, branch)
+      }
+      .queryName(name).start()
+    try {
+      q.processAllAvailable()
+      laterChunks.foreach { c =>
+        Manifest.commit(c, upstream)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
+  /** [[branchIngestStreaming]]'s per-batch body (skip-empty contract,
+    * [[applyCommitBatch]] scaladoc): a non-empty batch lands as ONE
+    * exactly-once branch commit; a replayed batchId lands nothing. */
+  private[graft] def applyBranchBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, branch: String): Unit = {
+    if (!batch.isEmpty)
+      graft.ops.Manifest.commitBranchOnce(batch, tablePath, branch,
+        "st_branch", batchId)
+    ()
+  }
+
   def readTableStream(spark: SparkSession, tablePath: String,
       skipChangeCommits: Boolean = false,
       startAfterVersion: Option[Long] = None): DataFrame = {

@@ -1206,6 +1206,44 @@ class StreamingSpec extends SparkSpec {
     assert(Manifest.version(tbl) == 3L)
   }
 
+  test("replay: the BRANCH sink drops a re-delivered batchId " +
+      "(applyBranchBatch → commitBranchOnce), main never moves, the " +
+      "fork-frozen constraint gate holds per batch, and the published " +
+      "fast-forward carries the newest batch stamp into the main txn " +
+      "fold") {
+    import graft.ops.Manifest
+    import java.nio.file.Files
+    val tbl = Files.createTempDirectory("replay_branch").toString + "/t"
+    Manifest.commit(spark.range(5).toDF("id"), tbl)
+    Manifest.addConstraint(spark, tbl, "id_nonneg", "id >= 0")
+    Manifest.branch(tbl, "q")
+    val df = spark.range(5, 10).toDF("id")
+    Streams.applyBranchBatch(df, 0L, tbl, "q")
+    assert(Manifest.branches(tbl)("q") == ((2L, 1L)))
+    // crash-replay: same id — nothing lands on the branch
+    Streams.applyBranchBatch(df, 0L, tbl, "q")
+    assert(Manifest.branches(tbl)("q") == ((2L, 1L)))
+    assert(Manifest.readBranch(spark, tbl, "q").count() == 10L)
+    assert(Manifest.version(tbl) == 2L, "main never moves")
+    // the NEXT id still commits; the fork-frozen gate refuses a
+    // violating batch without landing anything
+    Streams.applyBranchBatch(spark.range(10, 12).toDF("id"), 1L, tbl, "q")
+    assert(Manifest.branches(tbl)("q") == ((2L, 2L)))
+    intercept[Exception](Streams.applyBranchBatch(
+      spark.range(-2, 0).toDF("id"), 2L, tbl, "q"))
+    assert(Manifest.branches(tbl)("q") == ((2L, 2L)))
+    // skip-empty: an idle batch lands nothing
+    Streams.applyBranchBatch(spark.range(0).toDF("id"), 3L, tbl, "q")
+    assert(Manifest.branches(tbl)("q") == ((2L, 2L)))
+    // publish: one metadata-only commit; the newest batch stamp rides
+    // into the MAIN txn fold, so even post-publish a zombie replay of
+    // batch 1 is answerable from the table itself
+    val v = Manifest.fastForward(spark, tbl, "q")
+    assert(v == 3L && Manifest.read(spark, tbl).count() == 12L)
+    assert(Manifest.lastTxn(tbl, "st_branch") == 1L,
+      "the branch txn stamp must survive the publish")
+  }
+
   test("st28 gated ingest: the batch splits on the table's constraints " +
       "with violators named, clean batches publish NO quarantine " +
       "version, and a replayed batchId re-applies NEITHER commit") {
