@@ -42,15 +42,17 @@ import graft.sources.GraftCatalog
   * command that drives the table-format write path.
   *
   * Scope: conditions and SET values must be plain expressions over the
-  * table's columns, with ONE subquery carve-out — `DELETE FROM t WHERE
-  * k IN (SELECT …)` with an uncorrelated deterministic subquery lowers
-  * to [[Merge.deleteKeysDv]] (the key set materializes once, so the
+  * table's columns, with the IN-subquery carve-out — `DELETE FROM t
+  * WHERE k IN (SELECT …)` and `UPDATE t SET … WHERE k IN (SELECT …)`
+  * with an uncorrelated deterministic subquery lower to the keyed
+  * merge-on-read engines ([[Merge.deleteKeysDv]] /
+  * [[Merge.mergeMatchedDv]]; the key set materializes once, so the
   * commit protocol's read-set re-validation holds). Every other
-  * subquery shape (correlated, non-deterministic, UPDATE/MERGE
+  * subquery shape (correlated, non-deterministic, SET values, MERGE
   * conditions, NOT IN) fails loudly naming the Scala API rather than
   * resolving against a snapshot the commit protocol can't re-check.
-  * Destructive/un-governed DDL (DROP, RENAME, ALTER beyond ADD
-  * COLUMNS) keeps the catalog's loud read-only refusal. */
+  * Destructive/un-governed DDL (DROP, RENAME) keeps the catalog's
+  * loud read-only refusal. */
 case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def graftTarget(plan: LogicalPlan): Option[String] = {
@@ -133,16 +135,31 @@ case class GraftSqlDml(session: SparkSession) extends Rule[LogicalPlan] {
       case u @ UpdateTable(target, assignments, cond) if u.resolved =>
         graftTarget(target) match {
           case Some(path) =>
-            noSubquery("UPDATE",
-              cond.toSeq ++ assignments.map(_.value))
-            GraftUpdateCommand(path, assignments.map { a =>
+            val sets = assignments.map { a =>
               a.key match {
                 case attr: AttributeReference => attr.name -> a.value
                 case other => throw new UnsupportedOperationException(
                   s"graft SQL UPDATE: unsupported SET target '$other' " +
                     "(only plain table columns)")
               }
-            }, cond)
+            }
+            cond match {
+              // `UPDATE t SET … WHERE k IN (SELECT …)` — the DELETE-IN
+              // carve-out applied to UPDATE: the key set materializes
+              // once (deduplicated — a pure key set makes duplicates
+              // harmless, unlike a MERGE source) and the update lowers
+              // to the keyed matched-action engine; SET values must be
+              // subquery-free expressions over the table's columns
+              case Some(InSubquery(Seq(a: AttributeReference),
+                  l: ListQuery))
+                  if l.outerAttrs.isEmpty && deterministicPlan(l.plan) =>
+                noSubquery("UPDATE", sets.map(_._2))
+                GraftUpdateKeysCommand(path, a.name, l.plan, sets)
+              case _ =>
+                noSubquery("UPDATE",
+                  cond.toSeq ++ assignments.map(_.value))
+                GraftUpdateCommand(path, sets, cond)
+            }
           case None => u
         }
       case m: MergeIntoTable if m.resolved =>
@@ -536,6 +553,32 @@ case class GraftMergeDeleteCommand(tablePath: String,
     val keys = Bridge.ofRows(session, source)
       .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
     val stats = Merge.deleteKeysDvCols(session, tablePath, keys, keyCols)
+    Seq(Row(stats.positionsAdded))
+  }
+}
+
+/** `UPDATE graft.t SET … WHERE k IN (SELECT …)` →
+  * [[Merge.mergeMatchedDv]] with the subquery's DISTINCT key set as
+  * the once-materialized source: rows whose key appears in the set
+  * take the SET values (rebound over the table's columns, cast onto
+  * recorded types) in ONE atomic MoR commit. SET on the key column
+  * itself refuses — the engine's match-identity rule. */
+case class GraftUpdateKeysCommand(tablePath: String, keyCol: String,
+    source: LogicalPlan, sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlDml.output
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(session: SparkSession): Seq[Row] = {
+    val schema = Manifest.schemaOf(tablePath).getOrElse(
+      Manifest.read(session, tablePath).schema)
+    val setCols = sets.map { case (c, e) =>
+      c -> GraftSqlDml.rebind(e).cast(schema(c).dataType) }
+    // a pure key set: duplicates are harmless (unlike a MERGE source's
+    // payload rows), so dedup instead of refusing
+    val keys = Bridge.ofRows(session, source)
+      .toDF(keyCol).distinct()
+    val stats = Merge.mergeMatchedDv(session, tablePath, keys,
+      Seq(keyCol), setCols)
     Seq(Row(stats.positionsAdded))
   }
 }

@@ -430,6 +430,24 @@ class ExtensionsSpec extends SparkSpec {
       s"DELETE FROM graft.`$sqlT` WHERE id NOT IN " +
         "(SELECT id FROM delin_req)"))
     assert(msgs(e3).exists(_.contains("deleteKeysDv")), msgs(e3))
+    // UPDATE … WHERE k IN (SELECT …): the same carve-out applied to
+    // UPDATE — the deduplicated key set drives the keyed MoR update
+    Seq(4L, 5L, 5L, 999L).toDF("id")
+      .createOrReplaceTempView("delin_upd")
+    val nUp = spark.sql(
+      s"UPDATE graft.`$sqlT` SET v = v + 1000 WHERE id IN " +
+        "(SELECT id FROM delin_upd)").collect().head.getLong(0)
+    assert(nUp == 2L, "dup keys dedup; 999 matches nothing")
+    Merge.mergeMatchedDv(spark, apiT, Seq(4L, 5L).toDF("id"),
+      Seq("id"), Seq("v" -> (col("v") + 1000L)))
+    assert(pairs(sqlT) == pairs(apiT), "SQL UPDATE-IN ≡ API")
+    assert(pairs(sqlT).contains((4L, 1040L)) &&
+      pairs(sqlT).contains((5L, 1050L)))
+    // a subquery in the SET value keeps the loud refusal
+    val e5 = intercept[Exception](spark.sql(
+      s"UPDATE graft.`$sqlT` SET v = (SELECT max(id) FROM delin_upd) " +
+        "WHERE id IN (SELECT id FROM delin_upd)"))
+    assert(msgs(e5).exists(_.contains("deleteKeysDv")), msgs(e5))
   }
 
   test("SQL INSERT INTO / OVERWRITE ≡ the API append/replace (commit " +
