@@ -156,6 +156,58 @@ object Layout {
     (v, all.size, 0)
   }
 
+  /** OPTIMIZE … ZORDER BY — CLUSTERING compaction of a [[Manifest]]
+    * table (the Delta shape): every live file rewrites into `numFiles`
+    * files clustered on `cols`, deletion vectors materialized away,
+    * the clustered columns' stats re-harvested TIGHT so box predicates
+    * prune afterwards. One column = a plain range-sort (each file
+    * covers a narrow value range); two columns = the Morton
+    * z-interleave ([[zValue]] — each file covers a narrow value BOX,
+    * however a conjunctive predicate mixes the dimensions; dimensions
+    * clamp into the `2^bits` domain via `pmod`, the s15 contract —
+    * pick `bits` so the real domain fits or wraparound shreds
+    * locality). Three or more refuse loudly (the pairwise interleave
+    * is the honest contract; compose hierarchically via the API if
+    * you must). Publishes ONE `data_change=false` layout commit;
+    * content provably unchanged. The range exchange is the one-time
+    * clustering cost — sampled boundaries, not a global sort —
+    * amortized over every pruned scan after it. */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, cols: Seq[String], numFiles: Int = 1,
+      bits: Int = 20): (Long, Int, Int) = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.nonEmpty && cols.size <= 2,
+      s"ZORDER BY takes one column (range clustering) or two (Morton " +
+        s"interleave), got ${cols.size}")
+    val headV = Manifest.version(tablePath)
+    val all = Manifest.files(tablePath, headV)
+    if (all.isEmpty) return (headV, 0, 0)
+    val schema = Manifest.schemaOf(tablePath)
+      .getOrElse(Manifest.read(spark, tablePath).schema)
+    val paths = all.map(r =>
+      java.nio.file.Paths.get(tablePath).resolve(r).toString)
+    val applied = Manifest.applyDv(spark, tablePath, headV,
+      spark.read.schema(schema).parquet(paths: _*))
+    val clustered = cols match {
+      case Seq(a) =>
+        applied.repartitionByRange(numFiles, col(a))
+          .sortWithinPartitions(col(a))
+      case Seq(a, b) =>
+        val dom = lit(1L << bits)
+        applied.withColumn("__z", zValue(
+            pmod(col(a).cast("long"), dom),
+            pmod(col(b).cast("long"), dom), bits))
+          .repartitionByRange(numFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+    }
+    val v = Manifest.commit(clustered, tablePath, removeFiles = all,
+      statsCols = cols,
+      meta = Map(ChangeFeed.DataChangeKey -> "false"),
+      readVersion = headV)
+    (v, all.size, 0)
+  }
+
   /** Size-targeted [[compact]] (the Delta OPTIMIZE sizing contract):
     * the output file count comes from the table's RECORDED byte
     * inventory — ceil(live bytes / `targetFileBytes`) — so the

@@ -17,7 +17,8 @@ import graft.sources.GraftCatalog
   * (the operational half of the SQL story — the DML/DDL half lives in
   * [[GraftSqlDml]]):
   *
-  *   OPTIMIZE graft.t [WHERE col BETWEEN lo AND hi] [INTO n FILES]
+  *   OPTIMIZE graft.t [WHERE col BETWEEN lo AND hi
+  *                     | ZORDER BY (c1[, c2])] [INTO n FILES]
   *   VACUUM graft.t RETAIN n VERSIONS
   *   RESTORE [TABLE] graft.t TO VERSION AS OF v
   *   RESTORE [TABLE] graft.t TO TIMESTAMP AS OF 'yyyy-mm-dd hh:mm:ss'
@@ -74,6 +75,8 @@ object GraftSqlParser {
     ("(?is)^\\s*OPTIMIZE\\s+" + Ident +
       "(?:\\s+WHERE\\s+" + Col + "\\s+BETWEEN\\s+" + Num +
       "\\s+AND\\s+" + Num + ")?" +
+      "(?:\\s+ZORDER\\s+BY\\s+\\(\\s*" + Col +
+      "(?:\\s*,\\s*" + Col + ")?\\s*\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+FILES?)?\\s*;?\\s*$").r
   private val VacuumRe =
     ("(?is)^\\s*VACUUM\\s+" + Ident +
@@ -90,11 +93,19 @@ object GraftSqlParser {
 
   private[plans] def parseMaintenance(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
-    case OptimizeRe(ident, colN, lo, hi, nFiles) =>
+    case OptimizeRe(ident, colN, lo, hi, z1, z2, nFiles) =>
       val parts = delegate.parseMultipartIdentifier(ident)
       val where = Option(colN).map(c =>
         (unquote(c), lo.toDouble, hi.toDouble))
-      Some(GraftOptimizeCommand(parts, where,
+      val zorder = Option(z1).map(a =>
+        Seq(unquote(a)) ++ Option(z2).map(unquote))
+      if (where.isDefined && zorder.isDefined)
+        throw new UnsupportedOperationException(
+          "graft OPTIMIZE takes WHERE or ZORDER BY, not both — " +
+            "cluster a targeted slice via the Scala API " +
+            "(Layout.optimizeWhere, then optimizeZOrder) or z-order " +
+            "the whole table")
+      Some(GraftOptimizeCommand(parts, where, zorder,
         Option(nFiles).map(_.toInt).getOrElse(1)))
     case VacuumRe(ident, retain) =>
       if (retain == null)
@@ -154,22 +165,28 @@ object GraftSqlParser {
     out("version", "restored_to")
 }
 
-/** `OPTIMIZE graft.t [WHERE col BETWEEN lo AND hi] [INTO n FILES]` →
-  * [[Layout.optimizeWhere]] (targeted — only stats-intersecting files
-  * rewrite) or [[Layout.compact]] (whole-table bin-pack). Both publish
-  * ONE `data_change=false` layout commit: content provably unchanged,
-  * deletion vectors materialized away, previously-recorded per-file
-  * stats columns re-harvested so later range probes keep pruning. */
+/** `OPTIMIZE graft.t [WHERE col BETWEEN lo AND hi | ZORDER BY (c1[,
+  * c2])] [INTO n FILES]` → [[Layout.optimizeWhere]] (targeted — only
+  * stats-intersecting files rewrite), [[Layout.optimizeZOrder]]
+  * (clustering rewrite: range-sort for one column, Morton interleave
+  * for two — box predicates prune afterwards), or [[Layout.compact]]
+  * (whole-table bin-pack). All publish ONE `data_change=false` layout
+  * commit: content provably unchanged, deletion vectors materialized
+  * away, the relevant stats columns re-harvested so later range
+  * probes keep pruning. */
 case class GraftOptimizeCommand(nameParts: Seq[String],
-    where: Option[(String, Double, Double)], numFiles: Int)
+    where: Option[(String, Double, Double)],
+    zorder: Option[Seq[String]], numFiles: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.optimizeOutput
   override def run(session: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveGraftPath(session, nameParts)
-    val (v, rewritten, carried) = where match {
-      case Some((c, lo, hi)) =>
+    val (v, rewritten, carried) = (where, zorder) match {
+      case (Some((c, lo, hi)), _) =>
         Layout.optimizeWhere(session, path, c, lo, hi, numFiles)
-      case None => Layout.compact(session, path, numFiles)
+      case (None, Some(cols)) =>
+        Layout.optimizeZOrder(session, path, cols, numFiles)
+      case (None, None) => Layout.compact(session, path, numFiles)
     }
     Seq(Row(v, rewritten.toLong, carried.toLong))
   }

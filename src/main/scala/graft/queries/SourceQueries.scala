@@ -1850,6 +1850,16 @@ object SourceQueries {
           .collect().head
         val vacuumed = vac.getLong(0) > 0L && vac.getLong(1) > 0L &&
           dataFiles() < before
+        // OPTIMIZE ZORDER BY (range clustering): re-cluster the
+        // compacted table into two key-ranged files — a half-quartile
+        // probe then prunes structurally off the re-harvested stats
+        val zo = s.sql(
+          s"OPTIMIZE graft.`$tbl` ZORDER BY (o_orderkey) INTO 2 FILES")
+          .collect().head
+        val (_, zKept, zSkipped) = Manifest.readPruned(s, tbl,
+          "o_orderkey", 0.0, (q / 2).toDouble)
+        val zorderPrunes = zo.getLong(1) == 1L &&
+          zKept == 1 && zSkipped == 1
         Manifest.read(s, tbl)
           .agg(count(lit(1)).as("n_rows"),
             sum(dec(col("o_totalprice"))).cast("double")
@@ -1858,13 +1868,15 @@ object SourceQueries {
             lit(optimized).as("optimized"),
             lit(flaggedLayout).as("flagged_layout"),
             lit(restoredMetaOnly).as("restore_metadata_only"),
-            lit(vacuumed).as("vacuum_swept"))
+            lit(vacuumed).as("vacuum_swept"),
+            lit(zorderPrunes).as("zorder_prunes"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS price_mass,
              TRUE AS optimized, TRUE AS flagged_layout,
-             TRUE AS restore_metadata_only, TRUE AS vacuum_swept
+             TRUE AS restore_metadata_only, TRUE AS vacuum_swept,
+             TRUE AS zorder_prunes
            FROM orders WHERE o_orderkey % 10 <> 3""")),
 
     // S42: WRITABLE BRANCH REFS — the Iceberg branch shape

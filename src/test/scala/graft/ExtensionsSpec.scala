@@ -905,6 +905,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(ow.getLong(1) == 2L && ow.getLong(2) == 2L,
       "only the stats-intersecting files rewrite")
     assert(Manifest.files(t2).size == 3)
+    // OPTIMIZE ZORDER BY (single column = range clustering): the
+    // compacted t1 re-clusters into 2 files and a half-range probe
+    // prunes structurally; WHERE + ZORDER together refuse loudly
+    val zo = spark.sql(
+      s"OPTIMIZE graft.`$t1` ZORDER BY (id) INTO 2 FILES")
+      .collect().head
+    assert(zo.getLong(1) == 1L && Manifest.files(t1).size == 2)
+    val (_, zKept, zSkipped) = Manifest.readPruned(spark, t1,
+      "id", 0.0, 9.0)
+    assert(zKept == 1 && zSkipped == 1,
+      s"clustered halves must prune (kept=$zKept, skipped=$zSkipped)")
+    assert(Manifest.read(spark, t1).count() == 34L,
+      "clustering preserved the content")
+    val eZW = intercept[Exception](spark.sql(
+      s"OPTIMIZE graft.`$t1` WHERE id BETWEEN 0 AND 9 " +
+        "ZORDER BY (id, v)"))
+    assert(msgs(eZW).exists(_.contains("not both")), msgs(eZW))
     // RESTORE TO VERSION AS OF: metadata-only rollback after a junk
     // append — no data file written, state equals the target's
     val junkV = Manifest.commit(Seq((999L, 999L)).toDF("id", "v"), t2)

@@ -140,6 +140,67 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet == beforeRows)
   }
 
+  test("optimizeZOrder clusters a Manifest table: one column = range " +
+    "clustering (half-range probe prunes structurally), two columns = " +
+    "Morton interleave (a 2-D box probe prunes BOTH dimensions), " +
+    "content neutral, DVs absorbed, data_change=false") {
+    import graft.ops.{Manifest, Merge}
+    val tbl = java.nio.file.Files
+      .createTempDirectory("layout_zorder").toString
+    // two dims uniform over [0, 64) — inside the 2^bits domain, no
+    // wraparound; committed UNCLUSTERED (hash-shuffled) in 4 files
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x * 64 + y, x, y)
+    Manifest.commit(rows.toDF("id", "x", "y").repartition(4),
+      tbl, statsCols = Seq("id"))
+    Merge.deleteWhereDv(spark, tbl, col("id") % 101 === 0L)
+    val beforeRows = Manifest.read(spark, tbl).collect()
+      .map(_.getLong(0)).toSet
+    // unclustered: every file straddles the whole x range — a
+    // half-range probe prunes nothing
+    val (_, kept0, skipped0) = Manifest.readPruned(spark, tbl,
+      "x", 0.0, 15.0)
+    assert(skipped0 == 0, s"unclustered must not prune ($kept0 kept)")
+    // 1-D: range clustering on x
+    val (v1, rw1, _) = Layout.optimizeZOrder(spark, tbl, Seq("x"),
+      numFiles = 4)
+    assert(rw1 == 4 && Manifest.files(tbl, v1).size == 4)
+    assert(Manifest.deletionVectors(tbl).isEmpty, "DVs absorbed")
+    val (_, kept1, skipped1) = Manifest.readPruned(spark, tbl,
+      "x", 0.0, 15.0)
+    assert(kept1 == 1 && skipped1 == 3,
+      s"range clustering must prune a quarter-range probe to 1 of 4 " +
+        s"files (kept=$kept1, skipped=$skipped1)")
+    // 2-D: Morton interleave — a box probe prunes on BOTH dims at
+    // once (the single-dimension sort can't: x-sorted files straddle
+    // all of y)
+    val (v2, rw2, _) = Layout.optimizeZOrder(spark, tbl, Seq("x", "y"),
+      numFiles = 16, bits = 6)
+    assert(rw2 == 4 && Manifest.files(tbl, v2).size == 16)
+    def boxFiles(xlo: Double, xhi: Double, ylo: Double,
+        yhi: Double): Int = {
+      val stats = Manifest.fileStats(tbl)
+      Manifest.files(tbl).count { f =>
+        stats.get(f).forall { cs =>
+          cs.get("x").forall { case (mn, mx) => mx >= xlo && mn <= xhi } &&
+          cs.get("y").forall { case (mn, mx) => mx >= ylo && mn <= yhi }
+        }
+      }
+    }
+    val overlapped = boxFiles(0.0, 15.0, 0.0, 15.0)
+    assert(overlapped <= 4,
+      s"a 1/16-area box must overlap few z-ordered files, got " +
+        s"$overlapped of 16")
+    assert(Manifest.read(spark, tbl).collect()
+      .map(_.getLong(0)).toSet == beforeRows,
+      "clustering is content-neutral over the MoR view")
+    assert(Manifest.history(spark, tbl)
+      .find(_.version == v2).exists(!_.data_change))
+    // >2 dims refuse loudly
+    intercept[IllegalArgumentException](
+      Layout.optimizeZOrder(spark, tbl, Seq("x", "y", "id")))
+  }
+
   test("bloom sidecar skipping: a sparse key's lookup scans only its " +
     "bloom-passing partitions via dynamic partition pruning, exactly") {
     import graft.functions.hashing
