@@ -46,20 +46,21 @@ object DedupIndex {
     * persisted shingle table, not from a second tokenize pass. */
   def buildIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, k: Int = 3, maxBucketSize: Int = 0,
-      path: String, prefix: String, buckets: Int = 8,
+      path: String, prefix: String, buckets: Int = 0,
       hash: Column => Column = hashing.h64): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     spark.sql(s"DROP TABLE IF EXISTS ${shTable(prefix)}")
     spark.sql(s"DROP TABLE IF EXISTS ${bandTable(prefix)}")
     // Distinct here (unlike the one-shot path, which defers it to the
     // verification join): the persisted set is read by EVERY future batch,
     // so pay the dedup once at build time and ship the smaller table.
     Dedup.hashedShingles(corpus, idCol, textCol, k, hash).distinct()
-      .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .write.mode("overwrite").bucketBy(b, "id").sortBy("id")
       .option("path", s"$path/shingles").saveAsTable(shTable(prefix))
     val bands = Dedup.lshBands(Dedup.minhashSignatures(
       spark.table(shTable(prefix))))
     Dedup.capBuckets(bands, maxBucketSize)
-      .write.mode("overwrite").bucketBy(buckets, "band", "bandKey")
+      .write.mode("overwrite").bucketBy(b, "band", "bandKey")
       .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
   }
 
@@ -79,14 +80,15 @@ object DedupIndex {
     * corpus decomposition). */
   def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 3, maxBucketSize: Int = 0, prefix: String,
-      buckets: Int = 8, hash: Column => Column = hashing.h64): Unit = {
+      buckets: Int = 0, hash: Column => Column = hashing.h64): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val sh = Checkpoints.checkpoint(
       Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
-    sh.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+    sh.write.mode("append").bucketBy(b, "id").sortBy("id")
       .saveAsTable(shTable(prefix))
     Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(sh)),
         maxBucketSize)
-      .write.mode("append").bucketBy(buckets, "band", "bandKey")
+      .write.mode("append").bucketBy(b, "band", "bandKey")
       .saveAsTable(bandTable(prefix))
   }
 
@@ -99,16 +101,17 @@ object DedupIndex {
     * (unmutated) index, so a pre-freeze replay re-stages identically. */
   def stageBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 3, maxBucketSize: Int = 0,
-      stagingDir: String, prefix: String, buckets: Int = 8,
+      stagingDir: String, prefix: String, buckets: Int = 0,
       hash: Column => Column = hashing.h64): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val sh = Checkpoints.checkpoint(
       Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
-    FoldFiles.writeBucketed(sh, Seq("id"), Seq("id"), buckets,
+    FoldFiles.writeBucketed(sh, Seq("id"), Seq("id"), b,
       s"$stagingDir/shingles", s"${prefix}_stage_sh")
     FoldFiles.writeBucketed(
       Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(sh)),
         maxBucketSize),
-      Seq("band", "bandKey"), Seq.empty, buckets,
+      Seq("band", "bandKey"), Seq.empty, b,
       s"$stagingDir/bands", s"${prefix}_stage_bands")
   }
 
@@ -135,11 +138,12 @@ object DedupIndex {
     * [[buildIndex]] over the union corpus (IncrementalIndexSpec asserts
     * band-table set equality under a deliberately BITING cap). */
   def compact(spark: SparkSession, prefix: String, maxBucketSize: Int = 0,
-      path: String, buckets: Int = 8): Unit = {
+      path: String, buckets: Int = 0): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val bands = Checkpoints.checkpoint(
       Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(
         spark.table(shTable(prefix)))), maxBucketSize))
-    bands.write.mode("overwrite").bucketBy(buckets, "band", "bandKey")
+    bands.write.mode("overwrite").bucketBy(b, "band", "bandKey")
       .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
   }
 

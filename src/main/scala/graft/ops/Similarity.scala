@@ -353,7 +353,7 @@ object Similarity {
     * build-once/probe-many contract as [[graft.ops.DedupIndex]]. */
   def buildIvfIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int = 2, path: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_cents")
     spark.sql(s"DROP TABLE IF EXISTS ${prefix}_ivf")
     kmeansCentroids(corpus, idCol, vecCol, k, iters)
@@ -361,7 +361,7 @@ object Similarity {
       .saveAsTable(s"${prefix}_cents")
     val cents = broadcast(spark.table(s"${prefix}_cents"))
     assignToCentroids(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").bucketBy(buckets, "cluster")
+      .write.mode("overwrite").bucketBy(Buckets.resolve(spark, buckets), "cluster")
       .option("path", s"$path/ivf").saveAsTable(s"${prefix}_ivf")
   }
 
@@ -374,7 +374,7 @@ object Similarity {
     * index-following tail should resume after. */
   def rebuildIvfFromTable(spark: SparkSession, storePath: String,
       idCol: String, vecCol: String, k: Int, iters: Int = 2,
-      path: String, prefix: String, buckets: Int = 8): Long = {
+      path: String, prefix: String, buckets: Int = 0): Long = {
     val v = Manifest.version(storePath)
     buildIvfIndex(spark, Manifest.read(spark, storePath, v), idCol,
       vecCol, k, iters, path, prefix, buckets)
@@ -389,10 +389,10 @@ object Similarity {
     * is value-identical to the inline [[ivfTopK]] over the grown corpus
     * with the original centroids (IvfIndexSpec asserts it). */
   def appendToIvfIndex(spark: SparkSession, batch: DataFrame, idCol: String,
-      vecCol: String, prefix: String, buckets: Int = 8): Unit = {
+      vecCol: String, prefix: String, buckets: Int = 0): Unit = {
     val cents = broadcast(spark.table(s"${prefix}_cents"))
     assignToCentroids(batch, cents, idCol, vecCol)
-      .write.mode("append").bucketBy(buckets, "cluster")
+      .write.mode("append").bucketBy(Buckets.resolve(spark, buckets), "cluster")
       .saveAsTable(s"${prefix}_ivf")
   }
 
@@ -404,12 +404,12 @@ object Similarity {
     * identically. */
   def stageIvfAppend(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, prefix: String, stagingDir: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
     val cents = broadcast(spark.table(s"${prefix}_cents"))
     FoldFiles.writeBucketed(
       assignToCentroids(batch, cents, idCol, vecCol),
-      Seq("cluster"), Seq.empty, buckets, s"$stagingDir/ivf",
-      s"${prefix}_stage_ivf")
+      Seq("cluster"), Seq.empty, Buckets.resolve(spark, buckets),
+      s"$stagingDir/ivf", s"${prefix}_stage_ivf")
   }
 
   /** PUBLISH a [[stageIvfAppend]]-frozen delta: batch-tagged links into
@@ -925,7 +925,7 @@ object Similarity {
   def buildIvfPqIndex(spark: SparkSession, corpus: DataFrame,
       idCol: String, vecCol: String, dim: Int, subspaces: Int,
       coarseK: Int, codebookK: Int, iters: Int = 2, path: String,
-      prefix: String, buckets: Int = 8): Unit = {
+      prefix: String, buckets: Int = 0): Unit = {
     for (t <- Seq("cents", "codebooks", "codes"))
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
     kmeansCentroids(corpus, idCol, vecCol, coarseK, iters)
@@ -941,7 +941,8 @@ object Similarity {
     pqEncode(rsd, "id", "rv", spark.table(s"${prefix}_codebooks"),
         dim, subspaces)
       .join(rsd.select(col("id"), col("cluster")), Seq("id"))
-      .write.mode("overwrite").bucketBy(buckets, "cluster")
+      .write.mode("overwrite")
+      .bucketBy(Buckets.resolve(spark, buckets), "cluster")
       .option("path", s"$path/codes").saveAsTable(s"${prefix}_codes")
   }
 

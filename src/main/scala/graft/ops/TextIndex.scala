@@ -89,20 +89,21 @@ object TextIndex {
     * metadata carried onto the posting rows. */
   def buildIndex(spark: SparkSession, corpus: DataFrame, idCol: String,
       textCol: String, path: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     Seq(postingsTable(prefix), termStatsTable(prefix),
       corpusStatsTable(prefix))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val base = tokenized(corpus, textCol)
     postingRows(base, idCol)
-      .write.mode("overwrite").bucketBy(buckets, "token").sortBy("token")
+      .write.mode("overwrite").bucketBy(b, "token").sortBy("token")
       .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
     // df from the persisted postings (one row per (token, id) by the
     // groupBy above, so count(*) IS the document frequency) — scan-only,
     // no third corpus pass.
     spark.table(postingsTable(prefix))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").bucketBy(buckets, "token")
+      .write.mode("overwrite").bucketBy(b, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     // coalesce: an EMPTY corpus (the streaming-ingest seed, st21) sums
     // dl to NULL, and NULL must not poison later incremental folds
@@ -133,10 +134,11 @@ object TextIndex {
     * (TextIndexSpec asserts this). */
   def appendDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, path: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val base = tokenized(newDocs, textCol)
     val posts = Checkpoints.checkpoint(postingRows(base, idCol))
-    posts.write.mode("append").bucketBy(buckets, "token").sortBy("token")
+    posts.write.mode("append").bucketBy(b, "token").sortBy("token")
       .saveAsTable(postingsTable(prefix))
     val delta = posts.groupBy(col("token")).agg(count(lit(1)).as("__ddf"))
     val mergedDf = Checkpoints.checkpoint(
@@ -145,7 +147,7 @@ object TextIndex {
         .select(col("token"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L)))
             .as("df")))
-    mergedDf.write.mode("overwrite").bucketBy(buckets, "token")
+    mergedDf.write.mode("overwrite").bucketBy(b, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     val mergedStats = Checkpoints.checkpoint(
       spark.table(corpusStatsTable(prefix))
@@ -176,7 +178,7 @@ object TextIndex {
     * ([[graft.streaming.Streams.tableIndexIngestStreaming]]). */
   def rebuildFromTable(spark: SparkSession, upstreamPath: String,
       idCol: String, textCol: String, indexPath: String, prefix: String,
-      buckets: Int = 8): Long = {
+      buckets: Int = 0): Long = {
     val v = Manifest.version(upstreamPath)
     buildIndex(spark, Manifest.read(spark, upstreamPath, v), idCol,
       textCol, indexPath, prefix, buckets)
@@ -192,10 +194,11 @@ object TextIndex {
     * a pre-freeze replay re-stages identically). */
   def stageDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, stagingDir: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val base = tokenized(newDocs, textCol)
     val posts = Checkpoints.checkpoint(postingRows(base, idCol))
-    FoldFiles.writeBucketed(posts, Seq("token"), Seq("token"), buckets,
+    FoldFiles.writeBucketed(posts, Seq("token"), Seq("token"), b,
       s"$stagingDir/postings", s"${prefix}_stage_p")
     val delta = posts.groupBy(col("token")).agg(count(lit(1)).as("__ddf"))
     FoldFiles.writeBucketed(
@@ -204,7 +207,7 @@ object TextIndex {
         .select(col("token"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L)))
             .as("df")),
-      Seq("token"), Seq.empty, buckets, s"$stagingDir/termstats",
+      Seq("token"), Seq.empty, b, s"$stagingDir/termstats",
       s"${prefix}_stage_t")
     spark.table(corpusStatsTable(prefix))
       .unionByName(base.agg(count(lit(1)).as("n"),
@@ -248,14 +251,15 @@ object TextIndex {
     * [[DedupIndex.compact]] contract applied to text. Checkpointed before
     * the overwrite (never read-and-rewrite in one plan). */
   def compact(spark: SparkSession, path: String, prefix: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
+    val b = Buckets.resolve(spark, buckets)
     val posts = Checkpoints.checkpoint(spark.table(postingsTable(prefix)))
-    posts.repartition(buckets, col("token"))
-      .write.mode("overwrite").bucketBy(buckets, "token").sortBy("token")
+    posts.repartition(b, col("token"))
+      .write.mode("overwrite").bucketBy(b, "token").sortBy("token")
       .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
     val ts = Checkpoints.checkpoint(spark.table(termStatsTable(prefix)))
-    ts.repartition(buckets, col("token"))
-      .write.mode("overwrite").bucketBy(buckets, "token")
+    ts.repartition(b, col("token"))
+      .write.mode("overwrite").bucketBy(b, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     refresh(spark, prefix)
   }

@@ -12,6 +12,9 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Pin the persisted-index bucket layout the suites were written
+      // against (r17 made the default scale-adaptive — ops.Buckets).
+      .config("spark.graft.index.buckets", "8")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
