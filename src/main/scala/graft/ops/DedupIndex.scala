@@ -59,7 +59,11 @@ object DedupIndex {
       .option("path", s"$path/shingles").saveAsTable(shTable(prefix))
     val bands = Dedup.lshBands(Dedup.minhashSignatures(
       spark.table(shTable(prefix))))
+    // Cluster by the bucket key before the bucketed write (murmur3-aligned
+    // with bucketBy): one file per bucket instead of tasks×buckets scatter
+    // (681 files measured at 32 buckets) — every probe reads the fanout.
     Dedup.capBuckets(bands, maxBucketSize)
+      .repartition(b, col("band"), col("bandKey"))
       .write.mode("overwrite").bucketBy(b, "band", "bandKey")
       .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
   }
@@ -88,6 +92,7 @@ object DedupIndex {
       .saveAsTable(shTable(prefix))
     Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(sh)),
         maxBucketSize)
+      .repartition(b, col("band"), col("bandKey"))
       .write.mode("append").bucketBy(b, "band", "bandKey")
       .saveAsTable(bandTable(prefix))
   }
@@ -143,7 +148,8 @@ object DedupIndex {
     val bands = Checkpoints.checkpoint(
       Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(
         spark.table(shTable(prefix)))), maxBucketSize))
-    bands.write.mode("overwrite").bucketBy(b, "band", "bandKey")
+    bands.repartition(b, col("band"), col("bandKey"))
+      .write.mode("overwrite").bucketBy(b, "band", "bandKey")
       .option("path", s"$path/bands").saveAsTable(bandTable(prefix))
   }
 

@@ -360,8 +360,13 @@ object Similarity {
       .write.mode("overwrite").option("path", s"$path/cents")
       .saveAsTable(s"${prefix}_cents")
     val cents = broadcast(spark.table(s"${prefix}_cents"))
+    val b = Buckets.resolve(spark, buckets)
+    // Cluster by the bucket key first (murmur3-aligned with bucketBy): one
+    // file per bucket; the assignment's (nid) partitioning would otherwise
+    // scatter tasks×buckets files — see DedupIndex.buildIndex.
     assignToCentroids(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").bucketBy(Buckets.resolve(spark, buckets), "cluster")
+      .repartition(b, col("cluster"))
+      .write.mode("overwrite").bucketBy(b, "cluster")
       .option("path", s"$path/ivf").saveAsTable(s"${prefix}_ivf")
   }
 
@@ -391,8 +396,10 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, prefix: String, buckets: Int = 0): Unit = {
     val cents = broadcast(spark.table(s"${prefix}_cents"))
+    val b = Buckets.resolve(spark, buckets)
     assignToCentroids(batch, cents, idCol, vecCol)
-      .write.mode("append").bucketBy(Buckets.resolve(spark, buckets), "cluster")
+      .repartition(b, col("cluster"))
+      .write.mode("append").bucketBy(b, "cluster")
       .saveAsTable(s"${prefix}_ivf")
   }
 
@@ -938,11 +945,13 @@ object Similarity {
       iters)
     cbs.write.mode("overwrite").option("path", s"$path/codebooks")
       .saveAsTable(s"${prefix}_codebooks")
+    val b = Buckets.resolve(spark, buckets)
     pqEncode(rsd, "id", "rv", spark.table(s"${prefix}_codebooks"),
         dim, subspaces)
       .join(rsd.select(col("id"), col("cluster")), Seq("id"))
+      .repartition(b, col("cluster"))
       .write.mode("overwrite")
-      .bucketBy(Buckets.resolve(spark, buckets), "cluster")
+      .bucketBy(b, "cluster")
       .option("path", s"$path/codes").saveAsTable(s"${prefix}_codes")
   }
 

@@ -95,7 +95,12 @@ object TextIndex {
       corpusStatsTable(prefix))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val base = tokenized(corpus, textCol)
+    // Cluster by token before the bucketed write (murmur3-aligned with
+    // bucketBy): one file per bucket; the posting rows' (token, id)
+    // grouping would otherwise scatter tasks×buckets files — see
+    // DedupIndex.buildIndex.
     postingRows(base, idCol)
+      .repartition(b, col("token"))
       .write.mode("overwrite").bucketBy(b, "token").sortBy("token")
       .option("path", s"$path/postings").saveAsTable(postingsTable(prefix))
     // df from the persisted postings (one row per (token, id) by the
@@ -138,7 +143,8 @@ object TextIndex {
     val b = Buckets.resolve(spark, buckets)
     val base = tokenized(newDocs, textCol)
     val posts = Checkpoints.checkpoint(postingRows(base, idCol))
-    posts.write.mode("append").bucketBy(b, "token").sortBy("token")
+    posts.repartition(b, col("token"))
+      .write.mode("append").bucketBy(b, "token").sortBy("token")
       .saveAsTable(postingsTable(prefix))
     val delta = posts.groupBy(col("token")).agg(count(lit(1)).as("__ddf"))
     val mergedDf = Checkpoints.checkpoint(
