@@ -153,17 +153,22 @@ object Bench {
       "r1_pivot", "r2_unpivot", "r3_mef_rollup", "r4_grouping_sets",
       "g1_staged_dag", "g2_composite_upsert", "c1_cache_lifecycle")
     val core = ok.collect { case (k, v) if coreSet.contains(k) => v }.sum
-    // The stdout detail line is routinely lost to the driver's tail capture
-    // (only the summary survives), which made round-over-round per-query
-    // comparison impossible for the alphabetically-early keys — so the full
-    // detail also goes to a FILE the round artifacts keep.
+    // The FULL detail (queries + per-sample raw times + suite positions)
+    // goes to a FILE the round artifacts keep. The stdout detail line is
+    // SLIM — queries + failed only, no samples/pos — and printed
+    // immediately before the summary: the driver's tail capture was
+    // truncating the old ~15 KB full-detail line (PERF per_query and the
+    // scaling table came back empty two rounds running), and the per-query
+    // map is the part the driver actually consumes. Measurement itself is
+    // unchanged — same queries, same noop sink, same min-of-adaptive-
+    // samples; only the stdout formatting moved.
     val detail = s"""{"queries":$qs,"samples":$ss,"pos":$ps,"failed":$fs,"sf":"$sfDir"}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "BENCH_detail.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout line remains
-    println(detail)
+    println(s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     // Compact summary LAST: the driver's tail capture must always see it.
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","core_sec":${num(core)},"extensions_sec":${num(total - core)},"n_queries":${results.size},"n_failed":${failed.size},"warmup_sf":"${if (warmed) warmDir else "none"}","sf":"$sfDir"}""")
     spark.stop()
