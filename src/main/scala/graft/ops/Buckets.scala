@@ -34,4 +34,26 @@ object Buckets {
     if (buckets > 0) buckets
     else spark.conf.getOption("spark.graft.index.buckets").map(_.toInt)
       .getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+  /** Bucket count for an append/stage/compact against an EXISTING live
+    * table: the table's own catalog bucketSpec, NOT the environment. An
+    * environment-derived count is only safe when it provably equals the
+    * table's (same session, same conf) — but the streaming fold-ins
+    * stage inside drain child sessions whose conf differs from the
+    * session that built the index, and [[FoldFiles.linkAppend]] publishes
+    * by file link with no bucket-spec validation, so an
+    * environment-resolved stage could silently link N-bucketed files
+    * into an M-bucket table (durably mis-bucketed: any plan trusting the
+    * layout — pruning, shuffle elision — would return wrong rows). The
+    * live table's spec is the single source of truth; explicit
+    * `buckets > 0` still wins (the caller asserting a re-bucket, only
+    * meaningful for full-overwrite rebuilds). Falls back to
+    * [[resolve]] when the table has no bucket spec (not reachable for
+    * the index tables, which are always written bucketed). */
+  def ofTable(spark: SparkSession, table: String, buckets: Int = 0): Int =
+    if (buckets > 0) buckets
+    else spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(resolve(spark, 0))
 }

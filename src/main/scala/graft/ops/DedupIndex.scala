@@ -85,7 +85,8 @@ object DedupIndex {
   def appendBatch(spark: SparkSession, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 3, maxBucketSize: Int = 0, prefix: String,
       buckets: Int = 0, hash: Column => Column = hashing.h64): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // appends must match the LIVE layout, not the environment (Buckets)
+    val b = Buckets.ofTable(spark, shTable(prefix), buckets)
     val sh = Checkpoints.checkpoint(
       Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
     sh.write.mode("append").bucketBy(b, "id").sortBy("id")
@@ -108,7 +109,9 @@ object DedupIndex {
       textCol: String, k: Int = 3, maxBucketSize: Int = 0,
       stagingDir: String, prefix: String, buckets: Int = 0,
       hash: Column => Column = hashing.h64): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // staged files publish by link into the live dirs: resolve the count
+    // from the live table's spec or the linked layout is silently torn
+    val b = Buckets.ofTable(spark, shTable(prefix), buckets)
     val sh = Checkpoints.checkpoint(
       Dedup.hashedShingles(batch, idCol, textCol, k, hash).distinct())
     FoldFiles.writeBucketed(sh, Seq("id"), Seq("id"), b,
@@ -144,7 +147,9 @@ object DedupIndex {
     * band-table set equality under a deliberately BITING cap). */
   def compact(spark: SparkSession, prefix: String, maxBucketSize: Int = 0,
       path: String, buckets: Int = 0): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // keep the index's existing layout (shingle table = source of truth);
+    // an explicit `buckets` is the deliberate re-bucket knob
+    val b = Buckets.ofTable(spark, shTable(prefix), buckets)
     val bands = Checkpoints.checkpoint(
       Dedup.capBuckets(Dedup.lshBands(Dedup.minhashSignatures(
         spark.table(shTable(prefix)))), maxBucketSize))

@@ -396,7 +396,8 @@ object Similarity {
   def appendToIvfIndex(spark: SparkSession, batch: DataFrame, idCol: String,
       vecCol: String, prefix: String, buckets: Int = 0): Unit = {
     val cents = broadcast(spark.table(s"${prefix}_cents"))
-    val b = Buckets.resolve(spark, buckets)
+    // appends must match the LIVE layout, not the environment (Buckets)
+    val b = Buckets.ofTable(spark, s"${prefix}_ivf", buckets)
     assignToCentroids(batch, cents, idCol, vecCol)
       .repartition(b, col("cluster"))
       .write.mode("append").bucketBy(b, "cluster")
@@ -413,9 +414,14 @@ object Similarity {
       vecCol: String, prefix: String, stagingDir: String,
       buckets: Int = 0): Unit = {
     val cents = broadcast(spark.table(s"${prefix}_cents"))
+    // staged files publish by link into the live table dir: resolve the
+    // count from the live table's spec (the st14 index is built on the
+    // CALLER's session, the stage runs in the drain child — an
+    // environment-resolved count here linked mis-bucketed files)
     FoldFiles.writeBucketed(
       assignToCentroids(batch, cents, idCol, vecCol),
-      Seq("cluster"), Seq.empty, Buckets.resolve(spark, buckets),
+      Seq("cluster"), Seq.empty,
+      Buckets.ofTable(spark, s"${prefix}_ivf", buckets),
       s"$stagingDir/ivf", s"${prefix}_stage_ivf")
   }
 

@@ -108,6 +108,10 @@ object TextIndex {
     // no third corpus pass.
     spark.table(postingsTable(prefix))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // same murmur3-aligned clustering as the postings write: without it
+      // the groupBy's shuffle-partition count scatters tasks×buckets files
+      // whenever it differs from b (the conf-set knob)
+      .repartition(b, col("token"))
       .write.mode("overwrite").bucketBy(b, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     // coalesce: an EMPTY corpus (the streaming-ingest seed, st21) sums
@@ -140,7 +144,8 @@ object TextIndex {
   def appendDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, path: String, prefix: String,
       buckets: Int = 0): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // appends must match the LIVE layout, not the environment (Buckets)
+    val b = Buckets.ofTable(spark, postingsTable(prefix), buckets)
     val base = tokenized(newDocs, textCol)
     val posts = Checkpoints.checkpoint(postingRows(base, idCol))
     posts.repartition(b, col("token"))
@@ -153,7 +158,8 @@ object TextIndex {
         .select(col("token"),
           (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L)))
             .as("df")))
-    mergedDf.write.mode("overwrite").bucketBy(b, "token")
+    mergedDf.repartition(b, col("token")) // one file per bucket, as above
+      .write.mode("overwrite").bucketBy(b, "token")
       .option("path", s"$path/termstats").saveAsTable(termStatsTable(prefix))
     val mergedStats = Checkpoints.checkpoint(
       spark.table(corpusStatsTable(prefix))
@@ -201,7 +207,9 @@ object TextIndex {
   def stageDocs(spark: SparkSession, newDocs: DataFrame, idCol: String,
       textCol: String, stagingDir: String, prefix: String,
       buckets: Int = 0): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // staged files publish by link into the live dirs: resolve the count
+    // from the live table's spec or the linked layout is silently torn
+    val b = Buckets.ofTable(spark, postingsTable(prefix), buckets)
     val base = tokenized(newDocs, textCol)
     val posts = Checkpoints.checkpoint(postingRows(base, idCol))
     FoldFiles.writeBucketed(posts, Seq("token"), Seq("token"), b,
@@ -258,7 +266,8 @@ object TextIndex {
     * the overwrite (never read-and-rewrite in one plan). */
   def compact(spark: SparkSession, path: String, prefix: String,
       buckets: Int = 0): Unit = {
-    val b = Buckets.resolve(spark, buckets)
+    // keep the index's existing layout; explicit `buckets` re-buckets
+    val b = Buckets.ofTable(spark, postingsTable(prefix), buckets)
     val posts = Checkpoints.checkpoint(spark.table(postingsTable(prefix)))
     posts.repartition(b, col("token"))
       .write.mode("overwrite").bucketBy(b, "token").sortBy("token")

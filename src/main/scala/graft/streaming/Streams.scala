@@ -121,6 +121,25 @@ object Streams {
     parent.conf.getOption("spark.graft.stream.statePartitions")
       .getOrElse(DefaultStreamStatePartitions)
 
+  /** Create a drain's CHILD session: stream-state shuffle width pinned to
+    * [[streamStatePartitions]], and the persisted-index BUCKET resolution
+    * pinned to the PARENT's ([[graft.ops.Buckets.resolve]] there). The two
+    * knobs are independent dials and must not be conflated: state-store
+    * width stays small (per-partition store lifecycle cost dominates at
+    * micro-batch sizes), but an index BUILT inside a drain (st11's seed,
+    * st21/st36's seed) is probed by the parent session and read at one
+    * partition per bucket — letting it fall back to the stream width would
+    * cap every future probe of that index at the stream's 8, at any scale.
+    * `foreachBatch` micro-batch sessions clone the child's conf, so the
+    * pin reaches every fold body. */
+  private def childSession(parent: SparkSession): SparkSession = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(parent))
+    s.conf.set("spark.graft.index.buckets",
+      graft.ops.Buckets.resolve(parent, 0).toString)
+    s
+  }
+
   /** EXACTLY-ONCE plumbing for the fold-in sinks. Structured Streaming's
     * `foreachBatch` is documented AT-LEAST-ONCE: source offsets are
     * checkpointed before the batch function runs and batch completion
@@ -293,8 +312,7 @@ object Streams {
   private def drain(spark: SparkSession, name: String)(
       build: SparkSession => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row])
       : DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = build(s).format("memory").queryName(name).start()
     try q.processAllAvailable() finally {
       try lastDrainStateRows.set(q.recentProgress.toSeq
@@ -570,8 +588,7 @@ object Streams {
       name: String = "graft_st11",
       hash: Column => Column = graft.functions.hashing.h64): DataFrame = {
     import graft.ops.DedupIndex
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     // Start from an EMPTY index (schema-pinned zero-row frame): the first
     // micro-batch has nothing to cross against and folds itself in.
     val empty = s.createDataFrame(
@@ -707,8 +724,7 @@ object Streams {
       k: Int = 3, glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st12"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
@@ -753,8 +769,7 @@ object Streams {
       where: Column = lit(true), glob: String = "embeddings.parquet",
       maxFilesPerTrigger: Int = 0, checkpoint: String,
       name: String = "graft_st14"): Unit = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEmbeddingsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(where)
       .writeStream
@@ -822,8 +837,7 @@ object Streams {
       maxFilesPerTrigger: Int, checkpoint: String, name: String,
       seed: Boolean): Unit = {
     import graft.ops.TextIndex
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     if (seed) {
       val empty = s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
@@ -867,8 +881,7 @@ object Streams {
       seed: Boolean = true,
       startAfterVersion: Option[Long] = None): Unit = {
     import graft.ops.{Manifest, TextIndex}
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     if (seed) {
       // fresh start; a RESTART passes seed=false (re-seeding would
       // erase everything folded so far — st21's resume contract) and
@@ -927,8 +940,7 @@ object Streams {
       outPath: String, checkpoint: String, lgK: Int = 12,
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st22"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -959,8 +971,7 @@ object Streams {
       outPath: String, checkpoint: String, k: Int = 200,
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st23"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -990,8 +1001,7 @@ object Streams {
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st24"): DataFrame = {
     import graft.functions.textstats
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -1033,8 +1043,7 @@ object Streams {
       keyCol: String, attrCol: String, where: Column = lit(true),
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st15"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val dimSchema = StructType(Seq(
       StructField(keyCol, LongType),
       StructField("attr", DoubleType),
@@ -1106,8 +1115,7 @@ object Streams {
       depth: Int, width: Int, glob: String = "documents.parquet",
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st13"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -1150,8 +1158,7 @@ object Streams {
       glob: String = "lineitem.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st16"): DataFrame = {
     import graft.ops.Sketches
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(valueCol,
         org.apache.spark.sql.types.DoubleType)))
@@ -1190,8 +1197,7 @@ object Streams {
       outPath: String, glob: String = "events.parquet",
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st31"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -1235,8 +1241,7 @@ object Streams {
       glob: String = "lineitem.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st17"): DataFrame = {
     import graft.ops.Expectations
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val r = s.readStream.schema(schema).option("pathGlobFilter", glob)
     val src = (if (maxFilesPerTrigger > 0)
         r.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -1279,8 +1284,7 @@ object Streams {
   def wauStreaming(spark: SparkSession, dir: String, outPath: String,
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st18"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -1318,8 +1322,7 @@ object Streams {
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st20"): DataFrame = {
     import graft.functions.{hashing, textstats}
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$outPath-ckpt")
@@ -1375,8 +1378,7 @@ object Streams {
       maxFilesPerTrigger: Int = 0,
       name: String = "graft_st32"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .select(col("user_id"), col("event_type"), col("value"))
       .writeStream
@@ -1427,8 +1429,7 @@ object Streams {
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st33"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .select(col("user_id"), col("event_type"), col("value"))
       .writeStream
@@ -1500,8 +1501,7 @@ object Streams {
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st_commit"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$tablePath-ckpt")
@@ -1557,8 +1557,7 @@ object Streams {
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       checkpoint: String, name: String = "graft_st28"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -1609,8 +1608,7 @@ object Streams {
       glob: String = "documents.parquet", maxFilesPerTrigger: Int = 0,
       checkpoint: String, name: String = "graft_st27"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -1653,8 +1651,7 @@ object Streams {
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       checkpoint: String, name: String = "graft_st25"): DataFrame = {
     import graft.ops.{Manifest, Materialize}
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -1712,8 +1709,7 @@ object Streams {
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       checkpoint: String, name: String = "graft_st26"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -1766,8 +1762,7 @@ object Streams {
       name: String = "graft_st19"): DataFrame = {
     import graft.ops.Manifest
     require(every > 0, "compaction cadence must be positive")
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readDocumentsStream(s, dir, glob, maxFilesPerTrigger)
       .writeStream
       .option("checkpointLocation", s"$tablePath-ckpt")
@@ -1813,8 +1808,7 @@ object Streams {
       checkpoint: String, userCap: Int = 50,
       glob: String = "events.parquet", maxFilesPerTrigger: Int = 0,
       name: String = "graft_st30"): DataFrame = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .filter(col("user_id") < userCap)
       .writeStream
@@ -1865,8 +1859,7 @@ object Streams {
       maxFilesPerTrigger: Int = 0, checkpoint: String,
       name: String = "graft_st29"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readEventsStream(s, dir, glob, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
@@ -2014,8 +2007,7 @@ object Streams {
       tablePath: String, branch: String, laterChunks: Seq[DataFrame],
       checkpoint: String, name: String = "graft_st38"): Unit = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readTableStream(s, upstream)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -2074,8 +2066,7 @@ object Streams {
       downstream: String, checkpoint: String, maxFilesPerTrigger: Int,
       name: String = "graft_st37"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = s.readStream.format("graft.sources.TableStreamProvider")
       .option("startingVersion", "0")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
@@ -2094,8 +2085,7 @@ object Streams {
       downstream: String, laterChunks: Seq[DataFrame],
       checkpoint: String, name: String = "graft_st34"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = readTableStream(s, upstream)
       .writeStream
       .option("checkpointLocation", checkpoint)
@@ -2138,8 +2128,7 @@ object Streams {
       replica: String, keyCol: String, actions: Seq[() => Unit],
       checkpoint: String, name: String = "graft_st35"): DataFrame = {
     import graft.ops.Manifest
-    val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions(spark))
+    val s = childSession(spark)
     val q = s.readStream.format("graft.sources.TableStreamProvider")
       .option("readChangeFeed", "true").option("keyCols", keyCol)
       .load(upstream)

@@ -29,4 +29,26 @@ class BucketsSpec extends SparkSpec {
     assert(Buckets.resolve(s2, 0) == 6)
     s2.conf.set("spark.sql.shuffle.partitions", "4")
   }
+
+  test("ofTable resolves an existing table's bucketSpec, ignoring the " +
+    "environment — append/stage layouts must match the live table") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS buckets_spec_t")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(3, col("id"))
+      .write.mode("overwrite").bucketBy(3, "id")
+      .option("path", "/tmp/graft_buckets_spec_t")
+      .saveAsTable("buckets_spec_t")
+    // a session resolving a DIFFERENT environment count still gets the
+    // table's own 3 — the drain-child-session scenario (index built on
+    // the parent at one width, staged in a child at another)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.index.buckets", "12")
+    assert(Buckets.ofTable(s2, "buckets_spec_t") == 3)
+    assert(Buckets.ofTable(spark, "buckets_spec_t") == 3)
+    // explicit argument remains the deliberate re-bucket override
+    assert(Buckets.ofTable(spark, "buckets_spec_t", 5) == 5)
+    spark.sql("DROP TABLE IF EXISTS buckets_spec_t")
+  }
 }

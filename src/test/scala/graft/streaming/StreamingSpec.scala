@@ -754,6 +754,54 @@ class StreamingSpec extends SparkSpec {
     assert(inline.nonEmpty)
   }
 
+  test("st14 fold stages at the LIVE table's bucket count even when the " +
+      "drain child resolves a different width (catalog bucketSpec wins)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{FoldFiles, Similarity}
+    import java.nio.file.Files
+    // Parent session resolving 16 buckets builds the index; the drain
+    // child pins the stream-state width (2 here). Pre-fix, stageIvfAppend
+    // resolved the CHILD's environment and linkAppend published mod-2
+    // bucketed files into the 16-bucket table with no validation —
+    // durably mis-bucketed, silently wrong for any layout-trusting plan.
+    val p = spark.newSession()
+    p.conf.set("spark.graft.index.buckets", "16")
+    p.conf.set("spark.graft.stream.statePartitions", "2")
+    val emb = p.read.parquet(s"$sf/embeddings.parquet")
+    val prefix = "graft_st14xw"
+    Similarity.buildIvfIndex(p, emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 12, iters = 2,
+      path = QueryDSL.scratch("st14_xw_ivf", sf), prefix = prefix)
+    val srcDir = Files.createTempDirectory("st14xw_src")
+    emb.filter(col("vec_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(srcDir.toString)
+    Streams.ivfIngestStreaming(p, srcDir.toString, prefix,
+      glob = "*.parquet",
+      checkpoint = Files.createTempDirectory("st14xw_ck").toString + "/c",
+      name = "st14_xw_sink")
+    val ident = p.sessionState.sqlParser
+      .parseTableIdentifier(s"${prefix}_ivf")
+    assert(p.sessionState.catalog.getTableMetadata(ident)
+      .bucketSpec.get.numBuckets == 16)
+    // EVERY data file — built and fold-linked alike — holds only rows
+    // whose Spark bucket id (pmod(murmur3, 16)) matches the bucket id in
+    // its own file name: the on-disk layout is coherent at 16
+    val loc = FoldFiles.tableLocation(p, s"${prefix}_ivf")
+    val bucketRe = ".*_(\\d{5})\\.c000.*".r
+    val files = new java.io.File(loc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    var sawFoldFile = false
+    files.foreach { f =>
+      val bid = f.getName match { case bucketRe(d) => d.toInt }
+      if (f.getName.startsWith("fold-b")) sawFoldFile = true
+      val bad = p.read.parquet(f.getAbsolutePath)
+        .filter(pmod(hash(col("cluster")), lit(16)) =!= bid).count()
+      assert(bad == 0L, s"${f.getName}: $bad rows outside bucket $bid")
+    }
+    assert(sawFoldFile, "the drain must have link-published fold files")
+  }
+
   test("st15 streaming SCD2: 4 time-ordered micro-batches fold into " +
       "exactly the one-shot dimension build") {
     import org.apache.spark.sql.functions._
