@@ -321,13 +321,23 @@ object Similarity {
     * small by contract (it broadcasts), so the sort is negligible. */
   private[graft] def probeCentroids(queries: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, nProbe: Int): DataFrame =
+    probeCentroidsRanked(queries, cents, idCol, vecCol, nProbe).drop("rn")
+
+  /** [[probeCentroids]] keeping the probe rank `rn` (1 = closest
+    * centroid): the rank-N probe table serves EVERY nProbe ≤ N setting
+    * by a plain `rn <= p` filter — what lets a sweep (x11) run its
+    * corpus-sided scored join once at the maximum setting instead of
+    * once per point. */
+  private[graft] def probeCentroidsRanked(queries: DataFrame,
+      cents: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int): DataFrame =
     queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .crossJoin(cents)
       .withColumn("__cos", cosine(col("qv"), col("cv")))
-      .withColumn("__rn", row_number().over(
+      .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("__cos").desc, col("cid"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid").as("cluster"))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid").as("cluster"), col("rn"))
 
   /** Probed-cluster equi-join + exact rescoring + per-query top-k. The
     * probe side is |queries|·nProbe rows — bounded by the query batch,
@@ -343,6 +353,20 @@ object Similarity {
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** [[ivfScoreTail]]'s scored join WITHOUT the top-k window, carrying
+    * each candidate's probe rank `rn` (from [[probeCentroidsRanked]]):
+    * each nid owns exactly one cluster and each (qid, cluster) probe row
+    * is unique, so `rn <= p` on this set IS "nid's cluster is among
+    * qid's top-p probes" — a per-p window over the filtered rows equals
+    * the per-p [[ivfScoreTail]] verbatim, with the corpus-sided join
+    * paid once at the maximum setting (x11's sweep collapse). */
+  private[graft] def ivfScoredRanked(probes: DataFrame,
+      assigned: DataFrame): DataFrame =
+    broadcast(probes).join(assigned, Seq("cluster"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qv"), col("nv")), 4).as("cos"), col("rn"))
 
   /** Persist an IVF index — the FAISS-on-disk shape the inline x3 build
     * amortizes away: the k-row centroid table plus the cluster-assigned

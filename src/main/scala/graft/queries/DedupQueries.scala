@@ -2893,10 +2893,23 @@ object DedupQueries {
           .agg(count(lit(1)).as("cn"))
         val selfA = assigned.filter(col("nid") < 50)
           .select(col("nid").as("qid"), col("cluster").as("self_cluster"))
+        // ONE corpus-sided scored join at the sweep's maximum nProbe,
+        // carrying each candidate's probe rank (guide §2.4: the four
+        // per-point broadcast-join corpus passes collapse to one) —
+        // `rn <= p` on the scored set IS membership in the top-p probe
+        // candidate pool (each nid owns one cluster, each (qid, cluster)
+        // probe row is unique), so the per-p windows below reproduce the
+        // per-p ivfScoreTail verbatim over sample-bounded rows.
+        val probes4 = Checkpoints.checkpoint(Similarity
+          .probeCentroidsRanked(q, cents, "vec_id", "embedding", nProbe = 4))
+        val scored4 = Checkpoints.checkpoint(
+          Similarity.ivfScoredRanked(probes4, assigned))
+        val w10 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
         val sweep = (1 to 4).map { p =>
-          val probes = Similarity.probeCentroids(q, cents, "vec_id",
-            "embedding", nProbe = p)
-          val approx = Similarity.ivfScoreTail(probes, assigned, k = 10)
+          val approx = scored4.filter(col("rn") <= p)
+            .withColumn("rank", row_number().over(w10))
+            .filter(col("rank") <= 10)
             .select(col("qid"), col("nid"))
           val hits = truth.join(broadcast(approx), Seq("qid", "nid"),
               "left_semi")
@@ -2907,7 +2920,8 @@ object DedupQueries {
               lit(10.0), 4).as("recall"))
             .agg(round(sum(col("recall").cast("decimal(18,4)"))
               .cast("double") / count(lit(1)), 4).as("mean_recall"))
-          val candRow = probes.join(broadcast(csize), Seq("cluster"))
+          val candRow = probes4.filter(col("rn") <= p)
+            .join(broadcast(csize), Seq("cluster"))
             .join(broadcast(selfA), Seq("qid"))
             .groupBy(col("qid"))
             .agg((sum(col("cn")) -
