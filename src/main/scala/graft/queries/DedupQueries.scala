@@ -2609,9 +2609,17 @@ object DedupQueries {
         val exact = Relational.keepFirst(
           rebuilt.withColumn("__h", hashing.h64(col("text2"))),
           Seq("__h"), Seq(col("doc_id"))).drop("__h")
-        val sampled = Sampling.stratifiedSample(exact, "lang", "doc_id",
-            rates = Map("en" -> 0.8, "es" -> 0.6), defaultRate = 0.4)
-          .withColumn("ntok", textstats.tokenCount(col("text2")))
+        // Checkpointed: perGroupTokenBudget's two-phase prefix plan
+        // consumes its input THREE times (the per-bucket sums, then the
+        // join-back's keep-all and boundary branches) — left lazy, the
+        // whole passage-dedup chain above re-executed once per consumer
+        // (4 copies of the __ph/__h shuffles in the executed plan;
+        // guide §5 reuse rule). t7/t8 feed prefixLimit a raw scan, so
+        // the checkpoint lives here, not inside the operator.
+        val sampled = graft.ops.Checkpoints.checkpoint(
+          Sampling.stratifiedSample(exact, "lang", "doc_id",
+              rates = Map("en" -> 0.8, "es" -> 0.6), defaultRate = 0.4)
+            .withColumn("ntok", textstats.tokenCount(col("text2"))))
         Sampling.perGroupTokenBudget(sampled, "lang", "doc_id", "ntok",
             budget = 15000L)
           .groupBy(col("lang"))
