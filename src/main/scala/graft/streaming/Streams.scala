@@ -2178,9 +2178,15 @@ object Streams {
       .localCheckpoint(true)
     val dels = latest.filter(col("__t") === "delete").select(col(keyCol))
     val ups = latest.filter(col("__t") =!= "delete").drop("__t")
-    if (Manifest.version(replica) > 0 && !dels.isEmpty)
+    // ONE slice-count job over the checkpointed reduction gates both
+    // halves (was two take(1) probes — per-batch driver constants are
+    // half this query's wall, guide §1.5/§2.6)
+    val slices = latest.groupBy(col("__t") === "delete")
+      .agg(count(lit(1))).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    if (Manifest.version(replica) > 0 && slices.getOrElse(true, 0L) > 0L)
       Merge.deleteKeysDv(sp, replica, dels, keyCol)
-    if (!ups.isEmpty)
+    if (slices.getOrElse(false, 0L) > 0L)
       Merge.upsertOnce(sp, replica, ups, Seq(keyCol), "st_cdc_tail",
         batchId)
     ()
